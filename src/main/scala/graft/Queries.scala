@@ -1,0 +1,488 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checks.Checks
+import graft.dims.{DateDim, Scd2}
+import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.facts.FactLoader
+
+/** The declared query surface (SURVEY §7.3): one entry per operator
+  * in SURVEY §2's inventory plus the training-data-pipeline extension
+  * ops (§7.6), each over the driver's testdata fixtures (FIXTURES.md
+  * role mapping) with a DuckDB oracle twin. Determinism rules
+  * (SURVEY §7.5): canonical ORDER BY, decimal-pinned aggregates,
+  * BIGINT-cast computed integers, no wall-clock columns.
+  */
+object Queries {
+
+  /** Fixture reader. `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark has no native type for: read it as long (legacy conf) and
+    * truncate to microsecond TimestampType (`div 1000` in integer
+    * space — a double division would lose precision above 2^53).
+    * DuckDB reads the same column as µs TIMESTAMP natively, so the
+    * oracle side needs nothing. */
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Naive (NTZ) timestamp literal — the whole warehouse runs on
+    * TIMESTAMP_NTZ + UTC session, matching both the parquet fixtures
+    * and DuckDB's naive TIMESTAMP. */
+  private def ts(s: String): LocalDateTime =
+    LocalDateTime.parse(s.replace(' ', 'T'))
+
+  /** SCD2 change history synthesized from `events` (FIXTURES.md §C):
+    * user_id = natural key, ts = change timestamp, event_type/value =
+    * tracked attributes. */
+  private def eventsHistory(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events").select(
+      col("user_id").as("nk"), col("event_type").as("attr_type"),
+      col("value").as("attr_value"), col("ts"), col("event_id"))
+
+  private def scd2Versions(spark: SparkSession, sfDir: String): DataFrame =
+    Scd2.deriveVersions(eventsHistory(spark, sfDir), "nk", "ts", Seq("event_id"))
+
+  private val scd2Cte =
+    """v AS (
+      |  SELECT user_id AS nk, event_type AS attr_type, value AS attr_value,
+      |    event_id, ts AS active_from,
+      |    coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS active_to,
+      |    CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
+  // =================================================================
+  // Parity queries (SURVEY §2)
+  // =================================================================
+
+  /** name -> (builder, oracle SQL or None for rows-only check). */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // J39/J44/H5-H11: calendar dimension
+    ("dim_date_build",
+      (s: SparkSession, _: String) =>
+        DateDim.build(s, "2024-01-01", "2025-12-31").orderBy("date_value"),
+      Some(DateDim.oracleSql("2024-01-01", "2025-12-31"))),
+
+    // A3/B1/B3/C2/H1: delta view = rename + null-scrub + watermark + enrich
+    ("delta_extract",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+        val c = t(s, d, "customer")
+        e.filter(col("ts") > lit(ts("2024-01-20 00:00:00")))
+          .join(c, col("user_id") === col("c_custkey"), "left")
+          .select(col("event_id"), col("user_id").as("nk"),
+            coalesce(col("event_type"), lit("")).as("event_type"),
+            col("value"), col("ts").as("valid_from"),
+            coalesce(col("c_name"), lit("")).as("customer_name"),
+            coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id AS nk,
+        |  coalesce(e.event_type, '') AS event_type, e.value,
+        |  e.ts AS valid_from, coalesce(c.c_name, '') AS customer_name,
+        |  coalesce(c.c_mktsegment, '(none)') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.ts > TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY e.event_id""".stripMargin)),
+
+    // E2/I2/G1: SCD2 derivation with surrogate keys
+    ("scd2_dim",
+      (s: SparkSession, d: String) =>
+        Scd2.withSurrogate(scd2Versions(s, d), "dim_id",
+            Seq("nk", "active_from", "event_id"))
+          .select("dim_id", "nk", "attr_type", "attr_value",
+            "active_from", "active_to", "is_current")
+          .orderBy("dim_id"),
+      Some(s"""WITH $scd2Cte
+        |SELECT CAST(row_number() OVER (ORDER BY nk, active_from, event_id) AS BIGINT) AS dim_id,
+        |  nk, attr_type, attr_value, active_from, active_to, is_current
+        |FROM v ORDER BY dim_id""".stripMargin)),
+
+    // E1/J40: deterministic surrogate assignment
+    ("surrogate_keys",
+      (s: SparkSession, d: String) =>
+        Scd2.withSurrogate(t(s, d, "customer"), "sk", Seq("c_custkey"))
+          .select(col("sk"), col("c_custkey").as("nk"), col("c_name").as("name"))
+          .orderBy("sk"),
+      Some("""SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS sk,
+        |  c_custkey AS nk, c_name AS name FROM customer ORDER BY sk""".stripMargin)),
+
+    // G2/J41: unknown member row
+    ("unknown_member",
+      (s: SparkSession, d: String) => {
+        val dim = t(s, d, "customer").select(col("c_custkey").as("nk"),
+          col("c_name").as("name"), col("c_mktsegment").as("segment"))
+        Scd2.withUnknownRow(dim, Map("nk" -> lit(-1L),
+          "name" -> lit("Unknown"), "segment" -> lit("Unknown")))
+          .orderBy("nk")
+      },
+      Some("""SELECT c_custkey AS nk, c_name AS name, c_mktsegment AS segment
+        |FROM customer
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 'Unknown', 'Unknown'
+        |ORDER BY nk""".stripMargin)),
+
+    // C3/C4: temporal as-of join, half-open intervals
+    ("asof_join",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+        val dim = Scd2.deriveVersions(
+          e.filter(col("event_type") =!= "click").select(
+            col("user_id").as("nk"), col("value").as("attr_value"),
+            col("ts"), col("event_id")),
+          "nk", "ts", Seq("event_id"))
+          .select(col("nk"), col("attr_value"), col("active_from"),
+            col("active_to"))
+        val probe = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts").as("probe_ts"))
+        Scd2.asOfJoin(probe, dim, probe("user_id"), dim("nk"),
+            probe("probe_ts"))
+          .select(col("event_id"), col("user_id"), col("probe_ts"),
+            col("attr_value").as("matched_value"),
+            coalesce(col("active_from"), lit(Scd2.MinTs)).as("version_from"))
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (
+        |  SELECT user_id AS nk, value AS attr_value, ts AS active_from,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      TIMESTAMP '9999-12-31 00:00:00') AS active_to
+        |  FROM events WHERE event_type <> 'click'),
+        |probe AS (SELECT event_id, user_id, ts AS probe_ts FROM events
+        |          WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.probe_ts,
+        |  d.attr_value AS matched_value,
+        |  coalesce(d.active_from, TIMESTAMP '1900-01-01 00:00:00') AS version_from
+        |FROM probe p LEFT JOIN dim d
+        |  ON p.user_id = d.nk AND p.probe_ts >= d.active_from
+        |     AND p.probe_ts < d.active_to
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // C5/C6: anti-join new-rows detection
+    ("anti_new_rows",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer")
+        Scd2.newVersions(c,
+            c.filter(col("c_custkey") % 3 === 0), Seq("c_custkey"))
+          .select(col("c_custkey").as("nk"), col("c_name").as("name"))
+          .orderBy("nk")
+      },
+      Some("""SELECT c_custkey AS nk, c_name AS name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM customer e
+        |  WHERE e.c_custkey % 3 = 0 AND e.c_custkey = c.c_custkey)
+        |ORDER BY nk""".stripMargin)),
+
+    // C7/B5/I3: delete detection
+    ("deleted_keys",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+        val current = e.select(col("user_id").as("nk")).distinct()
+        val snapshot = e.filter(col("ts") > lit(ts("2024-01-25 00:00:00")))
+          .select(col("user_id").as("nk")).distinct()
+        Scd2.deletedKeys(current, snapshot, "nk").orderBy("nk")
+      },
+      Some("""WITH cur AS (SELECT DISTINCT user_id AS nk FROM events),
+        |snap AS (SELECT DISTINCT user_id AS nk FROM events
+        |         WHERE ts > TIMESTAMP '2024-01-25 00:00:00')
+        |SELECT nk FROM cur
+        |WHERE NOT EXISTS (SELECT 1 FROM snap WHERE snap.nk = cur.nk)
+        |ORDER BY nk""".stripMargin)),
+
+    // B4/H10/C1: fact watermark delta
+    ("fact_delta",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("last_edited",
+            greatest(col("l_shipdate"), col("o_orderdate")))
+          .filter(col("last_edited") > lit(ts("2000-06-01 00:00:00")))
+          .select("l_orderkey", "l_linenumber", "last_edited")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l.l_orderkey, l.l_linenumber,
+        |  greatest(l.l_shipdate, o.o_orderdate) AS last_edited
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE greatest(l.l_shipdate, o.o_orderdate) > TIMESTAMP '2000-06-01 00:00:00'
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
+    // Flagship (SURVEY §7.4): B2/C1/C8/H4/H12/H13 + unknown fallback
+    ("fact_build", (s: SparkSession, d: String) => factBuild(s, d),
+      Some(factBuildOracle)),
+
+    // E3/I4: keep latest edit per key
+    ("latest_per_key",
+      (s: SparkSession, d: String) =>
+        FactLoader.latestPerKey(t(s, d, "events"), Seq("user_id"),
+            col("ts"), Seq(col("event_id")))
+          .select("user_id", "event_id", "ts", "event_type", "value")
+          .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // A7: current-only mart projection
+    ("mart_current",
+      (s: SparkSession, d: String) =>
+        scd2Versions(s, d).filter(col("is_current") === 1L)
+          .select("nk", "attr_type", "attr_value").orderBy("nk"),
+      Some(s"""WITH $scd2Cte
+        |SELECT nk, attr_type, attr_value FROM v WHERE is_current = 1
+        |ORDER BY nk""".stripMargin)),
+
+    // D3: duplicate detection
+    ("dup_check",
+      (s: SparkSession, d: String) =>
+        Checks.duplicates(t(s, d, "events"), Seq("user_id", "event_type"))
+          .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, count(*) AS count FROM events
+        |GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    // C9: self theta-join interval overlap
+    ("overlap_check",
+      (s: SparkSession, d: String) => {
+        val iv = t(s, d, "events").filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"), col("ts").as("f"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("t"))
+        Checks.overlappingPairs(iv, "user_id", "event_id", "f", "t")
+          .orderBy("user_id", "id1", "id2")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, ts AS f,
+        |  ts + INTERVAL 1 HOUR AS t FROM events WHERE event_type = 'error')
+        |SELECT a.user_id, a.event_id AS id1, b.event_id AS id2
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id AND a.f < b.t AND b.f < a.t
+        |ORDER BY a.user_id, id1, id2""".stripMargin)),
+
+    // J42/F2: soft referential integrity probe
+    ("ref_integrity",
+      (s: SparkSession, d: String) =>
+        Checks.refIntegrityViolations(t(s, d, "lineitem"),
+            t(s, d, "part").filter(col("p_partkey") % 5 =!= 0)
+              .select(col("p_partkey")),
+            col("l_partkey"), col("p_partkey"))
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+          .orderBy("l_orderkey", "l_linenumber").limit(100),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT p_partkey FROM part WHERE p_partkey % 5 <> 0) p
+        |  ON l.l_partkey = p.p_partkey
+        |WHERE p.p_partkey IS NULL
+        |ORDER BY l.l_orderkey, l.l_linenumber LIMIT 100""".stripMargin)),
+
+    // D2/D4: source<->DW reconciliation aggregates
+    ("reconcile_totals",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("decimal(18,2)").as("sum_gross")),
+      Some("""SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_gross
+        |FROM lineitem""".stripMargin)),
+
+    // D5: distinct projection
+    ("distinct_values",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events").select("event_type").distinct()
+          .orderBy("event_type"),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type")),
+
+    // H3/H4: string functions (last-token extraction, composite keys)
+    ("string_funcs",
+      (s: SparkSession, d: String) =>
+        t(s, d, "part").select(col("p_partkey"),
+            substring_index(trim(col("p_name")), " ", -1).as("last_token"),
+            concat_ws("-", col("p_partkey").cast("string"), col("p_brand"))
+              .as("composite_nk"),
+            upper(col("p_type")).as("type_uc"),
+            trim(col("p_name")).as("name_trim"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        |  str_split(trim(p_name), ' ')[-1] AS last_token,
+        |  CAST(p_partkey AS VARCHAR) || '-' || p_brand AS composite_nk,
+        |  upper(p_type) AS type_uc, trim(p_name) AS name_trim
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // F1/F2: global top-k (TakeOrderedAndProject)
+    ("top_violations",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice").cast("decimal(14,2)").as("price"))
+          .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // =============================================================
+    // Extension surface (SURVEY §7.6): training-data pipeline ops
+    // =============================================================
+
+    ("exact_dedup",
+      (s: SparkSession, d: String) =>
+        Dedup.exactGroups(t(s, d, "documents"),
+            Dedup.wordSetKey(col("text")), col("doc_id"))
+          .filter(col("n_docs") > 1)
+          .select("dedup_key", "keep_id", "n_docs").orderBy("keep_id"),
+      Some(s"""SELECT ${Dedup.wordSetKeySql} AS dedup_key,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin)),
+
+    ("minhash_dedup",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashCandidates(
+          Dedup.minhashSignature(t(s, d, "documents"), col("doc_id"),
+            col("text"), 3, 8), 8, 2).orderBy("d1", "d2"),
+      Some(Dedup.minhashOracleSql(3, 8, 2))),
+
+    ("simhash_dedup",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashPairs(
+          Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text")), 3)
+          .orderBy("d1", "d2"),
+      Some(Dedup.simhashOracleSql(3))),
+
+    ("ngram_jaccard",
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3, 1, 2).orderBy("d1", "d2"),
+      Some(Dedup.ngramJaccardOracleSql(3, 1, 2))),
+
+    ("embedding_topk",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(Similarity.cosineTopKOracleSql(64, 5, 10))),
+
+    ("lang_id",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("pred_lang")).orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextAnalysis.langIdSql} AS pred_lang " +
+        "FROM documents ORDER BY doc_id")),
+
+    ("quality_score",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityFeatures(
+            t(s, d, "documents").select("doc_id", "text"), col("text"))
+          .drop("text").orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextAnalysis.qualityFeaturesSqlColumns} " +
+        "FROM documents ORDER BY doc_id")),
+
+    ("token_count",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.tokenCounts(
+            t(s, d, "documents").select("doc_id", "text"), col("text"))
+          .drop("text").orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextAnalysis.tokenCountsSqlColumns} " +
+        "FROM documents ORDER BY doc_id")),
+
+    ("doc_fingerprint",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.fingerprints(
+            t(s, d, "documents").select("doc_id", "text"), col("text"), 8)
+          .drop("text").orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextAnalysis.fingerprintSqlColumns(8)} " +
+        "FROM documents ORDER BY doc_id")),
+
+    ("sessionization",
+      (s: SparkSession, d: String) =>
+        Sessions.sessionStats(t(s, d, "events"), "user_id", "ts", "value",
+          1800, Seq("event_id")).orderBy("user_id", "session_num"),
+      Some(Sessions.sessionStatsOracleSql(1800))),
+
+    ("multimodal_features",
+      (s: SparkSession, d: String) =>
+        Multimodal.featuresExpr(t(s, d, "documents")).orderBy("doc_id"),
+      Some(Multimodal.featuresOracleSql)),
+
+    // HLL++ approximate distinct — engine-specific sketch, rows-only check
+    ("approx_distinct",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events").agg(
+          approx_count_distinct("user_id").as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")),
+      None)
+  )
+
+  // ---- flagship fact build (SURVEY §7.4) ----
+
+  def factBuild(s: SparkSession, d: String): DataFrame = {
+    val dimCust = Scd2.withSurrogate(
+      t(s, d, "customer").filter(col("c_custkey") % 10 =!= 0),
+      "customer_sk_src", Seq("c_custkey")).select("customer_sk_src", "c_custkey")
+    val dimPart = Scd2.withSurrogate(t(s, d, "part"),
+      "part_sk_src", Seq("p_partkey")).select("part_sk_src", "p_partkey")
+    val dimSupp = Scd2.withSurrogate(t(s, d, "supplier"),
+      "supplier_sk_src", Seq("s_suppkey")).select("supplier_sk_src", "s_suppkey")
+
+    val o = t(s, d, "orders")
+    val base = FactLoader.withMeasures(
+        t(s, d, "lineitem").join(o, col("l_orderkey") === col("o_orderkey")))
+      .withColumn("sales_nk", FactLoader.salesNk)
+      .withColumn("order_datekey",
+        (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate"))).cast("long"))
+
+    base
+      .join(broadcast(dimCust), col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(dimPart), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(dimSupp), col("l_suppkey") === col("s_suppkey"), "left")
+      .select(col("sales_nk"),
+        coalesce(col("customer_sk_src"), lit(-1L)).as("customer_sk"),
+        coalesce(col("part_sk_src"), lit(-1L)).as("part_sk"),
+        coalesce(col("supplier_sk_src"), lit(-1L)).as("supplier_sk"),
+        col("order_datekey"), col("quantity"), col("value_gross"),
+        col("value_discounted"), col("value_posttax"))
+      .orderBy("sales_nk")
+  }
+
+  lazy val factBuildOracle: String =
+    """WITH dim_cust AS (
+    |  SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+    |    c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+    |dim_part AS (
+    |  SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS part_sk,
+    |    p_partkey FROM part),
+    |dim_supp AS (
+    |  SELECT CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS supplier_sk,
+    |    s_suppkey FROM supplier)
+    |SELECT
+    |  CAST(l.l_orderkey AS VARCHAR) || '-' || CAST(l.l_linenumber AS VARCHAR) AS sales_nk,
+    |  coalesce(dc.customer_sk, -1) AS customer_sk,
+    |  coalesce(dp.part_sk, -1) AS part_sk,
+    |  coalesce(ds.supplier_sk, -1) AS supplier_sk,
+    |  CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100
+    |    + day(o.o_orderdate) AS BIGINT) AS order_datekey,
+    |  CAST(l.l_quantity AS DECIMAL(12,2)) AS quantity,
+    |  CAST(l.l_extendedprice AS DECIMAL(14,2)) AS value_gross,
+    |  CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
+    |    (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+    |    AS DECIMAL(18,4)) AS value_discounted,
+    |  CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
+    |    (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+    |    AS DECIMAL(18,4)) *
+    |    (CAST(1 AS DECIMAL(4,2)) + CAST(l.l_tax AS DECIMAL(4,2)))
+    |    AS DECIMAL(18,6)) AS value_posttax
+    |FROM lineitem l
+    |JOIN orders o ON l.l_orderkey = o.o_orderkey
+    |LEFT JOIN dim_cust dc ON o.o_custkey = dc.c_custkey
+    |LEFT JOIN dim_part dp ON l.l_partkey = dp.p_partkey
+    |LEFT JOIN dim_supp ds ON l.l_suppkey = ds.s_suppkey
+    |ORDER BY sales_nk""".stripMargin
+}

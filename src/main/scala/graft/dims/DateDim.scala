@@ -1,0 +1,89 @@
+package graft.dims
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date dimension builder — reference `createDimDate` (SQL:182-237).
+  *
+  * The reference generates one row per day with a recursive CTE capped
+  * by `OPTION (MAXRECURSION 20000)` (SQL:197-228); Spark-first this is
+  * a single `sequence()` + `explode` — one narrow stage, no shuffle,
+  * bounded by construction.
+  *
+  * Calendar names are derived from a static in-plan lookup (arrays
+  * indexed by month / ISO weekday) instead of the reference's
+  * `SET LANGUAGE` session locale (SQL:189-192): locale-free, codegen
+  * friendly, and expressible 1:1 in the DuckDB oracle (SURVEY §7.7.3).
+  * Week numbering is pinned to ISO-8601 (SURVEY §7.7; the reference's
+  * `DATEPART(wk)` under `DATEFIRST 1` is SQL-Server-specific).
+  */
+object DateDim {
+
+  private val monthNames = Seq("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val dayNames = Seq("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday")
+
+  /** ISO day-of-week 1=Monday..7=Sunday from Spark's 1=Sunday..7=Saturday. */
+  def isoDayOfWeek(d: Column): Column = pmod(dayofweek(d) + lit(5), lit(7)) + lit(1)
+
+  /** One row per day in [start, end], 16 calendar columns. */
+  def build(spark: SparkSession, start: String, end: String): DataFrame = {
+    val days = spark.range(1).select(
+      explode(sequence(lit(start).cast("date"), lit(end).cast("date")))
+        .as("date_value"))
+    days
+      .withColumn("date_key",
+        (year(col("date_value")) * 10000 + month(col("date_value")) * 100 +
+          dayofmonth(col("date_value"))).cast("long"))
+      .withColumn("year", year(col("date_value")).cast("long"))
+      .withColumn("quarter", quarter(col("date_value")).cast("long"))
+      .withColumn("month", month(col("date_value")).cast("long"))
+      .withColumn("day", dayofmonth(col("date_value")).cast("long"))
+      .withColumn("day_of_year", dayofyear(col("date_value")).cast("long"))
+      .withColumn("day_of_week", isoDayOfWeek(col("date_value")).cast("long"))
+      .withColumn("week_of_year", weekofyear(col("date_value")).cast("long"))
+      .withColumn("month_name",
+        element_at(array(monthNames.map(lit): _*), month(col("date_value"))))
+      .withColumn("day_name",
+        element_at(array(dayNames.map(lit): _*),
+          isoDayOfWeek(col("date_value")).cast("int")))
+      .withColumn("quarter_name",
+        concat(lit("Q"), quarter(col("date_value")).cast("string")))
+      .withColumn("year_month",
+        concat(year(col("date_value")).cast("string"), lit("-"),
+          lpad(month(col("date_value")).cast("string"), 2, "0")))
+      .withColumn("is_weekend",
+        when(isoDayOfWeek(col("date_value")) >= 6, 1L).otherwise(0L))
+      .withColumn("first_of_month", trunc(col("date_value"), "month"))
+      .withColumn("last_of_month", last_day(col("date_value")))
+  }
+
+  /** Matching DuckDB oracle SQL (same columns, same semantics). */
+  def oracleSql(start: String, end: String): String = {
+    val m = monthNames.map(n => s"'$n'").mkString(", ")
+    val d = dayNames.map(n => s"'$n'").mkString(", ")
+    s"""
+    |SELECT
+    |  cast(range AS DATE) AS date_value,
+    |  year(range)*10000 + month(range)*100 + day(range) AS date_key,
+    |  year(range) AS year,
+    |  quarter(range) AS quarter,
+    |  month(range) AS month,
+    |  day(range) AS day,
+    |  dayofyear(range) AS day_of_year,
+    |  isodow(range) AS day_of_week,
+    |  weekofyear(range) AS week_of_year,
+    |  ([$m])[month(range)] AS month_name,
+    |  ([$d])[isodow(range)] AS day_name,
+    |  'Q' || cast(quarter(range) AS VARCHAR) AS quarter_name,
+    |  cast(year(range) AS VARCHAR) || '-' || lpad(cast(month(range) AS VARCHAR), 2, '0') AS year_month,
+    |  CASE WHEN isodow(range) >= 6 THEN 1 ELSE 0 END::BIGINT AS is_weekend,
+    |  cast(date_trunc('month', range) AS DATE) AS first_of_month,
+    |  cast(last_day(cast(range AS DATE)) AS DATE) AS last_of_month
+    |FROM range(DATE '$start', DATE '$end' + INTERVAL 1 DAY, INTERVAL 1 DAY)
+    |ORDER BY date_value
+    |""".stripMargin.trim
+  }
+}

@@ -1,0 +1,251 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (canonical-key groupBy), MinHash+LSH, SimHash (hamming LSH),
+  * and n-gram Jaccard verification. No reference analog (extension
+  * surface, SURVEY §7.6); designs follow Broder (1997) resemblance /
+  * Charikar (2002) simhash as implemented in every large text corpus
+  * pipeline.
+  *
+  * Scale posture: every path is explode → hash → groupBy/band-join —
+  * shuffles partition on doc or band keys, never a quadratic all-pairs
+  * comparison. Candidate verification only touches pairs that collide
+  * in a band, so cost tracks true-duplicate density, not corpus².
+  */
+object Dedup {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Canonical word-set key: sorted distinct tokens re-joined. Exact
+    * dedup on this key catches word-permutation duplicates; on raw
+    * `text` it is byte-exact dedup. */
+  def wordSetKey(text: Column): Column =
+    array_join(array_sort(array_distinct(words(text))), " ")
+
+  val wordSetKeySql: String =
+    "array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')"
+
+  /** Exact dedup groups: key → (representative = min id, group size).
+    * One hash-shuffle on the key; map-side partial aggregation. */
+  def exactGroups(docs: DataFrame, key: Column, id: Column): DataFrame =
+    docs.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Word n-grams (shingles) of the text, empty when too short. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val w = words(text)
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)
+    when(size(w) >= n, transform(sequence(lit(1), size(w) - lit(n - 1)), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[wordGrams]] as a SQL expression over `text`. */
+  def wordGramsSql(n: Int): String = {
+    val parts = (1 to n).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(range(greatest(len(str_split(text, ' ')) - ${n - 1}, 0)), " +
+      s"i -> $parts)"
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH (SURVEY §7.6; banding per Leskovec/Rajaraman/Ullman
+  // "Mining of Massive Datasets" ch.3)
+  // ---------------------------------------------------------------
+
+  /** Per-doc minhash signature: k permutation minima over distinct
+    * shingle hashes. explode → groupBy(doc) with k `min` aggregates
+    * (map-side combine keeps the shuffle at k longs per doc). */
+  def minhashSignature(docs: DataFrame, id: Column, text: Column,
+                       shingle: Int, k: Int): DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+      explode(array_distinct(wordGrams(text, shingle))).as("gram"))
+    val hashed = grams.withColumn("h", Hashing.polyHash(col("gram")))
+    hashed.groupBy(col("doc_id"))
+      .agg(min(Hashing.perm(col("h"), 0)).as("mh0"),
+        (1 until k).map(i => min(Hashing.perm(col("h"), i)).as(s"mh$i")): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of the
+    * signature (bands of `rowsPerBand` consecutive minhashes). The
+    * band value packs two minhashes into one int64 (mh < P2 ≈ 2^31,
+    * so mh0·P2 + mh1 < 2^62). Join is per (band index, band value) —
+    * an equi shuffle join, never all-pairs. */
+  def minhashCandidates(signatures: DataFrame, k: Int,
+                        rowsPerBand: Int = 2): DataFrame = {
+    require(k % rowsPerBand == 0, "k must divide into bands")
+    val nBands = k / rowsPerBand
+    val bandVal = (b: Int) => {
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      cols.reduceLeft((acc, c) => acc * lit(Hashing.P2) + c)
+    }
+    val bands = signatures.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("d1"))
+    val b = bands.select(col("band").as("__b2"), col("sig").as("__s2"),
+      col("doc_id").as("d2"))
+    a.join(b, col("band") === col("__b2") && col("sig") === col("__s2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Full DuckDB oracle for minhash LSH candidates over `documents`. */
+  def minhashOracleSql(shingle: Int, k: Int, rowsPerBand: Int): String = {
+    val nBands = k / rowsPerBand
+    val mins = (0 until k)
+      .map(i => s"min(${Hashing.permSql("h", i)}) AS mh$i").mkString(", ")
+    val bandRows = (0 until nBands).map { b =>
+      val sig = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+        .reduceLeft((acc, c) => s"($acc * ${Hashing.P2} + $c)")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |grams AS (
+    |  SELECT DISTINCT doc_id, gram
+    |  FROM (SELECT doc_id,
+    |          unnest(list_transform(range(greatest(len(w) - ${shingle - 1}, 0)),
+    |            i -> ${(1 to shingle).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
+    |        FROM w)),
+    |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("gram")} AS h FROM grams),
+    |mh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+    |bands AS ($bandRows)
+    |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |FROM bands a JOIN bands b
+    |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+  }
+
+  // ---------------------------------------------------------------
+  // SimHash with banded hamming LSH
+  // ---------------------------------------------------------------
+
+  val SimBits = 32
+
+  /** Per-doc 32-bit simhash over distinct tokens: bit j is the sign of
+    * sum over tokens of ±1 by token-hash bit j. Two aggregations, both
+    * keyed on doc_id. */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(array_distinct(words(text))).as("tok"))
+    val h = Hashing.perm(Hashing.polyHash(col("tok")), 0)
+    val bitSums = toks.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(h, 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("b0"),
+      (1 until SimBits).map(j =>
+        sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"b$j")): _*)
+    val sim = (0 until SimBits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming, found via
+    * 4-byte banding (pigeonhole: <=3 differing bits leave at least one
+    * of 4 bytes identical) then exact hamming filter. */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        .as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
+        col("bs.bv").as("bv"))
+    val a = bands.select(col("band"), col("bv"), col("doc_id").as("d1"),
+      col("simhash").as("s1"))
+    val b = bands.select(col("band").as("__b2"), col("bv").as("__v2"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, col("band") === col("__b2") && col("bv") === col("__v2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Full DuckDB oracle for simhash near-dup pairs over `documents`. */
+  def simhashOracleSql(maxHamming: Int = 3): String = {
+    val h = Hashing.permSql(Hashing.polyHashSql("tok"), 0)
+    val bitSums = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sim = (0 until SimBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bv FROM sims")
+      .mkString(" UNION ALL ")
+    s"""
+    |WITH toks AS (
+    |  SELECT DISTINCT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+    |  FROM documents),
+    |hashed AS (SELECT doc_id, $h AS h FROM toks),
+    |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+    |sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits),
+    |bands AS ($bandRows),
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+    |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    |SELECT d1, d2, hamming FROM pairs WHERE hamming <= $maxHamming
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+  }
+
+  // ---------------------------------------------------------------
+  // n-gram Jaccard verification
+  // ---------------------------------------------------------------
+
+  /** Verified near-dup pairs by n-gram Jaccard >= threshold. Inverted
+    * index join on the gram (pairs only materialize for co-occurring
+    * grams), then |∩| / (|A| + |B| - |∩|). Threshold comparison is done
+    * on cross-multiplied integers — no float division in the filter. */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
+                        thresholdNum: Int, thresholdDen: Int): DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+      explode(array_distinct(wordGrams(text, n))).as("gram"))
+    val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col("gram"), col("doc_id").as("d1"))
+    val b = grams.select(col("gram").as("__g2"), col("doc_id").as("d2"))
+    val inter = a.join(b, col("gram") === col("__g2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("d1"), col("n_grams").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_grams").as("n2")), "d2")
+      .filter(col("inter") * lit(thresholdDen) >=
+        (col("n1") + col("n2") - col("inter")) * lit(thresholdNum))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  /** Full DuckDB oracle for [[ngramJaccardPairs]] over `documents`. */
+  def ngramJaccardOracleSql(n: Int, thresholdNum: Int,
+                            thresholdDen: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |grams AS (
+    |  SELECT DISTINCT doc_id, gram
+    |  FROM (SELECT doc_id,
+    |          unnest(list_transform(range(greatest(len(w) - ${n - 1}, 0)),
+    |            i -> ${(1 to n).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
+    |        FROM w)),
+    |counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    |inter AS (
+    |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2)
+    |SELECT d1, d2, inter, c1.n_grams AS n1, c2.n_grams AS n2
+    |FROM inter
+    |JOIN counts c1 ON c1.doc_id = d1
+    |JOIN counts c2 ON c2.doc_id = d2
+    |WHERE inter * $thresholdDen >= (c1.n_grams + c2.n_grams - inter) * $thresholdNum
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting (extension surface,
+  * SURVEY §7.6). All pure column expressions — whole-stage codegen,
+  * no UDFs, trivially data-parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language (tiny, deterministic n-gram
+    * heuristic in the Gottron/Lipka style: score = marker-token hits). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def hits(w: Column, markers: Seq[String]): Column =
+    size(filter(w, t => t.isin(markers.map(lit): _*))).cast("long")
+
+  /** Language ID: argmax of marker hits, first-listed language wins
+    * ties, 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val w = split(text, " ")
+    val scores = Markers.map { case (lang, m) => lang -> hits(w, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[langId]] over column `text`. */
+  def langIdSql: String = {
+    def hitsSql(m: Seq[String]) =
+      s"len(list_filter(str_split(text, ' '), t -> t IN (${m.map(x => s"'$x'").mkString(", ")})))"
+    val best = Markers.map { case (_, m) => hitsSql(m) }
+      .reduce((a, b) => s"greatest($a, $b)")
+    // fold right so the FIRST language in Markers wins ties
+    Markers.foldRight("'und'") { case ((lang, m), acc) =>
+      s"CASE WHEN ${hitsSql(m)} = __best AND __best > 0 THEN '$lang' ELSE $acc END"
+    }.replace("__best", s"($best)")
+  }
+
+  /** Quality features: token count, mean token length, stopword ratio,
+    * alpha ratio — plus a blended score. Ratios are double divisions
+    * of exact longs (same IEEE op both engines). */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
+    val w = split(text, " ")
+    val nTokens = size(w).cast("long")
+    val nChars = length(text).cast("long")
+    val stopHits = hits(w, Markers.head._2)
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("n_chars_computed", nChars)
+      .withColumn("mean_token_len",
+        (nChars - (nTokens - 1)).cast("double") / nTokens.cast("double"))
+      .withColumn("stopword_ratio",
+        stopHits.cast("double") / nTokens.cast("double"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(w)).cast("long").cast("double") / nTokens.cast("double"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * lit(0.3) + col("distinct_ratio") * lit(0.7))
+  }
+
+  def qualityFeaturesSqlColumns: String = {
+    val stop = Markers.head._2.map(x => s"'$x'").mkString(", ")
+    """
+    |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+    |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+    |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+    |    / CAST(len(str_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+    |  CAST(len(list_filter(str_split(text, ' '), t -> t IN (STOP))) AS DOUBLE)
+    |    / CAST(len(str_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+    |  CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+    |    / CAST(len(str_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+    |  (CAST(len(list_filter(str_split(text, ' '), t -> t IN (STOP))) AS DOUBLE)
+    |    / CAST(len(str_split(text, ' ')) AS DOUBLE)) * 0.3 +
+    |  (CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+    |    / CAST(len(str_split(text, ' ')) AS DOUBLE)) * 0.7 AS quality_score
+    |""".stripMargin.trim.replace("STOP", stop)
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish subword estimate
+    * (alphanumeric runs + punctuation as separate tokens). */
+  def tokenCounts(df: DataFrame, text: Column): DataFrame = df
+    .withColumn("ws_tokens", size(split(text, " ")).cast("long"))
+    .withColumn("re_tokens",
+      size(regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+        .cast("long"))
+
+  val tokenCountsSqlColumns: String =
+    """CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens""".stripMargin
+
+  /** Document fingerprint: full-text polynomial hash plus the minimum
+    * of character 8-gram rolling hashes (the winnowing-style "pick a
+    * stable representative substring hash" signal, Schleimer et al.
+    * 2003). */
+  def fingerprints(df: DataFrame, text: Column, n: Int = 8): DataFrame =
+    df.withColumn("full_hash", Hashing.polyHash(text))
+      .withColumn("min_gram_hash", minCharGramHash(text, n))
+
+  /** min over character n-gram polynomial hashes. */
+  def minCharGramHash(text: Column, n: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => Hashing.polyHash(text.substr(i, lit(n)))))
+
+  def fingerprintSqlColumns(n: Int): String =
+    s"""${Hashing.polyHashSql("text")} AS full_hash,
+       |  list_min(list_transform(range(1, greatest(length(text) - ${n - 1}, 1) + 1),
+       |    i -> ${Hashing.polyHashSql(s"text[i:i+${n - 1}]")})) AS min_gram_hash""".stripMargin
+}

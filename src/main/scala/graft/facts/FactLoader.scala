@@ -1,0 +1,118 @@
+package graft.facts
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.meta.{LoadTracker, RunLog, StagedWrite}
+
+/** Fact table load — reference `etl_load_factsales` (SQL:1339-1538),
+  * the deepest pipeline in the script (SURVEY §3.2).
+  *
+  * Reference shape: delta from `src_sales` (OrderLines ⋈ Orders +
+  * computed measures + watermark), temporal dim lookups with Unknown
+  * fallback, UPDATE phase for corrections, INSERT phase for new keys.
+  * Spark-first the UPDATE+INSERT pair becomes one pure recompute:
+  * union(existing fact, fresh delta) → keep the latest edit per
+  * natural key with a window (reference guard SQL:1402) → overwrite
+  * via staged swap. Unknown-mapped rows re-resolve automatically
+  * because the dim lookup reruns (reference SQL:1399-1401).
+  *
+  * Scale posture: the delta and existing fact shuffle once on
+  * `sales_nk` (the window partition); dim lookups are broadcast
+  * (dims are orders of magnitude smaller than facts). The watermark
+  * is a driver literal so the source scan prunes on push-down.
+  */
+object FactLoader {
+
+  /** Measures — reference B2 (SQL:498-499), decimal-pinned so Spark
+    * and the DuckDB oracle agree bit-for-bit (SURVEY §7.7.4). */
+  def withMeasures(df: DataFrame): DataFrame = df
+    .withColumn("quantity", col("l_quantity").cast("decimal(12,2)"))
+    .withColumn("value_gross", col("l_extendedprice").cast("decimal(14,2)"))
+    .withColumn("value_discounted",
+      (col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("decimal(18,4)"))
+    .withColumn("value_posttax",
+      (col("value_discounted") *
+        (lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")))
+        .cast("decimal(18,6)"))
+
+  /** Composite natural key "orderkey-linenumber" (reference SQL:490). */
+  def salesNk: Column =
+    concat_ws("-", col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"))
+
+  /** Keep the latest edit per natural key (reference SQL:1367-1404,
+    * SURVEY §2.E3): one shuffle on the key. */
+  def latestPerKey(df: DataFrame, key: Seq[String], ts: Column,
+                   tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy((ts.desc +: tiebreak.map(_.desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Incremental fact load against a warehouse (used by Pipeline). */
+  def load(spark: SparkSession, lineitem: DataFrame, orders: DataFrame,
+           dims: Map[String, (DataFrame, Column, Column)],
+           factPath: String, tracker: LoadTracker, log: RunLog): Long = {
+    val started = new Timestamp(System.currentTimeMillis())
+    try {
+      val wm = tracker.watermark("factsales")
+      val editTs = greatest(col("l_shipdate"), col("o_orderdate"))
+      val delta = withMeasures(
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey")))
+        .withColumn("sales_nk", salesNk)
+        .withColumn("last_edited", editTs)
+        .filter(col("last_edited") > lit(wm))
+
+      // dim surrogate lookups, Unknown (-1) fallback; dims broadcast
+      val resolved = dims.foldLeft(delta) {
+        case (df, (dimName, (dim, probeKey, dimKey))) =>
+          df.join(broadcast(dim), probeKey === dimKey, "left")
+            .withColumn(s"${dimName}_sk",
+              coalesce(col(s"${dimName}_id"), lit(-1L)))
+            .drop(dim.columns.toSeq: _*)
+      }
+
+      val projected = resolved.select(
+        (Seq("sales_nk", "quantity", "value_gross", "value_discounted",
+          "value_posttax", "last_edited") ++
+          dims.keys.toSeq.sorted.map(d => s"${d}_sk")).map(col): _*)
+
+      val existing: Option[DataFrame] =
+        if (pathExists(spark, factPath)) Some(spark.read.parquet(factPath))
+        else None
+      val unioned = existing match {
+        case Some(f) => f.unionByName(projected)
+        case None => projected
+      }
+      val fact = latestPerKey(unioned, Seq("sales_nk"), col("last_edited"))
+
+      val inserted = projected.count()
+      StagedWrite.overwrite(fact, factPath)
+      val dataWm =
+        if (inserted == 0) None
+        else Option(delta.agg(max(col("last_edited"))).first().getAs[LocalDateTime](0))
+      tracker.advance("factsales", dataWm)
+      log.append("etl_load_factsales", started, inserted, 0L, 0L,
+        RunLog.Success, None)
+      inserted
+    } catch {
+      case e: Throwable =>
+        log.append("etl_load_factsales", started, 0L, 0L, 0L, RunLog.Fail,
+          Some(String.valueOf(e.getMessage)))
+        throw e
+    }
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
