@@ -40,6 +40,11 @@ object Queries {
   private def ts(s: String): LocalDateTime =
     LocalDateTime.parse(s.replace(' ', 'T'))
 
+  /** Events with the ns->us NTZ conversion applied — the change-feed
+    * source for Pipeline and the declared queries. */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+
   /** SCD2 change history synthesized from `events` (FIXTURES.md §C):
     * user_id = natural key, ts = change timestamp, event_type/value =
     * tracked attributes. */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("exact dedup on word-set key finds planted permutation dups") {
+    val groups = Dedup.exactGroups(docs, Dedup.wordSetKey(col("text")),
+      col("doc_id")).filter(col("n_docs") > 1)
+    assert(groups.count() > 0)
+    // representative is the min doc_id of its group
+    val bad = groups.join(docs,
+      Dedup.wordSetKey(col("text")) === col("dedup_key") &&
+        col("doc_id") < col("keep_id")).count()
+    assert(bad == 0)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs") {
+    val sigs = Dedup.minhashSignature(docs, col("doc_id"), col("text"), 3, 8)
+    val cands = Dedup.minhashCandidates(sigs, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: pairs with 3-gram jaccard >= 0.8 must all be found
+    val truth = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      3, 4, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dups")
+    val missed = truth -- cands
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("simhash: identical docs get identical hashes, pairs are symmetric-free") {
+    val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
+    assert(sims.count() == docs.count())
+    val pairs = Dedup.simhashPairs(sims, 3)
+    assert(pairs.filter(col("d1") >= col("d2")).count() == 0)
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("ngram jaccard pairs are exact and thresholded") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      3, 1, 2)
+    // jaccard >= 0.5 check holds by construction of the filter
+    val viol = pairs.filter(
+      col("inter") * 2 < (col("n1") + col("n2") - col("inter"))).count()
+    assert(viol == 0)
+  }
+}

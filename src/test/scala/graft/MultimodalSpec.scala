@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("mapPartitions decode path: schema, row-count, determinism") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.count() == docs.count())
+    // deterministic: run twice, same checksums
+    val a = feats.orderBy("doc_id").collect().map(f => (f.doc_id, f.checksum))
+    val b = Multimodal.decodeFeatures(media).orderBy("doc_id").collect()
+      .map(f => (f.doc_id, f.checksum))
+    assert(a.toSeq == b.toSeq)
+    // payload length survives the decode
+    val sizes = feats.filter(col("n_bytes") <= 0).count()
+    assert(sizes == 0)
+  }
+
+  test("expression twin agrees with mapPartitions stub on shared fields") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exprSide = Multimodal.featuresExpr(docs)
+      .select("doc_id", "n_bytes", "format", "width", "height")
+    val media = Multimodal.withPayload(docs)
+      .select(col("doc_id"), col("payload")).as[Multimodal.MediaRecord]
+    val dsSide = Multimodal.decodeFeatures(media)
+      .select("doc_id", "n_bytes", "format", "width", "height")
+    assert(exprSide.exceptAll(dsSide).count() == 0)
+    assert(dsSide.exceptAll(exprSide).count() == 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The reference's headline test (SQL:70-74): run the whole warehouse
+  * build twice — second run must be a no-op (0 inserts everywhere) and
+  * all Stage-5 invariants must hold after both runs.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("runAll is idempotent and passes all validation checks") {
+    val root = Files.createTempDirectory("graft_wh").toString
+
+    val first = Pipeline.runAll(spark, sf, root)
+    assert(first.dimDateRows > 2000L)
+    assert(first.dimInserts.values.forall(_ > 0L), s"first run must load: ${first.dimInserts}")
+    assert(first.factInserts > 0L)
+    first.violations.foreach { case (name, n) =>
+      assert(n == 0L, s"validation $name: $n violations")
+    }
+
+    val factAfterFirst = spark.read.parquet(s"$root/int/factsales")
+      .orderBy("sales_nk").collect()
+
+    val second = Pipeline.runAll(spark, sf, root)
+    assert(second.dimInserts.values.forall(_ == 0L),
+      s"rerun must insert 0 dim rows: ${second.dimInserts}")
+    assert(second.factInserts == 0L, "rerun must insert 0 fact rows")
+    second.violations.foreach { case (name, n) =>
+      assert(n == 0L, s"validation $name after rerun: $n violations")
+    }
+
+    val factAfterSecond = spark.read.parquet(s"$root/int/factsales")
+      .orderBy("sales_nk").collect()
+    assert(factAfterFirst.toSeq == factAfterSecond.toSeq,
+      "fact table must be byte-identical after a no-op rerun")
+
+    // run log recorded SUCCESS rows for both runs
+    val log = spark.read.parquet(s"$root/meta/etl_run_log")
+    assert(log.filter(col("status") === "SUCCESS").count() >= 10L)
+
+    // watermark semantics: data watermark unchanged by empty rerun
+    val tracker = spark.read.parquet(s"$root/meta/etl_load_tracker")
+    assert(tracker.count() >= 5L)
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.dims.Scd2
+
+/** SCD2 derivation invariants (SURVEY §5c): property-checked (plain
+  * ScalaCheck generators sampled in-loop; the scalatest bridge
+  * artifact isn't on the offline classpath), strictly stronger than
+  * the reference's example-based Stage-5 suite.
+  */
+class Scd2Spec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("nk", LongType), StructField("attr", StringType),
+    StructField("ts", TimestampNTZType), StructField("tie", LongType)))
+
+  private def mkHistory(rows: Seq[(Long, String, LocalDateTime, Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (nk, a, ts, tie) => Row(nk, a, ts, tie) }, 2),
+      schema)
+
+  private val base = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+
+  private val historyGen: Gen[Seq[(Long, String, LocalDateTime, Long)]] =
+    for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        nk <- Gen.choose(1L, 5L)
+        attr <- Gen.oneOf("a", "b", "c")
+        offset <- Gen.choose(0L, 1000L)
+      } yield (nk, attr, base.plusMinutes(offset), 0L))
+    } yield rows.zipWithIndex.map { case ((nk, a, ts, _), i) =>
+      (nk, a, ts, i.toLong)
+    }
+
+  test("intervals tile per key: exactly one current, no overlaps, no gaps") {
+    val samples = Iterator.continually(historyGen.sample)
+      .flatten.take(15).toSeq
+    samples.foreach { rows =>
+      val versions = Scd2.deriveVersions(mkHistory(rows), "nk", "ts",
+        Seq("tie")).cache()
+      val perKey = versions
+        .groupBy("nk")
+        .agg(sum(col("is_current")).as("n_current"), count(lit(1)).as("n"))
+        .collect()
+      perKey.foreach { r =>
+        assert(r.getLong(1) == 1L, s"key ${r.get(0)}: != 1 current row")
+      }
+      // adjacent versions chain exactly: next.active_from == prev.active_to
+      val gaps = graft.checks.Checks.overlaps(versions, "nk").count()
+      assert(gaps == 0L)
+      val chained = versions.selectExpr("nk",
+        "lead(active_from) over (partition by nk order by active_from) as nf",
+        "active_to")
+        .filter(col("nf").isNotNull && col("nf") =!= col("active_to")).count()
+      assert(chained == 0L, "active_to must equal next active_from")
+      versions.unpersist()
+      ()
+    }
+  }
+
+  test("current row has the MaxTs sentinel and latest attr wins") {
+    val rows = Seq(
+      (1L, "v1", base, 0L), (1L, "v2", base.plusHours(1), 1L),
+      (2L, "x", base, 2L))
+    val v = Scd2.deriveVersions(mkHistory(rows), "nk", "ts", Seq("tie"))
+    val cur = v.filter(col("is_current") === 1L).orderBy("nk").collect()
+    assert(cur.map(_.getAs[String]("attr")).toSeq == Seq("v2", "x"))
+    assert(cur.forall(_.getAs[LocalDateTime]("active_to") == Scd2.MaxTs))
+  }
+
+  test("dropNoOpChanges removes consecutive identical versions") {
+    val rows = Seq(
+      (1L, "same", base, 0L), (1L, "same", base.plusHours(1), 1L),
+      (1L, "diff", base.plusHours(2), 2L),
+      (1L, "diff", base.plusHours(3), 3L))
+    val out = Scd2.dropNoOpChanges(mkHistory(rows), "nk", "ts",
+      Seq("attr"), Seq("tie"))
+    assert(out.count() == 2L)
+  }
+
+  test("withSurrogate is dense, deterministic, offset-able") {
+    val rows = Seq((3L, "c", base, 0L), (1L, "a", base, 1L),
+      (2L, "b", base, 2L))
+    val sks = Scd2.withSurrogate(mkHistory(rows), "sk", Seq("nk"))
+      .orderBy("sk").collect().map(r => (r.getAs[Long]("sk"), r.getAs[Long]("nk")))
+    assert(sks.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    val off = Scd2.withSurrogate(mkHistory(rows), "sk", Seq("nk"), 100L)
+      .agg(min("sk")).head().getLong(0)
+    assert(off == 101L)
+  }
+
+  test("withUnknownRow appends nk=-1 with given values") {
+    val dim = mkHistory(Seq((1L, "a", base, 0L)))
+    val out = Scd2.withUnknownRow(dim, Map("nk" -> lit(-1L),
+      "attr" -> lit("Unknown"), "ts" -> lit(Scd2.MinTs), "tie" -> lit(0L)))
+    assert(out.count() == 2L)
+    assert(out.filter(col("nk") === -1L).head().getAs[String]("attr") == "Unknown")
+  }
+
+  test("asOfJoin resolves exactly one version per probe (half-open)") {
+    val dim = Scd2.deriveVersions(mkHistory(Seq(
+      (1L, "v1", base, 0L), (1L, "v2", base.plusHours(2), 1L))),
+      "nk", "ts", Seq("tie"))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, base.plusHours(1)),   // inside v1
+        Row(1L, base.plusHours(2)),   // boundary -> v2 (half-open)
+        Row(1L, base.minusHours(1)),  // before first -> no match
+        Row(9L, base.plusHours(1)))), // unknown key -> no match
+      StructType(Seq(StructField("pk", LongType),
+        StructField("pts", TimestampNTZType))))
+    val out = Scd2.asOfJoin(probes, dim, col("pk"), col("nk"), col("pts"))
+    assert(out.count() == 4L) // left join keeps all probes, no fanout
+    val matched = out.filter(col("attr").isNotNull)
+      .orderBy("pts").collect().map(_.getAs[String]("attr"))
+    assert(matched.toSeq == Seq("v1", "v2"))
+  }
+}

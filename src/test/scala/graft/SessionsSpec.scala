@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Sessions
+
+class SessionsSpec extends SparkSpec {
+
+  private lazy val events = Queries.eventsTable(spark, sf)
+
+  test("session numbers start at 1 and are contiguous per user") {
+    val sess = Sessions.sessionize(events, "user_id", "ts", 1800,
+      Seq("event_id"))
+    val perUser = sess.groupBy("user_id")
+      .agg(min("session_num").as("lo"), max("session_num").as("hi"),
+        countDistinct("session_num").as("n"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(perUser.count() == 0)
+  }
+
+  test("no intra-session gap exceeds the threshold; inter-session gaps do") {
+    val gap = 1800L
+    val sess = Sessions.sessionize(events, "user_id", "ts", gap,
+      Seq("event_id"))
+    val withPrev = sess.selectExpr("user_id", "session_num",
+      "unix_micros(cast(ts as timestamp)) as us",
+      "lag(unix_micros(cast(ts as timestamp))) over " +
+        "(partition by user_id order by ts, event_id) as prev_us",
+      "lag(session_num) over (partition by user_id order by ts, event_id) " +
+        "as prev_sess")
+      .filter(col("prev_us").isNotNull)
+    val intraViolations = withPrev
+      .filter(col("session_num") === col("prev_sess") &&
+        col("us") - col("prev_us") > gap * 1000000L).count()
+    val interViolations = withPrev
+      .filter(col("session_num") =!= col("prev_sess") &&
+        col("us") - col("prev_us") <= gap * 1000000L).count()
+    assert(intraViolations == 0)
+    assert(interViolations == 0)
+  }
+
+  test("sessionStats aggregates match a recount") {
+    val stats = Sessions.sessionStats(events, "user_id", "ts", "value", 1800,
+      Seq("event_id"))
+    val total = stats.agg(sum("n_events")).head().getLong(0)
+    assert(total == events.count())
+  }
+}
