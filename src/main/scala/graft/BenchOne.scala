@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timing harness: `BenchOne <name> [sfDir] [n]`.
+  * Runs the named declared query n times (default 3) and prints each
+  * wall time — for isolating plan pathologies the all-queries Bench
+  * hides behind JVM warmup and cross-query interference. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).count()
+    val fn = SparkEntry.queries(name)
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val cnt = fn(spark, sfDir).count()
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+    }
+    if (sys.env.contains("EXPLAIN")) fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

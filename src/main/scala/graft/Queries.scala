@@ -374,6 +374,33 @@ object Queries {
       },
       Some(Similarity.cosineTopKOracleSql(64, 5, 10))),
 
+    // Scale-path ANN: SRP-LSH buckets bound the candidate set
+    ("ann_lsh",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          64, 6).orderBy("query_id", "rank")
+      },
+      Some(Similarity.lshCosineTopKOracleSql(64, 5, 10, 6))),
+
+    // Embedding-cosine near-dup pairs (dedup suite, embedding leg):
+    // 4 hash tables x 4 planes -> OR-amplified recall
+    ("embedding_neardup",
+      (s: SparkSession, d: String) =>
+        Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, 4, 0.4, nTables = 4).orderBy("d1", "d2"),
+      Some(Similarity.nearDupOracleSql(64, 4, 0.4, nTables = 4))),
+
+    // Codegen'd float dot (graft.functions.FloatVecDot) throughput
+    // path — engine-specific float summation, rows-only check
+    ("ann_native_topk",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.nativeCosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     ("lang_id",
       (s: SparkSession, d: String) =>
         t(s, d, "documents").select(col("doc_id"),

@@ -37,14 +37,36 @@ object Dedup {
     docs.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Word n-grams (shingles) of the text, empty when too short. */
-  def wordGrams(text: Column, n: Int): Column = {
-    val w = words(text)
+  /** Word n-grams (shingles) from a pre-split words array `w`.
+    *
+    * ⚠ `w` must be a bound attribute (a projected column), not the
+    * `split(...)` expression itself: this expression references `w`
+    * once per gram element, and Catalyst inlines expression arguments
+    * — passing `words(text)` directly would re-split the whole
+    * document O(grams·n) times (observed 10× on the minhash bench).
+    * CollapseProject keeps a multiply-referenced *alias* boundary, so
+    * a `select(words(text).as("w"))` step evaluates the split once
+    * per row. */
+  def wordGramsFrom(w: Column, n: Int): Column = {
     val gram = (i: Column) =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*)
     when(size(w) >= n, transform(sequence(lit(1), size(w) - lit(n - 1)), gram))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-grams (shingles) of the text, empty when too short.
+    * Only for single-use contexts; hot paths pre-split (see
+    * [[wordGramsFrom]]). */
+  def wordGrams(text: Column, n: Int): Column = wordGramsFrom(words(text), n)
+
+  /** (doc_id, gram) pairs, one row per distinct shingle — the shared
+    * front of the minhash and jaccard pipelines, with the
+    * split-once-per-doc projection boundary. */
+  def explodedGrams(docs: DataFrame, id: Column, text: Column,
+                    n: Int): DataFrame =
+    docs.select(id.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordGramsFrom(col("__w"), n))).as("gram"))
 
   /** DuckDB twin of [[wordGrams]] as a SQL expression over `text`. */
   def wordGramsSql(n: Int): String = {
@@ -63,8 +85,7 @@ object Dedup {
     * (map-side combine keeps the shuffle at k longs per doc). */
   def minhashSignature(docs: DataFrame, id: Column, text: Column,
                        shingle: Int, k: Int): DataFrame = {
-    val grams = docs.select(id.as("doc_id"),
-      explode(array_distinct(wordGrams(text, shingle))).as("gram"))
+    val grams = explodedGrams(docs, id, text, shingle)
     val hashed = grams.withColumn("h", Hashing.polyHash(col("gram")))
     hashed.groupBy(col("doc_id"))
       .agg(min(Hashing.perm(col("h"), 0)).as("mh0"),
@@ -128,9 +149,13 @@ object Dedup {
   // SimHash with banded hamming LSH
   // ---------------------------------------------------------------
 
-  val SimBits = 32
+  /** 48 bits: wide enough that hamming<=3 keeps only genuinely
+    * similar docs (32 bits marked ~24% of ALL pairs as near-dups on
+    * the fixtures), while (1L << j) stays positive and DuckDB BIGINT
+    * arithmetic matches exactly. */
+  val SimBits = 48
 
-  /** Per-doc 32-bit simhash over distinct tokens: bit j is the sign of
+  /** Per-doc 48-bit simhash over distinct tokens: bit j is the sign of
     * sum over tokens of ±1 by token-hash bit j. Two aggregations, both
     * keyed on doc_id. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
@@ -149,12 +174,12 @@ object Dedup {
   }
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found via
-    * 4-byte banding (pigeonhole: <=3 differing bits leave at least one
-    * of 4 bytes identical) then exact hamming filter. */
+    * 4x12-bit banding (pigeonhole: <=3 differing bits leave at least
+    * one of 4 bands identical) then exact hamming filter. */
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))): _*))
+        shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bv"))): _*))
         .as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
         col("bs.bv").as("bv"))
@@ -180,7 +205,7 @@ object Dedup {
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bv FROM sims")
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 12}) & 4095 AS bv FROM sims")
       .mkString(" UNION ALL ")
     s"""
     |WITH toks AS (
@@ -210,8 +235,7 @@ object Dedup {
     * on cross-multiplied integers — no float division in the filter. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                         thresholdNum: Int, thresholdDen: Int): DataFrame = {
-    val grams = docs.select(id.as("doc_id"),
-      explode(array_distinct(wordGrams(text, n))).as("gram"))
+    val grams = explodedGrams(docs, id, text, n)
     val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("gram"), col("doc_id").as("d1"))
     val b = grams.select(col("gram").as("__g2"), col("doc_id").as("d2"))

@@ -46,16 +46,17 @@ object Similarity {
     * top-k via window over (query, cosine desc). At 100 TB use
     * [[lshCosineTopK]] to bound the candidate set instead. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms are per-vector, not per-pair: compute once before the join
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
+      .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
     val c = corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", cosine(
-        dot(col("q_emb"), col("c_emb")),
-        dot(col("q_emb"), col("q_emb")),
-        dot(col("c_emb"), col("c_emb"))))
+        dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -88,14 +89,20 @@ object Similarity {
     * (parity of a per-(plane,dim) integer hash); bucket = packed sign
     * bits. Search joins query and corpus on the bucket, then scores
     * exactly within the bucket — candidate set bounded by bucket
-    * occupancy instead of corpus size. */
-  def srpBucket(emb: Column, dim: Int, nPlanes: Int): Column = {
+    * occupancy instead of corpus size.
+    *
+    * Projections accumulate as DECIMAL like [[dot]]: the sign test
+    * `proj >= 0` must not flip between engines, and exact decimal
+    * addition makes the sum fold-order independent. */
+  def srpBucket(emb: Column, dim: Int, nPlanes: Int,
+                planeOffset: Int = 0): Column = {
     val signs = (0 until nPlanes).map { p =>
       // deterministic ±1 weight per (plane, dimension)
       val proj = aggregate(
-        zip_with(emb, typedLit((0 until dim).map(d => weight(p, d))),
-          (x, wgt) => x.cast("double") * wgt),
-        lit(0.0), (acc, v) => acc + v)
+        zip_with(emb,
+          typedLit((0 until dim).map(d => weight(planeOffset + p, d))),
+          (x, wgt) => (x.cast("double") * wgt).cast(Acc)),
+        lit(0L).cast(Acc), (acc, v) => (acc + v).cast(Acc))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     signs.reduce(_ + _)
@@ -106,6 +113,138 @@ object Similarity {
     if ((h & 1L) == 1L) 1.0 else -1.0
   }
 
+  /** DuckDB twin of [[srpBucket]] — same hash-parity weights, same
+    * exact-decimal projection, same packed sign bits. */
+  def srpBucketSql(emb: String, dim: Int, nPlanes: Int,
+                   planeOffset: Int = 0): String = {
+    val planes = (0 until nPlanes).map { p =>
+      val plane = planeOffset + p
+      val proj = s"list_reduce(list_prepend(CAST(0 AS DECIMAL(25,12)), " +
+        s"list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST(CAST($emb[i] AS DOUBLE) * " +
+        s"(CASE WHEN (((${plane}::BIGINT * 1315423911 + (i - 1)::BIGINT * 2654435761) " +
+        s"% 2038074743) & 1) = 1 THEN 1.0 ELSE -1.0 END) AS DECIMAL(25,12)))), " +
+        s"(acc, v) -> CAST(acc + v AS DECIMAL(25,12)))"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    planes.mkString("(", " + ", ")")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed (the dedup
+    * suite's embedding leg — SURVEY §7.6). Candidate pairs = same SRP
+    * bucket (each vector hashes to ONE bucket, so the pair join is a
+    * shuffle on bucket id — no O(n²) stage anywhere); then exact
+    * decimal cosine within the bucket, thresholded. At 100 TB the
+    * bucket join partitions by bucket id and only bucket-local pairs
+    * are materialized; skewed buckets are handled by AQE skew-join
+    * splitting since the per-pair score is map-side. */
+  def nearDupPairs(corpus: DataFrame, id: String, emb: String,
+                   dim: Int, nPlanes: Int, minCosine: Double,
+                   nTables: Int = 1): DataFrame = {
+    val bucketCols = (0 until nTables).map(tbl =>
+      srpBucket(col(emb), dim, nPlanes, tbl * nPlanes).as(s"b$tbl"))
+    val withB = corpus.select(col(id) +: bucketCols: _*)
+    // candidate pairs per hash table (equi-join on that table's
+    // bucket — shuffle by bucket id, never OR-of-buckets which would
+    // degenerate to a nested-loop join), then OR-amplify: distinct
+    // union across tables
+    val cands = (0 until nTables).map { tbl =>
+      val a = withB.select(col(id).as("d1"), col(s"b$tbl").as("bk"))
+      val b = withB.select(col(id).as("d2"), col(s"b$tbl").as("bk2"))
+      a.join(b, col("bk") === col("bk2") && col("d1") < col("d2"))
+        .select("d1", "d2")
+    }.reduce(_ unionByName _).distinct()
+    // fetch embeddings (+ once-per-vector exact norms) for the
+    // surviving candidates
+    val e1 = corpus.select(col(id).as("d1"), col(emb).as("e1"))
+      .withColumn("n1", dot(col("e1"), col("e1")))
+    val e2 = corpus.select(col(id).as("d2"), col(emb).as("e2"))
+      .withColumn("n2", dot(col("e2"), col("e2")))
+    // two-phase scoring: the codegen'd float cosine kills non-starters
+    // cheaply (guard band 1e-3 >> float dot error ~1e-6 at dim<=4096,
+    // so no true pair is lost); the exact-decimal cosine — the number
+    // the oracle hashes — is computed only for survivors
+    import graft.functions.VecMath
+    cands.join(e1, "d1").join(e2, "d2")
+      .filter(VecMath.cosineF(col("e1"), col("e2")) >= minCosine - 1e-3)
+      .withColumn("cos", cosine(
+        dot(col("e1"), col("e2")), col("n1"), col("n2")))
+      .filter(col("cos") >= minCosine)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
+  /** DuckDB oracle for [[nearDupPairs]] over `embeddings`. The OR of
+    * per-table bucket equalities is pair-identical to the Spark side's
+    * union-distinct of per-table equi-joins. */
+  def nearDupOracleSql(dim: Int, nPlanes: Int, minCosine: Double,
+                       nTables: Int = 1): String = {
+    val bucketDefs = (0 until nTables).map(tbl =>
+      s"${srpBucketSql("embedding", dim, nPlanes, tbl * nPlanes)} AS b$tbl")
+      .mkString(",\n|  ")
+    val anyBucket = (0 until nTables).map(tbl => s"a.b$tbl = b2.b$tbl")
+      .mkString(" OR ")
+    s"""
+    |WITH b AS (SELECT vec_id, embedding,
+    |  $bucketDefs
+    |  FROM embeddings),
+    |pairs AS (
+    |  SELECT a.vec_id AS d1, b2.vec_id AS d2,
+    |    CAST(${dotSql("a.embedding", "b2.embedding", dim)} AS DOUBLE) /
+    |      (sqrt(CAST(${dotSql("a.embedding", "a.embedding", dim)} AS DOUBLE)) *
+    |       sqrt(CAST(${dotSql("b2.embedding", "b2.embedding", dim)} AS DOUBLE))) AS cos
+    |  FROM b a JOIN b b2 ON ($anyBucket) AND a.vec_id < b2.vec_id)
+    |SELECT d1, d2, cos FROM pairs WHERE cos >= $minCosine
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+  }
+
+  /** DuckDB oracle for [[lshCosineTopK]] with queries = vec_id < maxQueryId. */
+  def lshCosineTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                             nPlanes: Int): String =
+    s"""
+    |WITH b AS (SELECT vec_id, embedding,
+    |  ${srpBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+    |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b
+    |      WHERE vec_id < $maxQueryId),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb, bucket FROM b),
+    |scored AS (
+    |  SELECT query_id, cand_id,
+    |    CAST(${dotSql("q_emb", "c_emb", dim)} AS DOUBLE) /
+    |      (sqrt(CAST(${dotSql("q_emb", "q_emb", dim)} AS DOUBLE)) *
+    |       sqrt(CAST(${dotSql("c_emb", "c_emb", dim)} AS DOUBLE))) AS cos
+    |  FROM c JOIN q ON c.bucket = q.bucket AND query_id <> cand_id),
+    |ranked AS (
+    |  SELECT query_id, cand_id, cos,
+    |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+    |  FROM scored)
+    |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+
+  /** Brute-force top-k on the codegen'd [[graft.functions.VecMath]]
+    * dot — the throughput path (whole-stage-codegen primitive loop,
+    * no decimal arithmetic). Declared rows-only (engine-specific
+    * float summation); agreement with the exact-decimal path is
+    * covered by SimilaritySpec instead. */
+  def nativeCosineTopK(corpus: DataFrame, queries: DataFrame,
+                       k: Int): DataFrame = {
+    import graft.functions.VecMath
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", VecMath.dotF(col("q_emb"), col("c_emb")) /
+        (sqrt(VecMath.dotF(col("q_emb"), col("q_emb"))) *
+         sqrt(VecMath.dotF(col("c_emb"), col("c_emb")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
   /** ANN top-k within SRP buckets; recall < 1 by construction (probe
     * multiple buckets / fewer planes for higher recall). */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -113,15 +252,15 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       srpBucket(col("embedding"), dim, nPlanes).as("bucket"))
+      .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
     val c = corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb"),
       srpBucket(col("embedding"), dim, nPlanes).as("__bucket2"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
     val scored = c.join(broadcast(q), col("bucket") === col("__bucket2") &&
         col("query_id") =!= col("cand_id"))
       .withColumn("cos", cosine(
-        dot(col("q_emb"), col("c_emb")),
-        dot(col("q_emb"), col("q_emb")),
-        dot(col("c_emb"), col("c_emb"))))
+        dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

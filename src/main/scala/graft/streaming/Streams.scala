@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.dims.Scd2
+import graft.meta.StagedWrite
+
+/** Structured Streaming facade over the warehouse's incremental-batch
+  * core (SURVEY §2 "Streaming" note). The reference's watermark +
+  * delta-view pattern (SQL:484-510) is exactly Spark's micro-batch
+  * model: each trigger sees only new source rows, the engine tracks
+  * progress (checkpoint = the reference's `etl_load_tracker`), and a
+  * `foreachBatch` sink runs the same SCD2 derivation the batch
+  * pipeline uses — one code path, two execution modes.
+  *
+  * Scale posture: all aggregations are keyed (shuffle by key, state
+  * store partitioned by `spark.sql.shuffle.partitions`); watermarks
+  * bound state; the SCD2 sink shuffles only by natural key.
+  */
+object Streams {
+
+  /** Explicit source schema (streaming reads cannot infer). `ts` is
+    * µs TIMESTAMP_NTZ — the test fixtures' nanos are truncated on the
+    * way in by the writer (see StreamsSpec / Queries.eventsTable). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files.
+    * `maxFilesPerTrigger=1` makes each file one micro-batch — the
+    * streaming analog of one watermark-delta load. */
+  def readEventsStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window aggregate per event type. Late rows
+    * beyond `watermark` are dropped — the reference documents the same
+    * policy for its batch deltas ("Does not allow late arriving data",
+    * SQL:487). */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      // event-time tracking requires TIMESTAMP (LTZ); session TZ is
+      // pinned UTC so NTZ -> LTZ is a relabel, not a shift
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based session aggregation via the native `session_window`
+    * operator — the streaming twin of [[graft.ext.Sessions]]. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Micro-batch SCD2 sink: every trigger appends the batch to the
+    * change-history table, dedups on the event identity (exactly-once
+    * on top of the source's at-least-once), and republishes the dim
+    * with the same pure derivation the batch pipeline uses
+    * ([[Scd2.deriveVersions]]). Checkpoint dir plays the
+    * `etl_load_tracker` role (J35): restart resumes, reruns are no-ops.
+    */
+  def scd2Sink(stream: DataFrame, nk: String, tsCol: String,
+               tieBreak: Seq[String], historyPath: String, dimPath: String,
+               checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.dropDuplicates(Seq(nk, tsCol) ++ tieBreak)
+          .write.mode("append").parquet(historyPath)
+        val history = spark.read.parquet(historyPath)
+          .dropDuplicates(Seq(nk, tsCol) ++ tieBreak)
+        StagedWrite.overwrite(
+          Scd2.deriveVersions(history, nk, tsCol, tieBreak), dimPath)
+      }
+      .start()
+}

@@ -1,0 +1,68 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over two `array<float>` columns.
+  *
+  * The hot path of similarity search (SURVEY §7.6). The generated code
+  * is a tight primitive loop over the two `ArrayData` buffers — it
+  * participates in whole-stage codegen, so scoring a candidate pair is
+  * one virtual-call-free loop instead of the boxed per-element lambda
+  * chain that `aggregate(zip_with(...))` plans to.
+  *
+  * Lives under `org.apache.spark.sql` because `AbstractDataType` /
+  * `ExpressionUtils` are `private[sql]` — the public API is
+  * [[graft.functions.VecMath]].
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** private[sql] access bridge for [[graft.functions.VecMath]]. */
+object FloatVecDot {
+  def dotColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -32,6 +32,72 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("codegen FloatVecDot agrees with the exact-decimal dot") {
+    import graft.functions.VecMath
+    val pairs = emb.limit(10).select(col("vec_id").as("i"),
+        col("embedding").as("a"))
+      .crossJoin(emb.limit(10).select(col("vec_id").as("j"),
+        col("embedding").as("b")))
+    val both = pairs.select(
+      VecMath.dotF(col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).cast("double").as("exact"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (n, e) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(n - e) <= 1e-9 * math.max(1.0, math.abs(e)))
+    }
+  }
+
+  test("codegen FloatVecDot null/eval paths: interpreted == codegen") {
+    // interpreted eval (driver-side fold) must match the codegen'd result
+    val df = emb.limit(5).select(col("embedding").as("a"))
+    val viaCodegen = df.select(graft.functions.VecMath.dotF(col("a"),
+      col("a")).as("d")).collect().map(_.getDouble(0))
+    val viaEval = df.collect().map { r =>
+      val arr = r.getSeq[Float](0)
+      arr.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    }
+    viaCodegen.zip(viaEval).foreach { case (c, e) =>
+      assert(math.abs(c - e) <= 1e-9 * math.max(1.0, math.abs(e)))
+    }
+    // null input -> null output
+    val n = emb.limit(1).select(graft.functions.VecMath.dotF(
+      lit(null).cast("array<float>"), col("embedding")).as("d"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("nearDupPairs: bucketed pairs are symmetric-free and thresholded") {
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      64, 6, 0.3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.3))
+  }
+
+  test("nearDupPairs: more hash tables strictly widens candidate recall") {
+    def found(nTables: Int): Set[(Long, Long)] =
+      Similarity.nearDupPairs(emb, "vec_id", "embedding", 64, 4, 0.3,
+        nTables).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = found(1)
+    val four = found(4)
+    assert(one.subsetOf(four))
+    assert(four.size >= one.size)
+  }
+
+  test("nativeCosineTopK matches decimal cosineTopK ranking") {
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, q, 3).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank")) -> r.getLong(1)).toMap
+    val native = Similarity.nativeCosineTopK(emb, q, 3).collect()
+    assert(native.length == exact.size)
+    // float-sum vs decimal-sum can only reorder near-exact ties; on
+    // this fixture the rankings must agree
+    native.foreach { r =>
+      assert(exact((r.getLong(0), r.getAs[Long]("rank"))) == r.getLong(1))
+    }
+  }
+
   test("SRP-LSH topK is a subset-quality approximation of brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val approx = Similarity.lshCosineTopK(emb, queries, 3, 64, 6)

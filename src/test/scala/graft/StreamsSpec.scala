@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dims.Scd2
+import graft.ext.Sessions
+import graft.streaming.Streams
+
+/** Streaming facade: micro-batch results must equal the batch engine's
+  * on the same data — one semantics, two execution modes. */
+class StreamsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** events fixture re-written as µs-NTZ parquet files, split into two
+    * chunks so maxFilesPerTrigger=1 yields two micro-batches. */
+  private lazy val eventsDir: String = {
+    val dir = tmp("events-stream")
+    val ev = Queries.eventsTable(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(dir)
+    dir
+  }
+
+  test("windowed counts: streaming complete-mode equals batch groupBy") {
+    val stream = Streams.windowedCounts(
+      Streams.readEventsStream(spark, eventsDir))
+    val q = stream.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("win_counts")
+      .orderBy("window_start", "event_type").collect()
+    val want = spark.read.schema(Streams.eventsSchema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("session_window agg: session count per user matches batch sessionize") {
+    val stream = Streams.sessionAgg(
+      Streams.readEventsStream(spark, eventsDir), gap = "30 minutes")
+    val q = stream.writeStream.format("memory").queryName("sess_agg")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess_agg").groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = Sessions.sessionize(Queries.eventsTable(spark, sf),
+        "user_id", "ts", 1800, Seq("event_id"))
+      .groupBy("user_id").agg(countDistinct("session_num").as("n_sessions"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("scd2Sink: incremental micro-batch dim equals batch recompute") {
+    val history = tmp("scd2-history")
+    val dim = tmp("scd2-dim") + "/dim"
+    val checkpoint = tmp("scd2-ckpt")
+
+    val stream = Streams.readEventsStream(spark, eventsDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts"), col("event_id"))
+    val q = Streams.scd2Sink(stream, "user_id", "ts", Seq("event_id"),
+      history, dim, checkpoint)
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.read.parquet(dim)
+      .orderBy("user_id", "active_from", "event_id")
+    val want = Scd2.deriveVersions(
+        Queries.eventsTable(spark, sf).select(col("user_id"),
+          col("event_type"), col("value"), col("ts"), col("event_id")),
+        "user_id", "ts", Seq("event_id"))
+      .orderBy("user_id", "active_from", "event_id")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.select(want.columns.map(col).toIndexedSeq: _*).collect().toSeq ==
+      want.collect().toSeq)
+    // exactly one current row per user survives the micro-batch path
+    val multiCurrent = spark.read.parquet(dim)
+      .filter(col("is_current") === 1L)
+      .groupBy("user_id").count().filter(col("count") > 1).count()
+    assert(multiCurrent == 0)
+  }
+}
