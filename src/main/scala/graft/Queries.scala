@@ -296,6 +296,74 @@ object Queries {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_gross
         |FROM lineitem""".stripMargin)),
 
+    // Extension (§7.6): JSON extraction over events.props + keyed agg
+    ("json_extract",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .withColumn("k_value",
+            get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("k_value")).as("sum_k"),
+            min(col("k_value")).as("min_k"),
+            max(col("k_value")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Extension: ROLLUP subtotal hierarchy (Spark rollup == SQL ROLLUP)
+    ("rollup_agg",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(12,2)"))
+              .cast("decimal(18,2)").as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Extension: running total window frame (exact decimal accumulation)
+    ("running_total",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate"),
+            sum(col("o_totalprice").cast("decimal(14,2)")).over(w)
+              .cast("decimal(18,2)").as("running_spend"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Extension: salted two-phase aggregation — same result as plain
+    // GROUP BY, skew-resistant shuffle shape
+    ("salted_agg",
+      (s: SparkSession, d: String) =>
+        ext.Skew.saltedSumCount(t(s, d, "events"), Seq("event_type"),
+            col("value").cast("decimal(14,4)"), col("event_id"), 16)
+          .withColumn("sum_value",
+            col("sum_value").cast("decimal(18,4)"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS sum_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // D5: distinct projection
     ("distinct_values",
       (s: SparkSession, d: String) =>

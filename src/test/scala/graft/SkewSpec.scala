@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Skew
+
+class SkewSpec extends SparkSpec {
+
+  test("salted two-phase aggregation equals plain groupBy exactly") {
+    val ev = Queries.eventsTable(spark, sf)
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"),
+        col("value").cast("decimal(14,4)"), col("event_id"), 16)
+      .orderBy("event_type").collect()
+    val plain = ev.groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(14,4)")).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("event_type").collect()
+    assert(salted.length == plain.length && salted.nonEmpty)
+    salted.zip(plain).foreach { case (s, p) => assert(s == p) }
+  }
+
+  test("salt fan-out is bounded by the bucket count") {
+    val ev = Queries.eventsTable(spark, sf)
+    val perKeyGroups = ev
+      .withColumn("__salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "__salt").count()
+      .groupBy("event_type").count()
+      .agg(max("count")).first().getLong(0)
+    assert(perKeyGroups <= 16)
+  }
+}
