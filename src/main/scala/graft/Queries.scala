@@ -45,6 +45,28 @@ object Queries {
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
 
+  /** Events at-or-after a watermark, with the comparison done on the
+    * RAW nanos long BEFORE the timestamp conversion: a predicate on
+    * the converted column cannot reach the parquet reader (the scan
+    * showed only `IsNotNull(ts)` pushed), while the raw-space
+    * comparison pushes as `GreaterThan(ts, <ns>)` and prunes row
+    * groups by min/max stats — the difference between scanning a
+    * day and scanning a year at 100 TB. */
+  def eventsSince(spark: SparkSession, sfDir: String,
+                  wm: LocalDateTime): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val wmNanos = java.time.Duration.between(
+      LocalDateTime.of(1970, 1, 1, 0, 0), wm).toNanos
+    // +999 ns: downstream semantics compare at µs precision (the
+    // oracle sees truncated timestamps), so the raw bound must admit
+    // exactly the rows whose TRUNCATED value exceeds the watermark —
+    // ts_ns > wm_ns + 999  ⟺  trunc_µs(ts) > wm (whole-µs watermark)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") > lit(wmNanos + 999L))
+      .withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+
   /** SCD2 change history synthesized from `events` (FIXTURES.md §C):
     * user_id = natural key, ts = change timestamp, event_type/value =
     * tracked attributes. */
@@ -80,10 +102,9 @@ object Queries {
     // A3/B1/B3/C2/H1: delta view = rename + null-scrub + watermark + enrich
     ("delta_extract",
       (s: SparkSession, d: String) => {
-        val e = t(s, d, "events")
+        val e = eventsSince(s, d, ts("2024-01-20 00:00:00"))
         val c = t(s, d, "customer")
-        e.filter(col("ts") > lit(ts("2024-01-20 00:00:00")))
-          .join(c, col("user_id") === col("c_custkey"), "left")
+        e.join(c, col("user_id") === col("c_custkey"), "left")
           .select(col("event_id"), col("user_id").as("nk"),
             coalesce(col("event_type"), lit("")).as("event_type"),
             col("value"), col("ts").as("valid_from"),

@@ -77,6 +77,39 @@ object Scd2 {
     dim.withColumn(skName, row_number().over(w).cast("long") + lit(offset))
   }
 
+  /** Distributed twin of [[withSurrogate]] producing IDENTICAL keys
+    * without the single-partition sort: range-partition on the order
+    * columns (equal keys stay co-located; partition ranges follow the
+    * total order), assign per-partition row_numbers, then add each
+    * partition's cumulative offset (a tiny cumsum over partition ids —
+    * the only single-partition step touches one row per partition, not
+    * one row per dim row). Use at 10M+ dim rows; below that the plain
+    * window is cheaper.
+    *
+    * `order` must be a total order (same requirement as
+    * [[withSurrogate]]) or ties make both variants nondeterministic. */
+  def withSurrogateDistributed(dim: DataFrame, skName: String,
+                               order: Seq[String], offset: Long = 0L,
+                               partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else dim.sparkSession.sessionState.conf.numShufflePartitions
+    val orderCols = order.map(col(_).asc)
+    val parted = dim.repartitionByRange(n, order.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(orderCols: _*)).cast("long"))
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(skName, col("__rn") + col("__offset") + lit(offset))
+      .drop("__pid", "__rn")
+  }
+
   /** The reference's Unknown member (nk = -1, SQL:622-631): appended to
     * every dimension so fact loads can fall back instead of dropping
     * rows (SURVEY §2.J41). `values` must match `dim`'s columns. */

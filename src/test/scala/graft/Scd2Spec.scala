@@ -16,6 +16,17 @@ import graft.dims.Scd2
   */
 class Scd2Spec extends SparkSpec {
 
+  test("withSurrogateDistributed assigns identical keys to the global window") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val global = Scd2.withSurrogate(c, "sk", Seq("c_custkey"))
+      .select("sk", "c_custkey").orderBy("sk").collect()
+    val dist = Scd2.withSurrogateDistributed(c, "sk", Seq("c_custkey"),
+        partitions = 7)
+      .select("sk", "c_custkey").orderBy("sk").collect()
+    assert(global.length == dist.length && global.nonEmpty)
+    global.zip(dist).foreach { case (g, d) => assert(g == d) }
+  }
+
   private val schema = StructType(Seq(
     StructField("nk", LongType), StructField("attr", StringType),
     StructField("ts", TimestampNTZType), StructField("tie", LongType)))
