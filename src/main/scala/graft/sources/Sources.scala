@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (SURVEY §2.A). The reference's sources are SQL
+  * Server tables behind staging views (A1-A4); the warehouse layer here
+  * is parquet, with CSV/JSONL ingest for landing-zone files and
+  * partitioned/bucketed writes as the physical-design knobs the
+  * reference expresses as indexes (SURVEY §4).
+  *
+  * All readers take EXPLICIT schemas: schema inference reads the data
+  * twice and silently drifts types between runs — both unacceptable at
+  * 100 TB (and the reference declares full DDL for every table too,
+  * SQL:156-177).
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with header, explicit schema, strict mode (corrupt rows fail
+    * loudly instead of becoming silent nulls). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** JSON-lines with explicit schema, strict mode. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  /** Hive-style partitioned parquet sink: one directory per distinct
+    * partition value — readers of `WHERE pcol = v` scan only that
+    * directory (partition pruning, the scan-path analog of the
+    * reference's FK indexes, SURVEY §4). Keep partition cardinality
+    * bounded (date/region, never a high-cardinality key). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed external table: rows hash-distributed into `nBuckets`
+    * files by `bucketCol`, sorted within buckets. Two tables bucketed
+    * the same way join WITHOUT a shuffle — the co-located-join answer
+    * to "this join's shuffle is the bottleneck at 100 TB". Requires
+    * `saveAsTable` (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(tableName)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  private lazy val customer = spark.read.parquet(s"$sf/customer.parquet")
+
+  test("csv round-trip with explicit schema preserves values") {
+    val dir = tmp("src-csv") + "/customer"
+    customer.write.option("header", "true").csv(dir)
+    val back = Sources.csv(spark, dir, customer.schema)
+    assert(back.schema == customer.schema)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
+  test("jsonl round-trip with explicit schema preserves values") {
+    val dir = tmp("src-json") + "/customer"
+    customer.write.json(dir)
+    val back = Sources.jsonl(spark, dir, customer.schema)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = tmp("src-part") + "/customer"
+    Sources.writePartitioned(customer, dir, Seq("c_mktsegment"))
+    val one = spark.read.parquet(dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+    // partition filter must not survive as a data filter: pruning
+    // happens at planning, so scanned files all come from one dir
+    val files = one.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("c_mktsegment=AUTOMOBILE")))
+  }
+
+  test("same-bucketed tables join without a shuffle") {
+    val dir = tmp("src-bucket")
+    Sources.writeBucketed(customer, "cust_b", s"$dir/cust", "c_custkey", 4)
+    Sources.writeBucketed(
+      spark.read.parquet(s"$sf/orders.parquet"), "ord_b", s"$dir/ord",
+      "o_custkey", 4)
+    // disable auto-broadcast or the tiny test tables would pass via
+    // BroadcastHashJoin without exercising the bucketed-join path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("cust_b").join(spark.table("ord_b"),
+        col("c_custkey") === col("o_custkey"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle, found: $shuffles")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
