@@ -66,14 +66,17 @@ object Pipeline {
         tracker, log)
     }.toMap
 
-    // genuinely versioned dim from the events change feed
+    // genuinely versioned dim from the events change feed. Named
+    // "user_profile", NOT "user": the surrogate column is
+    // "<name>_id" and a name of "user" would make it collide with —
+    // and silently overwrite — the "user_id" natural key.
     val userFeed = Queries.eventsTable(spark, sfDir).select(
       col("user_id"), col("event_type"), col("value"),
       col("ts").as("valid_from"), col("event_id"))
-    val dimUser = new Scd2Dimension("user", "user_id", "valid_from",
+    val dimUser = new Scd2Dimension("user_profile", "user_id", "valid_from",
       Seq("event_type", "value"), Seq("event_id"))
-    val userInserts = dimUser.load(spark, userFeed, None, wh.int("dim_user"),
-      tracker, log)
+    val userInserts = dimUser.load(spark, userFeed, None,
+      wh.int("dim_user_profile"), tracker, log)
 
     // 3. fact load — always last (J46)
     val currentDim = (name: String, nk: String) =>
@@ -102,11 +105,22 @@ object Pipeline {
 
     // 5. validation (reference Stage 5): all must be empty
     val fact = spark.read.parquet(wh.int("factsales"))
-    val violations = Map(
+    // soft referential integrity (reference SQL:1746-1783): every
+    // stored non-Unknown surrogate must resolve in its dimension —
+    // this is what the stable-SK contract of Scd2Dimension protects
+    val refViolations = dimSpecs.map(_._1).map { dname =>
+      val dimSk = spark.read.parquet(wh.int(s"dim_$dname"))
+        .select(col(s"${dname}_id"))
+      s"ref_${dname}" -> fact.filter(col(s"${dname}_sk") =!= -1L)
+        .join(dimSk, fact(s"${dname}_sk") === dimSk(s"${dname}_id"),
+          "left_anti")
+        .count()
+    }.toMap
+    val violations = refViolations ++ Map(
       "dup_fact_nk" -> Checks.duplicates(fact, Seq("sales_nk")).count(),
       "dup_date" -> Checks.duplicates(spark.read.parquet(wh.int("dim_date")),
         Seq("date_value")).count()) ++
-      (dimSpecs.map(_._1) :+ "user").flatMap { name =>
+      (dimSpecs.map(_._1) :+ "user_profile").flatMap { name =>
         val dim = spark.read.parquet(wh.int(s"dim_$name"))
         val nk = dim.columns.find(c => c.endsWith("key") || c == "user_id").get
         Seq(
@@ -115,7 +129,7 @@ object Pipeline {
           s"overlaps_$name" -> Checks.overlaps(dim, nk).count())
       }.toMap
 
-    RunResult(dimDateRows, dimInserts + ("user" -> userInserts),
+    RunResult(dimDateRows, dimInserts + ("user_profile" -> userInserts),
       factInserts, violations)
   }
 }

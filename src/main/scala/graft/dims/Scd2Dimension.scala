@@ -17,13 +17,25 @@ import graft.meta.{LoadTracker, RunLog, StagedWrite}
   *   1. reads the data watermark (driver-side scalar, SURVEY §2.C10)
   *   2. pulls the delta from the change feed (`history` filtered to
   *      rows newer than the watermark — predicate pushed to the scan)
-  *   3. recomputes the dimension as a pure SCD2 derivation over
-  *      (existing versions ∪ delta), drops no-op changes, reassigns
-  *      validity with [[Scd2.deriveVersions]]
-  *   4. detects deletes against the current source snapshot
+  *   3. recomputes the SCD2 derivation for the TOUCHED natural keys
+  *      only (delta keys ∪ delete-detected keys, scoped by semi/anti
+  *      joins); untouched rows pass through byte-identical. At 100 TB
+  *      a 0.1% delta shuffles 0.1% of the dim, not all of it.
+  *   4. assigns surrogate keys STABLY: rows whose version identity
+  *      (nk, active_from, tiebreak) already exists keep their SK; new
+  *      versions get max(SK)+rank — the reference's append-only
+  *      IDENTITY behavior (SQL:317). A global renumber would shift SKs
+  *      under previously-loaded fact rows and dangle their references.
+  *   5. detects deletes against the current source snapshot
   *      (reference SQL:974-988) and closes those versions out
-  *   5. publishes via staged swap, advances the watermark only if the
-  *      delta was non-empty (SQL:643-651), appends a run-log row
+  *   6. publishes via staged swap, advances the watermark only if the
+  *      delta was non-empty (SQL:643-651), appends a run-log row.
+  *      An empty delta with no deletes skips the write entirely.
+  *
+  * Resurrection note: if a deleted key later reappears in the feed,
+  * the recompute reopens its interval chain from the recorded change
+  * history; the wall-clock close-out timestamp is not preserved
+  * (matches the pure-derivation semantics, SURVEY §2.I3).
   *
   * @param name      dimension name (warehouse table + tracker key)
   * @param nk        natural key column in the change feed
@@ -34,11 +46,23 @@ import graft.meta.{LoadTracker, RunLog, StagedWrite}
 final class Scd2Dimension(name: String, nk: String, changeTs: String,
                           tracked: Seq[String], tiebreak: Seq[String] = Nil) {
 
-  private val versionKey = Seq(nk, "active_from")
+  private val skCol = s"${name}_id"
+  require(skCol != nk && !tracked.contains(skCol) && !tiebreak.contains(skCol),
+    s"surrogate column $skCol collides with a feed column; rename the dimension")
+  /** Version identity = SK reuse key AND surrogate assignment order. */
+  private def identityCols = Seq(nk, "active_from") ++ tiebreak
+
+  private def derive(history: DataFrame): DataFrame =
+    Scd2.deriveVersions(
+      Scd2.dropNoOpChanges(
+        history.dropDuplicates(Seq(nk, changeTs) ++ tiebreak),
+        nk, changeTs, tracked, tiebreak),
+      nk, changeTs, tiebreak)
 
   /** Incremental (and first-time) load. `changeFeed` is the full
     * watermark-filterable history source; `snapshotKeys` the current
-    * live natural keys (None disables delete detection). */
+    * live natural keys (None disables delete detection). Returns the
+    * number of delta rows consumed. */
   def load(spark: SparkSession, changeFeed: DataFrame,
            snapshotKeys: Option[DataFrame], dimPath: String,
            tracker: LoadTracker, log: RunLog): Long = {
@@ -47,50 +71,85 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
       val wm = tracker.watermark(name)
       // 2. delta: watermark filter is a literal -> parquet pushdown
       val delta = changeFeed.filter(col(changeTs) > lit(wm))
+      val attrs = (Seq(nk) ++ tracked ++ Seq(changeTs) ++ tiebreak).distinct
+      val deltaRows = delta.select(attrs.map(col): _*)
 
       val existing: Option[DataFrame] =
-        if (pathExists(spark, dimPath)) Some(spark.read.parquet(dimPath)) else None
+        if (pathExists(spark, dimPath)) Some(spark.read.parquet(dimPath))
+        else None
 
-      val attrs = (Seq(nk) ++ tracked ++ Seq(changeTs) ++ tiebreak).distinct
-      val history = existing match {
+      val keyed: Option[DataFrame] = existing match {
+        case None =>
+          Some(Scd2.withSurrogate(derive(deltaRows), skCol, identityCols))
         case Some(dim) =>
-          dim.select(attrs.map(col): _*).unionByName(delta.select(attrs.map(col): _*))
-        case None => delta.select(attrs.map(col): _*)
+          // 3. recompute scope: keys with new versions or deletions
+          val deltaKeys = deltaRows.select(col(nk)).distinct()
+          val goneKeys = snapshotKeys match {
+            case Some(snap) => dim.filter(col("is_current") === 1L)
+              .select(col(nk)).distinct()
+              .join(snap.select(col(nk)).distinct(), Seq(nk), "left_anti")
+            case None => deltaKeys.limit(0)
+          }
+          val touched = deltaKeys.unionByName(goneKeys).distinct()
+          if (touched.isEmpty) None // no-op rerun: leave the table alone
+          else {
+            val untouched = dim.join(touched, Seq(nk), "left_anti")
+            val touchedHistory = dim.select(attrs.map(col): _*)
+              .join(touched, Seq(nk), "left_semi")
+              .unionByName(deltaRows)
+            val recomputed = derive(touchedHistory)
+            // 4. stable surrogates: reuse by version identity,
+            // append new versions after the existing max
+            val prevSk = dim.select(
+              (identityCols.map(col) :+ col(skCol).as("__prev_sk")): _*)
+            val maxSk = Option(dim.agg(max(col(skCol))).first().get(0))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            val withPrev = recomputed.join(prevSk, identityCols, "left")
+            val kept = withPrev.filter(col("__prev_sk").isNotNull)
+              .withColumn(skCol, col("__prev_sk")).drop("__prev_sk")
+            val fresh = Scd2.withSurrogate(
+              withPrev.filter(col("__prev_sk").isNull).drop("__prev_sk"),
+              skCol, identityCols, offset = maxSk)
+            Some(untouched.unionByName(kept.unionByName(fresh)))
+          }
       }
 
-      // 3. pure recompute: collapse no-ops, re-derive intervals + SKs
-      val versions = Scd2.deriveVersions(
-        Scd2.dropNoOpChanges(history.dropDuplicates(versionKeyCols(attrs)),
-          nk, changeTs, tracked, tiebreak),
-        nk, changeTs, tiebreak)
-      val keyed = Scd2.withSurrogate(versions, s"${name}_id", versionKey)
+      keyed match {
+        case None =>
+          tracker.advance(name, None)
+          log.append(s"etl_load_$name", started, 0L, 0L, 0L,
+            RunLog.Success, None)
+          0L
+        case Some(k) =>
+          // 5. delete detection: close out vanished keys "as of now"
+          val withDeletes = snapshotKeys match {
+            case Some(snap) =>
+              val gone = Scd2.deletedKeys(
+                k.filter(col("is_current") === 1L), snap, nk)
+                .select(col(nk)).distinct()
+              val closeTs = lit(LocalDateTime.now())
+              k.join(gone.withColumn("__gone", lit(1)), Seq(nk), "left")
+                .withColumn("active_to",
+                  when(col("__gone") === 1 && col("is_current") === 1L,
+                    closeTs).otherwise(col("active_to")))
+                .withColumn("is_current",
+                  when(col("__gone") === 1, 0L).otherwise(col("is_current")))
+                .drop("__gone")
+            case None => k
+          }
 
-      // 4. delete detection: close out vanished keys "as of now"
-      val withDeletes = snapshotKeys match {
-        case Some(snap) =>
-          val gone = Scd2.deletedKeys(
-            keyed.filter(col("is_current") === 1L), snap, nk)
-            .select(col(nk)).distinct()
-          val closeTs = lit(LocalDateTime.now())
-          keyed.join(gone.withColumn("__gone", lit(1)), Seq(nk), "left")
-            .withColumn("active_to",
-              when(col("__gone") === 1 && col("is_current") === 1L, closeTs)
-                .otherwise(col("active_to")))
-            .withColumn("is_current",
-              when(col("__gone") === 1, 0L).otherwise(col("is_current")))
-            .drop("__gone")
-        case None => keyed
+          val inserted = delta.count()
+          // 6. publish + advance watermark + log
+          StagedWrite.overwrite(withDeletes, dimPath)
+          val dataWm =
+            if (inserted == 0) None
+            else Option(delta.agg(max(col(changeTs))).first()
+              .getAs[LocalDateTime](0))
+          tracker.advance(name, dataWm)
+          log.append(s"etl_load_$name", started, inserted, 0L, 0L,
+            RunLog.Success, None)
+          inserted
       }
-
-      val inserted = delta.count()
-      // 5. publish + advance watermark + log
-      StagedWrite.overwrite(withDeletes, dimPath)
-      val dataWm =
-        if (inserted == 0) None
-        else Option(delta.agg(max(col(changeTs))).first().getAs[LocalDateTime](0))
-      tracker.advance(name, dataWm)
-      log.append(s"etl_load_$name", started, inserted, 0L, 0L, RunLog.Success, None)
-      inserted
     } catch {
       case e: Throwable =>
         log.append(s"etl_load_$name", started, 0L, 0L, 0L, RunLog.Fail,
@@ -98,9 +157,6 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
         throw e
     }
   }
-
-  private def versionKeyCols(attrs: Seq[String]): Seq[String] =
-    Seq(nk, changeTs) ++ tiebreak
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
