@@ -88,21 +88,43 @@ object FactLoader {
       val existing: Option[DataFrame] =
         if (pathExists(spark, factPath)) Some(spark.read.parquet(factPath))
         else None
-      val unioned = existing match {
-        case Some(f) => f.unionByName(projected)
-        case None => projected
-      }
-      val fact = latestPerKey(unioned, Seq("sales_nk"), col("last_edited"))
 
       val inserted = projected.count()
-      StagedWrite.overwrite(fact, factPath)
-      val dataWm =
-        if (inserted == 0) None
-        else Option(delta.agg(max(col("last_edited"))).first().getAs[LocalDateTime](0))
-      tracker.advance("factsales", dataWm)
-      log.append("etl_load_factsales", started, inserted, 0L, 0L,
-        RunLog.Success, None)
-      inserted
+      if (existing.isDefined && inserted == 0) {
+        // no-op rerun: leave the table alone (reference SQL:71-73 —
+        // second run inserts 0 rows). No `return` here: a non-local
+        // return would unwind as an exception through the catch below.
+        tracker.advance("factsales", None)
+        log.append("etl_load_factsales", started, 0L, 0L, 0L,
+          RunLog.Success, None)
+        0L
+      } else {
+        // keep-latest is scoped to CONTESTED keys (those present in
+        // the delta): untouched fact rows pass through without
+        // re-shuffling — at 100 TB the correction window touches a
+        // sliver of the fact, not all of it
+        val fact = existing match {
+          case Some(f) =>
+            val deltaKeys = projected.select(col("sales_nk")).distinct()
+            val untouched = f.join(deltaKeys, Seq("sales_nk"), "left_anti")
+            val contested = f.join(deltaKeys, Seq("sales_nk"), "left_semi")
+              .unionByName(projected)
+            untouched.unionByName(
+              latestPerKey(contested, Seq("sales_nk"), col("last_edited")))
+          case None =>
+            latestPerKey(projected, Seq("sales_nk"), col("last_edited"))
+        }
+
+        StagedWrite.overwrite(fact, factPath)
+        val dataWm =
+          if (inserted == 0) None
+          else Option(delta.agg(max(col("last_edited"))).first()
+            .getAs[LocalDateTime](0))
+        tracker.advance("factsales", dataWm)
+        log.append("etl_load_factsales", started, inserted, 0L, 0L,
+          RunLog.Success, None)
+        inserted
+      }
     } catch {
       case e: Throwable =>
         log.append("etl_load_factsales", started, 0L, 0L, 0L, RunLog.Fail,

@@ -86,4 +86,50 @@ class IncrementalScd2Spec extends SparkSpec {
       .orderBy("user_id", "active_from", "event_id").collect()
     assert(before.toSeq == after.toSeq)
   }
+
+  test("two-phase fact load converges to the one-shot fact") {
+    import graft.facts.FactLoader
+    val root = Files.createTempDirectory("graft_inc_fact").toString
+    val tracker = new LoadTracker(spark, s"$root/tracker")
+    val log = new RunLog(spark, s"$root/log")
+    val factPath = s"$root/factsales"
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+
+    // split on edit time exactly as the loader computes it
+    val edits = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(greatest(col("l_shipdate"), col("o_orderdate")).as("e"))
+    val half = (edits.count() / 2).toInt
+    val cut = edits.orderBy("e").limit(half).agg(max("e"))
+      .first().getAs[java.time.LocalDateTime](0)
+
+    val li1 = lineitem.join(
+        orders.select(col("o_orderkey").as("__ok"), col("o_orderdate")),
+        col("l_orderkey") === col("__ok"))
+      .filter(greatest(col("l_shipdate"), col("o_orderdate")) <= lit(cut))
+      .drop("__ok", "o_orderdate")
+
+    val n1 = FactLoader.load(spark, li1, orders, Map.empty, factPath,
+      tracker, log)
+    assert(n1 > 0)
+    val n2 = FactLoader.load(spark, lineitem, orders, Map.empty, factPath,
+      tracker, log)
+    assert(n2 > 0)
+
+    // one-shot over everything with a fresh tracker
+    val tracker2 = new LoadTracker(spark, s"$root/tracker2")
+    val oneShotPath = s"$root/factsales_oneshot"
+    FactLoader.load(spark, lineitem, orders, Map.empty, oneShotPath,
+      tracker2, log)
+
+    val a = spark.read.parquet(factPath).orderBy("sales_nk").collect()
+    val b = spark.read.parquet(oneShotPath).orderBy("sales_nk").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+
+    // rerun with no new edits: 0 rows and untouched files
+    val n3 = FactLoader.load(spark, lineitem, orders, Map.empty, factPath,
+      tracker, log)
+    assert(n3 == 0)
+  }
 }
