@@ -96,21 +96,31 @@ object Similarity {
     * addition makes the sum fold-order independent. */
   def srpBucket(emb: Column, dim: Int, nPlanes: Int,
                 planeOffset: Int = 0): Column = {
-    val signs = (0 until nPlanes).map { p =>
-      // deterministic ±1 weight per (plane, dimension)
-      val proj = aggregate(
-        zip_with(emb,
-          typedLit((0 until dim).map(d => weight(planeOffset + p, d))),
-          (x, wgt) => (x.cast("double") * wgt).cast(Acc)),
-        lit(0L).cast(Acc), (acc, v) => (acc + v).cast(Acc))
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    signs.reduce(_ + _)
-  }
-
-  private def weight(plane: Int, d: Int): Double = {
-    val h = (plane.toLong * 1315423911L + d.toLong * 2654435761L) % 2038074743L
-    if ((h & 1L) == 1L) 1.0 else -1.0
+    // one traversal for all planes: fold element indices with a
+    // struct-of-decimals accumulator (one projection per plane). Per
+    // element the plane weight (deterministic ±1, parity of an
+    // integer hash) is computed in-expression from the index, and
+    // each plane's partial sum takes the identical (product -> cast
+    // Acc -> add -> cast Acc) decimal sequence as the per-plane
+    // formulation, so bucket values are bit-identical to the SQL twin.
+    val init = struct((0 until nPlanes).map(p =>
+      lit(0L).cast(Acc).as(s"p$p")): _*)
+    val folded = aggregate(
+      sequence(lit(0), lit(dim - 1)), init,
+      (acc, i) => {
+        val x = element_at(emb, i + 1).cast("double")
+        struct((0 until nPlanes).map { p =>
+          val plane = planeOffset + p
+          val h = pmod(lit(plane.toLong * 1315423911L) +
+            i.cast("long") * lit(2654435761L), lit(2038074743L))
+          val w = when(h.bitwiseAND(lit(1L)) === 1L, lit(1.0))
+            .otherwise(lit(-1.0))
+          (acc(s"p$p") + (x * w).cast(Acc)).cast(Acc).as(s"p$p")
+        }: _*)
+      })
+    (0 until nPlanes).map { p =>
+      when(folded(s"p$p") >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** DuckDB twin of [[srpBucket]] — same hash-parity weights, same
