@@ -385,6 +385,111 @@ object Queries {
         |  count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Extension: pivot = conditional aggregation (explicit value list
+    // keeps the output schema static — mandatory at scale, a dynamic
+    // pivot would scan twice to discover columns)
+    ("pivot_agg",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("O", "F"))
+          .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)"))
+          .withColumnsRenamed(Map("O" -> "qty_open", "F" -> "qty_filled"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_open,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_filled
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Extension: CUBE over two dims
+    ("cube_agg",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Extension: lag/lead analytics over a keyed order
+    ("lag_lead",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            first(col("o_orderkey")).over(w).as("first_order"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER w AS first_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Extension: set operations (EXCEPT/INTERSECT — SURVEY §2.G notes
+    // the reference plays these with anti joins)
+    ("set_ops",
+      (s: SparkSession, d: String) => {
+        val custKeys = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        val orderCust = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k"))
+        custKeys.except(orderCust)
+          .unionByName(custKeys.intersect(orderCust)
+            .withColumn("k", -col("k")))
+          .orderBy("k")
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k FROM customer
+        |            WHERE c_mktsegment = 'BUILDING'),
+        |f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+        |SELECT k FROM ((SELECT k FROM b EXCEPT SELECT k FROM f)
+        |  UNION ALL (SELECT -k FROM (SELECT k FROM b INTERSECT SELECT k FROM f)))
+        |ORDER BY k""".stripMargin)),
+
+    // Extension: array higher-order inspection over embeddings
+    ("array_funcs",
+      (s: SparkSession, d: String) =>
+        t(s, d, "embeddings").select(col("vec_id"),
+            size(col("embedding")).cast("long").as("n_dims"),
+            array_max(col("embedding")).cast("double").as("max_v"),
+            array_min(col("embedding")).cast("double").as("min_v"),
+            element_at(col("embedding"), 1).cast("double").as("first_v"),
+            size(filter(col("embedding"), _ > 0f)).cast("long").as("n_pos"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_v,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_v,
+        |  CAST(embedding[1] AS DOUBLE) AS first_v,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // Extension: regex extraction/replacement
+    ("regex_funcs",
+      (s: SparkSession, d: String) =>
+        t(s, d, "part").select(col("p_partkey"),
+            regexp_extract(col("p_brand"), "#(\\d+)$", 1).as("brand_num"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        |  coalesce(regexp_extract(p_brand, '#(\d+)$', 1), '') AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // D5: distinct projection
     ("distinct_values",
       (s: SparkSession, d: String) =>
