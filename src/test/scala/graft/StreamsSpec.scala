@@ -68,6 +68,25 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("dedupStream drops within-watermark duplicates with bounded state") {
+    // feed the same files twice -> every event is a duplicate once
+    val dupDir = tmp("events-dup")
+    val ev = Queries.eventsTable(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+
+    val stream = Streams.dedupStream(
+      Streams.readEventsStream(spark, dupDir, maxFilesPerTrigger = 2),
+      Seq("event_id"))
+    val q = stream.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("dedup_out").count()
+    assert(got == ev.count(), s"expected ${ev.count()} unique, got $got")
+  }
+
   test("scd2Sink: incremental micro-batch dim equals batch recompute") {
     val history = tmp("scd2-history")
     val dim = tmp("scd2-dim") + "/dim"
