@@ -564,10 +564,10 @@ object Queries {
     ("neardup_keep",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.simhashPairs(
+        val dropIds = Dedup.nearDupDropIds(
           Dedup.simhash(docs, col("doc_id"), col("text")), 3)
         Dedup.keepAfterNearDup(docs.select("doc_id", "lang", "source"),
-          col("doc_id"), pairs).orderBy("doc_id")
+          col("doc_id"), dropIds).orderBy("doc_id")
       },
       Some(s"""WITH nd_pairs AS (${Dedup.simhashOracleSql(3)
         .replaceAll("ORDER BY d1, d2", "")})

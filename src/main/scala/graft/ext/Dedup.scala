@@ -262,6 +262,29 @@ object Dedup {
     docs.join(pairs.select(col("d2").as("__drop")),
       id === col("__drop"), "left_anti")
 
+  /** Distinct ids to drop under the one-hop rule, computed WITHOUT
+    * materializing the deduplicated pair set: on a clustered corpus
+    * the pair table is quadratic in cluster size, but the drop set is
+    * at most one row per doc — so distinct on d2 alone, before any
+    * pair-level distinct, keeps the shuffle linear. */
+  def nearDupDropIds(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bv"))): _*))
+        .as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
+        col("bs.bv").as("bv"))
+    val a = bands.select(col("band"), col("bv"), col("doc_id").as("d1"),
+      col("simhash").as("s1"))
+    val b = bands.select(col("band").as("__b2"), col("bv").as("__v2"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, col("band") === col("__b2") && col("bv") === col("__v2") &&
+        col("d1") < col("d2"))
+      .filter(bit_count(col("s1").bitwiseXOR(col("s2")))
+        .cast("long") <= maxHamming)
+      .select(col("d2")).distinct()
+  }
+
   /** Full DuckDB oracle for [[ngramJaccardPairs]] over `documents`. */
   def ngramJaccardOracleSql(n: Int, thresholdNum: Int,
                             thresholdDen: Int): String =
