@@ -1,0 +1,39 @@
+package graft
+
+/** Physical-plan shape guards: these properties are why the engine
+  * scales, and nothing else fails loudly if a refactor loses them. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("delta_extract pushes the watermark predicate into the scan") {
+    val p = plan("delta_extract")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"watermark not pushed:\n$p")
+  }
+
+  test("fact_build broadcasts every dimension join") {
+    val p = plan("fact_build")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast dim joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dim join fell back to sort-merge:\n$p")
+  }
+
+  test("fact_build prunes lineitem columns at the scan") {
+    val p = plan("fact_build")
+    // the widest lineitem read needs 8 of 11 columns; l_returnflag /
+    // l_linestatus / l_shipdate must NOT be read
+    assert(!p.contains("l_returnflag"), "l_returnflag read but unused")
+    assert(!p.contains("l_linestatus"), "l_linestatus read but unused")
+  }
+
+  test("embedding_topk ranks through WindowGroupLimit (partial top-k)") {
+    val p = plan("embedding_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not plan as WindowGroupLimit:\n$p")
+  }
+}
