@@ -16,6 +16,16 @@ import graft.facts.FactLoader
   * role mapping) with a DuckDB oracle twin. Determinism rules
   * (SURVEY §7.5): canonical ORDER BY, decimal-pinned aggregates,
   * BIGINT-cast computed integers, no wall-clock columns.
+  *
+  * Output-type rule: no DECIMAL column ever reaches a declared query's
+  * output. Aggregation folds stay exact-decimal internally (fold-order
+  * determinism), but the final projection casts to DOUBLE on BOTH
+  * engines — DECIMAL survives to pandas as object(Decimal) from a
+  * parquet read but float64 from a DuckDB fetch, so the driver's
+  * value-hash can mismatch on representation even when values agree
+  * (all 8 round-1 hash misses were exactly the 8 decimal-output
+  * queries). decimal->double is correctly rounded on both engines at
+  * our magnitudes, so the doubles are bit-identical.
   */
 object Queries {
 
@@ -309,12 +319,12 @@ object Queries {
         t(s, d, "lineitem").agg(
           count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(18,2)").as("sum_qty"),
+            .cast("decimal(18,2)").cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(14,2)"))
-            .cast("decimal(18,2)").as("sum_gross")),
+            .cast("decimal(18,2)").cast("double").as("sum_gross")),
       Some("""SELECT count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS sum_gross
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_gross
         |FROM lineitem""".stripMargin)),
 
     // Extension (§7.6): JSON extraction over events.props + keyed agg
@@ -342,11 +352,11 @@ object Queries {
           .rollup("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("l_quantity").cast("decimal(12,2)"))
-              .cast("decimal(18,2)").as("sum_qty"))
+              .cast("decimal(18,2)").cast("double").as("sum_qty"))
           .orderBy(asc_nulls_first("l_returnflag"),
             asc_nulls_first("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
@@ -360,14 +370,14 @@ object Queries {
         t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
             col("o_orderdate"),
             sum(col("o_totalprice").cast("decimal(14,2)")).over(w)
-              .cast("decimal(18,2)").as("running_spend"))
+              .cast("decimal(18,2)").cast("double").as("running_spend"))
           .orderBy("o_custkey", "o_orderdate", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS DECIMAL(18,2)) AS running_spend
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS running_spend
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
 
@@ -378,10 +388,10 @@ object Queries {
         ext.Skew.saltedSumCount(t(s, d, "events"), Seq("event_type"),
             col("value").cast("decimal(14,4)"), col("event_id"), 16)
           .withColumn("sum_value",
-            col("sum_value").cast("decimal(18,4)"))
+            col("sum_value").cast("decimal(18,4)").cast("double"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
-        |  CAST(sum(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS sum_value,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
         |  count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -394,14 +404,14 @@ object Queries {
           .groupBy("l_returnflag")
           .pivot("l_linestatus", Seq("O", "F"))
           .agg(sum(col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double"))
           .withColumnsRenamed(Map("O" -> "qty_open", "F" -> "qty_filled"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-        |  CAST(sum(CASE WHEN l_linestatus = 'O'
-        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_open,
-        |  CAST(sum(CASE WHEN l_linestatus = 'F'
-        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_filled
+        |  CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS qty_open,
+        |  CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS qty_filled
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Extension: CUBE over two dims
@@ -517,11 +527,12 @@ object Queries {
     ("top_violations",
       (s: SparkSession, d: String) =>
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-            col("l_extendedprice").cast("decimal(14,2)").as("price"))
+            col("l_extendedprice").cast("decimal(14,2)").cast("double")
+              .as("price"))
           .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
           .limit(100),
       Some("""SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+        |  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS DOUBLE) AS price
         |FROM lineitem
         |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
 
@@ -688,8 +699,10 @@ object Queries {
         coalesce(col("customer_sk_src"), lit(-1L)).as("customer_sk"),
         coalesce(col("part_sk_src"), lit(-1L)).as("part_sk"),
         coalesce(col("supplier_sk_src"), lit(-1L)).as("supplier_sk"),
-        col("order_datekey"), col("quantity"), col("value_gross"),
-        col("value_discounted"), col("value_posttax"))
+        col("order_datekey"), col("quantity").cast("double"),
+        col("value_gross").cast("double"),
+        col("value_discounted").cast("double"),
+        col("value_posttax").cast("double"))
       .orderBy("sales_nk")
   }
 
@@ -710,16 +723,16 @@ object Queries {
     |  coalesce(ds.supplier_sk, -1) AS supplier_sk,
     |  CAST(year(o.o_orderdate)*10000 + month(o.o_orderdate)*100
     |    + day(o.o_orderdate) AS BIGINT) AS order_datekey,
-    |  CAST(l.l_quantity AS DECIMAL(12,2)) AS quantity,
-    |  CAST(l.l_extendedprice AS DECIMAL(14,2)) AS value_gross,
-    |  CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
-    |    (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
-    |    AS DECIMAL(18,4)) AS value_discounted,
+    |  CAST(CAST(l.l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity,
+    |  CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) AS DOUBLE) AS value_gross,
     |  CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
+    |    (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+    |    AS DECIMAL(18,4)) AS DOUBLE) AS value_discounted,
+    |  CAST(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) *
     |    (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
     |    AS DECIMAL(18,4)) *
     |    (CAST(1 AS DECIMAL(4,2)) + CAST(l.l_tax AS DECIMAL(4,2)))
-    |    AS DECIMAL(18,6)) AS value_posttax
+    |    AS DECIMAL(18,6)) AS DOUBLE) AS value_posttax
     |FROM lineitem l
     |JOIN orders o ON l.l_orderkey = o.o_orderkey
     |LEFT JOIN dim_cust dc ON o.o_custkey = dc.c_custkey

@@ -42,7 +42,7 @@ object Sessions {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         sum(col(valueCol).cast("decimal(12,2)")).cast("decimal(18,2)")
-          .as("total_value"))
+          .cast("double").as("total_value"))
 
   def sessionStatsOracleSql(gapSeconds: Long): String =
     s"""
@@ -59,7 +59,7 @@ object Sessions {
     |  FROM flagged)
     |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
     |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
-    |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+    |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
     |FROM sess GROUP BY 1, 2
     |ORDER BY user_id, session_num
     |""".stripMargin.trim
