@@ -51,10 +51,12 @@ object Checks {
   }
 
   /** Soft referential integrity (reference SQL:1746-1783): fact rows
-    * whose dim key resolves to nothing, capped listing. */
+    * whose dim key resolves to nothing. Returns the FULL violation
+    * set; callers wanting the reference's `TOP 100` listing apply
+    * their own deterministic `orderBy(...).limit(n)` (a cap applied
+    * here, before the caller's sort, would pick arbitrary rows). */
   def refIntegrityViolations(fact: DataFrame, dim: DataFrame,
-                             factKey: Column, dimKey: Column,
-                             limit: Int = 100): DataFrame =
+                             factKey: Column, dimKey: Column): DataFrame =
     fact.join(dim, factKey === dimKey, "left")
       .filter(dimKey.isNull)
 

@@ -68,11 +68,22 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
            tracker: LoadTracker, log: RunLog): Long = {
     val started = new Timestamp(System.currentTimeMillis())
     try {
+      StagedWrite.recover(spark, dimPath) // heal any crashed publish first
       val wm = tracker.watermark(name)
       // 2. delta: watermark filter is a literal -> parquet pushdown
       val delta = changeFeed.filter(col(changeTs) > lit(wm))
       val attrs = (Seq(nk) ++ tracked ++ Seq(changeTs) ++ tiebreak).distinct
       val deltaRows = delta.select(attrs.map(col): _*)
+      // One metadata scan BEFORE any other action: a non-snapshot feed
+      // can gain rows between actions, and the watermark must never
+      // advance past rows that weren't incorporated. Rows arriving
+      // after this scan may still land in the write — they are simply
+      // re-read next run and deduped by version identity (J38).
+      val stats = delta.agg(count(lit(1)), max(col(changeTs))).first()
+      val inserted = stats.getLong(0)
+      val dataWm =
+        if (inserted == 0L) None
+        else Option(stats.getAs[LocalDateTime](1))
 
       val existing: Option[DataFrame] =
         if (pathExists(spark, dimPath)) Some(spark.read.parquet(dimPath))
@@ -138,13 +149,8 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
             case None => k
           }
 
-          val inserted = delta.count()
           // 6. publish + advance watermark + log
           StagedWrite.overwrite(withDeletes, dimPath)
-          val dataWm =
-            if (inserted == 0) None
-            else Option(delta.agg(max(col(changeTs))).first()
-              .getAs[LocalDateTime](0))
           tracker.advance(name, dataWm)
           log.append(s"etl_load_$name", started, inserted, 0L, 0L,
             RunLog.Success, None)

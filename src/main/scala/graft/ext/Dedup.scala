@@ -250,13 +250,16 @@ object Dedup {
   }
 
   /** The keep/drop decision over near-dup pairs: drop every doc that
-    * has a near-duplicate with a smaller id (min-id representative per
-    * connected group under the pair relation's transitive closure is
-    * approximated by the standard one-hop rule — each doc defers to
-    * its smallest direct neighbor; at 100 TB this is one anti join on
-    * the pair table instead of an iterative connected-components
-    * computation, and over-drops nothing: every dropped doc has a
-    * surviving near-duplicate). */
+    * has a near-duplicate with a smaller id — the standard one-hop
+    * rule, one anti join on the pair table instead of an iterative
+    * connected-components computation. Retention caveat: on a chain
+    * A–B, B–C with no A–C pair, both B and C are dropped, so C's only
+    * near-duplicate (B) does not survive — a dropped doc is guaranteed
+    * a smaller-id *neighbor*, not a smaller-id *survivor*. Exact
+    * min-per-component retention needs connected components (iterative
+    * min-propagation to fixpoint); the one-hop rule is the usual
+    * at-scale trade because it never drops a whole cluster and never
+    * keeps two direct near-duplicates. */
   def keepAfterNearDup(docs: DataFrame, id: Column,
                        pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("d2").as("__drop")),

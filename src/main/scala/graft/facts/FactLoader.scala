@@ -63,6 +63,7 @@ object FactLoader {
            factPath: String, tracker: LoadTracker, log: RunLog): Long = {
     val started = new Timestamp(System.currentTimeMillis())
     try {
+      StagedWrite.recover(spark, factPath) // heal any crashed publish first
       val wm = tracker.watermark("factsales")
       val editTs = greatest(col("l_shipdate"), col("o_orderdate"))
       val delta = withMeasures(
@@ -70,6 +71,15 @@ object FactLoader {
         .withColumn("sales_nk", salesNk)
         .withColumn("last_edited", editTs)
         .filter(col("last_edited") > lit(wm))
+      // One metadata scan BEFORE any other action, so the watermark
+      // reflects at most what this run incorporates even if the source
+      // gains rows mid-load (same invariant as Scd2Dimension): later
+      // arrivals are re-read next run and deduped by keep-latest.
+      val stats = delta.agg(count(lit(1)), max(col("last_edited"))).first()
+      val inserted = stats.getLong(0)
+      val dataWm =
+        if (inserted == 0L) None
+        else Option(stats.getAs[LocalDateTime](1))
 
       // dim surrogate lookups, Unknown (-1) fallback; dims broadcast
       val resolved = dims.foldLeft(delta) {
@@ -89,7 +99,6 @@ object FactLoader {
         if (pathExists(spark, factPath)) Some(spark.read.parquet(factPath))
         else None
 
-      val inserted = projected.count()
       if (existing.isDefined && inserted == 0) {
         // no-op rerun: leave the table alone (reference SQL:71-73 —
         // second run inserts 0 rows). No `return` here: a non-local
@@ -116,10 +125,6 @@ object FactLoader {
         }
 
         StagedWrite.overwrite(fact, factPath)
-        val dataWm =
-          if (inserted == 0) None
-          else Option(delta.agg(max(col("last_edited"))).first()
-            .getAs[LocalDateTime](0))
         tracker.advance("factsales", dataWm)
         log.append("etl_load_factsales", started, inserted, 0L, 0L,
           RunLog.Success, None)

@@ -26,14 +26,22 @@ case class FloatVecDot(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
+  // NULL on mismatched lengths and on any null element (not just null
+  // inputs), mirroring the aggregate(zip_with(...)) exact-decimal path:
+  // zip_with pads the shorter array with nulls and null terms poison
+  // the fold, so both paths agree that malformed vectors score NULL
+  // rather than a silently truncated dot.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -46,12 +54,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 

@@ -66,6 +66,16 @@ class SimilaritySpec extends SparkSpec {
       lit(null).cast("array<float>"), col("embedding")).as("d"))
       .collect()
     assert(n.head.isNullAt(0))
+    // mismatched lengths and null elements -> null (mirrors the
+    // aggregate(zip_with(...)) exact-decimal path, not a truncated dot)
+    val mism = emb.limit(1).select(graft.functions.VecMath.dotF(
+      expr("slice(embedding, 1, 8)"), col("embedding")).as("d")).collect()
+    assert(mism.head.isNullAt(0))
+    val nullElem = emb.limit(1).select(graft.functions.VecMath.dotF(
+      expr("array(cast(1.0 as float), cast(null as float))"),
+      expr("array(cast(1.0 as float), cast(1.0 as float))")).as("d"))
+      .collect()
+    assert(nullElem.head.isNullAt(0))
   }
 
   test("nearDupPairs: bucketed pairs are symmetric-free and thresholded") {
