@@ -19,6 +19,19 @@ import graft.functions.Hashing
   */
 object Dedup {
 
+  /** Pin an explicit-N hash repartition on the streamed side of a
+    * pair-generating join. Candidate joins here have TINY inputs
+    * (band/bucket tables, a few MB) but huge outputs (bucket-local
+    * pair expansion) — AQE's shuffle coalescing sizes partitions by
+    * INPUT bytes, so it folds the small shuffle to one partition and
+    * the quadratic pair generation runs single-threaded. An explicit
+    * partition count is exempt from coalescing; keyed on the join
+    * keys it also satisfies the join's distribution requirement, so
+    * no extra exchange appears. */
+  private[ext] def spread(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      keys: _*)
+
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 
@@ -96,7 +109,13 @@ object Dedup {
     * signature (bands of `rowsPerBand` consecutive minhashes). The
     * band value packs two minhashes into one int64 (mh < P2 ≈ 2^31,
     * so mh0·P2 + mh1 < 2^62). Join is per (band index, band value) —
-    * an equi shuffle join, never all-pairs. */
+    * an equi shuffle join, never all-pairs.
+    *
+    * A pair colliding in k bands would surface k times; instead of a
+    * pair-level `distinct` (a shuffle as large as the candidate set)
+    * each pair is emitted only at its FIRST matching band — both
+    * docs' full band-signature arrays ride along in the join row, so
+    * "no earlier band matched" is a codegen'd filter, not a shuffle. */
   def minhashCandidates(signatures: DataFrame, k: Int,
                         rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
@@ -106,15 +125,23 @@ object Dedup {
       cols.reduceLeft((acc, c) => acc * lit(Hashing.P2) + c)
     }
     val bands = signatures.select(col("doc_id"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), bandVal(b).as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val a = bands.select(col("band"), col("sig"), col("doc_id").as("d1"))
-    val b = bands.select(col("band").as("__b2"), col("sig").as("__s2"),
-      col("doc_id").as("d2"))
+      array((0 until nBands).map(bandVal): _*).as("sigs"))
+      .select(col("doc_id"), col("sigs"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+    val a = spread(bands.select(col("band"), element_at(col("sigs"),
+        col("band") + 1).as("sig"), col("doc_id").as("d1"),
+      col("sigs").as("sigs1")), col("band"), col("sig"))
+    val b = bands.select(col("band").as("__b2"), element_at(col("sigs"),
+        col("band") + 1).as("__s2"), col("doc_id").as("d2"),
+      col("sigs").as("sigs2"))
+    val noEarlierMatch = (0 until nBands).map { bp =>
+      when(col("band") > bp, element_at(col("sigs1"), bp + 1) =!=
+        element_at(col("sigs2"), bp + 1)).otherwise(lit(true))
+    }.reduce(_ && _)
     a.join(b, col("band") === col("__b2") && col("sig") === col("__s2") &&
         col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+      .filter(noEarlierMatch)
+      .select(col("d1"), col("d2"))
   }
 
   /** Full DuckDB oracle for minhash LSH candidates over `documents`. */
@@ -173,25 +200,41 @@ object Dedup {
     bitSums.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Band value b (12 bits) of a 48-bit simhash column. */
+  private def simBand(sim: Column, b: Int): Column =
+    shiftright(sim, b * 12).bitwiseAND(lit(4095L))
+
+  /** "No band before `band` matched" — dedupes multi-band collisions
+    * with a codegen'd predicate on the two signatures instead of a
+    * pair-level `distinct` shuffle over the full candidate set. */
+  private def firstSimBandOnly: Column =
+    (0 until 4).map { bp =>
+      when(col("band") > bp,
+        simBand(col("s1"), bp) =!= simBand(col("s2"), bp))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found via
     * 4x12-bit banding (pigeonhole: <=3 differing bits leave at least
-    * one of 4 bands identical) then exact hamming filter. */
+    * one of 4 bands identical) then exact hamming filter. Each pair
+    * surfaces once: at its first matching band (see
+    * [[firstSimBandOnly]] — no pair-level distinct shuffle). */
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bv"))): _*))
-        .as("bs"))
+        simBand(col("simhash"), b).as("bv"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
         col("bs.bv").as("bv"))
-    val a = bands.select(col("band"), col("bv"), col("doc_id").as("d1"),
-      col("simhash").as("s1"))
+    val a = spread(bands.select(col("band"), col("bv"),
+      col("doc_id").as("d1"), col("simhash").as("s1")),
+      col("band"), col("bv"))
     val b = bands.select(col("band").as("__b2"), col("bv").as("__v2"),
       col("doc_id").as("d2"), col("simhash").as("s2"))
     a.join(b, col("band") === col("__b2") && col("bv") === col("__v2") &&
         col("d1") < col("d2"))
+      .filter(firstSimBandOnly)
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -232,18 +275,76 @@ object Dedup {
   /** Verified near-dup pairs by n-gram Jaccard >= threshold. Inverted
     * index join on the gram (pairs only materialize for co-occurring
     * grams), then |∩| / (|A| + |B| - |∩|). Threshold comparison is done
-    * on cross-multiplied integers — no float division in the filter. */
+    * on cross-multiplied integers — no float division in the filter.
+    *
+    * Join volume is Σ_gram df², i.e. it tracks gram co-occurrence
+    * density. That is the right trade at moderate thresholds (a weak
+    * prefix filter generates more candidate-verification work than it
+    * saves — measured 2.5× slower at t=1/2 on the fixtures); for high
+    * thresholds (t ≳ 0.7) use [[ngramJaccardPairsPrefix]], which
+    * exposes only each doc's rarest grams to the join. For corpus
+    * scale where even that blows up, generate candidates with
+    * [[minhashCandidates]] (probabilistic, tunable) and verify those
+    * pairs exactly — the standard composition in large dedup
+    * pipelines. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column, n: Int,
                         thresholdNum: Int, thresholdDen: Int): DataFrame = {
     val grams = explodedGrams(docs, id, text, n)
     val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val a = grams.select(col("gram"), col("doc_id").as("d1"))
+    val a = spread(grams.select(col("gram"), col("doc_id").as("d1")),
+      col("gram"))
     val b = grams.select(col("gram").as("__g2"), col("doc_id").as("d2"))
     val inter = a.join(b, col("gram") === col("__g2") && col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     inter
       .join(counts.select(col("doc_id").as("d1"), col("n_grams").as("n1")), "d1")
       .join(counts.select(col("doc_id").as("d2"), col("n_grams").as("n2")), "d2")
+      .filter(col("inter") * lit(thresholdDen) >=
+        (col("n1") + col("n2") - col("inter")) * lit(thresholdNum))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  /** [[ngramJaccardPairs]] with PPJoin-style prefix filtering (Xiao et
+    * al., WWW'08) — same result set, different join shape. Canonical
+    * gram order = ascending document frequency (rare first); each doc
+    * exposes only its first |A| − ⌈t·|A|⌉ + 1 grams to the candidate
+    * join (Jaccard ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and the prefix
+    * lemma guarantees qualifying pairs collide inside those prefixes);
+    * candidates then verify exactly against the full distinct-gram
+    * sets via `array_intersect`. Wins when the threshold is high
+    * enough that prefixes are short — the common boilerplate grams of
+    * a template-clustered corpus never reach the join. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, id: Column, text: Column,
+                              n: Int, thresholdNum: Int,
+                              thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = explodedGrams(docs, id, text, n)
+    val sets = grams.groupBy(col("doc_id"))
+      .agg(collect_list(col("gram")).as("grams"),
+        count(lit(1)).as("n_grams"))
+    val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val ranked = grams.join(docFreq, "gram")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("gram").asc)))
+      .withColumn("n_grams", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+    val prefix = ranked.filter(col("rank") <= col("n_grams") -
+        expr(s"(n_grams * $thresholdNum + ${thresholdDen - 1}) " +
+          s"div $thresholdDen") + 1)
+      .select(col("gram"), col("doc_id"))
+    val cand = spread(prefix.select(col("gram"), col("doc_id").as("d1")),
+        col("gram"))
+      .join(prefix.select(col("gram").as("__g2"), col("doc_id").as("d2")),
+        col("gram") === col("__g2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("grams").as("g1"),
+        col("n_grams").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("grams").as("g2"),
+        col("n_grams").as("n2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .filter(col("inter") * lit(thresholdDen) >=
         (col("n1") + col("n2") - col("inter")) * lit(thresholdNum))
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
@@ -265,27 +366,49 @@ object Dedup {
     docs.join(pairs.select(col("d2").as("__drop")),
       id === col("__drop"), "left_anti")
 
-  /** Distinct ids to drop under the one-hop rule, computed WITHOUT
-    * materializing the deduplicated pair set: on a clustered corpus
-    * the pair table is quadratic in cluster size, but the drop set is
-    * at most one row per doc — so distinct on d2 alone, before any
-    * pair-level distinct, keeps the shuffle linear. */
+  /** Distinct ids to drop under the one-hop rule (d has a smaller-id
+    * doc within `maxHamming`), computed WITHOUT materializing the pair
+    * set. Two-level decomposition keeps the band join off the
+    * quadratic cluster blowup entirely:
+    *
+    *   1. identical-hash collapse: docs sharing a simhash form an
+    *      exact cluster — every non-min member is dropped by its own
+    *      group (hamming 0), one groupBy, no join. On a template-
+    *      clustered corpus this is most of the drop set.
+    *   2. representative banding: only the min-id doc per DISTINCT
+    *      hash enters the band join (a cluster of k identical hashes
+    *      contributes 1 row, not k — the join is over distinct
+    *      signatures, so bucket sizes track signature diversity, not
+    *      corpus duplication). A representative r is dropped iff some
+    *      distinct hash within range has a smaller representative:
+    *      min-per-hash means "∃ doc < r with hash s′" ⟺ "rep(s′) < r".
+    *
+    * The two legs are disjoint (non-reps vs reps), so a plain union
+    * feeds the caller's anti join; only the rep leg needs a distinct,
+    * over at most one row per distinct signature. */
   def nearDupDropIds(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = sims.select(col("doc_id"), col("simhash"),
+    val reps = sims.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"))
+    val exactDrops = sims.join(reps, "simhash")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("d2"))
+    val bands = reps.select(col("rep"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bv"))): _*))
-        .as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
+        simBand(col("simhash"), b).as("bv"))): _*)).as("bs"))
+      .select(col("rep"), col("simhash"), col("bs.band").as("band"),
         col("bs.bv").as("bv"))
-    val a = bands.select(col("band"), col("bv"), col("doc_id").as("d1"),
-      col("simhash").as("s1"))
+    val a = spread(bands.select(col("band"), col("bv"),
+      col("rep").as("d1"), col("simhash").as("s1")),
+      col("band"), col("bv"))
     val b = bands.select(col("band").as("__b2"), col("bv").as("__v2"),
-      col("doc_id").as("d2"), col("simhash").as("s2"))
-    a.join(b, col("band") === col("__b2") && col("bv") === col("__v2") &&
-        col("d1") < col("d2"))
+      col("rep").as("d2"), col("simhash").as("s2"))
+    val repDrops = a.join(b,
+        col("band") === col("__b2") && col("bv") === col("__v2") &&
+          col("d1") < col("d2"))
       .filter(bit_count(col("s1").bitwiseXOR(col("s2")))
         .cast("long") <= maxHamming)
       .select(col("d2")).distinct()
+    exactDrops.unionByName(repDrops)
   }
 
   /** Full DuckDB oracle for [[ngramJaccardPairs]] over `documents`. */

@@ -22,8 +22,19 @@ object Similarity {
   // never changes -> no rounding, exact and order-independent).
   private val Acc = DecimalType(25, 12)
 
-  /** Exact decimal dot product of two float-array columns. */
+  /** Exact decimal dot product of two float-array columns — the
+    * codegen'd [[org.apache.spark.sql.graftext.DecimalVecDot]] kernel
+    * (one compiled loop per row). Bit-identical to [[dotHof]], the
+    * Column-level fold it replaced (higher-order lambdas evaluate
+    * interpreted per element — ~10× slower); SimilaritySpec pins the
+    * two together. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftext.DecimalVecBridge.dotColumn(a, b)
+
+  /** Reference formulation of [[dot]] as built-in higher-order
+    * functions; kept as the executable spec of the kernel's exact
+    * decimal semantics. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(Acc)),
       lit(0L).cast(Acc), (acc, v) => (acc + v).cast(Acc))
@@ -50,8 +61,11 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
       .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
-    val c = corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb"))
+    // a small corpus file arrives as ONE scan partition and the
+    // broadcast join inherits it — every query×candidate score would
+    // run in a single task; spread the streamed side first
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb")), col("cand_id"))
       .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
@@ -95,14 +109,19 @@ object Similarity {
     * `proj >= 0` must not flip between engines, and exact decimal
     * addition makes the sum fold-order independent. */
   def srpBucket(emb: Column, dim: Int, nPlanes: Int,
-                planeOffset: Int = 0): Column = {
-    // one traversal for all planes: fold element indices with a
-    // struct-of-decimals accumulator (one projection per plane). Per
-    // element the plane weight (deterministic ±1, parity of an
-    // integer hash) is computed in-expression from the index, and
-    // each plane's partial sum takes the identical (product -> cast
-    // Acc -> add -> cast Acc) decimal sequence as the per-plane
-    // formulation, so bucket values are bit-identical to the SQL twin.
+                planeOffset: Int = 0): Column =
+    org.apache.spark.sql.graftext.DecimalVecBridge
+      .srpBucketColumn(emb, nPlanes, planeOffset)
+
+  /** Reference formulation of [[srpBucket]] as built-in higher-order
+    * functions (struct-of-decimals fold over element indices) — the
+    * executable spec of the kernel's exact decimal projection; each
+    * plane's partial sum takes the identical (product -> cast Acc ->
+    * add -> cast Acc) decimal sequence, so bucket values are
+    * bit-identical to the SQL twin AND to the codegen'd kernel
+    * (SimilaritySpec pins all three). */
+  def srpBucketHof(emb: Column, dim: Int, nPlanes: Int,
+                   planeOffset: Int = 0): Column = {
     val init = struct((0 until nPlanes).map(p =>
       lit(0L).cast(Acc).as(s"p$p")): _*)
     val folded = aggregate(
@@ -151,34 +170,45 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, id: String, emb: String,
                    dim: Int, nPlanes: Int, minCosine: Double,
                    nTables: Int = 1): DataFrame = {
-    val bucketCols = (0 until nTables).map(tbl =>
-      srpBucket(col(emb), dim, nPlanes, tbl * nPlanes).as(s"b$tbl"))
-    val withB = corpus.select(col(id) +: bucketCols: _*)
-    // candidate pairs per hash table (equi-join on that table's
-    // bucket — shuffle by bucket id, never OR-of-buckets which would
-    // degenerate to a nested-loop join), then OR-amplify: distinct
-    // union across tables
-    val cands = (0 until nTables).map { tbl =>
-      val a = withB.select(col(id).as("d1"), col(s"b$tbl").as("bk"))
-      val b = withB.select(col(id).as("d2"), col(s"b$tbl").as("bk2"))
-      a.join(b, col("bk") === col("bk2") && col("d1") < col("d2"))
-        .select("d1", "d2")
-    }.reduce(_ unionByName _).distinct()
-    // fetch embeddings (+ once-per-vector exact norms) for the
-    // surviving candidates
-    val e1 = corpus.select(col(id).as("d1"), col(emb).as("e1"))
-      .withColumn("n1", dot(col("e1"), col("e1")))
-    val e2 = corpus.select(col(id).as("d2"), col(emb).as("e2"))
-      .withColumn("n2", dot(col("e2"), col("e2")))
+    // One row per (vector, table), all tables' buckets carried as an
+    // array plus the embedding and its once-per-vector exact norm:
+    // the candidate join is then a single equi shuffle on
+    // (table, bucket) and every pair is scored INLINE from the join
+    // row. Two former shuffles disappear: the pair-level distinct
+    // (OR-amplification dedup is a first-matching-table predicate on
+    // the two bucket arrays) and the per-side embedding re-fetch
+    // joins. Shuffle volume is nTables × (embedding + norms) per
+    // vector — linear in the corpus, vs. pair-count × embedding for
+    // the fetch-after-distinct shape, and pairs on a clustered corpus
+    // are the quadratic term.
+    val withB = corpus.select(col(id).as("vid"), col(emb).as("e"),
+        array((0 until nTables).map(tbl =>
+          srpBucket(col(emb), dim, nPlanes, tbl * nPlanes)): _*).as("bks"))
+      .withColumn("n2", dot(col("e"), col("e")))
+    val exploded = withB.select(col("vid"), col("e"), col("n2"), col("bks"),
+        explode(sequence(lit(0), lit(nTables - 1))).as("tbl"))
+      .withColumn("bk", element_at(col("bks"), col("tbl") + 1))
+    val a = Dedup.spread(exploded.select(col("tbl"), col("bk"),
+      col("vid").as("d1"), col("e").as("e1"), col("n2").as("n1"),
+      col("bks").as("bks1")), col("tbl"), col("bk"))
+    val b = exploded.select(col("tbl").as("__t2"), col("bk").as("__k2"),
+      col("vid").as("d2"), col("e").as("e2"), col("n2").as("__n2v"),
+      col("bks").as("bks2"))
+    val noEarlierTable = (0 until nTables).map { tp =>
+      when(col("tbl") > tp, element_at(col("bks1"), tp + 1) =!=
+        element_at(col("bks2"), tp + 1)).otherwise(lit(true))
+    }.reduce(_ && _)
     // two-phase scoring: the codegen'd float cosine kills non-starters
     // cheaply (guard band 1e-3 >> float dot error ~1e-6 at dim<=4096,
     // so no true pair is lost); the exact-decimal cosine — the number
     // the oracle hashes — is computed only for survivors
     import graft.functions.VecMath
-    cands.join(e1, "d1").join(e2, "d2")
+    a.join(b, col("tbl") === col("__t2") && col("bk") === col("__k2") &&
+        col("d1") < col("d2"))
+      .filter(noEarlierTable)
       .filter(VecMath.cosineF(col("e1"), col("e2")) >= minCosine - 1e-3)
       .withColumn("cos", cosine(
-        dot(col("e1"), col("e2")), col("n1"), col("n2")))
+        dot(col("e1"), col("e2")), col("n1"), col("__n2v")))
       .filter(col("cos") >= minCosine)
       .select(col("d1"), col("d2"), col("cos"))
   }
@@ -241,8 +271,8 @@ object Similarity {
     import graft.functions.VecMath
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb"))
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb")), col("cand_id"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", VecMath.dotF(col("q_emb"), col("c_emb")) /
@@ -263,9 +293,10 @@ object Similarity {
       col("embedding").as("q_emb"),
       srpBucket(col("embedding"), dim, nPlanes).as("bucket"))
       .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
-    val c = corpus.select(col("vec_id").as("cand_id"),
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb"),
-      srpBucket(col("embedding"), dim, nPlanes).as("__bucket2"))
+      srpBucket(col("embedding"), dim, nPlanes).as("__bucket2")),
+      col("__bucket2"))
       .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
     val scored = c.join(broadcast(q), col("bucket") === col("__bucket2") &&
         col("query_id") =!= col("cand_id"))

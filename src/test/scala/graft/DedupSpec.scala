@@ -47,4 +47,19 @@ class DedupSpec extends SparkSpec {
       col("inter") * 2 < (col("n1") + col("n2") - col("inter"))).count()
     assert(viol == 0)
   }
+
+  test("prefix-filtered jaccard join returns the identical pair set") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    for ((num, den) <- Seq((1, 2), (4, 5))) {
+      val inverted = canon(Dedup.ngramJaccardPairs(
+        docs, col("doc_id"), col("text"), 3, num, den))
+      val prefixed = canon(Dedup.ngramJaccardPairsPrefix(
+        docs, col("doc_id"), col("text"), 3, num, den))
+      assert(prefixed == inverted,
+        s"prefix variant diverged at t=$num/$den: " +
+          s"missing=${inverted -- prefixed} extra=${prefixed -- inverted}")
+    }
+  }
 }

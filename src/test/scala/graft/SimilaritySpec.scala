@@ -32,6 +32,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native decimal kernels are bit-identical to the HOF formulations") {
+    // dot: collect both as Decimal and require exact equality
+    val pairs = emb.limit(20).select(col("embedding").as("a"))
+      .crossJoin(emb.limit(5).select(col("embedding").as("b")))
+    val dots = pairs.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(dots.nonEmpty)
+    dots.foreach(r => assert(r.getDecimal(0) == r.getDecimal(1),
+      s"dot kernel drifted: ${r.getDecimal(0)} vs ${r.getDecimal(1)}"))
+    // srp bucket: exact long equality across tables/offsets
+    for (off <- Seq(0, 4, 12)) {
+      val bks = emb.limit(50).select(
+        Similarity.srpBucket(col("embedding"), 64, 4, off).as("native"),
+        Similarity.srpBucketHof(col("embedding"), 64, 4, off).as("hof"))
+        .collect()
+      bks.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"srp kernel drifted at offset $off: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+  }
+
   test("codegen FloatVecDot agrees with the exact-decimal dot") {
     import graft.functions.VecMath
     val pairs = emb.limit(10).select(col("vec_id").as("i"),
