@@ -663,6 +663,41 @@ object Queries {
         Multimodal.featuresExpr(t(s, d, "documents")).orderBy("doc_id"),
       Some(Multimodal.featuresOracleSql)),
 
+    // Corpus-prep (graft.ext.Corpus): deterministic train/val/test
+    // assignment — hash split, not rand(), so it's reproducible and
+    // engine-portable
+    ("sample_split",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.sampleSplit(
+            t(s, d, "documents").select("doc_id", "lang"), col("doc_id"))
+          .orderBy("doc_id"),
+      Some {
+        val (bucket, split) = ext.Corpus.sampleSplitSql("doc_id")
+        s"""SELECT doc_id, lang, $bucket AS bucket, $split AS split
+          |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Corpus vocabulary: explode + hash agg + TakeOrdered top-k
+    ("vocab_topk",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.vocabTopK(t(s, d, "documents"), col("doc_id"),
+          col("text"), 100),
+      Some(ext.Corpus.vocabTopKOracleSql(100))),
+
+    // Per-doc salient terms: tf-idf-shaped integer scoring (no libm)
+    ("tfidf_topk",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.tfidfTopTerms(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3).orderBy("doc_id", "rank"),
+      Some(ext.Corpus.tfidfTopTermsOracleSql(3))),
+
+    // Exact per-group length quantiles (R-7 interpolation both engines)
+    ("length_quantiles",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.lengthQuantiles(t(s, d, "documents"), col("lang"),
+          length(col("text")).cast("long")).orderBy("grp"),
+      Some(ext.Corpus.lengthQuantilesOracleSql("lang", "length(text)"))),
+
     // HLL++ approximate distinct — engine-specific sketch, rows-only check
     ("approx_distinct",
       (s: SparkSession, d: String) =>

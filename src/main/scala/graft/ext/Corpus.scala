@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Corpus-preparation operators for training-data pipelines (extension
+  * surface, SURVEY §7.6): deterministic dataset splitting, vocabulary
+  * statistics, per-document salient terms, and length quantiles. No
+  * reference analog; these extend the warehouse toward the
+  * "large-scale training-data pipeline" north star.
+  *
+  * Determinism rules: split assignment hashes the document id with the
+  * engine-portable universal hash (pure int64 arithmetic — identical
+  * in DuckDB, reshuffling-proof and re-runnable, unlike `rand()` which
+  * differs per run AND per engine); term scores are integer-division
+  * ratios, never floating logs, so rankings cannot drift across
+  * engines by one ulp.
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment: bucket = h(id) mod 100,
+    * split boundaries at `trainPct` and `trainPct + valPct`. Keyless
+    * and stateless — any worker can re-derive the split for any doc,
+    * so at 100 TB this is a projection, not a join against a split
+    * table. */
+  def sampleSplit(docs: DataFrame, id: Column, trainPct: Int = 80,
+                  valPct: Int = 10): DataFrame = {
+    val bucket = pmod(id * lit(Hashing.Perms.head._1) +
+      lit(Hashing.Perms.head._2), lit(Hashing.P2)) % 100
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** DuckDB twin of [[sampleSplit]]'s bucket/split columns over an id
+    * SQL expression. */
+  def sampleSplitSql(id: String, trainPct: Int = 80,
+                     valPct: Int = 10): (String, String) = {
+    val (a, b) = Hashing.Perms.head
+    val bucket = s"(($id * $a + $b) % ${Hashing.P2}) % 100"
+    (bucket,
+      s"CASE WHEN $bucket < $trainPct THEN 'train' " +
+        s"WHEN $bucket < ${trainPct + valPct} THEN 'val' ELSE 'test' END")
+  }
+
+  /** Corpus vocabulary: top-k tokens by total occurrences (ties broken
+    * by token string), with document frequency alongside. One explode
+    * + one hash aggregation (map-side partial combine keeps the
+    * shuffle at one row per distinct token per partition); the top-k
+    * is a TakeOrdered, never a full sort. */
+  def vocabTopK(docs: DataFrame, id: Column, text: Column,
+                k: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(Dedup.words(text)).as("token"))
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+  }
+
+  def vocabTopKOracleSql(k: Int): String =
+    s"""
+    |SELECT token, count(*) AS n_occurrences,
+    |  count(DISTINCT doc_id) AS n_docs
+    |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+    |      FROM documents)
+    |GROUP BY token
+    |ORDER BY n_occurrences DESC, token
+    |LIMIT $k
+    |""".stripMargin.trim
+
+  /** Per-document top-k salient terms by a tf-idf-shaped score.
+    * Score = (tf · 10^6) div df — integer division, monotone in
+    * tf/df (the corpus-size factor of true tf-idf is constant per
+    * ranking and so dropped). Floating `ln` is deliberately avoided:
+    * libm results differ across engines in the last ulp, which flips
+    * ranks on near-ties; integer ratios cannot drift. Two keyed
+    * aggregations (term frequency, document frequency) and one window
+    * — each shuffles on its natural key. */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    val tf = docs.select(id.as("doc_id"),
+        explode(Dedup.words(text)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .withColumn("score_q", expr("(tf * 1000000) div df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score_q"))
+  }
+
+  def tfidfTopTermsOracleSql(k: Int): String =
+    s"""
+    |WITH tf AS (
+    |  SELECT doc_id, token, count(*) AS tf
+    |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+    |        FROM documents)
+    |  GROUP BY doc_id, token),
+    |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    |scored AS (
+    |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    |    (tf.tf * 1000000) // df.df AS score_q
+    |  FROM tf JOIN df USING (token)),
+    |ranked AS (
+    |  SELECT doc_id, token, tf, df, score_q,
+    |    CAST(row_number() OVER (PARTITION BY doc_id
+    |      ORDER BY score_q DESC, token) AS BIGINT) AS rank
+    |  FROM scored)
+    |SELECT doc_id, rank, token, tf, df, score_q
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY doc_id, rank
+    |""".stripMargin.trim
+
+  /** Exact length quantiles per group (R-7 linear interpolation —
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * definition, and the interpolation arithmetic on integer inputs
+    * is the same fixed double sequence on both engines). Exact
+    * percentile shuffles all values per group; at 100 TB swap in
+    * `percentile_approx` (t-digest sketch, mergeable map-side) and
+    * drop the oracle to rows-only. */
+  def lengthQuantiles(docs: DataFrame, group: Column,
+                      length: Column): DataFrame =
+    docs.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(length, lit(0.25)).as("p25"),
+        percentile(length, lit(0.5)).as("p50"),
+        percentile(length, lit(0.75)).as("p75"))
+
+  def lengthQuantilesOracleSql(group: String, length: String): String =
+    s"""
+    |SELECT $group AS grp, count(*) AS n_docs,
+    |  quantile_cont($length, 0.25) AS p25,
+    |  quantile_cont($length, 0.5) AS p50,
+    |  quantile_cont($length, 0.75) AS p75
+    |FROM documents GROUP BY 1 ORDER BY grp
+    |""".stripMargin.trim
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Corpus
+
+class CorpusSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("sampleSplit covers every doc, is deterministic, roughly proportioned") {
+    val split = Corpus.sampleSplit(docs.select("doc_id"), col("doc_id"))
+    assert(split.count() == docs.count())
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9,
+      s"train fraction off: $counts")
+    // re-derivation yields the identical assignment (hash, not rand)
+    val again = Corpus.sampleSplit(docs.select("doc_id"), col("doc_id"))
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("vocabTopK is ordered by count with doc-frequency bounds") {
+    val top = Corpus.vocabTopK(docs, col("doc_id"), col("text"), 20).collect()
+    assert(top.nonEmpty)
+    val occs = top.map(_.getAs[Long]("n_occurrences"))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b })
+    top.foreach(r => assert(r.getAs[Long]("n_docs") <=
+      r.getAs[Long]("n_occurrences")))
+  }
+
+  test("tfidfTopTerms ranks at most k terms per doc, scores non-increasing") {
+    val terms = Corpus.tfidfTopTerms(docs, col("doc_id"), col("text"), 3)
+    assert(terms.filter(col("rank") > 3).count() == 0)
+    val perDoc = terms.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > 3).count() == 0)
+    val bad = terms.as("a").join(terms.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.rank") < col("b.rank") &&
+        col("a.score_q") < col("b.score_q")).count()
+    assert(bad == 0, "score must be non-increasing in rank")
+  }
+
+  test("lengthQuantiles are ordered and bounded by the data") {
+    val q = Corpus.lengthQuantiles(docs, col("lang"),
+      length(col("text")).cast("long"))
+    val bad = q.filter(col("p25") > col("p50") || col("p50") > col("p75"))
+      .count()
+    assert(bad == 0)
+    assert(q.count() == docs.select("lang").distinct().count())
+  }
+}
