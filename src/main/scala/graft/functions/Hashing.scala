@@ -29,8 +29,16 @@ object Hashing {
     (32771L, 11L), (49157L, 1009L), (65537L, 8191L), (92821L, 131L),
     (75479L, 2357L), (54679L, 6173L), (88523L, 947L), (41233L, 521L))
 
-  /** Polynomial hash of a string column (Spark side). */
+  /** Polynomial hash of a string column (Spark side) — the compiled
+    * [[org.apache.spark.sql.graftext.PolyHashExpr]] kernel; HashingSpec
+    * pins it to [[polyHashHof]] below. */
   def polyHash(s: Column): Column =
+    org.apache.spark.sql.graftext.PolyHashBridge.column(s, P)
+
+  /** Reference formulation as built-in higher-order functions — the
+    * executable spec of the kernel (ASCII-equivalent; see the kernel
+    * scaladoc for the non-ASCII caveat). */
+  def polyHashHof(s: Column): Column =
     aggregate(split(s, ""), lit(0L),
       (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(P)))
 

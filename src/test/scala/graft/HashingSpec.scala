@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Pins the compiled poly-hash kernel to its higher-order-function
+  * executable spec on ASCII data (all the fixtures contain; the kernel
+  * additionally handles multi-byte code points DuckDB-compatibly). */
+class HashingSpec extends SparkSpec {
+
+  test("native polyHash equals the HOF formulation on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.select(
+        Hashing.polyHash(col("text")).as("native"),
+        Hashing.polyHashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
+  test("native polyHash edge cases match the HOF formulation") {
+    import spark.implicits._
+    val cases = Seq("", " ", "a", "abc def", "  double  spaces  ",
+      "0123456789", "!@#$%^&*()_+-=[]{};:'\",.<>/?\\|`~", "\t\n",
+      "a" * 500).toDF("s")
+    val bad = cases.select(
+        Hashing.polyHash(col("s")).as("native"),
+        Hashing.polyHashHof(col("s")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+    // null propagates
+    val n = cases.limit(1).select(
+      Hashing.polyHash(lit(null).cast("string"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+}
