@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.dims.Scd2
@@ -83,6 +83,78 @@ object Streams {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** A closed session emitted by [[statefulSessions]]; bounds are
+    * exact event-time microseconds (longs, not ms-lossy Timestamps). */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long)
+  /** Per-user state: the still-open session spans. */
+  case class SessionSpan(start_us: Long, end_us: Long, n: Long)
+  case class UserSessions(spans: Seq[SessionSpan])
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * third point on the sessionization spectrum after the batch window
+    * formulation ([[graft.ext.Sessions]]) and the built-in
+    * [[sessionAgg]] `session_window`: full control over per-key state,
+    * for semantics the built-ins can't express (multiple concurrent
+    * open spans per key, cross-batch merging of out-of-order arrivals
+    * within the watermark, custom emission policy).
+    *
+    * Mechanics: state holds each user's OPEN spans; every batch merges
+    * its events into the span set (gap-bridged spans coalesce, so late
+    * rows inside the watermark can stitch two spans — eager emission
+    * would have split them); a span is emitted exactly once, when the
+    * event-time watermark passes `end + gap` and it can no longer
+    * grow. Event-time timeouts flush users with no new data. State is
+    * bounded: open spans only, keyed shuffle, store partitioned by
+    * `spark.sql.shuffle.partitions`. */
+  def statefulSessions(events: DataFrame, gapSeconds: Long,
+                       watermark: String = "0 seconds"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val gapMs = gapSeconds * 1000L
+
+    def mergeSpans(spans: List[SessionSpan]): List[SessionSpan] =
+      spans.sortBy(s => (s.start_us, s.end_us)).foldLeft(List.empty[SessionSpan]) {
+        case (prev :: rest, s) if s.start_us <= prev.end_us + gapUs =>
+          SessionSpan(prev.start_us, math.max(prev.end_us, s.end_us),
+            prev.n + s.n) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
+    def flush(user: Long, spans: List[SessionSpan],
+              gs: GroupState[UserSessions]): Iterator[ClosedSession] = {
+      val wmMs = gs.getCurrentWatermarkMs()
+      val (closed, open) = spans.partition(s => s.end_us / 1000 + gapMs < wmMs)
+      if (open.isEmpty) gs.remove()
+      else {
+        gs.update(UserSessions(open))
+        // earliest instant any open span becomes closable; must exceed
+        // the current watermark per the GroupState contract
+        gs.setTimeoutTimestamp(
+          math.max(open.map(_.end_us).min / 1000 + gapMs + 1, wmMs + 1))
+      }
+      closed.sortBy(_.start_us).iterator
+        .map(s => ClosedSession(user, s.start_us, s.end_us, s.n))
+    }
+
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      // the watermark-tagged column must stay in the projection or the
+      // analyzer rejects the event-time timeout
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("t_us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserSessions, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, gs) =>
+          val prior = if (gs.exists) gs.get.spans.toList else Nil
+          val incoming = it.map { case (_, _, t) => SessionSpan(t, t, 1L) }.toList
+          flush(user, mergeSpans(prior ++ incoming), gs)
+      }
+  }
 
   /** Micro-batch SCD2 sink: every trigger appends the batch to the
     * change-history table, dedups on the event identity (exactly-once

@@ -87,6 +87,40 @@ class StreamsSpec extends SparkSpec {
     assert(got == ev.count(), s"expected ${ev.count()} unique, got $got")
   }
 
+  test("statefulSessions: flatMapGroupsWithState emits exactly the closed sessions") {
+    val stream = Streams.statefulSessions(
+      Streams.readEventsStream(spark, eventsDir), gapSeconds = 1800)
+    val q = stream.writeStream.format("memory").queryName("fmgws_sess")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("fmgws_sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // batch truth: session bounds/counts per user from the window
+    // formulation, restricted to sessions the final watermark closed
+    // (watermark delay 0 -> wm = max event time; emission predicate
+    // mirrors the operator's end_ms + gap_ms < wm_ms)
+    val ev = Queries.eventsTable(spark, sf)
+    val sessions = Sessions.sessionize(ev, "user_id", "ts", 1800,
+        Seq("event_id"))
+      .groupBy("user_id", "session_num")
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("start_us"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("end_us"),
+        count(lit(1)).as("n_events"))
+    val wmMs = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
+      .first().getLong(0) / 1000
+    val want = sessions
+      .filter(col("end_us") / 1000 + 1800L * 1000 < wmMs)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(want.nonEmpty, "fixture should close some sessions")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("scd2Sink: incremental micro-batch dim equals batch recompute") {
     val history = tmp("scd2-history")
     val dim = tmp("scd2-dim") + "/dim"
