@@ -603,6 +603,15 @@ object Queries {
       },
       Some(Similarity.lshCosineTopKOracleSql(64, 5, 10, 6))),
 
+    // Scale-path ANN #2: IVF coarse-quantizer inverted lists
+    ("ann_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          16, 4).orderBy("query_id", "rank")
+      },
+      Some(Similarity.ivfCosineTopKOracleSql(64, 5, 10, 16, 4))),
+
     // Embedding-cosine near-dup pairs (dedup suite, embedding leg):
     // 4 hash tables x 4 planes -> OR-amplified recall
     ("embedding_neardup",

@@ -285,6 +285,96 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the second scale path beside SRP
+    * LSH, per the coarse-quantizer design of FAISS-style indexes:
+    * every corpus vector is assigned to its nearest of `nCentroids`
+    * coarse centroids (one inverted list per centroid); a query probes
+    * its `nProbe` nearest centroids and scores only those lists.
+    * Candidate cost is corpus/nCentroids · nProbe per query instead
+    * of the whole corpus.
+    *
+    * The quantizer is deterministic: the first `nCentroids` vectors by
+    * id act as centroids (k-means training would change only this CTE,
+    * not the search plan — and a trained quantizer is not
+    * oracle-reproducible, while this one is). Assignment ranks by the
+    * same exact-decimal cosine as scoring, centroid id as tiebreak, so
+    * both engines assign identically. */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nCentroids: Int, nProbe: Int): DataFrame = {
+    val cent = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ct_emb"))
+      .withColumn("ct_n2", dot(col("ct_emb"), col("ct_emb")))
+
+    def assigned(df: DataFrame, idCol: String, embCol: String,
+                 nBest: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__c_cos").desc, col("c_id").asc)
+      df.withColumn("__n2", dot(col(embCol), col(embCol)))
+        .crossJoin(broadcast(cent))
+        .withColumn("__c_cos", cosine(
+          dot(col(embCol), col("ct_emb")), col("__n2"), col("ct_n2")))
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= nBest)
+        .drop("ct_emb", "ct_n2", "__c_cos", "__crn")
+    }
+
+    val lists = assigned(Dedup.spread(corpus.select(
+      col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+      col("cand_id")), "cand_id", "c_emb", 1)
+    val probes = assigned(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), "query_id", "q_emb", nProbe)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    probes.withColumnRenamed("__n2", "q_n2")
+      .join(lists.withColumnRenamed("__n2", "c_n2"), Seq("c_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(
+        dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[ivfCosineTopK]] with queries = vec_id < maxQueryId. */
+  def ivfCosineTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                             nCentroids: Int, nProbe: Int): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |              FROM embeddings WHERE vec_id < $nCentroids),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |      WHERE vec_id < $maxQueryId),
+    |lists AS (
+    |  SELECT cand_id, c_id, c_emb FROM (
+    |    SELECT c.cand_id, cent.c_id, c.c_emb,
+    |      row_number() OVER (PARTITION BY c.cand_id
+    |        ORDER BY ${cos("c.c_emb", "cent.ct_emb")} DESC, cent.c_id) AS rn
+    |    FROM c, cent) WHERE rn <= 1),
+    |probes AS (
+    |  SELECT query_id, c_id, q_emb FROM (
+    |    SELECT q.query_id, cent.c_id, q.q_emb,
+    |      row_number() OVER (PARTITION BY q.query_id
+    |        ORDER BY ${cos("q.q_emb", "cent.ct_emb")} DESC, cent.c_id) AS rn
+    |    FROM q, cent) WHERE rn <= $nProbe),
+    |scored AS (
+    |  SELECT query_id, cand_id, ${cos("q_emb", "c_emb")} AS cos
+    |  FROM probes JOIN lists USING (c_id)
+    |  WHERE query_id <> cand_id),
+    |ranked AS (
+    |  SELECT query_id, cand_id, cos,
+    |    CAST(row_number() OVER (PARTITION BY query_id
+    |      ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+    |  FROM scored)
+    |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+  }
+
   /** ANN top-k within SRP buckets; recall < 1 by construction (probe
     * multiple buckets / fewer planes for higher recall). */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,

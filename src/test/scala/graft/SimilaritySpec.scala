@@ -99,6 +99,32 @@ class SimilaritySpec extends SparkSpec {
     assert(nullElem.head.isNullAt(0))
   }
 
+  test("ivfCosineTopK probes inverted lists and ranks correctly") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfCosineTopK(emb, queries, 5, 16, 4).collect()
+    assert(ivf.nonEmpty)
+    // per query: ranks are 1..n, cosines non-increasing
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // probing more centroids can only improve (or keep) each query's
+    // best-cosine hit
+    val wide = Similarity.ivfCosineTopK(emb, queries, 5, 16, 16).collect()
+    val bestNarrow = ivf.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(2)).max).toMap
+    val bestWide = wide.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getDouble(2)).max).toMap
+    bestNarrow.foreach { case (q, c) => assert(bestWide(q) >= c) }
+    // nProbe = nCentroids degenerates to exact brute force
+    val exact = Similarity.cosineTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val full = wide.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(full == exact)
+  }
+
   test("nearDupPairs: bucketed pairs are symmetric-free and thresholded") {
     val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
       64, 6, 0.3).collect()
