@@ -31,7 +31,12 @@ object Pipeline {
     * rows up, and every rerun sees an empty delta. */
   private val SeedTs = java.time.LocalDateTime.of(1900, 1, 2, 0, 0, 0)
 
-  def runAll(spark: SparkSession, sfDir: String, root: String): RunResult = {
+  /** `strict = true` implements the reference author's production note
+    * (SQL:1622 "these controls should be in the pipeline and stop each
+    * stage on error"): any non-empty validation result fails the run
+    * loudly instead of returning counts for the caller to inspect. */
+  def runAll(spark: SparkSession, sfDir: String, root: String,
+             strict: Boolean = false): RunResult = {
     val wh = Warehouse(root)
     val tracker = new LoadTracker(spark, wh.meta("etl_load_tracker"))
     val log = new RunLog(spark, wh.meta("etl_run_log"))
@@ -129,7 +134,14 @@ object Pipeline {
           s"overlaps_$name" -> Checks.overlaps(dim, nk).count())
       }.toMap
 
-    RunResult(dimDateRows, dimInserts + ("user_profile" -> userInserts),
-      factInserts, violations)
+    val result = RunResult(dimDateRows,
+      dimInserts + ("user_profile" -> userInserts), factInserts, violations)
+    if (strict) {
+      val broken = violations.filter(_._2 > 0)
+      if (broken.nonEmpty)
+        throw new IllegalStateException(
+          s"validation failed: ${broken.toSeq.sortBy(_._1).mkString(", ")}")
+    }
+    result
   }
 }

@@ -36,4 +36,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"rank<=k did not plan as WindowGroupLimit:\n$p")
   }
+
+  test("vocab_topk plans as TakeOrdered, never a global sort") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to full sort + limit:\n$p")
+  }
+
+  test("sample_split is a pure projection: no shuffle, no join") {
+    val p = plan("sample_split")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"split assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+  }
+
+  test("ann_ivf broadcasts the centroid table on both assignment sides") {
+    val p = plan("ann_ivf")
+    val broadcasts = "BroadcastNestedLoopJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(broadcasts >= 2, s"centroid assignment not broadcast:\n$p")
+  }
+
+  test("simhash_dedup emits pairs without a pair-keyed distinct") {
+    val p = plan("simhash_dedup")
+    // the first-matching-band filter replaced the pair-level distinct:
+    // no aggregate keyed on (d1, d2) may reappear (the doc-keyed
+    // signature aggregate below the join is expected)
+    val pairAgg = """HashAggregate\(keys=\[d1#\d+L, d2#\d+L\]""".r
+    assert(pairAgg.findFirstIn(p).isEmpty,
+      s"pair-level distinct reappeared:\n$p")
+  }
 }
