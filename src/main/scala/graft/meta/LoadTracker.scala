@@ -23,10 +23,15 @@ import org.apache.spark.sql.types._
 final class LoadTracker(spark: SparkSession, path: String) {
   import LoadTracker._
 
-  def read(): Map[String, LocalDateTime] =
+  def read(): Map[String, LocalDateTime] = {
+    // heal a crashed publish first: without this, a tracker that died
+    // between rename-aside and rename-in reads as "no tracker" and
+    // every watermark silently resets to 1900 (full reload)
+    StagedWrite.recover(spark, path)
     if (!exists()) Map.empty
     else spark.read.parquet(path).collect()
       .map(r => r.getString(0) -> r.getAs[LocalDateTime](1)).toMap
+  }
 
   /** Data watermark for `table`, seeded to 1900-01-01 (SQL:252-255). */
   def watermark(table: String): LocalDateTime =

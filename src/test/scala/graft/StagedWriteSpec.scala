@@ -45,6 +45,20 @@ class StagedWriteSpec extends SparkSpec {
     assert(!fs(root).exists(new Path(tgt + ".old")))
   }
 
+  test("LoadTracker survives a crashed publish without resetting watermarks") {
+    import java.time.LocalDateTime
+    import graft.meta.LoadTracker
+    val root = Files.createTempDirectory("graft_sw").toString
+    val tracker = new LoadTracker(spark, s"$root/tracker")
+    val wm = LocalDateTime.of(2024, 3, 1, 12, 0)
+    tracker.advance("fact", Some(wm))
+    // crash between rename-aside and rename-in
+    assert(fs(root).rename(new Path(s"$root/tracker"),
+      new Path(s"$root/tracker.old")))
+    assert(tracker.watermark("fact") == wm,
+      "watermark must recover, not reset to epoch")
+  }
+
   test("recover drops leftover .old and orphaned staging dirs") {
     val root = Files.createTempDirectory("graft_sw").toString
     val tgt = s"$root/t"
