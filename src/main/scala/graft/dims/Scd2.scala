@@ -147,4 +147,57 @@ object Scd2 {
       probeKey === dimKey && probeTs >= dim("active_from") &&
         probeTs < dim("active_to"),
       "left")
+
+  /** Scale-path twin of [[asOfJoin]] — identical result
+    * (Scd2Spec pins them together), different join shape. The classic
+    * formulation joins every probe against EVERY version of its key
+    * and post-filters the interval: fine when dims broadcast, but on a
+    * billion-probe × deep-history join the per-key cross product is
+    * the bottleneck. Here probe and version rows are unioned, sorted
+    * once per key by (ts, version-first), and each probe picks up the
+    * most recent version via a running `last(ignoreNulls)` window —
+    * ONE shuffle on the key, zero pair materialization, cost linear in
+    * probes + versions regardless of history depth.
+    *
+    * @param probe   probe rows; must not contain `dimAttrs` columns
+    * @param key     join key column name present in BOTH inputs
+    * @param probeTs probe timestamp column name
+    * @param dim     SCD2 versions with `active_from`/`active_to`
+    * @param dimAttrs dim attribute columns to carry onto the probes
+    */
+  def asOfJoinUnion(probe: DataFrame, key: String, probeTs: String,
+                    dim: DataFrame, dimAttrs: Seq[String]): DataFrame = {
+    val carried = dimAttrs :+ "active_from" :+ "active_to"
+    val probeCols = probe.columns.toSeq
+    val vRows = dim.select(
+      (col(key) +: col("active_from").as("__ts") +: lit(0).as("__isprobe") +:
+        carried.map(c => col(c).as(s"__d_$c")) ++:
+        probeCols.filterNot(_ == key).map(c =>
+          lit(null).cast(probe.schema(c).dataType).as(c))): _*)
+    val pRows = probe.select(
+      (col(key) +: col(probeTs).as("__ts") +: lit(1).as("__isprobe") +:
+        carried.map(c => lit(null).cast(dim.schema(c).dataType)
+          .as(s"__d_$c")) ++:
+        probeCols.filterNot(_ == key).map(col)): _*)
+    // versions sort before probes at equal ts: half-open [from, to)
+    // means a probe AT active_from matches that version
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__isprobe").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = vRows.unionByName(pRows)
+      .select(col("*") +: carried.map(c =>
+        last(col(s"__d_$c"), ignoreNulls = true).over(w).as(s"__l_$c")): _*)
+    // the picked-up version only applies while it is still open at the
+    // probe's timestamp (delete close-outs leave gaps)
+    val live = col("__l_active_to").isNotNull &&
+      col("__ts") < col("__l_active_to")
+    filled.filter(col("__isprobe") === 1)
+      .select((probeCols.map(col) ++
+        dimAttrs.map(c => when(live, col(s"__l_$c")).otherwise(lit(null))
+          .as(c)) ++
+        Seq(when(live, col("__l_active_from")).otherwise(lit(null))
+          .as("active_from"),
+          when(live, col("__l_active_to")).otherwise(lit(null))
+            .as("active_to"))): _*)
+  }
 }

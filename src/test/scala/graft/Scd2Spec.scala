@@ -134,4 +134,54 @@ class Scd2Spec extends SparkSpec {
       .orderBy("pts").collect().map(_.getAs[String]("attr"))
     assert(matched.toSeq == Seq("v1", "v2"))
   }
+
+  test("asOfJoinUnion equals the classic interval join on property histories") {
+    val samples = Iterator.continually(historyGen.sample)
+      .flatten.take(25)
+    samples.foreach { rows =>
+      val dim = Scd2.deriveVersions(mkHistory(rows), "nk", "ts", Seq("tie"))
+        .select("nk", "attr", "active_from", "active_to")
+      val probes = mkHistory(rows.map { case (nk, a, ts, tie) =>
+        // probe at, just after, and before each change point
+        (nk, a, ts.plusSeconds(tie % 3 - 1), tie)
+      }).select(col("nk"), col("ts").as("probe_ts"), col("tie").as("pid"))
+      val classic = Scd2.asOfJoin(probes, dim, probes("nk"), dim("nk"),
+          probes("probe_ts"))
+        .select(probes("nk"), col("probe_ts"), col("pid"), col("attr"),
+          col("active_from"), col("active_to"))
+        .collect().map(_.toSeq).toSet
+      val union = Scd2.asOfJoinUnion(probes, "nk", "probe_ts", dim,
+          Seq("attr"))
+        .select(col("nk"), col("probe_ts"), col("pid"), col("attr"),
+          col("active_from"), col("active_to"))
+        .collect().map(_.toSeq).toSet
+      assert(union == classic,
+        s"missing=${(classic -- union).take(3)} extra=${(union -- classic).take(3)}")
+    }
+  }
+
+  test("asOfJoinUnion respects gaps left by close-outs") {
+    // version closed at +2h: probes after the close-out must NOT match
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "v1", base, base.plusHours(2)))),
+      StructType(Seq(StructField("nk", LongType),
+        StructField("attr", StringType),
+        StructField("active_from", TimestampNTZType),
+        StructField("active_to", TimestampNTZType))))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, base.plusHours(1), 1L),    // inside -> v1
+        Row(1L, base.plusHours(2), 2L),    // at close-out -> no match
+        Row(1L, base.plusHours(3), 3L))),  // after -> no match
+      StructType(Seq(StructField("nk", LongType),
+        StructField("probe_ts", TimestampNTZType),
+        StructField("pid", LongType))))
+    val out = Scd2.asOfJoinUnion(probes, "nk", "probe_ts", dim, Seq("attr"))
+      .orderBy("pid").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[String]("attr") == "v1")
+    assert(out(1).isNullAt(out(1).fieldIndex("attr")))
+    assert(out(2).isNullAt(out(2).fieldIndex("attr")))
+  }
 }
