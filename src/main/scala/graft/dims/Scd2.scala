@@ -67,12 +67,19 @@ object Scd2 {
   /** Deterministic surrogate keys: dense row_number over a total order
     * (reference IDENTITY, SQL:317/394/463; SURVEY §2.E1). Never
     * `monotonically_increasing_id` — nondeterministic across runs.
-    * NOTE: a global row_number is a single-partition sort, fine for
-    * dimension tables (≤ millions of rows); facts store the dim's
-    * surrogates and never need their own. For incremental appends pass
-    * `offset` = current max surrogate. */
+    * Delegates to the distributed assignment below — identical keys,
+    * no single-partition sort cliff when a dimension grows. For
+    * incremental appends pass `offset` = current max surrogate. */
   def withSurrogate(dim: DataFrame, skName: String, order: Seq[String],
-                    offset: Long = 0L): DataFrame = {
+                    offset: Long = 0L): DataFrame =
+    withSurrogateDistributed(dim, skName, order, offset)
+
+  /** Single-window reference formulation — the executable spec
+    * [[withSurrogateDistributed]] is pinned against (Scd2Spec). A
+    * global row_number is a single-partition sort: correct at any
+    * size, a bottleneck past ~10M rows. */
+  def withSurrogateGlobal(dim: DataFrame, skName: String, order: Seq[String],
+                          offset: Long = 0L): DataFrame = {
     val w = Window.orderBy(order.map(col(_).asc): _*)
     dim.withColumn(skName, row_number().over(w).cast("long") + lit(offset))
   }
@@ -94,8 +101,18 @@ object Scd2 {
     val n = if (partitions > 0) partitions
       else dim.sparkSession.sessionState.conf.numShufflePartitions
     val orderCols = order.map(col(_).asc)
+    // localCheckpoint pins the sampled range boundaries: the
+    // row_number branch and the offsets branch below both read this
+    // frame, and without materialization a branch that re-executes the
+    // exchange RESAMPLES the boundaries — the two branches then
+    // disagree on partition membership and the assembled keys are
+    // silently wrong (observed as off-by-dozens surrogate drift).
+    // Trade: lineage is truncated, so losing an executor during the
+    // assignment fails the job instead of recomputing — acceptable for
+    // a dimension-sized frame; use reliable checkpoint() if not
     val parted = dim.repartitionByRange(n, order.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val local = parted.withColumn("__rn",
       row_number().over(
         Window.partitionBy(col("__pid")).orderBy(orderCols: _*)).cast("long"))
@@ -107,7 +124,7 @@ object Scd2 {
       .select(col("__pid"), col("__offset"))
     local.join(broadcast(offsets), "__pid")
       .withColumn(skName, col("__rn") + col("__offset") + lit(offset))
-      .drop("__pid", "__rn")
+      .drop("__pid", "__rn", "__offset")
   }
 
   /** The reference's Unknown member (nk = -1, SQL:622-631): appended to

@@ -18,7 +18,7 @@ class Scd2Spec extends SparkSpec {
 
   test("withSurrogateDistributed assigns identical keys to the global window") {
     val c = spark.read.parquet(s"$sf/customer.parquet")
-    val global = Scd2.withSurrogate(c, "sk", Seq("c_custkey"))
+    val global = Scd2.withSurrogateGlobal(c, "sk", Seq("c_custkey"))
       .select("sk", "c_custkey").orderBy("sk").collect()
     val dist = Scd2.withSurrogateDistributed(c, "sk", Seq("c_custkey"),
         partitions = 7)
