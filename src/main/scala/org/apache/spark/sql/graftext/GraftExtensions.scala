@@ -18,6 +18,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  private def longArg(e: Expression, fn: String, pos: Int): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("float_vec_dot"),
@@ -25,10 +34,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FloatVecDot].getCanonicalName, null, "float_vec_dot",
         "float_vec_dot(a, b) - codegen dot product of two array<float>.",
         ""),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2,
           s"float_vec_dot expects 2 arguments, got ${children.length}")
         FloatVecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("decimal_vec_dot"),
+      new ExpressionInfo(
+        classOf[DecimalVecDot].getCanonicalName, null, "decimal_vec_dot",
+        "decimal_vec_dot(a, b) - exact DECIMAL(25,12) dot of two " +
+          "array<float> (order-independent fold).", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"decimal_vec_dot expects 2 arguments, got ${children.length}")
+        DecimalVecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(
+        classOf[SrpBucketExpr].getCanonicalName, null, "srp_bucket",
+        "srp_bucket(emb, nPlanes, planeOffset) - packed " +
+          "sign-random-projection LSH bucket of an array<float>.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"srp_bucket expects 3 arguments, got ${children.length}")
+        SrpBucketExpr(children.head,
+          longArg(children(1), "srp_bucket", 2).toInt,
+          longArg(children(2), "srp_bucket", 3).toInt)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(
+        classOf[PolyHashExpr].getCanonicalName, null, "poly_hash",
+        "poly_hash(s, p) - polynomial code-point hash mod p " +
+          "(engine-portable).", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"poly_hash expects 2 arguments, got ${children.length}")
+        PolyHashExpr(children.head, longArg(children(1), "poly_hash", 2))
       }))
   }
 }

@@ -31,6 +31,21 @@ class ExtensionsSpec extends AnyFunSuite {
           |  cast(array(4.0, 5.0, 6.0) as array<float>)) AS d""".stripMargin)
         .first().getDouble(0)
       assert(math.abs(got - 32.0) < 1e-12)
+      val dec = spark.sql(
+        """SELECT cast(decimal_vec_dot(
+          |  cast(array(1.0, 2.0) as array<float>),
+          |  cast(array(3.0, 4.0) as array<float>)) as double) AS d""".stripMargin)
+        .first().getDouble(0)
+      assert(math.abs(dec - 11.0) < 1e-12)
+      val bucket = spark.sql(
+        """SELECT srp_bucket(
+          |  cast(array(1.0, -1.0, 0.5) as array<float>), 4, 0) AS b""".stripMargin)
+        .first().getLong(0)
+      assert(bucket >= 0L && bucket < 16L)
+      val ph = spark.sql("SELECT poly_hash('abc', 1000000007) AS h")
+        .first().getLong(0)
+      // ((0*31+97)*31+98)*31+99 = 96354
+      assert(ph == 96354L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
