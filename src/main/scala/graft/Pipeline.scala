@@ -31,10 +31,18 @@ object Pipeline {
     * rows up, and every rerun sees an empty delta. */
   private val SeedTs = java.time.LocalDateTime.of(1900, 1, 2, 0, 0, 0)
 
-  /** `strict = true` implements the reference author's production note
-    * (SQL:1622 "these controls should be in the pipeline and stop each
-    * stage on error"): any non-empty validation result fails the run
-    * loudly instead of returning counts for the caller to inspect. */
+  /** `strict = true` makes any non-empty validation result fail the
+    * run loudly instead of returning counts for the caller to inspect
+    * — a POST-publish gate: the tables and watermarks of this run are
+    * already committed when it fires (the reference's own checks run
+    * after its loads too, SQL:1616-1622). A failing run therefore
+    * needs operator attention, not just a rerun — the advanced
+    * watermark means a rerun sees an empty delta while the published
+    * violation persists. Stage-local pre-publish validation (check
+    * the candidate frame before `StagedWrite.overwrite`) is the
+    * stronger guarantee and what the author's production note asks
+    * for; callers owning a single stage can compose it from
+    * [[graft.checks.Checks]] + [[graft.meta.StagedWrite]] directly. */
   def runAll(spark: SparkSession, sfDir: String, root: String,
              strict: Boolean = false): RunResult = {
     val wh = Warehouse(root)

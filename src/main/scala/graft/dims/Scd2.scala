@@ -67,19 +67,15 @@ object Scd2 {
   /** Deterministic surrogate keys: dense row_number over a total order
     * (reference IDENTITY, SQL:317/394/463; SURVEY §2.E1). Never
     * `monotonically_increasing_id` — nondeterministic across runs.
-    * Delegates to the distributed assignment below — identical keys,
-    * no single-partition sort cliff when a dimension grows. For
-    * incremental appends pass `offset` = current max surrogate. */
+    * A global row_number is a single-partition sort — fine for
+    * dimension tables (≤ millions of rows; facts store the dims'
+    * surrogates and never need their own), free of the extra job and
+    * pinned block-manager memory the distributed variant pays. Past
+    * ~10M rows switch to [[withSurrogateDistributed]] — identical
+    * keys, proven by Scd2Spec. For incremental appends pass
+    * `offset` = current max surrogate. */
   def withSurrogate(dim: DataFrame, skName: String, order: Seq[String],
-                    offset: Long = 0L): DataFrame =
-    withSurrogateDistributed(dim, skName, order, offset)
-
-  /** Single-window reference formulation — the executable spec
-    * [[withSurrogateDistributed]] is pinned against (Scd2Spec). A
-    * global row_number is a single-partition sort: correct at any
-    * size, a bottleneck past ~10M rows. */
-  def withSurrogateGlobal(dim: DataFrame, skName: String, order: Seq[String],
-                          offset: Long = 0L): DataFrame = {
+                    offset: Long = 0L): DataFrame = {
     val w = Window.orderBy(order.map(col(_).asc): _*)
     dim.withColumn(skName, row_number().over(w).cast("long") + lit(offset))
   }
@@ -186,35 +182,39 @@ object Scd2 {
                     dim: DataFrame, dimAttrs: Seq[String]): DataFrame = {
     val carried = dimAttrs :+ "active_from" :+ "active_to"
     val probeCols = probe.columns.toSeq
+    // the whole version rides as ONE struct so the window picks a
+    // version atomically — per-column last(ignoreNulls) would skip a
+    // version's legitimately-NULL attribute and stitch fields from
+    // DIFFERENT versions into one output row
     val vRows = dim.select(
       (col(key) +: col("active_from").as("__ts") +: lit(0).as("__isprobe") +:
-        carried.map(c => col(c).as(s"__d_$c")) ++:
+        struct(carried.map(col): _*).as("__ver") +:
         probeCols.filterNot(_ == key).map(c =>
           lit(null).cast(probe.schema(c).dataType).as(c))): _*)
+    val verType = vRows.schema("__ver").dataType
     val pRows = probe.select(
       (col(key) +: col(probeTs).as("__ts") +: lit(1).as("__isprobe") +:
-        carried.map(c => lit(null).cast(dim.schema(c).dataType)
-          .as(s"__d_$c")) ++:
+        lit(null).cast(verType).as("__ver") +:
         probeCols.filterNot(_ == key).map(col)): _*)
-    // versions sort before probes at equal ts: half-open [from, to)
-    // means a probe AT active_from matches that version
+    // versions sort before probes at equal ts (half-open [from, to):
+    // a probe AT active_from matches that version); versions TIED on
+    // active_from — zero-width [t,t) intervals from simultaneous
+    // changes — order by active_to so the live (widest) one is picked
+    // last, exactly the version the classic interval join matches.
+    // Precondition (guaranteed by deriveVersions): at most one version
+    // per (key, active_from, active_to).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__isprobe").asc)
+      .orderBy(col("__ts").asc, col("__isprobe").asc,
+        col("__ver.active_to").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = vRows.unionByName(pRows)
-      .select(col("*") +: carried.map(c =>
-        last(col(s"__d_$c"), ignoreNulls = true).over(w).as(s"__l_$c")): _*)
+      .withColumn("__l", last(col("__ver"), ignoreNulls = true).over(w))
     // the picked-up version only applies while it is still open at the
     // probe's timestamp (delete close-outs leave gaps)
-    val live = col("__l_active_to").isNotNull &&
-      col("__ts") < col("__l_active_to")
+    val live = col("__l").isNotNull && col("__ts") < col("__l.active_to")
     filled.filter(col("__isprobe") === 1)
       .select((probeCols.map(col) ++
-        dimAttrs.map(c => when(live, col(s"__l_$c")).otherwise(lit(null))
-          .as(c)) ++
-        Seq(when(live, col("__l_active_from")).otherwise(lit(null))
-          .as("active_from"),
-          when(live, col("__l_active_to")).otherwise(lit(null))
-            .as("active_to"))): _*)
+        (dimAttrs :+ "active_from" :+ "active_to").map(c =>
+          when(live, col(s"__l.$c")).otherwise(lit(null)).as(c))): _*)
   }
 }

@@ -38,11 +38,15 @@ object Corpus {
   }
 
   /** DuckDB twin of [[sampleSplit]]'s bucket/split columns over an id
-    * SQL expression. */
+    * SQL expression. DuckDB's `%` is sign-preserving while Spark's
+    * `pmod` is not, so the twin normalizes into [0, P2) explicitly —
+    * without it a negative id would bucket negative here and the two
+    * engines would assign different splits. */
   def sampleSplitSql(id: String, trainPct: Int = 80,
                      valPct: Int = 10): (String, String) = {
     val (a, b) = Hashing.Perms.head
-    val bucket = s"(($id * $a + $b) % ${Hashing.P2}) % 100"
+    val p2 = Hashing.P2
+    val bucket = s"((($id * $a + $b) % $p2 + $p2) % $p2) % 100"
     (bucket,
       s"CASE WHEN $bucket < $trainPct THEN 'train' " +
         s"WHEN $bucket < ${trainPct + valPct} THEN 'val' ELSE 'test' END")
@@ -143,6 +147,6 @@ object Corpus {
     |  quantile_cont($length, 0.25) AS p25,
     |  quantile_cont($length, 0.5) AS p50,
     |  quantile_cont($length, 0.75) AS p75
-    |FROM documents GROUP BY 1 ORDER BY grp
+    |FROM documents GROUP BY 1 ORDER BY grp NULLS FIRST
     |""".stripMargin.trim
 }

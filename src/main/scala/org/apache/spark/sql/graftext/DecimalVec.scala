@@ -36,7 +36,11 @@ object DecimalVec {
 
   val AccType: DecimalType = DecimalType(25, 12)
 
-  /** Exact DECIMAL(25,12) dot; null on length mismatch / null elems. */
+  /** Exact DECIMAL(25,12) dot; null on length mismatch / null elems /
+    * non-finite or precision-overflowing products — the HOF fold
+    * yields NULL for those via Cast(NaN/Inf/huge -> decimal), and
+    * `BigDecimal.valueOf(NaN)` would otherwise THROW and kill the job
+    * on one dirty vector. */
   def dot(a: ArrayData, b: ArrayData): Decimal = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -45,9 +49,11 @@ object DecimalVec {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      if (!java.lang.Double.isFinite(p) || math.abs(p) >= 1e13) return null
       acc = acc.add(JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP))
       i += 1
     }
+    if (acc.precision - acc.scale > 13) return null // decimal(25,12) overflow
     Decimal(acc, 25, 12)
   }
 
@@ -55,7 +61,10 @@ object DecimalVec {
     * exact-decimal sum of ±x_i with deterministic hash-parity weights;
     * bit p set iff projection >= 0. Matches
     * [[graft.ext.Similarity.srpBucket]] / its DuckDB twin term by
-    * term. Null on null input array or null elements. */
+    * term. Null on null input array or null elements; a non-finite
+    * element yields bucket 0, matching the HOF fold (every plane's
+    * NULL projection fails the `>= 0` test, so no bit is set) instead
+    * of throwing from `BigDecimal.valueOf(NaN)`. */
   def srpBucket(emb: ArrayData, nPlanes: Int, planeOffset: Int): Any = {
     val dim = emb.numElements()
     val acc = Array.fill(nPlanes)(JBigDecimal.ZERO)
@@ -63,6 +72,7 @@ object DecimalVec {
     while (i < dim) {
       if (emb.isNullAt(i)) return null
       val x = emb.getFloat(i).toDouble
+      if (!java.lang.Double.isFinite(x)) return 0L
       var p = 0
       while (p < nPlanes) {
         val plane = planeOffset + p

@@ -21,13 +21,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII data — which is also all the fixtures contain.
   */
 object PolyHash {
+  /** Decodes UTF-8 code points straight off the UTF8String's bytes —
+    * no java.lang.String materialization (this runs once per distinct
+    * gram/token of the corpus; a toString here would be billions of
+    * decode+copy allocations). UTF8String contents are valid UTF-8 by
+    * construction, so the decoder handles only well-formed
+    * 1-4 byte sequences. */
   def hash(s: UTF8String, p: Long): Long = {
-    val str = s.toString
+    val n = s.numBytes
     var h = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      i += Character.charCount(cp)
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { len = 2; cp = b0 & 0x1f }
+      else if ((b0 & 0xf0) == 0xe0) { len = 3; cp = b0 & 0x0f }
+      else { len = 4; cp = b0 & 0x07 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3f)
+        j += 1
+      }
+      i += len
       h = (h * 31L + cp) % p
     }
     h

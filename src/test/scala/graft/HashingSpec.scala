@@ -33,4 +33,24 @@ class HashingSpec extends SparkSpec {
       Hashing.polyHash(lit(null).cast("string"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("native polyHash decodes multi-byte UTF-8 as code points") {
+    import spark.implicits._
+    val strs = Seq("héllo", "日本語", "añ€jo", "mix 日 a é", "😀😀", "€")
+    def expected(s: String): Long = {
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        h = (h * 31 + cp) % graft.functions.Hashing.P
+      }
+      h
+    }
+    val got = strs.toDF("s").select(col("s"),
+        Hashing.polyHash(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach(s => assert(got(s) == expected(s),
+      s"code-point hash drifted for '$s'"))
+  }
 }

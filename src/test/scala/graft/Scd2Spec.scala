@@ -18,7 +18,7 @@ class Scd2Spec extends SparkSpec {
 
   test("withSurrogateDistributed assigns identical keys to the global window") {
     val c = spark.read.parquet(s"$sf/customer.parquet")
-    val global = Scd2.withSurrogateGlobal(c, "sk", Seq("c_custkey"))
+    val global = Scd2.withSurrogate(c, "sk", Seq("c_custkey"))
       .select("sk", "c_custkey").orderBy("sk").collect()
     val dist = Scd2.withSurrogateDistributed(c, "sk", Seq("c_custkey"),
         partitions = 7)
@@ -158,6 +158,49 @@ class Scd2Spec extends SparkSpec {
       assert(union == classic,
         s"missing=${(classic -- union).take(3)} extra=${(union -- classic).take(3)}")
     }
+  }
+
+  test("asOfJoinUnion never stitches fields from different versions") {
+    // v2 has a legitimately-NULL attr: probes in v2's interval must
+    // see NULL attr WITH v2's bounds, not v1's attr carried forward
+    val dim = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "x", base, base.plusHours(1)),
+        Row(1L, null, base.plusHours(1), Scd2.MaxTs))),
+      StructType(Seq(StructField("nk", LongType),
+        StructField("attr", StringType),
+        StructField("active_from", TimestampNTZType),
+        StructField("active_to", TimestampNTZType))))
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, base.plusHours(2), 1L))),
+      StructType(Seq(StructField("nk", LongType),
+        StructField("probe_ts", TimestampNTZType),
+        StructField("pid", LongType))))
+    val out = Scd2.asOfJoinUnion(probes, "nk", "probe_ts", dim, Seq("attr"))
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("attr")), "v1's attr leaked into v2")
+    assert(out.getAs[java.time.LocalDateTime]("active_from") ==
+      base.plusHours(1))
+  }
+
+  test("asOfJoinUnion picks the live version among tied active_from") {
+    // three simultaneous changes at t: two zero-width [t,t) versions
+    // and the live [t,max) one — a probe at/after t must get the live
+    // version deterministically
+    val dim = Scd2.deriveVersions(mkHistory(Seq(
+        (1L, "dead1", base, 0L), (1L, "dead2", base, 1L),
+        (1L, "live", base, 2L))),
+      "nk", "ts", Seq("tie"))
+      .select("nk", "attr", "active_from", "active_to")
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, base, 1L), Row(1L, base.plusHours(1), 2L))),
+      StructType(Seq(StructField("nk", LongType),
+        StructField("probe_ts", TimestampNTZType),
+        StructField("pid", LongType))))
+    val out = Scd2.asOfJoinUnion(probes, "nk", "probe_ts", dim, Seq("attr"))
+      .orderBy("pid").collect()
+    assert(out.map(_.getAs[String]("attr")).toSeq == Seq("live", "live"))
   }
 
   test("asOfJoinUnion respects gaps left by close-outs") {

@@ -99,6 +99,29 @@ class SimilaritySpec extends SparkSpec {
     assert(nullElem.head.isNullAt(0))
   }
 
+  test("decimal kernels survive non-finite elements like the HOF fold") {
+    val one = emb.limit(1)
+    // NaN product -> NULL dot on both formulations (never an exception)
+    val nan = one.select(
+      Similarity.dot(expr("array(cast('NaN' as float), cast(1.0 as float))"),
+        expr("array(cast(1.0 as float), cast(1.0 as float))")).as("native"),
+      Similarity.dotHof(
+        expr("array(cast('NaN' as float), cast(1.0 as float))"),
+        expr("array(cast(1.0 as float), cast(1.0 as float))")).as("hof"))
+      .collect().head
+    assert(nan.isNullAt(0) && nan.isNullAt(1))
+    // NaN element -> bucket 0 on both (every plane's NULL projection
+    // fails >= 0, so no bit sets)
+    val b = one.select(
+      Similarity.srpBucket(
+        expr("array(cast('NaN' as float), cast(2.0 as float))"), 2, 4)
+        .as("native"),
+      Similarity.srpBucketHof(
+        expr("array(cast('NaN' as float), cast(2.0 as float))"), 2, 4)
+        .as("hof")).collect().head
+    assert(b.getLong(0) == 0L && b.getLong(1) == 0L)
+  }
+
   test("ivfCosineTopK probes inverted lists and ranks correctly") {
     val queries = emb.filter(col("vec_id") < 5)
     val ivf = Similarity.ivfCosineTopK(emb, queries, 5, 16, 4).collect()
