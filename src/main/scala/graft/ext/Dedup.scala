@@ -183,9 +183,22 @@ object Dedup {
   val SimBits = 48
 
   /** Per-doc 48-bit simhash over distinct tokens: bit j is the sign of
-    * sum over tokens of ±1 by token-hash bit j. Two aggregations, both
-    * keyed on doc_id. */
+    * sum over tokens of ±1 by token-hash bit j. One compiled pass per
+    * document ([[org.apache.spark.sql.graftext.SimHashExpr]]) — the
+    * signature never leaves its input row, so there is NO shuffle
+    * before banding. Pinned bit-identical to [[simhashViaAgg]] by
+    * DedupSpec. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val (a, b) = Hashing.Perms.head
+    docs.select(id.as("doc_id"),
+      org.apache.spark.sql.graftext.SimHashBridge
+        .column(text, SimBits, Hashing.P, a, b, Hashing.P2).as("simhash"))
+  }
+
+  /** Reference formulation of [[simhash]] as explode + 48 conditional
+    * sums keyed on doc_id — the executable spec of the kernel (and the
+    * shape the DuckDB oracle mirrors). */
+  def simhashViaAgg(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
       explode(array_distinct(words(text))).as("tok"))
     val h = Hashing.perm(Hashing.polyHash(col("tok")), 0)

@@ -31,6 +31,24 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("simhash kernel is bit-identical to the aggregate formulation") {
+    val fixture = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashViaAgg(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixture == agg, "kernel drifted from the aggregate spec")
+    // whitespace edge cases: empty tokens from leading/trailing/double
+    // spaces must hash identically in both formulations
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, " "), (3L, "a  b"), (4L, " lead"),
+      (5L, "trail "), (6L, "a a a b")).toDF("doc_id", "text")
+    val ek = Dedup.simhash(edge, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ea = Dedup.simhashViaAgg(edge, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ek == ea, s"edge-case drift: kernel=$ek agg=$ea")
+  }
+
   test("simhash: identical docs get identical hashes, pairs are symmetric-free") {
     val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
     assert(sims.count() == docs.count())
