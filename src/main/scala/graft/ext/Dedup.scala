@@ -94,10 +94,28 @@ object Dedup {
   // ---------------------------------------------------------------
 
   /** Per-doc minhash signature: k permutation minima over distinct
-    * shingle hashes. explode → groupBy(doc) with k `min` aggregates
-    * (map-side combine keeps the shuffle at k longs per doc). */
+    * shingle hashes — one compiled pass per document
+    * ([[org.apache.spark.sql.graftext.MinHashExpr]]); the signature
+    * never leaves its input row, so no shuffle precedes banding. Docs
+    * with fewer than `shingle` tokens have no grams and hence no
+    * signature row, matching [[minhashSignatureViaAgg]] (pinned by
+    * DedupSpec). */
   def minhashSignature(docs: DataFrame, id: Column, text: Column,
                        shingle: Int, k: Int): DataFrame = {
+    require(k <= Hashing.Perms.length, s"at most ${Hashing.Perms.length} perms")
+    val sig = org.apache.spark.sql.graftext.MinHashBridge.column(
+      text, shingle, Hashing.Perms.take(k), Hashing.P, Hashing.P2)
+    docs.select(id.as("doc_id"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** Reference formulation of [[minhashSignature]]: explode → groupBy
+    * with k `min` aggregates — the executable spec of the kernel (and
+    * the shape the DuckDB oracle mirrors). */
+  def minhashSignatureViaAgg(docs: DataFrame, id: Column, text: Column,
+                             shingle: Int, k: Int): DataFrame = {
     val grams = explodedGrams(docs, id, text, shingle)
     val hashed = grams.withColumn("h", Hashing.polyHash(col("gram")))
     hashed.groupBy(col("doc_id"))

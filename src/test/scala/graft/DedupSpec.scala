@@ -31,6 +31,28 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("minhash kernel is bit-identical to the aggregate formulation") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(r.getLong).toSeq).toSet
+    val kern = canon(Dedup.minhashSignature(docs, col("doc_id"),
+      col("text"), 3, 8))
+    val agg = canon(Dedup.minhashSignatureViaAgg(docs, col("doc_id"),
+      col("text"), 3, 8))
+    assert(kern == agg && kern.nonEmpty)
+    // short docs (< shingle tokens) must be absent from BOTH, and
+    // whitespace edge cases must agree
+    import spark.implicits._
+    val edge = Seq((1L, "a b"), (2L, ""), (3L, "a  b c d"),
+      (4L, "x y z"), (5L, "p q r p q r")).toDF("doc_id", "text")
+    val ek = canon(Dedup.minhashSignature(edge, col("doc_id"),
+      col("text"), 3, 8))
+    val ea = canon(Dedup.minhashSignatureViaAgg(edge, col("doc_id"),
+      col("text"), 3, 8))
+    assert(ek == ea, s"edge-case drift: kernel=$ek agg=$ea")
+    assert(!ek.exists(_.head == 1L) && !ek.exists(_.head == 2L),
+      "short docs must have no signature")
+  }
+
   test("simhash kernel is bit-identical to the aggregate formulation") {
     val fixture = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
