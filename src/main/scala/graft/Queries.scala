@@ -634,8 +634,7 @@ object Queries {
       (s: SparkSession, d: String) =>
         t(s, d, "documents").select(col("doc_id"),
           TextAnalysis.langId(col("text")).as("pred_lang")).orderBy("doc_id"),
-      Some(s"SELECT doc_id, ${TextAnalysis.langIdSql} AS pred_lang " +
-        "FROM documents ORDER BY doc_id")),
+      Some(TextAnalysis.langIdOracleSql)),
 
     ("quality_score",
       (s: SparkSession, d: String) =>

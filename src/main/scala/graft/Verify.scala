@@ -29,12 +29,28 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def deleteDump(name: String): Unit = {
+      val dir = Paths.get(s"$outDir/$name")
+      if (Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
     val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
+        // a failed query must leave NO dump behind: a stale parquet
+        // from a previous run would make the oracle compare PASS a
+        // regressed query. Delete up front (a plan-time failure never
+        // reaches the writer's own overwrite) and again on failure
+        // (a mid-write crash leaves a partial directory).
+        deleteDump(name)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name failed: $e")
+          e.printStackTrace()
+          deleteDump(name)
         }
       }
     }

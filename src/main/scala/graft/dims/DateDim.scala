@@ -30,6 +30,12 @@ object DateDim {
 
   /** One row per day in [start, end], 16 calendar columns. */
   def build(spark: SparkSession, start: String, end: String): DataFrame = {
+    // Spark's sequence() silently steps BACKWARD when start > end while
+    // the DuckDB oracle's range() returns zero rows — fail loudly
+    // instead of building a descending calendar that diverges
+    require(java.time.LocalDate.parse(start)
+      .compareTo(java.time.LocalDate.parse(end)) <= 0,
+      s"date dim range is inverted: $start > $end")
     val days = spark.range(1).select(
       explode(sequence(lit(start).cast("date"), lit(end).cast("date")))
         .as("date_value"))

@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** sum/count per key, two-phase over a deterministic salt column.
-    * Emits (key..., sum_<col>, n_rows) exactly like
-    * `df.groupBy(keys).agg(sum, count)`. */
+    * Emits (key..., sum_value, n_rows). Exactness precondition: the
+    * value must be integral or decimal — sum-of-partial-sums is only
+    * identical to the plain groupBy when addition is associative, and
+    * IEEE float addition is not (callers pre-cast, e.g. the declared
+    * salted_agg casts to decimal(14,4)). Note also that decimal
+    * re-aggregation widens the result precision relative to the
+    * one-phase sum — compare values, not schemas. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: Column,
                      saltSource: Column, buckets: Int): DataFrame = {
     val salted = df.withColumn("__salt", pmod(saltSource, lit(buckets)))

@@ -35,16 +35,34 @@ object TextAnalysis {
     }
   }
 
-  /** DuckDB twin of [[langId]] over column `text`. */
-  def langIdSql: String = {
+  /** DuckDB twin of [[langId]] as a full SELECT over `documents`:
+    * per-language hits and their max are computed ONCE in a subquery
+    * (inlining the greatest-of-five expression into every CASE branch
+    * would re-scan the split ~10×, and textual placeholder replacement
+    * is fragile). */
+  def langIdOracleSql: String = {
     def hitsSql(m: Seq[String]) =
-      s"len(list_filter(str_split(text, ' '), t -> t IN (${m.map(x => s"'$x'").mkString(", ")})))"
-    val best = Markers.map { case (_, m) => hitsSql(m) }
+      s"len(list_filter(w, t -> t IN (${m.map(x => s"'$x'").mkString(", ")})))"
+    val hitCols = Markers.map { case (lang, m) =>
+      s"${hitsSql(m)} AS __h_$lang"
+    }.mkString(",\n|    ")
+    val best = Markers.map { case (lang, _) => s"__h_$lang" }
       .reduce((a, b) => s"greatest($a, $b)")
     // fold right so the FIRST language in Markers wins ties
-    Markers.foldRight("'und'") { case ((lang, m), acc) =>
-      s"CASE WHEN ${hitsSql(m)} = __best AND __best > 0 THEN '$lang' ELSE $acc END"
-    }.replace("__best", s"($best)")
+    val caseExpr = Markers.foldRight("'und'") { case ((lang, _), acc) =>
+      s"CASE WHEN __h_$lang = __best AND __best > 0 THEN '$lang' ELSE $acc END"
+    }
+    // DuckDB lateral column aliases: __best may reference the __h_*
+    // aliases defined earlier in the same SELECT list
+    s"""
+    |SELECT doc_id, $caseExpr AS pred_lang
+    |FROM (
+    |  SELECT doc_id,
+    |    $hitCols,
+    |    $best AS __best
+    |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))
+    |ORDER BY doc_id
+    |""".stripMargin.trim
   }
 
   /** Quality features: token count, mean token length, stopword ratio,

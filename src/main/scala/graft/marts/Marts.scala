@@ -19,5 +19,5 @@ object Marts {
   /** Passthrough fact view (reference SQL:1597-1612): the fact is
     * already surrogate-resolved; marts only prune audit columns. */
   def fact(fact: DataFrame, dropColumns: Seq[String] = Nil): DataFrame =
-    dropColumns.foldLeft(fact)((df, c) => df.drop(c))
+    fact.drop(dropColumns: _*)
 }

@@ -12,10 +12,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * catalog — nothing here assumes a local filesystem beyond the paths.
   */
 object Tables {
-  val sourceNames: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
-
   def src(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 }
