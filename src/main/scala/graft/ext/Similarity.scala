@@ -185,28 +185,37 @@ object Similarity {
         array((0 until nTables).map(tbl =>
           srpBucket(col(emb), dim, nPlanes, tbl * nPlanes)): _*).as("bks"))
       .withColumn("n2", dot(col("e"), col("e")))
-    val exploded = withB.select(col("vid"), col("e"), col("n2"), col("bks"),
-        explode(sequence(lit(0), lit(nTables - 1))).as("tbl"))
+      // float squared norm, once per vector: the prefilter then costs
+      // ONE float dot per candidate pair (dot >= t·√(f1·f2) ⟺
+      // cosine >= t for t > 0) instead of three
+      .withColumn("f2", graft.functions.VecMath.dotF(col("e"), col("e")))
+    val exploded = withB.select(col("vid"), col("e"), col("n2"), col("f2"),
+        col("bks"), explode(sequence(lit(0), lit(nTables - 1))).as("tbl"))
       .withColumn("bk", element_at(col("bks"), col("tbl") + 1))
     val a = Dedup.spread(exploded.select(col("tbl"), col("bk"),
       col("vid").as("d1"), col("e").as("e1"), col("n2").as("n1"),
-      col("bks").as("bks1")), col("tbl"), col("bk"))
+      col("f2").as("fn1"), col("bks").as("bks1")), col("tbl"), col("bk"))
     val b = exploded.select(col("tbl").as("__t2"), col("bk").as("__k2"),
       col("vid").as("d2"), col("e").as("e2"), col("n2").as("__n2v"),
-      col("bks").as("bks2"))
+      col("f2").as("__fn2"), col("bks").as("bks2"))
     val noEarlierTable = (0 until nTables).map { tp =>
       when(col("tbl") > tp, element_at(col("bks1"), tp + 1) =!=
         element_at(col("bks2"), tp + 1)).otherwise(lit(true))
     }.reduce(_ && _)
-    // two-phase scoring: the codegen'd float cosine kills non-starters
-    // cheaply (guard band 1e-3 >> float dot error ~1e-6 at dim<=4096,
-    // so no true pair is lost); the exact-decimal cosine — the number
-    // the oracle hashes — is computed only for survivors
+    // two-phase scoring: the codegen'd float prefilter kills
+    // non-starters cheaply (guard band 1e-3 >> float dot error ~1e-6
+    // at dim<=4096, so no true pair is lost); the exact-decimal
+    // cosine — the number the oracle hashes — is computed only for
+    // survivors. Requires a positive threshold for the cross-
+    // multiplied form (norms are non-negative).
+    require(minCosine - 1e-3 > 0,
+      s"prefilter needs minCosine > 1e-3, got $minCosine")
     import graft.functions.VecMath
     a.join(b, col("tbl") === col("__t2") && col("bk") === col("__k2") &&
         col("d1") < col("d2"))
       .filter(noEarlierTable)
-      .filter(VecMath.cosineF(col("e1"), col("e2")) >= minCosine - 1e-3)
+      .filter(VecMath.dotF(col("e1"), col("e2")) >=
+        lit(minCosine - 1e-3) * sqrt(col("fn1") * col("__fn2")))
       .withColumn("cos", cosine(
         dot(col("e1"), col("e2")), col("n1"), col("__n2v")))
       .filter(col("cos") >= minCosine)
