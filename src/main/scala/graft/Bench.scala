@@ -24,29 +24,40 @@ object Bench {
     // warmup: run every query once at the smallest scale factor so
     // codegen compilation + JIT of each query's operators isn't
     // billed to its timed run (steady-state measurement; the timed
-    // scale factor's data is NOT touched here)
+    // scale factor's data is NOT touched here — canonical-path compare
+    // so a trailing slash or symlink can't defeat the guard)
     val warmupDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmupDir).exists && warmupDir != sfDir)
+    def canon(p: String) = new java.io.File(p).getCanonicalPath
+    if (new java.io.File(warmupDir).exists && canon(warmupDir) != canon(sfDir))
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+        try fn(spark, warmupDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     spark.range(1000).count()
     // best-of-2 per query: the sf0.001 warmup compiles most codegen,
     // but AQE re-plans at the timed scale factor, so a single shot
     // still bills one-off compilation to whichever query hits it —
-    // min-of-2 reports steady-state throughput
+    // min-of-2 reports steady-state throughput. A failing query must
+    // NOT record its time-to-exception as a timing (a plan-time crash
+    // would read as a speedup): it reports -1 and lands in "failed".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: $e"); false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val good = runs.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, format: String,
-                           width: Long, height: Long, checksum: Long)
+  /** Derived fields are Options: a null payload (null source text)
+    * yields a row of nulls, matching [[featuresExpr]] — not an NPE. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Option[Long],
+                           format: Option[String], width: Option[Long],
+                           height: Option[Long], checksum: Option[Long])
 
   /** Attach a binary payload column. In production this is the raw
     * image/audio bytes column of the table; here it is derived from
@@ -45,11 +48,15 @@ object Multimodal {
     media.mapPartitions { it =>
       // decoder init happens once per partition here
       it.map { rec =>
-        val (format, w, h) = StubDecoder.decode(rec.payload)
-        val checksum = rec.payload.foldLeft(0L)((acc, b) =>
-          (acc * 31 + (b & 0xff)) % 1000000007L)
-        MediaFeatures(rec.doc_id, rec.payload.length.toLong, format, w, h,
-          checksum)
+        if (rec.payload == null)
+          MediaFeatures(rec.doc_id, None, None, None, None, None)
+        else {
+          val (format, w, h) = StubDecoder.decode(rec.payload)
+          val checksum = rec.payload.foldLeft(0L)((acc, b) =>
+            (acc * 31 + (b & 0xff)) % 1000000007L)
+          MediaFeatures(rec.doc_id, Some(rec.payload.length.toLong),
+            Some(format), Some(w), Some(h), Some(checksum))
+        }
       }
     }
   }
@@ -61,7 +68,9 @@ object Multimodal {
     val n = octet_length(encode(col("text"), "UTF-8")).cast("long")
     docs.select(col("doc_id"),
       n.as("n_bytes"),
-      when(n % 2 === 0, "jpeg").otherwise("png").as("format"),
+      // no otherwise: a null payload has null format (the old
+      // .otherwise("png") labeled missing media as png)
+      when(n % 2 === 0, "jpeg").when(n.isNotNull, "png").as("format"),
       (lit(64L) + n % 640L).as("width"),
       (lit(64L) + n % 480L).as("height"))
   }
@@ -70,7 +79,8 @@ object Multimodal {
     """
     |SELECT doc_id,
     |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-    |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+    |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'jpeg'
+    |       WHEN octet_length(encode(text)) IS NOT NULL THEN 'png' END AS format,
     |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
     |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS height
     |FROM documents ORDER BY doc_id

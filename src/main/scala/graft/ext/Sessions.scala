@@ -49,7 +49,7 @@ object Sessions {
     |WITH flagged AS (
     |  SELECT user_id, event_id, ts, value,
     |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-    |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${gapSeconds}000000
+    |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${gapSeconds * 1000000L}
     |         THEN 1 ELSE 0 END AS new_sess
     |  FROM events
     |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -278,15 +278,18 @@ object Similarity {
   def nativeCosineTopK(corpus: DataFrame, queries: DataFrame,
                        k: Int): DataFrame = {
     import graft.functions.VecMath
+    // norms once per vector, carried through the join — the scoring
+    // loop is then ONE dot per pair, not three
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
+      .withColumn("q_norm", sqrt(VecMath.dotF(col("q_emb"), col("q_emb"))))
     val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb")), col("cand_id"))
+      .withColumn("c_norm", sqrt(VecMath.dotF(col("c_emb"), col("c_emb"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", VecMath.dotF(col("q_emb"), col("c_emb")) /
-        (sqrt(VecMath.dotF(col("q_emb"), col("q_emb"))) *
-         sqrt(VecMath.dotF(col("c_emb"), col("c_emb")))))
+        (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

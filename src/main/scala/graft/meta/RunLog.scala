@@ -18,7 +18,9 @@ final class RunLog(spark: SparkSession, path: String) {
              status: String, errorMessage: Option[String]): Unit = {
     val row = Row(runName, startedAt, new Timestamp(System.currentTimeMillis()),
       rowsInserted, rowsUpdated, rowsDeleted, status, errorMessage.orNull)
-    spark.createDataFrame(spark.sparkContext.parallelize(Seq(row), 1), schema)
+    // LocalRelation, not parallelize: a one-row append should not
+    // schedule an RDD job
+    spark.createDataFrame(java.util.List.of(row), schema)
       .write.mode("append").parquet(path)
   }
 
