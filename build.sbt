@@ -28,4 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin Xms to Xmx and pre-touch: on large heaps (the bench box runs
+  // ~100g) lazy heap expansion zeroes tens of GB of fresh pages during
+  // whichever query happens to grow the heap, showing up as random
+  // multi-second stalls. Pre-touching moves that cost to JVM startup,
+  // outside every timed window.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )
