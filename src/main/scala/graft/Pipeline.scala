@@ -31,18 +31,18 @@ object Pipeline {
     * rows up, and every rerun sees an empty delta. */
   private val SeedTs = java.time.LocalDateTime.of(1900, 1, 2, 0, 0, 0)
 
-  /** `strict = true` makes any non-empty validation result fail the
-    * run loudly instead of returning counts for the caller to inspect
-    * — a POST-publish gate: the tables and watermarks of this run are
-    * already committed when it fires (the reference's own checks run
-    * after its loads too, SQL:1616-1622). A failing run therefore
-    * needs operator attention, not just a rerun — the advanced
-    * watermark means a rerun sees an empty delta while the published
-    * violation persists. Stage-local pre-publish validation (check
-    * the candidate frame before `StagedWrite.overwrite`) is the
-    * stronger guarantee and what the author's production note asks
-    * for; callers owning a single stage can compose it from
-    * [[graft.checks.Checks]] + [[graft.meta.StagedWrite]] directly. */
+  /** `strict = true` arms BOTH validation layers:
+    *
+    *   - the stage-local PRE-publish gates (the reference author's
+    *     production note, SQL:1622): each load validates its candidate
+    *     frame before `StagedWrite.overwrite` and aborts — table,
+    *     watermark, success log untouched — on a violation
+    *     ([[graft.checks.Checks.prePublishDim]]/[[graft.checks.Checks.prePublishFact]]);
+    *   - the POST-publish sweep below (the reference's own Stage 5
+    *     runs after its loads, SQL:1616-1622), which additionally
+    *     covers cross-table invariants (referential integrity,
+    *     structure) that no single stage owns, and throws on any
+    *     non-empty result instead of returning counts. */
   def runAll(spark: SparkSession, sfDir: String, root: String,
              strict: Boolean = false): RunResult = {
     val wh = Warehouse(root)
@@ -76,7 +76,7 @@ object Pipeline {
       val nk = feed.columns.head // c_custkey / p_partkey / s_suppkey
       val dim = new Scd2Dimension(name, nk, "valid_from", tracked)
       name -> dim.load(spark, feed, Some(snap), wh.int(s"dim_$name"),
-        tracker, log)
+        tracker, log, preValidate = strict)
     }.toMap
 
     // genuinely versioned dim from the events change feed. Named
@@ -89,7 +89,7 @@ object Pipeline {
     val dimUser = new Scd2Dimension("user_profile", "user_id", "valid_from",
       Seq("event_type", "value"), Seq("event_id"))
     val userInserts = dimUser.load(spark, userFeed, None,
-      wh.int("dim_user_profile"), tracker, log)
+      wh.int("dim_user_profile"), tracker, log, preValidate = strict)
 
     // 3. fact load — always last (J46)
     val currentDim = (name: String, nk: String) =>
@@ -105,7 +105,7 @@ object Pipeline {
           col("l_partkey"), col("p_partkey"))),
         "supplier" -> ((currentDim("supplier", "s_suppkey"),
           col("l_suppkey"), col("s_suppkey")))),
-      wh.int("factsales"), tracker, log)
+      wh.int("factsales"), tracker, log, preValidate = strict)
 
     // 4. marts (reference Stage 4)
     StagedWrite.overwrite(
@@ -129,7 +129,16 @@ object Pipeline {
           "left_anti")
         .count()
     }.toMap
+    // warehouse structure (reference Stage 5.1, SQL:1626-1638): the
+    // expected table list must exist on disk
+    val expectedTables =
+      (Seq("dim_date", "dim_customer", "dim_part", "dim_supplier",
+        "dim_user_profile", "factsales").map(n => n -> wh.int(n)) ++
+        Seq("dim_customer_current", "factsales").map(n =>
+          s"mart_$n" -> wh.mart(n)) ++
+        Seq("etl_load_tracker", "etl_run_log").map(n => n -> wh.meta(n)))
     val violations = refViolations ++ Map(
+      "structure_missing" -> Checks.structure(spark, expectedTables).count(),
       "dup_fact_nk" -> Checks.duplicates(fact, Seq("sales_nk")).count(),
       "dup_date" -> Checks.duplicates(spark.read.parquet(wh.int("dim_date")),
         Seq("date_value")).count()) ++

@@ -297,6 +297,32 @@ object Queries {
         |  AND a.event_id < b.event_id AND a.f < b.t AND b.f < a.t
         |ORDER BY a.user_id, id1, id2""".stripMargin)),
 
+    // C9 scale path: the same interval invariant as a lead-window scan
+    // — ONE shuffle (sort within key), no pair materialization; emits
+    // each interval whose successor starts before it ends. The
+    // pair-enumerating theta-join form stays declared above as the
+    // reference-literal spec.
+    ("overlap_runs",
+      (s: SparkSession, d: String) => {
+        val iv = t(s, d, "events").filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"),
+            col("ts").as("active_from"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("active_to"))
+        Checks.overlaps(iv, "user_id", Seq(col("event_id")))
+          .select(col("user_id"), col("event_id"),
+            col("active_from"), col("active_to"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, ts AS active_from,
+        |  ts + INTERVAL 1 HOUR AS active_to
+        |  FROM events WHERE event_type = 'error'),
+        |nxt AS (SELECT user_id, event_id, active_from, active_to,
+        |  lead(active_from) OVER (PARTITION BY user_id
+        |    ORDER BY active_from, event_id) AS next_from FROM iv)
+        |SELECT user_id, event_id, active_from, active_to
+        |FROM nxt WHERE next_from IS NOT NULL AND active_to > next_from
+        |ORDER BY user_id, event_id""".stripMargin)),
+
     // J42/F2: soft referential integrity probe
     ("ref_integrity",
       (s: SparkSession, d: String) =>
@@ -565,11 +591,14 @@ object Queries {
           .orderBy("d1", "d2"),
       Some(Dedup.simhashOracleSql(3))),
 
+    // Scale path: LSH candidates -> exact Jaccard verify (the
+    // Σ_gram df² inverted-index all-pairs form is ngramJaccardPairs,
+    // kept as the exact-enumeration library routine)
     ("ngram_jaccard",
       (s: SparkSession, d: String) =>
-        Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"),
-          col("text"), 3, 1, 2).orderBy("d1", "d2"),
-      Some(Dedup.ngramJaccardOracleSql(3, 1, 2))),
+        Dedup.ngramJaccardViaMinhash(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3, 1, 2, 8, 2).orderBy("d1", "d2"),
+      Some(Dedup.ngramJaccardViaMinhashOracleSql(3, 1, 2, 8, 2))),
 
     // The keep/drop decision: corpus minus docs with a smaller near-dup
     ("neardup_keep",
@@ -621,14 +650,18 @@ object Queries {
       Some(Similarity.nearDupOracleSql(64, 4, 0.4, nTables = 4))),
 
     // Codegen'd float dot (graft.functions.FloatVecDot) throughput
-    // path — engine-specific float summation, rows-only check
+    // path. Oracle-checked after all: the double fold is a fixed
+    // left-to-right IEEE sequence DuckDB's list_reduce reproduces
+    // bit-for-bit (it is order-DEPENDENT, unlike the decimal path,
+    // so the twin folds in the same order rather than relying on
+    // associativity).
     ("ann_native_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
         Similarity.nativeCosineTopK(emb, emb.filter(col("vec_id") < 10), 5)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(Similarity.nativeCosineTopKOracleSql(64, 5, 10))),
 
     ("lang_id",
       (s: SparkSession, d: String) =>

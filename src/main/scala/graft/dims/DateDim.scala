@@ -25,10 +25,35 @@ object DateDim {
   private val dayNames = Seq("Monday", "Tuesday", "Wednesday", "Thursday",
     "Friday", "Saturday", "Sunday")
 
+  /** Swedish calendar names — the reference runs its whole build under
+    * `SET LANGUAGE Svenska; SET DATEFIRST 1` (SQL:189-192) and
+    * validates the distinct Swedish day/month name sets
+    * (SQL:1651-1656). Static lookups, not a session locale: the same
+    * values on every engine and executor, no JVM/ICU locale-data
+    * dependency. Lowercase per SQL Server's sys.syslanguages entries
+    * for Svenska. */
+  val monthNamesSv: Seq[String] = Seq("januari", "februari", "mars",
+    "april", "maj", "juni", "juli", "augusti", "september", "oktober",
+    "november", "december")
+  val dayNamesSv: Seq[String] = Seq("måndag", "tisdag", "onsdag",
+    "torsdag", "fredag", "lördag", "söndag")
+  val monthAbbrevSv: Seq[String] = Seq("jan", "feb", "mar", "apr", "maj",
+    "jun", "jul", "aug", "sep", "okt", "nov", "dec")
+  val dayAbbrevSv: Seq[String] = Seq("mån", "tis", "ons", "tors", "fre",
+    "lör", "sön")
+
   /** ISO day-of-week 1=Monday..7=Sunday from Spark's 1=Sunday..7=Saturday. */
   def isoDayOfWeek(d: Column): Column = pmod(dayofweek(d) + lit(5), lit(7)) + lit(1)
 
-  /** One row per day in [start, end], 16 calendar columns. */
+  /** One row per day in [start, end]. 16 locale-free calendar columns
+    * plus the Swedish-locale surface of the reference's 19-column
+    * DimDate (SQL:156-177): localized day/month names and
+    * abbreviations (`datename(dw)`/`format 'ddd'`/`format 'MMM'`
+    * under Svenska), the long-form date (`format(d, 'D')` →
+    * "den 3 januari 1995"), year-quarter composites, and the
+    * weekday/weekend flag — every reference column is covered by a
+    * same-semantics column here (the reference's `week` under
+    * `DATEFIRST 1` is pinned to ISO-8601 `week_of_year`, §7.7). */
   def build(spark: SparkSession, start: String, end: String): DataFrame = {
     // Spark's sequence() silently steps BACKWARD when start > end while
     // the DuckDB oracle's range() returns zero rows — fail loudly
@@ -64,12 +89,40 @@ object DateDim {
         when(isoDayOfWeek(col("date_value")) >= 6, 1L).otherwise(0L))
       .withColumn("first_of_month", trunc(col("date_value"), "month"))
       .withColumn("last_of_month", last_day(col("date_value")))
+      .withColumn("day_name_sv",
+        element_at(array(dayNamesSv.map(lit): _*),
+          isoDayOfWeek(col("date_value")).cast("int")))
+      .withColumn("day_abbrev_sv",
+        element_at(array(dayAbbrevSv.map(lit): _*),
+          isoDayOfWeek(col("date_value")).cast("int")))
+      .withColumn("month_name_sv",
+        element_at(array(monthNamesSv.map(lit): _*), month(col("date_value"))))
+      .withColumn("month_abbrev_sv",
+        element_at(array(monthAbbrevSv.map(lit): _*), month(col("date_value"))))
+      .withColumn("full_date_sv",
+        concat(lit("den "), dayofmonth(col("date_value")).cast("string"),
+          lit(" "),
+          element_at(array(monthNamesSv.map(lit): _*), month(col("date_value"))),
+          lit(" "), year(col("date_value")).cast("string")))
+      .withColumn("year_quarter_name",
+        concat(year(col("date_value")).cast("string"), lit("-Q"),
+          quarter(col("date_value")).cast("string")))
+      .withColumn("year_quarter_number",
+        concat(year(col("date_value")).cast("string"), lit("-"),
+          quarter(col("date_value")).cast("string")))
+      .withColumn("weekday_flag",
+        when(isoDayOfWeek(col("date_value")) <= 5, "weekday")
+          .otherwise("weekend"))
   }
 
   /** Matching DuckDB oracle SQL (same columns, same semantics). */
   def oracleSql(start: String, end: String): String = {
     val m = monthNames.map(n => s"'$n'").mkString(", ")
     val d = dayNames.map(n => s"'$n'").mkString(", ")
+    val msv = monthNamesSv.map(n => s"'$n'").mkString(", ")
+    val dsv = dayNamesSv.map(n => s"'$n'").mkString(", ")
+    val masv = monthAbbrevSv.map(n => s"'$n'").mkString(", ")
+    val dasv = dayAbbrevSv.map(n => s"'$n'").mkString(", ")
     s"""
     |SELECT
     |  cast(range AS DATE) AS date_value,
@@ -87,7 +140,16 @@ object DateDim {
     |  cast(year(range) AS VARCHAR) || '-' || lpad(cast(month(range) AS VARCHAR), 2, '0') AS year_month,
     |  CASE WHEN isodow(range) >= 6 THEN 1 ELSE 0 END::BIGINT AS is_weekend,
     |  cast(date_trunc('month', range) AS DATE) AS first_of_month,
-    |  cast(last_day(cast(range AS DATE)) AS DATE) AS last_of_month
+    |  cast(last_day(cast(range AS DATE)) AS DATE) AS last_of_month,
+    |  ([$dsv])[isodow(range)] AS day_name_sv,
+    |  ([$dasv])[isodow(range)] AS day_abbrev_sv,
+    |  ([$msv])[month(range)] AS month_name_sv,
+    |  ([$masv])[month(range)] AS month_abbrev_sv,
+    |  'den ' || cast(day(range) AS VARCHAR) || ' ' || ([$msv])[month(range)] ||
+    |    ' ' || cast(year(range) AS VARCHAR) AS full_date_sv,
+    |  cast(year(range) AS VARCHAR) || '-Q' || cast(quarter(range) AS VARCHAR) AS year_quarter_name,
+    |  cast(year(range) AS VARCHAR) || '-' || cast(quarter(range) AS VARCHAR) AS year_quarter_number,
+    |  CASE WHEN isodow(range) <= 5 THEN 'weekday' ELSE 'weekend' END AS weekday_flag
     |FROM range(DATE '$start', DATE '$end' + INTERVAL 1 DAY, INTERVAL 1 DAY)
     |ORDER BY date_value
     |""".stripMargin.trim

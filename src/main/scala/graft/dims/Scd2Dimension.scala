@@ -62,10 +62,25 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
   /** Incremental (and first-time) load. `changeFeed` is the full
     * watermark-filterable history source; `snapshotKeys` the current
     * live natural keys (None disables delete detection). Returns the
-    * number of delta rows consumed. */
+    * number of delta rows consumed.
+    *
+    * `preValidate = true` runs the SCD2 invariants against the
+    * candidate frame BEFORE the staged publish
+    * ([[graft.checks.Checks.prePublishDim]]): a violating candidate
+    * aborts the run with the table, watermark, and success log all
+    * untouched (the reference author's production note, SQL:1622).
+    *
+    * Run-log counts mirror the reference's per-phase @@ROWCOUNTs
+    * (SQL:1011-1023): rows_inserted = delta rows consumed,
+    * rows_updated = previously-current versions closed out by a newer
+    * version this run, rows_deleted = current versions closed out by
+    * delete detection. The update/delete counts are extra actions
+    * scoped to the touched keys (small by design), never the full
+    * dimension. */
   def load(spark: SparkSession, changeFeed: DataFrame,
            snapshotKeys: Option[DataFrame], dimPath: String,
-           tracker: LoadTracker, log: RunLog): Long = {
+           tracker: LoadTracker, log: RunLog,
+           preValidate: Boolean = false): Long = {
     val started = new Timestamp(System.currentTimeMillis())
     try {
       StagedWrite.recover(spark, dimPath) // heal any crashed publish first
@@ -89,9 +104,9 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
         if (pathExists(spark, dimPath)) Some(spark.read.parquet(dimPath))
         else None
 
-      val keyed: Option[DataFrame] = existing match {
+      val keyed: Option[(DataFrame, Long)] = existing match {
         case None =>
-          Some(Scd2.withSurrogate(derive(deltaRows), skCol, identityCols))
+          Some((Scd2.withSurrogate(derive(deltaRows), skCol, identityCols), 0L))
         case Some(dim) =>
           // 3. recompute scope: keys with new versions or deletions
           val deltaKeys = deltaRows.select(col(nk)).distinct()
@@ -121,7 +136,17 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
             val fresh = Scd2.withSurrogate(
               withPrev.filter(col("__prev_sk").isNull).drop("__prev_sk"),
               skCol, identityCols, offset = maxSk)
-            Some(untouched.unionByName(kept.unionByName(fresh)))
+            // rows_updated: versions current before this run that the
+            // recompute closed out — the reference's UPDATE-phase
+            // @@ROWCOUNT (SQL:1011-1017). Touched-key scope only.
+            val prevCurrent = dim.filter(col("is_current") === 1L)
+              .join(touched, Seq(nk), "left_semi")
+              .select(identityCols.map(col): _*)
+            val updated = recomputed.filter(col("is_current") === 0L)
+              .select(identityCols.map(col): _*)
+              .join(prevCurrent, identityCols, "left_semi")
+              .count()
+            Some((untouched.unionByName(kept.unionByName(fresh)), updated))
           }
       }
 
@@ -131,28 +156,38 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
           log.append(s"etl_load_$name", started, 0L, 0L, 0L,
             RunLog.Success, None)
           0L
-        case Some(k) =>
+        case Some((k, updated)) =>
           // 5. delete detection: close out vanished keys "as of now"
-          val withDeletes = snapshotKeys match {
+          val (withDeletes, deleted) = snapshotKeys match {
             case Some(snap) =>
               val gone = Scd2.deletedKeys(
                 k.filter(col("is_current") === 1L), snap, nk)
                 .select(col(nk)).distinct()
+              // rows_deleted: one current version closes per vanished
+              // key — the reference's delete-detect UPDATE @@ROWCOUNT
+              // (SQL:1018-1023); the count is over the (small) gone-key
+              // set, not the dimension
+              val nGone = gone.count()
               val closeTs = lit(LocalDateTime.now())
-              k.join(gone.withColumn("__gone", lit(1)), Seq(nk), "left")
-                .withColumn("active_to",
-                  when(col("__gone") === 1 && col("is_current") === 1L,
-                    closeTs).otherwise(col("active_to")))
-                .withColumn("is_current",
-                  when(col("__gone") === 1, 0L).otherwise(col("is_current")))
-                .drop("__gone")
-            case None => k
+              val closed =
+                k.join(gone.withColumn("__gone", lit(1)), Seq(nk), "left")
+                  .withColumn("active_to",
+                    when(col("__gone") === 1 && col("is_current") === 1L,
+                      closeTs).otherwise(col("active_to")))
+                  .withColumn("is_current",
+                    when(col("__gone") === 1, 0L).otherwise(col("is_current")))
+                  .drop("__gone")
+              (closed, nGone)
+            case None => (k, 0L)
           }
 
-          // 6. publish + advance watermark + log
+          // 6. gate (optional), publish, advance watermark, log
+          if (preValidate)
+            graft.checks.Checks.prePublishDim(withDeletes, nk,
+              tiebreak.map(col))
           StagedWrite.overwrite(withDeletes, dimPath)
           tracker.advance(name, dataWm)
-          log.append(s"etl_load_$name", started, inserted, 0L, 0L,
+          log.append(s"etl_load_$name", started, inserted, updated, deleted,
             RunLog.Success, None)
           inserted
       }

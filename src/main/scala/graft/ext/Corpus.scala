@@ -28,7 +28,13 @@ object Corpus {
     * table. */
   def sampleSplit(docs: DataFrame, id: Column, trainPct: Int = 80,
                   valPct: Int = 10): DataFrame = {
-    val bucket = pmod(id * lit(Hashing.Perms.head._1) +
+    // reduce the id into [0, P2) BEFORE the multiply: id·a would
+    // silently wrap int64 for |id| above ~2.8e14 in Spark's non-ANSI
+    // arithmetic while the DuckDB twin errors on BIGINT overflow —
+    // the reduced form is congruent mod P2 (identical buckets where
+    // the raw form didn't wrap) and its product is bounded by
+    // P2·a < 2^47, so neither engine can overflow on any int64 id
+    val bucket = pmod(pmod(id, lit(Hashing.P2)) * lit(Hashing.Perms.head._1) +
       lit(Hashing.Perms.head._2), lit(Hashing.P2)) % 100
     docs.withColumn("bucket", bucket)
       .withColumn("split",
@@ -46,24 +52,32 @@ object Corpus {
                      valPct: Int = 10): (String, String) = {
     val (a, b) = Hashing.Perms.head
     val p2 = Hashing.P2
-    val bucket = s"((($id * $a + $b) % $p2 + $p2) % $p2) % 100"
+    // same mod-before-multiply reduction as the Spark side (see
+    // sampleSplit): keeps the product below 2^47 on any int64 id
+    val bucket = s"((((($id % $p2 + $p2) % $p2) * $a + $b) % $p2 + $p2) % $p2) % 100"
     (bucket,
       s"CASE WHEN $bucket < $trainPct THEN 'train' " +
         s"WHEN $bucket < ${trainPct + valPct} THEN 'val' ELSE 'test' END")
   }
 
   /** Corpus vocabulary: top-k tokens by total occurrences (ties broken
-    * by token string), with document frequency alongside. One explode
-    * + one hash aggregation (map-side partial combine keeps the
-    * shuffle at one row per distinct token per partition); the top-k
-    * is a TakeOrdered, never a full sort. */
+    * by token string), with document frequency alongside. Two stacked
+    * hash aggregations: per-(token, doc) counts first (map-side partial
+    * combine collapses each document's repeats before the shuffle),
+    * then per-token totals where document frequency is a plain
+    * `count(1)` over the already-distinct (token, doc) rows — no
+    * `countDistinct`, whose Expand-based rewrite doubles the exploded
+    * token stream and shuffles raw (token, doc) pairs. The top-k is a
+    * TakeOrdered, never a full sort. */
   def vocabTopK(docs: DataFrame, id: Column, text: Column,
                 k: Int): DataFrame = {
-    val toks = docs.select(id.as("doc_id"),
-      explode(Dedup.words(text)).as("token"))
-    toks.groupBy(col("token"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+    val perDoc = docs.select(id.as("doc_id"),
+        explode(Dedup.words(text)).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("__tf"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("__tf")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
   }

@@ -28,7 +28,7 @@ object Dedup {
     * partition count is exempt from coalescing; keyed on the join
     * keys it also satisfies the join's distribution requirement, so
     * no extra exchange appears. */
-  private[ext] def spread(df: DataFrame, keys: Column*): DataFrame =
+  private[graft] def spread(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
       keys: _*)
 
@@ -211,6 +211,12 @@ object Dedup {
     docs.select(id.as("doc_id"),
       org.apache.spark.sql.graftext.SimHashBridge
         .column(text, SimBits, Hashing.P, a, b, Hashing.P2).as("simhash"))
+      // null-text docs have a NULL signature while the explode-based
+      // formulation (and the DuckDB oracle) emit no row at all — and a
+      // NULL signature group would collapse every null-text doc into
+      // one "exact duplicate" cluster in nearDupDropIds. Drop them
+      // here so all consumers agree with simhashViaAgg.
+      .filter(col("simhash").isNotNull)
   }
 
   /** Reference formulation of [[simhash]] as explode + 48 conditional
@@ -379,6 +385,92 @@ object Dedup {
       .filter(col("inter") * lit(thresholdDen) >=
         (col("n1") + col("n2") - col("inter")) * lit(thresholdNum))
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  /** The at-scale n-gram Jaccard composition: MinHash-LSH candidate
+    * generation ([[minhashCandidates]] — banded equi-join, cost tracks
+    * signature collisions) followed by exact set verification of ONLY
+    * the candidate pairs. This is the standard shape of large dedup
+    * pipelines (candidates are probabilistic with tunable recall;
+    * verification is exact), and the scale-safe declared path: the
+    * all-pairs [[ngramJaccardPairs]] join volume is Σ_gram df² —
+    * quadratic in gram co-occurrence on template-clustered corpora —
+    * while this one never materializes a pair outside an LSH band
+    * collision. Same (d1, d2, inter, n1, n2) schema, restricted to
+    * LSH-surfaced pairs; the DuckDB oracle runs the identical
+    * composition, so the check is deterministic (no recall gap between
+    * engines — both use the same signatures).
+    *
+    * Verification joins each candidate pair to the two docs'
+    * distinct-gram sets and intersects in place (`array_intersect` —
+    * per-pair work bounded by the two docs, no inverted index). The
+    * sets ride a broadcast-or-shuffle equi-join on doc id: linear
+    * shuffle volume, candidate-count join rows. */
+  def ngramJaccardViaMinhash(docs: DataFrame, id: Column, text: Column,
+                             n: Int, thresholdNum: Int, thresholdDen: Int,
+                             k: Int, rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidates(
+      minhashSignature(docs, id, text, n, k), k, rowsPerBand)
+    val sets = explodedGrams(docs, id, text, n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gram"))).as("grams"),
+        count(lit(1)).as("n_grams"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("grams").as("g1"),
+        col("n_grams").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("grams").as("g2"),
+        col("n_grams").as("n2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .filter(col("inter") * lit(thresholdDen) >=
+        (col("n1") + col("n2") - col("inter")) * lit(thresholdNum))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  /** Full DuckDB oracle for [[ngramJaccardViaMinhash]]: the same
+    * minhash → band-collision candidates → exact intersection
+    * composition, in SQL. */
+  def ngramJaccardViaMinhashOracleSql(n: Int, thresholdNum: Int,
+                                      thresholdDen: Int, k: Int,
+                                      rowsPerBand: Int = 2): String = {
+    val nBands = k / rowsPerBand
+    val mins = (0 until k)
+      .map(i => s"min(${Hashing.permSql("h", i)}) AS mh$i").mkString(", ")
+    val bandRows = (0 until nBands).map { b =>
+      val sig = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+        .reduceLeft((acc, c) => s"($acc * ${Hashing.P2} + $c)")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |grams AS (
+    |  SELECT DISTINCT doc_id, gram
+    |  FROM (SELECT doc_id,
+    |          unnest(list_transform(range(greatest(len(w) - ${n - 1}, 0)),
+    |            i -> ${(1 to n).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
+    |        FROM w)),
+    |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("gram")} AS h FROM grams),
+    |mh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+    |bands AS ($bandRows),
+    |cand AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    |inter AS (
+    |  SELECT c.d1, c.d2, count(*) AS inter
+    |  FROM cand c
+    |  JOIN grams a ON a.doc_id = c.d1
+    |  JOIN grams b ON b.doc_id = c.d2 AND b.gram = a.gram
+    |  GROUP BY 1, 2)
+    |SELECT i.d1, i.d2, i.inter, c1.n_grams AS n1, c2.n_grams AS n2
+    |FROM inter i
+    |JOIN counts c1 ON c1.doc_id = i.d1
+    |JOIN counts c2 ON c2.doc_id = i.d2
+    |WHERE i.inter * $thresholdDen >=
+    |  (c1.n_grams + c2.n_grams - i.inter) * $thresholdNum
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
   }
 
   /** The keep/drop decision over near-dup pairs: drop every doc that

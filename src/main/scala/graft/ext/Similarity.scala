@@ -206,16 +206,21 @@ object Similarity {
     // non-starters cheaply (guard band 1e-3 >> float dot error ~1e-6
     // at dim<=4096, so no true pair is lost); the exact-decimal
     // cosine — the number the oracle hashes — is computed only for
-    // survivors. Requires a positive threshold for the cross-
-    // multiplied form (norms are non-negative).
-    require(minCosine - 1e-3 > 0,
-      s"prefilter needs minCosine > 1e-3, got $minCosine")
+    // survivors. The cross-multiplied form (one float dot per pair)
+    // needs a positive threshold since norms are non-negative; at or
+    // below the guard band it falls back to the three-dot float
+    // cosine, which handles any threshold sign.
     import graft.functions.VecMath
+    val preFilter =
+      if (minCosine - 1e-3 > 0)
+        VecMath.dotF(col("e1"), col("e2")) >=
+          lit(minCosine - 1e-3) * sqrt(col("fn1") * col("__fn2"))
+      else
+        VecMath.cosineF(col("e1"), col("e2")) >= lit(minCosine - 1e-3)
     a.join(b, col("tbl") === col("__t2") && col("bk") === col("__k2") &&
         col("d1") < col("d2"))
       .filter(noEarlierTable)
-      .filter(VecMath.dotF(col("e1"), col("e2")) >=
-        lit(minCosine - 1e-3) * sqrt(col("fn1") * col("__fn2")))
+      .filter(preFilter)
       .withColumn("cos", cosine(
         dot(col("e1"), col("e2")), col("n1"), col("__n2v")))
       .filter(col("cos") >= minCosine)
@@ -297,6 +302,42 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
 
+  /** DuckDB twin of [[graft.functions.VecMath.dotF]]: the same
+    * left-to-right IEEE-double fold over `(double) a[i] * (double)
+    * b[i]` products — double addition is a fixed correctly-rounded
+    * op, so an identical fold order gives a bit-identical sum. */
+  def dotFSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
+  /** DuckDB oracle for [[nativeCosineTopK]] (queries = vec_id <
+    * maxQueryId): the float-dot throughput path is reproducible after
+    * all — its double fold is a deterministic sequence both engines
+    * express exactly, it just isn't order-independent the way the
+    * decimal path is, so the twin must (and does) fold in the same
+    * element order. */
+  def nativeCosineTopKOracleSql(dim: Int, k: Int, maxQueryId: Long): String =
+    s"""
+    |WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |           WHERE vec_id < $maxQueryId),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |scored AS (
+    |  SELECT query_id, cand_id,
+    |    ${dotFSql("q_emb", "c_emb", dim)} /
+    |      (sqrt(${dotFSql("q_emb", "q_emb", dim)}) *
+    |       sqrt(${dotFSql("c_emb", "c_emb", dim)})) AS cos
+    |  FROM c, q WHERE query_id <> cand_id),
+    |ranked AS (
+    |  SELECT query_id, cand_id, cos,
+    |    CAST(row_number() OVER (PARTITION BY query_id
+    |      ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+    |  FROM scored)
+    |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+
   /** IVF (inverted-file) ANN top-k — the second scale path beside SRP
     * LSH, per the coarse-quantizer design of FAISS-style indexes:
     * every corpus vector is assigned to its nearest of `nCentroids`
@@ -313,21 +354,46 @@ object Similarity {
     * both engines assign identically. */
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     nCentroids: Int, nProbe: Int): DataFrame = {
+    import graft.functions.VecMath
     val cent = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("ct_emb"))
       .withColumn("ct_n2", dot(col("ct_emb"), col("ct_emb")))
+      .withColumn("ct_f2", VecMath.dotF(col("ct_emb"), col("ct_emb")))
 
+    // Two-phase assignment (same pattern as nearDupPairs): rank the
+    // nCentroids candidates by the codegen'd FLOAT cosine first, keep
+    // everything within a 1e-3 guard band of the nBest-th float score,
+    // and run the exact-decimal cosine — the number the oracle ranks
+    // by — only on those survivors (normally nBest + near-ties, not
+    // nCentroids). The band dominates the float error (~1e-6 at these
+    // dims), so any centroid outside it is strictly below nBest
+    // exact-ranked centroids and the exact top-nBest always survives;
+    // exact ranking among survivors then equals exact ranking over
+    // all centroids. Cuts per-vector decimal dots from nCentroids to
+    // ~nBest — the bulk of the index build at corpus scale.
     def assigned(df: DataFrame, idCol: String, embCol: String,
                  nBest: Int): DataFrame = {
+      val wf = Window.partitionBy(col(idCol))
+        .orderBy(col("__f_cos").desc, col("c_id").asc)
+      val wp = Window.partitionBy(col(idCol))
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("__c_cos").desc, col("c_id").asc)
       df.withColumn("__n2", dot(col(embCol), col(embCol)))
+        .withColumn("__f2", VecMath.dotF(col(embCol), col(embCol)))
         .crossJoin(broadcast(cent))
+        .withColumn("__f_cos", VecMath.dotF(col(embCol), col("ct_emb")) /
+          (sqrt(col("__f2")) * sqrt(col("ct_f2"))))
+        .withColumn("__frn", row_number().over(wf))
+        .withColumn("__f_cut",
+          max(when(col("__frn") === nBest, col("__f_cos"))).over(wp))
+        .filter(col("__f_cut").isNull ||
+          col("__f_cos") >= col("__f_cut") - lit(1e-3))
         .withColumn("__c_cos", cosine(
           dot(col(embCol), col("ct_emb")), col("__n2"), col("ct_n2")))
         .withColumn("__crn", row_number().over(w))
         .filter(col("__crn") <= nBest)
-        .drop("ct_emb", "ct_n2", "__c_cos", "__crn")
+        .drop("ct_emb", "ct_n2", "ct_f2", "__f2", "__f_cos", "__frn",
+          "__f_cut", "__c_cos", "__crn")
     }
 
     val lists = assigned(Dedup.spread(corpus.select(

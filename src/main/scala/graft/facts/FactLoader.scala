@@ -57,10 +57,22 @@ object FactLoader {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Incremental fact load against a warehouse (used by Pipeline). */
+  /** Incremental fact load against a warehouse (used by Pipeline).
+    *
+    * `preValidate = true` checks natural-key uniqueness of the
+    * candidate fact BEFORE the staged publish
+    * ([[graft.checks.Checks.prePublishFact]]); a violation aborts
+    * with table, watermark, and success log untouched.
+    *
+    * Run-log counts: rows_inserted = delta rows consumed,
+    * rows_updated = existing fact rows with a strictly newer delta
+    * edit (the reference's correction-UPDATE @@ROWCOUNT,
+    * SQL:1405-1462), rows_deleted = 0 always — the no-fact-deletes
+    * policy (I6). */
   def load(spark: SparkSession, lineitem: DataFrame, orders: DataFrame,
            dims: Map[String, (DataFrame, Column, Column)],
-           factPath: String, tracker: LoadTracker, log: RunLog): Long = {
+           factPath: String, tracker: LoadTracker, log: RunLog,
+           preValidate: Boolean = false): Long = {
     val started = new Timestamp(System.currentTimeMillis())
     try {
       StagedWrite.recover(spark, factPath) // heal any crashed publish first
@@ -112,21 +124,33 @@ object FactLoader {
         // the delta): untouched fact rows pass through without
         // re-shuffling — at 100 TB the correction window touches a
         // sliver of the fact, not all of it
-        val fact = existing match {
+        val (fact, updated) = existing match {
           case Some(f) =>
             val deltaKeys = projected.select(col("sales_nk")).distinct()
             val untouched = f.join(deltaKeys, Seq("sales_nk"), "left_anti")
             val contested = f.join(deltaKeys, Seq("sales_nk"), "left_semi")
               .unionByName(projected)
-            untouched.unionByName(
-              latestPerKey(contested, Seq("sales_nk"), col("last_edited")))
+            // rows_updated: stored rows the delta corrects (a strictly
+            // newer edit for the same natural key) — the delta side of
+            // the comparison is a pre-aggregated per-key max, so the
+            // probe is existing-fact ⋈ broadcast(delta keys)
+            val nUpdated = f.join(
+                projected.groupBy(col("sales_nk"))
+                  .agg(max(col("last_edited")).as("__delta_ts")),
+                Seq("sales_nk"))
+              .filter(col("__delta_ts") > col("last_edited")).count()
+            (untouched.unionByName(
+              latestPerKey(contested, Seq("sales_nk"), col("last_edited"))),
+              nUpdated)
           case None =>
-            latestPerKey(projected, Seq("sales_nk"), col("last_edited"))
+            (latestPerKey(projected, Seq("sales_nk"), col("last_edited")), 0L)
         }
 
+        if (preValidate)
+          graft.checks.Checks.prePublishFact(fact, "sales_nk")
         StagedWrite.overwrite(fact, factPath)
         tracker.advance("factsales", dataWm)
-        log.append("etl_load_factsales", started, inserted, 0L, 0L,
+        log.append("etl_load_factsales", started, inserted, updated, 0L,
           RunLog.Success, None)
         inserted
       }

@@ -37,10 +37,18 @@ object DecimalVec {
   val AccType: DecimalType = DecimalType(25, 12)
 
   /** Exact DECIMAL(25,12) dot; null on length mismatch / null elems /
-    * non-finite or precision-overflowing products — the HOF fold
-    * yields NULL for those via Cast(NaN/Inf/huge -> decimal), and
-    * `BigDecimal.valueOf(NaN)` would otherwise THROW and kill the job
-    * on one dirty vector. */
+    * non-finite or precision-overflowing products / an overflowing
+    * RUNNING sum — the HOF fold's semantics under
+    * `spark.sql.ansi.enabled=false`, where every Cast(NaN/Inf/huge ->
+    * decimal) yields NULL. Deliberate divergence under ANSI mode
+    * (Spark 4's default): there the fold THROWS on a sum overflow
+    * (NaN products still cast to null) — a kernel that killed a
+    * whole job on one dirty vector would be unusable at corpus
+    * scale, so out-of-range rows degrade to NULL instead and can be
+    * filtered, counted, or quarantined like any other malformed
+    * input. In-range values are bit-identical to the fold under
+    * EITHER mode (the cast arithmetic only differs at the
+    * error/null boundary). */
   def dot(a: ArrayData, b: ArrayData): Decimal = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -51,9 +59,15 @@ object DecimalVec {
       val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
       if (!java.lang.Double.isFinite(p) || math.abs(p) >= 1e13) return null
       acc = acc.add(JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP))
+      // the HOF fold casts EVERY running sum back to decimal(25,12),
+      // so a transient overflow poisons the whole dot (null non-ANSI,
+      // exception ANSI) even when sign-cancelling later terms bring
+      // the total back in range — check each step, not just the final
+      // value, so the kernel never reports a value where the fold
+      // reports none
+      if (acc.precision - acc.scale > 13) return null
       i += 1
     }
-    if (acc.precision - acc.scale > 13) return null // decimal(25,12) overflow
     Decimal(acc, 25, 12)
   }
 

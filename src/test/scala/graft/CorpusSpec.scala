@@ -22,6 +22,22 @@ class CorpusSpec extends SparkSpec {
     assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
   }
 
+  test("sampleSplit survives extreme int64 ids without wraparound drift") {
+    import spark.implicits._
+    import graft.functions.Hashing
+    val ids = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MinValue + 1,
+      -3000000000000000L, 3000000000000000L, 0L, -1L)
+    val out = Corpus.sampleSplit(ids.toDF("doc_id"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a, b) = Hashing.Perms.head
+    ids.foreach { id =>
+      val expected = (((BigInt(id).mod(Hashing.P2)) * a + b)
+        .mod(Hashing.P2) % 100).toLong
+      assert(out(id) == expected, s"id=$id bucket=${out(id)} != $expected")
+      assert(out(id) >= 0 && out(id) < 100)
+    }
+  }
+
   test("vocabTopK is ordered by count with doc-frequency bounds") {
     val top = Corpus.vocabTopK(docs, col("doc_id"), col("text"), 20).collect()
     assert(top.nonEmpty)

@@ -25,6 +25,31 @@ class DateDimChecksSpec extends SparkSpec {
     dd.unpersist()
   }
 
+  test("Swedish calendar names match the reference's locale validation sets") {
+    // the reference builds under SET LANGUAGE Svenska and validates the
+    // distinct day/month name sets (SQL:1651-1656) — mirror that check
+    val dd = DateDim.build(spark, "2024-01-01", "2024-12-31").cache()
+    def distinctOf(c: String): Set[String] =
+      dd.select(c).distinct().collect().map(_.getString(0)).toSet
+    assert(distinctOf("day_name_sv") == Set("måndag", "tisdag", "onsdag",
+      "torsdag", "fredag", "lördag", "söndag"))
+    assert(distinctOf("month_name_sv") == Set("januari", "februari", "mars",
+      "april", "maj", "juni", "juli", "augusti", "september", "oktober",
+      "november", "december"))
+    assert(distinctOf("weekday_flag") == Set("weekday", "weekend"))
+    // long-form date (format 'D' under Svenska), spot-checked
+    val row = dd.filter(col("date_value") === to_date(lit("2024-02-29")))
+      .head()
+    assert(row.getAs[String]("full_date_sv") == "den 29 februari 2024")
+    assert(row.getAs[String]("day_name_sv") == "torsdag")
+    assert(row.getAs[String]("year_quarter_name") == "2024-Q1")
+    assert(row.getAs[String]("year_quarter_number") == "2024-1")
+    // flag agrees with the numeric weekend marker everywhere
+    assert(dd.filter((col("weekday_flag") === "weekend") =!=
+      (col("is_weekend") === 1L)).count() == 0)
+    dd.unpersist()
+  }
+
   test("overlappingPairs flags constructed overlaps, clears tiled intervals") {
     import spark.implicits._
     val overlapping = Seq(

@@ -88,6 +88,43 @@ class DedupSpec extends SparkSpec {
     assert(viol == 0)
   }
 
+  test("simhash drops null-text docs exactly like the aggregate formulation") {
+    import spark.implicits._
+    val edge = Seq((1L, Some("a b c")), (2L, None), (3L, Some("a b c")),
+      (4L, None)).toDF("doc_id", "text")
+    val kern = Dedup.simhash(edge, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashViaAgg(edge, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kern == agg, s"null-text drift: kernel=$kern agg=$agg")
+    assert(kern.keySet == Set(1L, 3L), "null-text docs must have no row")
+    // and the keep/drop decision must not collapse null-text docs into
+    // a fake hamming-0 cluster: only the true duplicate (3) drops
+    val drops = Dedup.nearDupDropIds(
+        Dedup.simhash(edge, col("doc_id"), col("text")), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(3L), s"expected only doc 3 dropped, got $drops")
+  }
+
+  test("minhash->exact-verify composition = exact pairs restricted to candidates") {
+    val cands = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, col("doc_id"), col("text"), 3, 8), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        3, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val composed = Dedup.ngramJaccardViaMinhash(docs, col("doc_id"),
+        col("text"), 3, 1, 2, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expected = exact.filter { case (pair, _) => cands.contains(pair) }
+    assert(composed == expected,
+      s"missing=${expected.keySet -- composed.keySet} " +
+        s"extra=${composed.keySet -- expected.keySet}")
+    assert(composed.nonEmpty, "fixture should contain verified near-dups")
+  }
+
   test("prefix-filtered jaccard join returns the identical pair set") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -122,6 +122,47 @@ class SimilaritySpec extends SparkSpec {
     assert(b.getLong(0) == 0L && b.getLong(1) == 0L)
   }
 
+  test("decimal dot nulls on transient intermediate overflow like the fold") {
+    // products stay under the 1e13 cast cap but the RUNNING sum
+    // transiently crosses it before sign-cancelling back: the fold
+    // casts every intermediate to decimal(25,12), so the dot must
+    // never report the in-range final value. The kernel nulls in any
+    // mode; the fold nulls under non-ANSI casts and THROWS under
+    // ANSI (Spark 4 default) — pin all three behaviors.
+    val a = "array(cast(3e6 as float), cast(3e6 as float), cast(3e6 as float))"
+    val b = "array(cast(3e6 as float), cast(3e6 as float), cast(-3e6 as float))"
+    val native = emb.limit(1).select(
+      Similarity.dot(expr(a), expr(b)).as("native")).collect().head
+    assert(native.isNullAt(0),
+      s"kernel must null on transient overflow, got ${native.get(0)}")
+    val thrown = intercept[Exception] { // ANSI fold: job-killing
+      emb.limit(1).select(Similarity.dotHof(expr(a), expr(b))).collect()
+    }
+    assert(thrown.toString.contains("NUMERIC_VALUE_OUT_OF_RANGE"),
+      s"expected ANSI overflow error, got $thrown")
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val hof = emb.limit(1).select(
+        Similarity.dotHof(expr(a), expr(b)).as("hof")).collect().head
+      assert(hof.isNullAt(0), s"non-ANSI fold drift: ${hof.get(0)}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
+  test("nearDupPairs accepts thresholds at or below the prefilter band") {
+    // <= 1e-3 can't use the cross-multiplied one-dot prefilter (norms
+    // are non-negative); it must fall back to the float cosine, not
+    // reject the input
+    val all = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      64, 6, 0.0).collect()
+    assert(all.forall(_.getAs[Double]("cos") >= 0.0))
+    val strict = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      64, 6, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = all.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(loose) && loose.size >= strict.size)
+  }
+
   test("ivfCosineTopK probes inverted lists and ranks correctly") {
     val queries = emb.filter(col("vec_id") < 5)
     val ivf = Similarity.ivfCosineTopK(emb, queries, 5, 16, 4).collect()
