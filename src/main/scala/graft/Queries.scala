@@ -615,6 +615,15 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM nd_pairs WHERE nd_pairs.d2 = doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Retention-exact dedup: connected components over the near-dup
+    // graph (iterative min-label propagation; oracle = recursive CTE)
+    ("neardup_components",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupComponents(
+          Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text")), 3)
+          .orderBy("doc_id"),
+      Some(Dedup.nearDupComponentsOracleSql(3))),
+
     ("embedding_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")

@@ -534,6 +534,98 @@ object Dedup {
     exactDrops.unionByName(repDrops)
   }
 
+  /** Exact connected-components labels over the near-dup graph —
+    * the retention-exact alternative to the one-hop rule: every doc
+    * gets the MINIMUM doc id of its whole component (so "keep the
+    * component minimum" keeps exactly one representative per cluster,
+    * with no chain loss: on A–B, B–C the one-hop rule drops both B and
+    * C leaving C no surviving neighbor; here B and C both label A and
+    * only A survives).
+    *
+    * Iterative min-label propagation: each round every doc takes the
+    * min of its own label and its neighbors' labels — one equi-shuffle
+    * join + one keyed aggregation per round, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow; the
+    * default cap is generous). Each round's result is
+    * `localCheckpoint`ed: iterative lineage otherwise grows a plan per
+    * round, and re-execution of a truncated prefix could resample
+    * nondeterministic exchanges. At extreme scale swap the loop body
+    * for the large-star/small-star contraction (Kiveris et al. 2014) —
+    * same fixpoint, fewer rounds; the per-round operators here are
+    * already its building blocks.
+    *
+    * Input: `sims` = (doc_id, simhash); components connect docs within
+    * `maxHamming` (via [[simhashPairs]]' banded candidate join — never
+    * all-pairs). Returns (doc_id, component) for EVERY doc; singletons
+    * label themselves. */
+  def nearDupComponents(sims: DataFrame, maxHamming: Int = 3,
+                        maxRounds: Int = 25): DataFrame = {
+    val spark = sims.sparkSession
+    val pairs = simhashPairs(sims, maxHamming).select(col("d1"), col("d2"))
+    // propagation needs both directions; materialize once — every
+    // round re-joins the same edge set
+    val edges = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = sims.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges.join(labels,
+          edges("d2") === labels("doc_id"))
+        .select(edges("d1").as("doc_id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "__old"),
+        Seq("doc_id")).filter(col("component") =!= col("__old")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"components did not converge in $maxRounds rounds")
+    labels
+  }
+
+  /** Full DuckDB oracle for [[nearDupComponents]] over `documents`:
+    * the same near-dup edges, closed transitively with a recursive CTE
+    * (set-semantics UNION bounds the recursion by the finite set of
+    * (doc, reachable label) pairs), then min per doc. */
+  def nearDupComponentsOracleSql(maxHamming: Int = 3): String = {
+    val h = Hashing.permSql(Hashing.polyHashSql("tok"), 0)
+    val bitSums = (0 until SimBits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sim = (0 until SimBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 12}) & 4095 AS bv FROM sims")
+      .mkString(" UNION ALL ")
+    s"""
+    |WITH RECURSIVE toks AS (
+    |  SELECT DISTINCT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+    |  FROM documents),
+    |hashed AS (SELECT doc_id, $h AS h FROM toks),
+    |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+    |sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits),
+    |bands AS ($bandRows),
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+    |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    |reach(doc_id, label) AS (
+    |  SELECT doc_id, doc_id FROM sims
+    |  UNION
+    |  SELECT e.d1, r.label FROM edges e JOIN reach r ON r.doc_id = e.d2)
+    |SELECT doc_id, min(label) AS component
+    |FROM reach GROUP BY doc_id
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+  }
+
   /** Full DuckDB oracle for [[ngramJaccardPairs]] over `documents`. */
   def ngramJaccardOracleSql(n: Int, thresholdNum: Int,
                             thresholdDen: Int): String =

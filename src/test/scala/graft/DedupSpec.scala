@@ -125,6 +125,37 @@ class DedupSpec extends SparkSpec {
     assert(composed.nonEmpty, "fixture should contain verified near-dups")
   }
 
+  test("nearDupComponents equals brute-force union-find, fixes chain loss") {
+    val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val comp = Dedup.nearDupComponents(sims, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find over the same pair set
+    val pairs = Dedup.simhashPairs(sims, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = comp.keys.map(d => d -> find(d)).toMap
+    assert(comp == expected)
+    // every component labels its minimum; keep = (doc == component)
+    // retains exactly one doc per cluster — no chain loss
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+    // the one-hop drop rule loses chain tails; components must not:
+    // every dropped doc's component representative survives by
+    // construction (label is a member of the component)
+    val dropped = Dedup.nearDupDropIds(sims, 3)
+      .collect().map(_.getLong(0)).toSet
+    dropped.foreach(d => assert(comp.contains(comp(d))))
+  }
+
   test("prefix-filtered jaccard join returns the identical pair set") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
