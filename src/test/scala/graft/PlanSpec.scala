@@ -57,6 +57,34 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 2, s"centroid assignment not broadcast:\n$p")
   }
 
+  test("overlap_check spreads the pair expansion to an explicit partition count") {
+    val p = plan("overlap_check")
+    // the streamed side must carry the explicit-N repartition (exempt
+    // from AQE's input-byte coalescing) or the per-key quadratic
+    // expansion serializes onto one task
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"pair join lost its explicit-N spread:\n$p")
+  }
+
+  test("overlap_runs is one shuffle: sort-window, no join, no pairs") {
+    val p = plan("overlap_runs")
+    assert(!p.contains("Join"), s"lead-window path must not join:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n$p")
+  }
+
+  test("ngram_jaccard candidates come from the band join, not an all-pairs join") {
+    val p = plan("ngram_jaccard")
+    // the declared path is minhash candidates -> exact verify: the only
+    // self-join of documents must be keyed on (band, sig) — a gram-keyed
+    // inverted-index join (the Σdf² shape) must not appear
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"band join lost its explicit-N spread:\n$p")
+    val gramJoin = """SortMergeJoin \[gram#|BroadcastHashJoin \[gram#""".r
+    assert(gramJoin.findFirstIn(p).isEmpty,
+      s"gram-keyed all-pairs join reappeared:\n$p")
+  }
+
   test("simhash_dedup emits pairs without a pair-keyed distinct") {
     val p = plan("simhash_dedup")
     // the first-matching-band filter replaced the pair-level distinct:
