@@ -28,11 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Pin Xms to Xmx and pre-touch: on large heaps (the bench box runs
-  // ~100g) lazy heap expansion zeroes tens of GB of fresh pages during
-  // whichever query happens to grow the heap, showing up as random
-  // multi-second stalls. Pre-touching moves that cost to JVM startup,
-  // outside every timed window.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
-)
+) ++ {
+  // When an explicit heap is requested (the bench box runs ~100g),
+  // pin Xms to it and pre-touch: lazy heap expansion zeroes tens of
+  // GB of fresh pages during whichever query happens to grow the
+  // heap, showing up as random multi-second stalls in per-query
+  // timings. Pre-touching moves that cost to JVM startup, outside
+  // every timed window. Unset (default 8g), forks keep the lazy
+  // heap — test JVMs shouldn't commit 8 GB up front on small boxes.
+  sys.env.get("SPARK_DRIVER_MEM").toSeq.flatMap(m =>
+    Seq(s"-Xms$m", "-XX:+AlwaysPreTouch"))
+}

@@ -148,7 +148,13 @@ object Pipeline {
         Seq(
           s"multi_current_$name" -> Checks.multipleCurrent(dim, nk).count(),
           s"null_validity_$name" -> Checks.nullValidity(dim).count(),
-          s"overlaps_$name" -> Checks.overlaps(dim, nk).count())
+          // tiebreak on active_to: versions can share an active_from
+          // (two changes at one timestamp -> a zero-width version);
+          // end-ordering puts the zero-width interval first so the
+          // lead comparison is deterministic and overlap-free chains
+          // never flag spuriously
+          s"overlaps_$name" ->
+            Checks.overlaps(dim, nk, Seq(col("active_to"))).count())
       }.toMap
 
     val result = RunResult(dimDateRows,

@@ -101,8 +101,7 @@ object DateDim {
         element_at(array(monthAbbrevSv.map(lit): _*), month(col("date_value"))))
       .withColumn("full_date_sv",
         concat(lit("den "), dayofmonth(col("date_value")).cast("string"),
-          lit(" "),
-          element_at(array(monthNamesSv.map(lit): _*), month(col("date_value"))),
+          lit(" "), col("month_name_sv"),
           lit(" "), year(col("date_value")).cast("string")))
       .withColumn("year_quarter_name",
         concat(year(col("date_value")).cast("string"), lit("-Q"),

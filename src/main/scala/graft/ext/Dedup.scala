@@ -162,8 +162,12 @@ object Dedup {
       .select(col("d1"), col("d2"))
   }
 
-  /** Full DuckDB oracle for minhash LSH candidates over `documents`. */
-  def minhashOracleSql(shingle: Int, k: Int, rowsPerBand: Int): String = {
+  /** Shared DuckDB CTE chain `w, grams, hashed, mh, bands` for the
+    * minhash-signature pipeline over `documents` — the single source
+    * both [[minhashOracleSql]] and [[ngramJaccardViaMinhashOracleSql]]
+    * compose, so a signature-scheme change cannot silently decouple
+    * one oracle from the kernel. */
+  private def minhashCtes(shingle: Int, k: Int, rowsPerBand: Int): String = {
     val nBands = k / rowsPerBand
     val mins = (0 until k)
       .map(i => s"min(${Hashing.permSql("h", i)}) AS mh$i").mkString(", ")
@@ -173,7 +177,7 @@ object Dedup {
       s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString(" UNION ALL ")
     s"""
-    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
     |grams AS (
     |  SELECT DISTINCT doc_id, gram
     |  FROM (SELECT doc_id,
@@ -183,12 +187,18 @@ object Dedup {
     |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("gram")} AS h FROM grams),
     |mh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
     |bands AS ($bandRows)
+    |""".stripMargin.trim
+  }
+
+  /** Full DuckDB oracle for minhash LSH candidates over `documents`. */
+  def minhashOracleSql(shingle: Int, k: Int, rowsPerBand: Int): String =
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)}
     |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     |FROM bands a JOIN bands b
     |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     |ORDER BY d1, d2
     |""".stripMargin.trim
-  }
 
   // ---------------------------------------------------------------
   // SimHash with banded hamming LSH
@@ -275,8 +285,12 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Full DuckDB oracle for simhash near-dup pairs over `documents`. */
-  def simhashOracleSql(maxHamming: Int = 3): String = {
+  /** Shared DuckDB CTE chain `toks, hashed, bits, sims, bands` for the
+    * simhash-signature pipeline over `documents` — the single source
+    * [[simhashOracleSql]] and [[nearDupComponentsOracleSql]] compose,
+    * so a signature-scheme change cannot silently decouple one oracle
+    * from the kernel. */
+  private def simhashCtes: String = {
     val h = Hashing.permSql(Hashing.polyHashSql("tok"), 0)
     val bitSums = (0 until SimBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -288,13 +302,20 @@ object Dedup {
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 12}) & 4095 AS bv FROM sims")
       .mkString(" UNION ALL ")
     s"""
-    |WITH toks AS (
+    |toks AS (
     |  SELECT DISTINCT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
     |  FROM documents),
     |hashed AS (SELECT doc_id, $h AS h FROM toks),
     |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
     |sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits),
-    |bands AS ($bandRows),
+    |bands AS ($bandRows)
+    |""".stripMargin.trim
+  }
+
+  /** Full DuckDB oracle for simhash near-dup pairs over `documents`. */
+  def simhashOracleSql(maxHamming: Int = 3): String =
+    s"""
+    |WITH $simhashCtes,
     |pairs AS (
     |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
     |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -303,7 +324,6 @@ object Dedup {
     |SELECT d1, d2, hamming FROM pairs WHERE hamming <= $maxHamming
     |ORDER BY d1, d2
     |""".stripMargin.trim
-  }
 
   // ---------------------------------------------------------------
   // n-gram Jaccard verification
@@ -356,9 +376,6 @@ object Dedup {
                               thresholdDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = explodedGrams(docs, id, text, n)
-    val sets = grams.groupBy(col("doc_id"))
-      .agg(collect_list(col("gram")).as("grams"),
-        count(lit(1)).as("n_grams"))
     val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val ranked = grams.join(docFreq, "gram")
       .withColumn("rank", row_number().over(
@@ -375,16 +392,7 @@ object Dedup {
       .join(prefix.select(col("gram").as("__g2"), col("doc_id").as("d2")),
         col("gram") === col("__g2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("d1"), col("grams").as("g1"),
-        col("n_grams").as("n1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("grams").as("g2"),
-        col("n_grams").as("n2")), "d2")
-      .withColumn("inter",
-        size(array_intersect(col("g1"), col("g2"))).cast("long"))
-      .filter(col("inter") * lit(thresholdDen) >=
-        (col("n1") + col("n2") - col("inter")) * lit(thresholdNum))
-      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
+    verifyExact(cand, gramSets(docs, id, text, n), thresholdNum, thresholdDen)
   }
 
   /** The at-scale n-gram Jaccard composition: MinHash-LSH candidate
@@ -406,15 +414,23 @@ object Dedup {
     * per-pair work bounded by the two docs, no inverted index). The
     * sets ride a broadcast-or-shuffle equi-join on doc id: linear
     * shuffle volume, candidate-count join rows. */
-  def ngramJaccardViaMinhash(docs: DataFrame, id: Column, text: Column,
-                             n: Int, thresholdNum: Int, thresholdDen: Int,
-                             k: Int, rowsPerBand: Int = 2): DataFrame = {
-    val cand = minhashCandidates(
-      minhashSignature(docs, id, text, n, k), k, rowsPerBand)
-    val sets = explodedGrams(docs, id, text, n)
+  /** Per-doc distinct-gram sets (sorted for stable plans) with their
+    * cardinality — the verification side of every candidate-pair
+    * pipeline. */
+  private def gramSets(docs: DataFrame, id: Column, text: Column,
+                       n: Int): DataFrame =
+    explodedGrams(docs, id, text, n)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("gram"))).as("grams"),
         count(lit(1)).as("n_grams"))
+
+  /** Exact Jaccard verification of candidate (d1, d2) pairs against
+    * [[gramSets]]: intersect in place (`array_intersect`, per-pair
+    * work bounded by the two docs), threshold on cross-multiplied
+    * integers — shared by the LSH and prefix-filter candidate
+    * generators so the verification semantics can never fork. */
+  private def verifyExact(cand: DataFrame, sets: DataFrame,
+                          thresholdNum: Int, thresholdDen: Int): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("d1"), col("grams").as("g1"),
         col("n_grams").as("n1")), "d1")
@@ -425,33 +441,22 @@ object Dedup {
       .filter(col("inter") * lit(thresholdDen) >=
         (col("n1") + col("n2") - col("inter")) * lit(thresholdNum))
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
-  }
+
+  def ngramJaccardViaMinhash(docs: DataFrame, id: Column, text: Column,
+                             n: Int, thresholdNum: Int, thresholdDen: Int,
+                             k: Int, rowsPerBand: Int = 2): DataFrame =
+    verifyExact(
+      minhashCandidates(minhashSignature(docs, id, text, n, k), k, rowsPerBand),
+      gramSets(docs, id, text, n), thresholdNum, thresholdDen)
 
   /** Full DuckDB oracle for [[ngramJaccardViaMinhash]]: the same
     * minhash → band-collision candidates → exact intersection
     * composition, in SQL. */
   def ngramJaccardViaMinhashOracleSql(n: Int, thresholdNum: Int,
                                       thresholdDen: Int, k: Int,
-                                      rowsPerBand: Int = 2): String = {
-    val nBands = k / rowsPerBand
-    val mins = (0 until k)
-      .map(i => s"min(${Hashing.permSql("h", i)}) AS mh$i").mkString(", ")
-    val bandRows = (0 until nBands).map { b =>
-      val sig = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
-        .reduceLeft((acc, c) => s"($acc * ${Hashing.P2} + $c)")
-      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-    }.mkString(" UNION ALL ")
+                                      rowsPerBand: Int = 2): String =
     s"""
-    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
-    |grams AS (
-    |  SELECT DISTINCT doc_id, gram
-    |  FROM (SELECT doc_id,
-    |          unnest(list_transform(range(greatest(len(w) - ${n - 1}, 0)),
-    |            i -> ${(1 to n).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
-    |        FROM w)),
-    |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("gram")} AS h FROM grams),
-    |mh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-    |bands AS ($bandRows),
+    |WITH ${minhashCtes(n, k, rowsPerBand)},
     |cand AS (
     |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     |  FROM bands a JOIN bands b
@@ -471,7 +476,6 @@ object Dedup {
     |  (c1.n_grams + c2.n_grams - i.inter) * $thresholdNum
     |ORDER BY d1, d2
     |""".stripMargin.trim
-  }
 
   /** The keep/drop decision over near-dup pairs: drop every doc that
     * has a near-duplicate with a smaller id — the standard one-hop
@@ -591,25 +595,9 @@ object Dedup {
     * the same near-dup edges, closed transitively with a recursive CTE
     * (set-semantics UNION bounds the recursion by the finite set of
     * (doc, reachable label) pairs), then min per doc. */
-  def nearDupComponentsOracleSql(maxHamming: Int = 3): String = {
-    val h = Hashing.permSql(Hashing.polyHashSql("tok"), 0)
-    val bitSums = (0 until SimBits)
-      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-      .mkString(", ")
-    val sim = (0 until SimBits)
-      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 12}) & 4095 AS bv FROM sims")
-      .mkString(" UNION ALL ")
+  def nearDupComponentsOracleSql(maxHamming: Int = 3): String =
     s"""
-    |WITH RECURSIVE toks AS (
-    |  SELECT DISTINCT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
-    |  FROM documents),
-    |hashed AS (SELECT doc_id, $h AS h FROM toks),
-    |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
-    |sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits),
-    |bands AS ($bandRows),
+    |WITH RECURSIVE $simhashCtes,
     |pairs AS (
     |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     |  FROM bands a JOIN bands b
@@ -624,7 +612,6 @@ object Dedup {
     |FROM reach GROUP BY doc_id
     |ORDER BY doc_id
     |""".stripMargin.trim
-  }
 
   /** Full DuckDB oracle for [[ngramJaccardPairs]] over `documents`. */
   def ngramJaccardOracleSql(n: Int, thresholdNum: Int,

@@ -215,8 +215,9 @@ object Similarity {
       if (minCosine - 1e-3 > 0)
         VecMath.dotF(col("e1"), col("e2")) >=
           lit(minCosine - 1e-3) * sqrt(col("fn1") * col("__fn2"))
-      else
-        VecMath.cosineF(col("e1"), col("e2")) >= lit(minCosine - 1e-3)
+      else // still one dot per pair: the norms ride the join row
+        VecMath.dotF(col("e1"), col("e2")) /
+          sqrt(col("fn1") * col("__fn2")) >= lit(minCosine - 1e-3)
     a.join(b, col("tbl") === col("__t2") && col("bk") === col("__k2") &&
         col("d1") < col("d2"))
       .filter(noEarlierTable)

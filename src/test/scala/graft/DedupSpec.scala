@@ -149,11 +149,13 @@ class DedupSpec extends SparkSpec {
       assert(members.keys.min == label)
     }
     // the one-hop drop rule loses chain tails; components must not:
-    // every dropped doc's component representative survives by
-    // construction (label is a member of the component)
+    // a component representative (the member minimum) is never itself
+    // dropped, so every dropped doc keeps a SURVIVING near-duplicate
+    // representative — the guarantee one-hop lacks
     val dropped = Dedup.nearDupDropIds(sims, 3)
       .collect().map(_.getLong(0)).toSet
-    dropped.foreach(d => assert(comp.contains(comp(d))))
+    dropped.foreach(d => assert(!dropped.contains(comp(d)),
+      s"doc $d's representative ${comp(d)} was dropped too"))
   }
 
   test("prefix-filtered jaccard join returns the identical pair set") {
