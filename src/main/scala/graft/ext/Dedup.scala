@@ -563,32 +563,72 @@ object Dedup {
     * all-pairs). Returns (doc_id, component) for EVERY doc; singletons
     * label themselves. */
   def nearDupComponents(sims: DataFrame, maxHamming: Int = 3,
-                        maxRounds: Int = 25): DataFrame = {
-    val spark = sims.sparkSession
-    val pairs = simhashPairs(sims, maxHamming).select(col("d1"), col("d2"))
+                        maxRounds: Int = 20): DataFrame = {
+    // Level 1 — identical-signature collapse (same trick as
+    // [[nearDupDropIds]]): docs sharing a simhash are hamming-0
+    // connected, so only the min-id doc per DISTINCT signature enters
+    // the iteration; members inherit their representative's label at
+    // the end. On a template-clustered corpus this shrinks both the
+    // vertex set and every chain.
+    val bySig = sims.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+    val reps = bySig.select(col("rep").as("doc_id"), col("simhash"))
+    val pairs = simhashPairs(reps, maxHamming).select(col("d1"), col("d2"))
     // propagation needs both directions; materialize once — every
     // round re-joins the same edge set
-    val edges = pairs.unionByName(
+    val edgesAll = pairs.unionByName(
       pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
-    var labels = sims.select(col("doc_id"), col("doc_id").as("component"))
+    // Size the ITERATION frames by the measured edge count — the same
+    // input-sized reasoning AQE applies, at the checkpoint boundaries
+    // AQE cannot see across: a rep graph that fits one task iterates
+    // with zero exchanges per round (SinglePartition satisfies every
+    // clustered distribution below, so the whole loop body is one
+    // stage), while a corpus-scale graph keeps the session's shuffle
+    // parallelism. Without this, each of the O(log diameter) rounds
+    // pays full scheduling overhead to move a few thousand rows.
+    val loopParts = math.max(1L, math.min(
+      sims.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      edgesAll.count() / 2000000L + 1L)).toInt
+    val edges =
+      if (loopParts == 1) edgesAll.coalesce(1).localCheckpoint() else edgesAll
+    var labels = reps.select(col("doc_id"), col("doc_id").as("component"))
+      .coalesce(loopParts)
       .localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val viaNeighbor = edges.join(labels,
-          edges("d2") === labels("doc_id"))
-        .select(edges("d1").as("doc_id"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+      // min over: own label, neighbors' labels (one-hop propagation),
+      // and label-of-label (pointer jumping — labels are doc ids, so
+      // they are themselves keys in `labels`). The hop is what turns
+      // O(longest chain) rounds into O(log chain).
+      val nbrMin = edges.join(labels, edges("d2") === labels("doc_id"))
+        .groupBy(edges("d1").as("doc_id"))
+        .agg(min(col("component")).as("__nbr"))
+      val hop = labels.join(
+        labels.select(col("doc_id").as("component"),
+          col("component").as("__cc")), Seq("component"))
+        .select(col("doc_id"), col("__cc"))
+      val next = labels.withColumnRenamed("component", "__old")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .join(hop, Seq("doc_id"))
+        .withColumn("component",
+          least(col("__old"), coalesce(col("__nbr"), col("__old")),
+            col("__cc")))
+        .select(col("doc_id"), col("component"), col("__old"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "__old"),
-        Seq("doc_id")).filter(col("component") =!= col("__old")).isEmpty
-      labels = next
+      // convergence test is a scan of the just-materialized blocks —
+      // no extra join against the previous round
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      labels = next.select(col("doc_id"), col("component"))
       round += 1
     }
     require(converged, s"components did not converge in $maxRounds rounds")
-    labels
+    // members (non-reps) inherit their representative's label
+    sims.select(col("doc_id"), col("simhash"))
+      .join(bySig, Seq("simhash"))
+      .join(labels.select(col("doc_id").as("rep"),
+        col("component")), Seq("rep"))
+      .select(col("doc_id"), col("component"))
   }
 
   /** Full DuckDB oracle for [[nearDupComponents]] over `documents`:
