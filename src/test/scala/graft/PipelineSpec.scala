@@ -13,7 +13,10 @@ class PipelineSpec extends SparkSpec {
   test("runAll is idempotent and passes all validation checks") {
     val root = Files.createTempDirectory("graft_wh").toString
 
-    val first = Pipeline.runAll(spark, sf, root)
+    // strict mode arms the stage-local pre-publish gates (which must
+    // pass on every real candidate frame here) and the post-publish
+    // sweep (which must find nothing)
+    val first = Pipeline.runAll(spark, sf, root, strict = true)
     assert(first.dimDateRows > 2000L)
     assert(first.dimInserts.values.forall(_ > 0L), s"first run must load: ${first.dimInserts}")
     assert(first.factInserts > 0L)
@@ -24,7 +27,9 @@ class PipelineSpec extends SparkSpec {
     val factAfterFirst = spark.read.parquet(s"$root/int/factsales")
       .orderBy("sales_nk").collect()
 
-    val second = Pipeline.runAll(spark, sf, root)
+    // rerun in strict mode: arms the stage-local pre-publish gates AND
+    // the post-publish sweep — a healthy warehouse must sail through
+    val second = Pipeline.runAll(spark, sf, root, strict = true)
     assert(second.dimInserts.values.forall(_ == 0L),
       s"rerun must insert 0 dim rows: ${second.dimInserts}")
     assert(second.factInserts == 0L, "rerun must insert 0 fact rows")
