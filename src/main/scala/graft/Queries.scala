@@ -421,6 +421,26 @@ object Queries {
         |  count(*) AS n_rows
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Extension: salted inner join — same result as the plain join,
+    // hot probe keys spread over (key, salt) reducers
+    ("skew_join",
+      (s: SparkSession, d: String) =>
+        ext.Skew.saltedJoin(
+            t(s, d, "lineitem").select(col("l_partkey"),
+              col("l_orderkey"),
+              col("l_quantity").cast("decimal(12,2)").as("qty")),
+            t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey"), col("p_partkey"), col("l_orderkey"), 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("decimal(18,2)").cast("double")
+              .as("sum_qty"))
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // Extension: pivot = conditional aggregation (explicit value list
     // keeps the output schema static — mandatory at scale, a dynamic
     // pivot would scan twice to discover columns)

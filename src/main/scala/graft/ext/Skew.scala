@@ -19,6 +19,36 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Skew-resistant inner equi-join: the probe side gets a
+    * deterministic salt in [0, buckets), the build side is replicated
+    * once per salt value, and the join key widens to (key, salt) — a
+    * hot probe key's rows spread over `buckets` reducers instead of
+    * hammering one. The result is exactly the plain inner join (the
+    * salt never appears in it; every probe row still meets every
+    * matching build row, in exactly one bucket).
+    *
+    * AQE's OptimizeSkewedJoin splits oversized partitions adaptively,
+    * but only post-shuffle on sort-merge joins and only when runtime
+    * stats reveal the skew; the explicit form works regardless of
+    * join strategy or stats and survives a 1000-executor scale-up
+    * unchanged. The build side carries a shuffle-hash hint: salting a
+    * broadcast join would be theater (a broadcast join has no
+    * per-key reducer to overload), so the helper pins the join shape
+    * it exists to fix. Replication cost = buckets × build rows —
+    * meant for the dimension-sized build sides where skew joins
+    * actually hurt. */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: Column, buildKey: Column,
+                 saltSource: Column, buckets: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(saltSource, lit(buckets)).cast("int"))
+    val replicated = build.withColumn("__bsalt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated.hint("shuffle_hash"),
+        probeKey === buildKey && col("__salt") === col("__bsalt"))
+      .drop("__salt", "__bsalt")
+  }
+
   /** sum/count per key, two-phase over a deterministic salt column.
     * Emits (key..., sum_value, n_rows). Exactness precondition: the
     * value must be integral or decimal — sum-of-partial-sums is only

@@ -19,6 +19,25 @@ class SkewSpec extends SparkSpec {
     salted.zip(plain).foreach { case (s, p) => assert(s == p) }
   }
 
+  test("salted join equals the plain inner join exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
+    val p = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_partkey", "l_orderkey", "l_linenumber", "p_partkey",
+          "p_brand")
+        .collect().map(_.toSeq).toSet
+    val salted = canon(Skew.saltedJoin(li, p, col("l_partkey"),
+      col("p_partkey"), col("l_orderkey"), 8))
+    val plain = canon(li.join(p, col("l_partkey") === col("p_partkey")))
+    assert(salted == plain && salted.nonEmpty)
+    // every probe row matched in exactly one bucket: row counts equal
+    assert(Skew.saltedJoin(li, p, col("l_partkey"), col("p_partkey"),
+      col("l_orderkey"), 8).count() ==
+      li.join(p, col("l_partkey") === col("p_partkey")).count())
+  }
+
   test("salt fan-out is bounded by the bucket count") {
     val ev = Queries.eventsTable(spark, sf)
     val perKeyGroups = ev
