@@ -570,7 +570,17 @@ object Dedup {
     // the iteration; members inherit their representative's label at
     // the end. On a template-clustered corpus this shrinks both the
     // vertex set and every chain.
-    val bySig = sims.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+    // one row per DISTINCT signature, materialized once: the rep set
+    // seeds the edge build, the label init, AND the final membership
+    // join — without the checkpoint each of those would re-evaluate
+    // the full-corpus signature scan beneath the aggregation. (The
+    // raw `sims` is deliberately NOT checkpointed: pinning a
+    // corpus-sized frame in the block manager is exactly what this
+    // decomposition avoids at scale; it is scanned twice — here and
+    // in the membership join — same as the pre-collapse design.)
+    val bySig = sims.filter(col("simhash").isNotNull)
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint()
     val reps = bySig.select(col("rep").as("doc_id"), col("simhash"))
     val pairs = simhashPairs(reps, maxHamming).select(col("d1"), col("d2"))
     // propagation needs both directions; materialize once — every
@@ -623,12 +633,18 @@ object Dedup {
       round += 1
     }
     require(converged, s"components did not converge in $maxRounds rounds")
-    // members (non-reps) inherit their representative's label
-    sims.select(col("doc_id"), col("simhash"))
+    // members (non-reps) inherit their representative's label; docs
+    // with a NULL signature can't band with anything — they come back
+    // self-labeled rather than silently vanishing in the null-
+    // rejecting equi-join
+    sims.filter(col("simhash").isNotNull)
+      .select(col("doc_id"), col("simhash"))
       .join(bySig, Seq("simhash"))
       .join(labels.select(col("doc_id").as("rep"),
         col("component")), Seq("rep"))
       .select(col("doc_id"), col("component"))
+      .unionByName(sims.filter(col("simhash").isNull)
+        .select(col("doc_id"), col("doc_id").as("component")))
   }
 
   /** Full DuckDB oracle for [[nearDupComponents]] over `documents`:

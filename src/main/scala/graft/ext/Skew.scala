@@ -40,8 +40,12 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: Column, buildKey: Column,
                  saltSource: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
+    // a NULL salt source must not eject the row from the join (the
+    // plain inner join it replaces doesn't care about the salt
+    // column) — null rows all land in bucket 0, preserving equality
     val salted = probe.withColumn("__salt",
-      pmod(saltSource, lit(buckets)).cast("int"))
+      coalesce(pmod(saltSource, lit(buckets)), lit(0)).cast("int"))
     val replicated = build.withColumn("__bsalt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated.hint("shuffle_hash"),

@@ -141,8 +141,14 @@ class DedupSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val expected = comp.keys.map(d => d -> find(d)).toMap
-    assert(comp == expected)
+    // expected keyed on the INPUT doc set, not the output's own keys —
+    // a doc silently dropped by the components computation must fail
+    // here, not shrink both sides of the compare
+    val expected = sims.select("doc_id").collect().map(_.getLong(0))
+      .map(d => d -> find(d)).toMap
+    assert(comp == expected,
+      s"missing=${expected.keySet -- comp.keySet} " +
+        s"wrong=${comp.filter { case (k, v) => expected.get(k) != Some(v) }}")
     // every component labels its minimum; keep = (doc == component)
     // retains exactly one doc per cluster — no chain loss
     comp.groupBy(_._2).foreach { case (label, members) =>
@@ -156,6 +162,14 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     dropped.foreach(d => assert(!dropped.contains(comp(d)),
       s"doc $d's representative ${comp(d)} was dropped too"))
+    // a NULL signature (no bands) must come back self-labeled, not
+    // vanish in the membership equi-join or cluster with other nulls
+    import spark.implicits._
+    val withNull = Seq((1L, Some(5L)), (2L, Option.empty[Long]),
+      (3L, Some(5L)), (4L, Option.empty[Long])).toDF("doc_id", "simhash")
+    val c2 = Dedup.nearDupComponents(withNull, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L), s"got $c2")
   }
 
   test("prefix-filtered jaccard join returns the identical pair set") {

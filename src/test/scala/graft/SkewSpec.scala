@@ -38,6 +38,22 @@ class SkewSpec extends SparkSpec {
       li.join(p, col("l_partkey") === col("p_partkey")).count())
   }
 
+  test("salted join keeps probe rows with a NULL salt source") {
+    import spark.implicits._
+    val probe = Seq((1L, Some(10L)), (1L, None), (2L, Some(7L)))
+      .toDF("k", "salt_src")
+    val build = Seq((1L, "a"), (2L, "b")).toDF("bk", "attr")
+    val joined = Skew.saltedJoin(probe, build, col("k"), col("bk"),
+      col("salt_src"), 8)
+    // the null-salt row must still meet its match, like the plain join
+    assert(joined.count() == 3L)
+    assert(joined.filter(col("salt_src").isNull).count() == 1L)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(probe, build, col("k"), col("bk"),
+        col("salt_src"), 0)
+    }
+  }
+
   test("salt fan-out is bounded by the bucket count") {
     val ev = Queries.eventsTable(spark, sf)
     val perKeyGroups = ev
