@@ -33,6 +33,17 @@ object Sources {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** ORC with explicit schema — the other columnar interchange format
+    * a landing zone commonly delivers; same pushdown/pruning story as
+    * parquet (Spark's ORC reader supports predicate pushdown and
+    * column pruning natively). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Hive-style partitioned parquet sink: one directory per distinct
     * partition value — readers of `WHERE pcol = v` scan only that
     * directory (partition pruning, the scan-path analog of the

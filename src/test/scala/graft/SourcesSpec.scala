@@ -30,6 +30,18 @@ class SourcesSpec extends SparkSpec {
       customer.orderBy("c_custkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    val dir = tmp("src-orc") + "/customer"
+    Sources.writeOrc(customer, dir)
+    val back = Sources.orc(spark, dir, customer.schema)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+    val plan = back.filter(col("c_custkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)"),
+      s"orc scan did not push the predicate:\n$plan")
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = tmp("src-part") + "/customer"
     Sources.writePartitioned(customer, dir, Seq("c_mktsegment"))
