@@ -444,10 +444,23 @@ object Dedup {
 
   def ngramJaccardViaMinhash(docs: DataFrame, id: Column, text: Column,
                              n: Int, thresholdNum: Int, thresholdDen: Int,
-                             k: Int, rowsPerBand: Int = 2): DataFrame =
-    verifyExact(
-      minhashCandidates(minhashSignature(docs, id, text, n, k), k, rowsPerBand),
-      gramSets(docs, id, text, n), thresholdNum, thresholdDen)
+                             k: Int, rowsPerBand: Int = 2): DataFrame = {
+    // materialize the candidate pairs (pair-count-sized, tiny next to
+    // the corpus) so the id-scoping below doesn't re-execute the
+    // signature + band join subplan
+    val cand = minhashCandidates(
+      minhashSignature(docs, id, text, n, k), k, rowsPerBand)
+      .localCheckpoint()
+    // gram sets ONLY for docs that appear in a candidate pair: the
+    // unscoped alternative shuffles every document's distinct-gram
+    // array through the groupBy — a corpus-sized shuffle at 100 TB,
+    // when verification touches just the candidate docs
+    val candIds = cand.select(explode(array(col("d1"), col("d2")))
+      .as("__cand_doc")).distinct()
+    val scoped = docs.join(candIds, id === col("__cand_doc"), "left_semi")
+    verifyExact(cand, gramSets(scoped, id, text, n),
+      thresholdNum, thresholdDen)
+  }
 
   /** Full DuckDB oracle for [[ngramJaccardViaMinhash]]: the same
     * minhash → band-collision candidates → exact intersection

@@ -74,15 +74,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram_jaccard candidates come from the band join, not an all-pairs join") {
+    // the declared path is minhash candidates -> exact verify: a
+    // gram-keyed inverted-index join (the Σdf² all-pairs shape) must
+    // not appear anywhere in it
     val p = plan("ngram_jaccard")
-    // the declared path is minhash candidates -> exact verify: the only
-    // self-join of documents must be keyed on (band, sig) — a gram-keyed
-    // inverted-index join (the Σdf² shape) must not appear
-    assert(p.contains("REPARTITION_BY_NUM"),
-      s"band join lost its explicit-N spread:\n$p")
     val gramJoin = """SortMergeJoin \[gram#|BroadcastHashJoin \[gram#""".r
     assert(gramJoin.findFirstIn(p).isEmpty,
       s"gram-keyed all-pairs join reappeared:\n$p")
+    // the candidate generator (checkpoint-materialized inside the
+    // declared query, so pinned here directly) keeps its explicit-N
+    // spread against AQE coalescing
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val candPlan = graft.ext.Dedup.minhashCandidates(
+        graft.ext.Dedup.minhashSignature(docs, col("doc_id"),
+          col("text"), 3, 8), 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("REPARTITION_BY_NUM"),
+      s"band join lost its explicit-N spread:\n$candPlan")
   }
 
   test("simhash_dedup emits pairs without a pair-keyed distinct") {
