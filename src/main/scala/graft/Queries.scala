@@ -768,6 +768,102 @@ object Queries {
           length(col("text")).cast("long")).orderBy("grp"),
       Some(ext.Corpus.lengthQuantilesOracleSql("lang", "length(text)"))),
 
+    // Gopher-style repetition signals: duplicate-bigram occupancy
+    ("repetition_score",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.repetitionFeatures(t(s, d, "documents"),
+          col("doc_id"), col("text"), 2).orderBy("doc_id"),
+      Some(TextAnalysis.repetitionOracleSql(2))),
+
+    // Privacy scrub pass: mask / pseudonymize / generalize (all
+    // deterministic column expressions — a projection at 100 TB)
+    ("pii_mask",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer").select(col("c_custkey").as("nk"),
+            ext.Privacy.maskDigits(col("c_name")).as("masked_name"),
+            ext.Privacy.pseudonym(col("c_name")).as("name_token"),
+            ext.Privacy.bucketize(col("c_acctbal"), 1000).as("acct_bucket"))
+          .orderBy("nk"),
+      Some(s"""SELECT c_custkey AS nk,
+        |  ${ext.Privacy.maskDigitsSql("c_name")} AS masked_name,
+        |  ${ext.Privacy.pseudonymSql("c_name")} AS name_token,
+        |  ${ext.Privacy.bucketizeSql("c_acctbal", 1000)} AS acct_bucket
+        |FROM customer ORDER BY nk""".stripMargin)),
+
+    // Corpus rebalancing: per-language deterministic downsample
+    // (dominant language keeps 300‰, the rest keep everything)
+    ("stratified_sample",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.stratifiedSample(
+            t(s, d, "documents").select("doc_id", "lang"),
+            col("doc_id"), col("lang"), Seq("en" -> 300))
+          .orderBy("doc_id"),
+      Some {
+        val (bucket, rate) = ext.Corpus.stratifiedSampleSql(
+          "doc_id", "lang", Seq("en" -> 300))
+        s"""SELECT doc_id, lang, $bucket AS bucket1k, $rate AS rate_permille
+          |FROM documents WHERE $bucket < $rate
+          |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Per-group top-k (WindowGroupLimit: the rank filter pushes into
+    // the shuffle as a per-partition group limit — no group ever
+    // materializes fully, unlike a global sort or a groupBy+collect)
+    ("group_topk",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy("lang", "rank")
+      },
+      Some("""SELECT doc_id, lang, n_chars, rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin)),
+
+    // Distribution-rank window functions (ntile/percent_rank/cume_dist
+    // — ANSI definitions, identical in both engines; outputs double)
+    ("rank_funcs",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cum_dist"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // Int8 quantization audit over the embedding table
+    ("embedding_quantize",
+      (s: SparkSession, d: String) =>
+        Similarity.quantizeStats(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding")).orderBy("vec_id"),
+      Some(Similarity.quantizeStatsOracleSql())),
+
+    // Incremental dedup: the arriving batch (doc_id >= 400) against
+    // corpus + batch — settled corpus-internal pairs never re-derived
+    ("dedup_incremental",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashCandidatesIncremental(
+          Dedup.minhashSignature(t(s, d, "documents"), col("doc_id"),
+            col("text"), 3, 8), 8, 2, 400L).orderBy("d1", "d2"),
+      Some(Dedup.minhashIncrementalOracleSql(3, 8, 2, 400L))),
+
     // HLL++ approximate distinct — engine-specific sketch, rows-only check
     ("approx_distinct",
       (s: SparkSession, d: String) =>

@@ -60,6 +60,52 @@ object Corpus {
         s"WHEN $bucket < ${trainPct + valPct} THEN 'val' ELSE 'test' END")
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates in
+    * permille, applied by hashing the document id — the corpus
+    * rebalancing step (downsample the dominant language/source,
+    * keep the rest) of a training-data pipeline. Like [[sampleSplit]]
+    * this is a stateless projection: no per-stratum counting pass, no
+    * join, any worker re-derives any doc's fate. Uses a DIFFERENT
+    * permutation than [[sampleSplit]] so sample membership and split
+    * assignment are independent (hashing both from Perms.head would
+    * correlate them: every 'test' doc would also survive sampling
+    * iff rate > 90%).
+    *
+    * `rates` maps stratum value -> keep permille; anything unlisted
+    * keeps `defaultPermille`. The rate lookup is a folded CASE
+    * expression, not a join — the rate table is part of the plan, so
+    * nothing is shuffled or broadcast at any scale. */
+  def stratifiedSample(docs: DataFrame, id: Column, stratum: Column,
+                       rates: Seq[(String, Int)],
+                       defaultPermille: Int = 1000): DataFrame = {
+    val (a, b) = Hashing.Perms(1)
+    val bucket = pmod(pmod(id, lit(Hashing.P2)) * lit(a) + lit(b),
+      lit(Hashing.P2)) % 1000
+    val rate = rates.foldRight(lit(defaultPermille): Column) {
+      case ((k, permille), acc) =>
+        when(stratum === k, lit(permille)).otherwise(acc)
+    }
+    docs.withColumn("bucket1k", bucket)
+      .withColumn("rate_permille", rate.cast("long"))
+      .filter(col("bucket1k") < col("rate_permille"))
+  }
+
+  /** DuckDB twin of [[stratifiedSample]]'s (bucket1k, rate_permille)
+    * columns; compose as `WHERE bucket1k < rate_permille`. Same
+    * sign-normalization story as [[sampleSplitSql]]. */
+  def stratifiedSampleSql(id: String, stratum: String,
+                          rates: Seq[(String, Int)],
+                          defaultPermille: Int = 1000): (String, String) = {
+    val (a, b) = Hashing.Perms(1)
+    val p2 = Hashing.P2
+    val bucket = s"((((($id % $p2 + $p2) % $p2) * $a + $b) % $p2 + $p2) % $p2) % 1000"
+    val rate = rates.foldRight(s"$defaultPermille") {
+      case ((k, permille), acc) =>
+        s"CASE WHEN $stratum = '$k' THEN $permille ELSE $acc END"
+    }
+    (bucket, s"CAST($rate AS BIGINT)")
+  }
+
   /** Corpus vocabulary: top-k tokens by total occurrences (ties broken
     * by token string), with document frequency alongside. Two stacked
     * hash aggregations: per-(token, doc) counts first (map-side partial

@@ -135,7 +135,32 @@ object Dedup {
     * docs' full band-signature arrays ride along in the join row, so
     * "no earlier band matched" is a codegen'd filter, not a shuffle. */
   def minhashCandidates(signatures: DataFrame, k: Int,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2): DataFrame =
+    minhashCandidatesWhere(signatures, k, rowsPerBand, lit(true))
+
+  /** Incremental dedup: candidates where the RIGHT doc is in the
+    * arriving batch (`doc_id >= newFrom`, ids assigned in arrival
+    * order) — each pair is new-vs-corpus or new-vs-new; settled
+    * corpus-internal pairs (both ids < newFrom) are never re-derived.
+    * THE daily-ingest shape at 100 TB: the nightly run re-pairs only
+    * against the delta, not the corpus against itself — the probe
+    * side of the band join shrinks to the batch, and with band
+    * signatures persisted/bucketed by (band, sig) the corpus side
+    * becomes a co-located lookup instead of a full reshuffle
+    * (the same watermark-delta pattern as [[graft.Queries.eventsSince]],
+    * applied to dedup). */
+  def minhashCandidatesIncremental(signatures: DataFrame, k: Int,
+                                   rowsPerBand: Int,
+                                   newFrom: Long): DataFrame =
+    minhashCandidatesWhere(signatures, k, rowsPerBand,
+      col("d2") >= newFrom)
+
+  /** Band-join core shared by the full and incremental candidate
+    * generators: `probePred` (over `d2`) prunes the probe side BEFORE
+    * the join, so its shuffle volume tracks the surviving docs. */
+  private def minhashCandidatesWhere(signatures: DataFrame, k: Int,
+                                     rowsPerBand: Int,
+                                     probePred: Column): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
     val bandVal = (b: Int) => {
@@ -152,6 +177,7 @@ object Dedup {
     val b = bands.select(col("band").as("__b2"), element_at(col("sigs"),
         col("band") + 1).as("__s2"), col("doc_id").as("d2"),
       col("sigs").as("sigs2"))
+      .filter(probePred)
     val noEarlierMatch = (0 until nBands).map { bp =>
       when(col("band") > bp, element_at(col("sigs1"), bp + 1) =!=
         element_at(col("sigs2"), bp + 1)).otherwise(lit(true))
@@ -197,6 +223,18 @@ object Dedup {
     |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     |FROM bands a JOIN bands b
     |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+
+  /** DuckDB oracle for [[minhashCandidatesIncremental]]. */
+  def minhashIncrementalOracleSql(shingle: Int, k: Int, rowsPerBand: Int,
+                                  newFrom: Long): String =
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)}
+    |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |FROM bands a JOIN bands b
+    |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    |WHERE b.doc_id >= $newFrom
     |ORDER BY d1, d2
     |""".stripMargin.trim
 

@@ -477,4 +477,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
   }
+
+  /** Symmetric int8 quantization audit: per-vector scale and the
+    * reconstruction-error stats a pipeline checks before shipping a
+    * quantized embedding table (the standard max-abs/127 scheme).
+    * Pure column expressions over one row — a projection at any
+    * scale, no shuffle.
+    *
+    * All arithmetic runs in DOUBLE on both engines (float->double is
+    * exact; /, round, *, −, abs are each single IEEE ops on identical
+    * inputs), so the error stats are bit-identical cross-engine. The
+    * reductions are max and count — order-INDEPENDENT, which is why
+    * no decimal accumulator is needed (a mean would reintroduce the
+    * fold-order problem; see the [[dot]] scaladoc).
+    *
+    * Zero vectors have no scale and emit no row (oracle mirrors).
+    *
+    *   - `max_abs`: the per-vector dynamic range
+    *   - `max_err`: worst |dequant(q_i) − v_i| (bounded by scale/2)
+    *   - `n_zero`: components quantizing to 0 — the precision lost to
+    *     one outlier dimension (motivates per-block scales at scale)
+    */
+  def quantizeStats(emb: DataFrame, id: Column, vec: Column,
+                    bits: Int = 8): DataFrame = {
+    val levels = (1 << (bits - 1)) - 1
+    emb.select(id.as("vec_id"),
+        transform(vec, v => v.cast("double")).as("__dv"))
+      // alias boundaries: each derived value is computed once per row
+      // (CollapseProject keeps multiply-referenced alias boundaries)
+      .withColumn("max_abs", array_max(transform(col("__dv"), v => abs(v))))
+      .filter(col("max_abs") > 0.0)
+      .withColumn("__scale", col("max_abs") / levels)
+      .withColumn("__q",
+        transform(col("__dv"), v => round(v / col("__scale"))))
+      .select(col("vec_id"), col("max_abs"),
+        array_max(zip_with(col("__q"), col("__dv"),
+          (q, v) => abs(q * col("__scale") - v))).as("max_err"),
+        size(filter(col("__q"), q => q === 0.0)).cast("long").as("n_zero"))
+  }
+
+  /** DuckDB twin of [[quantizeStats]] over `embeddings`. */
+  def quantizeStatsOracleSql(bits: Int = 8): String = {
+    val levels = (1 << (bits - 1)) - 1
+    s"""
+    |WITH v AS (
+    |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    |  FROM embeddings),
+    |m AS (
+    |  SELECT vec_id, dv,
+    |    list_max(list_transform(dv, x -> abs(x))) AS max_abs
+    |  FROM v),
+    |q AS (
+    |  SELECT vec_id, dv, max_abs, max_abs / $levels AS scale,
+    |    list_transform(dv, x -> round(x / (max_abs / $levels))) AS qv
+    |  FROM m WHERE max_abs > 0)
+    |SELECT vec_id, max_abs,
+    |  list_max(list_transform(range(len(dv)),
+    |    i -> abs(qv[i + 1] * scale - dv[i + 1]))) AS max_err,
+    |  CAST(len(list_filter(qv, x -> x = 0)) AS BIGINT) AS n_zero
+    |FROM q ORDER BY vec_id
+    |""".stripMargin.trim
+  }
 }

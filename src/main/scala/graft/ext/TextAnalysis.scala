@@ -115,6 +115,66 @@ object TextAnalysis {
     """CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS re_tokens""".stripMargin
 
+  /** Repetition signals in the Gopher style (Rae et al. 2021, §A1.1:
+    * "fraction of duplicate n-grams" / "fraction occupied by the most
+    * common n-gram"): boilerplate and looping generations show up as
+    * mass concentrated in few n-grams long before exact dedup fires.
+    *
+    * Shape: explode word `n`-grams (WITH repeats — occupancy is over
+    * occurrences, not types), count per (doc, gram), then fold to one
+    * row per doc. Two keyed hash aggregations; the first's map-side
+    * partial combine collapses each document's repeats before the
+    * shuffle, so shuffle volume tracks DISTINCT grams per doc. Scales
+    * like vocabTopK. Docs with fewer than `n` words have no grams and
+    * emit no row (the oracle's inner join mirrors this).
+    *
+    *   - `dup_gram_frac`: fraction of gram OCCURRENCES whose gram
+    *     appears more than once in the doc
+    *   - `top_gram_frac`: occupancy of the single most common gram
+    *   - `dup_word_frac`: 1 − distinct/total words (the 1-gram type
+    *     ratio, computable without a second explode)
+    */
+  def repetitionFeatures(docs: DataFrame, id: Column, text: Column,
+                         n: Int = 2): DataFrame = {
+    val counts = docs
+      .select(id.as("doc_id"), Dedup.words(text).as("__w"))
+      .select(col("doc_id"),
+        // carried through both aggregations as a group constant —
+        // avoids a second scan of the corpus for the word-level ratio
+        (lit(1.0) - size(array_distinct(col("__w"))).cast("double") /
+          size(col("__w")).cast("double")).as("__dwf"),
+        explode(Dedup.wordGramsFrom(col("__w"), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("__c"), first(col("__dwf")).as("__dwf"))
+    counts.groupBy(col("doc_id"))
+      .agg(first(col("__dwf")).as("dup_word_frac"),
+        sum(col("__c")).as("n_grams"),
+        (sum(when(col("__c") > 1, col("__c")).otherwise(0L)).cast("double") /
+          sum(col("__c")).cast("double")).as("dup_gram_frac"),
+        (max(col("__c")).cast("double") /
+          sum(col("__c")).cast("double")).as("top_gram_frac"))
+  }
+
+  /** DuckDB twin of [[repetitionFeatures]] over `documents`. */
+  def repetitionOracleSql(n: Int = 2): String =
+    s"""
+    |WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents),
+    |g AS (SELECT doc_id, unnest(${Dedup.wordGramsSql(n)}) AS gram FROM w),
+    |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    |r AS (SELECT doc_id,
+    |  CAST(sum(c) AS BIGINT) AS n_grams,
+    |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+    |    / CAST(sum(c) AS DOUBLE) AS dup_gram_frac,
+    |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_gram_frac
+    |FROM c GROUP BY doc_id)
+    |SELECT d.doc_id,
+    |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(str_split(d.text, ' '))) AS DOUBLE)
+    |    / CAST(len(str_split(d.text, ' ')) AS DOUBLE) AS dup_word_frac,
+    |  r.n_grams, r.dup_gram_frac, r.top_gram_frac
+    |FROM documents d JOIN r ON d.doc_id = r.doc_id
+    |ORDER BY d.doc_id
+    |""".stripMargin.trim
+
   /** Document fingerprint: full-text polynomial hash plus the minimum
     * of character 8-gram rolling hashes (the winnowing-style "pick a
     * stable representative substring hash" signal, Schleimer et al.

@@ -38,6 +38,38 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample: exact per-stratum hash rule, independent of sampleSplit") {
+    import graft.functions.Hashing
+    val sample = Corpus.stratifiedSample(docs.select("doc_id", "lang"),
+      col("doc_id"), col("lang"), Seq("en" -> 300))
+    val rows = sample.collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    val (a, b) = Hashing.Perms(1)
+    rows.foreach { r =>
+      val expected = (((BigInt(r.getAs[Long]("doc_id")).mod(Hashing.P2)) * a
+        + b).mod(Hashing.P2) % 1000).toLong
+      assert(r.getAs[Long]("bucket1k") == expected)
+      assert(r.getAs[Long]("rate_permille") ==
+        (if (r.getAs[String]("lang") == "en") 300L else 1000L))
+      assert(r.getAs[Long]("bucket1k") < r.getAs[Long]("rate_permille"))
+    }
+    // non-'en' strata keep everything at the default 1000‰
+    assert(sample.filter(col("lang") =!= "en").count() ==
+      docs.filter(col("lang") =!= "en").count())
+    // kept 'en' fraction tracks 300‰
+    val enAll = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = sample.filter(col("lang") === "en").count().toDouble
+    assert(enKept / enAll > 0.15 && enKept / enAll < 0.45,
+      s"en keep fraction ${enKept / enAll} far from 0.3")
+    // a DIFFERENT permutation than sampleSplit: membership must not be
+    // a function of the split bucket (Perms(1) vs Perms.head)
+    val joint = Corpus.sampleSplit(
+      Corpus.stratifiedSample(docs.select("doc_id", "lang"), col("doc_id"),
+        col("lang"), Seq.empty, 500), col("doc_id"))
+    assert(joint.select("split").distinct().count() == 3,
+      "a 50% sample must still contain all three splits")
+  }
+
   test("vocabTopK is ordered by count with doc-frequency bounds") {
     val top = Corpus.vocabTopK(docs, col("doc_id"), col("text"), 20).collect()
     assert(top.nonEmpty)

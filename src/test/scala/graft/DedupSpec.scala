@@ -53,6 +53,21 @@ class DedupSpec extends SparkSpec {
       "short docs must have no signature")
   }
 
+  test("incremental candidates = full candidates with a new right doc") {
+    val sigs = Dedup.minhashSignature(docs, col("doc_id"), col("text"), 3, 8)
+    val cutoff = 40L
+    val expected = Dedup.minhashCandidates(sigs, 8, 2)
+      .filter(col("d2") >= cutoff)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashCandidatesIncremental(sigs, 8, 2, cutoff)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected)
+    assert(inc.forall(_._2 >= cutoff), "no settled corpus-internal pairs")
+    // sanity: the restriction actually prunes something on the fixture
+    val full = Dedup.minhashCandidates(sigs, 8, 2).count()
+    assert(inc.size < full)
+  }
+
   test("simhash kernel is bit-identical to the aggregate formulation") {
     val fixture = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -219,6 +219,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantizeStats: hand-computed int8 audit on crafted vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)),          // zero vector -> no row
+      (3L, Array(-2.0f, 1.0f, 0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeStats(df, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 3L))
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("max_abs") == 1.0)
+    // q = [127, 0, 0, 0]: reconstruction is exact at the extremes
+    assert(d1.getAs[Double]("max_err") == 0.0)
+    assert(d1.getAs[Long]("n_zero") == 3)
+    val d3 = out(3L)
+    assert(d3.getAs[Double]("max_abs") == 2.0)
+    // worst component: 1.0/(2/127) = 63.5 rounds (half-up) to 64 ->
+    // |64·(2/127) − 1| = 1/127, exactly scale/2
+    assert(math.abs(d3.getAs[Double]("max_err") - 1.0 / 127) < 1e-15)
+    assert(d3.getAs[Long]("n_zero") == 1)
+  }
+
+  test("quantizeStats: error bounded by scale/2 across the fixture") {
+    val stats = Similarity.quantizeStats(emb, col("vec_id"), col("embedding"))
+    assert(stats.count() == emb.count(), "no zero vectors in the fixture")
+    val bad = stats.filter(
+      col("max_err") > col("max_abs") / 127 / 2 + lit(1e-12)).count()
+    assert(bad == 0, "round-to-nearest keeps err <= scale/2")
+  }
+
   test("SRP-LSH topK is a subset-quality approximation of brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val approx = Similarity.lshCosineTopK(emb, queries, 3, 64, 6)

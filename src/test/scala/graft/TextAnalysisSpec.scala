@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("repetitionFeatures: hand-computed fractions on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),   // one word repeated: bigram "a a" x3
+      (2L, "a b c d"),   // all distinct
+      (3L, "x")          // too short for a bigram -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(docs, col("doc_id"),
+      col("text"), 2).collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out.keySet == Set(1L, 2L), "doc 3 has no bigrams")
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("dup_word_frac") == 0.75)   // 1 - 1/4
+    assert(d1.getAs[Long]("n_grams") == 3)
+    assert(d1.getAs[Double]("dup_gram_frac") == 1.0)
+    assert(d1.getAs[Double]("top_gram_frac") == 1.0)
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(d2.getAs[Long]("n_grams") == 3)
+    assert(d2.getAs[Double]("dup_gram_frac") == 0.0)
+    assert(d2.getAs[Double]("top_gram_frac") == 1.0 / 3.0)
+  }
+
+  test("repetitionFeatures: fractions bounded and consistent on the fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rep = TextAnalysis.repetitionFeatures(docs, col("doc_id"),
+      col("text"), 2)
+    val bad = rep.filter(
+      col("dup_gram_frac") < 0 || col("dup_gram_frac") > 1 ||
+        col("top_gram_frac") <= 0 || col("top_gram_frac") > 1 ||
+        col("dup_word_frac") < 0 || col("dup_word_frac") >= 1 ||
+        // top occupancy can never be below 1/n_grams (tolerance for
+        // the double division round-trip: x/y*y can land one ulp low)
+        col("top_gram_frac") * col("n_grams") < 1 - 1e-9).count()
+    assert(bad == 0)
+    // every doc with >= 2 words emits exactly one row
+    assert(rep.count() ==
+      docs.filter(size(split(col("text"), " ")) >= 2).count())
+  }
+}
