@@ -864,6 +864,15 @@ object Queries {
             col("text"), 3, 8), 8, 2, 400L).orderBy("d1", "d2"),
       Some(Dedup.minhashIncrementalOracleSql(3, 8, 2, 400L))),
 
+    // Train/test leakage scan: corpus docs sharing >= 10% of their
+    // 3-grams with the held-out eval slice (source = 'src19')
+    ("contamination_check",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.contamination(t(s, d, "documents"), col("doc_id"),
+            col("text"), col("source") === "src19", 3, 0.1)
+          .orderBy("doc_id"),
+      Some(ext.Corpus.contaminationOracleSql("source = 'src19'", 3, 0.1))),
+
     // HLL++ approximate distinct — engine-specific sketch, rows-only check
     ("approx_distinct",
       (s: SparkSession, d: String) =>

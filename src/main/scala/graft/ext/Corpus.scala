@@ -186,6 +186,64 @@ object Corpus {
     |ORDER BY doc_id, rank
     |""".stripMargin.trim
 
+  /** Benchmark-contamination scan: for every corpus doc, the fraction
+    * of its distinct word `n`-grams that also occur anywhere in a
+    * held-out evaluation set — the train/test leakage check a corpus
+    * must pass before the eval numbers mean anything (the standard
+    * published recipe is exactly this n-gram-overlap form).
+    *
+    * Shape: distinct (doc, gram) on the corpus side, distinct grams on
+    * the (much smaller) eval side, LEFT SEMI join on gram to count
+    * matches, join back to per-doc totals. Everything shuffles on the
+    * gram / doc_id keys — never doc×doc pairs — and the eval gram set
+    * broadcasts when small. At 100 TB this is the scalable formulation:
+    * cost tracks corpus gram volume, not corpus × eval.
+    *
+    * Returns docs with `contamination_frac >= minFrac` (matched and
+    * total gram counts alongside, so the caller can re-threshold). */
+  def contamination(docs: DataFrame, id: Column, text: Column,
+                    isEval: Column, n: Int = 3,
+                    minFrac: Double = 0.1): DataFrame = {
+    val corpusGrams = Dedup.explodedGrams(docs.filter(!isEval), id, text, n)
+    val evalGrams = Dedup.explodedGrams(docs.filter(isEval), id, text, n)
+      .select("gram").distinct()
+    val totals = corpusGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val matched = corpusGrams.join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contamination_frac",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+      .filter(col("contamination_frac") >= minFrac)
+  }
+
+  /** DuckDB twin of [[contamination]] over `documents`, with the eval
+    * set selected by `evalPred` (a SQL predicate over the table's
+    * columns). */
+  def contaminationOracleSql(evalPred: String, n: Int = 3,
+                             minFrac: Double = 0.1): String =
+    s"""
+    |WITH w AS (SELECT doc_id, $evalPred AS is_eval, text,
+    |           str_split(text, ' ') AS w FROM documents),
+    |g AS (SELECT DISTINCT doc_id, is_eval, gram
+    |      FROM (SELECT doc_id, is_eval,
+    |              unnest(${Dedup.wordGramsSql(n)}) AS gram FROM w)),
+    |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval),
+    |corpus AS (SELECT doc_id, gram FROM g WHERE NOT is_eval),
+    |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+    |m AS (SELECT doc_id, count(*) AS n_matched FROM corpus
+    |      WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
+    |SELECT doc_id, n_grams, n_matched, contamination_frac FROM (
+    |  SELECT t.doc_id, t.n_grams,
+    |    CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+    |    CAST(coalesce(m.n_matched, 0) AS DOUBLE)
+    |      / CAST(t.n_grams AS DOUBLE) AS contamination_frac
+    |  FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id)
+    |WHERE contamination_frac >= $minFrac
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
   /** Exact length quantiles per group (R-7 linear interpolation —
     * Spark's `percentile` and DuckDB's `quantile_cont` share the
     * definition, and the interpolation arithmetic on integer inputs

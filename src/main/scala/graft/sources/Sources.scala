@@ -54,6 +54,44 @@ object Sources {
                        mode: String = "overwrite"): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Sort-clustered parquet sink: range-partition then sort within
+    * partitions by `sortCols`, so each output file covers a narrow
+    * value range and every row group's min/max statistics are tight.
+    * A later `WHERE sortCol BETWEEN ..` scan skips whole files and row
+    * groups — the layout-level answer to the reference's clustered
+    * index (SURVEY §4), and the cheap 80% of what Z-ordering buys when
+    * one column dominates the predicates (watermark timestamps here). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  mode: String = "overwrite"): Unit =
+    df.repartitionByRange(sortCols.map(df(_)): _*)
+      .sortWithinPartitions(sortCols.map(df(_)): _*)
+      .write.mode(mode).parquet(path)
+
+  /** Small-file compaction: rewrite a directory into
+    * ceil(bytes / targetFileBytes) files. Streaming micro-batches and
+    * per-partition appends accumulate thousands of KB-scale files;
+    * scan cost then tracks FILE COUNT (open/footer/seek per file), not
+    * data volume — at 100 TB an uncompacted table can spend longer
+    * listing and opening than reading. Run periodically from the
+    * maintenance window, like the reference's index rebuild (J43).
+    * Rewrites to a staging dir + rename via StagedWrite would make it
+    * atomic; kept simple here because compaction is idempotent. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction rename failed: $tmp -> $path")
+  }
+
   /** Bucketed external table: rows hash-distributed into `nBuckets`
     * files by `bucketCol`, sorted within buckets. Two tables bucketed
     * the same way join WITHOUT a shuffle — the co-located-join answer

@@ -55,6 +55,32 @@ class SourcesSpec extends SparkSpec {
     assert(files.forall(_.contains("c_mktsegment=AUTOMOBILE")))
   }
 
+  test("sorted write clusters a key range into one file") {
+    val dir = tmp("src-sorted") + "/orders"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    Sources.writeSorted(orders, dir, Seq("o_orderkey"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    // range-partitioned + sorted: a narrow key range lives in exactly
+    // one file, so min/max stats let scans skip the rest
+    val lo = orders.agg(min("o_orderkey")).head().getLong(0)
+    val files = back.filter(col("o_orderkey") <= lo + 5)
+      .select(input_file_name()).distinct().collect()
+    assert(files.length == 1, s"range not clustered: ${files.length} files")
+  }
+
+  test("compact rewrites many small files into few, preserving data") {
+    val dir = tmp("src-compact") + "/customer"
+    customer.repartition(37).write.parquet(dir)
+    def nFiles = spark.read.parquet(dir).select(input_file_name())
+      .distinct().count()
+    assert(nFiles == 37)
+    Sources.compact(spark, dir)
+    assert(nFiles <= 2, s"expected compacted file count, got $nFiles")
+    assert(spark.read.parquet(dir).orderBy("c_custkey").collect().toSeq ==
+      customer.orderBy("c_custkey").collect().toSeq)
+  }
+
   test("same-bucketed tables join without a shuffle") {
     val dir = tmp("src-bucket")
     Sources.writeBucketed(customer, "cust_b", s"$dir/cust", "c_custkey", 4)
