@@ -864,6 +864,31 @@ object Queries {
             col("text"), 3, 8), 8, 2, 400L).orderBy("d1", "d2"),
       Some(Dedup.minhashIncrementalOracleSql(3, 8, 2, 400L))),
 
+    // Quality-aware dedup keep: among near-dups keep the best-scoring
+    // doc, not the smallest id
+    ("neardup_best_keep",
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupBestKeep(t(s, d, "documents"), col("doc_id"),
+            col("text"), TextAnalysis.qualityScore(col("text")), 3)
+          .orderBy("doc_id"),
+      Some(Dedup.nearDupBestKeepOracleSql(
+        TextAnalysis.qualityScoreSql("text"), 3))),
+
+    // Fixed-width length histogram per language (two-key hash agg —
+    // bucket id is a projection, so the histogram is one shuffle)
+    ("length_histogram",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .groupBy(col("lang"),
+            (floor(col("n_chars") / 100) * 100).cast("long").as("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "len_bucket"),
+      Some("""SELECT lang,
+        |  CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang, len_bucket
+        |ORDER BY lang, len_bucket""".stripMargin)),
+
     // Train/test leakage scan: corpus docs sharing >= 10% of their
     // 3-grams with the held-out eval slice (source = 'src19')
     ("contamination_check",

@@ -206,13 +206,13 @@ object Corpus {
                     minFrac: Double = 0.1): DataFrame = {
     val corpusGrams = Dedup.explodedGrams(docs.filter(!isEval), id, text, n)
     val evalGrams = Dedup.explodedGrams(docs.filter(isEval), id, text, n)
-      .select("gram").distinct()
-    val totals = corpusGrams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
-    val matched = corpusGrams.join(evalGrams, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    totals.join(matched, Seq("doc_id"), "left")
-      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .select("gram").distinct().withColumn("__hit", lit(1))
+    // one explode of the corpus: the membership probe is a left join
+    // against the (broadcast) eval grams and both counts come out of
+    // the same aggregation — `count(__hit)` skips the nulls
+    corpusGrams.join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_matched"))
       .withColumn("contamination_frac",
         col("n_matched").cast("double") / col("n_grams").cast("double"))
       .filter(col("contamination_frac") >= minFrac)

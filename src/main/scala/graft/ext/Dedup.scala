@@ -544,6 +544,69 @@ object Dedup {
     docs.join(pairs.select(col("d2").as("__drop")),
       id === col("__drop"), "left_anti")
 
+  /** Quality-aware keep/drop: among near-duplicates, keep the BEST doc
+    * (highest `quality`, id as the tiebreak) instead of the smallest
+    * id — what a production pipeline actually wants: dedup should
+    * discard the low-quality copy, not whichever happened to arrive
+    * first. Same one-hop rule and retention caveat as
+    * [[keepAfterNearDup]], with "smaller id" replaced by the total
+    * order (quality DESC, id ASC): a doc is dropped iff some direct
+    * near-duplicate beats it. Docs whose text yields no signature
+    * (too short / null) never pair and are always kept.
+    *
+    * Shape: banded pairs (never all-pairs), two doc-keyed broadcast-
+    * able joins to attach quality to both pair ends, a doc-keyed
+    * distinct on the drop set, one anti join. Scales like
+    * [[simhashPairs]]. */
+  def nearDupBestKeep(docs: DataFrame, id: Column, text: Column,
+                      quality: Column, maxHamming: Int = 3): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("__text"),
+      quality.as("quality"))
+    val pairs = simhashPairs(
+      simhash(base, col("doc_id"), col("__text")), maxHamming)
+    // both directions: "x loses to neighbor y" must test each end
+    val edges = pairs.select(col("d1").as("x"), col("d2").as("y"))
+      .unionByName(pairs.select(col("d2").as("x"), col("d1").as("y")))
+    val q = base.select(col("doc_id"), col("quality"))
+    val dropped = edges
+      .join(q.select(col("doc_id").as("x"), col("quality").as("__qx")),
+        Seq("x"))
+      .join(q.select(col("doc_id").as("y"), col("quality").as("__qy")),
+        Seq("y"))
+      .filter(col("__qy") > col("__qx") ||
+        (col("__qy") === col("__qx") && col("y") < col("x")))
+      .select(col("x").as("doc_id")).distinct()
+    base.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality"))
+  }
+
+  /** DuckDB oracle for [[nearDupBestKeep]] over `documents`, with the
+    * quality score given as a SQL expression over `text`. */
+  def nearDupBestKeepOracleSql(qualitySql: String,
+                               maxHamming: Int = 3): String =
+    s"""
+    |WITH $simhashCtes,
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+    |q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+    |edges AS (SELECT d1 AS x, d2 AS y FROM pairs
+    |          UNION ALL SELECT d2 AS x, d1 AS y FROM pairs),
+    |dropped AS (
+    |  SELECT DISTINCT e.x AS doc_id
+    |  FROM edges e
+    |  JOIN q qx ON qx.doc_id = e.x
+    |  JOIN q qy ON qy.doc_id = e.y
+    |  WHERE qy.quality > qx.quality
+    |     OR (qy.quality = qx.quality AND e.y < e.x))
+    |SELECT d.doc_id, q.quality FROM documents d
+    |JOIN q ON q.doc_id = d.doc_id
+    |WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE dropped.doc_id = d.doc_id)
+    |ORDER BY d.doc_id
+    |""".stripMargin.trim
+
   /** Distinct ids to drop under the one-hop rule (d has a smaller-id
     * doc within `maxHamming`), computed WITHOUT materializing the pair
     * set. Two-level decomposition keeps the band join off the

@@ -65,6 +65,28 @@ object TextAnalysis {
     |""".stripMargin.trim
   }
 
+  /** The blended quality score as a standalone column (stopword ratio
+    * 0.3 + distinct-token ratio 0.7) — the ranking signal
+    * [[qualityFeatures]] emits, reusable where only the scalar is
+    * needed (e.g. quality-aware dedup keep rules). */
+  def qualityScore(text: Column): Column = {
+    val w = split(text, " ")
+    val nTokens = size(w).cast("long")
+    val stopHits = hits(w, Markers.head._2)
+    (stopHits.cast("double") / nTokens.cast("double")) * lit(0.3) +
+      (size(array_distinct(w)).cast("long").cast("double") /
+        nTokens.cast("double")) * lit(0.7)
+  }
+
+  /** DuckDB twin of [[qualityScore]] over a `text` column. */
+  def qualityScoreSql(text: String): String = {
+    val stop = Markers.head._2.map(x => s"'$x'").mkString(", ")
+    s"(CAST(len(list_filter(str_split($text, ' '), t -> t IN ($stop))) AS DOUBLE)" +
+      s" / CAST(len(str_split($text, ' ')) AS DOUBLE)) * 0.3 + " +
+      s"(CAST(len(list_distinct(str_split($text, ' '))) AS DOUBLE)" +
+      s" / CAST(len(str_split($text, ' ')) AS DOUBLE)) * 0.7"
+  }
+
   /** Quality features: token count, mean token length, stopword ratio,
     * alpha ratio — plus a blended score. Ratios are double divisions
     * of exact longs (same IEEE op both engines). */

@@ -68,6 +68,22 @@ class DedupSpec extends SparkSpec {
     assert(inc.size < full)
   }
 
+  test("nearDupBestKeep keeps the highest-quality near-dup, id as tiebreak") {
+    import spark.implicits._
+    val t1 = "spark shuffle partition join broadcast catalyst codegen"
+    val t2 = "apple banana cherry date elderberry fig grape kiwi"
+    val docs = Seq(
+      (1L, t1, 0.1),  // near-dup of 2 and 4, lowest quality -> dropped
+      (2L, t1, 0.9),  // best of its group -> kept
+      (3L, t2, 0.5),  // no near-dup -> kept
+      (4L, t1, 0.9)   // ties 2 on quality, larger id -> dropped
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.nearDupBestKeep(docs, col("doc_id"), col("text"),
+      col("q")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // the min-id rule would have kept doc 1 instead: quality order wins
+  }
+
   test("simhash kernel is bit-identical to the aggregate formulation") {
     val fixture = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

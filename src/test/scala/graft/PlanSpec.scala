@@ -94,6 +94,43 @@ class PlanSpec extends SparkSpec {
       s"band join lost its explicit-N spread:\n$candPlan")
   }
 
+  test("group_topk ranks through WindowGroupLimit (partial top-k)") {
+    val p = plan("group_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k did not plan as WindowGroupLimit:\n$p")
+  }
+
+  test("stratified_sample and pii_mask are pure projections: no shuffle, no join") {
+    Seq("stratified_sample", "pii_mask").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("contamination_check pushes the eval-slice filter and broadcasts eval grams") {
+    val p = plan("contamination_check")
+    assert(p.contains("Not(EqualTo(source,src19))"),
+      s"corpus-side source filter not pushed to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set should broadcast at this scale:\n$p")
+    // never doc x doc: no join keyed on two doc ids
+    val docPairJoin = """Join .*doc_id#\d+L\), (.*)?doc_id#\d+L\)""".r
+    assert(docPairJoin.findFirstIn(p).isEmpty,
+      s"doc-pair join appeared in contamination scan:\n$p")
+  }
+
+  test("dedup_incremental prunes the probe side before the band join") {
+    val p = plan("dedup_incremental")
+    // the batch filter must sit under the join (on d2's side), not
+    // above it as a post-filter on the pair stream
+    assert("""Filter .*>= 400\)""".r.findFirstIn(p).isDefined,
+      s"probe-side batch filter missing:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("REPARTITION_BY_NUM"),
+      s"band join lost its spread:\n$p")
+  }
+
   test("simhash_dedup emits pairs without a pair-keyed distinct") {
     val p = plan("simhash_dedup")
     // the first-matching-band filter replaced the pair-level distinct:
