@@ -564,9 +564,13 @@ object Dedup {
       quality.as("quality"))
     val pairs = simhashPairs(
       simhash(base, col("doc_id"), col("__text")), maxHamming)
-    // both directions: "x loses to neighbor y" must test each end
-    val edges = pairs.select(col("d1").as("x"), col("d2").as("y"))
-      .unionByName(pairs.select(col("d2").as("x"), col("d1").as("y")))
+    // both directions: "x loses to neighbor y" must test each end.
+    // explode-of-two-structs, NOT a self-union — a union would execute
+    // the band-join subtree once per branch
+    val edges = pairs.select(explode(array(
+        struct(col("d1").as("x"), col("d2").as("y")),
+        struct(col("d2").as("x"), col("d1").as("y")))).as("__e"))
+      .select(col("__e.x").as("x"), col("__e.y").as("y"))
     val q = base.select(col("doc_id"), col("quality"))
     val dropped = edges
       .join(q.select(col("doc_id").as("x"), col("quality").as("__qx")),
@@ -698,9 +702,12 @@ object Dedup {
     val reps = bySig.select(col("rep").as("doc_id"), col("simhash"))
     val pairs = simhashPairs(reps, maxHamming).select(col("d1"), col("d2"))
     // propagation needs both directions; materialize once — every
-    // round re-joins the same edge set
-    val edgesAll = pairs.unionByName(
-      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    // round re-joins the same edge set. Explode-of-two-structs, not a
+    // self-union: a union executes the band-join subtree per branch
+    val edgesAll = pairs.select(explode(array(
+        struct(col("d1"), col("d2")),
+        struct(col("d2").as("d1"), col("d1").as("d2")))).as("__e"))
+      .select(col("__e.d1").as("d1"), col("__e.d2").as("d2"))
       .localCheckpoint()
     // Size the ITERATION frames by the measured edge count — the same
     // input-sized reasoning AQE applies, at the checkpoint boundaries
