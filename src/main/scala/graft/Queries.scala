@@ -867,10 +867,17 @@ object Queries {
     // Quality-aware dedup keep: among near-dups keep the best-scoring
     // doc, not the smallest id
     ("neardup_best_keep",
-      (s: SparkSession, d: String) =>
-        Dedup.nearDupBestKeep(t(s, d, "documents"), col("doc_id"),
-            col("text"), TextAnalysis.qualityScore(col("text")), 3)
-          .orderBy("doc_id"),
+      (s: SparkSession, d: String) => {
+        // split once behind an alias boundary; the score references
+        // the words array four times (see qualityScoreFrom scaladoc)
+        val withQ = t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            split(col("text"), " ").as("__w"))
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScoreFrom(col("__w")).as("__q"))
+        Dedup.nearDupBestKeep(withQ, col("doc_id"), col("text"),
+          col("__q"), 3).orderBy("doc_id")
+      },
       Some(Dedup.nearDupBestKeepOracleSql(
         TextAnalysis.qualityScoreSql("text"), 3))),
 

@@ -28,14 +28,8 @@ object Corpus {
     * table. */
   def sampleSplit(docs: DataFrame, id: Column, trainPct: Int = 80,
                   valPct: Int = 10): DataFrame = {
-    // reduce the id into [0, P2) BEFORE the multiply: id·a would
-    // silently wrap int64 for |id| above ~2.8e14 in Spark's non-ANSI
-    // arithmetic while the DuckDB twin errors on BIGINT overflow —
-    // the reduced form is congruent mod P2 (identical buckets where
-    // the raw form didn't wrap) and its product is bounded by
-    // P2·a < 2^47, so neither engine can overflow on any int64 id
-    val bucket = pmod(pmod(id, lit(Hashing.P2)) * lit(Hashing.Perms.head._1) +
-      lit(Hashing.Perms.head._2), lit(Hashing.P2)) % 100
+    // overflow-safe hash bucket: see Hashing.permBucket's scaladoc
+    val bucket = Hashing.permBucket(id, 0, 100)
     docs.withColumn("bucket", bucket)
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
@@ -44,17 +38,11 @@ object Corpus {
   }
 
   /** DuckDB twin of [[sampleSplit]]'s bucket/split columns over an id
-    * SQL expression. DuckDB's `%` is sign-preserving while Spark's
-    * `pmod` is not, so the twin normalizes into [0, P2) explicitly —
-    * without it a negative id would bucket negative here and the two
-    * engines would assign different splits. */
+    * SQL expression (sign normalization per
+    * [[graft.functions.Hashing.permBucketSql]]). */
   def sampleSplitSql(id: String, trainPct: Int = 80,
                      valPct: Int = 10): (String, String) = {
-    val (a, b) = Hashing.Perms.head
-    val p2 = Hashing.P2
-    // same mod-before-multiply reduction as the Spark side (see
-    // sampleSplit): keeps the product below 2^47 on any int64 id
-    val bucket = s"((((($id % $p2 + $p2) % $p2) * $a + $b) % $p2 + $p2) % $p2) % 100"
+    val bucket = Hashing.permBucketSql(id, 0, 100)
     (bucket,
       s"CASE WHEN $bucket < $trainPct THEN 'train' " +
         s"WHEN $bucket < ${trainPct + valPct} THEN 'val' ELSE 'test' END")
@@ -78,9 +66,7 @@ object Corpus {
   def stratifiedSample(docs: DataFrame, id: Column, stratum: Column,
                        rates: Seq[(String, Int)],
                        defaultPermille: Int = 1000): DataFrame = {
-    val (a, b) = Hashing.Perms(1)
-    val bucket = pmod(pmod(id, lit(Hashing.P2)) * lit(a) + lit(b),
-      lit(Hashing.P2)) % 1000
+    val bucket = Hashing.permBucket(id, 1, 1000)
     val rate = rates.foldRight(lit(defaultPermille): Column) {
       case ((k, permille), acc) =>
         when(stratum === k, lit(permille)).otherwise(acc)
@@ -91,14 +77,11 @@ object Corpus {
   }
 
   /** DuckDB twin of [[stratifiedSample]]'s (bucket1k, rate_permille)
-    * columns; compose as `WHERE bucket1k < rate_permille`. Same
-    * sign-normalization story as [[sampleSplitSql]]. */
+    * columns; compose as `WHERE bucket1k < rate_permille`. */
   def stratifiedSampleSql(id: String, stratum: String,
                           rates: Seq[(String, Int)],
                           defaultPermille: Int = 1000): (String, String) = {
-    val (a, b) = Hashing.Perms(1)
-    val p2 = Hashing.P2
-    val bucket = s"((((($id % $p2 + $p2) % $p2) * $a + $b) % $p2 + $p2) % $p2) % 1000"
+    val bucket = Hashing.permBucketSql(id, 1, 1000)
     val rate = rates.foldRight(s"$defaultPermille") {
       case ((k, permille), acc) =>
         s"CASE WHEN $stratum = '$k' THEN $permille ELSE $acc END"
@@ -193,11 +176,19 @@ object Corpus {
     * published recipe is exactly this n-gram-overlap form).
     *
     * Shape: distinct (doc, gram) on the corpus side, distinct grams on
-    * the (much smaller) eval side, LEFT SEMI join on gram to count
-    * matches, join back to per-doc totals. Everything shuffles on the
-    * gram / doc_id keys — never doc×doc pairs — and the eval gram set
-    * broadcasts when small. At 100 TB this is the scalable formulation:
-    * cost tracks corpus gram volume, not corpus × eval.
+    * the (much smaller) eval side, a broadcast membership join on gram,
+    * one aggregation for both counts. Everything shuffles on the
+    * gram / doc_id keys — never doc×doc pairs. At 100 TB this is the
+    * scalable formulation: cost tracks corpus gram volume, not
+    * corpus × eval.
+    *
+    * The source is deliberately scanned once per side (corpus and
+    * eval are two branches of the DAG; Spark shares no scan across
+    * branches short of materializing the full gram stream, which at
+    * corpus scale costs more than the second scan). The eval predicate
+    * pushes into both scans, so the eval-side scan prunes to the
+    * slice — and in a real pipeline the eval set is its own small
+    * table, making the question moot.
     *
     * Returns docs with `contamination_frac >= minFrac` (matched and
     * total gram counts alongside, so the caller can re-threshold). */

@@ -65,18 +65,28 @@ object TextAnalysis {
     |""".stripMargin.trim
   }
 
-  /** The blended quality score as a standalone column (stopword ratio
-    * 0.3 + distinct-token ratio 0.7) — the ranking signal
-    * [[qualityFeatures]] emits, reusable where only the scalar is
-    * needed (e.g. quality-aware dedup keep rules). */
-  def qualityScore(text: Column): Column = {
-    val w = split(text, " ")
+  /** The blended quality score over a PRE-SPLIT words column
+    * (stopword ratio 0.3 + distinct-token ratio 0.7) — the ranking
+    * signal [[qualityFeatures]] emits, reusable where only the scalar
+    * is needed (e.g. quality-aware dedup keep rules). Takes the words
+    * array rather than raw text so callers can pin the split behind an
+    * alias boundary (`select(split(text, " ").as("__w"))`) and pay it
+    * once — inlined into the four references below, an unaliased
+    * split would re-tokenize every document 4× (the
+    * [[graft.ext.Dedup.wordGramsFrom]] trap; HOF arguments evaluate
+    * interpreted, outside codegen subexpression elimination). */
+  def qualityScoreFrom(w: Column): Column = {
     val nTokens = size(w).cast("long")
     val stopHits = hits(w, Markers.head._2)
     (stopHits.cast("double") / nTokens.cast("double")) * lit(0.3) +
       (size(array_distinct(w)).cast("long").cast("double") /
         nTokens.cast("double")) * lit(0.7)
   }
+
+  /** [[qualityScoreFrom]] over raw text — convenience for one-off /
+    * small-input contexts; hot paths pre-split (see above). */
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(split(text, " "))
 
   /** DuckDB twin of [[qualityScore]] over a `text` column. */
   def qualityScoreSql(text: String): String = {
@@ -91,11 +101,14 @@ object TextAnalysis {
     * alpha ratio — plus a blended score. Ratios are double divisions
     * of exact longs (same IEEE op both engines). */
   def qualityFeatures(df: DataFrame, text: Column): DataFrame = {
-    val w = split(text, " ")
+    // split once behind an alias boundary (multiply-referenced alias
+    // survives CollapseProject), not per referencing expression
+    val w = col("__w")
     val nTokens = size(w).cast("long")
     val nChars = length(text).cast("long")
     val stopHits = hits(w, Markers.head._2)
-    df.withColumn("n_tokens", nTokens)
+    df.withColumn("__w", split(text, " "))
+      .withColumn("n_tokens", nTokens)
       .withColumn("n_chars_computed", nChars)
       .withColumn("mean_token_len",
         (nChars - (nTokens - 1)).cast("double") / nTokens.cast("double"))
@@ -105,6 +118,7 @@ object TextAnalysis {
         size(array_distinct(w)).cast("long").cast("double") / nTokens.cast("double"))
       .withColumn("quality_score",
         col("stopword_ratio") * lit(0.3) + col("distinct_ratio") * lit(0.7))
+      .drop("__w")
   }
 
   def qualityFeaturesSqlColumns: String = {

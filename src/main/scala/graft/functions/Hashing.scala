@@ -54,6 +54,30 @@ object Hashing {
     pmod(h * lit(a) + lit(b), lit(P2))
   }
 
+  /** Deterministic bucket in [0, mod) of an int64 id via permutation
+    * `i` — the single source of the sampling/split assignment hash
+    * (different perm indices give mutually independent assignments).
+    *
+    * The id is reduced into [0, P2) BEFORE the multiply: id·a would
+    * silently wrap int64 for |id| above ~2.8e14 in Spark's non-ANSI
+    * arithmetic while the DuckDB twin errors on BIGINT overflow — the
+    * reduced form is congruent mod P2 (identical buckets where the raw
+    * form didn't wrap) and its product is bounded by P2·a < 2^47, so
+    * neither engine can overflow on any int64 id. */
+  def permBucket(id: Column, i: Int, mod: Int): Column = {
+    val (a, b) = Perms(i)
+    pmod(pmod(id, lit(P2)) * lit(a) + lit(b), lit(P2)) % mod
+  }
+
+  /** DuckDB twin of [[permBucket]]. DuckDB's `%` is sign-preserving
+    * while Spark's `pmod` is not, so the twin normalizes into [0, P2)
+    * explicitly — without it a negative id would bucket negative and
+    * the engines would diverge. Same mod-before-multiply reduction. */
+  def permBucketSql(id: String, i: Int, mod: Int): String = {
+    val (a, b) = Perms(i)
+    s"((((($id % $P2 + $P2) % $P2) * $a + $b) % $P2 + $P2) % $P2) % $mod"
+  }
+
   /** i-th minhash permutation (DuckDB oracle side). */
   def permSql(h: String, i: Int): String = {
     val (a, b) = Perms(i)

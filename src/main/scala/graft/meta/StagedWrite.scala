@@ -32,12 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StagedWrite {
 
-  def overwrite(df: DataFrame, target: String): Unit = {
+  def overwrite(df: DataFrame, target: String,
+                partitionCols: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
     recover(spark, target)
     val staging =
       new Path(target + ".staging-" + UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").parquet(staging.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(staging.toString)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tgt = new Path(target)
     val old = new Path(target + ".old")

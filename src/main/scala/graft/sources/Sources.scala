@@ -74,22 +74,29 @@ object Sources {
     * data volume — at 100 TB an uncompacted table can spend longer
     * listing and opening than reading. Run periodically from the
     * maintenance window, like the reference's index rebuild (J43).
-    * Rewrites to a staging dir + rename via StagedWrite would make it
-    * atomic; kept simple here because compaction is idempotent. */
+    *
+    * Publishes through [[graft.meta.StagedWrite]] (staging dir first,
+    * then the rename dance), so a complete copy exists on disk at
+    * every instant — a crash mid-compaction never loses the table, and
+    * `StagedWrite.recover` heals any leftover.
+    *
+    * Hive-partitioned tables MUST pass their `partitionCols` or the
+    * rewrite would flatten the directory layout and lose partition
+    * pruning; partitioned compaction clusters each partition value
+    * into one task → one file per partition directory (the usual goal;
+    * `targetFileBytes` only drives the unpartitioned file count). */
   def compact(spark: SparkSession, path: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              partitionCols: Seq[String] = Seq.empty): Unit = {
     val df = spark.read.parquet(path)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = math.max(1,
-      math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compaction rename failed: $tmp -> $path")
+    val repartitioned = if (partitionCols.nonEmpty) {
+      df.repartition(partitionCols.map(df(_)): _*)
+    } else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      df.repartition(math.max(1,
+        math.ceil(bytes.toDouble / targetFileBytes).toInt))
+    }
+    graft.meta.StagedWrite.overwrite(repartitioned, path, partitionCols)
   }
 
   /** Bucketed external table: rows hash-distributed into `nBuckets`

@@ -124,9 +124,16 @@ class PlanSpec extends SparkSpec {
   test("dedup_incremental prunes the probe side before the band join") {
     val p = plan("dedup_incremental")
     // the batch filter must sit under the join (on d2's side), not
-    // above it as a post-filter on the pair stream
-    assert("""Filter .*>= 400\)""".r.findFirstIn(p).isDefined,
-      s"probe-side batch filter missing:\n$p")
+    // above it as a post-filter on the pair stream: in the plan-tree
+    // rendering, children print BELOW their parent, so the filter's
+    // offset must come after the first join's
+    val fi = """Filter .*>= 400\)""".r.findFirstMatchIn(p)
+    assert(fi.isDefined, s"probe-side batch filter missing:\n$p")
+    val ji = """(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)""".r
+      .findFirstMatchIn(p)
+    assert(ji.isDefined, s"band join missing:\n$p")
+    assert(fi.get.start > ji.get.start,
+      s"batch filter sits ABOVE the band join (post-filter regression):\n$p")
     assert(!p.contains("SortMergeJoin") || p.contains("REPARTITION_BY_NUM"),
       s"band join lost its spread:\n$p")
   }

@@ -81,6 +81,28 @@ class SourcesSpec extends SparkSpec {
       customer.orderBy("c_custkey").collect().toSeq)
   }
 
+  test("compact preserves hive partition layout when given partition columns") {
+    val dir = tmp("src-compact-part") + "/customer"
+    Sources.writePartitioned(customer.repartition(8), dir,
+      Seq("c_mktsegment"))
+    val before = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    Sources.compact(spark, dir, partitionCols = Seq("c_mktsegment"))
+    val files = spark.read.parquet(dir).select(input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(files.length < before, "compaction must reduce file count")
+    // layout survived: every file still lives under a partition dir
+    assert(files.forall(_.contains("c_mktsegment=")),
+      s"partition layout flattened:\n${files.mkString("\n")}")
+    // and pruning still works
+    val one = spark.read.parquet(dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(one.nonEmpty &&
+      one.forall(_.contains("c_mktsegment=AUTOMOBILE")))
+    assert(spark.read.parquet(dir).count() == customer.count())
+  }
+
   test("same-bucketed tables join without a shuffle") {
     val dir = tmp("src-bucket")
     Sources.writeBucketed(customer, "cust_b", s"$dir/cust", "c_custkey", 4)
