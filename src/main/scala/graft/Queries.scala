@@ -472,6 +472,56 @@ object Queries {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // Extension: time-range sliding window (RANGE frame over epoch
+    // seconds — the trailing-7-day aggregate; RANGE, not ROWS, so all
+    // peers at a timestamp are in-frame and the result is
+    // order-deterministic within peers)
+    ("sliding_window",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        // NTZ has no direct long cast; the UTC session makes
+        // ntz->ltz->epoch the same wall-clock seconds DuckDB's
+        // epoch() reads off the naive timestamp
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(expr("unix_seconds(cast(o_orderdate as timestamp))"))
+          .rangeBetween(-7L * 86400, 0)
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate"),
+            sum(col("o_totalprice").cast("decimal(14,2)")).over(w)
+              .cast("decimal(18,2)").cast("double").as("spend_7d"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS spend_7d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Extension: GROUPING SETS with grouping() markers (the general
+    // form rollup/cube specialize; planned as one Expand + one agg)
+    ("grouping_sets",
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  count(*) AS n_rows
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+          |  l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin)),
+
     // Extension: lag/lead analytics over a keyed order
     ("lag_lead",
       (s: SparkSession, d: String) => {
