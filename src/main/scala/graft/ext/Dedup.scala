@@ -155,28 +155,40 @@ object Dedup {
     minhashCandidatesWhere(signatures, k, rowsPerBand,
       col("d2") >= newFrom)
 
-  /** Band-join core shared by the full and incremental candidate
-    * generators: `probePred` (over `d2`) prunes the probe side BEFORE
-    * the join, so its shuffle volume tracks the surviving docs. */
-  private def minhashCandidatesWhere(signatures: DataFrame, k: Int,
-                                     rowsPerBand: Int,
-                                     probePred: Column): DataFrame = {
+  /** One row per (doc, band): `band` index, the packed int64 band
+    * value in `sig`, and the full per-doc band array in `sigs` (the
+    * first-matching-band predicate needs it). The exploded form of a
+    * signature frame — also the PERSISTED index layout for
+    * incremental/streaming ingest (bucket by (band, sig) and the
+    * corpus side of the candidate join becomes a co-located lookup). */
+  def minhashBandRows(signatures: DataFrame, k: Int,
+                      rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0, "k must divide into bands")
     val nBands = k / rowsPerBand
     val bandVal = (b: Int) => {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       cols.reduceLeft((acc, c) => acc * lit(Hashing.P2) + c)
     }
-    val bands = signatures.select(col("doc_id"),
-      array((0 until nBands).map(bandVal): _*).as("sigs"))
+    signatures.select(col("doc_id"),
+        array((0 until nBands).map(bandVal): _*).as("sigs"))
       .select(col("doc_id"), col("sigs"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-    val a = spread(bands.select(col("band"), element_at(col("sigs"),
-        col("band") + 1).as("sig"), col("doc_id").as("d1"),
-      col("sigs").as("sigs1")), col("band"), col("sig"))
-    val b = bands.select(col("band").as("__b2"), element_at(col("sigs"),
-        col("band") + 1).as("__s2"), col("doc_id").as("d2"),
-      col("sigs").as("sigs2"))
+      .withColumn("sig", element_at(col("sigs"), col("band") + 1))
+  }
+
+  /** Band-join core shared by the full and incremental candidate
+    * generators: `probePred` (over `d2`) prunes the probe side BEFORE
+    * the join, so its shuffle volume tracks the surviving docs. */
+  private def minhashCandidatesWhere(signatures: DataFrame, k: Int,
+                                     rowsPerBand: Int,
+                                     probePred: Column): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bands = minhashBandRows(signatures, k, rowsPerBand)
+    val a = spread(bands.select(col("band"), col("sig"),
+      col("doc_id").as("d1"), col("sigs").as("sigs1")),
+      col("band"), col("sig"))
+    val b = bands.select(col("band").as("__b2"), col("sig").as("__s2"),
+      col("doc_id").as("d2"), col("sigs").as("sigs2"))
       .filter(probePred)
     val noEarlierMatch = (0 until nBands).map { bp =>
       when(col("band") > bp, element_at(col("sigs1"), bp + 1) =!=

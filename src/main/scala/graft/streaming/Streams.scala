@@ -179,4 +179,63 @@ object Streams {
           Scd2.deriveVersions(history, nk, tsCol, tieBreak), dimPath)
       }
       .start()
+
+  /** Streaming near-dup ingest: each micro-batch of documents is
+    * checked against the PERSISTED corpus band index
+    * ([[graft.ext.Dedup.minhashBandRows]] layout) — a batch doc whose
+    * signature shares any band with the corpus (or with an
+    * earlier-id batch doc) is dropped; survivors are appended to the
+    * corpus and their bands to the index. The streaming twin of
+    * [[graft.ext.Dedup.minhashCandidatesIncremental]]: per trigger,
+    * the probe side is just the batch, the corpus side is an
+    * equi-lookup into the index — never corpus×corpus. At scale the
+    * index is bucketed by (band, sig) so the lookup co-locates.
+    *
+    * Delivery: a replayed batch collides with its own banded bands in
+    * the index and drops out, so completed batches are no-ops. The
+    * corpus append deliberately runs BEFORE the index append: a crash
+    * between the two can duplicate a doc in the corpus (healed by any
+    * later dedup pass over the corpus) but can never silently LOSE
+    * one, which the opposite order would. Docs with fewer than
+    * `shingle` words have no signature, are always kept, and are NOT
+    * replay-protected (nothing of theirs is in the index) — pick a
+    * shingle that fits the minimum document length, or exact-dedup
+    * the corpus downstream. */
+  def nearDupIngestSink(stream: DataFrame, indexPath: String,
+                        corpusPath: String, checkpoint: String,
+                        shingle: Int = 3, k: Int = 8,
+                        rowsPerBand: Int = 2): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ext.Dedup
+        val bands = Dedup.minhashBandRows(
+          Dedup.minhashSignature(batch, col("doc_id"), col("text"),
+            shingle, k), k, rowsPerBand)
+          .select(col("doc_id"), col("band"), col("sig"))
+          .localCheckpoint() // read twice below; don't recompute sigs
+        val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val vsIndex =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+            bands.join(spark.read.parquet(indexPath),
+              Seq("band", "sig"), "left_semi")
+          else bands.limit(0)
+        // within-batch collisions: keep the smaller id (first-arrival)
+        val b2 = bands.select(col("band").as("__b"), col("sig").as("__s"),
+          col("doc_id").as("__d"))
+        val vsBatch = bands.join(b2,
+            col("band") === col("__b") && col("sig") === col("__s") &&
+              col("__d") < col("doc_id"))
+          .select(col("doc_id"))
+        val dropIds = vsIndex.select(col("doc_id"))
+          .unionByName(vsBatch).distinct()
+        val keep = batch.join(dropIds, Seq("doc_id"), "left_anti")
+        keep.write.mode("append").parquet(corpusPath)
+        bands.join(dropIds, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(indexPath)
+      }
+      .start()
 }

@@ -121,6 +121,43 @@ class StreamsSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("nearDupIngestSink: collision-free corpus, replays append nothing") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ext.Dedup
+    val docsDir = tmp("docs-stream")
+    val corpusDir = tmp("nd-corpus") + "/corpus"
+    val indexDir = tmp("nd-index") + "/index"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") < 25).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    docs.filter(col("doc_id") >= 25).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(docsDir)
+      val q = Streams.nearDupIngestSink(stream, indexDir, corpusDir,
+        tmp("nd-chk"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val kept = spark.read.parquet(corpusDir)
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < docs.count(),
+      s"fixture near-dups should drop some docs (kept $nKept)")
+    // the surviving corpus is banding-collision-free
+    val collisions = Dedup.minhashCandidates(
+      Dedup.minhashSignature(kept, col("doc_id"), col("text"), 3, 8), 8, 2)
+    assert(collisions.isEmpty, "kept corpus still has band collisions")
+    // full replay (fresh checkpoint): every doc collides with its own
+    // indexed bands and drops out -> corpus unchanged
+    run()
+    assert(spark.read.parquet(corpusDir).count() == nKept,
+      "replay must append nothing")
+  }
+
   test("scd2Sink: incremental micro-batch dim equals batch recompute") {
     val history = tmp("scd2-history")
     val dim = tmp("scd2-dim") + "/dim"
