@@ -522,6 +522,26 @@ object Queries {
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
         |  l_linestatus NULLS FIRST""".stripMargin)),
 
+    // Extension: calendar arithmetic beyond DimDate (truncation,
+    // month-end, day deltas, clamped month addition)
+    ("date_funcs",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").select(col("o_orderkey"),
+            // date_trunc yields LTZ even on NTZ input; pin back to NTZ
+            date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+              .as("month_start"),
+            last_day(col("o_orderdate")).as("month_end"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+              .cast("long").as("days_since"),
+            expr("o_orderdate + INTERVAL '3' MONTH").as("plus_3m"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  o_orderdate + INTERVAL 3 MONTH AS plus_3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Extension: lag/lead analytics over a keyed order
     ("lag_lead",
       (s: SparkSession, d: String) => {
