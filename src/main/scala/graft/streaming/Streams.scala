@@ -208,30 +208,35 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
         import graft.ext.Dedup
-        val bands = Dedup.minhashBandRows(
-          Dedup.minhashSignature(batch, col("doc_id"), col("text"),
-            shingle, k), k, rowsPerBand)
+        // same-batch redelivery: equal ids never band-collide (the
+        // pair joins are strict <), so dedup the identity up front —
+        // the scd2Sink exactly-once pattern
+        val batch = batch0.dropDuplicates(Seq("doc_id"))
+        // signatures anchor three consumers (band rows twice, the
+        // within-batch candidate join); materialize the kernel once
+        val sigs = Dedup.minhashSignature(batch, col("doc_id"),
+          col("text"), shingle, k).localCheckpoint()
+        val bands = Dedup.minhashBandRows(sigs, k, rowsPerBand)
           .select(col("doc_id"), col("band"), col("sig"))
-          .localCheckpoint() // read twice below; don't recompute sigs
         val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val vsIndex =
           if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
             bands.join(spark.read.parquet(indexPath),
-              Seq("band", "sig"), "left_semi")
-          else bands.limit(0)
-        // within-batch collisions: keep the smaller id (first-arrival)
-        val b2 = bands.select(col("band").as("__b"), col("sig").as("__s"),
-          col("doc_id").as("__d"))
-        val vsBatch = bands.join(b2,
-            col("band") === col("__b") && col("sig") === col("__s") &&
-              col("__d") < col("doc_id"))
-          .select(col("doc_id"))
-        val dropIds = vsIndex.select(col("doc_id"))
-          .unionByName(vsBatch).distinct()
+              Seq("band", "sig"), "left_semi").select(col("doc_id"))
+          else bands.select(col("doc_id")).limit(0)
+        // within-batch collisions, keep the smaller id: reuse the
+        // candidate generator (explicit-N spread + first-matching-band
+        // predicate) rather than re-implementing the pair join bare
+        val vsBatch = Dedup.minhashCandidates(sigs, k, rowsPerBand)
+          .select(col("d2").as("doc_id"))
+        // materialized: two writes below consume it, and evaluating it
+        // is the trigger's only scan of the (growing) index
+        val dropIds = vsIndex.unionByName(vsBatch).distinct()
+          .localCheckpoint()
         val keep = batch.join(dropIds, Seq("doc_id"), "left_anti")
         keep.write.mode("append").parquet(corpusPath)
         bands.join(dropIds, Seq("doc_id"), "left_anti")

@@ -158,6 +158,30 @@ class StreamsSpec extends SparkSpec {
       "replay must append nothing")
   }
 
+  test("nearDupIngestSink dedups same-batch redelivered ids") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docsDir = tmp("docs-stream-dup")
+    val corpusDir = tmp("nd-corpus-dup") + "/corpus"
+    val indexDir = tmp("nd-index-dup") + "/index"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 5)
+    // the same five docs twice in ONE file -> one micro-batch with
+    // duplicated identities (at-least-once delivery collapsing into
+    // a single trigger)
+    docs.unionByName(docs).coalesce(1).write.mode("append").parquet(docsDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val q = Streams.nearDupIngestSink(stream, indexDir, corpusDir,
+      tmp("nd-chk-dup"))
+    try q.processAllAvailable() finally q.stop()
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.count() == corpus.select("doc_id").distinct().count(),
+      "same-batch redelivery must not duplicate corpus rows")
+    assert(corpus.count() > 0)
+  }
+
   test("scd2Sink: incremental micro-batch dim equals batch recompute") {
     val history = tmp("scd2-history")
     val dim = tmp("scd2-dim") + "/dim"
