@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("prepare: stages only shrink the corpus, and the shape is complete") {
+    val (out, counts) = CorpusPipeline.prepare(docs,
+      evalPred = col("source") === "src19")
+    val byStage = counts.map(c => c.stage -> c.rows).toMap
+    assert(counts.map(_.stage) == Seq("input", "quality_gate",
+      "exact_dedup", "neardup_best_keep", "contamination_gate",
+      "stratified_sample", "split_assign"))
+    // monotone: no stage may grow the corpus
+    counts.map(_.rows).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"stage grew: $counts")
+    }
+    assert(byStage("input") == docs.count())
+    // the fixture plants exact and near duplicates -> both dedup
+    // stages must actually fire
+    assert(byStage("exact_dedup") < byStage("quality_gate"))
+    assert(byStage("neardup_best_keep") < byStage("exact_dedup"))
+    // eval docs never survive into the training corpus
+    assert(out.filter(col("source") === "src19").count() == 0)
+    // final frame carries quality + sampling + split columns
+    val cols = out.columns.toSet
+    assert(Set("doc_id", "text", "lang", "source", "quality",
+      "bucket1k", "rate_permille", "bucket", "split").subsetOf(cols))
+    assert(out.select("split").distinct().count() <= 3)
+    assert(byStage("split_assign") == out.count())
+  }
+
+  test("prepare is deterministic: a rerun yields the identical corpus") {
+    val (a, _) = CorpusPipeline.prepare(docs,
+      evalPred = col("source") === "src19", countStages = false)
+    val (b, _) = CorpusPipeline.prepare(docs,
+      evalPred = col("source") === "src19", countStages = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("prepare: surviving near-dup representatives are the best of their group") {
+    val (out, _) = CorpusPipeline.prepare(docs,
+      evalPred = col("source") === "src19", countStages = false)
+    // no surviving pair of docs is a direct near-duplicate
+    val pairs = graft.ext.Dedup.simhashPairs(
+      graft.ext.Dedup.simhash(out.select("doc_id", "text"),
+        col("doc_id"), col("text")), 3)
+    assert(pairs.isEmpty, "prepared corpus still contains near-dup pairs")
+  }
+}
