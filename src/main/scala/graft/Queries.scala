@@ -975,6 +975,20 @@ object Queries {
           .orderBy("doc_id"),
       Some(ext.Corpus.contaminationOracleSql("source = 'src19'", 3, 0.1))),
 
+    // The WHOLE corpus-prep pipeline as one oracle-checked query:
+    // quality gate -> exact dedup -> near-dup best-keep ->
+    // contamination gate -> stratified sample -> split assignment
+    ("corpus_prepare",
+      (s: SparkSession, d: String) =>
+        ext.CorpusPipeline.prepare(t(s, d, "documents"),
+            col("source") === "src19", rates = Seq("en" -> 300),
+            countStages = false)._1
+          .select("doc_id", "lang", "source", "quality", "bucket1k",
+            "rate_permille", "bucket", "split")
+          .orderBy("doc_id"),
+      Some(ext.CorpusPipeline.prepareOracleSql("source = 'src19'",
+        rates = Seq("en" -> 300)))),
+
     // HLL++ approximate distinct — engine-specific sketch, rows-only check
     ("approx_distinct",
       (s: SparkSession, d: String) =>

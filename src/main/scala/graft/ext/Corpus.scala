@@ -209,28 +209,42 @@ object Corpus {
       .filter(col("contamination_frac") >= minFrac)
   }
 
+  /** Composable CTE block `w_ct..cont_ct` for the contamination scan —
+    * the single source [[contaminationOracleSql]] and composite
+    * oracles (the corpus-pipeline twin) both build on; `cont_ct` is
+    * (doc_id, n_grams, n_matched, contamination_frac) for every
+    * corpus doc. CTE names are suffixed `_ct` so the block composes
+    * next to the gram/simhash chains without collisions. */
+  private[graft] def contaminationCtes(evalPred: String, n: Int): String =
+    s"""
+    |w_ct AS (SELECT doc_id, $evalPred AS is_eval, text,
+    |         str_split(text, ' ') AS w FROM documents),
+    |g_ct AS (SELECT DISTINCT doc_id, is_eval, gram
+    |      FROM (SELECT doc_id, is_eval,
+    |              unnest(${Dedup.wordGramsSql(n)}) AS gram FROM w_ct)),
+    |ev_ct AS (SELECT DISTINCT gram FROM g_ct WHERE is_eval),
+    |corpus_ct AS (SELECT doc_id, gram FROM g_ct WHERE NOT is_eval),
+    |tot_ct AS (SELECT doc_id, count(*) AS n_grams FROM corpus_ct
+    |           GROUP BY doc_id),
+    |m_ct AS (SELECT doc_id, count(*) AS n_matched FROM corpus_ct
+    |      WHERE gram IN (SELECT gram FROM ev_ct) GROUP BY doc_id),
+    |cont_ct AS (
+    |  SELECT t.doc_id, t.n_grams,
+    |    CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+    |    CAST(coalesce(m.n_matched, 0) AS DOUBLE)
+    |      / CAST(t.n_grams AS DOUBLE) AS contamination_frac
+    |  FROM tot_ct t LEFT JOIN m_ct m ON t.doc_id = m.doc_id)
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[contamination]] over `documents`, with the eval
     * set selected by `evalPred` (a SQL predicate over the table's
     * columns). */
   def contaminationOracleSql(evalPred: String, n: Int = 3,
                              minFrac: Double = 0.1): String =
     s"""
-    |WITH w AS (SELECT doc_id, $evalPred AS is_eval, text,
-    |           str_split(text, ' ') AS w FROM documents),
-    |g AS (SELECT DISTINCT doc_id, is_eval, gram
-    |      FROM (SELECT doc_id, is_eval,
-    |              unnest(${Dedup.wordGramsSql(n)}) AS gram FROM w)),
-    |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval),
-    |corpus AS (SELECT doc_id, gram FROM g WHERE NOT is_eval),
-    |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
-    |m AS (SELECT doc_id, count(*) AS n_matched FROM corpus
-    |      WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
-    |SELECT doc_id, n_grams, n_matched, contamination_frac FROM (
-    |  SELECT t.doc_id, t.n_grams,
-    |    CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
-    |    CAST(coalesce(m.n_matched, 0) AS DOUBLE)
-    |      / CAST(t.n_grams AS DOUBLE) AS contamination_frac
-    |  FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id)
+    |WITH ${contaminationCtes(evalPred, n)}
+    |SELECT doc_id, n_grams, n_matched, contamination_frac
+    |FROM cont_ct
     |WHERE contamination_frac >= $minFrac
     |ORDER BY doc_id
     |""".stripMargin.trim

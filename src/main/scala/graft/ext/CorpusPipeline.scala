@@ -98,4 +98,63 @@ object CorpusPipeline {
       Corpus.sampleSplit(sampled, col("doc_id")))
     (out, counts.result())
   }
+
+  /** DuckDB twin of the WHOLE [[prepare]] composition over
+    * `documents` — every stage's oracle chained as CTEs (quality from
+    * [[TextAnalysis.qualityScoreSql]], exact keys from
+    * [[Dedup.wordSetKeySql]], the simhash band chain from
+    * `Dedup.simhashCtesFrom` over the deduped subset, contamination
+    * from `Corpus.contaminationCtes`, sampling/split expressions from
+    * their builders). The end-to-end pipeline is oracle-checked as ONE
+    * query, so a drift in any stage's semantics — or in how the stages
+    * hand off — fails the gate, not just the per-op twins. */
+  def prepareOracleSql(evalPred: String,
+                       minQuality: Double = 0.3,
+                       maxContamination: Double = 0.5,
+                       shingle: Int = 3,
+                       rates: Seq[(String, Int)] = Seq.empty,
+                       defaultPermille: Int = 1000): String = {
+    val (bucket1k, rate) = Corpus.stratifiedSampleSql(
+      "doc_id", "lang", rates, defaultPermille)
+    val (bucket, split) = Corpus.sampleSplitSql("doc_id")
+    s"""
+    |WITH q0 AS (SELECT doc_id, text, lang, source,
+    |  ${TextAnalysis.qualityScoreSql("text")} AS quality FROM documents),
+    |qg AS (SELECT * FROM q0 WHERE quality >= $minQuality),
+    |ekeep AS (SELECT ${Dedup.wordSetKeySql} AS k, min(doc_id) AS doc_id
+    |          FROM qg GROUP BY 1),
+    |ex AS (SELECT qg.* FROM qg JOIN ekeep ON qg.doc_id = ekeep.doc_id),
+    |${Dedup.simhashCtesFrom("ex")},
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    |edges AS (SELECT d1 AS x, d2 AS y FROM pairs
+    |          UNION ALL SELECT d2 AS x, d1 AS y FROM pairs),
+    |dropped AS (
+    |  SELECT DISTINCT e.x AS doc_id
+    |  FROM edges e
+    |  JOIN ex qx ON qx.doc_id = e.x
+    |  JOIN ex qy ON qy.doc_id = e.y
+    |  WHERE qy.quality > qx.quality
+    |     OR (qy.quality = qx.quality AND e.y < e.x)),
+    |nd AS (SELECT * FROM ex
+    |       WHERE NOT EXISTS (SELECT 1 FROM dropped
+    |                         WHERE dropped.doc_id = ex.doc_id)),
+    |${Corpus.contaminationCtes(evalPred, shingle)},
+    |clean AS (
+    |  SELECT * FROM nd
+    |  WHERE NOT ($evalPred)
+    |    AND NOT EXISTS (SELECT 1 FROM cont_ct
+    |                    WHERE cont_ct.doc_id = nd.doc_id
+    |                      AND cont_ct.contamination_frac >= $maxContamination))
+    |SELECT doc_id, lang, source, quality,
+    |  $bucket1k AS bucket1k, $rate AS rate_permille,
+    |  $bucket AS bucket, $split AS split
+    |FROM clean
+    |WHERE $bucket1k < $rate
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+  }
 }

@@ -340,7 +340,13 @@ object Dedup {
     * [[simhashOracleSql]] and [[nearDupComponentsOracleSql]] compose,
     * so a signature-scheme change cannot silently decouple one oracle
     * from the kernel. */
-  private def simhashCtes: String = {
+  private[graft] def simhashCtes: String = simhashCtesFrom("documents")
+
+  /** [[simhashCtes]] over an arbitrary source relation (a table or an
+    * earlier CTE with doc_id + text) — lets composite oracles (e.g.
+    * the corpus-pipeline twin) band a filtered subset instead of the
+    * whole `documents` table. */
+  private[graft] def simhashCtesFrom(src: String): String = {
     val h = Hashing.permSql(Hashing.polyHashSql("tok"), 0)
     val bitSums = (0 until SimBits)
       .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
@@ -354,7 +360,7 @@ object Dedup {
     s"""
     |toks AS (
     |  SELECT DISTINCT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
-    |  FROM documents),
+    |  FROM $src),
     |hashed AS (SELECT doc_id, $h AS h FROM toks),
     |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
     |sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits),
