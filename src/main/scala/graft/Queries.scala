@@ -975,6 +975,13 @@ object Queries {
           .orderBy("doc_id"),
       Some(ext.Corpus.contaminationOracleSql("source = 'src19'", 3, 0.1))),
 
+    // Bigram LM fit: integer perplexity proxy under corpus statistics
+    ("lm_fit",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.lmFit(t(s, d, "documents"), col("doc_id"),
+          col("text")).orderBy("doc_id"),
+      Some(TextAnalysis.lmFitOracleSql)),
+
     // The WHOLE corpus-prep pipeline as one oracle-checked query:
     // quality gate -> exact dedup -> near-dup best-keep ->
     // contamination gate -> stratified sample -> split assignment

@@ -211,6 +211,60 @@ object TextAnalysis {
     |ORDER BY d.doc_id
     |""".stripMargin.trim
 
+  /** Bigram language-model fit: how "typical" each document's word
+    * transitions are under the corpus's own bigram statistics — the
+    * perplexity-proxy quality signal (docs full of never-seen-again
+    * transitions score low; formulaic text scores high) computed
+    * without a trained model.
+    *
+    * Per bigram occurrence (w1, w2): the MLE continuation ratio
+    * count(w1 w2) / count(w1), integer-scaled as (cb·10^6) div cw —
+    * like [[Corpus.tfidfTopTerms]], integer division instead of
+    * floating log so the score cannot drift an ulp between engines.
+    * Per doc: the mean ratio, again integer division. Shape: one
+    * bigram explode, two keyed count aggregations, two equi-joins on
+    * (w1, w2) / w1, one doc-keyed fold — every shuffle on a natural
+    * key, nothing pairwise. */
+  def lmFit(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), Dedup.words(text).as("__w"))
+    val pairs = toks.select(col("doc_id"),
+      explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(1), size(col("__w")) - 1),
+          i => struct(element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + lit(1)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__bg"))
+      .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val cb = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val cw = toks.select(explode(col("__w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__cw"))
+    pairs.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .withColumn("__r", expr("(__cb * 1000000) div __cw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(__r) div count(1)").cast("long").as("fit_q"))
+  }
+
+  /** DuckDB twin of [[lmFit]] over `documents` (parallel unnests zip
+    * positionally in DuckDB, pairing each w1 with its successor). */
+  def lmFitOracleSql: String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |bg AS (SELECT doc_id,
+    |  unnest(list_transform(range(greatest(len(w) - 1, 0)), i -> w[i + 1])) AS w1,
+    |  unnest(list_transform(range(greatest(len(w) - 1, 0)), i -> w[i + 2])) AS w2
+    |  FROM w),
+    |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    |cw AS (SELECT w1, count(*) AS cw
+    |       FROM (SELECT unnest(w) AS w1 FROM w) GROUP BY w1),
+    |j AS (SELECT bg.doc_id, (cb.cb * 1000000) // cw.cw AS r
+    |      FROM bg JOIN cb USING (w1, w2) JOIN cw USING (w1))
+    |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    |  CAST(sum(r) // count(*) AS BIGINT) AS fit_q
+    |FROM j GROUP BY doc_id ORDER BY doc_id
+    |""".stripMargin.trim
+
   /** Document fingerprint: full-text polynomial hash plus the minimum
     * of character 8-gram rolling hashes (the winnowing-style "pick a
     * stable representative substring hash" signal, Schleimer et al.

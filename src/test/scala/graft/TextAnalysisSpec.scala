@@ -29,6 +29,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getAs[Double]("top_gram_frac") == 1.0 / 3.0)
   }
 
+  test("lmFit: hand-computed continuation ratios on crafted docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmFit(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // cw(a)=3; cb(a b)=2 -> r = 2e6 div 3; cb(a c)=1 -> r = 1e6 div 3
+    assert(out(1L).getAs[Long]("fit_q") == 2000000L / 3)
+    assert(out(2L).getAs[Long]("fit_q") == 2000000L / 3)
+    assert(out(3L).getAs[Long]("fit_q") == 1000000L / 3)
+    assert(out.values.forall(_.getAs[Long]("n_bigrams") == 1L))
+  }
+
   test("repetitionFeatures: fractions bounded and consistent on the fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val rep = TextAnalysis.repetitionFeatures(docs, col("doc_id"),
