@@ -996,6 +996,29 @@ object Queries {
       Some(ext.CorpusPipeline.prepareOracleSql("source = 'src19'",
         rates = Seq("en" -> 300)))),
 
+    // Sequence packing: fixed-budget training sequences over the
+    // sharded token stream (window parallelized by shard hash)
+    ("seq_pack",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.seqPack(t(s, d, "documents"), col("doc_id"),
+          col("text"), 2048, 8).orderBy("doc_id"),
+      Some(ext.Corpus.seqPackOracleSql(2048, 8))),
+
+    // Data-mixture weights: per-(lang, source) token mass and the
+    // equal-share upsampling factor
+    ("mix_weights",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.mixWeights(t(s, d, "documents"), col("lang"),
+          col("source"), col("text")).orderBy("g1", "g2"),
+      Some(ext.Corpus.mixWeightsOracleSql("lang", "source"))),
+
+    // Per-label exact-decimal centroids (k-means update step)
+    ("embedding_centroid",
+      (s: SparkSession, d: String) =>
+        ext.Similarity.labelCentroids(t(s, d, "embeddings"),
+          col("label"), col("embedding")).orderBy("label", "pos"),
+      Some(ext.Similarity.labelCentroidsOracleSql(64))),
+
     // HLL++ approximate distinct — engine-specific sketch, rows-only check
     ("approx_distinct",
       (s: SparkSession, d: String) =>

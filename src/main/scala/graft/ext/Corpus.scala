@@ -272,4 +272,116 @@ object Corpus {
     |  quantile_cont($length, 0.75) AS p75
     |FROM documents GROUP BY 1 ORDER BY grp NULLS FIRST
     |""".stripMargin.trim
+
+  /** Sequence packing: place every document in the concatenated token
+    * stream of its shard and derive which fixed-`budget` training
+    * sequence(s) it lands in — the "concat then chunk" packing step
+    * that turns a filtered corpus into equal-length pretraining
+    * sequences. A document straddling a chunk boundary spans
+    * `n_seqs > 1` sequences, exactly like the standard packed-stream
+    * recipe (no padding, documents are split at sequence boundaries).
+    *
+    * Scale shape: the running token total is a window sum ordered by
+    * document id and partitioned by `shard = h(id) mod nShards` —
+    * each shard's stream is independent, so the window parallelizes
+    * across shards instead of serializing the corpus through one
+    * task. At 100 TB set nShards ≈ executor parallelism; each shard
+    * emits its own seq_id space (global sequence identity is the
+    * (shard, seq_id) pair). The shard hash rides the same
+    * engine-portable permutation family as split/sample assignment
+    * (index 2 — independent of both).
+    *
+    * All arithmetic is int64 (token counts, integer div/mod), so the
+    * DuckDB twin matches bit for bit. */
+  def seqPack(docs: DataFrame, id: Column, text: Column,
+              budget: Int, nShards: Int): DataFrame = {
+    val shard = Hashing.permBucket(id, 2, nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(id.as("doc_id"), shard.as("shard"),
+        size(Dedup.words(text)).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"tokens_before div $budget"))
+      .withColumn("seq_offset", col("tokens_before") % budget)
+      .withColumn("n_seqs",
+        expr(s"(tokens_before + n_tokens - 1) div $budget") -
+          col("seq_id") + 1)
+  }
+
+  /** DuckDB twin of [[seqPack]] over `documents`. */
+  def seqPackOracleSql(budget: Int, nShards: Int): String = {
+    val shard = Hashing.permBucketSql("doc_id", 2, nShards)
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, $shard AS shard,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    |  FROM documents),
+    |run AS (
+    |  SELECT doc_id, shard, n_tokens,
+    |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    |      AS tokens_before
+    |  FROM toks)
+    |SELECT doc_id, shard, n_tokens, tokens_before,
+    |  tokens_before // $budget AS seq_id,
+    |  tokens_before % $budget AS seq_offset,
+    |  (tokens_before + n_tokens - 1) // $budget
+    |    - tokens_before // $budget + 1 AS n_seqs
+    |FROM run ORDER BY doc_id
+    |""".stripMargin.trim
+  }
+
+  /** Data-mixture weights: per-(stratum) token mass and the
+    * upsampling factor that would equalize every stratum's share —
+    * the mixture-design step (how many epochs of each source/language
+    * to take) that precedes corpus assembly.
+    *
+    * `weight = total_tokens / (n_groups · group_tokens)` is emitted
+    * as an exact int64 numerator/denominator pair plus one IEEE
+    * double division. Both are engine-portable: the integer inputs
+    * are exact aggregates, and a single int64→double conversion and
+    * one division are both exactly-rounded IEEE operations, so the
+    * double cannot drift between engines (unlike a chain of float
+    * sums). The grand-total window runs over the already-aggregated
+    * frame — |strata| rows, not corpus rows — so the unpartitioned
+    * window is a constant-size driver-side-scale op even at 100 TB. */
+  def mixWeights(docs: DataFrame, g1: Column, g2: Column,
+                 text: Column): DataFrame = {
+    val grouped = docs
+      .select(g1.as("g1"), g2.as("g2"),
+        size(Dedup.words(text)).cast("long").as("__t"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("group_tokens"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
+      .withColumn("total_tokens", sum(col("group_tokens")).over(all))
+      .withColumn("n_groups", count(lit(1)).over(all))
+      .withColumn("weight_den", col("n_groups") * col("group_tokens"))
+      .withColumn("weight",
+        col("total_tokens").cast("double") / col("weight_den").cast("double"))
+      .select("g1", "g2", "n_docs", "group_tokens", "total_tokens",
+        "n_groups", "weight_den", "weight")
+  }
+
+  /** DuckDB twin of [[mixWeights]] over `documents`. */
+  def mixWeightsOracleSql(g1: String, g2: String): String =
+    s"""
+    |WITH grouped AS (
+    |  SELECT $g1 AS g1, $g2 AS g2, count(*) AS n_docs,
+    |    CAST(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)
+    |      AS group_tokens
+    |  FROM documents GROUP BY 1, 2),
+    |tot AS (
+    |  SELECT g1, g2, n_docs, group_tokens,
+    |    CAST(sum(group_tokens) OVER () AS BIGINT) AS total_tokens,
+    |    count(*) OVER () AS n_groups
+    |  FROM grouped)
+    |SELECT g1, g2, n_docs, group_tokens, total_tokens, n_groups,
+    |  n_groups * group_tokens AS weight_den,
+    |  CAST(total_tokens AS DOUBLE) / CAST(n_groups * group_tokens AS DOUBLE)
+    |    AS weight
+    |FROM tot ORDER BY g1, g2
+    |""".stripMargin.trim
 }

@@ -538,4 +538,54 @@ object Similarity {
     |FROM q ORDER BY vec_id
     |""".stripMargin.trim
   }
+
+  /** Per-label centroid components — the k-means/Lloyd UPDATE step
+    * (and the class-prototype builder for prototype classifiers):
+    * posexplode each vector into (label, pos, value) and sum per
+    * (label, position).
+    *
+    * Components accumulate in FIXED-POINT nano units:
+    * `q = round(v · 10^9)` as int64. The multiply and the
+    * half-away-from-zero round are each single exactly-rounded IEEE
+    * operations on the same double in both engines, and int64
+    * addition is exact and order-independent — so the sums cannot
+    * drift under Spark's nondeterministic partial-agg order, run to
+    * run or engine to engine. (A double sum would be order-dependent;
+    * a per-element DECIMAL cast hits the engines' differing
+    * last-digit rounding of arbitrary doubles — the [[dot]] kernel
+    * tolerates that only because its inputs are product values with
+    * matching shortest-repr roundings.) The mean is left to the
+    * caller as the (sum_q_e9, n_vecs) pair: division would
+    * reintroduce engine-specific rounding, and the k-means update
+    * wants the mergeable sums anyway. Headroom: int64 holds ~9.2e18,
+    * so ~1.8e9 vectors per (label, pos) cell at |v| ≤ 5 before the
+    * sum needs a DECIMAL(38,0) widening.
+    *
+    * Scale shape: one hash aggregation keyed on (label, pos) with
+    * map-side partial combine — the exploded stream never shuffles
+    * raw, each partition pre-sums its |labels|·dim cells. Output is
+    * |labels|·dim rows regardless of corpus size. */
+  def labelCentroids(emb: DataFrame, label: Column,
+                     vec: Column): DataFrame =
+    emb.filter(vec.isNotNull)
+      .select(label.as("label"), posexplode(vec).as(Seq("pos", "__v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("__v").cast("double") * lit(1e9)).cast("long").as("__q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__q")).as("sum_q_e9"))
+
+  /** DuckDB twin of [[labelCentroids]] over `embeddings` (dim must be
+    * the fixed vector width). */
+  def labelCentroidsOracleSql(dim: Int): String =
+    s"""
+    |WITH cells AS (
+    |  SELECT label, i AS pos,
+    |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e9) AS BIGINT) AS q
+    |  FROM embeddings, range(0, $dim) t(i)
+    |  WHERE embedding IS NOT NULL)
+    |SELECT label, pos, count(*) AS n_vecs,
+    |  CAST(sum(q) AS BIGINT) AS sum_q_e9
+    |FROM cells GROUP BY label, pos
+    |ORDER BY label, pos
+    |""".stripMargin.trim
 }

@@ -99,4 +99,43 @@ class CorpusSpec extends SparkSpec {
     assert(bad == 0)
     assert(q.count() == docs.select("lang").distinct().count())
   }
+
+  test("seqPack: each shard's stream is contiguous and budget-bounded") {
+    val budget = 256
+    val packed = Corpus.seqPack(docs, col("doc_id"), col("text"),
+      budget, 4).collect()
+    assert(packed.length == docs.count())
+    // offsets live inside a sequence; spans cover exactly the doc's tokens
+    packed.foreach { r =>
+      val off = r.getAs[Long]("seq_offset")
+      assert(off >= 0 && off < budget)
+      val expectSpans = (r.getAs[Long]("tokens_before") +
+        r.getAs[Long]("n_tokens") - 1) / budget -
+        r.getAs[Long]("tokens_before") / budget + 1
+      assert(r.getAs[Long]("n_seqs") == expectSpans)
+    }
+    // per shard: tokens_before is the prefix sum of n_tokens in id order
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("tokens_before") == run,
+          s"gap at doc ${r.getAs[Long]("doc_id")}")
+        run += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("mixWeights: shares sum to the corpus and weights invert share") {
+    val w = Corpus.mixWeights(docs, col("lang"), col("source"),
+      col("text")).collect()
+    val total = w.head.getAs[Long]("total_tokens")
+    assert(w.map(_.getAs[Long]("group_tokens")).sum == total)
+    assert(w.forall(_.getAs[Long]("n_groups") == w.length))
+    w.foreach { r =>
+      val expected = total.toDouble /
+        (w.length.toLong * r.getAs[Long]("group_tokens")).toDouble
+      assert(r.getAs[Double]("weight") == expected)
+    }
+  }
 }

@@ -147,4 +147,23 @@ class PlanSpec extends SparkSpec {
     assert(pairAgg.findFirstIn(p).isEmpty,
       s"pair-level distinct reappeared:\n$p")
   }
+
+  test("seq_pack's running total is partitioned by shard, never global") {
+    val p = plan("seq_pack")
+    val w = """Window \[sum\(n_tokens""".r.findFirstIn(p)
+    assert(w.isDefined, s"window sum missing:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"prefix-sum window lost its shard partitioning (would serialize " +
+        s"the whole corpus through one task):\n$p")
+  }
+
+  test("embedding_centroid is one hash agg with map-side partial combine") {
+    val p = plan("embedding_centroid")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"partial+final agg pair expected:\n$p")
+    assert(!p.contains("Join"), s"centroid must not join:\n$p")
+    // exactly one shuffle: the (label, pos) keyed exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one keyed shuffle:\n$p")
+  }
 }

@@ -260,4 +260,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank") <= 3))
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("labelCentroids matches a driver-side fixed-point recomputation") {
+    val cells = Similarity.labelCentroids(emb, col("label"),
+      col("embedding")).collect()
+    val raw = emb.select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val expected = raw.flatMap { case (l, v) =>
+      v.zipWithIndex.map { case (x, i) =>
+        // HALF_UP (away from zero), exactly Spark's round() on doubles
+        // — math.round would differ on negative .5 ties
+        (l, i.toLong) -> java.math.BigDecimal.valueOf(x.toDouble * 1e9)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      }
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    assert(cells.length == expected.size)
+    cells.foreach { r =>
+      val key = (r.getInt(0), r.getAs[Long]("pos"))
+      assert(r.getAs[Long]("sum_q_e9") == expected(key),
+        s"cell $key drifted")
+    }
+    // n_vecs is the label's row count for every position
+    val byLabel = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    cells.foreach(r =>
+      assert(r.getAs[Long]("n_vecs") == byLabel(r.getInt(0))))
+  }
 }
