@@ -1004,6 +1004,22 @@ object Queries {
           col("text"), 2048, 8).orderBy("doc_id"),
       Some(ext.Corpus.seqPackOracleSql(2048, 8))),
 
+    // Global sequence ids via the distributed two-phase prefix sum;
+    // the oracle is the single-window spec the plan must reproduce
+    ("seq_pack_global",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.seqPackGlobal(t(s, d, "documents"), col("doc_id"),
+          col("text"), 2048, 8).orderBy("doc_id"),
+      Some(ext.Corpus.seqPackGlobalOracleSql(2048, 8))),
+
+    // One distributed Lloyd iteration: broadcast-assign + fixed-point
+    // centroid update sums
+    ("kmeans_update",
+      (s: SparkSession, d: String) =>
+        ext.Similarity.kmeansUpdate(t(s, d, "embeddings"), 16)
+          .orderBy("c_id", "pos"),
+      Some(ext.Similarity.kmeansUpdateOracleSql(64, 16))),
+
     // Data-mixture weights: per-(lang, source) token mass and the
     // equal-share upsampling factor
     ("mix_weights",

@@ -332,6 +332,64 @@ object Corpus {
     |""".stripMargin.trim
   }
 
+  /** [[seqPack]] with GLOBAL sequence ids — the distributed two-phase
+    * prefix sum: (1) each shard's local running total (the
+    * shard-partitioned window of [[seqPack]]), (2) per-shard token
+    * totals, prefix-summed across shards (a window over nShards rows
+    * — constant-size at any corpus scale) and broadcast back as each
+    * shard's base offset. `global_offset = shard_base + tokens_before`
+    * places every document in ONE corpus-wide token stream without
+    * ever serializing that stream through a single task.
+    *
+    * The oracle states the SPEC instead: one global window ordered by
+    * (shard, doc_id). The two formulations are equal by construction
+    * — that equality is exactly what the oracle check proves. */
+  def seqPackGlobal(docs: DataFrame, id: Column, text: Column,
+                    budget: Int, nShards: Int): DataFrame = {
+    val local = seqPack(docs, id, text, budget, nShards)
+      .select("doc_id", "shard", "n_tokens", "tokens_before")
+    val acrossShards = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = local.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("__shard_tokens"))
+      .withColumn("shard_base",
+        coalesce(sum(col("__shard_tokens")).over(acrossShards), lit(0L)))
+      .select("shard", "shard_base")
+    local.join(broadcast(bases), "shard")
+      .withColumn("global_offset", col("shard_base") + col("tokens_before"))
+      .withColumn("seq_id", expr(s"global_offset div $budget"))
+      .withColumn("seq_offset", col("global_offset") % budget)
+      .withColumn("n_seqs",
+        expr(s"(global_offset + n_tokens - 1) div $budget") -
+          col("seq_id") + 1)
+      .select("doc_id", "shard", "n_tokens", "global_offset", "seq_id",
+        "seq_offset", "n_seqs")
+  }
+
+  /** DuckDB twin of [[seqPackGlobal]] — deliberately the one-window
+    * specification the two-phase Spark plan must reproduce. */
+  def seqPackGlobalOracleSql(budget: Int, nShards: Int): String = {
+    val shard = Hashing.permBucketSql("doc_id", 2, nShards)
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, $shard AS shard,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    |  FROM documents),
+    |run AS (
+    |  SELECT doc_id, shard, n_tokens,
+    |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY shard, doc_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    |      AS global_offset
+    |  FROM toks)
+    |SELECT doc_id, shard, n_tokens, global_offset,
+    |  global_offset // $budget AS seq_id,
+    |  global_offset % $budget AS seq_offset,
+    |  (global_offset + n_tokens - 1) // $budget
+    |    - global_offset // $budget + 1 AS n_seqs
+    |FROM run ORDER BY doc_id
+    |""".stripMargin.trim
+  }
+
   /** Data-mixture weights: per-(stratum) token mass and the
     * upsampling factor that would equalize every stratum's share —
     * the mixture-design step (how many epochs of each source/language

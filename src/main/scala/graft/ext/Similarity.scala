@@ -353,49 +353,60 @@ object Similarity {
     * oracle-reproducible, while this one is). Assignment ranks by the
     * same exact-decimal cosine as scoring, centroid id as tiebreak, so
     * both engines assign identically. */
-  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    nCentroids: Int, nProbe: Int): DataFrame = {
+  /** Deterministic coarse-quantizer table: the first `nCentroids`
+    * corpus vectors by id, with carried decimal and float self-dots. */
+  private def centroidTable(corpus: DataFrame, nCentroids: Int): DataFrame = {
     import graft.functions.VecMath
-    val cent = corpus.filter(col("vec_id") < nCentroids)
+    corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("ct_emb"))
       .withColumn("ct_n2", dot(col("ct_emb"), col("ct_emb")))
       .withColumn("ct_f2", VecMath.dotF(col("ct_emb"), col("ct_emb")))
+  }
 
-    // Two-phase assignment (same pattern as nearDupPairs): rank the
-    // nCentroids candidates by the codegen'd FLOAT cosine first, keep
-    // everything within a 1e-3 guard band of the nBest-th float score,
-    // and run the exact-decimal cosine — the number the oracle ranks
-    // by — only on those survivors (normally nBest + near-ties, not
-    // nCentroids). The band dominates the float error (~1e-6 at these
-    // dims), so any centroid outside it is strictly below nBest
-    // exact-ranked centroids and the exact top-nBest always survives;
-    // exact ranking among survivors then equals exact ranking over
-    // all centroids. Cuts per-vector decimal dots from nCentroids to
-    // ~nBest — the bulk of the index build at corpus scale.
+  // Two-phase assignment (same pattern as nearDupPairs): rank the
+  // nCentroids candidates by the codegen'd FLOAT cosine first, keep
+  // everything within a 1e-3 guard band of the nBest-th float score,
+  // and run the exact-decimal cosine — the number the oracle ranks
+  // by — only on those survivors (normally nBest + near-ties, not
+  // nCentroids). The band dominates the float error (~1e-6 at these
+  // dims), so any centroid outside it is strictly below nBest
+  // exact-ranked centroids and the exact top-nBest always survives;
+  // exact ranking among survivors then equals exact ranking over
+  // all centroids. Cuts per-vector decimal dots from nCentroids to
+  // ~nBest — the bulk of the index build at corpus scale.
+  private def assignToCentroids(df: DataFrame, cent: DataFrame,
+                                idCol: String, embCol: String,
+                                nBest: Int): DataFrame = {
+    import graft.functions.VecMath
+    val wf = Window.partitionBy(col(idCol))
+      .orderBy(col("__f_cos").desc, col("c_id").asc)
+    val wp = Window.partitionBy(col(idCol))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__c_cos").desc, col("c_id").asc)
+    df.withColumn("__n2", dot(col(embCol), col(embCol)))
+      .withColumn("__f2", VecMath.dotF(col(embCol), col(embCol)))
+      .crossJoin(broadcast(cent))
+      .withColumn("__f_cos", VecMath.dotF(col(embCol), col("ct_emb")) /
+        (sqrt(col("__f2")) * sqrt(col("ct_f2"))))
+      .withColumn("__frn", row_number().over(wf))
+      .withColumn("__f_cut",
+        max(when(col("__frn") === nBest, col("__f_cos"))).over(wp))
+      .filter(col("__f_cut").isNull ||
+        col("__f_cos") >= col("__f_cut") - lit(1e-3))
+      .withColumn("__c_cos", cosine(
+        dot(col(embCol), col("ct_emb")), col("__n2"), col("ct_n2")))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= nBest)
+      .drop("ct_emb", "ct_n2", "ct_f2", "__f2", "__f_cos", "__frn",
+        "__f_cut", "__c_cos", "__crn")
+  }
+
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nCentroids: Int, nProbe: Int): DataFrame = {
+    val cent = centroidTable(corpus, nCentroids)
     def assigned(df: DataFrame, idCol: String, embCol: String,
-                 nBest: Int): DataFrame = {
-      val wf = Window.partitionBy(col(idCol))
-        .orderBy(col("__f_cos").desc, col("c_id").asc)
-      val wp = Window.partitionBy(col(idCol))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__c_cos").desc, col("c_id").asc)
-      df.withColumn("__n2", dot(col(embCol), col(embCol)))
-        .withColumn("__f2", VecMath.dotF(col(embCol), col(embCol)))
-        .crossJoin(broadcast(cent))
-        .withColumn("__f_cos", VecMath.dotF(col(embCol), col("ct_emb")) /
-          (sqrt(col("__f2")) * sqrt(col("ct_f2"))))
-        .withColumn("__frn", row_number().over(wf))
-        .withColumn("__f_cut",
-          max(when(col("__frn") === nBest, col("__f_cos"))).over(wp))
-        .filter(col("__f_cut").isNull ||
-          col("__f_cos") >= col("__f_cut") - lit(1e-3))
-        .withColumn("__c_cos", cosine(
-          dot(col(embCol), col("ct_emb")), col("__n2"), col("ct_n2")))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= nBest)
-        .drop("ct_emb", "ct_n2", "ct_f2", "__f2", "__f_cos", "__frn",
-          "__f_cut", "__c_cos", "__crn")
-    }
+                 nBest: Int): DataFrame =
+      assignToCentroids(df, cent, idCol, embCol, nBest)
 
     val lists = assigned(Dedup.spread(corpus.select(
       col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
@@ -588,4 +599,59 @@ object Similarity {
     |FROM cells GROUP BY label, pos
     |ORDER BY label, pos
     |""".stripMargin.trim
+
+  /** One full k-means (Lloyd) iteration: ASSIGN every corpus vector
+    * to its nearest centroid (highest exact-decimal cosine, centroid
+    * id as tiebreak — the same float-prefiltered two-phase assignment
+    * the IVF index build uses), then UPDATE by summing the member
+    * vectors per (centroid, position) in fixed-point nano units (see
+    * [[labelCentroids]]). The caller divides sum/n for the new
+    * centroid and feeds it back; iterating is a driver-side loop over
+    * this one DataFrame transform.
+    *
+    * Scale shape: the centroid table broadcasts (k vectors), the
+    * corpus streams through one projection + one (c_id, pos)-keyed
+    * hash agg with map-side combine — per iteration, one shuffle of
+    * k·dim·partitions partial cells, never the corpus. This is the
+    * textbook distributed Lloyd step. */
+  def kmeansUpdate(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val assigned = assignToCentroids(
+      corpus.select(col("vec_id"), col("embedding")),
+      centroidTable(corpus, nCentroids), "vec_id", "embedding", 1)
+    assigned
+      .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "__v")))
+      .select(col("c_id"), col("pos").cast("long").as("pos"),
+        round(col("__v").cast("double") * lit(1e9)).cast("long").as("__q"))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__q")).as("sum_q_e9"))
+  }
+
+  /** DuckDB twin of [[kmeansUpdate]] over `embeddings`. */
+  def kmeansUpdateOracleSql(dim: Int, nCentroids: Int): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |              FROM embeddings WHERE vec_id < $nCentroids),
+    |assign AS (
+    |  SELECT vec_id, c_id FROM (
+    |    SELECT e.vec_id, cent.c_id,
+    |      row_number() OVER (PARTITION BY e.vec_id
+    |        ORDER BY ${cos("e.embedding", "cent.ct_emb")} DESC, cent.c_id)
+    |        AS rn
+    |    FROM embeddings e, cent)
+    |  WHERE rn = 1),
+    |cells AS (
+    |  SELECT a.c_id, i AS pos,
+    |    CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1e9) AS BIGINT) AS q
+    |  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id,
+    |    range(0, $dim) t(i))
+    |SELECT c_id, pos, count(*) AS n_vecs,
+    |  CAST(sum(q) AS BIGINT) AS sum_q_e9
+    |FROM cells GROUP BY c_id, pos
+    |ORDER BY c_id, pos
+    |""".stripMargin.trim
+  }
 }

@@ -126,6 +126,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("seqPackGlobal equals the one-stream spec (two-phase = global prefix)") {
+    val budget = 256
+    val global = Corpus.seqPackGlobal(docs, col("doc_id"), col("text"),
+      budget, 4).collect()
+    // recompute the single global token stream driver-side: order by
+    // (shard, doc_id), one running total — the spec formulation
+    val ordered = global.sortBy(r =>
+      (r.getAs[Long]("shard"), r.getAs[Long]("doc_id")))
+    var run = 0L
+    ordered.foreach { r =>
+      assert(r.getAs[Long]("global_offset") == run,
+        s"two-phase offset diverged at doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("seq_id") == run / budget)
+      assert(r.getAs[Long]("seq_offset") == run % budget)
+      run += r.getAs[Long]("n_tokens")
+    }
+    // the packed stream covers every token exactly once
+    assert(run == global.map(_.getAs[Long]("n_tokens")).sum)
+  }
+
   test("mixWeights: shares sum to the corpus and weights invert share") {
     val w = Corpus.mixWeights(docs, col("lang"), col("source"),
       col("text")).collect()

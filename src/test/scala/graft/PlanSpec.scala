@@ -157,6 +157,27 @@ class PlanSpec extends SparkSpec {
         s"the whole corpus through one task):\n$p")
   }
 
+  test("seq_pack_global broadcasts the per-shard bases, no corpus-wide sort") {
+    val p = plan("seq_pack_global")
+    // phase 1 window stays shard-partitioned
+    assert(p.contains("hashpartitioning(shard"),
+      s"local prefix-sum lost its shard partitioning:\n$p")
+    // the nShards-row base table joins back by broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard-base join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"shard-base join fell back to sort-merge:\n$p")
+  }
+
+  test("kmeans_update broadcasts the centroid table") {
+    val p = plan("kmeans_update")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"centroid table must broadcast to the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"assignment fell back to a shuffled join:\n$p")
+  }
+
   test("embedding_centroid is one hash agg with map-side partial combine") {
     val p = plan("embedding_centroid")
     val aggs = "HashAggregate".r.findAllIn(p).size

@@ -261,6 +261,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("kmeansUpdate partitions the corpus across centroids exactly once") {
+    val cells = Similarity.kmeansUpdate(emb, 8).collect()
+    val total = emb.count()
+    // every position's member counts sum to the whole corpus
+    cells.groupBy(_.getAs[Long]("pos")).foreach { case (pos, rows) =>
+      assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+        s"pos $pos lost or double-assigned vectors")
+    }
+    // a centroid's count is identical at every position
+    cells.groupBy(_.getLong(0)).foreach { case (c, rows) =>
+      assert(rows.map(_.getAs[Long]("n_vecs")).distinct.length == 1,
+        s"centroid $c has ragged member counts")
+    }
+  }
+
   test("labelCentroids matches a driver-side fixed-point recomputation") {
     val cells = Similarity.labelCentroids(emb, col("label"),
       col("embedding")).collect()
