@@ -353,15 +353,19 @@ object Similarity {
     * oracle-reproducible, while this one is). Assignment ranks by the
     * same exact-decimal cosine as scoring, centroid id as tiebreak, so
     * both engines assign identically. */
-  /** Deterministic coarse-quantizer table: the first `nCentroids`
-    * corpus vectors by id, with carried decimal and float self-dots. */
-  private def centroidTable(corpus: DataFrame, nCentroids: Int): DataFrame = {
+  /** Attach the carried decimal and float self-dots to a
+    * (c_id, ct_emb) centroid frame. */
+  private def withCentroidNorms(cent: DataFrame): DataFrame = {
     import graft.functions.VecMath
-    corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ct_emb"))
-      .withColumn("ct_n2", dot(col("ct_emb"), col("ct_emb")))
+    cent.withColumn("ct_n2", dot(col("ct_emb"), col("ct_emb")))
       .withColumn("ct_f2", VecMath.dotF(col("ct_emb"), col("ct_emb")))
   }
+
+  /** Deterministic coarse-quantizer table: the first `nCentroids`
+    * corpus vectors by id, with carried decimal and float self-dots. */
+  private def centroidTable(corpus: DataFrame, nCentroids: Int): DataFrame =
+    withCentroidNorms(corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ct_emb")))
 
   // Two-phase assignment (same pattern as nearDupPairs): rank the
   // nCentroids candidates by the codegen'd FLOAT cosine first, keep
@@ -614,16 +618,71 @@ object Similarity {
     * hash agg with map-side combine — per iteration, one shuffle of
     * k·dim·partitions partial cells, never the corpus. This is the
     * textbook distributed Lloyd step. */
-  def kmeansUpdate(corpus: DataFrame, nCentroids: Int): DataFrame = {
-    val assigned = assignToCentroids(
-      corpus.select(col("vec_id"), col("embedding")),
-      centroidTable(corpus, nCentroids), "vec_id", "embedding", 1)
+  /** Fixed-point member sums per (`key`, position) — the shared
+    * UPDATE kernel of [[labelCentroids]], [[kmeansUpdate]] and the
+    * [[kmeans]] loop. */
+  private def fixedPointCellSums(assigned: DataFrame, key: String): DataFrame =
     assigned
-      .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "__v")))
-      .select(col("c_id"), col("pos").cast("long").as("pos"),
+      .select(col(key), posexplode(col("embedding")).as(Seq("pos", "__v")))
+      .select(col(key), col("pos").cast("long").as("pos"),
         round(col("__v").cast("double") * lit(1e9)).cast("long").as("__q"))
-      .groupBy(col("c_id"), col("pos"))
+      .groupBy(col(key), col("pos"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("__q")).as("sum_q_e9"))
+
+  def kmeansUpdate(corpus: DataFrame, nCentroids: Int): DataFrame =
+    fixedPointCellSums(assignToCentroids(
+      corpus.select(col("vec_id"), col("embedding")),
+      centroidTable(corpus, nCentroids), "vec_id", "embedding", 1), "c_id")
+
+  /** Full k-means (spherical-flavored: cosine assignment, mean
+    * update): `iters` Lloyd rounds driven by a driver-side loop over
+    * [[kmeansUpdate]]'s two distributed stages. Per iteration the
+    * cluster means — k·dim cells, constant-size at any corpus scale —
+    * come back to the driver (the same sanctioned driver-side scalar
+    * pattern as watermark reads) and go out again as the next
+    * broadcast centroid table; the corpus itself never moves beyond
+    * one broadcast-join pass + one keyed agg per round. The corpus
+    * projection is localCheckpoint'ed once so the iterated lineage
+    * doesn't re-derive upstream stages every round.
+    *
+    * Deterministic end to end: init = the k lowest-id vectors,
+    * fixed-point member sums (order-independent), one double division
+    * per cell, ties broken by centroid id. Empty clusters keep their
+    * previous centroid. Returns (c_id, centroid float array,
+    * n_members as of the last assignment). */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    var cent: Seq[(Long, Seq[Float])] = vecs.filter(col("vec_id") < k)
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    var members = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val centDf = withCentroidNorms(
+        cent.toDF("c_id", "ct_emb").withColumn("ct_emb",
+          col("ct_emb").cast("array<float>")))
+      val cells = fixedPointCellSums(
+        assignToCentroids(vecs, centDf, "vec_id", "embedding", 1), "c_id")
+        .collect()
+      val byC = cells.groupBy(_.getLong(0))
+      members = byC.view.mapValues(_.head.getAs[Long]("n_vecs")).toMap
+      cent = cent.map { case (cId, old) =>
+        cId -> byC.get(cId).fold(old) { rows =>
+          val dim = old.length
+          val mean = Array.ofDim[Float](dim)
+          rows.foreach { r =>
+            mean(r.getAs[Long]("pos").toInt) =
+              (r.getAs[Long]("sum_q_e9").toDouble / 1e9 /
+                r.getAs[Long]("n_vecs")).toFloat
+          }
+          mean.toSeq
+        }
+      }
+    }
+    cent.map { case (cId, emb) =>
+      (cId, emb, members.getOrElse(cId, 0L))
+    }.toDF("c_id", "centroid", "n_members")
   }
 
   /** DuckDB twin of [[kmeansUpdate]] over `embeddings`. */

@@ -243,4 +243,47 @@ object Streams {
           .write.mode("append").parquet(indexPath)
       }
       .start()
+
+  case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+                       tokens_before: Long, seq_id: Long, seq_offset: Long)
+
+  /** Streaming sequence packer — the incremental twin of
+    * [[graft.ext.Corpus.seqPack]]: documents arrive as a stream, each
+    * shard's running token total lives in keyed state, and every doc
+    * is placed at the stream position the counter had when it arrived.
+    * Within a micro-batch a shard's docs pack in doc_id order; across
+    * batches, in arrival order — the online packing contract (a
+    * streaming packer cannot re-order history; the batch op re-derives
+    * the id-ordered layout when determinism across the whole corpus
+    * matters more than latency).
+    *
+    * State per shard is ONE int64 — bounded regardless of stream
+    * length, shuffled once by shard like every keyed stateful op here.
+    * `nShards` bounds the useful parallelism of the stateful stage,
+    * exactly as it bounds the batch window's. */
+  def seqPackStream(docs: DataFrame, budget: Long,
+                    nShards: Int): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        graft.functions.Hashing.permBucket(col("doc_id"), 2, nShards)
+          .as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, it, gs) =>
+          var run = if (gs.exists) gs.get else 0L
+          val out = it.toSeq.sortBy(_._1).map { case (id, _, n) =>
+            val d = PackedDoc(id, shard, n, run,
+              run / budget, run % budget)
+            run += n
+            d
+          }
+          gs.update(run)
+          out.iterator
+      }
+  }
 }

@@ -261,6 +261,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("kmeans: deterministic loop, full partition, means in range") {
+    val k = 4
+    val a = Similarity.kmeans(emb, k, 3).collect().sortBy(_.getLong(0))
+    val b = Similarity.kmeans(emb, k, 3).collect().sortBy(_.getLong(0))
+    assert(a.length == k)
+    // two runs produce bit-identical centroids (fixed-point sums)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getSeq[Float](1) == y.getSeq[Float](1))
+      assert(x.getAs[Long]("n_members") == y.getAs[Long]("n_members"))
+    }
+    // last assignment covered the whole corpus exactly once
+    assert(a.map(_.getAs[Long]("n_members")).sum == emb.count())
+    // every mean component lies inside the corpus value envelope
+    val (lo, hi) = emb.select(posexplode(col("embedding")))
+      .agg(min("col").cast("double"), max("col").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+    a.foreach(_.getSeq[Float](1).foreach(v =>
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6)))
+  }
+
   test("kmeansUpdate partitions the corpus across centroids exactly once") {
     val cells = Similarity.kmeansUpdate(emb, 8).collect()
     val total = emb.count()

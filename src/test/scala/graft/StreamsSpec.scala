@@ -210,4 +210,46 @@ class StreamsSpec extends SparkSpec {
       .groupBy("user_id").count().filter(col("count") > 1).count()
     assert(multiCurrent == 0)
   }
+
+  test("seqPackStream: shard counters survive micro-batch boundaries") {
+    import org.apache.spark.sql.types._
+    val docsDir = tmp("docs-stream")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val n = docs.count()
+    // two arrival waves: low ids land in batch 1, high ids in batch 2
+    docs.filter(col("doc_id") < n / 2).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    docs.filter(col("doc_id") >= n / 2).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val budget = 64L
+    val stream = Streams.seqPackStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(docsDir), budget, 4)
+    val q = stream.writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("packed").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("tokens_before"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("seq_offset"))).toMap
+    assert(got.size == n)
+    // recompute arrival-order packing driver-side: batch wave, then id
+    val want = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy { case (id, _) => (id >= n / 2, id) }
+    val counters = collection.mutable.Map.empty[Long, Long]
+    want.foreach { case (id, tok) =>
+      val shard = got(id)._1
+      val before = counters.getOrElse(shard, 0L)
+      assert(got(id) == ((shard, tok, before, before / budget,
+        before % budget)), s"doc $id diverged")
+      counters(shard) = before + tok
+    }
+  }
 }
