@@ -731,6 +731,15 @@ object Queries {
       },
       Some(Similarity.lshCosineTopKOracleSql(64, 5, 10, 6))),
 
+    // ANN quality audit: recall@k of the LSH path vs exact brute force
+    ("ann_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        ext.Similarity.annRecall(emb, emb.filter(col("vec_id") < 10), 5,
+          64, 6).orderBy("query_id")
+      },
+      Some(ext.Similarity.annRecallOracleSql(64, 5, 10, 6))),
+
     // Scale-path ANN #2: IVF coarse-quantizer inverted lists
     ("ann_ivf",
       (s: SparkSession, d: String) => {

@@ -618,6 +618,77 @@ object Similarity {
     * hash agg with map-side combine — per iteration, one shuffle of
     * k·dim·partitions partial cells, never the corpus. This is the
     * textbook distributed Lloyd step. */
+  /** Recall@k of the SRP-LSH ANN path against the exact brute-force
+    * ranking — the evaluation an ANN index must pass before it
+    * replaces the exact path in production (approximate retrieval
+    * without a measured recall is a silent-quality bug, not an
+    * optimization). Per query: how many of the TRUE top-k neighbors
+    * ([[cosineTopK]]) the bucketed search ([[lshCosineTopK]])
+    * returned.
+    *
+    * `recall_at_k = n_hits / k` is one int64→double conversion and
+    * one IEEE division — portable (see [[Corpus.mixWeights]]).
+    *
+    * Scale shape: both sides are the already-scaled operators; the
+    * comparison itself is a (query_id, cand_id)-keyed left join of
+    * two k·|Q|-row frames plus one aggregation — negligible next to
+    * the searches it audits. On a real corpus the exact side runs on
+    * a SAMPLE of queries (recall estimation, not exhaustive
+    * re-scoring); the sample predicate is the caller's `queries`. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                dim: Int, nPlanes: Int): DataFrame = {
+    val exact = cosineTopK(corpus, queries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = lshCosineTopK(corpus, queries, k, dim, nPlanes)
+      .select(col("query_id"), col("cand_id"),
+        lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("n_hits", col("n_hits").cast("long"))
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+  }
+
+  /** DuckDB twin of [[annRecall]] (queries = vec_id < maxQueryId):
+    * the exact and LSH CTE chains of their standalone oracles, joined. */
+  def annRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                         nPlanes: Int): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |           WHERE vec_id < $maxQueryId),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |ex_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM c, q WHERE query_id <> cand_id),
+    |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k),
+    |b AS (SELECT vec_id, embedding,
+    |  ${srpBucketSql("embedding", dim, nPlanes)} AS bucket FROM embeddings),
+    |lq AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b
+    |       WHERE vec_id < $maxQueryId),
+    |lc AS (SELECT vec_id AS cand_id, embedding AS c_emb, bucket FROM b),
+    |l_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM lc JOIN lq ON lc.bucket = lq.bucket AND query_id <> cand_id),
+    |lsh AS (SELECT query_id, cand_id FROM l_ranked WHERE rank <= $k)
+    |SELECT e.query_id,
+    |  CAST(count(l.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(l.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM exact e LEFT JOIN lsh l
+    |  ON e.query_id = l.query_id AND e.cand_id = l.cand_id
+    |GROUP BY e.query_id
+    |ORDER BY e.query_id
+    |""".stripMargin.trim
+  }
+
   /** Fixed-point member sums per (`key`, position) — the shared
     * UPDATE kernel of [[labelCentroids]], [[kmeansUpdate]] and the
     * [[kmeans]] loop. */

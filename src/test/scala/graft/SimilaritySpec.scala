@@ -261,6 +261,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("annRecall equals a manual intersection of the two rankings") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val k = 3
+    val rec = Similarity.annRecall(emb, queries, k, 64, 6).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(rec.size == 5)
+    val exact = Similarity.cosineTopK(emb, queries, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosineTopK(emb, queries, k, 64, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rec.foreach { case (q, (hits, r)) =>
+      val want = exact.filter(_._1 == q).count(lsh.contains)
+      assert(hits == want && hits >= 0 && hits <= k)
+      assert(r == hits.toDouble / k)
+    }
+  }
+
   test("kmeans: deterministic loop, full partition, means in range") {
     val k = 4
     val a = Similarity.kmeans(emb, k, 3).collect().sortBy(_.getLong(0))
