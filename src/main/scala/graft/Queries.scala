@@ -1005,6 +1005,14 @@ object Queries {
       Some(ext.CorpusPipeline.prepareOracleSql("source = 'src19'",
         rates = Seq("en" -> 300)))),
 
+    // Video frame-sampling manifest: the per-frame work list a decode
+    // stage consumes (generator projection — no shuffle)
+    ("frame_sample",
+      (s: SparkSession, d: String) =>
+        ext.Multimodal.frameSample(t(s, d, "documents"), 8, 4)
+          .orderBy("doc_id", "frame_idx"),
+      Some(ext.Multimodal.frameSampleOracleSql(8, 4))),
+
     // Sequence packing: fixed-budget training sequences over the
     // sharded token stream (window parallelized by shard hash)
     ("seq_pack",

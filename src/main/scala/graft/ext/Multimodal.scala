@@ -85,4 +85,47 @@ object Multimodal {
     |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS height
     |FROM documents ORDER BY doc_id
     |""".stripMargin.trim
+
+  /** Video frame-sampling manifest: for each media row, the uniform
+    * stride sample of its frames — one output row per (doc, sampled
+    * frame) with the frame index and its millisecond timestamp. This
+    * is the step that turns a video column into the per-frame work
+    * list a decode/caption/embed stage consumes; the decode itself
+    * stays behind [[StubDecoder]], the MANIFEST is the Spark-side
+    * plumbing and is exact.
+    *
+    * `n_frames` comes from container metadata in production; here it
+    * derives from payload length so the op runs end-to-end. Stride =
+    * max(1, n_frames div targetFrames) — at most ~2·targetFrames rows
+    * per doc, never fewer than 1.
+    *
+    * Scale shape: `sequence` + `explode` is a generator projection —
+    * no shuffle, no join, output bounded by targetFrames per row.
+    * All arithmetic is int64 (div/mod), engine-portable. */
+  def frameSample(docs: DataFrame, targetFrames: Int,
+                  fps: Int): DataFrame = {
+    val nFrames = expr(
+      "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) div 16 + 1")
+    val step = greatest(lit(1L), expr(s"n_frames div $targetFrames"))
+    docs.select(col("doc_id"), nFrames.as("n_frames"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, step)))
+      .withColumn("ts_ms", expr(s"frame_idx * 1000 div $fps"))
+  }
+
+  def frameSampleOracleSql(targetFrames: Int, fps: Int): String =
+    s"""
+    |WITH m AS (
+    |  SELECT doc_id,
+    |    CAST(octet_length(encode(text)) AS BIGINT) // 16 + 1 AS n_frames
+    |  FROM documents),
+    |f AS (
+    |  SELECT doc_id, n_frames,
+    |    unnest(range(0, n_frames,
+    |      greatest(1, n_frames // $targetFrames))) AS frame_idx
+    |  FROM m)
+    |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+    |  frame_idx * 1000 // $fps AS ts_ms
+    |FROM f ORDER BY doc_id, frame_idx
+    |""".stripMargin.trim
 }

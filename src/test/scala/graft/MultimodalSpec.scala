@@ -36,4 +36,25 @@ class MultimodalSpec extends SparkSpec {
     assert(exprSide.exceptAll(dsSide).count() == 0)
     assert(dsSide.exceptAll(exprSide).count() == 0)
   }
+
+  test("frameSample: uniform stride covering frame 0, bounded per doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val target = 8
+    val rows = Multimodal.frameSample(docs, target, 4).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      val n = fs.head.getAs[Long]("n_frames")
+      val idx = fs.map(_.getAs[Long]("frame_idx")).sorted
+      assert(idx.head == 0, s"doc $id must sample frame 0")
+      assert(idx.last < n, s"doc $id sampled past its last frame")
+      assert(idx.distinct.length == idx.length)
+      val step = math.max(1L, n / target)
+      assert(idx.zip(idx.tail).forall { case (a, b) => b - a == step },
+        s"doc $id stride not uniform")
+      assert(fs.length <= 2 * target,
+        s"doc $id emitted ${fs.length} frames (> 2x target)")
+      fs.foreach(r => assert(
+        r.getAs[Long]("ts_ms") == r.getAs[Long]("frame_idx") * 1000 / 4))
+    }
+  }
 }
