@@ -1005,6 +1005,26 @@ object Queries {
       Some(ext.CorpusPipeline.prepareOracleSql("source = 'src19'",
         rates = Seq("en" -> 300)))),
 
+    // Z-order layout keys: Morton interleave of customer and order-day
+    // (the curve writeZOrdered clusters by — a pure projection)
+    ("zorder_key",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        o.select(col("o_orderkey"),
+            col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+              .as("order_day"))
+          .withColumn("zval", graft.functions.ZOrder.zValue(
+            col("o_custkey"), col("order_day"), 16))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey,
+        |  CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+        |    AS order_day,
+        |  ${graft.functions.ZOrder.zValueSql("o_custkey",
+             "datediff('day', DATE '1970-01-01', o_orderdate)", 16)} AS zval
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // Video frame-sampling manifest: the per-frame work list a decode
     // stage consumes (generator projection — no shuffle)
     ("frame_sample",

@@ -67,6 +67,27 @@ object Sources {
       .sortWithinPartitions(sortCols.map(df(_)): _*)
       .write.mode(mode).parquet(path)
 
+  /** Z-order-clustered parquet sink: [[writeSorted]] on the Morton
+    * value of two sort keys ([[graft.functions.ZOrder.zValue]]), so
+    * min/max row-group statistics prune scans filtered on EITHER key
+    * — the two-dimensional upgrade of the sort-clustered layout. The
+    * curve key is dropped from the written schema (it is layout, not
+    * data; recompute it from the keys when re-clustering). */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String,
+                    keyB: String, bits: Int = 16,
+                    mode: String = "overwrite",
+                    nFiles: Option[Int] = None): Unit = {
+    val z = df.withColumn("__z",
+      graft.functions.ZOrder.zValue(df(keyA), df(keyB), bits))
+    // explicit file count pins the layout granularity (AQE otherwise
+    // coalesces small inputs to one file, which defeats pruning)
+    val ranged = nFiles.fold(z.repartitionByRange(z("__z")))(n =>
+      z.repartitionByRange(n, z("__z")))
+    ranged.sortWithinPartitions(ranged("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a directory into
     * ceil(bytes / targetFileBytes) files. Streaming micro-batches and
     * per-partition appends accumulate thousands of KB-scale files;

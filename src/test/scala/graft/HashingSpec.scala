@@ -34,6 +34,29 @@ class HashingSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("zValue column expression equals the reference interleave") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    // exhaustive at bits=4 (all 256 pairs), plus mask behavior beyond
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == ZOrder.zValueRef(a, b, 4))
+    }
+    assert(got.values.toSeq.distinct.length == 256, "must be a bijection")
+    // quadkey prefix property: the high z bits are the interleave of
+    // the high input bits — this is what makes range pruning work
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) >> 4 == ZOrder.zValueRef(a >> 2, b >> 2, 2))
+    }
+    // out-of-domain inputs mask, not overflow
+    val big = Seq((1L << 40 | 5L, 3L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 4)).collect().head.getLong(0)
+    assert(big == ZOrder.zValueRef(5L, 3L, 4))
+  }
+
   test("native polyHash decodes multi-byte UTF-8 as code points") {
     import spark.implicits._
     val strs = Seq("héllo", "日本語", "añ€jo", "mix 日 a é", "😀😀", "€")

@@ -69,6 +69,33 @@ class SourcesSpec extends SparkSpec {
     assert(files.length == 1, s"range not clustered: ${files.length} files")
   }
 
+  test("z-ordered write clusters BOTH keys; data and schema survive") {
+    import graft.functions.ZOrder
+    val dir = tmp("src-zorder") + "/orders"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("order_day",
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+    Sources.writeZOrdered(orders, dir, "o_custkey", "order_day", bits = 16,
+      nFiles = Some(8))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    assert(!back.columns.contains("__z"), "curve key must not be persisted")
+    // locality on both dimensions: a tight box on (custkey, day) maps
+    // to a z range touching few files; compare against the worst case
+    // of every file (the sorted-by-one-key layout degrades to that on
+    // its trailing key)
+    val nFiles = back.select(input_file_name()).distinct().count()
+    assert(nFiles > 1, "explicit nFiles must yield a multi-file layout")
+    val (loC, loD) = orders.agg(min("o_custkey"), min("order_day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    def filesTouched(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("o_custkey").between(loC, loC + 32) &&
+          col("order_day").between(loD, loD + 32))
+        .select(input_file_name()).distinct().count()
+    assert(filesTouched(back) < nFiles,
+      "z-order box query must not touch every file")
+  }
+
   test("compact rewrites many small files into few, preserving data") {
     val dir = tmp("src-compact") + "/customer"
     customer.repartition(37).write.parquet(dir)
