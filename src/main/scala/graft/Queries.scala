@@ -1041,6 +1041,41 @@ object Queries {
           col("text"), 2048, 8).orderBy("doc_id"),
       Some(ext.Corpus.seqPackOracleSql(2048, 8))),
 
+    // Packing manifest: per-(doc, sequence) token spans — what the
+    // sequence-assembly stage consumes (straddlers tile exactly)
+    ("pack_manifest",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.packManifest(t(s, d, "documents"), col("doc_id"),
+          col("text"), 2048, 8).orderBy("doc_id", "seq_id"),
+      Some(ext.Corpus.packManifestOracleSql(2048, 8))),
+
+    // Row-level reconciliation: FULL OUTER source-vs-dim key compare
+    // (the reference reconciles totals; this pinpoints the rows)
+    ("reconcile_rows",
+      (s: SparkSession, d: String) => {
+        val src = t(s, d, "events").select(col("user_id").as("k")).distinct()
+        val dim = t(s, d, "customer")
+          .filter(col("c_custkey") % 7 =!= 0)  // simulate missing rows
+          .select(col("c_custkey").as("k")).distinct()
+        src.withColumn("in_src", lit(1L)).as("s")
+          .join(dim.withColumn("in_dim", lit(1L)).as("m"),
+            col("s.k") === col("m.k"), "full_outer")
+          .select(coalesce(col("s.k"), col("m.k")).as("k"),
+            coalesce(col("in_src"), lit(0L)).as("in_src"),
+            coalesce(col("in_dim"), lit(0L)).as("in_dim"))
+          .filter(col("in_src") === 0 || col("in_dim") === 0)
+          .orderBy("k")
+      },
+      Some("""WITH s AS (SELECT DISTINCT user_id AS k FROM events),
+        |m AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |      WHERE c_custkey % 7 <> 0)
+        |SELECT coalesce(s.k, m.k) AS k,
+        |  CAST(CASE WHEN s.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_src,
+        |  CAST(CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_dim
+        |FROM s FULL JOIN m ON s.k = m.k
+        |WHERE s.k IS NULL OR m.k IS NULL
+        |ORDER BY k""".stripMargin)),
+
     // Global sequence ids via the distributed two-phase prefix sum;
     // the oracle is the single-window spec the plan must reproduce
     ("seq_pack_global",

@@ -332,6 +332,70 @@ object Corpus {
     |""".stripMargin.trim
   }
 
+  /** Packing manifest: the per-(document, sequence) assembly list —
+    * one row for every training sequence a document contributes
+    * tokens to, with the exact token sub-range. This is what the
+    * sequence-assembly stage actually consumes: for each output
+    * sequence, which docs supply which token spans at which offsets.
+    * A doc fully inside one chunk yields one row; a straddler yields
+    * `n_seqs` rows whose spans tile the doc exactly.
+    *
+    *   - `doc_tok_start` — first token of the span, doc-relative
+    *   - `seq_tok_start` — where the span lands, sequence-relative
+    *   - `n_toks`        — span length (sums to n_tokens per doc)
+    *
+    * Derived from [[seqPack]] by exploding each doc's chunk range —
+    * a generator projection on top of the shard-parallel prefix sum;
+    * still no extra shuffle, output rows = corpus chunk crossings. */
+  def packManifest(docs: DataFrame, id: Column, text: Column,
+                   budget: Int, nShards: Int): DataFrame =
+    seqPack(docs, id, text, budget, nShards)
+      .withColumn("__i", explode(sequence(lit(0L), col("n_seqs") - 1)))
+      .withColumn("seq", col("seq_id") + col("__i"))
+      .withColumn("__span_lo",
+        greatest(col("seq") * budget, col("tokens_before")))
+      .withColumn("__span_hi",
+        least((col("seq") + 1) * budget,
+          col("tokens_before") + col("n_tokens")))
+      .select(col("doc_id"), col("shard"), col("seq").as("seq_id"),
+        (col("__span_lo") - col("tokens_before")).as("doc_tok_start"),
+        (col("__span_lo") - col("seq") * budget).as("seq_tok_start"),
+        (col("__span_hi") - col("__span_lo")).as("n_toks"))
+
+  /** DuckDB twin of [[packManifest]] over `documents`. */
+  def packManifestOracleSql(budget: Int, nShards: Int): String = {
+    val shard = Hashing.permBucketSql("doc_id", 2, nShards)
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, $shard AS shard,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    |  FROM documents),
+    |run AS (
+    |  SELECT doc_id, shard, n_tokens,
+    |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    |      AS tokens_before
+    |  FROM toks),
+    |spans AS (
+    |  SELECT doc_id, shard, n_tokens, tokens_before,
+    |    tokens_before // $budget + unnest(range(0,
+    |      (tokens_before + n_tokens - 1) // $budget
+    |        - tokens_before // $budget + 1)) AS seq
+    |  FROM run),
+    |cut AS (
+    |  SELECT doc_id, shard, seq,
+    |    greatest(seq * $budget, tokens_before) AS span_lo,
+    |    least((seq + 1) * $budget, tokens_before + n_tokens) AS span_hi,
+    |    tokens_before
+    |  FROM spans)
+    |SELECT doc_id, shard, CAST(seq AS BIGINT) AS seq_id,
+    |  span_lo - tokens_before AS doc_tok_start,
+    |  span_lo - seq * $budget AS seq_tok_start,
+    |  span_hi - span_lo AS n_toks
+    |FROM cut ORDER BY doc_id, seq_id
+    |""".stripMargin.trim
+  }
+
   /** [[seqPack]] with GLOBAL sequence ids — the distributed two-phase
     * prefix sum: (1) each shard's local running total (the
     * shard-partitioned window of [[seqPack]]), (2) per-shard token

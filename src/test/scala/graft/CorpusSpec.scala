@@ -126,6 +126,39 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packManifest spans tile every doc and never overflow a sequence") {
+    val budget = 128
+    val m = Corpus.packManifest(docs, col("doc_id"), col("text"),
+      budget, 4).collect()
+    // per doc: spans are contiguous from 0 and sum to the doc's tokens
+    val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m.groupBy(_.getLong(0)).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_.getAs[Long]("seq_id"))
+      var at = 0L
+      sorted.foreach { s =>
+        assert(s.getAs[Long]("doc_tok_start") == at,
+          s"doc $id spans not contiguous")
+        at += s.getAs[Long]("n_toks")
+      }
+      assert(at == toks(id), s"doc $id spans don't tile its tokens")
+    }
+    // per (shard, seq): occupied ranges fit the budget and don't overlap
+    m.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")))
+      .foreach { case ((sh, seq), spans) =>
+        val ranges = spans.map(s => (s.getAs[Long]("seq_tok_start"),
+          s.getAs[Long]("seq_tok_start") + s.getAs[Long]("n_toks")))
+          .sortBy(_._1)
+        ranges.foreach { case (lo, hi) =>
+          assert(lo >= 0 && hi <= budget, s"seq ($sh,$seq) overflows")
+        }
+        ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"seq ($sh,$seq) spans overlap")
+        }
+      }
+  }
+
   test("seqPackGlobal equals the one-stream spec (two-phase = global prefix)") {
     val budget = 256
     val global = Corpus.seqPackGlobal(docs, col("doc_id"), col("text"),
