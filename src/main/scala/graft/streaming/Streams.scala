@@ -260,7 +260,10 @@ object Streams {
     * State per shard is ONE int64 — bounded regardless of stream
     * length, shuffled once by shard like every keyed stateful op here.
     * `nShards` bounds the useful parallelism of the stateful stage,
-    * exactly as it bounds the batch window's. */
+    * exactly as it bounds the batch window's. Null text counts as 0
+    * tokens (the doc is placed but consumes no budget) — a stream
+    * must define the case rather than poison the query; the batch op
+    * propagates the null instead. */
   def seqPackStream(docs: DataFrame, budget: Long,
                     nShards: Int): Dataset[PackedDoc] = {
     val spark = docs.sparkSession
@@ -269,7 +272,8 @@ object Streams {
       .select(col("doc_id").cast("long"),
         graft.functions.Hashing.permBucket(col("doc_id"), 2, nShards)
           .as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+          .as("n_tokens"))
       .as[(Long, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, PackedDoc](
