@@ -178,6 +178,25 @@ class PlanSpec extends SparkSpec {
       s"assignment fell back to a shuffled join:\n$p")
   }
 
+  test("zorder_key and frame_sample are shuffle-free projections") {
+    Seq("zorder_key", "frame_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+    // the frame manifest is generated, not joined in
+    assert(plan("frame_sample").contains("Generate"),
+      "frame_sample lost its generator")
+  }
+
+  test("pack_manifest adds no shuffle beyond seq_pack's prefix sum") {
+    def exchanges(q: String) =
+      "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+    assert(exchanges("pack_manifest") == exchanges("seq_pack"),
+      "chunk explosion must stay a projection over the packed frame")
+  }
+
   test("embedding_centroid is one hash agg with map-side partial combine") {
     val p = plan("embedding_centroid")
     val aggs = "HashAggregate".r.findAllIn(p).size
