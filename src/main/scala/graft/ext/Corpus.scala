@@ -295,6 +295,8 @@ object Corpus {
     * DuckDB twin matches bit for bit. */
   def seqPack(docs: DataFrame, id: Column, text: Column,
               budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val shard = Hashing.permBucket(id, 2, nShards)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

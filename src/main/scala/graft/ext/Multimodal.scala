@@ -104,6 +104,8 @@ object Multimodal {
     * All arithmetic is int64 (div/mod), engine-portable. */
   def frameSample(docs: DataFrame, targetFrames: Int,
                   fps: Int): DataFrame = {
+    require(targetFrames > 0, s"targetFrames must be positive: $targetFrames")
+    require(fps > 0, s"fps must be positive: $fps")
     val nFrames = expr(
       "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) div 16 + 1")
     val step = greatest(lit(1L), expr(s"n_frames div $targetFrames"))

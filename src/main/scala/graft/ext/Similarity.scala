@@ -637,6 +637,7 @@ object Similarity {
     * re-scoring); the sample predicate is the caller's `queries`. */
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
                 dim: Int, nPlanes: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val exact = cosineTopK(corpus, queries, k)
       .select(col("query_id"), col("cand_id"))
     val approx = lshCosineTopK(corpus, queries, k, dim, nPlanes)
@@ -722,6 +723,8 @@ object Similarity {
     * previous centroid. Returns (c_id, centroid float array,
     * n_members as of the last assignment). */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col("vec_id"), col("embedding"))

@@ -24,6 +24,8 @@ object ZOrder {
   /** Morton value of (a, b): bit i of `a` lands at position 2i, bit i
     * of `b` at 2i+1. Result < 4^bits. */
   def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31,
+      s"bits must be in [1, 31] (z value must fit int64), got $bits")
     val mask = (1L << bits) - 1
     val am = a.cast("long").bitwiseAND(lit(mask))
     val bm = b.cast("long").bitwiseAND(lit(mask))

@@ -266,6 +266,8 @@ object Streams {
     * propagates the null instead. */
   def seqPackStream(docs: DataFrame, budget: Long,
                     nShards: Int): Dataset[PackedDoc] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val spark = docs.sparkSession
     import spark.implicits._
     docs
