@@ -1107,6 +1107,16 @@ object Queries {
           col("label"), col("embedding")).orderBy("label", "pos"),
       Some(ext.Similarity.labelCentroidsOracleSql(64))),
 
+    // The last mile: prepared corpus -> train split -> packed
+    // training sequences, oracle-checked end to end
+    ("corpus_pack",
+      (s: SparkSession, d: String) =>
+        ext.CorpusPipeline.preparePack(t(s, d, "documents"),
+            col("source") === "src19", 1024, 4, rates = Seq("en" -> 300))
+          .orderBy("doc_id"),
+      Some(ext.CorpusPipeline.preparePackOracleSql("source = 'src19'",
+        1024, 4, rates = Seq("en" -> 300)))),
+
     // HLL++ approximate distinct — engine-specific sketch, rows-only check
     ("approx_distinct",
       (s: SparkSession, d: String) =>

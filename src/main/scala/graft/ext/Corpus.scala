@@ -311,14 +311,16 @@ object Corpus {
           col("seq_id") + 1)
   }
 
-  /** DuckDB twin of [[seqPack]] over `documents`. */
-  def seqPackOracleSql(budget: Int, nShards: Int): String = {
+  /** DuckDB twin of [[seqPack]] over `rel` (any relation with
+    * doc_id + text). */
+  def seqPackOracleSql(budget: Int, nShards: Int,
+                       rel: String = "documents"): String = {
     val shard = Hashing.permBucketSql("doc_id", 2, nShards)
     s"""
     |WITH toks AS (
     |  SELECT doc_id, $shard AS shard,
     |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
-    |  FROM documents),
+    |  FROM $rel),
     |run AS (
     |  SELECT doc_id, shard, n_tokens,
     |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -99,6 +99,39 @@ object CorpusPipeline {
     (out, counts.result())
   }
 
+  /** [[prepare]] chained into [[Corpus.seqPack]]: clean the corpus,
+    * keep the train split, pack its token stream into fixed-budget
+    * training sequences — the last mile from raw documents to the
+    * sequence layout a trainer reads. The packing sees only surviving
+    * train docs, so sequence offsets are dense over the FINAL corpus
+    * (packing before filtering would leave holes in every sequence). */
+  def preparePack(docs: DataFrame, evalPred: Column, budget: Int,
+                  nShards: Int,
+                  rates: Seq[(String, Int)] = Seq.empty): DataFrame = {
+    val (corpus, _) = prepare(docs, evalPred, rates = rates,
+      countStages = false)
+    Corpus.seqPack(corpus.filter(col("split") === "train"),
+      col("doc_id"), col("text"), budget, nShards)
+  }
+
+  /** DuckDB twin of [[preparePack]]: the prepare chain as a CTE, the
+    * train slice re-joined to `documents` for text, and the packing
+    * chain spliced on (its WITH folds into the shared prologue). */
+  def preparePackOracleSql(evalPred: String, budget: Int, nShards: Int,
+                           rates: Seq[(String, Int)] = Seq.empty): String = {
+    val packSql = Corpus.seqPackOracleSql(budget, nShards, rel = "tr")
+    require(packSql.startsWith("WITH "), "splice point moved")
+    s"""
+    |WITH prepared AS (
+    |${prepareOracleSql(evalPred, rates = rates)}),
+    |tr AS (
+    |  SELECT p.doc_id, d.text
+    |  FROM prepared p JOIN documents d ON p.doc_id = d.doc_id
+    |  WHERE p.split = 'train'),
+    |${packSql.stripPrefix("WITH ")}
+    |""".stripMargin.trim
+  }
+
   /** DuckDB twin of the WHOLE [[prepare]] composition over
     * `documents` — every stage's oracle chained as CTEs (quality from
     * [[TextAnalysis.qualityScoreSql]], exact keys from

@@ -51,4 +51,26 @@ class CorpusPipelineSpec extends SparkSpec {
         col("doc_id"), col("text")), 3)
     assert(pairs.isEmpty, "prepared corpus still contains near-dup pairs")
   }
+
+  test("preparePack packs exactly the surviving train docs, densely") {
+    val evalPred = col("source") === "src19"
+    val packed = CorpusPipeline.preparePack(docs, evalPred,
+      budget = 128, nShards = 4).collect()
+    val (corpus, _) = CorpusPipeline.prepare(docs, evalPred,
+      countStages = false)
+    val train = corpus.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(packed.map(_.getLong(0)).toSet == train,
+      "packed set must be the prepared train split, nothing else")
+    // dense offsets over the FINAL corpus: per shard the prefix sum
+    // has no holes where dropped docs used to be
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("tokens_before") == run,
+          s"hole before doc ${r.getLong(0)}")
+        run += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
 }
