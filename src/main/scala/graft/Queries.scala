@@ -1107,6 +1107,29 @@ object Queries {
           col("label"), col("embedding")).orderBy("label", "pos"),
       Some(ext.Similarity.labelCentroidsOracleSql(64))),
 
+    // Dataset card: the one-row corpus summary a release ships with
+    // (single aggregation, exact integer stats only)
+    ("corpus_stats",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(when(coalesce(col("text"), lit("")) === "", 1L)
+            .otherwise(0L)).as("n_empty")),
+      Some("""SELECT count(*) AS n_docs,
+        |  CAST(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(CASE WHEN coalesce(text, '') = '' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_empty
+        |FROM documents""".stripMargin)),
+
     // The last mile: prepared corpus -> train split -> packed
     // training sequences, oracle-checked end to end
     ("corpus_pack",
