@@ -1107,6 +1107,23 @@ object Queries {
           col("label"), col("embedding")).orderBy("label", "pos"),
       Some(ext.Similarity.labelCentroidsOracleSql(64))),
 
+    // Ordered funnel: first view -> first later click -> first later
+    // purchase per user (stage-shrinking user-keyed aggs, no window)
+    ("funnel_steps",
+      (s: SparkSession, d: String) =>
+        ext.Sessions.funnel(t(s, d, "events"), col("user_id"), col("ts"),
+            col("event_type"), Seq("view", "click", "purchase"))
+          .orderBy("user_id"),
+      Some(ext.Sessions.funnelOracleSql(Seq("view", "click", "purchase")))),
+
+    // Retention triangle: distinct active users per (first-seen
+    // cohort day, day offset)
+    ("retention_cohort",
+      (s: SparkSession, d: String) =>
+        ext.Sessions.retentionCohort(t(s, d, "events"), col("user_id"),
+          col("ts")).orderBy("cohort_day", "day_offset"),
+      Some(ext.Sessions.retentionCohortOracleSql)),
+
     // Dataset card: the one-row corpus summary a release ships with
     // (single aggregation, exact integer stats only)
     ("corpus_stats",

@@ -63,4 +63,87 @@ object Sessions {
     |FROM sess GROUP BY 1, 2
     |ORDER BY user_id, session_num
     |""".stripMargin.trim
+
+  /** Ordered funnel: for each user, the FIRST time they completed
+    * each stage strictly after completing the previous one — the
+    * sequential-conversion analysis (view → click → purchase) every
+    * event warehouse ships. Emits one row per user who entered the
+    * funnel, stage timestamps `t1..tN`, null from the first stage
+    * they never reached.
+    *
+    * Shape: one user-keyed aggregation per stage plus user-keyed
+    * joins — no window over the whole event stream, no self theta
+    * join; each stage's frame shrinks monotonically (only users still
+    * in the funnel). All shuffles share the user key, so AQE plans
+    * one exchange per stage at most. */
+  def funnel(events: DataFrame, user: Column, ts: Column, typ: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(user.as("user_id"), ts.as("__ts"),
+      typ.as("__tp"))
+    val s1 = e.filter(col("__tp") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("__ts")).as("t1"))
+    var frames = List(s1)
+    stages.tail.zipWithIndex.foreach { case (st, i) =>
+      val n = i + 2
+      val next = e.filter(col("__tp") === st)
+        .join(frames.head.select(col("user_id"), col(s"t${n - 1}")),
+          Seq("user_id"))
+        .filter(col("__ts") > col(s"t${n - 1}"))
+        .groupBy(col("user_id")).agg(min(col("__ts")).as(s"t$n"))
+      frames = next :: frames
+    }
+    frames.reverse.reduce((acc, step) =>
+      acc.join(step, Seq("user_id"), "left"))
+  }
+
+  /** DuckDB twin of [[funnel]] over `events` (stage columns t1..tN). */
+  def funnelOracleSql(stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      val n = i + 1
+      if (n == 1)
+        s"s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+          s"WHERE event_type = '$st' GROUP BY 1)"
+      else
+        s"s$n AS (SELECT e.user_id, min(e.ts) AS t$n FROM events e " +
+          s"JOIN s${n - 1} p ON e.user_id = p.user_id " +
+          s"WHERE e.event_type = '$st' AND e.ts > p.t${n - 1} GROUP BY 1)"
+    }
+    val joins = (2 to stages.length)
+      .map(n => s"LEFT JOIN s$n USING (user_id)").mkString(" ")
+    val cols = (1 to stages.length).map(n => s"t$n").mkString(", ")
+    s"""
+    |WITH ${ctes.mkString(",\n|")}
+    |SELECT user_id, $cols FROM s1 $joins ORDER BY user_id
+    |""".stripMargin.trim
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, distinct
+    * active users per (cohort, day offset) — the classic retention
+    * triangle. Two user-keyed shuffles (first-seen aggregation, then
+    * the cohort/offset count); the distinct-user count collapses
+    * map-side to (cohort, offset, user) before shuffling. */
+  def retentionCohort(events: DataFrame, user: Column,
+                      ts: Column): DataFrame = {
+    val e = events.select(user.as("user_id"), to_date(ts).as("__day"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("__day")).as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** DuckDB twin of [[retentionCohort]] over `events`. */
+  val retentionCohortOracleSql: String =
+    """
+    |WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+    |SELECT f.cohort_day,
+    |  CAST(datediff('day', f.cohort_day, d.day) AS BIGINT) AS day_offset,
+    |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+    |FROM d JOIN f ON d.user_id = f.user_id
+    |GROUP BY 1, 2 ORDER BY 1, 2
+    |""".stripMargin.trim
 }

@@ -45,4 +45,40 @@ class SessionsSpec extends SparkSpec {
     val total = stats.agg(sum("n_events")).head().getLong(0)
     assert(total == events.count())
   }
+
+  test("funnel stages are strictly ordered and null-terminated") {
+    val f = Sessions.funnel(events, col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase")).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val ts = Seq("t1", "t2", "t3").map(c =>
+        Option(r.getAs[java.time.LocalDateTime](c)))
+      assert(ts.head.isDefined, "entering the funnel requires stage 1")
+      // strictly increasing while present
+      ts.sliding(2).foreach {
+        case Seq(Some(a), Some(b)) => assert(a.isBefore(b))
+        case _ =>
+      }
+      // once a stage is missed, no later stage may be reached
+      ts.sliding(2).foreach {
+        case Seq(None, later) => assert(later.isEmpty)
+        case _ =>
+      }
+    }
+  }
+
+  test("retentionCohort: full attendance at offset zero, none negative") {
+    val rc = Sessions.retentionCohort(events, col("user_id"), col("ts"))
+      .collect()
+    assert(rc.forall(_.getAs[Long]("day_offset") >= 0))
+    // every user is active on their own first day, so offset 0 holds
+    // the whole cohort
+    val firstSeen = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d")).groupBy("d").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rc.filter(_.getAs[Long]("day_offset") == 0).foreach { r =>
+      assert(r.getAs[Long]("n_users") ==
+        firstSeen(r.getDate(0).toString))
+    }
+  }
 }
