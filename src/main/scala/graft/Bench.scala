@@ -66,7 +66,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    println(line)
+    // stdout tail-capture has repeatedly truncated this line (the driver's
+    // BENCH_r4/r5 artifacts lost the total); a file copy is the durable record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

@@ -1157,13 +1157,23 @@ object Queries {
       Some(ext.CorpusPipeline.preparePackOracleSql("source = 'src19'",
         1024, 4, rates = Seq("en" -> 300)))),
 
-    // HLL++ approximate distinct — engine-specific sketch, rows-only check
+    // HLL++ approximate distinct. The sketch value itself is
+    // engine-specific, but its accuracy contract is checkable: emit the
+    // exact count plus a bound flag (relative error <= 5%; HLL++ at
+    // default rsd 0.05 sits well inside). DuckDB asserts the exact side
+    // and expects the flag to be 1 — a drifting sketch flips it to 0
+    // and fails the hash compare.
     ("approx_distinct",
       (s: SparkSession, d: String) =>
         t(s, d, "events").agg(
-          approx_count_distinct("user_id").as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users")),
-      None)
+            approx_count_distinct("user_id").as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .select(col("exact_users"),
+            (abs(col("approx_users") - col("exact_users"))
+              <= col("exact_users") * 0.05).cast("long").as("within_bound")),
+      Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM events""".stripMargin))
   )
 
   // ---- flagship fact build (SURVEY §7.4) ----

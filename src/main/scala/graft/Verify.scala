@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * their stragglers. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Usage: Verify <sfDir> <outDir> [query ...]; with names given,
+    // dumps only those queries (targeted re-checks while iterating —
+    // the driver's full run passes none and gets everything)
+    val sfDir = args(0); val outDir = args(1)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -37,7 +41,9 @@ object Verify {
           .foreach(Files.deleteIfExists(_))
       }
     }
-    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val dumps = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       Future {
         // a failed query must leave NO dump behind: a stale parquet
         // from a previous run would make the oracle compare PASS a
