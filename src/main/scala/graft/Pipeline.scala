@@ -115,6 +115,10 @@ object Pipeline {
     StagedWrite.overwrite(
       Marts.fact(spark.read.parquet(wh.int("factsales"))),
       wh.mart("factsales"))
+    // run-history evidence mart (reference Runlogs.png, README:39-40);
+    // written after the loads so it covers this run's own log rows
+    StagedWrite.overwrite(Marts.runHistory(log.read()),
+      wh.mart("run_history"))
 
     // 5. validation (reference Stage 5): all must be empty
     val fact = spark.read.parquet(wh.int("factsales"))
@@ -134,7 +138,7 @@ object Pipeline {
     val expectedTables =
       (Seq("dim_date", "dim_customer", "dim_part", "dim_supplier",
         "dim_user_profile", "factsales").map(n => n -> wh.int(n)) ++
-        Seq("dim_customer_current", "factsales").map(n =>
+        Seq("dim_customer_current", "factsales", "run_history").map(n =>
           s"mart_$n" -> wh.mart(n)) ++
         Seq("etl_load_tracker", "etl_run_log").map(n => n -> wh.meta(n)))
     val violations = refViolations ++ Map(

@@ -690,6 +690,15 @@ object Queries {
           col("text"), 3, 1, 2, 8, 2).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardViaMinhashOracleSql(3, 1, 2, 8, 2))),
 
+    // High-threshold path: PPJoin-style prefix filtering. Lossless
+    // (prefix lemma), so the oracle is the plain exact all-pairs SQL —
+    // a result mismatch means the prefix filter dropped a true pair.
+    ("ngram_jaccard_prefix",
+      (s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairsPrefix(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3, 7, 10).orderBy("d1", "d2"),
+      Some(Dedup.ngramJaccardOracleSql(3, 7, 10))),
+
     // The keep/drop decision: corpus minus docs with a smaller near-dup
     ("neardup_keep",
       (s: SparkSession, d: String) => {

@@ -20,4 +20,26 @@ object Marts {
     * already surrogate-resolved; marts only prune audit columns. */
   def fact(fact: DataFrame, dropColumns: Seq[String] = Nil): DataFrame =
     fact.drop(dropColumns: _*)
+
+  /** Run-history inspection mart over the ETL run log — the
+    * reference's evidence view (README:39-40, Runlogs.png: the run log
+    * queried after each load to show per-run row counts and timing).
+    * Adds what the raw log makes the reader compute: wall-clock
+    * duration, total rows touched, and an `is_latest` flag per run
+    * name (window over run_name — the log has one row per load per
+    * run, so the partition is trivially small at any corpus scale). */
+  def runHistory(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recency = Window.partitionBy(col("run_name"))
+      .orderBy(col("started_at").desc, col("ended_at").desc)
+    log.select(col("run_name"), col("started_at"), col("ended_at"),
+        ((unix_millis(col("ended_at")) - unix_millis(col("started_at")))
+          / 1000.0).as("duration_sec"),
+        col("rows_inserted"), col("rows_updated"), col("rows_deleted"),
+        (col("rows_inserted") + col("rows_updated") + col("rows_deleted"))
+          .as("rows_touched"),
+        col("status"), col("error_message"))
+      .withColumn("is_latest",
+        (row_number().over(recency) === 1).cast("long"))
+  }
 }

@@ -46,6 +46,19 @@ class PipelineSpec extends SparkSpec {
     val log = spark.read.parquet(s"$root/meta/etl_run_log")
     assert(log.filter(col("status") === "SUCCESS").count() >= 10L)
 
+    // run-history mart: one row per log entry, exactly one latest per
+    // run name, non-negative durations, touched = inserted+updated+deleted
+    val hist = spark.read.parquet(s"$root/mart/run_history")
+    assert(hist.count() == log.count(),
+      "run_history must cover every run-log row")
+    val latestPerName = hist.filter(col("is_latest") === 1L)
+      .groupBy("run_name").count().filter(col("count") =!= 1L).count()
+    assert(latestPerName == 0L, "exactly one is_latest row per run name")
+    assert(hist.filter(col("duration_sec") < 0).count() == 0L)
+    assert(hist.filter(col("rows_touched") =!=
+      col("rows_inserted") + col("rows_updated") + col("rows_deleted"))
+      .count() == 0L)
+
     // watermark semantics: data watermark unchanged by empty rerun
     val tracker = spark.read.parquet(s"$root/meta/etl_load_tracker")
     assert(tracker.count() >= 5L)
