@@ -112,27 +112,49 @@ object Checks {
     * after the run is committed.
     *
     * Cost: one extra pass over the candidate per check (`isEmpty` =
-    * scan-until-first-violation, not a full count). At 100 TB scope
-    * the candidate to the touched partition set before gating —
-    * untouched rows were validated when they were published. */
+    * scan-until-first-violation, not a full count). With `touchedKeys`
+    * given, the pass covers only the touched natural-key subset —
+    * untouched rows pass through the incremental loads byte-identical
+    * and were validated when they were published, and every checked
+    * invariant is per-key (dup/current/overlap within one nk), so a
+    * violation can only involve touched rows. That keeps gate cost
+    * proportional to the delta, not the table. */
   def prePublish(checks: Seq[(String, DataFrame)]): Unit = {
     val broken = checks.collect { case (name, df) if !df.isEmpty => name }
     if (broken.nonEmpty)
       throw new PrePublishViolation(broken)
   }
 
-  /** SCD2 dimension candidate invariants (reference SQL:1658-1683). */
+  private def scopeTo(candidate: DataFrame, nk: String,
+                      touchedKeys: Option[DataFrame]): DataFrame =
+    touchedKeys match {
+      case Some(keys) =>
+        candidate.join(keys.select(col(nk)).distinct(), Seq(nk), "left_semi")
+      case None => candidate
+    }
+
+  /** SCD2 dimension candidate invariants (reference SQL:1658-1683),
+    * scoped to `touchedKeys` when the caller knows which natural keys
+    * this load rewrote (None = full validation, e.g. initial load). */
   def prePublishDim(candidate: DataFrame, nk: String,
-                    tiebreak: Seq[Column] = Nil): Unit =
+                    tiebreak: Seq[Column] = Nil,
+                    touchedKeys: Option[DataFrame] = None): Unit = {
+    val scoped = scopeTo(candidate, nk, touchedKeys)
     prePublish(Seq(
-      "multi_current" -> multipleCurrent(candidate, nk),
-      "null_validity" -> nullValidity(candidate),
-      "overlaps" -> overlaps(candidate, nk, tiebreak)))
+      "multi_current" -> multipleCurrent(scoped, nk),
+      "null_validity" -> nullValidity(scoped),
+      "overlaps" -> overlaps(scoped, nk, tiebreak)))
+  }
 
   /** Fact candidate invariants: natural key uniqueness (the
-    * reference's unique index on sales_nk, SQL:536-565). */
-  def prePublishFact(candidate: DataFrame, nk: String): Unit =
-    prePublish(Seq("dup_nk" -> duplicates(candidate, Seq(nk))))
+    * reference's unique index on sales_nk, SQL:536-565). Incremental
+    * loads pass the delta's key set: untouched ⋕ contested partitions
+    * are disjoint by construction, so a duplicate can only appear
+    * among touched keys. */
+  def prePublishFact(candidate: DataFrame, nk: String,
+                     touchedKeys: Option[DataFrame] = None): Unit =
+    prePublish(Seq(
+      "dup_nk" -> duplicates(scopeTo(candidate, nk, touchedKeys), Seq(nk))))
 
   /** Source↔DW reconciliation (reference Stage X, SQL:1814-1839). */
   def reconcile(source: DataFrame, dw: DataFrame, sourceSum: Column,

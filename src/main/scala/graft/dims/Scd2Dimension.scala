@@ -104,9 +104,12 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
         if (pathExists(spark, dimPath)) Some(spark.read.parquet(dimPath))
         else None
 
-      val keyed: Option[(DataFrame, Long)] = existing match {
+      // third element: the touched-NK scope for the pre-publish gate
+      // (None = initial load, everything is new → validate all)
+      val keyed: Option[(DataFrame, Long, Option[DataFrame])] = existing match {
         case None =>
-          Some((Scd2.withSurrogate(derive(deltaRows), skCol, identityCols), 0L))
+          Some((Scd2.withSurrogate(derive(deltaRows), skCol, identityCols),
+            0L, None))
         case Some(dim) =>
           // 3. recompute scope: keys with new versions or deletions
           val deltaKeys = deltaRows.select(col(nk)).distinct()
@@ -146,7 +149,11 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
               .select(identityCols.map(col): _*)
               .join(prevCurrent, identityCols, "left_semi")
               .count()
-            Some((untouched.unionByName(kept.unionByName(fresh)), updated))
+            // delete-detection closes only current keys absent from the
+            // snapshot, and those are all in `touched` (goneKeys ⊆ it),
+            // so `touched` is the complete rewrite scope for the gate
+            Some((untouched.unionByName(kept.unionByName(fresh)), updated,
+              Some(touched)))
           }
       }
 
@@ -156,7 +163,7 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
           log.append(s"etl_load_$name", started, 0L, 0L, 0L,
             RunLog.Success, None)
           0L
-        case Some((k, updated)) =>
+        case Some((k, updated, touchedScope)) =>
           // 5. delete detection: close out vanished keys "as of now"
           val (withDeletes, deleted) = snapshotKeys match {
             case Some(snap) =>
@@ -184,7 +191,7 @@ final class Scd2Dimension(name: String, nk: String, changeTs: String,
           // 6. gate (optional), publish, advance watermark, log
           if (preValidate)
             graft.checks.Checks.prePublishDim(withDeletes, nk,
-              tiebreak.map(col))
+              tiebreak.map(col), touchedScope)
           StagedWrite.overwrite(withDeletes, dimPath)
           tracker.advance(name, dataWm)
           log.append(s"etl_load_$name", started, inserted, updated, deleted,

@@ -124,7 +124,7 @@ object FactLoader {
         // the delta): untouched fact rows pass through without
         // re-shuffling — at 100 TB the correction window touches a
         // sliver of the fact, not all of it
-        val (fact, updated) = existing match {
+        val (fact, updated, touchedScope) = existing match {
           case Some(f) =>
             val deltaKeys = projected.select(col("sales_nk")).distinct()
             val untouched = f.join(deltaKeys, Seq("sales_nk"), "left_anti")
@@ -141,13 +141,16 @@ object FactLoader {
               .filter(col("__delta_ts") > col("last_edited")).count()
             (untouched.unionByName(
               latestPerKey(contested, Seq("sales_nk"), col("last_edited"))),
-              nUpdated)
+              nUpdated, Some(deltaKeys))
           case None =>
-            (latestPerKey(projected, Seq("sales_nk"), col("last_edited")), 0L)
+            (latestPerKey(projected, Seq("sales_nk"), col("last_edited")),
+              0L, None)
         }
 
+        // gate scoped to the delta's keys: untouched rows are
+        // byte-identical to the published (already-validated) table
         if (preValidate)
-          graft.checks.Checks.prePublishFact(fact, "sales_nk")
+          graft.checks.Checks.prePublishFact(fact, "sales_nk", touchedScope)
         StagedWrite.overwrite(fact, factPath)
         tracker.advance("factsales", dataWm)
         log.append("etl_load_factsales", started, inserted, updated, 0L,

@@ -26,7 +26,45 @@ class PrePublishSpec extends SparkSpec {
       .withColumn("valid_from", col("ts_s").cast("timestamp_ntz"))
       .drop("ts_s")
 
-  test("dim gate: violating candidate leaves table, tracker, log untouched") {
+  test("gate scoping: in-scope violations fire, out-of-scope don't") {
+    // candidate with TWO current rows for key 1 (a multi_current
+    // violation) and a clean key 2
+    val candidate = Seq(
+      (1L, "a", 10L, 1L), (1L, "a2", 11L, 1L), (2L, "b", 12L, 1L))
+      .toDF("nk", "attr", "thing_id", "is_current")
+      .withColumn("active_from", ntz("2024-01-01 00:00:00"))
+      .withColumn("active_to", ntz("9999-12-31 00:00:00"))
+
+    // violation key inside the touched scope -> fires
+    val eIn = intercept[PrePublishViolation] {
+      Checks.prePublishDim(candidate, "nk",
+        touchedKeys = Some(Seq(1L).toDF("nk")))
+    }
+    assert(eIn.failing.contains("multi_current"))
+    // no scope given -> full validation -> fires
+    val eFull = intercept[PrePublishViolation] {
+      Checks.prePublishDim(candidate, "nk")
+    }
+    assert(eFull.failing.contains("multi_current"))
+    // violation key OUTSIDE the touched scope -> must NOT fire:
+    // untouched rows were validated when they were published; the
+    // post-publish sweep owns out-of-band corruption
+    Checks.prePublishDim(candidate, "nk",
+      touchedKeys = Some(Seq(2L).toDF("nk")))
+
+    // same contract for the fact gate
+    val factCand = Seq((1L, 5.0), (1L, 6.0), (2L, 7.0))
+      .toDF("sales_nk", "value_gross")
+    val eFact = intercept[PrePublishViolation] {
+      Checks.prePublishFact(factCand, "sales_nk",
+        touchedKeys = Some(Seq(1L).toDF("sales_nk")))
+    }
+    assert(eFact.failing == Seq("dup_nk"))
+    Checks.prePublishFact(factCand, "sales_nk",
+      touchedKeys = Some(Seq(2L).toDF("sales_nk")))
+  }
+
+  test("dim gate: untouched-key corruption is out of gate scope") {
     val root = Files.createTempDirectory("graft_gate").toString
     val tracker = new LoadTracker(spark, s"$root/tracker")
     val log = new RunLog(spark, s"$root/log")
@@ -37,46 +75,35 @@ class PrePublishSpec extends SparkSpec {
       (2L, "b", "2024-01-01 00:00:00")))
     assert(dim.load(spark, feed1, None, path, tracker, log,
       preValidate = true) == 2L)
-    val wmBefore = tracker.watermark("thing")
 
-    // corrupt the PUBLISHED table: duplicate current row for key 1
-    // (e.g. a partial write by some out-of-band process); key 1 is
-    // untouched by the next delta, so the corruption rides into the
-    // candidate byte-identical and the gate must catch it
+    // corrupt the PUBLISHED table out-of-band: duplicate current row
+    // for key 1. The next delta touches only key 2, so the corruption
+    // rides through OUTSIDE the gate's touched-key scope: the load
+    // publishes (gate cost tracks the delta, not the table) and the
+    // full-table post-publish sweep is the layer that reports it.
     val corrupt = spark.read.parquet(path).filter(col("nk") === 1L)
       .withColumn("thing_id", lit(999L))
     corrupt.write.mode("append").parquet(path)
-    val tableBefore = spark.read.parquet(path)
-      .orderBy("nk", "active_from", "thing_id").collect()
 
     val feed2 = feedOf(Seq((1L, "a", "2024-01-01 00:00:00"),
       (2L, "b", "2024-01-01 00:00:00"), (2L, "c", "2024-02-01 00:00:00")))
-    val e = intercept[PrePublishViolation] {
-      dim.load(spark, feed2, None, path, tracker, log, preValidate = true)
+    assert(dim.load(spark, feed2, None, path, tracker, log,
+      preValidate = true) == 1L) // only key 2's new version is delta
+    val published = spark.read.parquet(path)
+    // key 2's recompute is correct, corruption passed through untouched
+    assert(published.filter(col("nk") === 2L &&
+      col("is_current") === 1L).count() == 1L)
+    assert(Checks.multipleCurrent(published, "nk").count() == 1L)
+
+    // an initial (full) load of a corrupt candidate would still fire:
+    // initial loads carry no scope
+    val eFull = intercept[PrePublishViolation] {
+      Checks.prePublishDim(published, "nk")
     }
-    assert(e.failing.contains("multi_current"))
-
-    // nothing moved: table bytes, data watermark, no new SUCCESS row
-    val tableAfter = spark.read.parquet(path)
-      .orderBy("nk", "active_from", "thing_id").collect()
-    assert(tableBefore.toSeq == tableAfter.toSeq)
-    assert(tracker.watermark("thing") == wmBefore)
-    val logRows = log.read().filter(col("run_name") === "etl_load_thing")
-    assert(logRows.filter(col("status") === RunLog.Success).count() == 1L)
-    assert(logRows.filter(col("status") === RunLog.Fail).count() == 1L)
-
-    // an uncorrupted rerun of the same delta publishes fine once the
-    // corruption is cleared (prove the gate, not the load, was the
-    // blocker): rebuild the table from scratch
-    val root2 = Files.createTempDirectory("graft_gate2").toString
-    val dim2 = new Scd2Dimension("thing", "nk", "valid_from", Seq("attr"))
-    val tracker2 = new LoadTracker(spark, s"$root2/tracker")
-    val log2 = new RunLog(spark, s"$root2/log")
-    assert(dim2.load(spark, feed2, None, s"$root2/dim_thing", tracker2, log2,
-      preValidate = true) == 3L)
+    assert(eFull.failing.contains("multi_current"))
   }
 
-  test("fact gate: duplicate natural key aborts before publish") {
+  test("fact gate: scoped to delta keys; full sweep owns the rest") {
     val root = Files.createTempDirectory("graft_gate_fact").toString
     val tracker = new LoadTracker(spark, s"$root/tracker")
     val log = new RunLog(spark, s"$root/log")
@@ -86,29 +113,27 @@ class PrePublishSpec extends SparkSpec {
 
     assert(FactLoader.load(spark, lineitem, orders, Map.empty, path,
       tracker, log, preValidate = true) > 0L)
-    val wmBefore = tracker.watermark("factsales")
 
-    // corrupt: duplicate the stored fact row with the SMALLEST natural
-    // key (deterministically different from the delta key below, which
-    // is the largest — so the contested-key dedup can't silently heal
-    // the corruption)
+    // duplicate the stored fact row with the SMALLEST natural key
+    // (deterministically different from the delta key below, which is
+    // the largest — so the contested-key dedup can't silently heal it)
     spark.read.parquet(path).orderBy("sales_nk").limit(1)
       .write.mode("append").parquet(path)
     val rowsBefore = spark.read.parquet(path).count()
 
-    // new delta (strictly later edit for ONE key) so the load is not a
-    // no-op; the corrupted row is uncontested and passes through
+    // new delta (strictly later edit for ONE key): the corrupted key is
+    // uncontested, hence OUT of the gate's scope — the load publishes
     val shipType = lineitem.schema("l_shipdate").dataType
     val li2 = lineitem.unionByName(
       lineitem.orderBy(desc("l_orderkey"), desc("l_linenumber")).limit(1)
         .withColumn("l_shipdate", ntz("2099-01-01 00:00:00").cast(shipType)))
-    val e = intercept[PrePublishViolation] {
-      FactLoader.load(spark, li2, orders, Map.empty, path, tracker, log,
-        preValidate = true)
-    }
-    assert(e.failing == Seq("dup_nk"))
-    assert(spark.read.parquet(path).count() == rowsBefore)
-    assert(tracker.watermark("factsales") == wmBefore)
+    assert(FactLoader.load(spark, li2, orders, Map.empty, path, tracker, log,
+      preValidate = true) > 0L)
+    // contested key was deduped to its latest edit; corrupt dup remains
+    // for the post-publish sweep to report
+    val published = spark.read.parquet(path)
+    assert(published.count() == rowsBefore)
+    assert(Checks.duplicates(published, Seq("sales_nk")).count() == 1L)
   }
 
   test("run log records SCD2 close-out and delete counts") {
