@@ -211,6 +211,38 @@ class StreamsSpec extends SparkSpec {
     assert(multiCurrent == 0)
   }
 
+  test("seqPackStream over one AvailableNow batch equals batch seqPack") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    // one parquet file -> AvailableNow delivers ONE micro-batch, where
+    // the stateful packer sorts by doc_id — exactly the batch window's
+    // order, so the two engines must agree cell-for-cell
+    val docsDir = tmp("docs-parity")
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val budget = 64
+    val q = Streams.seqPackStream(
+        spark.readStream.schema(schema).parquet(docsDir), budget.toLong, 4)
+      .writeStream.format("memory").queryName("packed_parity")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "shard", "n_tokens", "tokens_before",
+        "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val got = canon(spark.table("packed_parity"))
+    val want = canon(graft.ext.Corpus.seqPack(
+      spark.read.parquet(docsDir), col("doc_id"), col("text"), budget, 4))
+    assert(got.nonEmpty && got == want,
+      s"stream/batch packer diverged (first gap: ${
+        want.zip(got).find { case (w, g) => w != g }})")
+  }
+
   test("seqPackStream: shard counters survive micro-batch boundaries") {
     import org.apache.spark.sql.types._
     val docsDir = tmp("docs-stream")
