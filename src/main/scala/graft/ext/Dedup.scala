@@ -682,24 +682,32 @@ object Dedup {
     * C leaving C no surviving neighbor; here B and C both label A and
     * only A survives).
     *
-    * Iterative min-label propagation: each round every doc takes the
-    * min of its own label and its neighbors' labels — one equi-shuffle
-    * join + one keyed aggregation per round, converging in
-    * O(component diameter) rounds (near-dup clusters are shallow; the
-    * default cap is generous). Each round's result is
-    * `localCheckpoint`ed: iterative lineage otherwise grows a plan per
-    * round, and re-execution of a truncated prefix could resample
-    * nondeterministic exchanges. At extreme scale swap the loop body
-    * for the large-star/small-star contraction (Kiveris et al. 2014) —
-    * same fixpoint, fewer rounds; the per-round operators here are
-    * already its building blocks.
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewrites the edge set with two keyed aggregations —
+    * large-star hangs every above-minimum neighbor off its
+    * neighborhood minimum, small-star re-points each node's
+    * below-it neighbors at their minimum — and the alternation
+    * provably reaches the star-forest fixpoint within a LOGARITHMIC
+    * number of rounds. That bound is what runs: a deterministic
+    * ⌈log₂ e⌉+2 rounds with NO per-round convergence probe (no
+    * driver round-trips inside the loop — at 1000 executors each
+    * probe is a full cluster barrier), then ONE verification pass
+    * asserting the labeling is constant across every candidate edge.
+    * Constancy over the edges + self-labeled minima is a complete
+    * correctness proof: star ops preserve components, so a node's
+    * label stays inside its component, and the component minimum can
+    * never acquire an out-edge (it has no smaller neighbor).
+    *
+    * Each round's edge frame is `localCheckpoint`ed: iterative
+    * lineage otherwise grows a plan per round, and re-execution of a
+    * truncated prefix could resample nondeterministic exchanges.
     *
     * Input: `sims` = (doc_id, simhash); components connect docs within
     * `maxHamming` (via [[simhashPairs]]' banded candidate join — never
     * all-pairs). Returns (doc_id, component) for EVERY doc; singletons
     * label themselves. */
-  def nearDupComponents(sims: DataFrame, maxHamming: Int = 3,
-                        maxRounds: Int = 20): DataFrame = {
+  def nearDupComponents(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     // Level 1 — identical-signature collapse (same trick as
     // [[nearDupDropIds]]): docs sharing a simhash are hamming-0
     // connected, so only the min-id doc per DISTINCT signature enters
@@ -718,14 +726,12 @@ object Dedup {
       .groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
       .localCheckpoint()
     val reps = bySig.select(col("rep").as("doc_id"), col("simhash"))
-    val pairs = simhashPairs(reps, maxHamming).select(col("d1"), col("d2"))
-    // propagation needs both directions; materialize once — every
-    // round re-joins the same edge set. Explode-of-two-structs, not a
-    // self-union: a union executes the band-join subtree per branch
-    val edgesAll = pairs.select(explode(array(
-        struct(col("d1"), col("d2")),
-        struct(col("d2").as("d1"), col("d1").as("d2")))).as("__e"))
-      .select(col("__e.d1").as("d1"), col("__e.d2").as("d2"))
+    // candidate edges, directed large→small (simhashPairs guarantees
+    // d1 < d2); materialized once — the loop seeds from it and the
+    // final verification re-reads it, and without the checkpoint both
+    // would re-execute the band-join subtree
+    val pairs = simhashPairs(reps, maxHamming)
+      .select(col("d2").as("u"), col("d1").as("v")).distinct()
       .localCheckpoint()
     // Size the ITERATION frames by the measured edge count — the same
     // input-sized reasoning AQE applies, at the checkpoint boundaries
@@ -733,45 +739,77 @@ object Dedup {
     // with zero exchanges per round (SinglePartition satisfies every
     // clustered distribution below, so the whole loop body is one
     // stage), while a corpus-scale graph keeps the session's shuffle
-    // parallelism. Without this, each of the O(log diameter) rounds
-    // pays full scheduling overhead to move a few thousand rows.
+    // parallelism. The count also fixes the round bound — one driver
+    // scalar BEFORE the loop, none inside it.
+    val nEdges = pairs.count()
     val loopParts = math.max(1L, math.min(
       sims.sparkSession.sessionState.conf.numShufflePartitions.toLong,
-      edgesAll.count() / 2000000L + 1L)).toInt
-    val edges =
-      if (loopParts == 1) edgesAll.coalesce(1).localCheckpoint() else edgesAll
-    var labels = reps.select(col("doc_id"), col("doc_id").as("component"))
-      .coalesce(loopParts)
-      .localCheckpoint()
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // min over: own label, neighbors' labels (one-hop propagation),
-      // and label-of-label (pointer jumping — labels are doc ids, so
-      // they are themselves keys in `labels`). The hop is what turns
-      // O(longest chain) rounds into O(log chain).
-      val nbrMin = edges.join(labels, edges("d2") === labels("doc_id"))
-        .groupBy(edges("d1").as("doc_id"))
-        .agg(min(col("component")).as("__nbr"))
-      val hop = labels.join(
-        labels.select(col("doc_id").as("component"),
-          col("component").as("__cc")), Seq("component"))
-        .select(col("doc_id"), col("__cc"))
-      val next = labels.withColumnRenamed("component", "__old")
-        .join(nbrMin, Seq("doc_id"), "left")
-        .join(hop, Seq("doc_id"))
-        .withColumn("component",
-          least(col("__old"), coalesce(col("__nbr"), col("__old")),
-            col("__cc")))
-        .select(col("doc_id"), col("component"), col("__old"))
-        .localCheckpoint()
-      // convergence test is a scan of the just-materialized blocks —
-      // no extra join against the previous round
-      converged = next.filter(col("component") =!= col("__old")).isEmpty
-      labels = next.select(col("doc_id"), col("component"))
-      round += 1
+      nEdges / 2000000L + 1L)).toInt
+
+    // large-star: every neighbor above u re-points at the minimum of
+    // u's closed neighborhood. Needs symmetric adjacency; emitted
+    // edges (v, m) keep the large→small invariant because v > u ≥ m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      sym.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("__m").as("v")).distinct()
     }
-    require(converged, s"components did not converge in $maxRounds rounds")
+    // small-star: u's below-it neighbors (the stored direction) all
+    // re-point at their minimum, and u joins them there.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("__m"))
+      e.join(m, "u").filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .unionByName(m.select(col("u"), col("__m").as("v")))
+        .distinct()
+    }
+
+    def contract(start: DataFrame, rounds: Int): DataFrame = {
+      var e = start
+      for (_ <- 1 to rounds) e = smallStar(largeStar(e)).localCheckpoint()
+      e
+    }
+    // labels: out-edge target (the star root), or self for roots and
+    // edge-less reps. min() is defensive — at the fixpoint every
+    // non-root has exactly one out-edge.
+    def labelsOf(e: DataFrame): DataFrame = reps.select(col("doc_id"))
+      .join(e.groupBy(col("u").as("doc_id"))
+        .agg(min(col("v")).as("__c")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__c"), col("doc_id")).as("component"))
+      .localCheckpoint()
+    // the verification pass: the labeling must be constant across
+    // every candidate edge (see scaladoc for why this is complete)
+    def consistent(labels: DataFrame): Boolean = pairs
+      .join(labels.select(col("doc_id").as("u"), col("component").as("__c1")),
+        Seq("u"))
+      .join(labels.select(col("doc_id").as("v"), col("component").as("__c2")),
+        Seq("v"))
+      .filter(col("__c1") =!= col("__c2"))
+      .isEmpty
+
+    // ⌈log₂ e⌉+2 is the worst-case bound; near-dup graphs (stars and
+    // short chains after the signature collapse) finish in 2-3
+    // alternations, so run a short optimistic phase and pay for the
+    // rest of the bound only if the single verification says so —
+    // common case: optimistic rounds + ONE verification pass, zero
+    // per-round probes either way
+    val bound = (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(2L, nEdges))).toInt + 2
+    val optimistic = math.min(4, bound)
+    val seed = (if (loopParts == 1) pairs.coalesce(1) else pairs)
+      .localCheckpoint()
+    var e = contract(seed, optimistic)
+    var labels = labelsOf(e)
+    if (!consistent(labels)) {
+      e = contract(e, bound - optimistic)
+      labels = labelsOf(e)
+      require(consistent(labels),
+        s"star contraction not converged after $bound rounds")
+    }
     // members (non-reps) inherit their representative's label; docs
     // with a NULL signature can't band with anything — they come back
     // self-labeled rather than silently vanishing in the null-
