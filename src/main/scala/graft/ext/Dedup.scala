@@ -260,6 +260,14 @@ object Dedup {
     * arithmetic matches exactly. */
   val SimBits = 48
 
+  /** Live bits per universal-hash permutation (perm < P2 < 2^31):
+    * signature bits 0..30 come from perm 0 and bits 31..47 from
+    * perm 1. One perm used to feed all 48 — its dead top bits left
+    * bits 31..47 constant-zero, band 3 identical for EVERY doc, and
+    * the band-3 join a full all-pairs quadratic (caught by the sf1
+    * scale study: 78s at 10x, time ∝ n²). */
+  val SimPermBits = 31
+
   /** Per-doc 48-bit simhash over distinct tokens: bit j is the sign of
     * sum over tokens of ±1 by token-hash bit j. One compiled pass per
     * document ([[org.apache.spark.sql.graftext.SimHashExpr]]) — the
@@ -268,9 +276,11 @@ object Dedup {
     * DedupSpec. */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val (a, b) = Hashing.Perms.head
+    val (a2, b2) = Hashing.Perms(1)
     docs.select(id.as("doc_id"),
       org.apache.spark.sql.graftext.SimHashBridge
-        .column(text, SimBits, Hashing.P, a, b, Hashing.P2).as("simhash"))
+        .column(text, SimBits, Hashing.P, a, b, a2, b2, Hashing.P2)
+        .as("simhash"))
       // null-text docs have a NULL signature while the explode-based
       // formulation (and the DuckDB oracle) emit no row at all — and a
       // NULL signature group would collapse every null-text doc into
@@ -286,10 +296,14 @@ object Dedup {
     val toks = docs.select(id.as("doc_id"),
       explode(array_distinct(words(text))).as("tok"))
     val h = Hashing.perm(Hashing.polyHash(col("tok")), 0)
+    val h2 = Hashing.perm(Hashing.polyHash(col("tok")), 1)
+    def bitOf(j: Int) =
+      if (j < SimPermBits) shiftright(h, j)
+      else shiftright(h2, j - SimPermBits)
     val bitSums = toks.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(h, 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("b0"),
+      sum(when(bitOf(0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("b0"),
       (1 until SimBits).map(j =>
-        sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+        sum(when(bitOf(j).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L)).as(s"b$j")): _*)
     val sim = (0 until SimBits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -348,8 +362,11 @@ object Dedup {
     * whole `documents` table. */
   private[graft] def simhashCtesFrom(src: String): String = {
     val h = Hashing.permSql(Hashing.polyHashSql("tok"), 0)
+    val h2 = Hashing.permSql(Hashing.polyHashSql("tok"), 1)
+    def srcOf(j: Int) =
+      if (j < SimPermBits) s"(h >> $j)" else s"(h2 >> ${j - SimPermBits})"
     val bitSums = (0 until SimBits)
-      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .map(j => s"sum(CASE WHEN ${srcOf(j)} & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(", ")
     val sim = (0 until SimBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
@@ -361,7 +378,7 @@ object Dedup {
     |toks AS (
     |  SELECT DISTINCT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
     |  FROM $src),
-    |hashed AS (SELECT doc_id, $h AS h FROM toks),
+    |hashed AS (SELECT doc_id, $h AS h, $h2 AS h2 FROM toks),
     |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
     |sims AS (SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM bits),
     |bands AS ($bandRows)

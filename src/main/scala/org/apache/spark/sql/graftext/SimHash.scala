@@ -32,8 +32,16 @@ object SimHash {
     h
   }
 
+  /** Bits per universal-hash permutation: perm values live in
+    * [0, P2) with P2 < 2^31, so exactly bits 0..30 carry entropy. A
+    * 48-bit signature therefore draws bits 0..30 from perm (a, b) and
+    * bits 31..47 from perm (a2, b2) — a single perm would leave the
+    * top 17 bits constant-zero, making the top band identical for
+    * every document and its band join a full quadratic all-pairs. */
+  val PermBits = 31
+
   def simhash(text: UTF8String, bits: Int, p: Long, permA: Long,
-              permB: Long, permP: Long): Long = {
+              permB: Long, permA2: Long, permB2: Long, permP: Long): Long = {
     val str = text.toString
     val counts = new Array[Int](bits)
     val seen = new java.util.HashSet[String]()
@@ -45,10 +53,14 @@ object SimHash {
         val tok = str.substring(start, i)
         if (seen.add(tok)) {
           val h0 = hashToken(str, start, i, p)
-          val h = (h0 * permA + permB) % permP
+          val h1 = (h0 * permA + permB) % permP
+          val h2 = (h0 * permA2 + permB2) % permP
           var j = 0
           while (j < bits) {
-            if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            val bit =
+              if (j < PermBits) (h1 >> j) & 1L
+              else (h2 >> (j - PermBits)) & 1L
+            if (bit == 1L) counts(j) += 1 else counts(j) -= 1
             j += 1
           }
         }
@@ -67,7 +79,7 @@ object SimHash {
 }
 
 case class SimHashExpr(child: Expression, bits: Int, p: Long, permA: Long,
-                       permB: Long, permP: Long)
+                       permB: Long, permA2: Long, permB2: Long, permP: Long)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -75,12 +87,14 @@ case class SimHashExpr(child: Expression, bits: Int, p: Long, permA: Long,
   override def prettyName: String = "simhash"
 
   override protected def nullSafeEval(s: Any): Any =
-    SimHash.simhash(s.asInstanceOf[UTF8String], bits, p, permA, permB, permP)
+    SimHash.simhash(s.asInstanceOf[UTF8String], bits, p, permA, permB,
+      permA2, permB2, permP)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s =>
       s"org.apache.spark.sql.graftext.SimHash.simhash(" +
-        s"$s, $bits, ${p}L, ${permA}L, ${permB}L, ${permP}L)")
+        s"$s, $bits, ${p}L, ${permA}L, ${permB}L, ${permA2}L, ${permB2}L, " +
+        s"${permP}L)")
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHashExpr = copy(child = newChild)
@@ -88,7 +102,8 @@ case class SimHashExpr(child: Expression, bits: Int, p: Long, permA: Long,
 
 object SimHashBridge {
   def column(text: Column, bits: Int, p: Long, permA: Long, permB: Long,
-             permP: Long): Column =
+             permA2: Long, permB2: Long, permP: Long): Column =
     ExpressionUtils.column(SimHashExpr(
-      ExpressionUtils.expression(text), bits, p, permA, permB, permP))
+      ExpressionUtils.expression(text), bits, p, permA, permB,
+      permA2, permB2, permP))
 }
