@@ -690,14 +690,23 @@ object Queries {
           col("text"), 3, 1, 2, 8, 2).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardViaMinhashOracleSql(3, 1, 2, 8, 2))),
 
+    // Sketch-accuracy audit: per candidate pair, minhash agreement
+    // (the k-component Jaccard estimator) vs the exact gram overlap —
+    // integer and perm-deterministic, so fully oracle-checked
+    ("minhash_estimate",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashEstimateAudit(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3, 8, 2).orderBy("d1", "d2"),
+      Some(Dedup.minhashEstimateAuditOracleSql(3, 8, 2))),
+
     // High-threshold path: PPJoin-style prefix filtering. Lossless
     // (prefix lemma), so the oracle is the plain exact all-pairs SQL —
     // a result mismatch means the prefix filter dropped a true pair.
     ("ngram_jaccard_prefix",
       (s: SparkSession, d: String) =>
         Dedup.ngramJaccardPairsPrefix(t(s, d, "documents"), col("doc_id"),
-          col("text"), 3, 7, 10).orderBy("d1", "d2"),
-      Some(Dedup.ngramJaccardOracleSql(3, 7, 10))),
+          col("text"), 3, 4, 5).orderBy("d1", "d2"),
+      Some(Dedup.ngramJaccardOracleSql(3, 4, 5))),
 
     // The keep/drop decision: corpus minus docs with a smaller near-dup
     ("neardup_keep",
@@ -779,6 +788,17 @@ object Queries {
           .orderBy("query_id", "rank")
       },
       Some(Similarity.nativeCosineTopKOracleSql(64, 5, 10))),
+
+    // Int8-quantized brute-force search: integer dot ranking over
+    // per-vector symmetric quantization — the 4x-memory-bandwidth
+    // scan path the embedding_quantize audit motivates
+    ("ann_quantized_topk",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(Similarity.quantizedTopKOracleSql(64, 5, 10))),
 
     ("lang_id",
       (s: SparkSession, d: String) =>

@@ -443,7 +443,15 @@ object Dedup {
     * candidates then verify exactly against the full distinct-gram
     * sets via `array_intersect`. Wins when the threshold is high
     * enough that prefixes are short — the common boilerplate grams of
-    * a template-clustered corpus never reach the join. */
+    * a template-clustered corpus never reach the join.
+    *
+    * Measured trade (round-6 scale runs): on a rich vocabulary the
+    * prefix join is effectively linear (10× docs ≈ same wall time);
+    * on a degenerate vocabulary where every gram is common (the
+    * 30-word fixtures) no prefix is rare and Σ df'² enumeration
+    * dominates — there the LSH-candidate path
+    * ([[ngramJaccardViaMinhash]]) is the right choice. This is the
+    * exact-guarantee alternative, not the default scale path. */
   def ngramJaccardPairsPrefix(docs: DataFrame, id: Column, text: Column,
                               n: Int, thresholdNum: Int,
                               thresholdDen: Int): DataFrame = {
@@ -456,16 +464,37 @@ object Dedup {
           .orderBy(col("df").asc, col("gram").asc)))
       .withColumn("n_grams", count(lit(1)).over(
         Window.partitionBy(col("doc_id"))))
+    // materialized: the candidate join consumes the prefix TWICE (both
+    // sides) — without the checkpoint the grams + docFreq + two-window
+    // subtree executes once per reference (measured: 12 parquet scans
+    // and 8 Window nodes in the unmaterialized plan)
     val prefix = ranked.filter(col("rank") <= col("n_grams") -
         expr(s"(n_grams * $thresholdNum + ${thresholdDen - 1}) " +
           s"div $thresholdDen") + 1)
-      .select(col("gram"), col("doc_id"))
-    val cand = spread(prefix.select(col("gram"), col("doc_id").as("d1")),
-        col("gram"))
-      .join(prefix.select(col("gram").as("__g2"), col("doc_id").as("d2")),
-        col("gram") === col("__g2") && col("d1") < col("d2"))
+      .select(col("gram"), col("doc_id"), col("n_grams"))
+      .localCheckpoint()
+    // candidate join with the AllPairs/PPJoin LENGTH filter: J >= t
+    // implies t·|A| <= |B| <= |A|/t (min >= t·max, see the prefix
+    // lemma derivation), cross-multiplied to integers — prunes the
+    // cross-length collisions a common gram would otherwise emit,
+    // which is most of the candidate volume on low-diversity corpora
+    val cand = spread(prefix.select(col("gram"), col("doc_id").as("d1"),
+        col("n_grams").as("__n1")), col("gram"))
+      .join(prefix.select(col("gram").as("__g2"), col("doc_id").as("d2"),
+        col("n_grams").as("__n2")),
+        col("gram") === col("__g2") && col("d1") < col("d2") &&
+          col("__n1") * lit(thresholdNum) <= col("__n2") * lit(thresholdDen) &&
+          col("__n2") * lit(thresholdNum) <= col("__n1") * lit(thresholdDen))
       .select(col("d1"), col("d2")).distinct()
-    verifyExact(cand, gramSets(docs, id, text, n), thresholdNum, thresholdDen)
+      .localCheckpoint()
+    // gram sets only for docs that appear in a candidate pair — same
+    // scoping as [[ngramJaccardViaMinhash]]: verification work tracks
+    // the candidate set, not the corpus
+    val candIds = cand.select(explode(array(col("d1"), col("d2")))
+      .as("__cand_doc")).distinct()
+    val scoped = docs.join(candIds, id === col("__cand_doc"), "left_semi")
+    verifyExact(cand, gramSets(scoped, id, text, n),
+      thresholdNum, thresholdDen)
   }
 
   /** The at-scale n-gram Jaccard composition: MinHash-LSH candidate
@@ -562,6 +591,78 @@ object Dedup {
     |  (c1.n_grams + c2.n_grams - i.inter) * $thresholdNum
     |ORDER BY d1, d2
     |""".stripMargin.trim
+
+  /** Sketch-accuracy audit for the minhash signature — the dedup
+    * analog of the ANN `ann_recall` and HLL `approx_distinct` audits:
+    * for every LSH candidate pair, the signature-level agreement
+    * (matching components of k, whose /k ratio is the unbiased
+    * Jaccard estimator) side by side with the EXACT gram-set overlap.
+    * Everything is integer and deterministic (fixed perms), so the
+    * oracle checks it bit-for-bit; a user reads estimate-vs-truth per
+    * pair to pick k and the banding for their corpus. Gram sets are
+    * scoped to candidate docs only (same reasoning as
+    * [[ngramJaccardViaMinhash]] — never a corpus-wide set shuffle). */
+  def minhashEstimateAudit(docs: DataFrame, id: Column, text: Column,
+                           shingle: Int, k: Int,
+                           rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignature(docs, id, text, shingle, k).localCheckpoint()
+    val cand = minhashCandidates(sigs, k, rowsPerBand).localCheckpoint()
+    val a = sigs.select(col("doc_id").as("d1") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val b = sigs.select(col("doc_id").as("d2") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withSig = cand.join(a, "d1").join(b, "d2")
+      .select(col("d1"), col("d2"), matches.as("sig_matches"))
+    val candIds = cand.select(explode(array(col("d1"), col("d2")))
+      .as("__cand_doc")).distinct()
+    val scoped = docs.join(candIds, id === col("__cand_doc"), "left_semi")
+    val sets = gramSets(scoped, id, text, shingle)
+    withSig
+      .join(sets.select(col("doc_id").as("d1"), col("grams").as("g1"),
+        col("n_grams").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("grams").as("g2"),
+        col("n_grams").as("n2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .select(col("d1"), col("d2"), col("sig_matches"), col("inter"),
+        col("n1"), col("n2"))
+  }
+
+  /** Full DuckDB oracle for [[minhashEstimateAudit]] over `documents`. */
+  def minhashEstimateAuditOracleSql(shingle: Int, k: Int,
+                                    rowsPerBand: Int = 2): String = {
+    val matches = (0 until k)
+      .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)},
+    |cand AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |matched AS (
+    |  SELECT c.d1, c.d2, $matches AS sig_matches
+    |  FROM cand c JOIN mh x ON x.doc_id = c.d1 JOIN mh y ON y.doc_id = c.d2),
+    |counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    |inter AS (
+    |  SELECT c.d1, c.d2, count(*) AS inter
+    |  FROM cand c
+    |  JOIN grams a ON a.doc_id = c.d1
+    |  JOIN grams b ON b.doc_id = c.d2 AND b.gram = a.gram
+    |  GROUP BY 1, 2)
+    |SELECT m.d1, m.d2, CAST(m.sig_matches AS BIGINT) AS sig_matches,
+    |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+    |  c1.n_grams AS n1, c2.n_grams AS n2
+    |FROM matched m
+    |LEFT JOIN inter i ON i.d1 = m.d1 AND i.d2 = m.d2
+    |JOIN counts c1 ON c1.doc_id = m.d1
+    |JOIN counts c2 ON c2.doc_id = m.d2
+    |ORDER BY m.d1, m.d2
+    |""".stripMargin.trim
+  }
 
   /** The keep/drop decision over near-dup pairs: drop every doc that
     * has a near-duplicate with a smaller id — the standard one-hop
