@@ -158,6 +158,34 @@ class StreamsSpec extends SparkSpec {
       "replay must append nothing")
   }
 
+  test("nearDupIngestSink single batch equals the batch keep formulation") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ext.Dedup
+    val docsDir = tmp("docs-parity-nd")
+    val corpusDir = tmp("nd-corpus-parity") + "/corpus"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // one file -> one micro-batch with an empty index: the sink's keep
+    // set must equal the batch formulation (drop every larger side of
+    // a band collision) exactly
+    docs.coalesce(1).write.mode("append").parquet(docsDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = Streams.nearDupIngestSink(stream, tmp("nd-index-parity") + "/ix",
+      corpusDir, tmp("nd-chk-parity"))
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batchDrop = Dedup.minhashCandidates(
+        Dedup.minhashSignature(docs, col("doc_id"), col("text"), 3, 8), 8, 2)
+      .select(col("d2").as("doc_id")).distinct()
+    val want = docs.join(batchDrop, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, "stream keep set diverged from the batch answer")
+  }
+
   test("nearDupIngestSink dedups same-batch redelivered ids") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docsDir = tmp("docs-stream-dup")
