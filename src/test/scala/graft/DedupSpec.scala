@@ -102,6 +102,22 @@ class DedupSpec extends SparkSpec {
     assert(ek == ea, s"edge-case drift: kernel=$ek agg=$ea")
   }
 
+  test("every simhash band carries entropy (regression: constant band 3)") {
+    // pre-round-6 the signature drew all 48 bits from one perm whose
+    // values fit 31 bits: bits 31-47 were constant zero, band 3 (bits
+    // 36-47) was identical for every doc, and its LSH join was a full
+    // all-pairs quadratic. Pin that each 12-bit band of the signature
+    // spreads over many values on the fixtures.
+    val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
+    (0 until 4).foreach { b =>
+      val distinct = sims.select(
+        shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bv"))
+        .distinct().count()
+      assert(distinct > 10,
+        s"band $b has only $distinct distinct values — degenerate banding")
+    }
+  }
+
   test("simhash: identical docs get identical hashes, pairs are symmetric-free") {
     val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
     assert(sims.count() == docs.count())
