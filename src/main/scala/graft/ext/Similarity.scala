@@ -538,11 +538,15 @@ object Similarity {
             round(v / (col("__ma") / levels)).cast("long")).as(vecName))
     val q = quant(queries, "query_id", "q_q")
     val c = Dedup.spread(quant(corpus, "cand_id", "c_q"), col("cand_id"))
+    // native codegen int64 dot — the scoring loop stays inside
+    // whole-stage codegen (one primitive loop per pair); an
+    // aggregate(zip_with(...)) here is a boxed lambda chain and turns
+    // the brute-force scan allocation-bound
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("score", aggregate(
-        zip_with(col("q_q"), col("c_q"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("score",
+        org.apache.spark.sql.graftext.LongVecDot
+          .dotColumn(col("q_q"), col("c_q")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

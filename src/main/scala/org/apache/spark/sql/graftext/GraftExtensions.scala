@@ -40,6 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVecDot(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("long_vec_dot"),
+      new ExpressionInfo(
+        classOf[LongVecDot].getCanonicalName, null, "long_vec_dot",
+        "long_vec_dot(a, b) - codegen int64 dot product of two " +
+          "array<bigint> (quantized-vector scoring).", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"long_vec_dot expects 2 arguments, got ${children.length}")
+        LongVecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("decimal_vec_dot"),
       new ExpressionInfo(
         classOf[DecimalVecDot].getCanonicalName, null, "decimal_vec_dot",

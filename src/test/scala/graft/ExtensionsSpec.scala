@@ -37,6 +37,18 @@ class ExtensionsSpec extends AnyFunSuite {
           |  cast(array(3.0, 4.0) as array<float>)) as double) AS d""".stripMargin)
         .first().getDouble(0)
       assert(math.abs(dec - 11.0) < 1e-12)
+      val ldot = spark.sql(
+        """SELECT long_vec_dot(
+          |  cast(array(1, -2, 3) as array<bigint>),
+          |  cast(array(4, 5, 6) as array<bigint>)) AS d""".stripMargin)
+        .first().getLong(0)
+      assert(ldot == 12L)
+      // null contract: length mismatch scores NULL, not a truncated dot
+      assert(spark.sql(
+        """SELECT long_vec_dot(
+          |  cast(array(1, 2) as array<bigint>),
+          |  cast(array(3) as array<bigint>)) AS d""".stripMargin)
+        .first().isNullAt(0))
       val bucket = spark.sql(
         """SELECT srp_bucket(
           |  cast(array(1.0, -1.0, 0.5) as array<float>), 4, 0) AS b""".stripMargin)
