@@ -690,6 +690,16 @@ object Queries {
           col("text"), 3, 1, 2, 8, 2).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardViaMinhashOracleSql(3, 1, 2, 8, 2))),
 
+    // Corpus-curation view: which provenance sources duplicate each
+    // other (and themselves) — the near-dup pair set rolled up to a
+    // |sources|²-bounded overlap matrix
+    ("source_overlap",
+      (s: SparkSession, d: String) =>
+        Dedup.sourceOverlap(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("source"), 3, 8, 2)
+          .orderBy("source_a", "source_b"),
+      Some(Dedup.sourceOverlapOracleSql(3, 8, 2))),
+
     // Sketch-accuracy audit: per candidate pair, minhash agreement
     // (the k-component Jaccard estimator) vs the exact gram overlap —
     // integer and perm-deterministic, so fully oracle-checked

@@ -664,6 +664,52 @@ object Dedup {
     |""".stripMargin.trim
   }
 
+  /** Cross-source duplicate overlap matrix — the corpus-curation view
+    * of the near-dup pair set: for every (source_a, source_b) pair of
+    * provenance labels (unordered, a <= b), how many LSH candidate
+    * pairs connect them. This is what tells a dataset builder that
+    * crawl A largely re-scrapes crawl B (drop one), or that a source
+    * mostly duplicates ITSELF (dedup within, keep across). One extra
+    * provenance join per pair side + one small agg on top of the
+    * banded candidate join — output is bounded by |sources|². */
+  def sourceOverlap(docs: DataFrame, id: Column, text: Column,
+                    source: Column, shingle: Int, k: Int,
+                    rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidates(
+      minhashSignature(docs, id, text, shingle, k), k, rowsPerBand)
+    val prov = docs.select(id.as("__pid"), source.as("__psrc"))
+    cand
+      .join(prov.select(col("__pid").as("d1"), col("__psrc").as("__s1")),
+        "d1")
+      .join(prov.select(col("__pid").as("d2"), col("__psrc").as("__s2")),
+        "d2")
+      .select(least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Full DuckDB oracle for [[sourceOverlap]] over `documents`. */
+  def sourceOverlapOracleSql(shingle: Int, k: Int,
+                             rowsPerBand: Int = 2): String =
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)},
+    |cand AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |prov AS (
+    |  SELECT c.d1, c.d2,
+    |    least(p1.source, p2.source) AS source_a,
+    |    greatest(p1.source, p2.source) AS source_b
+    |  FROM cand c
+    |  JOIN documents p1 ON p1.doc_id = c.d1
+    |  JOIN documents p2 ON p2.doc_id = c.d2)
+    |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    |FROM prov GROUP BY 1, 2
+    |ORDER BY source_a, source_b
+    |""".stripMargin.trim
+
   /** The keep/drop decision over near-dup pairs: drop every doc that
     * has a near-duplicate with a smaller id — the standard one-hop
     * rule, one anti join on the pair table instead of an iterative
