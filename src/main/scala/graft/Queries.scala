@@ -785,6 +785,22 @@ object Queries {
           "embedding", 64, 4, 0.4, nTables = 4).orderBy("d1", "d2"),
       Some(Similarity.nearDupOracleSql(64, 4, 0.4, nTables = 4))),
 
+    // The production near-dup configuration: cosine >= 0.7 keeps only
+    // true near-copies (random 64-dim pairs reach it with P ≈
+    // (1-t²)^32 ≈ 7e-10), and 8 planes/table (256 buckets, still
+    // 4-table OR-amplified: recall ≈ 0.9998 at cos 0.99) cuts the
+    // candidate volume 16× vs the 0.4 variant's 4-plane buckets —
+    // the two knobs SCALE.md §2 prescribes, applied. Answer AND wall
+    // time stay linear in corpus size (SCALE.md §7, planted copies).
+    // The driver fixture's embeddings are unclustered (max pairwise
+    // cosine ≈ 0.51), so its correct answer here is the empty set —
+    // the non-empty path is exercised by SimilaritySpec and SCALE.md.
+    ("embedding_neardup_strict",
+      (s: SparkSession, d: String) =>
+        Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, 8, 0.7, nTables = 4).orderBy("d1", "d2"),
+      Some(Similarity.nearDupOracleSql(64, 8, 0.7, nTables = 4))),
+
     // Codegen'd float dot (graft.functions.FloatVecDot) throughput
     // path. Oracle-checked after all: the double fold is a fixed
     // left-to-right IEEE sequence DuckDB's list_reduce reproduces

@@ -163,6 +163,31 @@ class SimilaritySpec extends SparkSpec {
     assert(strict.subsetOf(loose) && loose.size >= strict.size)
   }
 
+  test("strict threshold finds planted near-copies, nothing else") {
+    import spark.implicits._
+    // 40 deterministic pseudo-random vectors + one planted near-copy
+    // pair (ids 100/101): only that pair may pass cosine >= 0.7
+    def mix(z0: Long): Long = { // splitmix64: decorrelates (seed, dim)
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vec(seed: Long, eps: Double): Array[Float] =
+      Array.tabulate(64) { j =>
+        val h = mix(seed * 64 + j)
+        (((h >>> 11) % 2001L - 1000L) / 1000.0 + eps * (j % 7)).toFloat
+      }
+    val rows = (0L until 40L).map(i => (i, vec(i, 0.0))) ++
+      Seq((100L, vec(999L, 0.0)), (101L, vec(999L, 0.001)))
+    val planted = rows.toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(planted, "vec_id", "embedding",
+      64, 4, 0.7, nTables = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"strict near-dup must find exactly the planted pair, got $got")
+  }
+
   test("ivfCosineTopK probes inverted lists and ranks correctly") {
     val queries = emb.filter(col("vec_id") < 5)
     val ivf = Similarity.ivfCosineTopK(emb, queries, 5, 16, 4).collect()
