@@ -690,6 +690,14 @@ object Queries {
           col("text"), 3, 1, 2, 8, 2).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardViaMinhashOracleSql(3, 1, 2, 8, 2))),
 
+    // Curation dashboard row: per source, contributed docs and how
+    // many a near-dup pass drops (one-hop keep semantics)
+    ("dup_rate_by_source",
+      (s: SparkSession, d: String) =>
+        Dedup.dupRateBySource(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("source"), 3).orderBy("source"),
+      Some(Dedup.dupRateBySourceOracleSql(3))),
+
     // Corpus-curation view: which provenance sources duplicate each
     // other (and themselves) — the near-dup pair set rolled up to a
     // |sources|²-bounded overlap matrix

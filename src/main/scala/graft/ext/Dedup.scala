@@ -664,6 +664,37 @@ object Dedup {
     |""".stripMargin.trim
   }
 
+  /** Per-source duplicate-drop rates — the provenance summary of the
+    * one-hop keep decision: for each source label, how many docs it
+    * contributes and how many of those a near-dup dedup pass would
+    * drop ([[nearDupDropIds]] semantics: the doc has a smaller-id
+    * near-duplicate). The number a curation dashboard tracks per
+    * crawl/source over time. One keyed left join + one small agg on
+    * top of the banded pair pipeline; output is |sources| rows. */
+  def dupRateBySource(docs: DataFrame, id: Column, text: Column,
+                      source: Column, maxHamming: Int = 3): DataFrame = {
+    val drops = nearDupDropIds(simhash(docs, id, text), maxHamming)
+      .select(col("d2").as("__drop_id")).distinct()
+    docs.select(id.as("doc_id"), source.as("source"))
+      .join(drops, col("doc_id") === col("__drop_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__drop_id").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"))
+  }
+
+  /** Full DuckDB oracle for [[dupRateBySource]] over `documents`. */
+  def dupRateBySourceOracleSql(maxHamming: Int = 3): String =
+    s"""
+    |WITH nd_pairs AS (${simhashOracleSql(maxHamming)
+      .replaceAll("ORDER BY d1, d2", "")})
+    |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM nd_pairs
+    |    WHERE nd_pairs.d2 = doc_id) THEN 1 ELSE 0 END) AS BIGINT)
+    |    AS n_dropped
+    |FROM documents GROUP BY source ORDER BY source
+    |""".stripMargin.trim
+
   /** Cross-source duplicate overlap matrix — the corpus-curation view
     * of the near-dup pair set: for every (source_a, source_b) pair of
     * provenance labels (unordered, a <= b), how many LSH candidate
