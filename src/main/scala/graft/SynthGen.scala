@@ -121,11 +121,15 @@ object SynthGen {
       orderDate(col("id") + 1).as("o_orderdate"),
       concat(h(5, 3, col("id")) + 1, lit("-PRIORITY")).as("o_orderpriority"))
 
+  /** `skewHot` > 0 sends that fraction of lineitem rows to partkey 1
+    * (a single hot key) — the skew-study corpus for SCALE.md §8. */
   def lineitem(spark: SparkSession, n: Long, nPart: Long,
-               nSupp: Long): DataFrame =
+               nSupp: Long, skewHot: Double = 0.0): DataFrame =
     spark.range(n).select(
       (col("id") / 4 + 1).cast("long").as("l_orderkey"),
-      (h(nPart.toInt, 0, col("id")) + 1).as("l_partkey"),
+      when(lit(skewHot) > 0 &&
+          h(1000, 9, col("id")) < (skewHot * 1000).toLong, 1L)
+        .otherwise(h(nPart.toInt, 0, col("id")) + 1).as("l_partkey"),
       (h(nSupp.toInt, 1, col("id")) + 1).as("l_suppkey"),
       (col("id") % 4 + 1).cast("int").as("l_linenumber"),
       (h(50, 2, col("id")) + 1).cast("double").as("l_quantity"),
@@ -143,6 +147,7 @@ object SynthGen {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val mult = args(1).toDouble
+    val skewHot = if (args.length > 2) args(2).toDouble else 0.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -162,7 +167,7 @@ object SynthGen {
       "part" -> part(spark, nPart),
       "supplier" -> supplier(spark, nSupp),
       "orders" -> orders(spark, m(150000), nCust),
-      "lineitem" -> lineitem(spark, m(600000), nPart, nSupp))
+      "lineitem" -> lineitem(spark, m(600000), nPart, nSupp, skewHot))
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[synthgen] wrote $name")

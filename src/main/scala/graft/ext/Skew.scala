@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
   * aggregates per (key, salt) — spreading the hot key over `buckets`
   * reducers — then re-aggregates per key. The result is exactly the
   * plain groupBy's (sums/counts are associative); only the shuffle
-  * shape changes. AQE's skew handling covers joins; this covers
-  * aggregations whose partial state is small.
+  * shape changes. Measured caveat (SCALE.md §8): for COMBINABLE aggs
+  * Spark's map-side partial aggregation already collapses a hot key
+  * to one partial row per mapper, so the plain form is skew-immune
+  * and salting is pure overhead — the two-phase form earns its keep
+  * for aggregations whose partial state map-side combine cannot
+  * shrink (exact distincts, large collect-style state).
   *
   * The salt here is deterministic (`pmod` of a row column) so the
   * declared query is oracle-checkable; at scale any cheap per-row
@@ -36,7 +40,14 @@ object Skew {
     * per-key reducer to overload), so the helper pins the join shape
     * it exists to fix. Replication cost = buckets × build rows —
     * meant for the dimension-sized build sides where skew joins
-    * actually hurt. */
+    * actually hurt, and `buckets` must be sized to the SKEW (≈ the
+    * hot key's share of a reducer, a handful), not to the core
+    * count: measured at 19M rows / 50% hot key (SCALE.md §8),
+    * buckets=4 beats the unsalted straggler while buckets=32 is 5×
+    * WORSE than plain — the replicated build swamps the join. When
+    * runtime stats are available, AQE's skew-split achieves the same
+    * end with zero replication; this form is the deterministic
+    * fallback for when they aren't. */
   def saltedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: Column, buildKey: Column,
                  saltSource: Column, buckets: Int): DataFrame = {
