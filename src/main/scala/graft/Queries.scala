@@ -38,9 +38,18 @@ object Queries {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // encoding-robust: a NANOS-encoded feed arrives as long under
+      // the legacy conf (the fixtures); a MICROS-encoded feed (e.g.
+      // SynthGen's, or any Spark-written upstream) arrives as a
+      // native timestamp — both normalize to µs NTZ
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        case _ =>
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -65,16 +74,25 @@ object Queries {
   def eventsSince(spark: SparkSession, sfDir: String,
                   wm: LocalDateTime): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val wmNanos = java.time.Duration.between(
-      LocalDateTime.of(1970, 1, 1, 0, 0), wm).toNanos
-    // +999 ns: downstream semantics compare at µs precision (the
-    // oracle sees truncated timestamps), so the raw bound must admit
-    // exactly the rows whose TRUNCATED value exceeds the watermark —
-    // ts_ns > wm_ns + 999  ⟺  trunc_µs(ts) > wm (whole-µs watermark)
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") > lit(wmNanos + 999L))
-      .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // NANOS-encoded feed. +999 ns: downstream semantics compare
+        // at µs precision (the oracle sees truncated timestamps), so
+        // the raw bound must admit exactly the rows whose TRUNCATED
+        // value exceeds the watermark — ts_ns > wm_ns + 999 ⟺
+        // trunc_µs(ts) > wm (whole-µs watermark)
+        val wmNanos = java.time.Duration.between(
+          LocalDateTime.of(1970, 1, 1, 0, 0), wm).toNanos
+        df.filter(col("ts") > lit(wmNanos + 999L))
+          .withColumn("ts",
+            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        // µs-native feed: a timestamp literal predicate pushes to the
+        // parquet scan directly — no raw-space detour needed
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .filter(col("ts") > lit(wm))
+    }
   }
 
   /** SCD2 change history synthesized from `events` (FIXTURES.md §C):
@@ -1222,14 +1240,16 @@ object Queries {
 
     // HLL++ approximate distinct. The sketch value itself is
     // engine-specific, but its accuracy contract is checkable: emit the
-    // exact count plus a bound flag (relative error <= 5%; HLL++ at
-    // default rsd 0.05 sits well inside). DuckDB asserts the exact side
-    // and expects the flag to be 1 — a drifting sketch flips it to 0
-    // and fails the hash compare.
+    // exact count plus a bound flag (relative error <= 5% at rsd 0.018
+    // — a 2.8σ margin, so the flag is a real guarantee, not a coin
+    // flip; the default rsd 0.05 would make 5% a 1σ bound that fails
+    // one dataset in three — caught by the synthetic second-corpus
+    // sweep). DuckDB asserts the exact side and expects the flag to be
+    // 1 — a drifting sketch flips it to 0 and fails the hash compare.
     ("approx_distinct",
       (s: SparkSession, d: String) =>
         t(s, d, "events").agg(
-            approx_count_distinct("user_id").as("approx_users"),
+            approx_count_distinct(col("user_id"), 0.018).as("approx_users"),
             countDistinct(col("user_id")).as("exact_users"))
           .select(col("exact_users"),
             (abs(col("approx_users") - col("exact_users"))

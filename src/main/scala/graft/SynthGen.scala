@@ -108,9 +108,14 @@ object SynthGen {
       (h(1000000, 1, col("id")).cast("double") / 100.0 - 1000.0)
         .as("s_acctbal"))
 
+  // NTZ like the fixtures: an instant-encoded (isAdjustedToUTC) column
+  // reads back tz-AWARE in DuckDB and breaks the naive-timestamp
+  // contract the whole warehouse runs on
+  private def orderDateSec(key: org.apache.spark.sql.Column) =
+    to_timestamp(lit("1995-01-01 00:00:00")).cast("long") +
+      h(2557, 10, key) * 86400L
   private def orderDate(key: org.apache.spark.sql.Column) =
-    (to_timestamp(lit("1995-01-01 00:00:00")).cast("long") +
-      h(2557, 10, key) * 86400L).cast("timestamp")
+    orderDateSec(key).cast("timestamp").cast("timestamp_ntz")
 
   def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame =
     spark.range(n).select((col("id") + 1).as("o_orderkey"),
@@ -141,8 +146,42 @@ object SynthGen {
         (h(3, 6, col("id")) + 1).cast("int")).as("l_returnflag"),
       element_at(array(lit("O"), lit("F")),
         (h(2, 7, col("id")) + 1).cast("int")).as("l_linestatus"),
-      (orderDate((col("id") / 4 + 1).cast("long")).cast("long") +
-        h(120, 8, col("id")) * 86400L).cast("timestamp").as("l_shipdate"))
+      (orderDateSec((col("id") / 4 + 1).cast("long")) +
+        h(120, 8, col("id")) * 86400L).cast("timestamp")
+        .cast("timestamp_ntz").as("l_shipdate"))
+
+  /** 30-day event stream, ~uniform event types, JSON props — µs NTZ
+    * timestamps (the reader normalizes nanos- and micros-encoded
+    * feeds identically). */
+  def events(spark: SparkSession, n: Long, nUsers: Long): DataFrame = {
+    val epoch = to_timestamp(lit("2024-01-01 00:00:00")).cast("long")
+    val spanSec = 30L * 86400
+    // microsecond jitter so per-user orderings can't tie
+    val tsMicros = (epoch +
+      (col("id") * spanSec / lit(math.max(1L, n))).cast("long") +
+      h(120, 0, col("id"))) * lit(1000000L) + h(1000000, 5, col("id"))
+    spark.range(n)
+      .withColumn("__micros", tsMicros)
+      .select(col("id").as("event_id"),
+        expr("cast(timestamp_micros(__micros) as timestamp_ntz)").as("ts"),
+        (h(nUsers.toInt, 1, col("id")) + 1).as("user_id"),
+        element_at(array(Seq("view", "click", "purchase", "signup", "error")
+          .map(lit): _*), (h(5, 2, col("id")) + 1).cast("int"))
+          .as("event_type"),
+        (h(49000, 3, col("id")).cast("double") / 100.0 + 0.01).as("value"),
+        concat(lit("{\"k\": "), h(100, 4, col("id")), lit("}")).as("props"))
+  }
+
+  def region(spark: SparkSession): DataFrame =
+    spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+      element_at(array(Seq("AFRICA", "AMERICA", "ASIA", "EUROPE",
+        "MIDDLE EAST").map(lit): _*), (col("id") + 1).cast("int"))
+        .as("r_name"))
+
+  def nation(spark: SparkSession): DataFrame =
+    spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey"))
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
@@ -167,7 +206,10 @@ object SynthGen {
       "part" -> part(spark, nPart),
       "supplier" -> supplier(spark, nSupp),
       "orders" -> orders(spark, m(150000), nCust),
-      "lineitem" -> lineitem(spark, m(600000), nPart, nSupp, skewHot))
+      "lineitem" -> lineitem(spark, m(600000), nPart, nSupp, skewHot),
+      "events" -> events(spark, m(100000), m(1500)),
+      "region" -> region(spark),
+      "nation" -> nation(spark))
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[synthgen] wrote $name")

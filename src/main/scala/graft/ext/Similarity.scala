@@ -225,7 +225,13 @@ object Similarity {
       .withColumn("cos", cosine(
         dot(col("e1"), col("e2")), col("n1"), col("__n2v")))
       .filter(col("cos") >= minCosine)
-      .select(col("d1"), col("d2"), col("cos"))
+      // reported at 6 decimals: the exact-decimal dot is bit-identical
+      // across engines, but its decimal→double CONVERSION can differ
+      // by ~1 ulp at large magnitudes (caught by the synthetic
+      // second-corpus sweep at |cos| agreement 1e-13) — rounding
+      // absorbs the conversion noise; both engines round half-up for
+      // positive values
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
   }
 
   /** DuckDB oracle for [[nearDupPairs]] over `embeddings`. The OR of
@@ -248,7 +254,7 @@ object Similarity {
     |      (sqrt(CAST(${dotSql("a.embedding", "a.embedding", dim)} AS DOUBLE)) *
     |       sqrt(CAST(${dotSql("b2.embedding", "b2.embedding", dim)} AS DOUBLE))) AS cos
     |  FROM b a JOIN b b2 ON ($anyBucket) AND a.vec_id < b2.vec_id)
-    |SELECT d1, d2, cos FROM pairs WHERE cos >= $minCosine
+    |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
     |ORDER BY d1, d2
     |""".stripMargin.trim
   }
