@@ -75,7 +75,11 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+      // cos reported at 6 decimals on both engines: ranking uses full
+      // precision, but decimal→double conversion can differ by ~1 ulp
+      // across engines at large magnitudes (see nearDupPairs)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** DuckDB oracle for [[cosineTopK]] with queries = vec_id < maxQueryId. */
@@ -94,7 +98,8 @@ object Similarity {
     |  SELECT query_id, cand_id, cos,
     |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
     |  FROM scored)
-    |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= $k
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM ranked WHERE rank <= $k
     |ORDER BY query_id, rank
     |""".stripMargin.trim
 
@@ -278,7 +283,8 @@ object Similarity {
     |  SELECT query_id, cand_id, cos,
     |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
     |  FROM scored)
-    |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= $k
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM ranked WHERE rank <= $k
     |ORDER BY query_id, rank
     |""".stripMargin.trim
 
@@ -306,7 +312,11 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+      // cos reported at 6 decimals on both engines: ranking uses full
+      // precision, but decimal→double conversion can differ by ~1 ulp
+      // across engines at large magnitudes (see nearDupPairs)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** DuckDB twin of [[graft.functions.VecMath.dotF]]: the same
@@ -341,7 +351,8 @@ object Similarity {
     |    CAST(row_number() OVER (PARTITION BY query_id
     |      ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
     |  FROM scored)
-    |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= $k
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM ranked WHERE rank <= $k
     |ORDER BY query_id, rank
     |""".stripMargin.trim
 
@@ -433,7 +444,11 @@ object Similarity {
         dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+      // cos reported at 6 decimals on both engines: ranking uses full
+      // precision, but decimal→double conversion can differ by ~1 ulp
+      // across engines at large magnitudes (see nearDupPairs)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** DuckDB oracle for [[ivfCosineTopK]] with queries = vec_id < maxQueryId. */
@@ -470,7 +485,8 @@ object Similarity {
     |    CAST(row_number() OVER (PARTITION BY query_id
     |      ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
     |  FROM scored)
-    |SELECT query_id, cand_id, cos, rank FROM ranked WHERE rank <= $k
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM ranked WHERE rank <= $k
     |ORDER BY query_id, rank
     |""".stripMargin.trim
   }
@@ -496,7 +512,11 @@ object Similarity {
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rank"))
+      // cos reported at 6 decimals on both engines: ranking uses full
+      // precision, but decimal→double conversion can differ by ~1 ulp
+      // across engines at large magnitudes (see nearDupPairs)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** Symmetric int8 quantization audit: per-vector scale and the
