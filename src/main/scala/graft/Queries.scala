@@ -708,6 +708,19 @@ object Queries {
           col("text"), 3, 1, 2, 8, 2).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardViaMinhashOracleSql(3, 1, 2, 8, 2))),
 
+    // Internal contamination: near-dup pairs crossing train/val/test
+    // boundaries (off-diagonal cells = eval content leaking into
+    // training; the external twin is contamination_check)
+    ("split_leakage",
+      (s: SparkSession, d: String) => {
+        val docs = ext.Corpus.sampleSplit(t(s, d, "documents"),
+          col("doc_id"))
+        Dedup.splitLeakage(docs, col("doc_id"), col("text"),
+          col("split"), 3, 8, 2).orderBy("split_a", "split_b")
+      },
+      Some(Dedup.splitLeakageOracleSql(
+        ext.Corpus.sampleSplitSql("doc_id")._2, 3, 8, 2))),
+
     // Curation dashboard row: per source, contributed docs and how
     // many a near-dup pass drops (one-hop keep semantics)
     ("dup_rate_by_source",

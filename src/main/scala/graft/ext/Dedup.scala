@@ -695,6 +695,56 @@ object Dedup {
     |FROM documents GROUP BY source ORDER BY source
     |""".stripMargin.trim
 
+  /** Split-leakage audit — the INTERNAL contamination check a
+    * train/val/test split needs (the external twin is the
+    * benchmark-contamination scan): every near-dup candidate pair
+    * whose two docs landed in DIFFERENT splits leaks evaluation
+    * content into training. Returns the (split_a, split_b) matrix of
+    * pair counts, unordered labels — the off-diagonal cells are the
+    * leaks, and the fix is dedup-BEFORE-split (or split by cluster
+    * id), which this number verifies. Same shape as [[sourceOverlap]]:
+    * provenance joins over the banded candidate join, |splits|²-bounded
+    * output. */
+  def splitLeakage(docs: DataFrame, id: Column, text: Column,
+                   split: Column, shingle: Int, k: Int,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidates(
+      minhashSignature(docs, id, text, shingle, k), k, rowsPerBand)
+    val prov = docs.select(id.as("__pid"), split.as("__psplit"))
+    cand
+      .join(prov.select(col("__pid").as("d1"), col("__psplit").as("__s1")),
+        "d1")
+      .join(prov.select(col("__pid").as("d2"), col("__psplit").as("__s2")),
+        "d2")
+      .select(least(col("__s1"), col("__s2")).as("split_a"),
+        greatest(col("__s1"), col("__s2")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Full DuckDB oracle for [[splitLeakage]] over `documents` with the
+    * hash split assignment (`splitSqlExpr` = the split CASE over
+    * doc_id, from [[graft.ext.Corpus.sampleSplitSql]]). */
+  def splitLeakageOracleSql(splitSqlExpr: String, shingle: Int, k: Int,
+                            rowsPerBand: Int = 2): String =
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)},
+    |cand AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |prov AS (SELECT doc_id, $splitSqlExpr AS split FROM documents),
+    |lab AS (
+    |  SELECT least(p1.split, p2.split) AS split_a,
+    |    greatest(p1.split, p2.split) AS split_b
+    |  FROM cand c
+    |  JOIN prov p1 ON p1.doc_id = c.d1
+    |  JOIN prov p2 ON p2.doc_id = c.d2)
+    |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+    |FROM lab GROUP BY 1, 2
+    |ORDER BY split_a, split_b
+    |""".stripMargin.trim
+
   /** Cross-source duplicate overlap matrix — the corpus-curation view
     * of the near-dup pair set: for every (source_a, source_b) pair of
     * provenance labels (unordered, a <= b), how many LSH candidate
