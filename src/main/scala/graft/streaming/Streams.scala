@@ -292,4 +292,49 @@ object Streams {
           out.iterator
       }
   }
+
+  case class FunnelUpdate(user_id: Long, n_reached: Int,
+                          stage_ts: Seq[Long])
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.ext.Sessions.funnel]]: per-user keyed state holds the
+    * greedy stage-completion chain (first stage-1 time, first later
+    * stage-2 time, …), advanced by a forward scan of each
+    * micro-batch's events in event-time order. The forward greedy
+    * scan IS the batch min-chain (t1 = first stage-1 event; tₙ =
+    * first stage-n event after tₙ₋₁), so a single-batch run matches
+    * the batch operator exactly; across batches the online contract
+    * applies (arrival order — a late-arriving earlier event cannot
+    * retroactively lower a finalized stage, the same
+    * cannot-reorder-history contract as [[seqPackStream]]).
+    *
+    * State per user is at most `stages.length` int64s — bounded for
+    * any stream length; one keyed shuffle, like every stateful op
+    * here. Emits the user's full chain (timestamps as epoch µs) each
+    * time their group is processed; `n_reached` only grows, so the
+    * max-`n_reached` row per user is the current funnel position. */
+  def funnelStream(events: DataFrame,
+                   stages: Seq[String]): Dataset[FunnelUpdate] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[List[Long], FunnelUpdate](
+        GroupStateTimeout.NoTimeout) { (user, it, gs) =>
+        // state list is reversed: head = most recent filled stage
+        var st = if (gs.exists) gs.get else Nil
+        it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, tp) =>
+          val n = st.length
+          if (n < stages.length && tp == stages(n) &&
+              (st.isEmpty || ts > st.head)) st = ts :: st
+        }
+        gs.update(st)
+        FunnelUpdate(user, st.length, st.reverse)
+      }
+  }
 }

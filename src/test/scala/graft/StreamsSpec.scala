@@ -239,6 +239,75 @@ class StreamsSpec extends SparkSpec {
     assert(multiCurrent == 0)
   }
 
+  test("funnelStream over one batch equals the batch funnel chain") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stages = Seq("view", "click", "purchase")
+    // one-file source -> one micro-batch, whose in-batch event-time
+    // scan must reproduce the batch min-chain exactly
+    val oneFile = tmp("events-funnel")
+    Queries.eventsTable(spark, sf)
+      .select("user_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(oneFile)
+    val schema = spark.read.parquet(oneFile).schema
+    val q = Streams.funnelStream(
+        spark.readStream.schema(schema).parquet(oneFile), stages)
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("funnel_parity")
+      .orderBy(col("user_id"), col("n_reached").desc)
+      .collect().groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.maxBy(_.getInt(1))
+          .getAs[scala.collection.Seq[Long]]("stage_ts").toList }
+      .filter(_._2.nonEmpty)
+    val want = graft.ext.Sessions.funnel(
+        spark.read.parquet(oneFile), col("user_id"), col("ts"),
+        col("event_type"), stages)
+      .select(col("user_id"), unix_micros(col("t1").cast("timestamp")),
+        unix_micros(col("t2").cast("timestamp")),
+        unix_micros(col("t3").cast("timestamp")))
+      .collect().map { r =>
+        r.getLong(0) -> List(Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3))).flatten.map(_.asInstanceOf[Long]) }
+      .toMap
+    assert(got.keySet == want.keySet,
+      s"user sets differ: ${got.keySet.size} vs ${want.keySet.size}")
+    got.foreach { case (u, chain) =>
+      assert(chain == want(u), s"user $u chain diverged")
+    }
+    assert(want.nonEmpty && want.values.exists(_.length == stages.length),
+      "fixture should complete the full funnel for someone")
+  }
+
+  test("funnelStream state advances across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmp("events-funnel-waves")
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+        .select("user_id", "ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // wave 1: user 1 views; wave 2: user 1 clicks (later ts)
+    write(Seq((1L, "2024-01-01 10:00:00", "view")))
+    write(Seq((1L, "2024-01-01 11:00:00", "click")))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("event_type", StringType)))
+    val q = Streams.funnelStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_waves")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val last = spark.table("funnel_waves")
+      .filter(col("user_id") === 1L)
+      .orderBy(col("n_reached").desc).collect().head
+    assert(last.getInt(1) == 2, "click in wave 2 must advance the chain")
+  }
+
   test("seqPackStream over one AvailableNow batch equals batch seqPack") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
