@@ -180,6 +180,50 @@ object Streams {
       }
       .start()
 
+  /** Micro-batch FACT sink — the streaming twin of
+    * [[graft.facts.FactLoader]]'s correction semantics: each trigger's
+    * rows upsert into the fact by natural key with keep-latest-edit
+    * (I4), scoped exactly like the batch loader — stored rows whose
+    * key is NOT in the batch pass through untouched, contested keys
+    * resolve to the newest `editTs` (ties: the batch side wins, as a
+    * correction should). Replayed batches are no-ops: every replayed
+    * row loses (or ties into) the already-stored edit. Same staged
+    * publish as the batch path, so a crash never leaves a torn fact.
+    */
+  def factCorrectionsSink(stream: DataFrame, nk: String, editTs: String,
+                          factPath: String,
+                          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        // same-batch redelivery: keep the newest edit per key up front
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(nk)).orderBy(col(editTs).desc)
+        val batch = batch0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fs = new org.apache.hadoop.fs.Path(factPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(factPath))) batch
+          else {
+            val stored = spark.read.parquet(factPath)
+            val keys = batch.select(col(nk)).distinct()
+            val untouched = stored.join(keys, Seq(nk), "left_anti")
+            // contested: stored loses to a strictly-newer or equal
+            // batch edit (batch wins ties — corrections override)
+            val keptStored = stored.join(keys, Seq(nk), "left_semi")
+              .join(batch.select(col(nk), col(editTs).as("__bts")),
+                Seq(nk))
+              .filter(col(editTs) > col("__bts")).drop("__bts")
+            untouched.unionByName(keptStored).unionByName(
+              batch.join(keptStored.select(col(nk)), Seq(nk), "left_anti"))
+          }
+        StagedWrite.overwrite(merged, factPath)
+      }
+      .start()
+
   /** Streaming near-dup ingest: each micro-batch of documents is
     * checked against the PERSISTED corpus band index
     * ([[graft.ext.Dedup.minhashBandRows]] layout) — a batch doc whose

@@ -239,6 +239,53 @@ class StreamsSpec extends SparkSpec {
     assert(multiCurrent == 0)
   }
 
+  test("factCorrectionsSink: keep-latest upsert, replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val srcDir = tmp("fact-stream")
+    val factPath = tmp("fact-stream-out") + "/fact"
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("sales_nk", "ts_s", "value")
+        .withColumn("last_edited", col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s").select("sales_nk", "last_edited", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // wave 1: keys 1,2; wave 2: key 1 corrected (newer edit) + key 3
+    write(Seq((1L, "2024-01-01 10:00:00", 10.0),
+      (2L, "2024-01-01 10:00:00", 20.0)))
+    write(Seq((1L, "2024-01-02 10:00:00", 11.0),
+      (3L, "2024-01-01 10:00:00", 30.0)))
+    val schema = StructType(Seq(StructField("sales_nk", LongType),
+      StructField("last_edited", TimestampNTZType),
+      StructField("value", DoubleType)))
+    def run(): Unit = {
+      val q = Streams.factCorrectionsSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir),
+        "sales_nk", "last_edited", factPath, tmp("fact-chk"))
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    def snapshot() = spark.read.parquet(factPath)
+      .select("sales_nk", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = snapshot()
+    assert(got == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0),
+      s"keep-latest upsert wrong: $got")
+    // full replay with a fresh checkpoint: every row loses-or-ties
+    // into the stored edit -> fact unchanged
+    run()
+    assert(snapshot() == got, "replay must be a no-op")
+    // and it equals the batch keep-latest over the full source
+    val want = spark.read.parquet(srcDir)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sales_nk")
+          .orderBy(col("last_edited").desc)))
+      .filter(col("__rn") === 1)
+      .select("sales_nk", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, "stream result must equal batch keep-latest")
+  }
+
   test("funnelStream over one batch equals the batch funnel chain") {
     import org.apache.spark.sql.streaming.Trigger
     val stages = Seq("view", "click", "purchase")
