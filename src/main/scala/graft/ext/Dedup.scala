@@ -183,7 +183,14 @@ object Dedup {
                                      rowsPerBand: Int,
                                      probePred: Column): DataFrame = {
     val nBands = k / rowsPerBand
-    val bands = minhashBandRows(signatures, k, rowsPerBand)
+    // Materialize the signature relation ONCE before the self-join:
+    // both join sides otherwise re-evaluate the whole shingle→minhash
+    // kernel lineage (Spark reuses exchanges, not arbitrary identical
+    // subtrees), doubling the dominant cost — measured ~4× steady-state
+    // on the 100× corpus (SCALE.md §9). Storage is n rows × k longs —
+    // the distributed analog of writing the signature table before
+    // band-joining it, which is the lakehouse shape at 100 TB.
+    val bands = minhashBandRows(signatures.localCheckpoint(), k, rowsPerBand)
     val a = spread(bands.select(col("band"), col("sig"),
       col("doc_id").as("d1"), col("sigs").as("sigs1")),
       col("band"), col("sig"))
@@ -254,21 +261,37 @@ object Dedup {
   // SimHash with banded hamming LSH
   // ---------------------------------------------------------------
 
-  /** 48 bits: wide enough that hamming<=3 keeps only genuinely
-    * similar docs (32 bits marked ~24% of ALL pairs as near-dups on
-    * the fixtures), while (1L << j) stays positive and DuckDB BIGINT
-    * arithmetic matches exactly. */
-  val SimBits = 48
+  /** Signature width. Wide enough that hamming<=3 keeps only
+    * genuinely similar docs (32 bits marked ~24% of ALL pairs as
+    * near-dups on the fixtures), while (1L << j) stays positive and
+    * DuckDB BIGINT arithmetic matches exactly (so <= 62). Width is
+    * ALSO the banding-scale knob: with [[SimBands]] fixed by the
+    * pigeonhole guarantee, bucket space is 2^(SimBits/SimBands) and
+    * band-join candidate volume grows as n²/2^(SimBits/SimBands) —
+    * the 100× scale study measured 48 bits (4096 buckets) at ~122M
+    * candidate pairs / 16-24s for 500k docs; 60 bits (32768 buckets)
+    * cuts that 8×. Widen further as the corpus grows another decade. */
+  val SimBits = 60
+
+  /** Bands in the hamming LSH. 4 bands ⇒ pigeonhole guarantees any
+    * pair with hamming <= 3 shares at least one full band, so the
+    * band join + exact hamming filter is lossless at maxHamming=3. */
+  val SimBands = 4
+
+  private val SimBandBits = SimBits / SimBands
+  private[graft] val SimBandMask = (1L << SimBandBits) - 1
 
   /** Live bits per universal-hash permutation (perm < P2 < 2^31):
-    * signature bits 0..30 come from perm 0 and bits 31..47 from
-    * perm 1. One perm used to feed all 48 — its dead top bits left
-    * bits 31..47 constant-zero, band 3 identical for EVERY doc, and
-    * the band-3 join a full all-pairs quadratic (caught by the sf1
-    * scale study: 78s at 10x, time ∝ n²). */
+    * signature bits 0..30 come from perm 0 and bits 31..SimBits-1
+    * from perm 1. One perm used to feed all 48 (pre-round-6) — its
+    * dead top bits left bits 31..47 constant-zero, band 3 identical
+    * for EVERY doc, and the band-3 join a full all-pairs quadratic
+    * (caught by the sf1 scale study: 78s at 10x, time ∝ n²). */
   val SimPermBits = 31
+  require(SimBits - SimPermBits <= SimPermBits,
+    "two 31-bit perms cover at most 62 signature bits")
 
-  /** Per-doc 48-bit simhash over distinct tokens: bit j is the sign of
+  /** Per-doc [[SimBits]]-bit simhash over distinct tokens: bit j is the sign of
     * sum over tokens of ±1 by token-hash bit j. One compiled pass per
     * document ([[org.apache.spark.sql.graftext.SimHashExpr]]) — the
     * signature never leaves its input row, so there is NO shuffle
@@ -311,28 +334,36 @@ object Dedup {
     bitSums.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** Band value b (12 bits) of a 48-bit simhash column. */
+  /** Band value b ([[SimBandBits]] bits) of a [[SimBits]]-bit simhash
+    * column. */
   private def simBand(sim: Column, b: Int): Column =
-    shiftright(sim, b * 12).bitwiseAND(lit(4095L))
+    shiftright(sim, b * SimBandBits).bitwiseAND(lit(SimBandMask))
 
   /** "No band before `band` matched" — dedupes multi-band collisions
     * with a codegen'd predicate on the two signatures instead of a
     * pair-level `distinct` shuffle over the full candidate set. */
   private def firstSimBandOnly: Column =
-    (0 until 4).map { bp =>
+    (0 until SimBands).map { bp =>
       when(col("band") > bp,
         simBand(col("s1"), bp) =!= simBand(col("s2"), bp))
         .otherwise(lit(true))
     }.reduce(_ && _)
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found via
-    * 4x12-bit banding (pigeonhole: <=3 differing bits leave at least
-    * one of 4 bands identical) then exact hamming filter. Each pair
-    * surfaces once: at its first matching band (see
-    * [[firstSimBandOnly]] — no pair-level distinct shuffle). */
+    * [[SimBands]]x[[SimBandBits]]-bit banding (pigeonhole: <=3
+    * differing bits leave at least one of 4 bands identical) then
+    * exact hamming filter. Each pair surfaces once: at its first
+    * matching band (see [[firstSimBandOnly]] — no pair-level distinct
+    * shuffle). */
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = sims.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+    // One kernel pass, not two: the band self-join re-evaluates the
+    // signature lineage on BOTH sides without this (BandStats measured
+    // the materialized form ~4× faster steady-state at 100×, SCALE.md
+    // §9). n rows × 16 bytes — the signature table written once, then
+    // band-joined, as a warehouse would lay it out.
+    val sigs = sims.localCheckpoint()
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimBands).map(b => struct(lit(b).as("band"),
         simBand(col("simhash"), b).as("bv"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
         col("bs.bv").as("bv"))
@@ -371,8 +402,9 @@ object Dedup {
     val sim = (0 until SimBits)
       .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 12}) & 4095 AS bv FROM sims")
+    val bandRows = (0 until SimBands).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${b * SimBandBits}) & $SimBandMask AS bv FROM sims")
       .mkString(" UNION ALL ")
     s"""
     |toks AS (
@@ -895,13 +927,17 @@ object Dedup {
     * feeds the caller's anti join; only the rep leg needs a distinct,
     * over at most one row per distinct signature. */
   def nearDupDropIds(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // one distinct-signature row per group, materialized once — it
+    // feeds the exact-drop join AND both sides of the band self-join
+    // (three evaluations of the signature aggregation otherwise)
     val reps = sims.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint()
     val exactDrops = sims.join(reps, "simhash")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("d2"))
     val bands = reps.select(col("rep"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+      explode(array((0 until SimBands).map(b => struct(lit(b).as("band"),
         simBand(col("simhash"), b).as("bv"))): _*)).as("bs"))
       .select(col("rep"), col("simhash"), col("bs.band").as("band"),
         col("bs.bv").as("bv"))

@@ -34,10 +34,10 @@ object SimHash {
 
   /** Bits per universal-hash permutation: perm values live in
     * [0, P2) with P2 < 2^31, so exactly bits 0..30 carry entropy. A
-    * 48-bit signature therefore draws bits 0..30 from perm (a, b) and
-    * bits 31..47 from perm (a2, b2) — a single perm would leave the
-    * top 17 bits constant-zero, making the top band identical for
-    * every document and its band join a full quadratic all-pairs. */
+    * signature of `bits` (<= 62) therefore draws bits 0..30 from perm
+    * (a, b) and the rest from perm (a2, b2) — a single perm would
+    * leave the top bits constant-zero, making the top band identical
+    * for every document and its band join a full quadratic all-pairs. */
   val PermBits = 31
 
   def simhash(text: UTF8String, bits: Int, p: Long, permA: Long,

@@ -106,12 +106,15 @@ class DedupSpec extends SparkSpec {
     // pre-round-6 the signature drew all 48 bits from one perm whose
     // values fit 31 bits: bits 31-47 were constant zero, band 3 (bits
     // 36-47) was identical for every doc, and its LSH join was a full
-    // all-pairs quadratic. Pin that each 12-bit band of the signature
-    // spreads over many values on the fixtures.
+    // all-pairs quadratic. Pin that each band of the signature spreads
+    // over many values on the fixtures (derived from SimBits so a
+    // width change cannot silently resurrect a dead band).
     val sims = Dedup.simhash(docs, col("doc_id"), col("text"))
-    (0 until 4).foreach { b =>
+    val bandBits = Dedup.SimBits / Dedup.SimBands
+    (0 until Dedup.SimBands).foreach { b =>
       val distinct = sims.select(
-        shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bv"))
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit(Dedup.SimBandMask)).as("bv"))
         .distinct().count()
       assert(distinct > 10,
         s"band $b has only $distinct distinct values — degenerate banding")
