@@ -834,11 +834,14 @@ object Queries {
     // The driver fixture's embeddings are unclustered (max pairwise
     // cosine ≈ 0.51), so its correct answer here is the empty set —
     // the non-empty path is exercised by SimilaritySpec and SCALE.md.
+    // 12 planes/table: sized by the 100× SrpStats audit (SCALE.md §10)
+    // — halves clustered-corpus candidate volume vs 8 planes at 99.9%
+    // measured recall (10,009/10,016 pairs at 200k vectors)
     ("embedding_neardup_strict",
       (s: SparkSession, d: String) =>
         Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id",
-          "embedding", 64, 8, 0.7, nTables = 4).orderBy("d1", "d2"),
-      Some(Similarity.nearDupOracleSql(64, 8, 0.7, nTables = 4))),
+          "embedding", 64, 12, 0.7, nTables = 4).orderBy("d1", "d2"),
+      Some(Similarity.nearDupOracleSql(64, 12, 0.7, nTables = 4))),
 
     // Codegen'd float dot (graft.functions.FloatVecDot) throughput
     // path. Oracle-checked after all: the double fold is a fixed

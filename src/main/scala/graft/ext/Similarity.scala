@@ -194,6 +194,12 @@ object Similarity {
       // ONE float dot per candidate pair (dot >= t·√(f1·f2) ⟺
       // cosine >= t for t > 0) instead of three
       .withColumn("f2", graft.functions.VecMath.dotF(col("e"), col("e")))
+      // materialized ONCE before the self-join — both sides otherwise
+      // re-evaluate the SRP-projection + norm lineage (Spark reuses
+      // exchanges, not identical subtrees; same finding as the dedup
+      // band joins, SCALE.md §9). n rows × (dim floats + tables longs)
+      // — the bucketed-signature table a lakehouse would persist.
+      .localCheckpoint()
     val exploded = withB.select(col("vid"), col("e"), col("n2"), col("f2"),
         col("bks"), explode(sequence(lit(0), lit(nTables - 1))).as("tbl"))
       .withColumn("bk", element_at(col("bks"), col("tbl") + 1))
