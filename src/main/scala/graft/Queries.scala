@@ -834,6 +834,16 @@ object Queries {
     // The driver fixture's embeddings are unclustered (max pairwise
     // cosine ≈ 0.51), so its correct answer here is the empty set —
     // the non-empty path is exercised by SimilaritySpec and SCALE.md.
+    // Density-adaptive cell partition (Voronoi over a corpus sample,
+    // nProbe=2 assignment) — the clustered-corpus scale path SCALE.md
+    // §10 sized: hyperplanes cannot split a dense cone; sample cells
+    // subdivide it by construction
+    ("embedding_neardup_cell",
+      (s: SparkSession, d: String) =>
+        Similarity.cellNearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, 64, 0.7, nProbe = 2).orderBy("d1", "d2"),
+      Some(Similarity.cellNearDupOracleSql(64, 64, 0.7, nProbe = 2))),
+
     // 12 planes/table: sized by the 100× SrpStats audit (SCALE.md §10)
     // — halves clustered-corpus candidate volume vs 8 planes at 99.9%
     // measured recall (10,009/10,016 pairs at 200k vectors)

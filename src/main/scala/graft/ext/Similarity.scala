@@ -270,6 +270,165 @@ object Similarity {
     |""".stripMargin.trim
   }
 
+  /** Cell-partitioned near-dup pairs — the density-ADAPTIVE
+    * alternative to [[nearDupPairs]]' fixed SRP hyperplanes, and the
+    * "next decade" design SCALE.md §10 sized from the SrpStats audit:
+    * on cone-clustered corpora, hyperplanes cannot split a dense cone
+    * (each +4 planes bought only ~2× there), but a Voronoi partition
+    * over a corpus SAMPLE places cells in proportion to density, so
+    * the dense cone is subdivided by construction. Cells are the first
+    * `nCells` corpus vectors (the deterministic coarse quantizer
+    * [[ivfCosineTopK]] already uses — at production scale, k-means
+    * centroids slot in unchanged); each vector is assigned to its
+    * `nProbe` nearest cells (recall amplification at cone boundaries —
+    * a near-dup pair separated by a cell wall still meets in a shared
+    * second-choice cell); candidate pairs share a cell. One equi
+    * shuffle on cell id, never all-pairs; each pair emitted once, at
+    * the SMALLEST shared cell (both cell arrays ride the join row
+    * sorted, so "no smaller shared cell" is a codegen'd
+    * `array_intersect` head test, not a pair-level distinct). Scoring
+    * is the [[nearDupPairs]] two-phase float-prefilter → exact-decimal
+    * cosine. */
+  /** Comparator for array_sort over struct(score, cid): score DESC,
+    * cid ASC — the assignment tie-break order the oracle ranks by. */
+  private def byScoreDescCidAsc(l: Column, r: Column): Column =
+    when(l.getField("s") > r.getField("s"), lit(-1))
+      .when(l.getField("s") < r.getField("s"), lit(1))
+      .when(l.getField("cid") < r.getField("cid"), lit(-1))
+      .when(l.getField("cid") > r.getField("cid"), lit(1))
+      .otherwise(lit(0))
+
+  /** nProbe nearest cells per vector, computed INSIDE the row against
+    * a driver-collected codebook shipped as ONE typed literal (nCells
+    * × dim floats — the same driver-scale object as the k-means
+    * centroid set). No n×nCells row expansion: the crossJoin+window
+    * assignment ([[assignToCentroids]]) is right for a handful of IVF
+    * probe centroids, but at near-dup cell counts it materializes
+    * n·nCells embedding-wide rows through a window sort — a 200k ×
+    * 2048 assignment spilled /tmp to death before this path replaced
+    * it with one shuffle-free projection. Ranking reproduces
+    * [[assignToCentroids]] exactly: float scores for every cell, a
+    * 1e-3 guard band around the nProbe-th, exact-decimal cosine with
+    * c_id tie-break on the survivors (float structs carry only
+    * (score, cid) — centroid vectors are re-fetched for the few
+    * survivors, so the per-row sort moves 16-byte structs, not
+    * embeddings). Output: `cells` = sorted array of the nProbe cell
+    * ids. */
+  private def withNearestCells(corpus: DataFrame, id: String,
+                               emb: String, nCells: Int,
+                               nProbe: Int): DataFrame = {
+    import graft.functions.VecMath
+    val cb = corpus.filter(col(id) < nCells)
+      .select(col(id).cast("long"), col(emb))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    val cents = typedLit(cb) // array<struct<_1: bigint, _2: array<float>>>
+    val e = col("e")
+    corpus.select(col(id).as("vid"), col(emb).as("e"))
+      .withColumn("n2", dot(e, e))
+      .withColumn("f2", VecMath.dotF(e, e))
+      .withColumn("__scored", array_sort(
+        transform(cents, c => struct(
+          (VecMath.dotF(e, c.getField("_2")) /
+            (sqrt(col("f2")) *
+              sqrt(VecMath.dotF(c.getField("_2"), c.getField("_2")))))
+            .as("s"),
+          c.getField("_1").as("cid"))),
+        byScoreDescCidAsc))
+      .withColumn("__fcut", element_at(col("__scored"),
+        least(lit(nProbe), size(col("__scored")))).getField("s"))
+      .withColumn("__surv", transform(
+        filter(col("__scored"),
+          s => s.getField("s") >= col("__fcut") - lit(1e-3)),
+        s => s.getField("cid")))
+      .withColumn("__exact", array_sort(
+        transform(
+          filter(cents, c => array_contains(col("__surv"), c.getField("_1"))),
+          c => struct(
+            cosine(dot(e, c.getField("_2")), col("n2"),
+              dot(c.getField("_2"), c.getField("_2"))).as("s"),
+            c.getField("_1").as("cid"))),
+        byScoreDescCidAsc))
+      .withColumn("cells", sort_array(transform(
+        slice(col("__exact"), 1, nProbe), x => x.getField("cid"))))
+      .select(col("vid"), col("e"), col("n2"), col("f2"), col("cells"))
+  }
+
+  def cellNearDupPairs(corpus: DataFrame, id: String, emb: String,
+                       dim: Int, nCells: Int, minCosine: Double,
+                       nProbe: Int = 2): DataFrame = {
+    import graft.functions.VecMath
+    // one row per vector with its sorted cell set, materialized once
+    // before the self-join (the §9 exchange-reuse finding): the
+    // assignment is n × nCells float dots — the single most expensive
+    // leg — and would otherwise run twice
+    val withCells = withNearestCells(corpus, id, emb, nCells, nProbe)
+      .localCheckpoint()
+    val exploded = withCells.select(col("vid"), col("e"), col("n2"),
+      col("f2"), col("cells"), explode(col("cells")).as("cell"))
+    val a = Dedup.spread(exploded.select(col("cell"),
+      col("vid").as("d1"), col("e").as("e1"), col("n2").as("n1"),
+      col("f2").as("fn1"), col("cells").as("cells1")), col("cell"))
+    val b = exploded.select(col("cell").as("__c2"), col("vid").as("d2"),
+      col("e").as("e2"), col("n2").as("__n2v"), col("f2").as("__fn2"),
+      col("cells").as("cells2"))
+    // both arrays are sorted and array_intersect preserves the first
+    // argument's order, so the head of the intersection IS the
+    // smallest shared cell
+    val firstSharedCell = element_at(
+      array_intersect(col("cells1"), col("cells2")), 1) === col("cell")
+    val preFilter =
+      if (minCosine - 1e-3 > 0)
+        VecMath.dotF(col("e1"), col("e2")) >=
+          lit(minCosine - 1e-3) * sqrt(col("fn1") * col("__fn2"))
+      else
+        VecMath.dotF(col("e1"), col("e2")) /
+          sqrt(col("fn1") * col("__fn2")) >= lit(minCosine - 1e-3)
+    a.join(b, col("cell") === col("__c2") && col("d1") < col("d2"))
+      .filter(firstSharedCell)
+      .filter(preFilter)
+      .withColumn("cos", cosine(
+        dot(col("e1"), col("e2")), col("n1"), col("__n2v")))
+      .filter(col("cos") >= minCosine)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB oracle for [[cellNearDupPairs]] over `embeddings`. The
+    * SQL side pays a pair-level DISTINCT where the Spark side uses
+    * the smallest-shared-cell predicate — same pair set. Assignment
+    * ranking matches [[assignToCentroids]]' exact ordering (cosine
+    * DESC, c_id ASC), the parity [[ivfCosineTopKOracleSql]]
+    * established. */
+  def cellNearDupOracleSql(dim: Int, nCells: Int, minCosine: Double,
+                           nProbe: Int = 2): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |              FROM embeddings WHERE vec_id < $nCells),
+    |v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings),
+    |assigned AS (
+    |  SELECT vid, c_id FROM (
+    |    SELECT v.vid, cent.c_id,
+    |      row_number() OVER (PARTITION BY v.vid
+    |        ORDER BY ${cos("v.e", "cent.ct_emb")} DESC, cent.c_id) AS rn
+    |    FROM v, cent) WHERE rn <= $nProbe),
+    |cand AS (
+    |  SELECT DISTINCT a.vid AS d1, b.vid AS d2
+    |  FROM assigned a JOIN assigned b
+    |    ON a.c_id = b.c_id AND a.vid < b.vid),
+    |pairs AS (
+    |  SELECT d1, d2, ${cos("v1.e", "v2.e")} AS cos
+    |  FROM cand JOIN v v1 ON v1.vid = cand.d1
+    |            JOIN v v2 ON v2.vid = cand.d2)
+    |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+  }
+
   /** DuckDB oracle for [[lshCosineTopK]] with queries = vec_id < maxQueryId. */
   def lshCosineTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
                              nPlanes: Int): String =

@@ -231,6 +231,50 @@ class SimilaritySpec extends SparkSpec {
     assert(four.size >= one.size)
   }
 
+  test("cellNearDupPairs: pairs are symmetric-free, thresholded, emitted once") {
+    val pairs = Similarity.cellNearDupPairs(emb, "vec_id", "embedding",
+      64, 16, 0.3, nProbe = 2).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.3))
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length,
+      "a pair sharing two cells must be emitted at exactly one of them")
+  }
+
+  test("cellNearDupPairs: probing a second cell widens candidate recall") {
+    def found(nProbe: Int): Set[(Long, Long)] =
+      Similarity.cellNearDupPairs(emb, "vec_id", "embedding", 64, 16,
+        0.3, nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = found(1)
+    val two = found(2)
+    assert(one.subsetOf(two))
+    assert(two.size >= one.size)
+  }
+
+  test("cell partition finds planted near-copies, nothing else") {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vec(seed: Long, eps: Double): Array[Float] =
+      Array.tabulate(64) { j =>
+        val h = mix(seed * 64 + j)
+        (((h >>> 11) % 2001L - 1000L) / 1000.0 + eps * (j % 7)).toFloat
+      }
+    val rows = (0L until 40L).map(i => (i, vec(i, 0.0))) ++
+      Seq((100L, vec(999L, 0.0)), (101L, vec(999L, 0.001)))
+    val planted = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cellNearDupPairs(planted, "vec_id", "embedding",
+      64, 16, 0.7, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"cell near-dup must find exactly the planted pair, got $got")
+  }
+
   test("nativeCosineTopK matches decimal cosineTopK ranking") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.cosineTopK(emb, q, 3).collect()
