@@ -908,6 +908,15 @@ object Queries {
       Some(s"SELECT doc_id, ${TextAnalysis.fingerprintSqlColumns(8)} " +
         "FROM documents ORDER BY doc_id")),
 
+    // Duplicated-span scrub stats: non-overlapping k-word tiles,
+    // corpus-wide occurrence counts (the scalable exact-substring
+    // dedup of Lee et al. 2022 — tile, never suffix-array)
+    ("dup_span_stats",
+      (s: SparkSession, d: String) =>
+        ext.Dedup.chunkDupStats(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5).orderBy("doc_id"),
+      Some(ext.Dedup.chunkDupStatsOracleSql(5))),
+
     ("sessionization",
       (s: SparkSession, d: String) =>
         Sessions.sessionStats(t(s, d, "events"), "user_id", "ts", "value",

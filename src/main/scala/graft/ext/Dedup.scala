@@ -89,6 +89,89 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  // Duplicated-span (chunk) statistics — the scalable form of exact
+  // substring dedup (Lee et al. 2022, "Deduplicating Training Data
+  // Makes Language Models Better": scrub repeated long token spans).
+  // ---------------------------------------------------------------
+
+  /** Per-document duplicated-span statistics. Documents are tiled
+    * into NON-overlapping `k`-word chunks; a chunk occurring ≥2 times
+    * corpus-wide (in any document, including repeats within its own)
+    * is a duplicated span. Output per doc (docs shorter than `k`
+    * words have no tiles and no row): `n_words`, `n_chunks`,
+    * `dup_chunks`, `kept_tokens` (what a scrub dropping every
+    * duplicated tile keeps: unique tiles + the sub-tile tail), and
+    * `dup_ratio` (rounded to 6dp; a single int64→double division is
+    * exactly rounded on both engines).
+    *
+    * Tiling (not a sliding window) keeps the exploded relation at
+    * |corpus|/k ≈ one row per k tokens — the property that makes this
+    * affordable at 100 TB where the suffix-array formulation of Lee
+    * et al. is not. The boundary cost is bounded: any duplicated span
+    * of length ≥ 2k−1 tokens contains at least one duplicated tile,
+    * so k trades detection granularity for relation size.
+    *
+    * Shape: tile → 64-bit chunk hash ([[Hashing.polyHash]], codegen)
+    * → hash-agg occurrence counts on the hash → equi-join counts back
+    * to the instances → per-doc hash agg. Two keyed shuffles and one
+    * equi join carrying (doc_id, n_words, h) rows — never all-pairs,
+    * and no chunk STRING survives past the hash projection. */
+  def chunkDupStats(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "chunk size must be positive")
+    // __w is a projected alias so the split runs once per row (see
+    // wordGramsFrom's inlining warning)
+    val tiled = docs.select(id.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("__nw"),
+        floor(size(col("__w")) / k).cast("int").as("__nc"), col("__w"))
+      .filter(col("__nc") >= 1)
+      .select(col("doc_id"), col("__nw"),
+        explode(transform(sequence(lit(0), col("__nc") - 1),
+          i => array_join(slice(col("__w"), i * k + 1, lit(k)), " ")))
+          .as("__chunk"))
+      .select(col("doc_id"), col("__nw"),
+        Hashing.polyHash(col("__chunk")).as("h"))
+    val counts = tiled.groupBy(col("h")).agg(count(lit(1)).as("__cnt"))
+    tiled.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(max(col("__nw")).as("n_words"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__cnt") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("kept_tokens",
+        (col("n_chunks") - col("dup_chunks")) * k +
+          (col("n_words") - col("n_chunks") * k))
+      .withColumn("dup_ratio",
+        round(col("dup_chunks") / col("n_chunks"), 6))
+  }
+
+  /** DuckDB oracle for [[chunkDupStats]] over `documents`. Sums cast
+    * back to BIGINT (DuckDB promotes to HUGEINT); the ratio is the
+    * same single int64→double division. */
+  def chunkDupStatsOracleSql(k: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+    |                CAST(len(w) // $k AS BIGINT) AS nc, w
+    |         FROM w WHERE len(w) >= $k),
+    |chunks AS (
+    |  SELECT doc_id, n_words,
+    |         array_to_string(list_slice(w, i*$k + 1, i*$k + $k), ' ') AS chunk
+    |  FROM (SELECT doc_id, n_words, w, unnest(range(nc)) AS i FROM base)),
+    |hashed AS (SELECT doc_id, n_words,
+    |                  ${Hashing.polyHashSql("chunk")} AS h FROM chunks),
+    |cnt AS (SELECT h, count(*) AS c FROM hashed GROUP BY h),
+    |per AS (SELECT doc_id, max(n_words) AS n_words,
+    |          CAST(count(*) AS BIGINT) AS n_chunks,
+    |          CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+    |        FROM hashed JOIN cnt USING (h) GROUP BY doc_id)
+    |SELECT doc_id, n_words, n_chunks, dup_chunks,
+    |  (n_chunks - dup_chunks)*$k + (n_words - n_chunks*$k) AS kept_tokens,
+    |  round(dup_chunks / n_chunks, 6) AS dup_ratio
+    |FROM per ORDER BY doc_id
+    |""".stripMargin.trim
+
+  // ---------------------------------------------------------------
   // MinHash + LSH (SURVEY §7.6; banding per Leskovec/Rajaraman/Ullman
   // "Mining of Massive Datasets" ch.3)
   // ---------------------------------------------------------------

@@ -313,7 +313,21 @@ object Similarity {
     * (score, cid) — centroid vectors are re-fetched for the few
     * survivors, so the per-row sort moves 16-byte structs, not
     * embeddings). Output: `cells` = sorted array of the nProbe cell
-    * ids. */
+    * ids.
+    *
+    * Two measured choices keep the per-row work honest at nCells in
+    * the thousands (a 2048-cell 200k-row assignment never finished
+    * its first run in 14 min before them, vs seconds after):
+    * (1) centroid self-norms are precomputed ON THE DRIVER and ride
+    * in the literal — [[graft.functions.VecMath.dotF]] accumulates
+    * exact float products in double, so a driver fold in the same
+    * order is bit-identical and halves the per-row dot count;
+    * (2) ranking sorts struct(-score, cid) with the NATIVE
+    * [[sort_array]] field-wise ordering (ascending -score = score
+    * desc, cid asc — exactly [[byScoreDescCidAsc]]) instead of
+    * `array_sort`'s lambda comparator, whose interpreted
+    * O(nCells·log nCells) comparison evals per row dominated
+    * everything. */
   private def withNearestCells(corpus: DataFrame, id: String,
                                emb: String, nCells: Int,
                                nProbe: Int): DataFrame = {
@@ -321,26 +335,29 @@ object Similarity {
     val cb = corpus.filter(col(id) < nCells)
       .select(col(id).cast("long"), col(emb))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var n2 = 0.0
+        v.foreach(x => n2 += x.toDouble * x.toDouble)
+        (r.getLong(0), v, math.sqrt(n2))
+      }
       .sortBy(_._1).toSeq
-    val cents = typedLit(cb) // array<struct<_1: bigint, _2: array<float>>>
+    // array<struct<_1: bigint cid, _2: array<float>, _3: double ‖c‖>>
+    val cents = typedLit(cb)
     val e = col("e")
     corpus.select(col(id).as("vid"), col(emb).as("e"))
       .withColumn("n2", dot(e, e))
       .withColumn("f2", VecMath.dotF(e, e))
-      .withColumn("__scored", array_sort(
+      .withColumn("__scored", sort_array(
         transform(cents, c => struct(
-          (VecMath.dotF(e, c.getField("_2")) /
-            (sqrt(col("f2")) *
-              sqrt(VecMath.dotF(c.getField("_2"), c.getField("_2")))))
-            .as("s"),
-          c.getField("_1").as("cid"))),
-        byScoreDescCidAsc))
-      .withColumn("__fcut", element_at(col("__scored"),
-        least(lit(nProbe), size(col("__scored")))).getField("s"))
+          (-VecMath.dotF(e, c.getField("_2")) /
+            (sqrt(col("f2")) * c.getField("_3"))).as("ns"),
+          c.getField("_1").as("cid")))))
+      .withColumn("__ncut", element_at(col("__scored"),
+        least(lit(nProbe), size(col("__scored")))).getField("ns"))
       .withColumn("__surv", transform(
         filter(col("__scored"),
-          s => s.getField("s") >= col("__fcut") - lit(1e-3)),
+          s => s.getField("ns") <= col("__ncut") + lit(1e-3)),
         s => s.getField("cid")))
       .withColumn("__exact", array_sort(
         transform(

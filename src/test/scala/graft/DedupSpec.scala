@@ -236,4 +236,42 @@ class DedupSpec extends SparkSpec {
           s"missing=${inverted -- prefixed} extra=${prefixed -- inverted}")
     }
   }
+
+  test("chunkDupStats: hand-computed tiles on a planted corpus") {
+    import spark.implicits._
+    // k=3 tiles: doc 1 = [a b c][d e f] (+tail g), doc 2 = [a b c],
+    // doc 3 = [x y z][x y z] (within-doc repeat), doc 4 = "a b" (too
+    // short → no row)
+    val planted = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c"),
+      (3L, "x y z x y z"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.chunkDupStats(planted, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      // doc, n_words, n_chunks, dup_chunks, kept_tokens, dup_ratio
+      (1L, 7L, 2L, 1L, 4L, 0.5),   // [a b c] dup'd with doc 2; tail g kept
+      (2L, 3L, 1L, 1L, 0L, 1.0),
+      (3L, 6L, 2L, 2L, 0L, 1.0)),  // within-doc repeat counts
+      s"got ${got.toSeq}")
+  }
+
+  test("chunkDupStats: fixture docs are fully tiled and ratios bounded") {
+    val stats = Dedup.chunkDupStats(docs, col("doc_id"), col("text"), 5)
+    val rows = stats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc, dup, kept) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(nc == nw / 5, "every full tile must be counted")
+      assert(dup >= 0 && dup <= nc)
+      assert(kept == (nc - dup) * 5 + (nw - nc * 5))
+    }
+    // the fixture plants exact duplicates, so some tile must repeat
+    assert(rows.exists(_.getLong(3) > 0), "planted dups must surface")
+  }
 }
