@@ -917,6 +917,14 @@ object Queries {
           col("text"), 5).orderBy("doc_id"),
       Some(ext.Dedup.chunkDupStatsOracleSql(5))),
 
+    // The scrub the span stats measure: drop duplicated tiles, keep
+    // one canonical first occurrence, re-emit cleaned text
+    ("chunk_scrub",
+      (s: SparkSession, d: String) =>
+        ext.Dedup.chunkScrub(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5).orderBy("doc_id"),
+      Some(ext.Dedup.chunkScrubOracleSql(5))),
+
     ("sessionization",
       (s: SparkSession, d: String) =>
         Sessions.sessionStats(t(s, d, "events"), "user_id", "ts", "value",

@@ -171,6 +171,98 @@ object Dedup {
     |FROM per ORDER BY doc_id
     |""".stripMargin.trim
 
+  /** Tile-position encoding for [[chunkScrub]]'s canonical-occurrence
+    * tie-break: `doc_id * 2^20 + tile_index` as one BIGINT, so both
+    * engines pick the winner with a plain `min` (no struct-ordering
+    * semantics to align). Bounds: docs up to 2^20 tiles (≥ 5M words at
+    * k=5) and doc ids up to 2^43 — beyond that, switch the Spark side
+    * to `min(struct(doc_id, i))` and the oracle to `min_by`. */
+  private val ChunkPosEnc = 1L << 20
+
+  /** Duplicated-span SCRUB — the action [[chunkDupStats]] measures.
+    * Re-emits every document with duplicated `k`-word tiles removed,
+    * keeping exactly ONE canonical instance per duplicated tile
+    * corpus-wide (the instance with the smallest (doc_id, tile index),
+    * so output is deterministic and first-occurrence-wins, as in Lee
+    * et al. 2022's scrub). The sub-tile tail of each document is
+    * always kept; documents shorter than `k` words pass through
+    * unchanged. Output: `doc_id`, `n_dropped` (tiles removed),
+    * `scrubbed` (the cleaned text, single-space normalized).
+    *
+    * Shape: same two keyed shuffles + one equi-join as the stats
+    * variant, plus a per-doc `collect_list` of the KEPT tiles —
+    * grouped by doc_id, so state per group is one document's worth of
+    * text (the output row itself), never a corpus-scale buffer. */
+  def chunkScrub(docs: DataFrame, id: Column, text: Column,
+                 k: Int): DataFrame = {
+    require(k >= 1, "chunk size must be positive")
+    val base = docs.select(id.as("doc_id"), text.as("__t"),
+        words(text).as("__w"))
+      .select(col("doc_id"), col("__t"),
+        size(col("__w")).cast("long").as("__nw"),
+        floor(size(col("__w")) / k).cast("long").as("__nc"), col("__w"))
+    val inst = base.filter(col("__nc") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("__nc") - 1).cast("int")),
+          i => array_join(slice(col("__w"), i * k + 1, lit(k)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("__chunk"))
+      .withColumn("h", Hashing.polyHash(col("__chunk")))
+    val canon = inst.groupBy(col("h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(col("doc_id") * ChunkPosEnc + col("i")).as("__first"))
+    val perDoc = inst.join(canon, "h")
+      .filter(col("__cnt") === 1 ||
+        col("doc_id") * ChunkPosEnc + col("i") === col("__first"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("i"), col("__chunk")))),
+          s => s.getField("__chunk")), " ").as("__ks"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("__nc") - coalesce(col("__kept"), lit(0L))).as("n_dropped"),
+        when(col("__nc") === 0, col("__t")).otherwise(concat_ws(" ",
+          nullif(coalesce(col("__ks"), lit("")), lit("")),
+          nullif(array_join(slice(col("__w"),
+            (col("__nc") * k + 1).cast("int"),
+            (col("__nw") - col("__nc") * k).cast("int")), " "), lit(""))))
+          .as("scrubbed"))
+  }
+
+  /** DuckDB oracle for [[chunkScrub]] over `documents`: same tiling,
+    * hashing, and encoded-position canonical pick; kept tiles are
+    * re-assembled with `list(... ORDER BY i)`. */
+  def chunkScrubOracleSql(k: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents),
+    |base AS (SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS nw,
+    |                CAST(len(w) // $k AS BIGINT) AS nc FROM w),
+    |inst AS (
+    |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+    |         array_to_string(list_slice(w, i*$k + 1, i*$k + $k), ' ') AS chunk
+    |  FROM (SELECT doc_id, w, unnest(range(nc)) AS i FROM base WHERE nc >= 1)),
+    |hashed AS (SELECT doc_id, i, chunk,
+    |                  ${Hashing.polyHashSql("chunk")} AS h FROM inst),
+    |canon AS (SELECT h, count(*) AS c,
+    |                 min(doc_id * ${ChunkPosEnc} + i) AS first_pos
+    |          FROM hashed GROUP BY h),
+    |kept AS (SELECT doc_id, i, chunk FROM hashed JOIN canon USING (h)
+    |         WHERE c = 1 OR doc_id * ${ChunkPosEnc} + i = first_pos),
+    |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+    |               array_to_string(list(chunk ORDER BY i), ' ') AS ks
+    |        FROM kept GROUP BY doc_id)
+    |SELECT b.doc_id,
+    |  b.nc - COALESCE(kept_n, 0) AS n_dropped,
+    |  CASE WHEN b.nc = 0 THEN b.text
+    |       ELSE concat_ws(' ', nullif(COALESCE(ks, ''), ''),
+    |         nullif(array_to_string(
+    |           list_slice(b.w, b.nc*$k + 1, b.nw), ' '), ''))
+    |  END AS scrubbed
+    |FROM base b LEFT JOIN per USING (doc_id) ORDER BY b.doc_id
+    |""".stripMargin.trim
+
   // ---------------------------------------------------------------
   // MinHash + LSH (SURVEY §7.6; banding per Leskovec/Rajaraman/Ullman
   // "Mining of Massive Datasets" ch.3)

@@ -274,4 +274,47 @@ class DedupSpec extends SparkSpec {
     // the fixture plants exact duplicates, so some tile must repeat
     assert(rows.exists(_.getLong(3) > 0), "planted dups must surface")
   }
+
+  test("chunkScrub: canonical-first-occurrence scrub on a planted corpus") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c"),
+      (3L, "x y z x y z"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.chunkScrub(planted, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      // doc 1 owns the canonical [a b c]; doc 2's copy is scrubbed away;
+      // doc 3 keeps the first of its within-doc repeats; doc 4 too short
+      (1L, 0L, "a b c d e f g"),
+      (2L, 1L, ""),
+      (3L, 1L, "x y z"),
+      (4L, 0L, "a b")), s"got ${got.toSeq}")
+  }
+
+  test("chunkScrub agrees with chunkDupStats on the fixture") {
+    val stats = Dedup.chunkDupStats(docs, col("doc_id"), col("text"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val scrub = Dedup.chunkScrub(docs, col("doc_id"), col("text"), 5)
+      .collect()
+    // every row comes back (scrub never loses documents)
+    assert(scrub.length == docs.count())
+    scrub.foreach { r =>
+      val (id, dropped, text) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val dup = stats.getOrElse(id, 0L)
+      // can't drop more tiles than were duplicated, and a doc with no
+      // duplicated tile must keep all of them
+      assert(dropped <= dup, s"doc $id dropped $dropped > dup $dup")
+      if (dup == 0L) assert(dropped == 0L)
+      assert(text != null)
+    }
+    // corpus-wide: each duplicated hash keeps exactly one instance, so
+    // total drops = total dup instances - distinct dup'd hashes > 0
+    val totalDropped = scrub.map(_.getLong(1)).sum
+    val totalDup = stats.values.sum
+    assert(totalDropped > 0 && totalDropped < totalDup)
+  }
 }
