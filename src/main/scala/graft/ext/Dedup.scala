@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -112,10 +113,14 @@ object Dedup {
     * so k trades detection granularity for relation size.
     *
     * Shape: tile → 64-bit chunk hash ([[Hashing.polyHash]], codegen)
-    * → hash-agg occurrence counts on the hash → equi-join counts back
-    * to the instances → per-doc hash agg. Two keyed shuffles and one
-    * equi join carrying (doc_id, n_words, h) rows — never all-pairs,
-    * and no chunk STRING survives past the hash projection. */
+    * → occurrence counts as a `count over (partition by h)` window →
+    * per-doc hash agg. The window form makes the corpus-wide count a
+    * SINGLE pass over a single shuffle on `h`: the equivalent
+    * agg-then-self-join evaluates the explode+hash subtree twice
+    * (Spark reuses exchanges, not identical subtrees; measured 2× at
+    * the 100× corpus) or forces a checkpoint whose storage blocks
+    * accumulate across runs. Never all-pairs, and no chunk STRING
+    * survives past the hash projection. */
   def chunkDupStats(docs: DataFrame, id: Column, text: Column,
                     k: Int): DataFrame = {
     require(k >= 1, "chunk size must be positive")
@@ -132,8 +137,7 @@ object Dedup {
           .as("__chunk"))
       .select(col("doc_id"), col("__nw"),
         Hashing.polyHash(col("__chunk")).as("h"))
-    val counts = tiled.groupBy(col("h")).agg(count(lit(1)).as("__cnt"))
-    tiled.join(counts, "h")
+    tiled.withColumn("__cnt", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy(col("doc_id"))
       .agg(max(col("__nw")).as("n_words"),
         count(lit(1)).as("n_chunks"),
@@ -189,10 +193,11 @@ object Dedup {
     * unchanged. Output: `doc_id`, `n_dropped` (tiles removed),
     * `scrubbed` (the cleaned text, single-space normalized).
     *
-    * Shape: same two keyed shuffles + one equi-join as the stats
-    * variant, plus a per-doc `collect_list` of the KEPT tiles —
-    * grouped by doc_id, so state per group is one document's worth of
-    * text (the output row itself), never a corpus-scale buffer. */
+    * Shape: same single-pass `h`-partitioned window as the stats
+    * variant (count + canonical-min in one window), plus a per-doc
+    * `collect_list` of the KEPT tiles — grouped by doc_id, so state
+    * per group is one document's worth of text (the output row
+    * itself), never a corpus-scale buffer. */
   def chunkScrub(docs: DataFrame, id: Column, text: Column,
                  k: Int): DataFrame = {
     require(k >= 1, "chunk size must be positive")
@@ -209,10 +214,11 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         col("col").as("__chunk"))
       .withColumn("h", Hashing.polyHash(col("__chunk")))
-    val canon = inst.groupBy(col("h"))
-      .agg(count(lit(1)).as("__cnt"),
-        min(col("doc_id") * ChunkPosEnc + col("i")).as("__first"))
-    val perDoc = inst.join(canon, "h")
+    val win = Window.partitionBy("h")
+    val perDoc = inst
+      .withColumn("__cnt", count(lit(1)).over(win))
+      .withColumn("__first",
+        min(col("doc_id") * ChunkPosEnc + col("i")).over(win))
       .filter(col("__cnt") === 1 ||
         col("doc_id") * ChunkPosEnc + col("i") === col("__first"))
       .groupBy(col("doc_id"))
