@@ -328,9 +328,9 @@ object Similarity {
     * `array_sort`'s lambda comparator, whose interpreted
     * O(nCells·log nCells) comparison evals per row dominated
     * everything. */
-  private def withNearestCells(corpus: DataFrame, id: String,
-                               emb: String, nCells: Int,
-                               nProbe: Int): DataFrame = {
+  private[graft] def withNearestCells(corpus: DataFrame, id: String,
+                                      emb: String, nCells: Int,
+                                      nProbe: Int): DataFrame = {
     import graft.functions.VecMath
     val cb = corpus.filter(col(id) < nCells)
       .select(col(id).cast("long"), col(emb))
@@ -344,28 +344,32 @@ object Similarity {
       .sortBy(_._1).toSeq
     // array<struct<_1: bigint cid, _2: array<float>, _3: double ‖c‖>>
     val cents = typedLit(cb)
+    val dim = cb.head._2.length
+    val flat = new Array[Float](cb.length * dim)
+    cb.zipWithIndex.foreach { case ((_, v, _), i) =>
+      var j = 0; while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
+    }
     val e = col("e")
     corpus.select(col(id).as("vid"), col(emb).as("e"))
       .withColumn("n2", dot(e, e))
       .withColumn("f2", VecMath.dotF(e, e))
-      .withColumn("__scored", sort_array(
-        transform(cents, c => struct(
-          (-VecMath.dotF(e, c.getField("_2")) /
-            (sqrt(col("f2")) * c.getField("_3"))).as("ns"),
-          c.getField("_1").as("cid")))))
-      .withColumn("__ncut", element_at(col("__scored"),
-        least(lit(nProbe), size(col("__scored")))).getField("ns"))
-      .withColumn("__surv", transform(
-        filter(col("__scored"),
-          s => s.getField("ns") <= col("__ncut") + lit(1e-3)),
-        s => s.getField("cid")))
+      // float scoring of ALL cells in one compiled loop (the HOF
+      // formulation interpreted nCells dots + an nCells·log nCells
+      // struct sort per row — quadratic at the nCells ∝ n dial);
+      // survivors come back as 1-based codebook positions
+      .withColumn("__surv",
+        org.apache.spark.sql.graftext.NearestCellsBridge.shortlistColumn(
+        e, flat, cb.map(_._3).toArray, dim, nProbe))
+      // exact-decimal re-rank touches only the ~nProbe survivors:
+      // position-indexed element_at, never a scan of the codebook
       .withColumn("__exact", array_sort(
-        transform(
-          filter(cents, c => array_contains(col("__surv"), c.getField("_1"))),
-          c => struct(
+        transform(col("__surv"), p => {
+          val c = element_at(cents, p)
+          struct(
             cosine(dot(e, c.getField("_2")), col("n2"),
               dot(c.getField("_2"), c.getField("_2"))).as("s"),
-            c.getField("_1").as("cid"))),
+            c.getField("_1").as("cid"))
+        }),
         byScoreDescCidAsc))
       .withColumn("cells", sort_array(transform(
         slice(col("__exact"), 1, nProbe), x => x.getField("cid"))))

@@ -34,6 +34,24 @@ object CellStats {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     println(s"config: dim=$dim nCells=$nCells nProbe=$nProbe t=$minCos")
 
+    // Occupancy audit FIRST — the assignment pass alone, no pair
+    // enumeration. Σ n·(n−1)/2 is the candidate volume the self-join
+    // will shuffle; read it before paying for it (a dense-core cell
+    // layout can make the enumeration quadratic while the assignment
+    // stays linear — this printout is the dial-sizing instrument).
+    val occ = Similarity
+      .withNearestCells(emb, "vec_id", "embedding", nCells, nProbe)
+      .select(explode(col("cells")).as("cell"))
+      .groupBy("cell").count()
+      .agg(count(lit(1)).as("nnz"),
+        max(col("count")).as("maxOcc"),
+        expr("percentile(count, 0.99)").as("p99"),
+        sum(col("count") * (col("count") - 1) / 2).as("candPairs"))
+      .head()
+    println(s"occupancy: nnz_cells=${occ.getLong(0)} " +
+      s"max=${occ.getLong(1)} p99=${occ.getDouble(2)} " +
+      f"cand_pairs=${occ.getDouble(3)}%.3e")
+
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = Similarity.cellNearDupPairs(emb, "vec_id", "embedding",
