@@ -844,6 +844,18 @@ object Queries {
           "embedding", 64, 64, 0.7, nProbe = 2).orderBy("d1", "d2"),
       Some(Similarity.cellNearDupOracleSql(64, 64, 0.7, nProbe = 2))),
 
+    // Two-level assignment (8 supers over 64 cells): rank √nCells
+    // supers, then only the probed supers' children — O(n·√nCells)
+    // assignment flops vs the flat path's n·nCells (SCALE.md §12's
+    // next-decade remedy, measured there at 100×)
+    ("embedding_neardup_cell_hier",
+      (s: SparkSession, d: String) =>
+        Similarity.cellNearDupPairsHier(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, 64, 8, 0.7, nProbe = 2, sProbe = 2)
+          .orderBy("d1", "d2"),
+      Some(Similarity.cellNearDupHierOracleSql(64, 64, 8, 0.7,
+        nProbe = 2, sProbe = 2))),
+
     // 12 planes/table: sized by the 100× SrpStats audit (SCALE.md §10)
     // — halves clustered-corpus candidate volume vs 8 planes at 99.9%
     // measured recall (10,009/10,016 pairs at 200k vectors)

@@ -378,14 +378,20 @@ object Similarity {
 
   def cellNearDupPairs(corpus: DataFrame, id: String, emb: String,
                        dim: Int, nCells: Int, minCosine: Double,
-                       nProbe: Int = 2): DataFrame = {
-    import graft.functions.VecMath
+                       nProbe: Int = 2): DataFrame =
     // one row per vector with its sorted cell set, materialized once
     // before the self-join (the §9 exchange-reuse finding): the
     // assignment is n × nCells float dots — the single most expensive
     // leg — and would otherwise run twice
-    val withCells = withNearestCells(corpus, id, emb, nCells, nProbe)
-      .localCheckpoint()
+    cellPairsFromAssignment(
+      withNearestCells(corpus, id, emb, nCells, nProbe).localCheckpoint(),
+      minCosine)
+
+  /** Pair enumeration shared by the flat and hierarchical cell paths:
+    * input is the per-vector assignment (vid, e, n2, f2, cells). */
+  private def cellPairsFromAssignment(withCells: DataFrame,
+                                      minCosine: Double): DataFrame = {
+    import graft.functions.VecMath
     val exploded = withCells.select(col("vid"), col("e"), col("n2"),
       col("f2"), col("cells"), explode(col("cells")).as("cell"))
     val a = Dedup.spread(exploded.select(col("cell"),
@@ -437,6 +443,161 @@ object Similarity {
     |      row_number() OVER (PARTITION BY v.vid
     |        ORDER BY ${cos("v.e", "cent.ct_emb")} DESC, cent.c_id) AS rn
     |    FROM v, cent) WHERE rn <= $nProbe),
+    |cand AS (
+    |  SELECT DISTINCT a.vid AS d1, b.vid AS d2
+    |  FROM assigned a JOIN assigned b
+    |    ON a.c_id = b.c_id AND a.vid < b.vid),
+    |pairs AS (
+    |  SELECT d1, d2, ${cos("v1.e", "v2.e")} AS cos
+    |  FROM cand JOIN v v1 ON v1.vid = cand.d1
+    |            JOIN v v2 ON v2.vid = cand.d2)
+    |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+  }
+
+  /** Two-level (hierarchical) cell assignment — the O(n·√nCells)
+    * remedy SCALE.md §12 sizes for the next decade: the flat
+    * shortlist's n·nCells assignment flops are quadratic overall at
+    * the constant-cell-size dial (nCells ∝ n). Here each vector ranks
+    * only the ~√nCells super-cells, then the child cells of its
+    * `sProbe` best supers — same float-shortlist → guard-band →
+    * exact-decimal re-rank contract at both levels, so every ranking
+    * the oracle recomputes is reproduced exactly.
+    *
+    * The cell→super mapping is computed by the SAME assignment
+    * pipeline run over the centroid set itself (nCells rows,
+    * nProbe=1), so its parity with the oracle's `child` CTE rides on
+    * the already-proven flat parity rather than on a driver-side
+    * re-implementation of decimal arithmetic. */
+  private[graft] def withNearestCellsHier(corpus: DataFrame, id: String,
+                                          emb: String, nCells: Int,
+                                          nSuper: Int, nProbe: Int,
+                                          sProbe: Int): DataFrame = {
+    import graft.functions.VecMath
+    require(nSuper <= nCells, "nSuper must be <= nCells")
+    val cb = corpus.filter(col(id) < nCells)
+      .select(col(id).cast("long"), col(emb))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var n2 = 0.0
+        v.foreach(x => n2 += x.toDouble * x.toDouble)
+        (r.getLong(0), v, math.sqrt(n2))
+      }
+      .sortBy(_._1).toSeq
+    val dim = cb.head._2.length
+    val sb = cb.filter(_._1 < nSuper)
+    def flatten(entries: Seq[(Long, Seq[Float], Double)]): Array[Float] = {
+      val f = new Array[Float](entries.length * dim)
+      entries.zipWithIndex.foreach { case ((_, v, _), i) =>
+        var j = 0; while (j < dim) { f(i * dim + j) = v(j); j += 1 }
+      }
+      f
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDF = cb.map { case (cid, v, _) => (cid, v) }
+      .toDF("__cid", "__cemb")
+    val mapping = withNearestCells(centDF, "__cid", "__cemb", nSuper, 1)
+      .select(col("vid"), element_at(col("cells"), 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val posById = cb.zipWithIndex.map { case ((cid, _, _), i) => cid -> i }.toMap
+    val sposById = sb.zipWithIndex.map { case ((sid, _, _), i) => sid -> i }.toMap
+    val childAcc =
+      Array.fill(sb.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    mapping.foreach { case (cellId, superId) =>
+      childAcc(sposById(superId)) += posById(cellId)
+    }
+    val childrenBySuper = childAcc.map(_.sorted.toArray)
+    val cents = typedLit(cb)
+    val supCents = typedLit(sb)
+    val e = col("e")
+    corpus.select(col(id).as("vid"), col(emb).as("e"))
+      .withColumn("n2", dot(e, e))
+      .withColumn("f2", VecMath.dotF(e, e))
+      .withColumn("__ssurv",
+        org.apache.spark.sql.graftext.NearestCellsBridge.shortlistColumn(
+          e, flatten(sb), sb.map(_._3).toArray, dim, sProbe))
+      // exact re-rank of survivor supers; position order == s_id order
+      // (sb is id-sorted), so cid tie-break matches the oracle's s_id
+      .withColumn("__sexact", array_sort(
+        transform(col("__ssurv"), p => {
+          val s = element_at(supCents, p)
+          struct(
+            cosine(dot(e, s.getField("_2")), col("n2"),
+              dot(s.getField("_2"), s.getField("_2"))).as("s"),
+            p.cast("long").as("cid"))
+        }),
+        byScoreDescCidAsc))
+      .withColumn("__sup", transform(slice(col("__sexact"), 1, sProbe),
+        x => x.getField("cid").cast("int")))
+      .withColumn("__surv",
+        org.apache.spark.sql.graftext.NearestCellsBridge.childShortlistColumn(
+          e, col("__sup"), flatten(cb), cb.map(_._3).toArray,
+          childrenBySuper, dim, nProbe))
+      .withColumn("__exact", array_sort(
+        transform(col("__surv"), p => {
+          val c = element_at(cents, p)
+          struct(
+            cosine(dot(e, c.getField("_2")), col("n2"),
+              dot(c.getField("_2"), c.getField("_2"))).as("s"),
+            c.getField("_1").as("cid"))
+        }),
+        byScoreDescCidAsc))
+      .withColumn("cells", sort_array(transform(
+        slice(col("__exact"), 1, nProbe), x => x.getField("cid"))))
+      .select(col("vid"), col("e"), col("n2"), col("f2"), col("cells"))
+  }
+
+  /** [[cellNearDupPairs]] with the two-level assignment. */
+  def cellNearDupPairsHier(corpus: DataFrame, id: String, emb: String,
+                           dim: Int, nCells: Int, nSuper: Int,
+                           minCosine: Double, nProbe: Int = 2,
+                           sProbe: Int = 2): DataFrame =
+    cellPairsFromAssignment(
+      withNearestCellsHier(corpus, id, emb, nCells, nSuper, nProbe, sProbe)
+        .localCheckpoint(), minCosine)
+
+  /** DuckDB oracle for [[cellNearDupPairsHier]]: the flat oracle's
+    * CTEs plus the super level — `child` re-derives the cell→super
+    * mapping (top-1 super per centroid), `supassign` the per-vector
+    * probed supers (top `sProbe`), and `assigned` ranks only cells
+    * reachable through probed supers. */
+  def cellNearDupHierOracleSql(dim: Int, nCells: Int, nSuper: Int,
+                               minCosine: Double, nProbe: Int = 2,
+                               sProbe: Int = 2): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |              FROM embeddings WHERE vec_id < $nCells),
+    |sup AS (SELECT vec_id AS s_id, embedding AS s_emb
+    |        FROM embeddings WHERE vec_id < $nSuper),
+    |child AS (
+    |  SELECT c_id, s_id FROM (
+    |    SELECT cent.c_id, sup.s_id,
+    |      row_number() OVER (PARTITION BY cent.c_id
+    |        ORDER BY ${cos("cent.ct_emb", "sup.s_emb")} DESC, sup.s_id) AS rn
+    |    FROM cent, sup) WHERE rn = 1),
+    |v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings),
+    |supassign AS (
+    |  SELECT vid, s_id FROM (
+    |    SELECT v.vid, sup.s_id,
+    |      row_number() OVER (PARTITION BY v.vid
+    |        ORDER BY ${cos("v.e", "sup.s_emb")} DESC, sup.s_id) AS rn
+    |    FROM v, sup) WHERE rn <= $sProbe),
+    |assigned AS (
+    |  SELECT vid, c_id FROM (
+    |    SELECT sa.vid, ch.c_id,
+    |      row_number() OVER (PARTITION BY sa.vid
+    |        ORDER BY ${cos("v.e", "cent.ct_emb")} DESC, ch.c_id) AS rn
+    |    FROM supassign sa
+    |      JOIN child ch ON ch.s_id = sa.s_id
+    |      JOIN cent ON cent.c_id = ch.c_id
+    |      JOIN v ON v.vid = sa.vid) WHERE rn <= $nProbe),
     |cand AS (
     |  SELECT DISTINCT a.vid AS d1, b.vid AS d2
     |  FROM assigned a JOIN assigned b

@@ -12,7 +12,9 @@ import graft.ext.Similarity
   * whether a density-adaptive partition beats fixed hyperplanes on a
   * given corpus's cluster geometry.
   *
-  * Usage: `graft.tools.CellStats <dir> <nCells> <nProbe> <minCosine>`
+  * Usage: `graft.tools.CellStats <dir> <nCells> <nProbe> <minCosine>
+  * [nSuper sProbe]` — the optional pair switches to the two-level
+  * assignment ([[graft.ext.Similarity.cellNearDupPairsHier]]).
   */
 object CellStats {
   def main(args: Array[String]): Unit = {
@@ -20,6 +22,8 @@ object CellStats {
     val nCells = if (args.length > 1) args(1).toInt else 64
     val nProbe = if (args.length > 2) args(2).toInt else 2
     val minCos = if (args.length > 3) args(3).toDouble else 0.7
+    val nSuper = if (args.length > 4) Some(args(4).toInt) else None
+    val sProbe = if (args.length > 5) args(5).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,15 +36,28 @@ object CellStats {
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    println(s"config: dim=$dim nCells=$nCells nProbe=$nProbe t=$minCos")
+    println(s"config: dim=$dim nCells=$nCells nProbe=$nProbe t=$minCos" +
+      nSuper.map(s => s" nSuper=$s sProbe=$sProbe").getOrElse(""))
+
+    def assign() = nSuper match {
+      case Some(s) => Similarity.withNearestCellsHier(
+        emb, "vec_id", "embedding", nCells, s, nProbe, sProbe)
+      case None => Similarity.withNearestCells(
+        emb, "vec_id", "embedding", nCells, nProbe)
+    }
+    def pairs() = nSuper match {
+      case Some(s) => Similarity.cellNearDupPairsHier(emb, "vec_id",
+        "embedding", dim, nCells, s, minCos, nProbe, sProbe)
+      case None => Similarity.cellNearDupPairs(emb, "vec_id",
+        "embedding", dim, nCells, minCos, nProbe)
+    }
 
     // Occupancy audit FIRST — the assignment pass alone, no pair
     // enumeration. Σ n·(n−1)/2 is the candidate volume the self-join
     // will shuffle; read it before paying for it (a dense-core cell
     // layout can make the enumeration quadratic while the assignment
     // stays linear — this printout is the dial-sizing instrument).
-    val occ = Similarity
-      .withNearestCells(emb, "vec_id", "embedding", nCells, nProbe)
+    val occ = assign()
       .select(explode(col("cells")).as("cell"))
       .groupBy("cell").count()
       .agg(count(lit(1)).as("nnz"),
@@ -54,8 +71,7 @@ object CellStats {
 
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val n = Similarity.cellNearDupPairs(emb, "vec_id", "embedding",
-        dim, nCells, minCos, nProbe).count()
+      val n = pairs().count()
       println(f"pairs run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs)")
     }
     spark.stop()

@@ -137,4 +137,131 @@ object NearestCellsBridge {
                       norms: Array[Double], dim: Int, nProbe: Int): Column =
     ExpressionUtils.column(NearestCellsShortlist(
       ExpressionUtils.expression(emb), codebook, norms, dim, nProbe))
+
+  def childShortlistColumn(emb: Column, supers: Column,
+                           codebook: Array[Float], norms: Array[Double],
+                           childrenBySuper: Array[Array[Int]],
+                           dim: Int, nProbe: Int): Column =
+    ExpressionUtils.column(NearestChildCellsShortlist(
+      ExpressionUtils.expression(emb), ExpressionUtils.expression(supers),
+      codebook, norms, childrenBySuper, dim, nProbe))
+}
+
+/** Child stage of the two-level (hierarchical) cell shortlist: given
+  * the probed SUPER-cell positions for a row, score only the child
+  * cells belonging to those supers and return the nProbe guard-band
+  * survivors as 1-based child-codebook positions.
+  *
+  * This is the O(n·√nCells) remedy SCALE.md §12 sizes: the flat
+  * shortlist is n·nCells fused-multiply-adds — quadratic overall at
+  * the constant-cell-size dial (nCells ∝ n) — while ranking ~√nCells
+  * supers and then only the probed supers' children keeps the
+  * assignment near-linear with the same exact-decimal re-rank on the
+  * survivor handful. Scoring and cut semantics are identical to
+  * [[NearestCellsShortlist]], restricted to the candidate children.
+  */
+case class NearestChildCellsShortlist(left: Expression, right: Expression,
+                                      codebook: Array[Float],
+                                      norms: Array[Double],
+                                      childrenBySuper: Array[Array[Int]],
+                                      dim: Int, nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_child_cells_shortlist"
+
+  @transient private lazy val eBuf =
+    ThreadLocal.withInitial[Array[Double]](() => new Array[Double](dim))
+  @transient private lazy val topBuf =
+    ThreadLocal.withInitial[Array[Double]](() =>
+      new Array[Double](math.max(nProbe, 1)))
+
+  def compute(x: ArrayData, sup: ArrayData): ArrayData = {
+    val n = x.numElements()
+    if (n != dim) return null
+    val e = eBuf.get()
+    var f2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble
+      e(i) = v
+      f2 += v * v
+      i += 1
+    }
+    val root = math.sqrt(f2)
+    val nSup = sup.numElements()
+    var total = 0
+    var s = 0
+    while (s < nSup) {
+      total += childrenBySuper(sup.getInt(s) - 1).length
+      s += 1
+    }
+    val candPos = new Array[Int](total)
+    val candNs = new Array[Double](total)
+    val top = topBuf.get()
+    val p = math.min(nProbe, math.max(total, 1))
+    java.util.Arrays.fill(top, Double.PositiveInfinity)
+    var c = 0
+    s = 0
+    while (s < nSup) {
+      val kids = childrenBySuper(sup.getInt(s) - 1)
+      var t = 0
+      while (t < kids.length) {
+        val k = kids(t)
+        var acc = 0.0
+        var j = 0
+        val off = k * dim
+        while (j < dim) {
+          acc += e(j) * codebook(off + j).toDouble
+          j += 1
+        }
+        val sc = -acc / (root * norms(k))
+        candPos(c) = k + 1
+        candNs(c) = sc
+        if (sc < top(p - 1)) {
+          var m = p - 1
+          while (m > 0 && top(m - 1) > sc) { top(m) = top(m - 1); m -= 1 }
+          top(m) = sc
+        }
+        c += 1
+        t += 1
+      }
+      s += 1
+    }
+    if (total == 0) return new GenericArrayData(Array.empty[Int])
+    val cut = top(p - 1) + 1e-3
+    var cnt = 0
+    c = 0
+    while (c < total) { if (candNs(c) <= cut) cnt += 1; c += 1 }
+    val out = new Array[Int](cnt)
+    var o = 0
+    c = 0
+    while (c < total) {
+      if (candNs(c) <= cut) { out(o) = candPos(c); o += 1 }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("nearestChildCells", this,
+        classOf[NearestChildCellsShortlist].getName)
+      s"""
+         |${ev.value} = $ref.compute($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestChildCellsShortlist =
+    copy(left = newLeft, right = newRight)
 }

@@ -275,6 +275,42 @@ class SimilaritySpec extends SparkSpec {
       s"cell near-dup must find exactly the planted pair, got $got")
   }
 
+  test("hier cell path with all supers probed equals the flat cell path") {
+    // sProbe = nSuper means every super is probed, so the candidate
+    // children are ALL cells — the two-level path must then reproduce
+    // the flat assignment (and hence the flat pair set) exactly
+    val flat = Similarity.cellNearDupPairs(emb, "vec_id", "embedding",
+      64, 16, 0.3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"))).toSet
+    val hier = Similarity.cellNearDupPairsHier(emb, "vec_id", "embedding",
+      64, 16, 4, 0.3, nProbe = 2, sProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"))).toSet
+    assert(hier == flat)
+  }
+
+  test("hier cell partition finds planted near-copies, nothing else") {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def vec(seed: Long, eps: Double): Array[Float] =
+      Array.tabulate(64) { j =>
+        val h = mix(seed * 64 + j)
+        (((h >>> 11) % 2001L - 1000L) / 1000.0 + eps * (j % 7)).toFloat
+      }
+    val rows = (0L until 40L).map(i => (i, vec(i, 0.0))) ++
+      Seq((100L, vec(999L, 0.0)), (101L, vec(999L, 0.001)))
+    val planted = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cellNearDupPairsHier(planted, "vec_id",
+      "embedding", 64, 16, 4, 0.7, nProbe = 2, sProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)),
+      s"hier cell near-dup must find exactly the planted pair, got $got")
+  }
+
   test("nativeCosineTopK matches decimal cosineTopK ranking") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.cosineTopK(emb, q, 3).collect()
