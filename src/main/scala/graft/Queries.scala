@@ -856,6 +856,41 @@ object Queries {
       Some(Similarity.cellNearDupHierOracleSql(64, 64, 8, 0.7,
         nProbe = 2, sProbe = 2))),
 
+    // Incremental ingest: a new batch (vec_id >= 1500) against the
+    // persisted index corpus (vec_id < 1500) — the batch probes only
+    // its own nProbe cells' index occupants; the embedding twin of
+    // dedup_incremental's batch-vs-band-index shape
+    ("embedding_neardup_incremental",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.cellNearDupIncremental(
+          emb.filter(col("vec_id") < 1500),
+          emb.filter(col("vec_id") >= 1500),
+          "vec_id", "embedding", 64, 64, 0.7, nProbe = 2)
+          .orderBy("d1", "d2")
+      },
+      Some(Similarity.cellNearDupIncrementalOracleSql(64, 64, 1500L,
+        0.7, nProbe = 2))),
+
+    // Embedding-side keep/drop (semantic dedup): corpus minus vectors
+    // with a smaller cell-path near-dup — the embedding twin of
+    // neardup_keep's one-hop rule, so a pipeline can scrub on meaning
+    // (cos ≥ t) rather than surface text
+    ("embedding_dedup_keep",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val pairs = Similarity.cellNearDupPairs(emb, "vec_id",
+          "embedding", 64, 64, 0.7, nProbe = 2)
+        Dedup.keepAfterNearDup(emb.select("vec_id", "label"),
+          col("vec_id"), pairs).orderBy("vec_id")
+      },
+      Some(s"""WITH nd_pairs AS (${Similarity
+        .cellNearDupOracleSql(64, 64, 0.7, nProbe = 2)
+        .replaceAll("ORDER BY d1, d2", "")})
+        |SELECT vec_id, label FROM embeddings
+        |WHERE NOT EXISTS (SELECT 1 FROM nd_pairs WHERE nd_pairs.d2 = vec_id)
+        |ORDER BY vec_id""".stripMargin)),
+
     // 12 planes/table: sized by the 100× SrpStats audit (SCALE.md §10)
     // — halves clustered-corpus candidate volume vs 8 planes at 99.9%
     // measured recall (10,009/10,016 pairs at 200k vectors)

@@ -328,11 +328,12 @@ object Similarity {
     * `array_sort`'s lambda comparator, whose interpreted
     * O(nCells·log nCells) comparison evals per row dominated
     * everything. */
-  private[graft] def withNearestCells(corpus: DataFrame, id: String,
-                                      emb: String, nCells: Int,
-                                      nProbe: Int): DataFrame = {
-    import graft.functions.VecMath
-    val cb = corpus.filter(col(id) < nCells)
+  /** Driver-scale codebook: the corpus vectors with id < nCells,
+    * id-sorted, with double self-norms (the same driver-scale object
+    * as the k-means centroid set). */
+  private def collectCodebook(corpus: DataFrame, id: String, emb: String,
+                              nCells: Int): Seq[(Long, Seq[Float], Double)] =
+    corpus.filter(col(id) < nCells)
       .select(col(id).cast("long"), col(emb))
       .collect()
       .map { r =>
@@ -342,6 +343,21 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(n2))
       }
       .sortBy(_._1).toSeq
+
+  private[graft] def withNearestCells(corpus: DataFrame, id: String,
+                                      emb: String, nCells: Int,
+                                      nProbe: Int): DataFrame =
+    assignWithCodebook(corpus, id, emb,
+      collectCodebook(corpus, id, emb, nCells), nProbe)
+
+  /** Assignment against an explicit codebook — lets an incremental
+    * batch share the INDEX corpus's cells instead of deriving its
+    * own. */
+  private def assignWithCodebook(corpus: DataFrame, id: String,
+                                 emb: String,
+                                 cb: Seq[(Long, Seq[Float], Double)],
+                                 nProbe: Int): DataFrame = {
+    import graft.functions.VecMath
     // array<struct<_1: bigint cid, _2: array<float>, _3: double ‖c‖>>
     val cents = typedLit(cb)
     val dim = cb.head._2.length
@@ -476,16 +492,7 @@ object Similarity {
                                           sProbe: Int): DataFrame = {
     import graft.functions.VecMath
     require(nSuper <= nCells, "nSuper must be <= nCells")
-    val cb = corpus.filter(col(id) < nCells)
-      .select(col(id).cast("long"), col(emb))
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](1)
-        var n2 = 0.0
-        v.foreach(x => n2 += x.toDouble * x.toDouble)
-        (r.getLong(0), v, math.sqrt(n2))
-      }
-      .sortBy(_._1).toSeq
+    val cb = collectCodebook(corpus, id, emb, nCells)
     val dim = cb.head._2.length
     val sb = cb.filter(_._1 < nSuper)
     def flatten(entries: Seq[(Long, Seq[Float], Double)]): Array[Float] = {
@@ -606,6 +613,91 @@ object Similarity {
     |  SELECT d1, d2, ${cos("v1.e", "v2.e")} AS cos
     |  FROM cand JOIN v v1 ON v1.vid = cand.d1
     |            JOIN v v2 ON v2.vid = cand.d2)
+    |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+  }
+
+  /** Incremental cell near-dup: a new BATCH of vectors against a
+    * persisted INDEX corpus — the embedding twin of
+    * [[Dedup.dedupIncremental]], and the 100 TB ingest shape: the
+    * codebook comes from the index, so a batch probes only its own
+    * nProbe cells' index occupants instead of re-pairing the corpus.
+    * Emits (d1 = index vec, d2 = batch vec, cos ≥ minCosine), each
+    * pair once at the smallest shared cell. At production scale the
+    * index side's assignment is computed once at index-build time and
+    * persisted bucketed by cell; here it is derived in-query so the
+    * oracle can see the same relation. */
+  def cellNearDupIncremental(index: DataFrame, batch: DataFrame,
+                             id: String, emb: String, dim: Int,
+                             nCells: Int, minCosine: Double,
+                             nProbe: Int = 2): DataFrame = {
+    import graft.functions.VecMath
+    val cb = collectCodebook(index, id, emb, nCells)
+    val idx = assignWithCodebook(index, id, emb, cb, nProbe)
+      .localCheckpoint()
+    val bat = assignWithCodebook(batch, id, emb, cb, nProbe)
+      .localCheckpoint()
+    val a = Dedup.spread(
+      idx.select(explode(col("cells")).as("cell"), col("vid").as("d1"),
+        col("e").as("e1"), col("n2").as("n1"), col("f2").as("fn1"),
+        col("cells").as("cells1")), col("cell"))
+    val b = bat.select(explode(col("cells")).as("__c2"),
+      col("vid").as("d2"), col("e").as("e2"), col("n2").as("__n2v"),
+      col("f2").as("__fn2"), col("cells").as("cells2"))
+    val firstSharedCell = element_at(
+      array_intersect(col("cells1"), col("cells2")), 1) === col("cell")
+    val preFilter =
+      if (minCosine - 1e-3 > 0)
+        VecMath.dotF(col("e1"), col("e2")) >=
+          lit(minCosine - 1e-3) * sqrt(col("fn1") * col("__fn2"))
+      else
+        VecMath.dotF(col("e1"), col("e2")) /
+          sqrt(col("fn1") * col("__fn2")) >= lit(minCosine - 1e-3)
+    a.join(b, col("cell") === col("__c2"))
+      .filter(firstSharedCell)
+      .filter(preFilter)
+      .withColumn("cos", cosine(
+        dot(col("e1"), col("e2")), col("n1"), col("__n2v")))
+      .filter(col("cos") >= minCosine)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** DuckDB oracle for [[cellNearDupIncremental]] with index =
+    * vec_id < split, batch = the rest. */
+  def cellNearDupIncrementalOracleSql(dim: Int, nCells: Int, split: Long,
+                                      minCosine: Double,
+                                      nProbe: Int = 2): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |              FROM embeddings WHERE vec_id < $nCells),
+    |vi AS (SELECT vec_id AS vid, embedding AS e FROM embeddings
+    |       WHERE vec_id < $split),
+    |vb AS (SELECT vec_id AS vid, embedding AS e FROM embeddings
+    |       WHERE vec_id >= $split),
+    |ai AS (
+    |  SELECT vid, c_id FROM (
+    |    SELECT vi.vid, cent.c_id,
+    |      row_number() OVER (PARTITION BY vi.vid
+    |        ORDER BY ${cos("vi.e", "cent.ct_emb")} DESC, cent.c_id) AS rn
+    |    FROM vi, cent) WHERE rn <= $nProbe),
+    |ab AS (
+    |  SELECT vid, c_id FROM (
+    |    SELECT vb.vid, cent.c_id,
+    |      row_number() OVER (PARTITION BY vb.vid
+    |        ORDER BY ${cos("vb.e", "cent.ct_emb")} DESC, cent.c_id) AS rn
+    |    FROM vb, cent) WHERE rn <= $nProbe),
+    |cand AS (
+    |  SELECT DISTINCT ai.vid AS d1, ab.vid AS d2
+    |  FROM ai JOIN ab ON ai.c_id = ab.c_id),
+    |pairs AS (
+    |  SELECT d1, d2, ${cos("v1.e", "v2.e")} AS cos
+    |  FROM cand JOIN vi v1 ON v1.vid = cand.d1
+    |            JOIN vb v2 ON v2.vid = cand.d2)
     |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
     |ORDER BY d1, d2
     |""".stripMargin.trim

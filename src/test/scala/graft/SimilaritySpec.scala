@@ -311,6 +311,22 @@ class SimilaritySpec extends SparkSpec {
       s"hier cell near-dup must find exactly the planted pair, got $got")
   }
 
+  test("incremental cell path equals flat pairs restricted to cross-split") {
+    // split above nCells so both paths derive the identical codebook;
+    // flat emits d1 < d2, so cross-split pairs are exactly d1 < split <= d2
+    val split = 1000L
+    val flat = Similarity.cellNearDupPairs(emb, "vec_id", "embedding",
+      64, 16, 0.3, nProbe = 2).collect()
+      .filter(r => r.getLong(0) < split && r.getLong(1) >= split)
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"))).toSet
+    val inc = Similarity.cellNearDupIncremental(
+      emb.filter(col("vec_id") < split),
+      emb.filter(col("vec_id") >= split),
+      "vec_id", "embedding", 64, 16, 0.3, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"))).toSet
+    assert(inc == flat)
+  }
+
   test("nativeCosineTopK matches decimal cosineTopK ranking") {
     val q = emb.filter(col("vec_id") < 5)
     val exact = Similarity.cosineTopK(emb, q, 3).collect()
