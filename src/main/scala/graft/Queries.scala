@@ -1271,6 +1271,47 @@ object Queries {
           col("source"), col("text")).orderBy("g1", "g2"),
       Some(ext.Corpus.mixWeightsOracleSql("lang", "source"))),
 
+    // Temperature-scaled mixture (τ=0.5 via IEEE-exact sqrt): the
+    // rebalancing transform between proportional and uniform sampling
+    ("mix_temperature",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.mixTemperature(t(s, d, "documents"), col("source"),
+          col("text")).orderBy("g"),
+      Some(ext.Corpus.mixTemperatureOracleSql("source"))),
+
+    // Mixture EXECUTION: deterministic hash down-sampling to the
+    // smallest stratum's token mass (stateless keep predicate; audit
+    // of realized vs target mass per stratum)
+    ("mix_sample",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.mixSample(t(s, d, "documents"), col("doc_id"),
+          col("source"), col("text")).orderBy("g"),
+      Some(ext.Corpus.mixSampleOracleSql("source"))),
+
+    // Fixed-width quality bands + per-band token mass (curriculum /
+    // quality-cut summary; deliberately not ntile — see scaladoc)
+    ("quality_bands",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.qualityBands(t(s, d, "documents"), col("doc_id"),
+          col("text")).orderBy("band"),
+      Some(ext.TextAnalysis.qualityBandsOracleSql())),
+
+    // Dataset-version diff: added/removed/changed/unchanged per source
+    // between two deterministically derived corpus snapshots (digest
+    // compare, never text compare, across the full-outer join)
+    ("corpus_diff",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        ext.Corpus.snapshotDiff(oldSnap, newSnap, col("doc_id"),
+          col("text"), col("source")).orderBy("source", "status")
+      },
+      Some(ext.Corpus.snapshotDiffOracleSql)),
+
     // Per-label exact-decimal centroids (k-means update step)
     ("embedding_centroid",
       (s: SparkSession, d: String) =>

@@ -510,4 +510,206 @@ object Corpus {
     |    AS weight
     |FROM tot ORDER BY g1, g2
     |""".stripMargin.trim
+
+  /** Temperature-scaled mixture weights (τ = 0.5): the multilingual /
+    * multi-source rebalancing rule p_i ∝ (share_i)^τ that upsamples
+    * tail strata without letting the head dominate (the standard
+    * mixture transform in large-corpus training recipes; τ = 1 is
+    * proportional sampling, τ → 0 is uniform). τ is fixed at 0.5
+    * because `x^0.5 = sqrt(x)` is an IEEE-exactly-rounded operation
+    * on BOTH engines — an arbitrary `pow(x, τ)` is only
+    * faithfully-rounded and may differ in the last ulp between
+    * libm implementations, which would break cross-engine equality.
+    *
+    * Portability of the normalizer: `sqrt(share_i)` values are
+    * snapped to nano fixed-point int64 (`round(x·1e9)` — one exact
+    * multiply + one half-up round on identical doubles), then SUMMED
+    * AS INTEGERS, so the denominator cannot drift under Spark's
+    * nondeterministic partial-agg fold order (a double sum over the
+    * strata would be order-dependent in the last ulp). The final
+    * weight is one int64→double conversion per operand and one IEEE
+    * division — exact, like [[mixWeights]].
+    *
+    * Scale shape: one corpus-keyed hash agg (map-side combine), then
+    * constant-size (|strata| rows) window work. */
+  def mixTemperature(docs: DataFrame, g: Column, text: Column): DataFrame = {
+    val grouped = docs
+      .select(g.as("g"), size(Dedup.words(text)).cast("long").as("__t"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("group_tokens"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
+      .withColumn("total_tokens", sum(col("group_tokens")).over(all))
+      .withColumn("share",
+        col("group_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("sqrt_share_e9",
+        round(sqrt(col("share")) * lit(1e9)).cast("long"))
+      .withColumn("norm_e9", sum(col("sqrt_share_e9")).over(all))
+      .withColumn("temp_weight",
+        col("sqrt_share_e9").cast("double") / col("norm_e9").cast("double"))
+      .select("g", "n_docs", "group_tokens", "total_tokens", "share",
+        "sqrt_share_e9", "norm_e9", "temp_weight")
+  }
+
+  /** DuckDB twin of [[mixTemperature]] over `documents`. */
+  def mixTemperatureOracleSql(g: String): String =
+    s"""
+    |WITH grouped AS (
+    |  SELECT $g AS g, count(*) AS n_docs,
+    |    CAST(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)
+    |      AS group_tokens
+    |  FROM documents GROUP BY 1),
+    |tot AS (
+    |  SELECT g, n_docs, group_tokens,
+    |    CAST(sum(group_tokens) OVER () AS BIGINT) AS total_tokens
+    |  FROM grouped),
+    |sq AS (
+    |  SELECT g, n_docs, group_tokens, total_tokens,
+    |    CAST(group_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+    |    CAST(round(sqrt(CAST(group_tokens AS DOUBLE)
+    |      / CAST(total_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS sqrt_share_e9
+    |  FROM tot)
+    |SELECT g, n_docs, group_tokens, total_tokens, share, sqrt_share_e9,
+    |  CAST(sum(sqrt_share_e9) OVER () AS BIGINT) AS norm_e9,
+    |  CAST(sqrt_share_e9 AS DOUBLE) / CAST(sum(sqrt_share_e9) OVER () AS DOUBLE)
+    |    AS temp_weight
+    |FROM sq ORDER BY g
+    |""".stripMargin.trim
+
+  /** Deterministic mixture down-sampling: cap every stratum at the
+    * smallest stratum's token mass by hash-thresholding documents —
+    * the EXECUTION step that [[mixWeights]]'s design numbers feed.
+    * Each doc draws a stable uniform bucket in [0, 1e6) from the
+    * engine-portable universal hash of its id; the stratum keeps the
+    * doc iff `bucket < keep_ppm` where
+    * `keep_ppm = (min_tokens · 1e6) div group_tokens` — a keep rate
+    * of `min_tokens / group_tokens` (floor-quantized to 1 ppm) with
+    * zero RNG state, no second pass, and exact int64 arithmetic
+    * throughout (no doubles, so no rounding question at all). The
+    * only product, `min_tokens · 1e6`, stays under int64 until the
+    * SMALLEST stratum alone exceeds ~9.2e12 tokens (≈ 37 TB of text)
+    * — past that, widen to DECIMAL(38,0).
+    *
+    * At 100 TB this is the right shape: the per-stratum token totals
+    * are one map-side-combined agg (|strata| rows, broadcast back),
+    * and the keep decision is then a stateless per-row projection —
+    * any executor can re-derive membership without a join against a
+    * sample table. Emits the per-stratum audit (kept counts + realized
+    * token mass vs the target) rather than the kept rows themselves;
+    * the same predicate applied row-wise materializes the sample. */
+  def mixSample(docs: DataFrame, id: Column, g: Column,
+                text: Column): DataFrame = {
+    val M = 1000000L
+    val grouped = docs
+      .select(id.as("doc_id"), g.as("g"),
+        size(Dedup.words(text)).cast("long").as("__t"),
+        Hashing.permBucket(id, 3, M.toInt).cast("long").as("__bucket"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val totals = grouped.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("group_tokens"))
+      .withColumn("min_tokens", min(col("group_tokens")).over(all))
+    // `div` = exact int64 floor division (a double `/` would lose
+    // precision once min_tokens·1e6 passes 2^53)
+    val withRate = totals.withColumn("keep_ppm",
+      expr(s"(min_tokens * ${M}L) div group_tokens"))
+    grouped
+      .join(broadcast(withRate), Seq("g"))
+      .withColumn("__kept", (col("__bucket") < col("keep_ppm")).cast("long"))
+      .groupBy(col("g"), col("n_docs"), col("group_tokens"),
+        col("min_tokens"), col("keep_ppm"))
+      .agg(sum(col("__kept")).as("kept_docs"),
+        sum(col("__kept") * col("__t")).as("kept_tokens"))
+      .select("g", "n_docs", "group_tokens", "min_tokens", "keep_ppm",
+        "kept_docs", "kept_tokens")
+  }
+
+  /** DuckDB twin of [[mixSample]] over `documents`. */
+  def mixSampleOracleSql(g: String): String = {
+    val bucket = Hashing.permBucketSql("doc_id", 3, 1000000)
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, $g AS g,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS t,
+    |    CAST($bucket AS BIGINT) AS bucket
+    |  FROM documents),
+    |totals AS (
+    |  SELECT g, count(*) AS n_docs,
+    |    CAST(sum(t) AS BIGINT) AS group_tokens
+    |  FROM toks GROUP BY 1),
+    |tgt AS (
+    |  SELECT g, n_docs, group_tokens,
+    |    CAST(min(group_tokens) OVER () AS BIGINT) AS min_tokens,
+    |    CAST((min(group_tokens) OVER () * 1000000) // group_tokens
+    |      AS BIGINT) AS keep_ppm
+    |  FROM totals),
+    |kept AS (
+    |  SELECT k.g, n_docs, group_tokens, min_tokens, keep_ppm,
+    |    CASE WHEN bucket < keep_ppm THEN 1 ELSE 0 END AS is_kept, t
+    |  FROM toks k JOIN tgt USING (g))
+    |SELECT g, n_docs, group_tokens, min_tokens, keep_ppm,
+    |  CAST(sum(is_kept) AS BIGINT) AS kept_docs,
+    |  CAST(sum(is_kept * t) AS BIGINT) AS kept_tokens
+    |FROM kept GROUP BY 1, 2, 3, 4, 5
+    |ORDER BY g
+    |""".stripMargin.trim
+  }
+
+  /** Corpus snapshot diff: classify every doc id across two dataset
+    * versions as added / removed / changed / unchanged and roll the
+    * counts up per source — the dataset-versioning audit a training
+    * corpus release ships with (what changed since the mix we last
+    * trained on?).
+    *
+    * Content comparison is by MD5 digest, not raw text: at 100 TB the
+    * full-outer join then moves 16-byte digests instead of documents,
+    * and the digest is computed in the scan projection (map-side,
+    * before any shuffle). One id-keyed shuffle per side; the rollup
+    * reduces to |sources|·4 rows with map-side combine. MD5 hex is
+    * identical cross-engine (RFC 1321; both emit lowercase hex), and
+    * only EQUALITY of digests is consumed. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, id: Column,
+                   text: Column, attr: Column): DataFrame = {
+    val o = oldSnap.select(id.as("doc_id"), md5(text).as("__oh"),
+      attr.as("__oa"))
+    val n = newSnap.select(id.as("doc_id"), md5(text).as("__nh"),
+      attr.as("__na"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("source", coalesce(col("__na"), col("__oa")))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** DuckDB twin of [[snapshotDiff]] for the declared `corpus_diff`
+    * query, whose two versions derive deterministically from
+    * `documents`: the OLD snapshot drops ids ≡ 0 (mod 7), the NEW
+    * snapshot drops ids ≡ 0 (mod 5) and rewrites the text of ids
+    * ≡ 0 (mod 11) — so all four statuses occur. */
+  def snapshotDiffOracleSql: String =
+    s"""
+    |WITH old AS (
+    |  SELECT doc_id, md5(text) AS oh, source AS oa
+    |  FROM documents WHERE doc_id % 7 <> 0),
+    |new AS (
+    |  SELECT doc_id,
+    |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS nh,
+    |    source AS na
+    |  FROM documents WHERE doc_id % 5 <> 0),
+    |diff AS (
+    |  SELECT
+    |    CASE WHEN oh IS NULL THEN 'added'
+    |         WHEN nh IS NULL THEN 'removed'
+    |         WHEN oh <> nh THEN 'changed'
+    |         ELSE 'unchanged' END AS status,
+    |    coalesce(na, oa) AS source
+    |  FROM old FULL OUTER JOIN new USING (doc_id))
+    |SELECT source, status, count(*) AS n_docs
+    |FROM diff GROUP BY 1, 2 ORDER BY source, status
+    |""".stripMargin.trim
 }

@@ -283,4 +283,50 @@ object TextAnalysis {
     s"""${Hashing.polyHashSql("text")} AS full_hash,
        |  list_min(list_transform(range(1, greatest(length(text) - ${n - 1}, 1) + 1),
        |    i -> ${Hashing.polyHashSql(s"text[i:i+${n - 1}]")})) AS min_gram_hash""".stripMargin
+
+  /** Quality-band assignment + per-band corpus mass — the curriculum /
+    * filtering summary a data-quality sweep feeds from ("how many
+    * tokens live above each quality cut"). Bands are FIXED-WIDTH over
+    * the [0, 1] blended score ([[qualityScoreFrom]]):
+    * `band = min(floor(score · nBands), nBands − 1)` — one exact IEEE
+    * multiply + floor, so band edges cannot drift cross-engine.
+    *
+    * Deliberately NOT `ntile`: a global quantile banding is an
+    * unpartitioned window — every row through ONE partition, the
+    * single worst scale shape there is. Fixed-width banding is a
+    * stateless projection + one hash agg (map-side combine), the same
+    * at 50k docs and 100 TB; when quantile EDGES are wanted, compute
+    * them once from [[graft.ext.Corpus.lengthQuantiles]]-style
+    * machinery (constant-size output) and band by threshold — still a
+    * projection. */
+  def qualityBands(docs: DataFrame, id: Column, text: Column,
+                   nBands: Int = 4): DataFrame = {
+    val w = col("__w")
+    docs.select(id.as("doc_id"), split(text, " ").as("__w"))
+      .select(col("doc_id"), size(w).cast("long").as("__t"),
+        qualityScoreFrom(w).as("__score"))
+      .withColumn("band",
+        least(floor(col("__score") * nBands), lit(nBands - 1)).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("band_tokens"),
+        min(col("__score")).as("min_score"),
+        max(col("__score")).as("max_score"))
+  }
+
+  /** DuckDB twin of [[qualityBands]] over `documents`. */
+  def qualityBandsOracleSql(nBands: Int = 4): String =
+    s"""
+    |WITH scored AS (
+    |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS t,
+    |    ${qualityScoreSql("text")} AS score
+    |  FROM documents),
+    |banded AS (
+    |  SELECT doc_id, t, score,
+    |    CAST(least(floor(score * $nBands), $nBands - 1) AS BIGINT) AS band
+    |  FROM scored)
+    |SELECT band, count(*) AS n_docs,
+    |  CAST(sum(t) AS BIGINT) AS band_tokens,
+    |  min(score) AS min_score, max(score) AS max_score
+    |FROM banded GROUP BY band ORDER BY band
+    |""".stripMargin.trim
 }
