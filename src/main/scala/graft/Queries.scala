@@ -1312,6 +1312,49 @@ object Queries {
       },
       Some(ext.Corpus.snapshotDiffOracleSql)),
 
+    // Deterministic epoch shuffle: trainer-facing global permutation
+    // (shard + exact within-shard and global positions), two-phase —
+    // shard-partitioned row_number, constant-size offset window
+    ("epoch_shuffle",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.epochShuffle(t(s, d, "documents"), col("doc_id"),
+          nShards = 8, epoch = 1).orderBy("doc_id"),
+      Some(ext.Corpus.epochShuffleOracleSql(nShards = 8, epoch = 1))),
+
+    // Winnowing (Schleimer et al. 2003) selection-density audit:
+    // per-doc gram count vs kept-fingerprint count (~2/(w+1))
+    ("winnow_stats",
+      (s: SparkSession, d: String) =>
+        Dedup.winnowStats(t(s, d, "documents"), col("doc_id"),
+          col("text")).orderBy("doc_id"),
+      Some(Dedup.winnowStatsOracleSql(k = 5, w = 4))),
+
+    // Near-dup candidates over the winnowed inverted index: pairs
+    // sharing >= 2 fingerprints, stop-gram df cap at 50
+    ("winnow_overlap",
+      (s: SparkSession, d: String) =>
+        Dedup.winnowOverlapPairs(t(s, d, "documents"), col("doc_id"),
+          col("text")).orderBy("d1", "d2"),
+      Some(Dedup.winnowOverlapOracleSql(k = 5, w = 4, minShared = 2,
+        maxDf = 50))),
+
+    // BPE training round 1: corpus-weighted adjacent symbol-pair
+    // counts over the word histogram (the sufficient statistic),
+    // top-50 by the deterministic training order
+    ("bpe_pair_counts",
+      (s: SparkSession, d: String) =>
+        ext.Bpe.pairCounts(ext.Bpe.initialTokens(
+            ext.Bpe.wordHistogram(t(s, d, "documents"), col("text"))))
+          .orderBy(col("pair_cnt").desc, col("a"), col("b")).limit(50),
+      Some(ext.Bpe.pairCountsOracleSql(50))),
+
+    // Lexical diversity per source: type/token counts + exact-ppm TTR
+    ("ttr_stats",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.ttrStats(t(s, d, "documents"), col("doc_id"),
+          col("source"), col("text")).orderBy("g"),
+      Some(TextAnalysis.ttrStatsOracleSql("source"))),
+
     // Per-label exact-decimal centroids (k-means update step)
     ("embedding_centroid",
       (s: SparkSession, d: String) =>

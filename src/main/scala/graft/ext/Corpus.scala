@@ -712,4 +712,80 @@ object Corpus {
     |SELECT source, status, count(*) AS n_docs
     |FROM diff GROUP BY 1, 2 ORDER BY source, status
     |""".stripMargin.trim
+
+  /** Order-key modulus for [[epochShuffle]] (2^30 distinct ranks;
+    * ties broken by doc id). */
+  val ShuffleOrderMod: Int = 1 << 30
+
+  /** Deterministic epoch shuffle: the trainer-facing global
+    * permutation of the corpus — every document gets a shard and an
+    * exact position (within-shard and global) for a given epoch, with
+    * zero RNG state: any executor (or the oracle) re-derives the full
+    * assignment from (doc_id, epoch) alone, so a resumed or replayed
+    * job sees the identical order.
+    *
+    * Scale shape is the two-phase global-order recipe (same as
+    * [[seqPackGlobal]]): the only per-row work is (a) a stateless
+    * projection deriving `shard` and `order_key` from independent
+    * permutations of `doc_id + epoch·1000003`, and (b) ONE
+    * `row_number` window partitioned by shard — n/nShards rows per
+    * partition, never the corpus through one task (a naive global
+    * `orderBy rand()` is exactly the shape this avoids; Spark would
+    * range-sample it into balance, but the rank would still be
+    * nondeterministic under retries). Phase two turns shard counts
+    * (|shards| rows) into cumulative offsets with a constant-size
+    * window and broadcasts them back; `global_pos = offset +
+    * shard_pos` is then exact int64. Epochs reshuffle by shifting the
+    * id before both permutations — different epochs give different,
+    * equally deterministic orders. */
+  def epochShuffle(docs: DataFrame, id: Column, nShards: Int,
+                   epoch: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val eid = id + lit(epoch.toLong * 1000003L)
+    val keyed = docs.select(id.as("doc_id"),
+      Hashing.permBucket(eid, 4, nShards).cast("long").as("shard"),
+      Hashing.permBucket(eid, 5, ShuffleOrderMod).cast("long")
+        .as("order_key"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("order_key"), col("doc_id"))
+    val withPos = keyed.withColumn("shard_pos",
+      row_number().over(w).cast("long") - 1)
+    // constant-size phase: |shards| rows through one window
+    val wS = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wS), lit(0L)))
+      .select(col("shard"), col("__off"))
+    withPos.join(broadcast(offsets), Seq("shard"))
+      .withColumn("global_pos", col("__off") + col("shard_pos"))
+      .select("doc_id", "shard", "order_key", "shard_pos", "global_pos")
+  }
+
+  /** DuckDB twin of [[epochShuffle]] over `documents`. */
+  def epochShuffleOracleSql(nShards: Int, epoch: Int = 0): String = {
+    val eid = s"(doc_id + ${epoch.toLong * 1000003L})"
+    val shard = Hashing.permBucketSql(eid, 4, nShards)
+    val okey = Hashing.permBucketSql(eid, 5, ShuffleOrderMod)
+    s"""
+    |WITH keyed AS (
+    |  SELECT doc_id, CAST($shard AS BIGINT) AS shard,
+    |    CAST($okey AS BIGINT) AS order_key
+    |  FROM documents),
+    |pos AS (
+    |  SELECT doc_id, shard, order_key,
+    |    CAST(row_number() OVER (PARTITION BY shard
+    |      ORDER BY order_key, doc_id) - 1 AS BIGINT) AS shard_pos
+    |  FROM keyed),
+    |off AS (
+    |  SELECT shard,
+    |    CAST(coalesce(sum(n) OVER (ORDER BY shard
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    |      AS off
+    |  FROM (SELECT shard, count(*) AS n FROM keyed GROUP BY shard))
+    |SELECT doc_id, shard, order_key, shard_pos,
+    |  off + shard_pos AS global_pos
+    |FROM pos JOIN off USING (shard) ORDER BY doc_id
+    |""".stripMargin.trim
+  }
 }

@@ -1331,4 +1331,132 @@ object Dedup {
     |WHERE inter * $thresholdDen >= (c1.n_grams + c2.n_grams - inter) * $thresholdNum
     |ORDER BY d1, d2
     |""".stripMargin.trim
+
+  // ---------------------------------------------------------------
+  // Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the MOSS
+  // fingerprint selection): hash every word k-gram, slide a window
+  // of w consecutive gram hashes, keep each window's MINIMUM; the
+  // distinct kept values are the document's fingerprint set.
+  // ---------------------------------------------------------------
+
+  /** Winnowed fingerprint sets: per document, the distinct minima of
+    * every `w`-window over the word `k`-gram hash stream (output
+    * column `fps: array<long>`, plus `n_grams`).
+    *
+    * Why winnow instead of indexing every gram hash: the guarantee
+    * is one-sided and exact — any shared word run of length
+    * ≥ `w + k − 1` between two documents shares at least one
+    * fingerprint VALUE, while only ~`2/(w+1)` of gram hashes are
+    * retained (the expected density of window minima), so the
+    * inverted index downstream is ~`(w+1)/2`× smaller than a full
+    * gram index with zero recall loss above the guarantee length.
+    * Fingerprints are value-sets, not positions, so the paper's
+    * rightmost-minimum tie rule is irrelevant here: both engines
+    * keep identical VALUES whatever the tie position.
+    *
+    * Documents with fewer than `w` gram hashes get the min of what
+    * they have (one truncated window — `slice` truncates past the
+    * end in both engines); gram-less documents (< k words) are
+    * dropped, matching the oracle's `len(hs) > 0` filter. */
+  def winnowedFingerprints(docs: DataFrame, id: Column, text: Column,
+                           k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    docs.select(id.as("doc_id"), words(text).as("__wd"))
+      .select(col("doc_id"),
+        transform(wordGramsFrom(col("__wd"), k),
+          g => Hashing.polyHash(g)).as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col("doc_id"), size(col("__h")).cast("long").as("n_grams"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("__h")) - lit(w - 1), lit(1))),
+          i => array_min(slice(col("__h"), i, lit(w))))).as("fps"))
+  }
+
+  /** Per-document winnowing audit: gram count, fingerprint count,
+    * and the fingerprint range — the selection-density measurement
+    * (`n_fps / n_grams` ≈ 2/(w+1)) a winnowed index is sized by. */
+  def winnowStats(docs: DataFrame, id: Column, text: Column,
+                  k: Int = 5, w: Int = 4): DataFrame =
+    winnowedFingerprints(docs, id, text, k, w)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+
+  /** Document pairs sharing ≥ `minShared` winnowed fingerprints —
+    * near-dup candidates over the winnowed inverted index.
+    *
+    * Scale shape: explode fingerprint sets into (fp, doc) postings,
+    * drop fingerprints with document frequency > `maxDf` (ubiquitous
+    * boilerplate grams — the stop-gram cut every shingle index at
+    * scale applies; posting lists above the cap would contribute
+    * df² join pairs for content that identifies nothing), then ONE
+    * fp-keyed equi-self-join bounded by maxDf² per fingerprint.
+    * Never all-pairs; candidate volume is Σ_fp df·(df−1)/2 ≤
+    * n_postings·maxDf/2, linear in corpus size for fixed maxDf. */
+  def winnowOverlapPairs(docs: DataFrame, id: Column, text: Column,
+                         k: Int = 5, w: Int = 4, minShared: Int = 2,
+                         maxDf: Int = 50): DataFrame = {
+    val postings = winnowedFingerprints(docs, id, text, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val kept = postings.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("fp"))
+    val idx = postings.join(kept, Seq("fp"))
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** Shared DuckDB CTE chain for the winnowed-fingerprint pipeline
+    * over `documents` — single source for both winnow oracles. */
+  private def winnowCtes(k: Int, w: Int): String = {
+    val gram = (1 to k).map(x => s"wd[i + $x]").mkString(" || ' ' || ")
+    s"""
+    |wsplit AS (SELECT doc_id, str_split(text, ' ') AS wd FROM documents),
+    |hs AS (
+    |  SELECT doc_id,
+    |    list_transform(
+    |      list_transform(range(greatest(len(wd) - ${k - 1}, 0)),
+    |        i -> $gram),
+    |      g -> ${Hashing.polyHashSql("g")}) AS hs
+    |  FROM wsplit),
+    |fps AS (
+    |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+    |    list_distinct(list_transform(
+    |      range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
+    |      i -> list_min(hs[i:i + ${w - 1}]))) AS fps
+    |  FROM hs WHERE len(hs) > 0)
+    |""".stripMargin.trim
+  }
+
+  /** DuckDB twin of [[winnowStats]] over `documents`. */
+  def winnowStatsOracleSql(k: Int, w: Int): String =
+    s"""
+    |WITH ${winnowCtes(k, w)}
+    |SELECT doc_id, n_grams, CAST(len(fps) AS BIGINT) AS n_fps,
+    |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    |FROM fps ORDER BY doc_id
+    |""".stripMargin.trim
+
+  /** DuckDB twin of [[winnowOverlapPairs]] over `documents`. */
+  def winnowOverlapOracleSql(k: Int, w: Int, minShared: Int,
+                             maxDf: Int): String =
+    s"""
+    |WITH ${winnowCtes(k, w)},
+    |postings AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    |kept AS (
+    |  SELECT fp FROM postings GROUP BY fp
+    |  HAVING count(*) BETWEEN 2 AND $maxDf),
+    |idx AS (SELECT doc_id, fp FROM postings JOIN kept USING (fp))
+    |SELECT a.doc_id AS d1, b.doc_id AS d2,
+    |  CAST(count(*) AS BIGINT) AS shared_fps
+    |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    |GROUP BY 1, 2 HAVING count(*) >= $minShared
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
 }

@@ -329,4 +329,36 @@ object TextAnalysis {
     |  min(score) AS min_score, max(score) AS max_score
     |FROM banded GROUP BY band ORDER BY band
     |""".stripMargin.trim
+
+  /** Lexical diversity per stratum: document, token, and TYPE
+    * (distinct token) counts, plus the type-token ratio in exact
+    * ppm — the vocabulary-richness signal a source-mix curation
+    * compares strata by (boilerplate-heavy sources have low TTR).
+    *
+    * One explode + one hash agg; `countDistinct` plans as the
+    * standard two-phase distinct-expand, partial-combined map-side —
+    * no all-distinct-values collect anywhere. The ratio is integer
+    * arithmetic (`types · 1e6 div tokens`), exact cross-engine. */
+  def ttrStats(docs: DataFrame, id: Column, g: Column,
+               text: Column): DataFrame =
+    docs.select(id.as("doc_id"), g.as("g"),
+        explode(split(text, " ")).as("__tok"))
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("__tok")).as("n_types"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000L) div n_tokens"))
+
+  /** DuckDB twin of [[ttrStats]] over `documents`. */
+  def ttrStatsOracleSql(g: String): String =
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, $g AS g, unnest(str_split(text, ' ')) AS tok
+    |  FROM documents)
+    |SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    |  CAST(count(*) AS BIGINT) AS n_tokens,
+    |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+    |  (count(DISTINCT tok) * 1000000) // count(*) AS ttr_ppm
+    |FROM toks GROUP BY g ORDER BY g
+    |""".stripMargin.trim
 }
