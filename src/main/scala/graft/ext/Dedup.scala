@@ -1361,6 +1361,23 @@ object Dedup {
   def winnowedFingerprints(docs: DataFrame, id: Column, text: Column,
                            k: Int = 5, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    docs.select(id.as("doc_id"), text.as("__txt"))
+      .select(col("doc_id"),
+        (size(words(col("__txt"))) - lit(k - 1)).cast("long").as("n_grams"),
+        org.apache.spark.sql.graftext.WinnowBridge
+          .column(col("__txt"), k, w, Hashing.P).as("fps"))
+      .filter(col("fps").isNotNull)
+      .select("doc_id", "n_grams", "fps")
+  }
+
+  /** Reference formulation of [[winnowedFingerprints]] as built-in
+    * higher-order functions — the executable spec of the compiled
+    * kernel (DedupSpec pins them bit-identical). CodegenFallback
+    * executes each lambda element interpreted, so the kernel is ~10×
+    * faster; semantics are the contract. */
+  def winnowedFingerprintsHof(docs: DataFrame, id: Column, text: Column,
+                              k: Int = 5, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
     docs.select(id.as("doc_id"), words(text).as("__wd"))
       .select(col("doc_id"),
         transform(wordGramsFrom(col("__wd"), k),
@@ -1397,8 +1414,13 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, id: Column, text: Column,
                          k: Int = 5, w: Int = 4, minShared: Int = 2,
                          maxDf: Int = 50): DataFrame = {
+    // materialize the postings ONCE: three consumers downstream (the
+    // df histogram and both sides of the self-join) would otherwise
+    // each re-run scan + winnow kernel + explode (same rule as the
+    // simhash / minhash band indexes above)
     val postings = winnowedFingerprints(docs, id, text, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint()
     val kept = postings.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)

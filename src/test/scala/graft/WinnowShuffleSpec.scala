@@ -23,6 +23,22 @@ class WinnowShuffleSpec extends SparkSpec {
       "guaranteed shared fingerprint missing")
   }
 
+  test("compiled winnow kernel is bit-identical to the HOF formulation") {
+    val kern = Dedup.winnowedFingerprints(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_grams"), col("fps"))
+    val hof = Dedup.winnowedFingerprintsHof(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_grams"), col("fps"))
+    assert(kern.exceptAll(hof).isEmpty && hof.exceptAll(kern).isEmpty)
+    // and on pathological shapes: empty text, single word, exact-w
+    // gram stream, unicode beyond the BMP
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "a b c d e f g h"),
+      (4L, "x 😀 y z w q 😁 t"),
+      (5L, "a a a a a a a a a a")).toDF("doc_id", "text")
+    val ek = Dedup.winnowedFingerprints(edge, col("doc_id"), col("text"))
+    val eh = Dedup.winnowedFingerprintsHof(edge, col("doc_id"), col("text"))
+    assert(ek.exceptAll(eh).isEmpty && eh.exceptAll(ek).isEmpty)
+  }
+
   test("winnowing density is ~2/(w+1) and never above full gram count") {
     val st = Dedup.winnowStats(docs, col("doc_id"), col("text"))
       .agg(sum("n_fps").cast("double"), sum("n_grams").cast("double"))
