@@ -1348,6 +1348,45 @@ object Queries {
           .orderBy(col("pair_cnt").desc, col("a"), col("b")).limit(50),
       Some(ext.Bpe.pairCountsOracleSql(50))),
 
+    // Bloom-filter semi-join pruning audit (Spark-native
+    // BloomFilterAggregate/MightContain, the InjectRuntimeFilter
+    // internals): exact match counts, provably-zero false negatives,
+    // bounded fp rate — raw bloom pass counts stay internal
+    ("bloom_prune",
+      (s: SparkSession, d: String) =>
+        ext.BloomPrune.pruneAudit(
+          t(s, d, "customer").filter(col("c_nationkey") < 5),
+          col("c_custkey"), t(s, d, "orders"), col("o_custkey")),
+      Some(ext.BloomPrune.pruneAuditOracleSql)),
+
+    // Dedup method agreement: text LSH pairs vs embedding cosine
+    // pairs over the shared id space — the cross-validation matrix
+    // (where surface dup and semantic dup disagree)
+    ("dedup_agreement",
+      (s: SparkSession, d: String) => {
+        val textPairs = Dedup.minhashCandidates(
+          Dedup.minhashSignature(t(s, d, "documents"), col("doc_id"),
+            col("text"), 3, 8), 8, 2)
+        val embPairs = Similarity.nearDupPairs(t(s, d, "embeddings"),
+          "vec_id", "embedding", 64, 4, 0.4, nTables = 4)
+        Dedup.pairAgreement(textPairs, embPairs).orderBy("method")
+      },
+      Some(s"""
+        |WITH tp AS (${Dedup.minhashOracleSql(3, 8, 2)
+          .replaceAll("ORDER BY d1, d2", "")}),
+        |ep AS (${Similarity.nearDupOracleSql(64, 4, 0.4, nTables = 4)
+          .replaceAll("ORDER BY d1, d2", "")}),
+        |j AS (
+        |  SELECT coalesce(tp.d1, ep.d1) AS d1,
+        |    CASE WHEN tp.d1 IS NOT NULL AND ep.d1 IS NOT NULL THEN 'both'
+        |         WHEN tp.d1 IS NOT NULL THEN 'text_only'
+        |         ELSE 'embedding_only' END AS method
+        |  FROM tp FULL OUTER JOIN ep
+        |    ON tp.d1 = ep.d1 AND tp.d2 = ep.d2)
+        |SELECT method, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY method ORDER BY method
+        |""".stripMargin.trim)),
+
     // Lexical diversity per source: type/token counts + exact-ppm TTR
     ("ttr_stats",
       (s: SparkSession, d: String) =>

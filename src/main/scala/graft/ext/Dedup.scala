@@ -1465,6 +1465,25 @@ object Dedup {
     |FROM fps ORDER BY doc_id
     |""".stripMargin.trim
 
+  /** Method-agreement matrix between two near-dup pair sets (both
+    * shaped (d1, d2), d1 < d2): how many pairs each method finds
+    * that the other does not — the cross-validation a curation
+    * pipeline runs before trusting one dedup signal (e.g. text LSH
+    * vs embedding cosine; disagreement is where semantic dup differs
+    * from surface dup). One (d1, d2)-keyed full-outer join + a
+    * 3-row rollup — both inputs are already bucketed candidate sets,
+    * never all-pairs. */
+  def pairAgreement(a: DataFrame, b: DataFrame,
+                    aName: String = "text_only",
+                    bName: String = "embedding_only"): DataFrame =
+    a.select(col("d1"), col("d2")).withColumn("__a", lit(1L))
+      .join(b.select(col("d1"), col("d2")).withColumn("__b", lit(1L)),
+        Seq("d1", "d2"), "full_outer")
+      .withColumn("method",
+        when(col("__a").isNotNull && col("__b").isNotNull, "both")
+          .when(col("__a").isNotNull, aName).otherwise(bName))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_pairs"))
+
   /** DuckDB twin of [[winnowOverlapPairs]] over `documents`. */
   def winnowOverlapOracleSql(k: Int, w: Int, minShared: Int,
                              maxDf: Int): String =
