@@ -29,6 +29,14 @@ import graft.facts.FactLoader
   */
 object Queries {
 
+  /** Fixed demo merge rules for `bpe_encode_count` — literals, so the
+    * oracle replays the identical greedy fold (learned rules are
+    * corpus-dependent and spec-pinned instead; see Bpe.trainMerges).
+    * Chosen to fire on the fixture vocabulary (spark/part, table,
+    * merge, line/value). */
+  val BpeFixedRules: Seq[(String, String)] =
+    Seq(("a", "r"), ("t", "a"), ("ta", "b"), ("l", "e"))
+
   /** Fixture reader. `events.ts` is parquet TIMESTAMP(NANOS), which
     * Spark has no native type for: read it as long (legacy conf) and
     * truncate to microsecond TimestampType (`div 1000` in integer
@@ -1386,6 +1394,35 @@ object Queries {
         |SELECT method, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM j GROUP BY method ORDER BY method
         |""".stripMargin.trim)),
+
+    // BPE encode audit under fixed literal rules (DuckDB replays the
+    // identical greedy fold): chars-per-token compression per source
+    ("bpe_encode_count",
+      (s: SparkSession, d: String) =>
+        ext.Bpe.encodeStats(t(s, d, "documents"), col("source"),
+          col("text"), BpeFixedRules).orderBy("g"),
+      Some(ext.Bpe.encodeStatsOracleSql("source", BpeFixedRules))),
+
+    // Hashing-trick bag-of-words: dense 64-bucket token-count vector
+    // per doc — the stateless text->vector bridge into the ANN paths
+    ("feature_hash",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.featureHash(t(s, d, "documents"), col("doc_id"),
+          col("text"))
+          .select(col("doc_id"),
+            posexplode(col("features")).as(Seq("bucket", "cnt")))
+          .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+            col("cnt"))
+          .orderBy("doc_id", "bucket"),
+      Some(TextAnalysis.featureHashOracleSql())),
+
+    // Exactly-n-per-stratum deterministic carve (eval/review sets),
+    // independent hash permutation from every other assignment
+    ("fixed_n_sample",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.fixedNSample(t(s, d, "documents"), col("doc_id"),
+          col("source"), n = 10).orderBy("g", "rank_in_stratum"),
+      Some(ext.Corpus.fixedNSampleOracleSql("source", n = 10))),
 
     // Lexical diversity per source: type/token counts + exact-ppm TTR
     ("ttr_stats",

@@ -109,6 +109,71 @@ object Bpe {
       case (toks, (a, b)) => applyMerge(toks, a, b)
     }
 
+  /** Corpus encode statistics under a FIXED rule list: per stratum,
+    * word/char counts and the token count after applying the merges —
+    * the compression audit a tokenizer change ships with (chars per
+    * token is the headline number). Rules are literals, so the DuckDB
+    * twin can replay the identical greedy fold (`list_reduce`) and
+    * the whole query is oracle-checkable — unlike learned rules,
+    * which depend on the corpus and cannot be re-derived on the
+    * oracle side (the training loop is spec-pinned instead).
+    *
+    * Scale shape: encode runs once per DISTINCT (stratum, word) —
+    * the word-histogram trick again — then the stats are one hash
+    * agg over histogram rows weighted by `cnt`. */
+  def encodeStats(docs: DataFrame, g: Column, text: Column,
+                  rules: Seq[(String, String)]): DataFrame = {
+    val hist = docs
+      .select(g.as("g"), explode(Dedup.words(text)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("g"), col("word")).agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("__toks", size(encode(col("word"), rules)).cast("long"))
+      .withColumn("__chars", length(col("word")).cast("long"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("__chars")).as("n_chars"),
+        sum(col("cnt") * col("__toks")).as("n_tokens"),
+        expr("(sum(cnt * __chars) * 1000000L) div sum(cnt * __toks)")
+          .as("chars_per_token_ppm"))
+  }
+
+  /** One greedy-fold round in DuckDB over a VARCHAR[] expression —
+    * the literal twin of [[applyMerge]] (element-wise `[x]` wrapping
+    * keeps the lambda types uniform across chained rounds). */
+  private def mergeRoundSql(listExpr: String, a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST([] AS VARCHAR[]),
+       |    list_transform($listExpr, x -> [x])),
+       |  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$a'
+       |      AND x[1] = '$b'
+       |    THEN list_append(acc[:-2], '$a$b')
+       |    ELSE list_append(acc, x[1]) END)""".stripMargin
+
+  /** DuckDB twin of [[encodeStats]] over `documents`. */
+  def encodeStatsOracleSql(g: String,
+                           rules: Seq[(String, String)]): String = {
+    val encoded = rules.foldLeft("str_split(word, '')") {
+      case (e, (a, b)) => mergeRoundSql(e, a, b)
+    }
+    s"""
+    |WITH words AS (
+    |  SELECT $g AS g, word, count(*) AS cnt
+    |  FROM (SELECT $g, unnest(str_split(text, ' ')) AS word FROM documents)
+    |  WHERE len(word) > 0 GROUP BY 1, 2),
+    |enc AS (
+    |  SELECT g, cnt, CAST(len(word) AS BIGINT) AS chars,
+    |    CAST(len($encoded) AS BIGINT) AS toks
+    |  FROM words)
+    |SELECT g, CAST(sum(cnt) AS BIGINT) AS n_words,
+    |  CAST(sum(cnt * chars) AS BIGINT) AS n_chars,
+    |  CAST(sum(cnt * toks) AS BIGINT) AS n_tokens,
+    |  CAST((sum(cnt * chars) * 1000000) // sum(cnt * toks) AS BIGINT)
+    |    AS chars_per_token_ppm
+    |FROM enc GROUP BY g ORDER BY g
+    |""".stripMargin.trim
+  }
+
   /** DuckDB twin of round-1 [[pairCounts]] over `documents` (initial
     * single-character symbols), top-`limit` pairs by the training
     * order (count DESC, pair ASC). */

@@ -713,6 +713,50 @@ object Corpus {
     |FROM diff GROUP BY 1, 2 ORDER BY source, status
     |""".stripMargin.trim
 
+  /** Exactly-n-per-stratum deterministic sample: the eval-set /
+    * human-review carve ("give me exactly 200 docs per source,
+    * stable across reruns"). Rank within stratum by an independent
+    * permutation of the id (index 6 — unused by split/shard/mix
+    * assignments, so carving eval docs cannot bias any of them),
+    * keep rank ≤ n. Unlike rate-based sampling ([[mixSample]]) the
+    * count is EXACT, not expected.
+    *
+    * Scale note: the rank is a per-stratum window — fine while
+    * strata are numerous relative to executors (the usual case:
+    * sources × languages). For few huge strata, prefilter by hash
+    * bucket to ~4n survivors per stratum (one broadcast of stratum
+    * counts) and rank those; same answer whenever the prefilter
+    * keeps ≥ n, which a 4× margin makes near-certain — the plain
+    * form here is the exact-by-construction baseline. */
+  def fixedNSample(docs: DataFrame, id: Column, g: Column,
+                   n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("__ok"), col("doc_id"))
+    docs.select(id.as("doc_id"), g.as("g"),
+        Hashing.permBucket(id, 6, ShuffleOrderMod).cast("long").as("__ok"))
+      .withColumn("rank_in_stratum", row_number().over(w).cast("long"))
+      .filter(col("rank_in_stratum") <= n)
+      .select("doc_id", "g", "rank_in_stratum")
+  }
+
+  /** DuckDB twin of [[fixedNSample]] over `documents`. */
+  def fixedNSampleOracleSql(g: String, n: Int): String = {
+    val ok = Hashing.permBucketSql("doc_id", 6, ShuffleOrderMod)
+    s"""
+    |WITH keyed AS (
+    |  SELECT doc_id, $g AS g, CAST($ok AS BIGINT) AS ok FROM documents),
+    |ranked AS (
+    |  SELECT doc_id, g,
+    |    CAST(row_number() OVER (PARTITION BY g ORDER BY ok, doc_id)
+    |      AS BIGINT) AS rank_in_stratum
+    |  FROM keyed)
+    |SELECT doc_id, g, rank_in_stratum
+    |FROM ranked WHERE rank_in_stratum <= $n
+    |ORDER BY g, rank_in_stratum
+    |""".stripMargin.trim
+  }
+
   /** Order-key modulus for [[epochShuffle]] (2^30 distinct ranks;
     * ties broken by doc id). */
   val ShuffleOrderMod: Int = 1 << 30

@@ -349,6 +349,60 @@ object TextAnalysis {
         countDistinct(col("__tok")).as("n_types"))
       .withColumn("ttr_ppm", expr("(n_types * 1000000L) div n_tokens"))
 
+  /** Hashing-trick bag-of-words embedding (Weinberger et al., ICML
+    * 2009): a dense `dim`-bucket token-count vector per document,
+    * `bucket = polyhash(token) mod dim` — the stateless text→vector
+    * bridge that feeds the ANN / clustering surface without a learned
+    * vocabulary (no vocab table to build, ship, or keep consistent:
+    * any executor hashes any token to the same bucket at any scale).
+    *
+    * Shape: explode + (doc, bucket) hash agg + one map-backed
+    * densify projection — all codegen'd except the final 64-element
+    * assembly, which runs once per DOCUMENT (not per token). Counts
+    * are exact int64; the vector is deterministic, so downstream
+    * cosine/ANN results are replayable. */
+  def featureHash(docs: DataFrame, id: Column, text: Column,
+                  dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = docs
+      .select(id.as("doc_id"), explode(split(text, " ")).as("__tok"))
+      .select(col("doc_id"),
+        pmod(Hashing.polyHash(col("__tok")), lit(dim.toLong)).as("__b"))
+    toks.groupBy(col("doc_id"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)))
+          .as("features"))
+  }
+
+  /** DuckDB twin of the declared `feature_hash` query (the dense
+    * vector posexploded to (doc_id, bucket, cnt) rows — the gate
+    * canonicalizes scalar cells, not arrays; the dense array is the
+    * library API, the exploded form is its checkable image). */
+  def featureHashOracleSql(dim: Int = 64): String =
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+    |hb AS (
+    |  SELECT doc_id, ${Hashing.polyHashSql("tok")} % $dim AS bucket
+    |  FROM toks),
+    |counts AS (
+    |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+    |  FROM hb GROUP BY 1, 2),
+    |dense AS (
+    |  SELECT d.doc_id, CAST(i.i AS BIGINT) AS bucket
+    |  FROM (SELECT DISTINCT doc_id FROM toks) d
+    |  CROSS JOIN (SELECT unnest(range(0, $dim)) AS i) i)
+    |SELECT dense.doc_id, dense.bucket, coalesce(c, 0) AS cnt
+    |FROM dense LEFT JOIN counts
+    |  ON counts.doc_id = dense.doc_id AND counts.bucket = dense.bucket
+    |ORDER BY dense.doc_id, dense.bucket
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[ttrStats]] over `documents`. */
   def ttrStatsOracleSql(g: String): String =
     s"""

@@ -191,4 +191,20 @@ class CorpusSpec extends SparkSpec {
       assert(r.getAs[Double]("weight") == expected)
     }
   }
+
+  test("fixedNSample: exactly n per stratum, deterministic, unbiased vs split") {
+    val n = 7
+    val sample = Corpus.fixedNSample(docs, col("doc_id"), col("source"), n)
+    val counts = sample.groupBy("g").count().collect()
+    assert(counts.forall(_.getLong(1) == n), counts.mkString(","))
+    // re-derivation identical
+    val again = Corpus.fixedNSample(docs, col("doc_id"), col("source"), n)
+    assert(sample.exceptAll(again).isEmpty)
+    // the carve must not correlate with the train/val/test assignment
+    // (independent permutation index): sampled docs land in every split
+    val splits = Corpus.sampleSplit(
+        sample.select(col("doc_id")), col("doc_id"))
+      .groupBy("split").count().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"), splits.toString)
+  }
 }

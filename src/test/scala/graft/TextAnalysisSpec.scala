@@ -58,4 +58,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep.count() ==
       docs.filter(size(split(col("text"), " ")) >= 2).count())
   }
+
+  test("featureHash: vector mass equals token count, dim fixed") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fh = TextAnalysis.featureHash(docs, col("doc_id"), col("text"))
+    val bad = fh
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")), "doc_id")
+      .filter(size(col("features")) =!= 64 ||
+        aggregate(col("features"), lit(0L), _ + _) =!= col("n_toks"))
+      .count()
+    assert(bad == 0)
+    assert(fh.count() == docs.count())
+  }
 }
