@@ -1506,7 +1506,48 @@ object Queries {
               <= col("exact_users") * 0.05).cast("long").as("within_bound")),
       Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |  CAST(1 AS BIGINT) AS within_bound
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin)),
+
+    // Tumbling event-time windows: batch twin of the streaming
+    // windowed agg — stateless bucket projection + one hash agg
+    ("tumbling_window",
+      (s: SparkSession, d: String) =>
+        Sessions.tumblingAgg(t(s, d, "events"), "ts", "value", 60)
+          .orderBy("window_start"),
+      Some(Sessions.tumblingAggOracleSql(60))),
+
+    // Sliding windows (60 min wide, 30 min slide): each event in
+    // exactly two windows via the half-open window contract
+    ("sliding_window",
+      (s: SparkSession, d: String) =>
+        Sessions.slidingAgg(t(s, d, "events"), "ts", "value", 30)
+          .orderBy("window_start"),
+      Some(Sessions.slidingAggOracleSql(30))),
+
+    // GK-sketch quantile with an exact-rank bound audit (same
+    // pattern as approx_distinct): the approx p50 must land between
+    // the exact p49 and p51 values — integer cents kill interpolation
+    // ulp drift cross-engine
+    ("approx_quantile",
+      (s: SparkSession, d: String) =>
+        t(s, d, "events")
+          .select(round(col("value") * 100).cast("long").as("cents"))
+          .agg(
+            percentile_approx(col("cents"), lit(0.5), lit(10000))
+              .as("approx_p50"),
+            expr("percentile(cents, 0.49)").as("p49"),
+            expr("percentile(cents, 0.5)").as("exact_p50"),
+            expr("percentile(cents, 0.51)").as("p51"))
+          .select(col("exact_p50"),
+            (col("approx_p50") >= col("p49") &&
+              col("approx_p50") <= col("p51")).cast("long")
+              .as("within_bound")),
+      Some("""
+        |WITH c AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT quantile_cont(cents, 0.5) AS exact_p50,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM c""".stripMargin.trim))
   )
 
   // ---- flagship fact build (SURVEY §7.4) ----

@@ -146,4 +146,72 @@ object Sessions {
     |FROM d JOIN f ON d.user_id = f.user_id
     |GROUP BY 1, 2 ORDER BY 1, 2
     |""".stripMargin.trim
+
+  /** Tumbling event-time window aggregate — the batch twin of the
+    * Structured Streaming windowed agg (`Streams.windowedCounts`
+    * uses the same `window()` bucketing): per `minutes`-wide bucket,
+    * event count and decimal-pinned value total. A stateless bucket
+    * projection + ONE hash agg (map-side combined) — the best
+    * possible shape; time is never a skew key because buckets are
+    * uniform by construction. */
+  def tumblingAgg(events: DataFrame, tsCol: String, valueCol: String,
+                  minutes: Int): DataFrame =
+    events
+      .groupBy(window(col(tsCol), s"$minutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(12,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_events"),
+        col("total_value"))
+
+  /** DuckDB twin of [[tumblingAgg]] over `events`. */
+  def tumblingAggOracleSql(minutes: Int): String =
+    s"""
+    |SELECT time_bucket(INTERVAL '$minutes minutes', ts) AS window_start,
+    |  time_bucket(INTERVAL '$minutes minutes', ts)
+    |    + INTERVAL '$minutes minutes' AS window_end,
+    |  CAST(count(*) AS BIGINT) AS n_events,
+    |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+    |    AS DOUBLE) AS total_value
+    |FROM events GROUP BY 1, 2 ORDER BY 1
+    |""".stripMargin.trim
+
+  /** Sliding event-time window aggregate (`duration = 2 × slide`, so
+    * each event lands in exactly TWO windows — the half-open
+    * [start, start+duration) contract makes that exact, boundaries
+    * included). Spark's `window(ts, dur, slide)` plans this as a
+    * 2-row generator per event then the same single hash agg as the
+    * tumbling case — output rows ≈ 2× buckets, input pass stays
+    * linear. */
+  def slidingAgg(events: DataFrame, tsCol: String, valueCol: String,
+                 slideMinutes: Int): DataFrame =
+    events
+      .groupBy(window(col(tsCol), s"${2 * slideMinutes} minutes",
+        s"$slideMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(12,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_events"),
+        col("total_value"))
+
+  /** DuckDB twin of [[slidingAgg]]: every event belongs to the
+    * windows starting at `tb` and `tb − slide`, where `tb` is its
+    * slide-aligned bucket. */
+  def slidingAggOracleSql(slideMinutes: Int): String =
+    s"""
+    |WITH expanded AS (
+    |  SELECT value,
+    |    time_bucket(INTERVAL '$slideMinutes minutes', ts)
+    |      - o * (INTERVAL '$slideMinutes minutes') AS window_start
+    |  FROM events
+    |  CROSS JOIN (SELECT unnest([0, 1]) AS o))
+    |SELECT window_start,
+    |  window_start + INTERVAL '${2 * slideMinutes} minutes' AS window_end,
+    |  CAST(count(*) AS BIGINT) AS n_events,
+    |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+    |    AS DOUBLE) AS total_value
+    |FROM expanded GROUP BY 1, 2 ORDER BY 1
+    |""".stripMargin.trim
 }

@@ -206,4 +206,45 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly one keyed shuffle:\n$p")
   }
+
+  test("epoch_shuffle never sorts the corpus through one partition") {
+    // the operator itself (the declared query adds a presentation
+    // orderBy for the oracle, which IS a range sort — not the claim)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ext.Corpus.epochShuffle(docs,
+        org.apache.spark.sql.functions.col("doc_id"), nShards = 8)
+      .queryExecution.executedPlan.toString
+    // per-row work rides shard-partitioned windows; the only
+    // single-partition exchange is the |shards|-row offset window
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global range sort over the corpus:\n$p")
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"shard-partitioned window missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back:\n$p")
+  }
+
+  test("mix_sample broadcasts the per-stratum rates back to the rows") {
+    val p = plan("mix_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stratum rates must broadcast, not shuffle the rows:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rate join shuffled:\n$p")
+  }
+
+  test("tumbling_window is one hash agg pair, no join, no sort-shuffle") {
+    val p = plan("tumbling_window")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"partial+final agg pair expected:\n$p")
+    assert(!p.contains("Join"), s"windowed agg must not join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one keyed shuffle:\n$p")
+  }
+
+  test("fixed_n_sample ranks inside stratum partitions only") {
+    val p = plan("fixed_n_sample")
+    assert(p.contains("Exchange hashpartitioning(g"),
+      s"stratum-partitioned rank missing:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"rank serialized through one partition:\n$p")
+  }
 }
