@@ -1376,13 +1376,13 @@ object Queries {
           Dedup.minhashSignature(t(s, d, "documents"), col("doc_id"),
             col("text"), 3, 8), 8, 2)
         val embPairs = Similarity.nearDupPairs(t(s, d, "embeddings"),
-          "vec_id", "embedding", 64, 4, 0.4, nTables = 4)
+          "vec_id", "embedding", 64, 12, 0.7, nTables = 4)
         Dedup.pairAgreement(textPairs, embPairs).orderBy("method")
       },
       Some(s"""
         |WITH tp AS (${Dedup.minhashOracleSql(3, 8, 2)
           .replaceAll("ORDER BY d1, d2", "")}),
-        |ep AS (${Similarity.nearDupOracleSql(64, 4, 0.4, nTables = 4)
+        |ep AS (${Similarity.nearDupOracleSql(64, 12, 0.7, nTables = 4)
           .replaceAll("ORDER BY d1, d2", "")}),
         |j AS (
         |  SELECT coalesce(tp.d1, ep.d1) AS d1,
