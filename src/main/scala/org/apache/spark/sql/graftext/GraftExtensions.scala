@@ -85,5 +85,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"poly_hash expects 2 arguments, got ${children.length}")
         PolyHashExpr(children.head, longArg(children(1), "poly_hash", 2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(
+        classOf[WinnowExpr].getCanonicalName, null, "winnow_fps",
+        "winnow_fps(s, k, w, p) - winnowed fingerprint set (distinct " +
+          "w-window minima over word k-gram poly-hashes mod p).", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"winnow_fps expects 4 arguments, got ${children.length}")
+        WinnowExpr(children.head,
+          longArg(children(1), "winnow_fps", 2).toInt,
+          longArg(children(2), "winnow_fps", 3).toInt,
+          longArg(children(3), "winnow_fps", 4))
+      }))
   }
 }

@@ -58,6 +58,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .first().getLong(0)
       // ((0*31+97)*31+98)*31+99 = 96354
       assert(ph == 96354L)
+      // winnow: < k tokens -> NULL; the kernel itself is pinned to
+      // the HOF formulation by WinnowShuffleSpec
+      val wf = spark.sql(
+        "SELECT winnow_fps('a b c d e f g h', 5, 4, 1000000007) AS f")
+        .first().getSeq[Long](0)
+      assert(wf.nonEmpty && wf.toSet.size == wf.length)
+      assert(spark.sql(
+        "SELECT winnow_fps('a b', 5, 4, 1000000007) AS f")
+        .first().isNullAt(0))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
