@@ -1516,9 +1516,11 @@ object Queries {
           .orderBy("window_start"),
       Some(Sessions.tumblingAggOracleSql(60))),
 
-    // Sliding windows (60 min wide, 30 min slide): each event in
-    // exactly two windows via the half-open window contract
-    ("sliding_window",
+    // Sliding event-time windows (60 min wide, 30 min slide): each
+    // event in exactly two windows via the half-open window contract
+    // (distinct from `sliding_window`, the RANGE-frame trailing-7-day
+    // per-customer aggregate)
+    ("sliding_event_window",
       (s: SparkSession, d: String) =>
         Sessions.slidingAgg(t(s, d, "events"), "ts", "value", 30)
           .orderBy("window_start"),

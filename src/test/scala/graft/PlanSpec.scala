@@ -207,6 +207,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one keyed shuffle:\n$p")
   }
 
+  test("declared query names are unique (no silent Map shadowing)") {
+    val names = Queries.all.map(_._1)
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == names.length)
+  }
+
   test("epoch_shuffle never sorts the corpus through one partition") {
     // the operator itself (the declared query adds a presentation
     // orderBy for the oracle, which IS a range sort — not the claim)
