@@ -1526,6 +1526,38 @@ object Queries {
           .orderBy("window_start"),
       Some(Sessions.slidingAggOracleSql(30))),
 
+    // Trending top-k per time bucket: tumbling 6h windows ranked by
+    // event volume (WindowGroupLimit prunes beyond rank k before the
+    // final sort — partial top-k per window, never a global sort)
+    ("trending_topk",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = t(s, d, "events")
+          .groupBy(window(col("ts"), "360 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val rk = Window.partitionBy(col("w"))
+          .orderBy(col("n_events").desc, col("event_type"))
+        counts.withColumn("rk", row_number().over(rk).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n_events"), col("rk"))
+          .orderBy("window_start", "rk")
+      },
+      Some("""
+        |WITH counts AS (
+        |  SELECT time_bucket(INTERVAL '360 minutes', ts) AS window_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT window_start, event_type, n_events,
+        |    CAST(row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        |  FROM counts)
+        |SELECT window_start, event_type, n_events, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY window_start, rk
+        |""".stripMargin.trim)),
+
     // GK-sketch quantile with an exact-rank bound audit (same
     // pattern as approx_distinct): the approx p50 must land between
     // the exact p49 and p51 values — integer cents kill interpolation
