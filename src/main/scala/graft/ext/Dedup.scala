@@ -1421,11 +1421,15 @@ object Dedup {
     val postings = winnowedFingerprints(docs, id, text, k, w)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .localCheckpoint()
+    // the kept-fp set is ~6% of distinct fps (df≥2 on a mostly-unique
+    // index) — broadcast it so the 10M-row postings NEVER shuffle for
+    // the df filter; the only shuffle left is the fp-keyed self-join
+    // over the filtered ~13% of postings
     val kept = postings.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select(col("fp"))
-    val idx = postings.join(kept, Seq("fp"))
+    val idx = postings.join(broadcast(kept), Seq("fp"))
     idx.as("a").join(idx.as("b"),
         col("a.fp") === col("b.fp") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -364,6 +364,20 @@ object TextAnalysis {
   def featureHash(docs: DataFrame, id: Column, text: Column,
                   dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    docs.select(id.as("doc_id"),
+      org.apache.spark.sql.graftext.FeatureHashBridge
+        .column(text, dim, Hashing.P).as("features"))
+  }
+
+  /** Reference formulation of [[featureHash]] as explode → (doc,
+    * bucket) agg → densify — the executable spec of the compiled
+    * kernel (TextAnalysisSpec pins them identical). As a PLAN it is
+    * the shape feature hashing exists to avoid: at 100× (500k docs)
+    * the 32M-key shuffle costs ~2 minutes where the kernel
+    * projection costs none. */
+  def featureHashViaAgg(docs: DataFrame, id: Column, text: Column,
+                        dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
     val toks = docs
       .select(id.as("doc_id"), explode(split(text, " ")).as("__tok"))
       .select(col("doc_id"),

@@ -59,6 +59,20 @@ class TextAnalysisSpec extends SparkSpec {
       docs.filter(size(split(col("text"), " ")) >= 2).count())
   }
 
+  test("featureHash kernel is bit-identical to the agg formulation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kern = TextAnalysis.featureHash(docs, col("doc_id"), col("text"))
+    val agg = TextAnalysis.featureHashViaAgg(docs, col("doc_id"), col("text"))
+    assert(kern.exceptAll(agg).isEmpty && agg.exceptAll(kern).isEmpty)
+    // edge shapes: empty text (one empty token -> bucket of hash 0),
+    // single word, beyond-BMP unicode
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "x 😀 y")).toDF("doc_id", "text")
+    val ek = TextAnalysis.featureHash(edge, col("doc_id"), col("text"))
+    val ea = TextAnalysis.featureHashViaAgg(edge, col("doc_id"), col("text"))
+    assert(ek.exceptAll(ea).isEmpty && ea.exceptAll(ek).isEmpty)
+  }
+
   test("featureHash: vector mass equals token count, dim fixed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fh = TextAnalysis.featureHash(docs, col("doc_id"), col("text"))
