@@ -99,5 +99,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           longArg(children(2), "winnow_fps", 3).toInt,
           longArg(children(3), "winnow_fps", 4))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("feature_hash_vec"),
+      new ExpressionInfo(
+        classOf[FeatureHashExpr].getCanonicalName, null, "feature_hash_vec",
+        "feature_hash_vec(s, dim, p) - dense dim-bucket token-count " +
+          "vector (hashing trick), one compiled pass.", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"feature_hash_vec expects 3 arguments, got ${children.length}")
+        FeatureHashExpr(children.head,
+          longArg(children(1), "feature_hash_vec", 2).toInt,
+          longArg(children(2), "feature_hash_vec", 3))
+      }))
   }
 }

@@ -67,6 +67,10 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(
         "SELECT winnow_fps('a b', 5, 4, 1000000007) AS f")
         .first().isNullAt(0))
+      val fhv = spark.sql(
+        "SELECT feature_hash_vec('a b a', 8, 1000000007) AS v")
+        .first().getSeq[Long](0)
+      assert(fhv.length == 8 && fhv.sum == 3L && fhv.max == 2L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
