@@ -1346,6 +1346,17 @@ object Queries {
       Some(Dedup.winnowOverlapOracleSql(k = 5, w = 4, minShared = 2,
         maxDf = 50))),
 
+    // Incremental winnow overlap: probe side pre-filtered to the new
+    // batch (d2 >= 400), index + df histogram corpus-wide — the
+    // winnow twin of dedup_incremental
+    ("winnow_incremental",
+      (s: SparkSession, d: String) =>
+        Dedup.winnowOverlapIncremental(t(s, d, "documents"),
+          col("doc_id"), col("text"), newFrom = 400L)
+          .orderBy("d1", "d2"),
+      Some(Dedup.winnowIncrementalOracleSql(k = 5, w = 4, minShared = 2,
+        maxDf = 50, newFrom = 400L))),
+
     // BPE training round 1: corpus-weighted adjacent symbol-pair
     // counts over the word histogram (the sufficient statistic),
     // top-50 by the deterministic training order

@@ -1438,6 +1438,51 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Incremental winnow overlap: pairs with the HIGHER id ≥ `newFrom`
+    * — the append-only-ingest form (new docs have larger ids, so
+    * `d2 ≥ newFrom` is exactly "pairs involving a new doc"), the
+    * winnow twin of [[minhashCandidatesIncremental]]. The probe side
+    * of the self-join is pre-filtered to the new docs' postings, so
+    * the join's probe volume tracks the BATCH, not the corpus; the
+    * index side and the df histogram stay corpus-wide (the persisted
+    * index is maintained, not rebuilt). */
+  def winnowOverlapIncremental(docs: DataFrame, id: Column, text: Column,
+                               k: Int = 5, w: Int = 4, minShared: Int = 2,
+                               maxDf: Int = 50, newFrom: Long): DataFrame = {
+    val postings = winnowedFingerprints(docs, id, text, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .localCheckpoint()
+    val kept = postings.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("fp"))
+    val idx = postings.join(broadcast(kept), Seq("fp"))
+    idx.as("a").join(idx.filter(col("doc_id") >= newFrom).as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** DuckDB twin of [[winnowOverlapIncremental]] over `documents`. */
+  def winnowIncrementalOracleSql(k: Int, w: Int, minShared: Int,
+                                 maxDf: Int, newFrom: Long): String =
+    s"""
+    |WITH ${winnowCtes(k, w)},
+    |postings AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    |kept AS (
+    |  SELECT fp FROM postings GROUP BY fp
+    |  HAVING count(*) BETWEEN 2 AND $maxDf),
+    |idx AS (SELECT doc_id, fp FROM postings JOIN kept USING (fp))
+    |SELECT a.doc_id AS d1, b.doc_id AS d2,
+    |  CAST(count(*) AS BIGINT) AS shared_fps
+    |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    |WHERE b.doc_id >= $newFrom
+    |GROUP BY 1, 2 HAVING count(*) >= $minShared
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+
   /** Shared DuckDB CTE chain for the winnowed-fingerprint pipeline
     * over `documents` — single source for both winnow oracles. */
   private def winnowCtes(k: Int, w: Int): String = {

@@ -62,6 +62,14 @@ class WinnowShuffleSpec extends SparkSpec {
       "winnow pair without any shared gram")
   }
 
+  test("incremental winnow overlap = full overlap restricted to new d2") {
+    val full = Dedup.winnowOverlapPairs(docs, col("doc_id"), col("text"))
+      .filter(col("d2") >= 300L)
+    val inc = Dedup.winnowOverlapIncremental(docs, col("doc_id"),
+      col("text"), newFrom = 300L)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
   test("epochShuffle is an exact permutation with consistent positions") {
     val n = docs.count()
     val sh = Corpus.epochShuffle(docs, col("doc_id"), nShards = 8)
