@@ -77,6 +77,12 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: $e")
     }
+    // the full per-query line above is ~4 KB and the driver's tail capture
+    // has truncated it every round — emit a compact totals-only record as
+    // the VERY LAST stdout line so any tail window still gets parseable JSON
+    System.out.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${results.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

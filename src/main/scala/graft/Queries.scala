@@ -824,6 +824,34 @@ object Queries {
       },
       Some(Similarity.ivfCosineTopKOracleSql(64, 5, 10, 16, 4))),
 
+    // Scale-path ANN #3: IVF-PQ — coarse cells prune the corpus, ADC
+    // lookup-table scoring over m-byte PQ codes inside the probed
+    // cells (scan cost decoupled from float bandwidth), exact re-rank
+    // of the survivor handful (which is what makes the final top-k
+    // DuckDB-expressible). m=8 subspaces x ksub=16 codewords here;
+    // production uses ksub=256 (the dial SCALE.md documents).
+    ("ann_ivf_pq",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          nCentroids = 16, nProbe = 4, m = 8, ksub = 16, dim = 64,
+          rerank = 20).orderBy("query_id", "rank")
+      },
+      Some(Similarity.ivfPqTopKOracleSql(64, 5, 10, nCentroids = 16,
+        nProbe = 4, m = 8, ksub = 16, rerank = 20))),
+
+    // PQ quality audit: recall@k of the IVF-PQ path vs exact brute
+    // force — the ann_recall twin for the PQ index
+    ("ann_pq_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqRecall(emb, emb.filter(col("vec_id") < 10), 5,
+          nCentroids = 16, nProbe = 4, m = 8, ksub = 16, dim = 64,
+          rerank = 20).orderBy("query_id")
+      },
+      Some(Similarity.pqRecallOracleSql(64, 5, 10, nCentroids = 16,
+        nProbe = 4, m = 8, ksub = 16, rerank = 20))),
+
     // Embedding-cosine near-dup pairs (dedup suite, embedding leg):
     // 4 hash tables x 4 planes -> OR-amplified recall
     ("embedding_neardup",

@@ -930,6 +930,329 @@ object Similarity {
     |""".stripMargin.trim
   }
 
+  // ===================== IVF-PQ (product quantization) ==============
+  //
+  // The standard 100 TB vector-search layout (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): an IVF
+  // coarse quantizer prunes the corpus to nProbe cells, and within
+  // the probed cells candidates are scored from m-byte PQ codes via
+  // an ADC (asymmetric distance computation) lookup table — the scan
+  // reads CODES (m small ints per vector), not float rows, so scan
+  // cost decouples from float bandwidth. A final exact re-rank of the
+  // top-`rerank` ADC survivors restores exact ordering on the handful
+  // that matters — and makes the whole pipeline DuckDB-expressible:
+  // every stage (codebook, encode-argmin, LUT, ADC sum, survivor cut,
+  // exact re-rank) is deterministic relational algebra over exact
+  // decimals, so the oracle replays it stage for stage.
+
+  /** Exact decimal dot restricted to subspace `sub` — elements
+    * [sub·subLen, (sub+1)·subLen) of both arrays. Compiled
+    * ([[org.apache.spark.sql.graftext.DecimalVecDotSub]]); a PQ
+    * codeword is stored FULL-WIDTH aligned at its subspace offset so
+    * one shared offset addresses both sides (no per-row slicing). */
+  def dotSub(a: Column, b: Column, sub: Column, subLen: Int): Column =
+    org.apache.spark.sql.graftext.DecimalVecBridge
+      .dotSubColumn(a, b, sub, subLen)
+
+  /** DuckDB twin of [[dotSub]]; `sub` is any SQL int expression. */
+  def dotSubSql(a: String, b: String, sub: String, subLen: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DECIMAL(25,12)), " +
+      s"list_transform(range(1, ${subLen + 1}), " +
+      s"i -> CAST(CAST($a[$sub * $subLen + i] AS DOUBLE) * " +
+      s"CAST($b[$sub * $subLen + i] AS DOUBLE) AS DECIMAL(25,12)))), " +
+      s"(acc, v) -> CAST(acc + v AS DECIMAL(25,12)))"
+
+  /** Deterministic sample codebooks: codeword w of EVERY subspace is
+    * corpus vector w (the first `ksub` by id), full-width. m·ksub
+    * rows with per-subspace self-dots — broadcast-sized at any corpus
+    * scale. Production trains these with Lloyd instead
+    * ([[pqTrainCodebooks]]); the sample init is the deterministic,
+    * oracle-expressible variant and is itself the standard k-means++-
+    * free init for PQ training. */
+  def pqSampleCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                        subLen: Int): DataFrame =
+    corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("cw_id"), col("embedding").as("cw_emb"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("cw_n2s",
+        dotSub(col("cw_emb"), col("cw_emb"), col("sub"), subLen))
+
+  /** PQ-encode `df` against codebooks `cw`: per (row, subspace) the
+    * codeword minimizing the exact-decimal subspace L2
+    * (‖a−b‖² = a·a + b·b − 2a·b, every term a decimal [[dotSub]] so
+    * the argmin cannot flip between engines; codeword id breaks
+    * ties). The argmin is a min(struct) hash aggregate — map-side
+    * combinable, no window shuffle. Per-row cost m·ksub ranged dots
+    * of subLen each = dim·ksub FMAs — linear in corpus size; the
+    * output is the m-code index payload (m bytes/vector at ksub ≤
+    * 256, the 32× compression vs float32 that makes PQ the 100 TB
+    * play). */
+  private def pqEncode(df: DataFrame, cw: DataFrame, idCol: String,
+                       embCol: String, m: Int, subLen: Int): DataFrame =
+    df.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("__n2s", dotSub(col(embCol), col(embCol), col("sub"), subLen))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn("__d", col("__n2s") + col("cw_n2s") -
+        lit(2) * dotSub(col(embCol), col("cw_emb"), col("sub"), subLen))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("__d"), col("cw_id"))).as("__m"))
+      .select(col(idCol), col("sub"), col("__m.cw_id").as("code"))
+
+  /** IVF-PQ ANN top-k with the supplied codebook table (shape of
+    * [[pqSampleCodebooks]] / [[pqTrainCodebooks]]).
+    *
+    * Scale shape, stage by stage:
+    *  - index build: one corpus pass for the cell assignment
+    *    (broadcast centroids) + one for PQ codes (broadcast
+    *    codebooks, min-struct agg) — both linear, both
+    *    embarrassingly parallel;
+    *  - search: probes (|Q|·nProbe cells) join the inverted lists on
+    *    cell id, so only ~nProbe/nCentroids of the corpus is touched;
+    *    the ADC join reads (cand, sub, code) rows — the CODE table,
+    *    never candidate floats — against a broadcast |Q|·m·ksub
+    *    lookup table, then sums m decimal entries per pair;
+    *  - re-rank: only |Q|·rerank survivors ever touch float vectors
+    *    again, as one broadcast-hash join against the corpus scan.
+    * The float-bandwidth term is confined to index build (once) and
+    * the survivor handful — the property BENCH/SCALE measure. */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, cw: DataFrame,
+                    k: Int, nCentroids: Int, nProbe: Int, m: Int,
+                    dim: Int, rerank: Int): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"m=$m must divide dim=$dim")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cent = centroidTable(corpus, nCentroids)
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb")), col("cand_id"))
+    val lists = assignToCentroids(c, cent, "cand_id", "c_emb", 1)
+      .select(col("cand_id"), col("c_id"))
+    val codes = pqEncode(c, cw, "cand_id", "c_emb", m, subLen)
+    val index = lists.join(codes, Seq("cand_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val probes = assignToCentroids(q, cent, "query_id", "q_emb", nProbe)
+      .select(col("query_id"), col("c_id"))
+    val lut = q.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("__n2s", dotSub(col("q_emb"), col("q_emb"), col("sub"), subLen))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn("lut_d", col("__n2s") + col("cw_n2s") -
+        lit(2) * dotSub(col("q_emb"), col("cw_emb"), col("sub"), subLen))
+      .select(col("query_id"), col("sub"), col("cw_id").as("code"),
+        col("lut_d"))
+    val adc = probes.join(index, Seq("c_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("lut_d")).as("__adc"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("cand_id").asc)
+    val survivors = adc.withColumn("__srn", row_number().over(ws))
+      .filter(col("__srn") <= rerank)
+      .select(col("query_id"), col("cand_id"))
+    val sq = survivors.join(
+      q.withColumn("q_n2", dot(col("q_emb"), col("q_emb"))), Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
+      .join(broadcast(sq), Seq("cand_id"))
+      .withColumn("cos", cosine(
+        dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      // cos reported at 6 decimals on both engines (see nearDupPairs)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** IVF-PQ with the deterministic sample codebooks — the
+    * oracle-checked surface. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
+                dim: Int, rerank: Int): DataFrame =
+    ivfPqTopKWith(corpus, queries,
+      pqSampleCodebooks(corpus, m, ksub, dim / m),
+      k, nCentroids, nProbe, m, dim, rerank)
+
+  /** Lloyd-trained PQ codebooks: per subspace, [[kmeans]] over the
+    * subvector projections (m driver-looped small runs — the per-
+    * subspace state is ksub·subLen cells, the corpus streams once per
+    * round per subspace). Centroids are re-embedded full-width at
+    * their subspace offset so the result drops into [[ivfPqTopKWith]]
+    * unchanged. Training is iterative and hence not oracle-SQL-
+    * expressible; PqSpec pins that trained codebooks strictly reduce
+    * total quantization error vs the sample init on the fixture. */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+                       iters: Int): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"m=$m must divide dim=$dim")
+    (0 until m).map { j =>
+      kmeans(corpus.select(col("vec_id"),
+          slice(col("embedding"), j * subLen + 1, subLen).as("embedding")),
+        ksub, iters)
+        .select(lit(j).as("sub"), col("c_id").as("cw_id"),
+          concat(
+            array_repeat(lit(0.0f), j * subLen),
+            col("centroid").cast("array<float>"),
+            array_repeat(lit(0.0f), dim - (j + 1) * subLen)).as("cw_emb"))
+    }.reduce(_ unionAll _)
+      .withColumn("cw_n2s",
+        dotSub(col("cw_emb"), col("cw_emb"), col("sub"), subLen))
+  }
+
+  /** Total PQ quantization error (sum over rows and subspaces of the
+    * min subspace L2) for a codebook table — the training objective;
+    * used by PqSpec to verify Lloyd improves on the sample init. */
+  def pqQuantizationError(corpus: DataFrame, cw: DataFrame, m: Int,
+                          dim: Int): java.math.BigDecimal = {
+    val subLen = dim / m
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"))
+    c.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("__n2s", dotSub(col("c_emb"), col("c_emb"), col("sub"), subLen))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn("__d", col("__n2s") + col("cw_n2s") -
+        lit(2) * dotSub(col("c_emb"), col("cw_emb"), col("sub"), subLen))
+      .groupBy(col("cand_id"), col("sub"))
+      .agg(min(col("__d")).as("__dmin"))
+      .agg(sum(col("__dmin")).as("err"))
+      .collect()(0).getDecimal(0)
+  }
+
+  /** CTE chain shared by the IVF-PQ oracle and its recall audit —
+    * mirrors [[ivfPqTopKWith]] stage for stage over `embeddings`
+    * (queries = vec_id < maxQueryId; sample codebooks). Ends at
+    * `pq_ranked`(query_id, cand_id, cos, rank). */
+  private def ivfPqOracleCtes(dim: Int, k: Int, maxQueryId: Long,
+                              nCentroids: Int, nProbe: Int, m: Int,
+                              ksub: Int, rerank: Int): String = {
+    val subLen = dim / m
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    def dsub(a: String, b: String): String = dotSubSql(a, b, "sub", subLen)
+    s"""
+    |cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |         FROM embeddings WHERE vec_id < $nCentroids),
+    |cw AS (
+    |  SELECT t.sub, e.vec_id AS cw_id, e.embedding AS cw_emb,
+    |    ${dotSubSql("e.embedding", "e.embedding", "t.sub", subLen)} AS cw_n2s
+    |  FROM embeddings e, range(0, $m) t(sub) WHERE e.vec_id < $ksub),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |      WHERE vec_id < $maxQueryId),
+    |lists AS (
+    |  SELECT cand_id, c_id FROM (
+    |    SELECT c.cand_id, cent.c_id,
+    |      row_number() OVER (PARTITION BY c.cand_id
+    |        ORDER BY ${cos("c.c_emb", "cent.ct_emb")} DESC, cent.c_id) AS rn
+    |    FROM c, cent) WHERE rn <= 1),
+    |codes AS (
+    |  SELECT cand_id, sub, cw_id AS code FROM (
+    |    SELECT c.cand_id, cw.sub, cw.cw_id,
+    |      row_number() OVER (PARTITION BY c.cand_id, cw.sub
+    |        ORDER BY (${dsub("c.c_emb", "c.c_emb")} + cw.cw_n2s
+    |          - 2 * ${dsub("c.c_emb", "cw.cw_emb")}) ASC, cw.cw_id) AS rn
+    |    FROM c, cw) WHERE rn = 1),
+    |probes AS (
+    |  SELECT query_id, c_id FROM (
+    |    SELECT q.query_id, cent.c_id,
+    |      row_number() OVER (PARTITION BY q.query_id
+    |        ORDER BY ${cos("q.q_emb", "cent.ct_emb")} DESC, cent.c_id) AS rn
+    |    FROM q, cent) WHERE rn <= $nProbe),
+    |lut AS (
+    |  SELECT q.query_id, cw.sub, cw.cw_id AS code,
+    |    (${dsub("q.q_emb", "q.q_emb")} + cw.cw_n2s
+    |      - 2 * ${dsub("q.q_emb", "cw.cw_emb")}) AS lut_d
+    |  FROM q, cw),
+    |adc AS (
+    |  SELECT p.query_id, i.cand_id, sum(l.lut_d) AS adc
+    |  FROM probes p
+    |    JOIN lists i USING (c_id)
+    |    JOIN codes cd ON cd.cand_id = i.cand_id
+    |    JOIN lut l ON l.query_id = p.query_id AND l.sub = cd.sub
+    |      AND l.code = cd.code
+    |  WHERE p.query_id <> i.cand_id
+    |  GROUP BY p.query_id, i.cand_id),
+    |short AS (
+    |  SELECT query_id, cand_id FROM (
+    |    SELECT query_id, cand_id,
+    |      row_number() OVER (PARTITION BY query_id
+    |        ORDER BY adc ASC, cand_id) AS rn
+    |    FROM adc) WHERE rn <= $rerank),
+    |pq_ranked AS (
+    |  SELECT s.query_id, s.cand_id, ${cos("q.q_emb", "c.c_emb")} AS cos,
+    |    CAST(row_number() OVER (PARTITION BY s.query_id
+    |      ORDER BY ${cos("q.q_emb", "c.c_emb")} DESC, s.cand_id) AS BIGINT)
+    |      AS rank
+    |  FROM short s
+    |    JOIN q ON q.query_id = s.query_id
+    |    JOIN c ON c.cand_id = s.cand_id)""".stripMargin.trim
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]] (queries = vec_id < maxQueryId). */
+  def ivfPqTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                         nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
+                         rerank: Int): String =
+    s"""
+    |WITH ${ivfPqOracleCtes(dim, k, maxQueryId, nCentroids, nProbe, m,
+        ksub, rerank)}
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM pq_ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+
+  /** Recall@k of the IVF-PQ path vs the exact brute-force ranking —
+    * the audit [[annRecall]] runs for LSH, here for the PQ index (an
+    * approximate index without a measured recall is a silent-quality
+    * bug). Same comparison shape: left join exact top-k to PQ top-k,
+    * count hits per query. */
+  def pqRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+               nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
+               dim: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val exact = cosineTopK(corpus, queries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = ivfPqTopK(corpus, queries, k, nCentroids, nProbe, m,
+        ksub, dim, rerank)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("n_hits", col("n_hits").cast("long"))
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+  }
+
+  /** DuckDB twin of [[pqRecall]]. */
+  def pqRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                        nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
+                        rerank: Int): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH ${ivfPqOracleCtes(dim, k, maxQueryId, nCentroids, nProbe, m,
+        ksub, rerank)},
+    |pq AS (SELECT query_id, cand_id FROM pq_ranked WHERE rank <= $k),
+    |ex_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM c, q WHERE query_id <> cand_id),
+    |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k)
+    |SELECT e.query_id,
+    |  CAST(count(p.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(p.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM exact e LEFT JOIN pq p
+    |  ON e.query_id = p.query_id AND e.cand_id = p.cand_id
+    |GROUP BY e.query_id
+    |ORDER BY e.query_id
+    |""".stripMargin.trim
+  }
+
   /** ANN top-k within SRP buckets; recall < 1 by construction (probe
     * multiple buckets / fewer planes for higher recall). */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftext
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -65,6 +65,32 @@ object DecimalVec {
       // the total back in range — check each step, not just the final
       // value, so the kernel never reports a value where the fold
       // reports none
+      if (acc.precision - acc.scale > 13) return null
+      i += 1
+    }
+    Decimal(acc, 25, 12)
+  }
+
+  /** Exact DECIMAL(25,12) dot restricted to elements
+    * [start, start+len) of BOTH arrays — the product-quantization
+    * subspace kernel: a PQ codeword is stored as a full-width vector
+    * aligned at its subspace offset, so one shared offset addresses
+    * both sides and no per-row array slicing ever materializes.
+    * Same exactness/null contract as [[dot]]; additionally null when
+    * the range falls outside either array (a misconfigured m would
+    * otherwise read garbage silently). */
+  def dotRange(a: ArrayData, b: ArrayData, start: Int, len: Int): Decimal = {
+    if (start < 0 || len < 0 ||
+        a.numElements() < start + len || b.numElements() < start + len)
+      return null
+    var acc = JBigDecimal.ZERO
+    var i = start
+    val end = start + len
+    while (i < end) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      if (!java.lang.Double.isFinite(p) || math.abs(p) >= 1e13) return null
+      acc = acc.add(JBigDecimal.valueOf(p).setScale(12, RoundingMode.HALF_UP))
       if (acc.precision - acc.scale > 13) return null
       i += 1
     }
@@ -138,6 +164,41 @@ case class DecimalVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen wrapper for [[DecimalVec.dotRange]] with the subspace
+  * offset supplied as a COLUMN (`sub`), so one compiled expression
+  * serves every subspace row of an exploded PQ frame: the evaluated
+  * range is [sub·subLen, (sub+1)·subLen). */
+case class DecimalVecDotSub(first: Expression, second: Expression,
+                            third: Expression, subLen: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = DecimalVec.AccType
+  override def nullable: Boolean = true
+  override def prettyName: String = "decimal_vec_dot_sub"
+
+  override protected def nullSafeEval(a: Any, b: Any, sub: Any): Any =
+    DecimalVec.dotRange(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      sub.asInstanceOf[Int] * subLen, subLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, sub) => {
+      val d = ctx.freshName("dotSub")
+      s"""
+         |org.apache.spark.sql.types.Decimal $d =
+         |  org.apache.spark.sql.graftext.DecimalVec.dotRange(
+         |    $a, $b, $sub * $subLen, $subLen);
+         |if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d; }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): DecimalVecDotSub =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Codegen wrapper for [[DecimalVec.srpBucket]]. */
 case class SrpBucketExpr(child: Expression, nPlanes: Int, planeOffset: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -174,4 +235,9 @@ object DecimalVecBridge {
   def srpBucketColumn(emb: Column, nPlanes: Int, planeOffset: Int): Column =
     ExpressionUtils.column(SrpBucketExpr(
       ExpressionUtils.expression(emb), nPlanes, planeOffset))
+
+  def dotSubColumn(a: Column, b: Column, sub: Column, subLen: Int): Column =
+    ExpressionUtils.column(DecimalVecDotSub(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(sub), subLen))
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** IVF-PQ: subspace kernel exactness, index shape, recall, and the
+  * Lloyd-training objective (trained codebooks must beat the sample
+  * init they start from). */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private val dim = 64
+
+  test("dotSub kernel equals the HOF dot over a sliced array") {
+    // the ranged kernel on full vectors must match the plain decimal
+    // dot on materialized slices, subspace by subspace
+    val m = 8; val subLen = dim / m
+    val pairs = emb.limit(10).select(col("embedding").as("a"))
+      .crossJoin(emb.limit(3).select(col("embedding").as("b")))
+    for (j <- Seq(0, 3, 7)) {
+      val rows = pairs.select(
+        Similarity.dotSub(col("a"), col("b"), lit(j), subLen).as("ranged"),
+        Similarity.dotHof(slice(col("a"), j * subLen + 1, subLen),
+          slice(col("b"), j * subLen + 1, subLen)).as("sliced")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getDecimal(0) == r.getDecimal(1),
+        s"dotSub drifted at sub $j: ${r.getDecimal(0)} vs ${r.getDecimal(1)}"))
+    }
+  }
+
+  test("subspace dots tile the full dot (sum over m subspaces)") {
+    val m = 8; val subLen = dim / m
+    val rows = emb.limit(10).select(col("embedding").as("a"))
+      .crossJoin(emb.limit(3).select(col("embedding").as("b")))
+      .select(Similarity.dot(col("a"), col("b")).as("full"),
+        (0 until m).map(j =>
+          Similarity.dotSub(col("a"), col("b"), lit(j), subLen))
+          .reduce(_ + _).as("tiled")).collect()
+    rows.foreach { r =>
+      assert(r.getDecimal(0).compareTo(r.getDecimal(1)) == 0,
+        s"subspace tiling drifted: ${r.getDecimal(0)} vs ${r.getDecimal(1)}")
+    }
+  }
+
+  test("ivfPqTopK returns k exact-ranked survivors per query") {
+    val out = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 3,
+      nCentroids = 8, nProbe = 3, m = 8, ksub = 8, dim = dim, rerank = 10)
+      .collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (q, rows) =>
+      val ranked = rows.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq == (1L to 3L))
+      assert(ranked.forall(_.getLong(1) != q), "self must be excluded")
+      val cos = ranked.map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        "re-rank must order by exact cosine")
+    }
+  }
+
+  test("full-probe IVF-PQ with rerank=corpus recovers the exact top-k") {
+    // probing every cell and re-ranking every ADC candidate removes
+    // both approximations — the PQ path must then equal brute force
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, 3)
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq = Similarity.ivfPqTopK(emb, queries, 3,
+      nCentroids = 8, nProbe = 8, m = 8, ksub = 8, dim = dim, rerank = n)
+      .select("query_id", "cand_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == exact)
+  }
+
+  test("pqRecall reports full recall for the exhaustive configuration") {
+    val n = emb.count().toInt
+    val rec = Similarity.pqRecall(emb, emb.filter(col("vec_id") < 5), 3,
+      nCentroids = 8, nProbe = 8, m = 8, ksub = 8, dim = dim, rerank = n)
+      .collect()
+    assert(rec.length == 5)
+    rec.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
+  }
+
+  test("Lloyd-trained codebooks reduce total quantization error") {
+    val m = 8; val ksub = 8; val subLen = dim / m
+    val sample = Similarity.pqSampleCodebooks(emb, m, ksub, subLen)
+    val trained = Similarity.pqTrainCodebooks(emb, m, ksub, dim, iters = 5)
+    assert(trained.count() == m.toLong * ksub)
+    val e0 = Similarity.pqQuantizationError(emb, sample, m, dim)
+    val e1 = Similarity.pqQuantizationError(emb, trained, m, dim)
+    assert(e1.compareTo(e0) < 0,
+      s"training must strictly reduce the PQ objective: $e1 !< $e0")
+    // and the trained codebooks drop into the search path unchanged
+    val out = Similarity.ivfPqTopKWith(emb, emb.filter(col("vec_id") < 3),
+      trained, 3, nCentroids = 8, nProbe = 3, m = m, dim = dim, rerank = 10)
+      .collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
+}
