@@ -1008,6 +1008,24 @@ object Queries {
           col("text"), 5).orderBy("doc_id"),
       Some(ext.Dedup.chunkScrubOracleSql(5))),
 
+    // Exact-substring verification of the span candidates: hash
+    // candidates are string-compared within their bucket, so the dup
+    // decision carries a true Lee-et-al. exact-match guarantee and
+    // polyhash collisions are counted + rejected, never scrubbed
+    ("dup_span_exact",
+      (s: SparkSession, d: String) =>
+        ext.Dedup.chunkDupExact(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5).orderBy("doc_id"),
+      Some(ext.Dedup.chunkDupExactOracleSql(5))),
+
+    // The scrub under the exact guarantee: duplicate groups keyed on
+    // the tile string itself (hash kept as a comparison prefix)
+    ("chunk_scrub_exact",
+      (s: SparkSession, d: String) =>
+        ext.Dedup.chunkScrub(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5, exact = true).orderBy("doc_id"),
+      Some(ext.Dedup.chunkScrubOracleSql(5, exact = true))),
+
     ("sessionization",
       (s: SparkSession, d: String) =>
         Sessions.sessionStats(t(s, d, "events"), "user_id", "ts", "value",

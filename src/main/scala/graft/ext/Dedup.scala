@@ -199,7 +199,7 @@ object Dedup {
     * per group is one document's worth of text (the output row
     * itself), never a corpus-scale buffer. */
   def chunkScrub(docs: DataFrame, id: Column, text: Column,
-                 k: Int): DataFrame = {
+                 k: Int, exact: Boolean = false): DataFrame = {
     require(k >= 1, "chunk size must be positive")
     val base = docs.select(id.as("doc_id"), text.as("__t"),
         words(text).as("__w"))
@@ -214,7 +214,12 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         col("col").as("__chunk"))
       .withColumn("h", Hashing.polyHash(col("__chunk")))
-    val win = Window.partitionBy("h")
+    // exact=true keys the duplicate groups on the TILE STRING (h kept
+    // in the key as a cheap comparison prefix): a polyhash collision
+    // then lands in its own group and is never scrubbed — the
+    // verified variant dup_span_exact motivates (see chunkDupExact)
+    val win = if (exact) Window.partitionBy("h", "__chunk")
+              else Window.partitionBy("h")
     val perDoc = inst
       .withColumn("__cnt", count(lit(1)).over(win))
       .withColumn("__first",
@@ -240,7 +245,8 @@ object Dedup {
   /** DuckDB oracle for [[chunkScrub]] over `documents`: same tiling,
     * hashing, and encoded-position canonical pick; kept tiles are
     * re-assembled with `list(... ORDER BY i)`. */
-  def chunkScrubOracleSql(k: Int): String =
+  def chunkScrubOracleSql(k: Int, exact: Boolean = false): String = {
+    val key = if (exact) "(h, chunk)" else "(h)"
     s"""
     |WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents),
     |base AS (SELECT doc_id, text, w, CAST(len(w) AS BIGINT) AS nw,
@@ -251,10 +257,10 @@ object Dedup {
     |  FROM (SELECT doc_id, w, unnest(range(nc)) AS i FROM base WHERE nc >= 1)),
     |hashed AS (SELECT doc_id, i, chunk,
     |                  ${Hashing.polyHashSql("chunk")} AS h FROM inst),
-    |canon AS (SELECT h, count(*) AS c,
+    |canon AS (SELECT ${if (exact) "h, chunk" else "h"}, count(*) AS c,
     |                 min(doc_id * ${ChunkPosEnc} + i) AS first_pos
-    |          FROM hashed GROUP BY h),
-    |kept AS (SELECT doc_id, i, chunk FROM hashed JOIN canon USING (h)
+    |          FROM hashed GROUP BY ${if (exact) "h, chunk" else "h"}),
+    |kept AS (SELECT doc_id, i, chunk FROM hashed JOIN canon USING $key
     |         WHERE c = 1 OR doc_id * ${ChunkPosEnc} + i = first_pos),
     |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
     |               array_to_string(list(chunk ORDER BY i), ' ') AS ks
@@ -267,6 +273,87 @@ object Dedup {
     |           list_slice(b.w, b.nc*$k + 1, b.nw), ' '), ''))
     |  END AS scrubbed
     |FROM base b LEFT JOIN per USING (doc_id) ORDER BY b.doc_id
+    |""".stripMargin.trim
+  }
+
+  /** Exact-verified duplicated-span stats — [[chunkDupStats]] plus the
+    * verification stage that turns polyhash-collision CONFIDENCE into a
+    * Lee-et-al.-style exact-match GUARANTEE: a hash candidate (tile
+    * whose 64-bit hash bucket has ≥2 members) counts as duplicated only
+    * if another tile with the SAME STRING exists; candidates whose
+    * bucket holds only distinct strings are collisions and are
+    * rejected. Output per doc: `n_words`, `n_chunks`, `cand_chunks`
+    * (hash-level), `dup_chunks` (string-verified), `collision_chunks`
+    * (= cand − dup, the tiles the unverified path would over-scrub).
+    *
+    * Scale shape: pass 1 is [[chunkDupStats]]'s single `h`-keyed
+    * window (hashes only — no strings move). Only CANDIDATE tiles
+    * enter the verify shuffle, re-keyed on (h, tile string): at
+    * realistic dup rates that's a few percent of the corpus carrying
+    * k words each, and the exact compare is group-equality inside one
+    * hash bucket — never a corpus-wide string join. Non-candidates
+    * bypass as (doc, counters) rows. */
+  def chunkDupExact(docs: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "chunk size must be positive")
+    val tiled = docs.select(id.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("__nw"),
+        floor(size(col("__w")) / k).cast("int").as("__nc"), col("__w"))
+      .filter(col("__nc") >= 1)
+      .select(col("doc_id"), col("__nw"),
+        explode(transform(sequence(lit(0), col("__nc") - 1),
+          i => array_join(slice(col("__w"), i * k + 1, lit(k)), " ")))
+          .as("__chunk"))
+      .withColumn("h", Hashing.polyHash(col("__chunk")))
+    val perTile = tiled
+      .withColumn("__cand", count(lit(1)).over(Window.partitionBy("h")))
+    val cands = perTile.filter(col("__cand") >= 2)
+      .withColumn("__ex",
+        count(lit(1)).over(Window.partitionBy("h", "__chunk")))
+      .select(col("doc_id"), col("__nw"), lit(1L).as("__is_cand"),
+        when(col("__ex") >= 2, 1L).otherwise(0L).as("__is_dup"))
+    val uniq = perTile.filter(col("__cand") === 1)
+      .select(col("doc_id"), col("__nw"), lit(0L).as("__is_cand"),
+        lit(0L).as("__is_dup"))
+    cands.unionAll(uniq)
+      .groupBy(col("doc_id"))
+      .agg(max(col("__nw")).as("n_words"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("__is_cand")).as("cand_chunks"),
+        sum(col("__is_dup")).as("dup_chunks"))
+      .withColumn("collision_chunks",
+        col("cand_chunks") - col("dup_chunks"))
+  }
+
+  /** DuckDB oracle for [[chunkDupExact]] over `documents` — the exact
+    * compare is the equality of the candidate span strings themselves
+    * (GROUP BY h, chunk). */
+  def chunkDupExactOracleSql(k: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+    |                CAST(len(w) // $k AS BIGINT) AS nc, w
+    |         FROM w WHERE len(w) >= $k),
+    |chunks AS (
+    |  SELECT doc_id, n_words,
+    |         array_to_string(list_slice(w, i*$k + 1, i*$k + $k), ' ') AS chunk
+    |  FROM (SELECT doc_id, n_words, w, unnest(range(nc)) AS i FROM base)),
+    |hashed AS (SELECT doc_id, n_words, chunk,
+    |                  ${Hashing.polyHashSql("chunk")} AS h FROM chunks),
+    |cnt AS (SELECT h, count(*) AS c FROM hashed GROUP BY h),
+    |ex AS (SELECT h, chunk, count(*) AS ce FROM hashed GROUP BY h, chunk),
+    |per AS (SELECT doc_id, max(n_words) AS n_words,
+    |          CAST(count(*) AS BIGINT) AS n_chunks,
+    |          CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    |            AS cand_chunks,
+    |          CAST(sum(CASE WHEN ce >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    |            AS dup_chunks
+    |        FROM hashed JOIN cnt USING (h) JOIN ex USING (h, chunk)
+    |        GROUP BY doc_id)
+    |SELECT doc_id, n_words, n_chunks, cand_chunks, dup_chunks,
+    |  cand_chunks - dup_chunks AS collision_chunks
+    |FROM per ORDER BY doc_id
     |""".stripMargin.trim
 
   // ---------------------------------------------------------------

@@ -295,6 +295,47 @@ class DedupSpec extends SparkSpec {
       (4L, 0L, "a b")), s"got ${got.toSeq}")
   }
 
+  test("chunkDupExact rejects an engineered polyhash collision") {
+    import spark.implicits._
+    // "Aa" and "BB" collide under the base-31 rolling hash
+    // (65·31+97 = 66·31+66 = 2112) and an identical suffix preserves
+    // the collision — so these two k=3 tiles hash equal but differ:
+    val t1 = "Aa x y"
+    val t2 = "BB x y"
+    val h = Seq(t1, t2).toDF("s")
+      .select(graft.functions.Hashing.polyHash(col("s"))).collect()
+    assert(h(0).getLong(0) == h(1).getLong(0),
+      "fixture broken: tiles no longer collide")
+    // doc 1 and 3 are true exact duplicates; doc 2 is hash-equal only
+    val planted = Seq(
+      (1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+    val got = Dedup.chunkDupExact(planted, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cand_chunks"),
+        r.getAs[Long]("dup_chunks"), r.getAs[Long]("collision_chunks")))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 0L),   // verified duplicate
+      (2L, 1L, 0L, 1L),   // hash candidate REJECTED by the string compare
+      (3L, 1L, 1L, 0L)), s"got ${got.toSeq}")
+    // the unverified stats call the collision a duplicate — the defect
+    // the verify stage exists to stop
+    val unverified = Dedup.chunkDupStats(planted, col("doc_id"),
+      col("text"), 3).orderBy("doc_id").collect()
+    assert(unverified.map(_.getAs[Long]("dup_chunks")).toSeq ==
+      Seq(1L, 1L, 1L))
+    // and the exact scrub keeps doc 2's text while the hash-keyed
+    // scrub would have dropped it
+    val exactScrub = Dedup.chunkScrub(planted, col("doc_id"), col("text"),
+      3, exact = true).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(exactScrub.toSeq == Seq(
+      (1L, 0L, t1), (2L, 0L, t2), (3L, 1L, "")),
+      s"got ${exactScrub.toSeq}")
+    val hashScrub = Dedup.chunkScrub(planted, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id").collect().map(r => r.getString(2))
+    assert(hashScrub(1) == "", "hash-keyed scrub over-scrubs the collision")
+  }
+
   test("chunkScrub agrees with chunkDupStats on the fixture") {
     val stats = Dedup.chunkDupStats(docs, col("doc_id"), col("text"), 5)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
