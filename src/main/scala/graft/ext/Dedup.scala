@@ -754,25 +754,50 @@ object Dedup {
     * exact-guarantee alternative, not the default scale path. */
   def ngramJaccardPairsPrefix(docs: DataFrame, id: Column, text: Column,
                               n: Int, thresholdNum: Int,
-                              thresholdDen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                              thresholdDen: Int): DataFrame =
+    prefixJoinVerify(docs, id, text,
+      prefixFrame(docs, id, text, n, thresholdNum, thresholdDen),
+      n, thresholdNum, thresholdDen)
+
+  /** The PPJoin prefix relation (gram, doc_id, n_grams): each doc's
+    * first |A| − ⌈t·|A|⌉ + 1 grams in canonical (df asc, gram asc)
+    * order. Materialized: the candidate join consumes it TWICE (both
+    * sides) — without the checkpoint the grams + docFreq + two-window
+    * subtree executes once per reference (measured: 12 parquet scans
+    * and 8 Window nodes in the unmaterialized plan). */
+  private def prefixFrame(docs: DataFrame, id: Column, text: Column,
+                          n: Int, thresholdNum: Int,
+                          thresholdDen: Int): DataFrame = {
     val grams = explodedGrams(docs, id, text, n)
     val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    prefixFrameFrom(grams, docFreq, thresholdNum, thresholdDen)
+  }
+
+  /** [[prefixFrame]] from precomputed gram/df frames (lets the
+    * adaptive path reuse the decision statistic's subplan). */
+  private def prefixFrameFrom(grams: DataFrame, docFreq: DataFrame,
+                              thresholdNum: Int,
+                              thresholdDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ranked = grams.join(docFreq, "gram")
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("gram").asc)))
       .withColumn("n_grams", count(lit(1)).over(
         Window.partitionBy(col("doc_id"))))
-    // materialized: the candidate join consumes the prefix TWICE (both
-    // sides) — without the checkpoint the grams + docFreq + two-window
-    // subtree executes once per reference (measured: 12 parquet scans
-    // and 8 Window nodes in the unmaterialized plan)
-    val prefix = ranked.filter(col("rank") <= col("n_grams") -
+    ranked.filter(col("rank") <= col("n_grams") -
         expr(s"(n_grams * $thresholdNum + ${thresholdDen - 1}) " +
           s"div $thresholdDen") + 1)
       .select(col("gram"), col("doc_id"), col("n_grams"))
       .localCheckpoint()
+  }
+
+  /** Prefix-collision candidates → exact verification (the second half
+    * of [[ngramJaccardPairsPrefix]], shared with the adaptive path). */
+  private def prefixJoinVerify(docs: DataFrame, id: Column, text: Column,
+                               prefix: DataFrame, n: Int,
+                               thresholdNum: Int,
+                               thresholdDen: Int): DataFrame = {
     // candidate join with the AllPairs/PPJoin LENGTH filter: J >= t
     // implies t·|A| <= |B| <= |A|/t (min >= t·max, see the prefix
     // lemma derivation), cross-multiplied to integers — prunes the
@@ -796,6 +821,142 @@ object Dedup {
     verifyExact(cand, gramSets(scoped, id, text, n),
       thresholdNum, thresholdDen)
   }
+
+  /** df-ADAPTIVE similarity join — the hybrid every production
+    * similarity-join system ships: build the PPJoin prefix, read its
+    * df distribution (ONE cheap gram-keyed agg → one driver scalar,
+    * the sanctioned watermark-read pattern), and
+    *
+    *  - if every prefix gram is rare (max prefix df² ≤ 4·|docs|, i.e.
+    *    the worst gram's df'² candidate volume stays linear in the
+    *    corpus), run the prefix candidate join — exact, and measured
+    *    ~linear on realistic vocabularies;
+    *  - otherwise the vocabulary is degenerate for prefix filtering
+    *    (no rare grams ⇒ Σ df'² blowup — the 30-word-fixture shape),
+    *    so fall back to MinHash-LSH candidates
+    *    ([[ngramJaccardViaMinhash]]), whose cost tracks band
+    *    collisions instead of gram frequency.
+    *
+    * Both branches verify candidates EXACTLY with the shared
+    * [[verifyExact]]; the branch decision is deterministic on the
+    * data, so the DuckDB oracle replays the same rule and picks the
+    * same branch — the decision is part of the checked contract, not
+    * a hidden heuristic. */
+  def ngramJaccardPairsAdaptive(docs: DataFrame, id: Column, text: Column,
+                                n: Int, thresholdNum: Int,
+                                thresholdDen: Int, k: Int,
+                                rowsPerBand: Int = 2,
+                                sampleMod: Int = 20): DataFrame = {
+    // Decision statistic: the prefix branch's real cost on a weak
+    // vocabulary is the VERIFY volume — candidate pairs each paying
+    // an exact set intersection (measured: 43k candidates for 256
+    // true pairs = 2 s of array_intersect at sf0.1, with the
+    // candidate-JOIN volume still tiny). A candidate needs a shared
+    // prefix gram, so per prefix entry g the pairs it can seed are
+    // < df(g). The estimator:
+    //   - full-corpus gram df (ONE hash agg — no window, the cheap
+    //     pass the whole decision rides on);
+    //   - prefixes of a DETERMINISTIC doc sample (doc_id % sampleMod
+    //     = 0 — no RNG, the oracle replays it) ranked by that FULL
+    //     df, so sample prefix membership equals full-run membership
+    //     (ranking by sample-local df dilutes quadratically and sees
+    //     nothing — measured);
+    //   - estVerify = sampleMod · Σ_sample-prefix-entries (df − 1),
+    //     an UPPER bound on candidate volume: overshoot can only
+    //     push toward the probabilistic branch, never break the
+    //     exact one.
+    // Prefix runs iff estVerify ≤ 4·|docs| (verify stays linear);
+    // otherwise MinHash-LSH candidates (band collisions track true
+    // similarity, not gram frequency) do the shortlisting.
+    import org.apache.spark.sql.expressions.Window
+    val grams = explodedGrams(docs, id, text, n)
+    val gdf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val sPrefix = grams.filter(col("doc_id") % sampleMod === 0)
+      .join(gdf, "gram")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("gram").asc)))
+      .withColumn("n_grams", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"))))
+      .filter(col("rank") <= col("n_grams") -
+        expr(s"(n_grams * $thresholdNum + ${thresholdDen - 1}) " +
+          s"div $thresholdDen") + 1)
+    val estRow = sPrefix.agg(sum(col("df") - 1).as("est")).collect()(0)
+    val estVerify =
+      (if (estRow.isNullAt(0)) 0L else estRow.getLong(0)) * sampleMod
+    val nDocs = docs.count()
+    if (estVerify <= 4L * nDocs)
+      prefixJoinVerify(docs, id, text,
+        prefixFrameFrom(grams, gdf, thresholdNum, thresholdDen),
+        n, thresholdNum, thresholdDen)
+    else
+      ngramJaccardViaMinhash(docs, id, text, n, thresholdNum, thresholdDen,
+        k, rowsPerBand)
+  }
+
+  /** Full DuckDB oracle for [[ngramJaccardPairsAdaptive]]: both branch
+    * chains plus the same df decision, selected by mutually exclusive
+    * constant predicates — the oracle replays the plan choice, not
+    * just a result. */
+  def ngramJaccardAdaptiveOracleSql(n: Int, thresholdNum: Int,
+                                    thresholdDen: Int, k: Int,
+                                    rowsPerBand: Int = 2,
+                                    sampleMod: Int = 20): String =
+    s"""
+    |WITH ${minhashCtes(n, k, rowsPerBand)},
+    |counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    |gdf AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+    |sranked AS (
+    |  SELECT g.doc_id, g.gram, gdf.df,
+    |    row_number() OVER (PARTITION BY g.doc_id
+    |      ORDER BY gdf.df ASC, g.gram ASC) AS rnk,
+    |    count(*) OVER (PARTITION BY g.doc_id) AS n_grams
+    |  FROM grams g JOIN gdf USING (gram)
+    |  WHERE g.doc_id % $sampleMod = 0),
+    |sprefix AS (
+    |  SELECT doc_id, gram, df FROM sranked
+    |  WHERE rnk <= n_grams
+    |    - ((n_grams * $thresholdNum + ${thresholdDen - 1}) // $thresholdDen)
+    |    + 1),
+    |dec AS (
+    |  SELECT COALESCE(sum(df - 1), 0) * $sampleMod AS est_verify,
+    |         (SELECT count(*) FROM documents) AS n_full
+    |  FROM sprefix),
+    |ex_inter AS (
+    |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2),
+    |ex_res AS (
+    |  SELECT d1, d2, inter, c1.n_grams AS n1, c2.n_grams AS n2
+    |  FROM ex_inter
+    |  JOIN counts c1 ON c1.doc_id = d1
+    |  JOIN counts c2 ON c2.doc_id = d2
+    |  WHERE inter * $thresholdDen >=
+    |    (c1.n_grams + c2.n_grams - inter) * $thresholdNum),
+    |l_cand AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |l_inter AS (
+    |  SELECT c.d1, c.d2, count(*) AS inter
+    |  FROM l_cand c
+    |  JOIN grams a ON a.doc_id = c.d1
+    |  JOIN grams b ON b.doc_id = c.d2 AND b.gram = a.gram
+    |  GROUP BY 1, 2),
+    |l_res AS (
+    |  SELECT i.d1, i.d2, i.inter, c1.n_grams AS n1, c2.n_grams AS n2
+    |  FROM l_inter i
+    |  JOIN counts c1 ON c1.doc_id = i.d1
+    |  JOIN counts c2 ON c2.doc_id = i.d2
+    |  WHERE i.inter * $thresholdDen >=
+    |    (c1.n_grams + c2.n_grams - i.inter) * $thresholdNum)
+    |SELECT d1, d2, inter, n1, n2 FROM ex_res
+    |WHERE (SELECT est_verify <= 4 * n_full FROM dec)
+    |UNION ALL
+    |SELECT d1, d2, inter, n1, n2 FROM l_res
+    |WHERE (SELECT est_verify > 4 * n_full FROM dec)
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
 
   /** The at-scale n-gram Jaccard composition: MinHash-LSH candidate
     * generation ([[minhashCandidates]] — banded equi-join, cost tracks
