@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Executable cluster configuration — SURVEY §7.6's partitioning
+  * prose as CHECKED DATA. Two halves:
+  *
+  *  1. [[base]]: the session conf every harness builds from
+  *     (Bench/BenchOne/Verify call [[applyBase]] — one source of
+  *     truth, so a harness can't drift from the posture the plans
+  *     were tuned under). On a real cluster the same map is the
+  *     `--conf` set; cores becomes executor parallelism (shuffle
+  *     partitions ~2–3× total cores there, = cores on local[N]
+  *     where there is no straggler variance to amortize).
+  *
+  *  2. [[contracts]]: per-query physical-plan expectations, grouped
+  *     by family, EXECUTED by PlanSpec against the live plans. A
+  *     config drift that would silently flip a broadcast dim join
+  *     into a 60M-row shuffle fails the suite instead (PlanSpec's
+  *     drift test demonstrates exactly that flip with
+  *     autoBroadcastJoinThreshold=-1).
+  */
+object GraftConf {
+
+  /** AQE on (coalesce + skew split — SCALE.md §8 measured when the
+    * runtime skew split beats explicit salting); 10 MiB broadcast
+    * threshold (every warehouse dimension at any SF fits far under
+    * it; no fact table ever does, so the threshold — not luck —
+    * decides the join strategies the contracts pin). */
+  def base(cores: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> cores.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (10L * 1024 * 1024).toString)
+
+  /** Fold [[base]] into a session builder. */
+  def applyBase(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    base(cores).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** What a query's PHYSICAL plan must look like for the engine to
+    * hold at 100 TB — each field is a concrete assertion PlanSpec
+    * executes against the compiled plan string.
+    *
+    *  - `minBroadcastJoins`: at least this many broadcast joins (the
+    *    dim sides of the star schema / the bounded query side of a
+    *    scan);
+    *  - `forbidSortMerge`: no join may fall back to sort-merge (a
+    *    dim that stops broadcasting shuffles the fact — the silent
+    *    60M-row regression this file exists to catch);
+    *  - `requireExplicitSpread`: the plan keeps a REPARTITION_BY_NUM
+    *    (AQE-coalesce-exempt) spread — pair-expansion paths
+    *    serialize onto one task without it;
+    *  - `maxHashShuffles`: at most this many hash-partition
+    *    exchanges (projection families must have zero);
+    *  - `forbidJoin`: stateless projection families may not join.
+    */
+  final case class PlanContract(
+      family: String,
+      minBroadcastJoins: Int = 0,
+      forbidSortMerge: Boolean = false,
+      requireExplicitSpread: Boolean = false,
+      maxHashShuffles: Option[Int] = None,
+      forbidJoin: Boolean = false)
+
+  /** The pinned hot paths. Warehouse stars broadcast every dim;
+    * pair-expansion paths keep their explicit spread; text scoring
+    * families stay pure projections. (Queries with bespoke shapes —
+    * skew_join's salted shuffle-hash join, seq_pack's sharded
+    * window — keep their dedicated PlanSpec tests.) */
+  val contracts: Map[String, PlanContract] = Map(
+    "fact_build" -> PlanContract("warehouse",
+      minBroadcastJoins = 3, forbidSortMerge = true),
+    "fact_delta" -> PlanContract("warehouse",
+      minBroadcastJoins = 1, forbidSortMerge = true),
+    "asof_join" -> PlanContract("warehouse",
+      minBroadcastJoins = 1, forbidSortMerge = true),
+    "delta_extract" -> PlanContract("warehouse", forbidSortMerge = true),
+    "mart_current" -> PlanContract("warehouse", forbidSortMerge = true),
+    "overlap_check" -> PlanContract("pairs", requireExplicitSpread = true),
+    "sample_split" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "stratified_sample" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "pii_mask" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "lang_id" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "quality_score" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "token_count" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "feature_hash" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "embedding_quantize" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)))
+}

@@ -254,4 +254,94 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"rank serialized through one partition:\n$p")
   }
+
+  // ----- GraftConf.contracts: the executable cluster-conf pins -----
+
+  private def assertContract(name: String, c: GraftConf.PlanContract,
+                             p: String): Unit = {
+    val broadcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size
+    assert(broadcasts >= c.minBroadcastJoins,
+      s"[${c.family}] $name: expected >=${c.minBroadcastJoins} broadcast " +
+        s"joins, got $broadcasts:\n$p")
+    if (c.forbidSortMerge)
+      assert(!p.contains("SortMergeJoin"),
+        s"[${c.family}] $name: a join fell back to sort-merge:\n$p")
+    if (c.requireExplicitSpread)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"[${c.family}] $name: explicit-N spread lost:\n$p")
+    c.maxHashShuffles.foreach { m =>
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= m,
+        s"[${c.family}] $name: $n hash shuffles, contract allows $m:\n$p")
+    }
+    if (c.forbidJoin)
+      assert(!p.contains("Join"), s"[${c.family}] $name: unexpected join:\n$p")
+  }
+
+  test("every GraftConf plan contract holds under the base conf") {
+    GraftConf.contracts.foreach { case (name, c) =>
+      assertContract(name, c, plan(name))
+    }
+  }
+
+  test("skew_join keeps the salted shuffle-hash shape (never broadcast theater)") {
+    val p = plan("skew_join")
+    // the salt is only load-bearing on a shuffled join: the hint must
+    // hold, the join key must carry the salt columns, and the build
+    // side must show its explode replication
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join lost its shuffle-hash hint:\n$p")
+    assert("ShuffledHashJoin \\[[^\\]]*__salt".r.findFirstIn(p).isDefined,
+      s"join key lost the salt column:\n$p")
+    // the sequence literal constant-folds, so the replication prints
+    // as a Generate over a folded array
+    assert(p.contains("Generate explode("),
+      s"build-side replication missing:\n$p")
+  }
+
+  test("a skewed shuffle join is AQE-skew-split eligible under the base conf") {
+    // GraftConf.base turns skewJoin on; this pins that the setting
+    // actually ENGAGES on a skewed sort-merge join (the runtime
+    // remedy SCALE.md §8 prescribes over salting for combinable
+    // paths): the AQE final plan must mark the join skew=true
+    val s2 = spark.newSession()
+    GraftConf.base(4).foreach { case (k, v) => s2.conf.set(k, v) }
+    // thresholds scaled down so the fixture-sized skew qualifies
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "32KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    // half the probe rows share one key; the build side is unique-
+    // keyed (a hot×hot join would explode combinatorially, and real
+    // fact->dim skew is probe-side anyway)
+    val left = s2.range(0, 200000)
+      .select(when(col("id") < 100000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = s2.range(0, 50000).select(col("id").as("k"),
+      col("id").as("w"))
+    val j = left.join(right, "k")
+    j.collect() // AQE decides post-shuffle: run THIS plan to finality
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE skew split did not engage on a 50%-hot-key join:\n$p")
+  }
+
+  test("conf drift detection: threshold=-1 flips fact_build to sort-merge") {
+    // the drift the contracts exist to catch, demonstrated: kill the
+    // broadcast threshold and the warehouse star silently becomes a
+    // fact-sized shuffle join — assertContract must then FAIL
+    val s2 = spark.newSession()
+    GraftConf.base(4).foreach { case (k, v) => s2.conf.set(k, v) }
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = SparkEntry.queries("fact_build")(s2, sf)
+      .queryExecution.executedPlan.toString
+    val failed = scala.util.Try(
+      assertContract("fact_build", GraftConf.contracts("fact_build"), p))
+    assert(failed.isFailure,
+      s"contract did not catch the broadcast->sort-merge drift:\n$p")
+  }
 }
