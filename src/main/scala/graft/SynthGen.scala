@@ -210,9 +210,14 @@ object SynthGen {
       "events" -> events(spark, m(100000), m(1500)),
       "region" -> region(spark),
       "nation" -> nation(spark))
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[synthgen] wrote $name")
+    // optional 4th arg: comma-separated table subset (decade probes
+    // of one query family need not pay for a 5M-doc text corpus)
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Set.empty
+    tables.filter(t => only.isEmpty || only(t._1)).foreach {
+      case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[synthgen] wrote $name")
     }
     spark.stop()
   }

@@ -31,8 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Per-stage surviving row count, in execution order. */
-  final case class StageCount(stage: String, rows: Long)
+  /** Per-stage surviving row count, in execution order. `secs` is the
+    * wall time of that stage's count ACTION — i.e. the cost of
+    * materializing the pipeline up to and including the stage (counts
+    * re-execute upstream lineage, so deltas between successive rows
+    * approximate per-stage cost only while no stage is cached). */
+  final case class StageCount(stage: String, rows: Long, secs: Double = 0.0)
 
   /** Run the full preparation over a `documents`-shaped frame
     * (doc_id, text, lang, source). Returns the prepared corpus
@@ -53,7 +57,11 @@ object CorpusPipeline {
               countStages: Boolean = true): (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
     def stage(name: String, df: DataFrame): DataFrame = {
-      if (countStages) counts += StageCount(name, df.count())
+      if (countStages) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        counts += StageCount(name, n, (System.nanoTime() - t0) / 1e9)
+      }
       df
     }
 

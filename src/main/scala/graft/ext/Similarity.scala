@@ -302,12 +302,15 @@ object Similarity {
     * a driver-collected codebook shipped as ONE typed literal (nCells
     * × dim floats — the same driver-scale object as the k-means
     * centroid set). No n×nCells row expansion: the crossJoin+window
-    * assignment ([[assignToCentroids]]) is right for a handful of IVF
+    * assignment formulation (retired in round 7 — every IVF/k-means
+    * path now routes through here) is right for a handful of IVF
     * probe centroids, but at near-dup cell counts it materializes
     * n·nCells embedding-wide rows through a window sort — a 200k ×
     * 2048 assignment spilled /tmp to death before this path replaced
-    * it with one shuffle-free projection. Ranking reproduces
-    * [[assignToCentroids]] exactly: float scores for every cell, a
+    * it with one shuffle-free projection; the round-7 decade probe
+    * then caught the same bend at plain IVF/k-means widths (16
+    * centroids, 600k vectors: exp 1.63). Ranking reproduces the
+    * window formulation exactly: float scores for every cell, a
     * 1e-3 guard band around the nProbe-th, exact-decimal cosine with
     * c_id tie-break on the survivors (float structs carry only
     * (score, cid) — centroid vectors are re-fetched for the few
@@ -440,8 +443,8 @@ object Similarity {
   /** DuckDB oracle for [[cellNearDupPairs]] over `embeddings`. The
     * SQL side pays a pair-level DISTINCT where the Spark side uses
     * the smallest-shared-cell predicate — same pair set. Assignment
-    * ranking matches [[assignToCentroids]]' exact ordering (cosine
-    * DESC, c_id ASC), the parity [[ivfCosineTopKOracleSql]]
+    * ranking matches the exact ordering every assignment path uses
+    * (cosine DESC, c_id ASC), the parity [[ivfCosineTopKOracleSql]]
     * established. */
   def cellNearDupOracleSql(dim: Int, nCells: Int, minCosine: Double,
                            nProbe: Int = 2): String = {
@@ -809,70 +812,29 @@ object Similarity {
     * oracle-reproducible, while this one is). Assignment ranks by the
     * same exact-decimal cosine as scoring, centroid id as tiebreak, so
     * both engines assign identically. */
-  /** Attach the carried decimal and float self-dots to a
-    * (c_id, ct_emb) centroid frame. */
-  private def withCentroidNorms(cent: DataFrame): DataFrame = {
-    import graft.functions.VecMath
-    cent.withColumn("ct_n2", dot(col("ct_emb"), col("ct_emb")))
-      .withColumn("ct_f2", VecMath.dotF(col("ct_emb"), col("ct_emb")))
-  }
-
-  /** Deterministic coarse-quantizer table: the first `nCentroids`
-    * corpus vectors by id, with carried decimal and float self-dots. */
-  private def centroidTable(corpus: DataFrame, nCentroids: Int): DataFrame =
-    withCentroidNorms(corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ct_emb")))
-
-  // Two-phase assignment (same pattern as nearDupPairs): rank the
-  // nCentroids candidates by the codegen'd FLOAT cosine first, keep
-  // everything within a 1e-3 guard band of the nBest-th float score,
-  // and run the exact-decimal cosine — the number the oracle ranks
-  // by — only on those survivors (normally nBest + near-ties, not
-  // nCentroids). The band dominates the float error (~1e-6 at these
-  // dims), so any centroid outside it is strictly below nBest
-  // exact-ranked centroids and the exact top-nBest always survives;
-  // exact ranking among survivors then equals exact ranking over
-  // all centroids. Cuts per-vector decimal dots from nCentroids to
-  // ~nBest — the bulk of the index build at corpus scale.
-  private def assignToCentroids(df: DataFrame, cent: DataFrame,
-                                idCol: String, embCol: String,
-                                nBest: Int): DataFrame = {
-    import graft.functions.VecMath
-    val wf = Window.partitionBy(col(idCol))
-      .orderBy(col("__f_cos").desc, col("c_id").asc)
-    val wp = Window.partitionBy(col(idCol))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__c_cos").desc, col("c_id").asc)
-    df.withColumn("__n2", dot(col(embCol), col(embCol)))
-      .withColumn("__f2", VecMath.dotF(col(embCol), col(embCol)))
-      .crossJoin(broadcast(cent))
-      .withColumn("__f_cos", VecMath.dotF(col(embCol), col("ct_emb")) /
-        (sqrt(col("__f2")) * sqrt(col("ct_f2"))))
-      .withColumn("__frn", row_number().over(wf))
-      .withColumn("__f_cut",
-        max(when(col("__frn") === nBest, col("__f_cos"))).over(wp))
-      .filter(col("__f_cut").isNull ||
-        col("__f_cos") >= col("__f_cut") - lit(1e-3))
-      .withColumn("__c_cos", cosine(
-        dot(col(embCol), col("ct_emb")), col("__n2"), col("ct_n2")))
-      .withColumn("__crn", row_number().over(w))
-      .filter(col("__crn") <= nBest)
-      .drop("ct_emb", "ct_n2", "ct_f2", "__f2", "__f_cos", "__frn",
-        "__f_cut", "__c_cos", "__crn")
-  }
+  /** Corpus/query → probed-cell assignment via the compiled
+    * [[org.apache.spark.sql.graftext.NearestCellsShortlist]] kernel +
+    * exact-decimal re-rank (shared with the cell near-dup paths and
+    * [[kmeansUpdate]]) — one codegen pass per row, no crossJoin, no
+    * window. The crossJoin-and-window formulation this replaced bent
+    * superlinear at the round-7 decade probe (n·k wide rows through a
+    * per-vector window sort); exploded output shape (id, emb, n2,
+    * c_id) is identical, so the oracles are untouched. */
+  private def assignedCells(df: DataFrame, cb: Seq[(Long, Seq[Float], Double)],
+                            idCol: String, embCol: String,
+                            nBest: Int): DataFrame =
+    assignWithCodebook(df, idCol, embCol, cb, nBest)
+      .select(col("vid").as(idCol), col("e").as(embCol),
+        col("n2").as("__n2"), explode(col("cells")).as("c_id"))
 
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     nCentroids: Int, nProbe: Int): DataFrame = {
-    val cent = centroidTable(corpus, nCentroids)
-    def assigned(df: DataFrame, idCol: String, embCol: String,
-                 nBest: Int): DataFrame =
-      assignToCentroids(df, cent, idCol, embCol, nBest)
-
-    val lists = assigned(Dedup.spread(corpus.select(
+    val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
+    val lists = assignedCells(Dedup.spread(corpus.select(
       col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-      col("cand_id")), "cand_id", "c_emb", 1)
-    val probes = assigned(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")), "query_id", "q_emb", nProbe)
+      col("cand_id")), cb, "cand_id", "c_emb", 1)
+    val probes = assignedCells(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), cb, "query_id", "q_emb", nProbe)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
@@ -1021,16 +983,16 @@ object Similarity {
     val subLen = dim / m
     require(m * subLen == dim, s"m=$m must divide dim=$dim")
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val cent = centroidTable(corpus, nCentroids)
+    val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
     val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb")), col("cand_id"))
-    val lists = assignToCentroids(c, cent, "cand_id", "c_emb", 1)
+    val lists = assignedCells(c, cb, "cand_id", "c_emb", 1)
       .select(col("cand_id"), col("c_id"))
     val codes = pqEncode(c, cw, "cand_id", "c_emb", m, subLen)
     val index = lists.join(codes, Seq("cand_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val probes = assignToCentroids(q, cent, "query_id", "q_emb", nProbe)
+    val probes = assignedCells(q, cb, "query_id", "q_emb", nProbe)
       .select(col("query_id"), col("c_id"))
     val lut = q.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("__n2s", dotSub(col("q_emb"), col("q_emb"), col("sub"), subLen))
@@ -1564,10 +1526,23 @@ object Similarity {
       .groupBy(col(key), col("pos"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("__q")).as("sum_q_e9"))
 
-  def kmeansUpdate(corpus: DataFrame, nCentroids: Int): DataFrame =
-    fixedPointCellSums(assignToCentroids(
-      corpus.select(col("vec_id"), col("embedding")),
-      centroidTable(corpus, nCentroids), "vec_id", "embedding", 1), "c_id")
+  /** ASSIGN via the compiled [[org.apache.spark.sql.graftext.NearestCellsShortlist]]
+    * kernel + exact-decimal re-rank of the survivor band — the same
+    * two-phase semantics as the crossJoin-and-window formulation it
+    * replaced, but one codegen pass per row with NO join and NO
+    * window: the round-7 decade probe measured the window form
+    * bending superlinear (5.2 s at 200k vectors → 31 s at 600k,
+    * exp 1.63 — n·k wide rows through a per-vector window sort spill)
+    * while this form stays a streaming projection at any n. */
+  def kmeansUpdate(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    fixedPointCellSums(
+      assignWithCodebook(c, "vec_id", "embedding",
+        collectCodebook(c, "vec_id", "embedding", nCentroids), 1)
+        .select(col("vid").as("vec_id"), col("e").as("embedding"),
+          element_at(col("cells"), 1).as("c_id")),
+      "c_id")
+  }
 
   /** Full k-means (spherical-flavored: cosine assignment, mean
     * update): `iters` Lloyd rounds driven by a driver-side loop over
@@ -1596,12 +1571,19 @@ object Similarity {
       .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     var members = Map.empty[Long, Long]
     for (_ <- 1 to iters) {
-      val centDf = withCentroidNorms(
-        cent.toDF("c_id", "ct_emb").withColumn("ct_emb",
-          col("ct_emb").cast("array<float>")))
+      // centroids are already driver-side state: feed them straight
+      // into the compiled-shortlist assignment (see kmeansUpdate) —
+      // no per-iteration crossJoin/window plan
+      val cb = cent.map { case (cid, v) =>
+        var n2 = 0.0
+        v.foreach(x => n2 += x.toDouble * x.toDouble)
+        (cid, v, math.sqrt(n2))
+      }
       val cells = fixedPointCellSums(
-        assignToCentroids(vecs, centDf, "vec_id", "embedding", 1), "c_id")
-        .collect()
+        assignWithCodebook(vecs, "vec_id", "embedding", cb, 1)
+          .select(col("vid").as("vec_id"), col("e").as("embedding"),
+            element_at(col("cells"), 1).as("c_id")),
+        "c_id").collect()
       val byC = cells.groupBy(_.getLong(0))
       members = byC.view.mapValues(_.head.getAs[Long]("n_vecs")).toMap
       cent = cent.map { case (cId, old) =>

@@ -50,11 +50,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"split assignment must not join:\n$p")
   }
 
-  test("ann_ivf broadcasts the centroid table on both assignment sides") {
+  test("ann_ivf assigns cells with the compiled shortlist, not a crossJoin") {
     val p = plan("ann_ivf")
-    val broadcasts = "BroadcastNestedLoopJoin|BroadcastHashJoin".r
-      .findAllIn(p).size
-    assert(broadcasts >= 2, s"centroid assignment not broadcast:\n$p")
+    // both assignment sides run the NearestCellsShortlist kernel as a
+    // projection; the retired crossJoin+window formulation must not
+    // reappear (it bent superlinear at the round-7 decade probe)
+    val kernels = "nearest_cells_shortlist".r.findAllIn(p).size
+    assert(kernels >= 2, s"compiled cell assignment missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"crossJoin assignment reappeared:\n$p")
   }
 
   test("overlap_check spreads the pair expansion to an explicit partition count") {
@@ -169,13 +173,17 @@ class PlanSpec extends SparkSpec {
       s"shard-base join fell back to sort-merge:\n$p")
   }
 
-  test("kmeans_update broadcasts the centroid table") {
+  test("kmeans_update assigns with the compiled shortlist, join-free") {
     val p = plan("kmeans_update")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin"),
-      s"centroid table must broadcast to the corpus scan:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"assignment fell back to a shuffled join:\n$p")
+    // the ASSIGN step is one NearestCellsShortlist projection per row
+    // (codebook inside the expression); the retired crossJoin+window
+    // form bent superlinear at the round-7 decade probe
+    assert(p.contains("nearest_cells_shortlist"),
+      s"compiled cell assignment missing:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    // the UPDATE stays a map-side-combinable keyed agg
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"partial+final agg pair expected:\n$p")
   }
 
   test("zorder_key and frame_sample are shuffle-free projections") {
