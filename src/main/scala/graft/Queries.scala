@@ -850,6 +850,25 @@ object Queries {
       Some(Similarity.ivfPqTopKOracleSql(64, 5, 10, nCentroids = 16,
         nProbe = 4, m = 8, ksub = 16, rerank = 20))),
 
+    // Incremental PQ ingest: a new batch (vec_id >= 400) searched
+    // against the persisted index corpus (vec_id < 400; the split sits
+    // inside every SF's vector count, so the batch is non-empty at the
+    // correctness SF too) — codebooks,
+    // coarse centroids, cells and codes all derive from the index
+    // side only, so this is the ANN twin of dedup_incremental /
+    // embedding_neardup_incremental: the batch pays its own encode +
+    // nProbe probes, never a corpus re-index
+    ("ann_pq_incremental",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 400),
+          emb.filter(col("vec_id") >= 400), 5,
+          nCentroids = 16, nProbe = 4, m = 8, ksub = 16, dim = 64,
+          rerank = 20).orderBy("query_id", "rank")
+      },
+      Some(Similarity.ivfPqIncrementalOracleSql(64, 5, 400L,
+        nCentroids = 16, nProbe = 4, m = 8, ksub = 16, rerank = 20))),
+
     // PQ quality audit: recall@k of the IVF-PQ path vs exact brute
     // force — the ann_recall twin for the PQ index
     ("ann_pq_recall",

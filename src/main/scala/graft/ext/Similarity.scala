@@ -1081,11 +1081,14 @@ object Similarity {
       .collect()(0).getDecimal(0)
   }
 
-  /** CTE chain shared by the IVF-PQ oracle and its recall audit —
-    * mirrors [[ivfPqTopKWith]] stage for stage over `embeddings`
-    * (queries = vec_id < maxQueryId; sample codebooks). Ends at
+  /** CTE chain shared by the IVF-PQ oracles (full and incremental) —
+    * mirrors [[ivfPqTopKWith]] stage for stage over `embeddings` with
+    * caller-supplied corpus/query predicates (sample codebooks; the
+    * centroid/codeword cuts use absolute vec_id bounds, so they must
+    * fall inside the corpus predicate). Ends at
     * `pq_ranked`(query_id, cand_id, cos, rank). */
-  private def ivfPqOracleCtes(dim: Int, k: Int, maxQueryId: Long,
+  private def ivfPqOracleCtes(dim: Int, k: Int, corpusPred: String,
+                              queryPred: String,
                               nCentroids: Int, nProbe: Int, m: Int,
                               ksub: Int, rerank: Int): String = {
     val subLen = dim / m
@@ -1101,9 +1104,10 @@ object Similarity {
     |  SELECT t.sub, e.vec_id AS cw_id, e.embedding AS cw_emb,
     |    ${dotSubSql("e.embedding", "e.embedding", "t.sub", subLen)} AS cw_n2s
     |  FROM embeddings e, range(0, $m) t(sub) WHERE e.vec_id < $ksub),
-    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+    |      WHERE $corpusPred),
     |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-    |      WHERE vec_id < $maxQueryId),
+    |      WHERE $queryPred),
     |lists AS (
     |  SELECT cand_id, c_id FROM (
     |    SELECT c.cand_id, cent.c_id,
@@ -1158,12 +1162,30 @@ object Similarity {
                          nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
                          rerank: Int): String =
     s"""
-    |WITH ${ivfPqOracleCtes(dim, k, maxQueryId, nCentroids, nProbe, m,
-        ksub, rerank)}
+    |WITH ${ivfPqOracleCtes(dim, k, "TRUE", s"vec_id < $maxQueryId",
+        nCentroids, nProbe, m, ksub, rerank)}
     |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
     |FROM pq_ranked WHERE rank <= $k
     |ORDER BY query_id, rank
     |""".stripMargin.trim
+
+  /** DuckDB oracle for the INCREMENTAL IVF-PQ ingest: index corpus =
+    * vec_id < splitAt, batch queries = vec_id >= splitAt (codebooks
+    * and coarse centroids derive from the index corpus only —
+    * nCentroids and ksub must be <= splitAt). */
+  def ivfPqIncrementalOracleSql(dim: Int, k: Int, splitAt: Long,
+                                nCentroids: Int, nProbe: Int, m: Int,
+                                ksub: Int, rerank: Int): String = {
+    require(nCentroids <= splitAt && ksub <= splitAt,
+      "codebooks must come from the index corpus")
+    s"""
+    |WITH ${ivfPqOracleCtes(dim, k, s"vec_id < $splitAt",
+        s"vec_id >= $splitAt", nCentroids, nProbe, m, ksub, rerank)}
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM pq_ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+  }
 
   /** Recall@k of the IVF-PQ path vs the exact brute-force ranking —
     * the audit [[annRecall]] runs for LSH, here for the PQ index (an
@@ -1196,8 +1218,8 @@ object Similarity {
         s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
         s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
     s"""
-    |WITH ${ivfPqOracleCtes(dim, k, maxQueryId, nCentroids, nProbe, m,
-        ksub, rerank)},
+    |WITH ${ivfPqOracleCtes(dim, k, "TRUE", s"vec_id < $maxQueryId",
+        nCentroids, nProbe, m, ksub, rerank)},
     |pq AS (SELECT query_id, cand_id FROM pq_ranked WHERE rank <= $k),
     |ex_ranked AS (
     |  SELECT query_id, cand_id,

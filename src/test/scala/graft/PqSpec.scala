@@ -83,6 +83,18 @@ class PqSpec extends SparkSpec {
     rec.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
   }
 
+  test("incremental PQ ingest: batch probes the index, never itself") {
+    val index = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val out = Similarity.ivfPqTopK(index, batch, 3,
+      nCentroids = 8, nProbe = 3, m = 8, ksub = 8, dim = dim, rerank = 10)
+      .collect()
+    assert(out.nonEmpty)
+    // every query is a batch vector; every candidate an index vector
+    assert(out.forall(_.getLong(0) >= 300), "index ids leaked as queries")
+    assert(out.forall(_.getLong(1) < 300), "batch ids leaked as candidates")
+  }
+
   test("Lloyd-trained codebooks reduce total quantization error") {
     val m = 8; val ksub = 8; val subLen = dim / m
     val sample = Similarity.pqSampleCodebooks(emb, m, ksub, subLen)
