@@ -756,19 +756,19 @@ object Queries {
           col("text"), 3, 8, 2).orderBy("d1", "d2"),
       Some(Dedup.minhashEstimateAuditOracleSql(3, 8, 2))),
 
-    // High-threshold path: PPJoin-style prefix filtering. Lossless
-    // (prefix lemma), so the oracle is the plain exact all-pairs SQL —
-    // a result mismatch means the prefix filter dropped a true pair.
-    // df-adaptive hybrid: prefix join when the prefix df distribution
-    // says rare grams exist; MinHash-LSH candidates otherwise (the
-    // fixture's 30-word vocabulary takes the LSH branch; a realistic
-    // vocabulary takes the linear prefix branch — SCALE.md §15)
+    // df-adaptive hybrid: prefix join when the sampled prefix stats
+    // say verify volume stays linear; MinHash-LSH candidates
+    // otherwise — the branch decision is itself replayed by the
+    // oracle (SCALE.md §15)
     ("ngram_jaccard_adaptive",
       (s: SparkSession, d: String) =>
         Dedup.ngramJaccardPairsAdaptive(t(s, d, "documents"), col("doc_id"),
           col("text"), 3, 4, 5, 8, 2, 20).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardAdaptiveOracleSql(3, 4, 5, 8, 2, 20))),
 
+    // High-threshold path: PPJoin-style prefix filtering. Lossless
+    // (prefix lemma), so the oracle is the plain exact all-pairs SQL —
+    // a result mismatch means the prefix filter dropped a true pair.
     ("ngram_jaccard_prefix",
       (s: SparkSession, d: String) =>
         Dedup.ngramJaccardPairsPrefix(t(s, d, "documents"), col("doc_id"),

@@ -306,8 +306,12 @@ object Dedup {
           i => array_join(slice(col("__w"), i * k + 1, lit(k)), " ")))
           .as("__chunk"))
       .withColumn("h", Hashing.polyHash(col("__chunk")))
+    // materialized: the cands/uniq branches below both consume the
+    // h-keyed count window — without the checkpoint the corpus-wide
+    // window (and the tile/hash projection under it) executes twice
     val perTile = tiled
       .withColumn("__cand", count(lit(1)).over(Window.partitionBy("h")))
+      .localCheckpoint()
     val cands = perTile.filter(col("__cand") >= 2)
       .withColumn("__ex",
         count(lit(1)).over(Window.partitionBy("h", "__chunk")))
@@ -869,8 +873,13 @@ object Dedup {
     // otherwise MinHash-LSH candidates (band collisions track true
     // similarity, not gram frequency) do the shortlisting.
     import org.apache.spark.sql.expressions.Window
-    val grams = explodedGrams(docs, id, text, n)
+    // materialized: the decision collect AND the chosen branch both
+    // consume these (lineage reuse is not execution reuse — without
+    // the checkpoints the prefix branch re-runs the gram scan + df
+    // agg from scratch)
+    val grams = explodedGrams(docs, id, text, n).localCheckpoint()
     val gdf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     val sPrefix = grams.filter(col("doc_id") % sampleMod === 0)
       .join(gdf, "gram")
       .withColumn("rank", row_number().over(

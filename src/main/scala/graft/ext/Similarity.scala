@@ -360,6 +360,11 @@ object Similarity {
                                  emb: String,
                                  cb: Seq[(Long, Seq[Float], Double)],
                                  nProbe: Int): DataFrame = {
+    // loud beats silent-empty: an empty codebook means the centroid
+    // cut (vec_id < nCentroids) missed the corpus entirely — every
+    // downstream assignment would be vacuously empty
+    require(cb.nonEmpty,
+      "empty codebook: no corpus vectors under the centroid id cut")
     import graft.functions.VecMath
     // array<struct<_1: bigint cid, _2: array<float>, _3: double ‖c‖>>
     val cents = typedLit(cb)
@@ -949,13 +954,23 @@ object Similarity {
     * output is the m-code index payload (m bytes/vector at ksub ≤
     * 256, the 32× compression vs float32 that makes PQ the 100 TB
     * play). */
+  // a NULL subspace distance (dotRange's overflow/NaN poison rule)
+  // must LOSE the argmin on both engines: DuckDB's ORDER BY ranks
+  // NULLs last, but Spark's struct-min would rank a null field FIRST
+  // — the sentinel (max DECIMAL(25,12)) makes the orderings agree,
+  // including the all-null case (every codeword ties, cw_id decides
+  // on both sides)
+  private val PqNullDist =
+    lit(new java.math.BigDecimal("9999999999999.999999999999"))
+
   private def pqEncode(df: DataFrame, cw: DataFrame, idCol: String,
                        embCol: String, m: Int, subLen: Int): DataFrame =
     df.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("__n2s", dotSub(col(embCol), col(embCol), col("sub"), subLen))
       .join(broadcast(cw), Seq("sub"))
-      .withColumn("__d", col("__n2s") + col("cw_n2s") -
-        lit(2) * dotSub(col(embCol), col("cw_emb"), col("sub"), subLen))
+      .withColumn("__d", coalesce(col("__n2s") + col("cw_n2s") -
+        lit(2) * dotSub(col(embCol), col("cw_emb"), col("sub"), subLen),
+        PqNullDist))
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("__d"), col("cw_id"))).as("__m"))
       .select(col(idCol), col("sub"), col("__m.cw_id").as("code"))
@@ -1036,30 +1051,69 @@ object Similarity {
       pqSampleCodebooks(corpus, m, ksub, dim / m),
       k, nCentroids, nProbe, m, dim, rerank)
 
-  /** Lloyd-trained PQ codebooks: per subspace, [[kmeans]] over the
-    * subvector projections (m driver-looped small runs — the per-
-    * subspace state is ksub·subLen cells, the corpus streams once per
-    * round per subspace). Centroids are re-embedded full-width at
-    * their subspace offset so the result drops into [[ivfPqTopKWith]]
-    * unchanged. Training is iterative and hence not oracle-SQL-
-    * expressible; PqSpec pins that trained codebooks strictly reduce
-    * total quantization error vs the sample init on the fixture. */
+  /** Lloyd-trained PQ codebooks, descending THE SAME L2 objective
+    * [[pqEncode]]/[[pqQuantizationError]] score (assignment = the
+    * shared exact-decimal subspace-L2 argmin; update = per-(subspace,
+    * codeword, position) mean in fixed-point nano units — the
+    * [[labelCentroids]] exactness scheme). Classic Lloyd guarantees
+    * the objective never increases round over round — the property
+    * PqSpec pins (a cosine-assignment trainer would not: it can
+    * RAISE the L2 objective on unnormalized subvectors). All m
+    * subspaces train in ONE distributed pass per round (the exploded
+    * cell relation is n·dim rows with map-side combine; driver state
+    * is m·ksub·subLen cells ≈ the codebook itself). Codewords stay
+    * full-width at their subspace offset so the result drops into
+    * [[ivfPqTopKWith]] unchanged; empty codewords keep their previous
+    * value. Training is iterative and hence not oracle-SQL-
+    * expressible; the green surface uses [[pqSampleCodebooks]]. */
   def pqTrainCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
                        iters: Int): DataFrame = {
     val subLen = dim / m
     require(m * subLen == dim, s"m=$m must divide dim=$dim")
-    (0 until m).map { j =>
-      kmeans(corpus.select(col("vec_id"),
-          slice(col("embedding"), j * subLen + 1, subLen).as("embedding")),
-        ksub, iters)
-        .select(lit(j).as("sub"), col("c_id").as("cw_id"),
-          concat(
-            array_repeat(lit(0.0f), j * subLen),
-            col("centroid").cast("array<float>"),
-            array_repeat(lit(0.0f), dim - (j + 1) * subLen)).as("cw_emb"))
-    }.reduce(_ unionAll _)
-      .withColumn("cw_n2s",
-        dotSub(col("cw_emb"), col("cw_emb"), col("sub"), subLen))
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val spark = corpus.sparkSession
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb")).localCheckpoint()
+    // init = the sample codebooks' subvectors, as driver state
+    var books: Map[(Int, Long), Array[Float]] =
+      c.filter(col("cand_id") < ksub).collect().flatMap { r =>
+        val v = r.getSeq[Float](1)
+        (0 until m).map(j => (j, r.getLong(0)) ->
+          v.slice(j * subLen, (j + 1) * subLen).toArray)
+      }.toMap
+    def booksDf: DataFrame = {
+      import spark.implicits._
+      books.toSeq.sortBy(_._1).map { case ((sub, cwId), sv) =>
+        val full = new Array[Float](dim)
+        System.arraycopy(sv, 0, full, sub * subLen, subLen)
+        (sub, cwId, full.toSeq)
+      }.toDF("sub", "cw_id", "cw_emb")
+        .withColumn("cw_emb", col("cw_emb").cast("array<float>"))
+        .withColumn("cw_n2s",
+          dotSub(col("cw_emb"), col("cw_emb"), col("sub"), subLen))
+    }
+    for (_ <- 1 to iters) {
+      val cells = pqEncode(c, booksDf, "cand_id", "c_emb", m, subLen)
+        .join(c, Seq("cand_id"))
+        .select(col("sub"), col("code"), posexplode(
+          slice(col("c_emb"), col("sub") * subLen + 1, lit(subLen))))
+        .select(col("sub"), col("code"), col("pos"),
+          round(col("col").cast("double") * lit(1e9)).cast("long").as("q"))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .collect()
+      val updated = cells.groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          val sv = books(key).clone()
+          rows.foreach { r =>
+            sv(r.getInt(2)) =
+              (r.getLong(4).toDouble / 1e9 / r.getLong(3)).toFloat
+          }
+          key -> sv
+        }
+      books = books ++ updated
+    }
+    booksDf
   }
 
   /** Total PQ quantization error (sum over rows and subspaces of the
