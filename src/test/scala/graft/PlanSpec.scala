@@ -288,8 +288,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("every GraftConf plan contract holds under the base conf") {
+    // the contracts pin plans under the conf the harnesses RUN with —
+    // apply GraftConf.base explicitly (the suite's default session
+    // would only test Spark defaults, passing vacuously if base drifts)
+    val s2 = spark.newSession()
+    GraftConf.base(4).foreach { case (k, v) => s2.conf.set(k, v) }
     GraftConf.contracts.foreach { case (name, c) =>
-      assertContract(name, c, plan(name))
+      assertContract(name, c, SparkEntry.queries(name)(s2, sf)
+        .queryExecution.executedPlan.toString)
     }
   }
 
