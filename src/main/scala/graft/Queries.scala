@@ -1037,6 +1037,22 @@ object Queries {
           col("text"), 5).orderBy("doc_id"),
       Some(ext.Dedup.chunkScrubOracleSql(5))),
 
+    // Full Gopher quality-rule set (Rae et al. 2021 §A1.1): per-rule
+    // 0/1 flags + conjunctive keep, auditable per source
+    ("gopher_rules",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.gopherRules(t(s, d, "documents"), col("doc_id"),
+          col("text")).orderBy("doc_id"),
+      Some(TextAnalysis.gopherRulesOracleSql)),
+
+    // Maximal duplicated spans: consecutive duplicated tiles merged
+    // into (start, length) runs via island detection
+    ("dup_span_merge",
+      (s: SparkSession, d: String) =>
+        ext.Dedup.dupSpanMerge(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5).orderBy("doc_id", "span_start_word"),
+      Some(ext.Dedup.dupSpanMergeOracleSql(5))),
+
     // Exact-substring verification of the span candidates: hash
     // candidates are string-compared within their bucket, so the dup
     // decision carries a true Lee-et-al. exact-match guarantee and

@@ -360,6 +360,79 @@ object Dedup {
     |FROM per ORDER BY doc_id
     |""".stripMargin.trim
 
+  /** Maximal duplicated SPANS — the [[chunkDupStats]] tile verdicts
+    * merged into runs: consecutive duplicated tiles within a document
+    * collapse to one (start, length) span row, the unit a scrub
+    * report or a Lee-et-al.-style span audit actually wants (a
+    * 500-word duplicated block is one span, not 100 tile rows).
+    *
+    * Island detection: among a doc's duplicated tiles ordered by tile
+    * index, `index − row_number()` is constant exactly within a
+    * consecutive run — one window over the per-doc partition, then a
+    * groupBy per (doc, island). Output per span: `span_start_word`
+    * (0-based word offset), `span_tiles`, `span_words` (= tiles·k,
+    * the detected extent; the true duplicated span may extend up to
+    * k−1 words into the neighbouring tiles on each side — see
+    * [[chunkDupStats]]'s boundary-granularity note).
+    *
+    * Scale shape: the corpus-wide pass is [[chunkDupStats]]'s single
+    * `h`-partitioned count window (hashes only); the island window
+    * partitions by doc_id over ONLY the duplicated tiles — at
+    * realistic dup rates a few percent of tile rows, and per-doc
+    * partitions are bounded by doc length, so no skew beyond the
+    * longest document. */
+  def dupSpanMerge(docs: DataFrame, id: Column, text: Column,
+                   k: Int): DataFrame = {
+    require(k >= 1, "chunk size must be positive")
+    val tiled = docs.select(id.as("doc_id"), words(text).as("__w"))
+      .select(col("doc_id"),
+        floor(size(col("__w")) / k).cast("int").as("__nc"), col("__w"))
+      .filter(col("__nc") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => array_join(slice(col("__w"), i * k + 1, lit(k)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("__i"),
+        Hashing.polyHash(col("col")).as("h"))
+    val dup = tiled
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__cnt") >= 2)
+    val ord = Window.partitionBy("doc_id").orderBy("__i")
+    dup
+      .withColumn("__island",
+        col("__i") - row_number().over(ord).cast("long"))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("__i")).as("__start_tile"),
+        count(lit(1)).as("span_tiles"))
+      .select(col("doc_id"),
+        (col("__start_tile") * k).as("span_start_word"),
+        col("span_tiles"),
+        (col("span_tiles") * k).as("span_words"))
+  }
+
+  /** DuckDB twin of [[dupSpanMerge]] over `documents`. */
+  def dupSpanMergeOracleSql(k: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |base AS (SELECT doc_id, CAST(len(w) // $k AS BIGINT) AS nc, w
+    |         FROM w WHERE len(w) >= $k),
+    |chunks AS (
+    |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+    |         array_to_string(list_slice(w, i*$k + 1, i*$k + $k), ' ') AS chunk
+    |  FROM (SELECT doc_id, w, unnest(range(nc)) AS i FROM base)),
+    |hashed AS (SELECT doc_id, i,
+    |                  ${Hashing.polyHashSql("chunk")} AS h FROM chunks),
+    |cnt AS (SELECT h, count(*) AS c FROM hashed GROUP BY h),
+    |dup AS (SELECT doc_id, i FROM hashed JOIN cnt USING (h) WHERE c >= 2),
+    |isl AS (SELECT doc_id, i,
+    |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+    |        FROM dup)
+    |SELECT doc_id, CAST(min(i) * $k AS BIGINT) AS span_start_word,
+    |  CAST(count(*) AS BIGINT) AS span_tiles,
+    |  CAST(count(*) * $k AS BIGINT) AS span_words
+    |FROM isl GROUP BY doc_id, island
+    |ORDER BY doc_id, span_start_word
+    |""".stripMargin.trim
+
   // ---------------------------------------------------------------
   // MinHash + LSH (SURVEY §7.6; banding per Leskovec/Rajaraman/Ullman
   // "Mining of Massive Datasets" ch.3)

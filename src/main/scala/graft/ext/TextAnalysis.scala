@@ -429,4 +429,110 @@ object TextAnalysis {
     |  (count(DISTINCT tok) * 1000000) // count(*) AS ttr_ppm
     |FROM toks GROUP BY g ORDER BY g
     |""".stripMargin.trim
+
+  // ===============================================================
+  // Gopher quality rules (Rae et al. 2021, §A1.1)
+  // ===============================================================
+
+  /** The Gopher "required words" — a document must contain at least
+    * [[GopherMinStopHits]] DISTINCT members to pass the stop-word
+    * rule (Rae et al. 2021 §A1.1 list, verbatim). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /** Full Gopher quality-filter rule set (Rae et al. 2021 §A1.1) as
+    * per-rule 0/1 flags plus the conjunctive `keep` decision — the
+    * standard pre-training corpus filter, emitted as an AUDITABLE
+    * table (per-rule flags, not just the verdict) so a pipeline can
+    * report which rule rejected how much of each source.
+    *
+    *   - `flag_n_words`: 50 ≤ word count ≤ 100,000
+    *   - `flag_word_len`: mean word length in [3, 10] characters
+    *   - `flag_alpha`: ≥ 80% of words contain ≥ 1 ASCII alphabetic
+    *     character (rejects CJK/no-script documents in Gopher's
+    *     English-only setting; the fixture's zh docs carry Latin
+    *     vocabulary, so the word-count rule is what splits them)
+    *   - `flag_symbol`: ≤ 10% of words contain '#' or '...'
+    *   - `flag_stop`: ≥ 2 distinct words from [[GopherStops]]
+    *     (fixture vocabulary contains only "the" from the list, so
+    *     this flag is 0 for most fixture docs — the per-rule columns
+    *     keep the output discriminative regardless)
+    *
+    * The repetition rules of §A1.1 are the separately-declared
+    * `repetition_score` query ([[repetitionFeatures]]); the line-level
+    * bullet/ellipsis rules are vacuous on single-line documents and
+    * are folded into `flag_symbol`'s ellipsis test.
+    *
+    * Pure column expressions — a projection, no shuffle, linear at
+    * any scale. Ratio comparisons are single exact-long→double
+    * divisions (identical IEEE ops both engines). */
+  def gopherRules(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = col("__w")
+    val nWords = size(w).cast("long")
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__w", split(col("__text"), " "))
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        (length(col("__text")) - (nWords - 1)).cast("double") /
+          nWords.cast("double"))
+      .withColumn("alpha_frac",
+        size(filter(w, t => t.rlike("[a-zA-Z]"))).cast("double") /
+          nWords.cast("double"))
+      .withColumn("flag_n_words",
+        flag(col("n_words") >= 50L && col("n_words") <= 100000L))
+      .withColumn("flag_word_len",
+        flag(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0))
+      .withColumn("flag_alpha", flag(col("alpha_frac") >= 0.8))
+      .withColumn("flag_symbol", flag(
+        size(filter(w, t => t.contains("#") || t.contains("...")))
+          .cast("double") / nWords.cast("double") <= 0.1))
+      .withColumn("flag_stop", flag(
+        size(array_intersect(array_distinct(w),
+          array(GopherStops.map(lit): _*))) >= GopherMinStopHits))
+      .withColumn("keep",
+        col("flag_n_words") * col("flag_word_len") * col("flag_alpha") *
+          col("flag_symbol") * col("flag_stop"))
+      .drop("__w", "__text")
+  }
+
+  /** DuckDB twin of [[gopherRules]] over `documents`. */
+  def gopherRulesOracleSql: String = {
+    val stops = GopherStops.map(x => s"'$x'").mkString(", ")
+    s"""
+    |WITH b AS (
+    |  SELECT doc_id, text, str_split(text, ' ') AS w,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+    |  FROM documents),
+    |f AS (
+    |  SELECT doc_id, n_words,
+    |    CAST(length(text) - (n_words - 1) AS DOUBLE)
+    |      / CAST(n_words AS DOUBLE) AS mean_word_len,
+    |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+    |      / CAST(n_words AS DOUBLE) AS alpha_frac,
+    |    CAST(len(list_filter(w,
+    |        t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+    |      / CAST(n_words AS DOUBLE) AS symbol_frac,
+    |    len(list_intersect(list_distinct(w), [$stops])) AS stop_hits
+    |  FROM b)
+    |SELECT doc_id, n_words, mean_word_len, alpha_frac,
+    |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+    |       THEN 1 ELSE 0 END AS BIGINT) AS flag_n_words,
+    |  CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    |       THEN 1 ELSE 0 END AS BIGINT) AS flag_word_len,
+    |  CAST(CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS BIGINT)
+    |    AS flag_alpha,
+    |  CAST(CASE WHEN symbol_frac <= 0.1 THEN 1 ELSE 0 END AS BIGINT)
+    |    AS flag_symbol,
+    |  CAST(CASE WHEN stop_hits >= $GopherMinStopHits THEN 1 ELSE 0 END
+    |       AS BIGINT) AS flag_stop,
+    |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+    |         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    |         AND alpha_frac >= 0.8 AND symbol_frac <= 0.1
+    |         AND stop_hits >= $GopherMinStopHits
+    |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+    |FROM f ORDER BY doc_id
+    |""".stripMargin.trim
+  }
 }

@@ -260,6 +260,38 @@ class DedupSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("dupSpanMerge: consecutive dup tiles merge, gaps split spans") {
+    import spark.implicits._
+    // k=3: docs 1/2 share tiles [a b c][d e f] (consecutive → ONE
+    // 2-tile span each); doc 3 repeats [p q r] at tile 0 and 2 with a
+    // unique tile between → TWO 1-tile spans
+    val planted = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "a b c d e f q r s"),
+      (3L, "p q r s t u p q r")).toDF("doc_id", "text")
+    val got = Dedup.dupSpanMerge(planted, col("doc_id"), col("text"), 3)
+      .orderBy("doc_id", "span_start_word").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      // doc, span_start_word, span_tiles, span_words
+      (1L, 0L, 2L, 6L),
+      (2L, 0L, 2L, 6L),
+      (3L, 0L, 1L, 3L),
+      (3L, 6L, 1L, 3L)), s"got ${got.toSeq}")
+  }
+
+  test("dupSpanMerge: span tiles reconcile with chunkDupStats dup counts") {
+    val spans = Dedup.dupSpanMerge(docs, col("doc_id"), col("text"), 5)
+      .groupBy("doc_id").agg(sum("span_tiles").as("merged_tiles"))
+    val stats = Dedup.chunkDupStats(docs, col("doc_id"), col("text"), 5)
+      .select(col("doc_id"), col("dup_chunks"))
+    // every doc with dup tiles has spans covering exactly those tiles
+    val bad = stats.join(spans, Seq("doc_id"), "left")
+      .filter(coalesce(col("merged_tiles"), lit(0L)) =!= col("dup_chunks"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("chunkDupStats: fixture docs are fully tiled and ratios bounded") {
     val stats = Dedup.chunkDupStats(docs, col("doc_id"), col("text"), 5)
     val rows = stats.collect()

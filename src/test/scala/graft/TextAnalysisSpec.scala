@@ -73,6 +73,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ek.exceptAll(ea).isEmpty && ea.exceptAll(ek).isEmpty)
   }
 
+  test("gopherRules: each rule rejects its planted violator") {
+    import spark.implicits._
+    val good = (Seq("the", "of") ++
+      Seq.fill(16)(Seq("alpha", "beta", "gamma")).flatten).mkString(" ")
+    val planted = Seq(
+      (1L, good),                                   // 50 words, all rules pass
+      (2L, "the of alpha beta gamma"),              // < 50 words
+      (3L, ("的 是 了 " * 20).trim + " the of " +
+        Seq.fill(15)("alpha beta gamma").mkString(" ")), // CJK → alpha < 0.8
+      (4L, (Seq("the", "of") ++ Seq.fill(48)("###")).mkString(" ")), // symbols
+      (5L, Seq.fill(50)("alpha").mkString(" ")))    // no stop words
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(planted, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("flag_n_words"),
+        r.getAs[Long]("flag_alpha"), r.getAs[Long]("flag_symbol"),
+        r.getAs[Long]("flag_stop"), r.getAs[Long]("keep")))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 1L, 1L),
+      (2L, 0L, 1L, 1L, 1L, 0L),
+      (3L, 1L, 0L, 1L, 1L, 0L),
+      (4L, 1L, 0L, 0L, 1L, 0L),   // '###' words are also non-alpha
+      (5L, 1L, 1L, 1L, 0L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("gopherRules: keep is the conjunction of the flags, fixture-wide") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val g = TextAnalysis.gopherRules(docs, col("doc_id"), col("text"))
+    val bad = g.filter(col("keep") =!=
+        col("flag_n_words") * col("flag_word_len") * col("flag_alpha") *
+        col("flag_symbol") * col("flag_stop")).count()
+    assert(bad == 0)
+    assert(g.count() == docs.count())
+    // the output is genuinely discriminative on the fixture: the
+    // word-count rule splits it (docs are ~20-100 words around the
+    // 50-word bound; the fixture's zh docs carry Latin vocabulary, so
+    // flag_alpha does NOT discriminate here — see gopherRules scaladoc)
+    val nw = g.agg(sum("flag_n_words").as("s")).collect()(0).getLong(0)
+    assert(nw > 0 && nw < g.count(), s"flag_n_words should split: $nw")
+  }
+
   test("featureHash: vector mass equals token count, dim fixed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fh = TextAnalysis.featureHash(docs, col("doc_id"), col("text"))
