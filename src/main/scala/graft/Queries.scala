@@ -835,6 +835,27 @@ object Queries {
       Some(Similarity.ivfCosineTopKOracleSql(64, 5, 10, 16, 4))),
 
     // Scale-path ANN #3: IVF-PQ — coarse cells prune the corpus, ADC
+    // 1-bit sign-quantized scan (the 32x bandwidth rung below int8
+    // and PQ): xor+popcount Hamming shortlist over packed sign bits,
+    // exact decimal-dot re-rank of the shortlist via join-back
+    ("ann_binary_topk",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 10), 5, 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(Similarity.binaryTopKOracleSql(64, 5, 10))),
+
+    // recall@k of the 1-bit pipeline vs the exact scan — what the
+    // 32x saving costs in neighbours kept
+    ("ann_binary_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.binaryRecall(emb, emb.filter(col("vec_id") < 10), 5, 64)
+          .orderBy("query_id")
+      },
+      Some(Similarity.binaryRecallOracleSql(64, 5, 10))),
+
     // lookup-table scoring over m-byte PQ codes inside the probed
     // cells (scan cost decoupled from float bandwidth), exact re-rank
     // of the survivor handful (which is what makes the final top-k

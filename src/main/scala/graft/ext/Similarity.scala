@@ -1455,6 +1455,225 @@ object Similarity {
     |""".stripMargin.trim
   }
 
+  // ---------------------------------------------------------------
+  // Binary (1-bit sign) quantization — the last rung of the
+  // bandwidth ladder: float32 → int8 (quantizedTopK) → PQ codes
+  // (ivfPqTopK) → 1 bit/dim (here, 32× smaller than float32)
+  // ---------------------------------------------------------------
+
+  /** Sign-bit signature: bit `i` of the packed array is set iff
+    * `vec[i] >= 0`, packed 32 bits per int64 word (32, not 64, so no
+    * value ever touches the sign bit — both engines then agree on
+    * plain integer arithmetic with no unsigned-overflow cases).
+    * ceil(dim/32) words; compile-time-unrolled bit masks, pure
+    * codegen arithmetic. */
+  def signPack(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val nWords = (dim + 31) / 32
+    array((0 until nWords).map { w =>
+      (0 until 32).map { j =>
+        val i = w * 32 + j
+        if (i < dim)
+          when(element_at(vec, i + 1).cast("double") >= 0.0, lit(1L << j))
+            .otherwise(lit(0L))
+        else lit(0L)
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign signatures:
+    * Σ popcount(xor) per word — integer-only, engine-exact. */
+  def hammingPacked(a: Column, b: Column, nWords: Int): Column =
+    (0 until nWords).map { w =>
+      bit_count(element_at(a, w + 1).bitwiseXOR(element_at(b, w + 1)))
+    }.reduce(_ + _).cast("long")
+
+  /** Brute-force top-k over 1-BIT sign-quantized vectors with exact
+    * re-rank — the asymmetric two-stage scan every binary-embedding
+    * system runs (e.g. SRP sketches / RaBitQ-style sign codes):
+    *
+    *   1. SHORTLIST: Hamming distance over packed sign bits (xor +
+    *      popcount — 2 int64 words per 64-dim vector, a 32× smaller
+    *      scan than float32), top-`shortlist` per query by
+    *      (hamming asc, cand_id).
+    *   2. RE-RANK: the shortlist JOINS BACK to the float corpus and
+    *      exact decimal-dot cosine ranks the survivors.
+    *
+    * The join-back is the scale-relevant shape: stage 1's per-pair
+    * rows carry (query_id, cand_id, hamming) — 24 bytes — through
+    * the top-k window, never the float vectors; only |Q|·shortlist
+    * rows ever rejoin the float table. Ranking is engine-exact:
+    * Hamming is integer, the re-rank dot is the exact decimal
+    * kernel, ties break by cand_id.
+    *
+    * The declared result is the COMPOSED pipeline (both stages in
+    * the oracle too), so correctness holds even where the 1-bit
+    * shortlist misses a true neighbour — that gap is what
+    * [[binaryRecall]] measures. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 dim: Int, shortlist: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val nWords = (dim + 31) / 32
+    val q = queries.select(col("vec_id").as("query_id"),
+      signPack(col("embedding"), dim).as("q_s"))
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
+      signPack(col("embedding"), dim).as("c_s")), col("cand_id"))
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    val short = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        hammingPacked(col("q_s"), col("c_s"), nWords).as("hamming"))
+      .withColumn("__srank", row_number().over(shortW))
+      .filter(col("__srank") <= sl)
+      .drop("__srank")
+    // join-back for the exact stage: queries re-broadcast, corpus
+    // side is an equi join keyed on cand_id over |Q|·shortlist rows
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+      .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
+    val cv = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    short.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos", cosine(
+        dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** DuckDB sign-pack twin of [[signPack]]. */
+  def signPackSql(emb: String, dim: Int): String = {
+    val nWords = (dim + 31) / 32
+    s"list_transform(range($nWords), w -> CAST(list_sum(" +
+      s"list_transform(range(32), j -> CASE WHEN w*32 + j < $dim AND " +
+      s"CAST($emb[w*32 + j + 1] AS DOUBLE) >= 0 " +
+      s"THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT))"
+  }
+
+  /** Full DuckDB oracle for [[binaryTopK]] over `embeddings`. */
+  def binaryTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                          shortlist: Int = 0): String = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val nWords = (dim + 31) / 32
+    val ham = (0 until nWords).map { w =>
+      s"bit_count(xor(q_s[${w + 1}], c_s[${w + 1}]))"
+    }.mkString(" + ")
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH sig AS (
+    |  SELECT vec_id, embedding, ${signPackSql("embedding", dim)} AS s
+    |  FROM embeddings),
+    |q AS (SELECT vec_id AS query_id, s AS q_s FROM sig
+    |      WHERE vec_id < $maxQueryId),
+    |c AS (SELECT vec_id AS cand_id, s AS c_s FROM sig),
+    |ham AS (
+    |  SELECT query_id, cand_id, CAST($ham AS BIGINT) AS hamming
+    |  FROM c, q WHERE query_id <> cand_id),
+    |short AS (
+    |  SELECT query_id, cand_id, hamming FROM (
+    |    SELECT query_id, cand_id, hamming,
+    |      row_number() OVER (PARTITION BY query_id
+    |        ORDER BY hamming, cand_id) AS srank
+    |    FROM ham) WHERE srank <= $sl),
+    |ranked AS (
+    |  SELECT s.query_id, s.cand_id, s.hamming,
+    |    ${cos("qe.embedding", "ce.embedding")} AS cos,
+    |    row_number() OVER (PARTITION BY s.query_id
+    |      ORDER BY ${cos("qe.embedding", "ce.embedding")} DESC,
+    |        s.cand_id) AS rank
+    |  FROM short s
+    |  JOIN embeddings qe ON qe.vec_id = s.query_id
+    |  JOIN embeddings ce ON ce.vec_id = s.cand_id)
+    |SELECT query_id, cand_id, hamming, round(cos, 6) AS cos,
+    |  CAST(rank AS BIGINT) AS rank
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+  }
+
+  /** Recall@k of the 1-bit shortlist+re-rank pipeline against the
+    * exact scan — the [[annRecall]] audit for [[binaryTopK]]. The
+    * number that prices the 32× bandwidth saving: how many true
+    * neighbours the sign sketch's shortlist keeps. */
+  def binaryRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                   dim: Int, shortlist: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val exact = cosineTopK(corpus, queries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = binaryTopK(corpus, queries, k, dim, shortlist)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("n_hits", col("n_hits").cast("long"))
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+  }
+
+  /** DuckDB twin of [[binaryRecall]]. */
+  def binaryRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                            shortlist: Int = 0): String = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val nWords = (dim + 31) / 32
+    val ham = (0 until nWords).map { w =>
+      s"bit_count(xor(q_s[${w + 1}], c_s[${w + 1}]))"
+    }.mkString(" + ")
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH q0 AS (SELECT vec_id AS query_id, embedding AS q_emb
+    |            FROM embeddings WHERE vec_id < $maxQueryId),
+    |c0 AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |ex_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM c0, q0 WHERE query_id <> cand_id),
+    |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k),
+    |sig AS (
+    |  SELECT vec_id, embedding, ${signPackSql("embedding", dim)} AS s
+    |  FROM embeddings),
+    |q AS (SELECT vec_id AS query_id, s AS q_s FROM sig
+    |      WHERE vec_id < $maxQueryId),
+    |c AS (SELECT vec_id AS cand_id, s AS c_s FROM sig),
+    |short AS (
+    |  SELECT query_id, cand_id FROM (
+    |    SELECT query_id, cand_id,
+    |      row_number() OVER (PARTITION BY query_id
+    |        ORDER BY CAST($ham AS BIGINT), cand_id) AS srank
+    |    FROM c, q WHERE query_id <> cand_id) WHERE srank <= $sl),
+    |bin AS (
+    |  SELECT query_id, cand_id FROM (
+    |    SELECT s.query_id, s.cand_id,
+    |      row_number() OVER (PARTITION BY s.query_id
+    |        ORDER BY ${cos("qe.embedding", "ce.embedding")} DESC,
+    |          s.cand_id) AS rank
+    |    FROM short s
+    |    JOIN embeddings qe ON qe.vec_id = s.query_id
+    |    JOIN embeddings ce ON ce.vec_id = s.cand_id)
+    |  WHERE rank <= $k)
+    |SELECT e.query_id,
+    |  CAST(count(b.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(b.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM exact e LEFT JOIN bin b
+    |  ON e.query_id = b.query_id AND e.cand_id = b.cand_id
+    |GROUP BY e.query_id
+    |ORDER BY e.query_id
+    |""".stripMargin.trim
+  }
+
   /** Per-label centroid components — the k-means/Lloyd UPDATE step
     * (and the class-prototype builder for prototype classifiers):
     * posexplode each vector into (label, pos, value) and sum per

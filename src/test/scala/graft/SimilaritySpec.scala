@@ -435,6 +435,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("signPack: hand-computed bits, 32 per word, sign-bit never used") {
+    import spark.implicits._
+    // dim=3: [+,-,+] -> bits 0 and 2 -> word0 = 5; dim=33 exercises
+    // the word boundary: bit 32 lands in word 1 bit 0
+    val v3 = Seq(Tuple1(Seq(1.0f, -2.0f, 0.0f))).toDF("embedding")
+    val got3 = v3.select(Similarity.signPack(col("embedding"), 3))
+      .collect()(0).getSeq[Long](0)
+    assert(got3 == Seq(5L), s"got $got3")   // 0.0 counts as >= 0
+    val v33 = Seq(Tuple1(Seq.fill(32)(-1.0f) :+ 1.0f)).toDF("embedding")
+    val got33 = v33.select(Similarity.signPack(col("embedding"), 33))
+      .collect()(0).getSeq[Long](0)
+    assert(got33 == Seq(0L, 1L), s"got $got33")
+    // fixture-wide: every word below 2^32 (sign bit untouched)
+    val bad = emb.select(Similarity.signPack(col("embedding"), 64).as("s"))
+      .filter(exists(col("s"), w => w < 0L || w >= (1L << 32))).count()
+    assert(bad == 0)
+  }
+
+  test("binaryTopK with a full-corpus shortlist equals the exact scan") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val full = Similarity.binaryTopK(emb, queries, 5, 64, shortlist = n)
+      .select("query_id", "cand_id", "rank")
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "cand_id", "rank")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+  }
+
+  test("binaryRecall is bounded and the sign sketch beats chance") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val rec = Similarity.binaryRecall(emb, queries, 5, 64).collect()
+    assert(rec.length == 10)
+    rec.foreach { r =>
+      val v = r.getAs[Double]("recall_at_k")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    // mean recall across queries must clear random-shortlist odds
+    // (20 of ~500 candidates ≈ 4% by chance)
+    val mean = rec.map(_.getAs[Double]("recall_at_k")).sum / rec.length
+    assert(mean > 0.2, s"sign sketch no better than chance: $mean")
+  }
+
   test("labelCentroids matches a driver-side fixed-point recomputation") {
     val cells = Similarity.labelCentroids(emb, col("label"),
       col("embedding")).collect()
