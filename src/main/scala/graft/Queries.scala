@@ -1547,6 +1547,24 @@ object Queries {
           col("source"), n = 10).orderBy("g", "rank_in_stratum"),
       Some(ext.Corpus.fixedNSampleOracleSql("source", n = 10))),
 
+    // Quality-classifier training step: the exact integer first LR
+    // gradient at w=0 (label = en target), per feature — the
+    // oracle-checked face of the Classifier.lrTrain loop
+    ("quality_lr_step",
+      (s: SparkSession, d: String) =>
+        ext.Classifier.lrStep0(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("lang") === "en").orderBy("feature"),
+      Some(ext.Classifier.lrStep0OracleSql())),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // LLR weights vs the en-language target, top quarter per source
+    ("dsir_weights",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.dsirWeights(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("lang") === "en", col("source"))
+          .orderBy("doc_id"),
+      Some(ext.Corpus.dsirWeightsOracleSql())),
+
     // Lexical diversity per source: type/token counts + exact-ppm TTR
     ("ttr_stats",
       (s: SparkSession, d: String) =>

@@ -1,0 +1,187 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier training (extension surface,
+  * SURVEY §7.6): the fasttext-style linear filter every production
+  * corpus pipeline trains — "given a small trusted target set, score
+  * every document" (GPT-3/LLaMA-style quality classification) — as
+  * logistic regression over cheap per-document count features, run
+  * entirely as Spark aggregates (one pass per iteration, no MLlib
+  * dependency, no driver-side data).
+  *
+  * Two surfaces, following the k-means precedent
+  * ([[Similarity.kmeansUpdate]] / [[Similarity.kmeans]]):
+  *
+  *   - [[lrStep0]] — the declared, ORACLE-CHECKED query: the exact
+  *     first gradient at w=0. There σ(w·x) = 1/2 exactly, so the
+  *     doubled gradient 2·∇_j = Σ_d (1 − 2y_d)·x_dj is pure int64
+  *     arithmetic — engine-exact with zero float folds.
+  *   - [[lrTrain]] — the driver-loop trainer: per-iteration
+  *     gradients are per-doc doubles (sigmoid needs exp) quantized
+  *     to fixed-point e9 BEFORE the sum, so the aggregation is
+  *     order-independent exact int64 (the
+  *     [[Similarity.kmeansUpdate]] determinism recipe) and a re-run
+  *     reproduces the identical weight trajectory. Driver traffic is
+  *     one (nFeatures+1)-long vector per iteration.
+  *
+  * Features are COUNTS (bias, words, chars, stopword hits, distinct
+  * tokens) so the declared step needs no float anywhere; the trainer
+  * normalizes them to O(1) ratios internally for conditioning.
+  */
+object Classifier {
+
+  /** Feature names, index-aligned with the x-columns of [[lrStep0]]
+    * and [[lrTrain]]. */
+  val FeatureNames: Seq[String] =
+    Seq("bias", "n_words", "n_chars", "n_stop", "n_distinct")
+
+  /** The exact first LR gradient (w = 0) for label `y`: one row per
+    * feature with `g2_fp = Σ_d (1 − 2·y_d)·x_dj` (twice the gradient
+    * of mean log-loss times n — the sign/ratio structure is what a
+    * training-loop consumer needs; halving and 1/n-scaling are
+    * literal constants). Features are integer counts, so the whole
+    * step is int64-exact. A single hash aggregate over a projection:
+    * one pass, no shuffle beyond the nFeatures-row reduce. The
+    * tokenization is pinned behind the `__w` alias boundary —
+    * computed once per row, not once per feature (the
+    * [[graft.ext.Dedup.wordGramsFrom]] inlining trap). */
+  def lrStep0(docs: DataFrame, id: Column, text: Column,
+              label: Column): DataFrame = {
+    val stops = TextAnalysis.Markers.head._2
+    val pre = docs.select(text.as("__text"), label.as("__y"))
+      .withColumn("__w", split(col("__text"), " "))
+      .select(
+        (lit(1L) - lit(2L) * when(col("__y"), 1L).otherwise(0L)).as("__y2"),
+        lit(1L).as("__x0"),
+        size(col("__w")).cast("long").as("__x1"),
+        length(col("__text")).cast("long").as("__x2"),
+        size(filter(col("__w"), t => t.isin(stops.map(lit): _*)))
+          .cast("long").as("__x3"),
+        size(array_distinct(col("__w"))).cast("long").as("__x4"))
+    val g = pre.agg(
+      sum(col("__y2") * col("__x0")).as("g2_bias"),
+      (1 until FeatureNames.length).map(i =>
+        sum(col("__y2") * col(s"__x$i")).as(s"g2_${FeatureNames(i)}")) :+
+        count(lit(1)).as("n_docs"): _*)
+    // unpivot to (feature, g2_fp, n_docs) rows — stable schema as
+    // features evolve, and scalar cells for the correctness gate
+    g.select(explode(array(FeatureNames.map(n =>
+        struct(lit(n).as("feature"), col(s"g2_$n").as("g2"),
+          col("n_docs").as("nd"))): _*)).as("e"))
+      .select(col("e.feature").as("feature"),
+        col("e.g2").cast("long").as("g2_fp"),
+        col("e.nd").cast("long").as("n_docs"))
+  }
+
+  /** DuckDB twin of [[lrStep0]] over `documents` with target
+    * `lang = 'en'`. */
+  def lrStep0OracleSql(
+      stops: Seq[String] = TextAnalysis.Markers.head._2): String = {
+    val stopList = stops.map(x => s"'$x'").mkString(", ")
+    s"""
+    |WITH f AS (
+    |  SELECT doc_id,
+    |    CASE WHEN lang = 'en' THEN -1 ELSE 1 END AS y2,
+    |    CAST(1 AS BIGINT) AS x_bias,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS x_n_words,
+    |    CAST(length(text) AS BIGINT) AS x_n_chars,
+    |    CAST(len(list_filter(str_split(text, ' '),
+    |      t -> t IN ($stopList))) AS BIGINT) AS x_n_stop,
+    |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+    |      AS x_n_distinct
+    |  FROM documents),
+    |g AS (
+    |  SELECT CAST(sum(y2 * x_bias) AS BIGINT) AS g2_bias,
+    |    CAST(sum(y2 * x_n_words) AS BIGINT) AS g2_n_words,
+    |    CAST(sum(y2 * x_n_chars) AS BIGINT) AS g2_n_chars,
+    |    CAST(sum(y2 * x_n_stop) AS BIGINT) AS g2_n_stop,
+    |    CAST(sum(y2 * x_n_distinct) AS BIGINT) AS g2_n_distinct,
+    |    CAST(count(*) AS BIGINT) AS n_docs
+    |  FROM f)
+    |SELECT feature, g2_fp, n_docs FROM (
+    |  SELECT 'bias' AS feature, g2_bias AS g2_fp, n_docs FROM g
+    |  UNION ALL SELECT 'n_words', g2_n_words, n_docs FROM g
+    |  UNION ALL SELECT 'n_chars', g2_n_chars, n_docs FROM g
+    |  UNION ALL SELECT 'n_stop', g2_n_stop, n_docs FROM g
+    |  UNION ALL SELECT 'n_distinct', g2_n_distinct, n_docs FROM g)
+    |ORDER BY feature
+    |""".stripMargin.trim
+  }
+
+  /** Normalized double features for the iterative trainer (O(1)
+    * ranges for conditioning): bias, words/100, chars/1000,
+    * stop_ratio, distinct_ratio. `w` must be a PRE-SPLIT words
+    * column pinned behind an alias boundary (see [[lrStep0]]). */
+  private def normFeatureCols(text: Column, w: Column): Seq[Column] = {
+    val nw = size(w).cast("double")
+    Seq(
+      lit(1.0),
+      nw / 100.0,
+      length(text).cast("double") / 1000.0,
+      size(filter(w, t =>
+        t.isin(TextAnalysis.Markers.head._2.map(lit): _*)))
+        .cast("double") / nw,
+      size(array_distinct(w)).cast("double") / nw)
+  }
+
+  /** Full-batch LR training loop: `iters` gradient-descent steps at
+    * rate `rate`. Each iteration is ONE aggregate over the corpus:
+    * per-doc gradient contributions (σ(w·x) − y)·x_j and the log-loss
+    * are quantized to e9 fixed point per row, then summed exactly —
+    * order-independent, so the weight trajectory is re-run identical
+    * (same recipe as [[Similarity.kmeans]]). Driver holds only the
+    * weight vector; returns (weights, per-iteration mean log-loss).
+    *
+    * At 100 TB each step is a map + 6-column reduce — the classic
+    * full-batch distributed LR; iterations multiply passes, so
+    * production runs few epochs on a sampled training slice and then
+    * SCORES the full corpus with [[scoreWith]] (one projection). */
+  def lrTrain(docs: DataFrame, text: Column, label: Column,
+              iters: Int, rate: Double): (Array[Double], Seq[Double]) = {
+    require(iters >= 0 && rate > 0.0)
+    val nF = FeatureNames.length
+    val base = docs.select(text.as("__text"),
+        when(label, 1.0).otherwise(0.0).as("__y"))
+      .withColumn("__w", split(col("__text"), " "))
+      .select((normFeatureCols(col("__text"), col("__w")).zipWithIndex.map {
+        case (c, i) => c.as(s"__x$i")
+      } :+ col("__y")): _*)
+      .localCheckpoint() // features computed once, reused every iter
+    val n = base.count().toDouble
+    var wv = Array.fill(nF)(0.0)
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val z = (0 until nF).map(i => lit(wv(i)) * col(s"__x$i"))
+        .reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      // fixed-point e9 per-row quantization before the sum: exact
+      // int64 reduce, fold-order independent
+      def fp(c: Column) = round(c * 1e9).cast("long")
+      val row = base.agg(
+        sum(fp(-(col("__y") * log(p) +
+          (lit(1.0) - col("__y")) * log(lit(1.0) - p)))).as("loss"),
+        (0 until nF).map(i =>
+          sum(fp((p - col("__y")) * col(s"__x$i"))).as(s"g$i")): _*)
+        .collect()(0)
+      losses += row.getAs[Long]("loss") / 1e9 / n
+      wv = Array.tabulate(nF)(i =>
+        wv(i) - rate * (row.getAs[Long](s"g$i") / 1e9) / n)
+    }
+    (wv, losses.result())
+  }
+
+  /** Score documents with trained weights: σ(w·x) as `lr_score` —
+    * a pure projection (the 100 TB deployment path). */
+  def scoreWith(docs: DataFrame, id: Column, text: Column,
+                weights: Array[Double]): DataFrame = {
+    require(weights.length == FeatureNames.length)
+    val pre = docs.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__w", split(col("__text"), " "))
+    val z = normFeatureCols(col("__text"), col("__w")).zip(weights)
+      .map { case (c, w) => c * lit(w) }.reduce(_ + _)
+    pre.select(col("doc_id"),
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("lr_score"))
+  }
+}

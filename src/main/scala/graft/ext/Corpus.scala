@@ -836,4 +836,112 @@ object Corpus {
     |FROM pos JOIN off USING (shard) ORDER BY doc_id
     |""".stripMargin.trim
   }
+
+  // ---------------------------------------------------------------
+  // DSIR — data selection via importance resampling (Xie et al.
+  // 2023): hashed n-gram bag-of-words LMs for a TARGET distribution
+  // and the RAW corpus; a document's importance weight is its
+  // log-likelihood ratio under the two, and selection keeps the
+  // highest-weight documents.
+  // ---------------------------------------------------------------
+
+  /** DSIR importance weights + selection over hashed unigram
+    * features. `target` marks the rows defining the target
+    * distribution (e.g. `lang === "en"`, or membership in a curated
+    * seed corpus); features are [[Hashing.polyHash]](token) mod
+    * `dim` — the same hashed bag-of-words as `feature_hash`.
+    *
+    * Per bucket `b`, with add-one smoothing over `dim` buckets:
+    * {{{ LLR(b) = ln (ct(b)+1)/(Nt+dim)  −  ln (cr(b)+1)/(Nr+dim) }}}
+    * quantized ONCE into a fixed-point table `L(b) =
+    * round(LLR(b)·1e6)` of `dim` rows. A document's weight is then
+    * the EXACT integer dot `w_fp = Σ_b c_d(b)·L(b)` — the one
+    * deviation from this file's no-floating-logs charter, confined
+    * to `dim` ln sites corpus-wide (each evaluated on bit-identical
+    * double inputs in both engines, then quantized; per-DOCUMENT
+    * arithmetic stays pure int64, so ranking cannot drift between
+    * documents that don't tie in the quantized table).
+    *
+    * `selected` keeps the top quarter per stratum — row_number over
+    * (w_fp desc, doc_id) within `strata` (per-domain resampling, the
+    * practical deployment), so the ranking window is
+    * stratum-bounded, never a single global sort task.
+    *
+    * Scale shape: two token-keyed aggregates (bucket counts:
+    * dim-bounded; per-doc counts: one shuffle on (doc, bucket)), the
+    * LLR table and totals broadcast (dim rows / 1 row), one
+    * stratum-partitioned window. Linear in corpus tokens. */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  target: Column, strata: Column,
+                  dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = docs.select(id.as("doc_id"), strata.as("__g"),
+        target.as("__is_t"), explode(split(text, " ")).as("__tok"))
+      .select(col("doc_id"), col("__g"), col("__is_t"),
+        pmod(Hashing.polyHash(col("__tok")), lit(dim.toLong)).as("__b"))
+    val counts = toks.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"))
+    val totals = counts.agg(sum(col("__cr")).as("__nr"),
+      sum(col("__ct")).as("__nt"))
+    val llr = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round((log((col("__ct") + 1).cast("double") /
+            (col("__nt") + dim).cast("double")) -
+          log((col("__cr") + 1).cast("double") /
+            (col("__nr") + dim).cast("double"))) * 1e6)
+          .cast("long").as("__llr"))
+    val perDoc = toks.groupBy(col("doc_id"), col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(llr), "__b")
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(sum(col("__c")).as("n_toks"),
+        sum(col("__c") * col("__llr")).as("w_fp"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("w_fp").desc, col("doc_id").asc)
+    val cw = Window.partitionBy(col("__g"))
+    perDoc
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("n_toks"), col("w_fp"),
+        when(col("__rn") <= expr("(__cnt + 3) div 4"), 1L).otherwise(0L)
+          .as("selected"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]] over `documents` (target =
+    * `lang = 'en'`, strata = `source`). */
+  def dsirWeightsOracleSql(dim: Int = 64): String =
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, source AS g, lang = 'en' AS is_t,
+    |    ${Hashing.polyHashSql("tok")} % $dim AS b
+    |  FROM (SELECT doc_id, source, lang,
+    |          unnest(str_split(text, ' ')) AS tok FROM documents)),
+    |counts AS (
+    |  SELECT b, count(*) AS cr,
+    |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+    |  FROM toks GROUP BY b),
+    |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+    |llr AS (
+    |  SELECT b, CAST(round(
+    |    (ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $dim AS DOUBLE)) -
+    |     ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $dim AS DOUBLE))) * 1e6)
+    |    AS BIGINT) AS llr
+    |  FROM counts, tot),
+    |perdoc AS (
+    |  SELECT doc_id, g, b, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+    |w AS (
+    |  SELECT doc_id, g, CAST(sum(c) AS BIGINT) AS n_toks,
+    |    CAST(sum(c * llr) AS BIGINT) AS w_fp
+    |  FROM perdoc JOIN llr USING (b) GROUP BY doc_id, g),
+    |r AS (
+    |  SELECT doc_id, n_toks, w_fp,
+    |    row_number() OVER (PARTITION BY g ORDER BY w_fp DESC, doc_id) AS rn,
+    |    count(*) OVER (PARTITION BY g) AS cnt
+    |  FROM w)
+    |SELECT doc_id, n_toks, w_fp,
+    |  CAST(CASE WHEN rn <= (cnt + 3) // 4 THEN 1 ELSE 0 END AS BIGINT)
+    |    AS selected
+    |FROM r ORDER BY doc_id
+    |""".stripMargin.trim
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Classifier
+
+class ClassifierSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("lrStep0: gradient matches a driver-side integer recomputation") {
+    val got = Classifier.lrStep0(docs, col("doc_id"), col("text"),
+        col("lang") === "en")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = docs.select("text", "lang").collect()
+    val stops = graft.ext.TextAnalysis.Markers.head._2.toSet
+    val expected = Array.fill(5)(0L)
+    rows.foreach { r =>
+      val (text, lang) = (r.getString(0), r.getString(1))
+      val w = text.split(" ", -1)
+      val y2 = if (lang == "en") -1L else 1L
+      val xs = Array(1L, w.length.toLong, text.length.toLong,
+        w.count(stops).toLong, w.distinct.length.toLong)
+      for (i <- 0 until 5) expected(i) += y2 * xs(i)
+    }
+    val names = Classifier.FeatureNames
+    for (i <- 0 until 5)
+      assert(got(names(i)) == expected(i),
+        s"${names(i)}: ${got(names(i))} != ${expected(i)}")
+    assert(got.size == 5)
+  }
+
+  test("lrTrain: loss decreases monotonically and is re-run identical") {
+    val (w1, l1) = Classifier.lrTrain(docs, col("text"),
+      col("lang") === "en", iters = 4, rate = 1.0)
+    assert(l1.length == 4)
+    l1.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss not decreasing: $l1")
+    }
+    // fixed-point gradient sums: identical trajectory on re-run
+    val (w2, l2) = Classifier.lrTrain(docs, col("text"),
+      col("lang") === "en", iters = 4, rate = 1.0)
+    assert(w1.sameElements(w2) && l1 == l2, "trajectory not deterministic")
+  }
+
+  test("trained scores separate the target class on the fixture") {
+    val (w, _) = Classifier.lrTrain(docs, col("text"),
+      col("lang") === "en", iters = 10, rate = 2.0)
+    val means = Classifier.scoreWith(docs, col("doc_id"), col("text"), w)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("lr_score").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"classifier learned nothing: $means")
+  }
+}

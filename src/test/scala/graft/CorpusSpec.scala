@@ -207,4 +207,29 @@ class CorpusSpec extends SparkSpec {
       .groupBy("split").count().collect().map(_.getString(0)).toSet
     assert(splits == Set("train", "val", "test"), splits.toString)
   }
+
+  test("dsirWeights: target-language docs are upweighted, quota exact") {
+    val w = Corpus.dsirWeights(docs, col("doc_id"), col("text"),
+      col("lang") === "en", col("source"))
+    assert(w.count() == docs.count())
+    // en docs carry the en marker tokens the target LM upweights:
+    // their mean LLR weight must exceed the non-en mean
+    val means = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("w_fp").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en not upweighted: $means")
+    // per-stratum selection quota: exactly ceil(n/4) per source
+    val quota = w.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum("selected").as("sel"), count(lit(1)).as("n")).collect()
+    quota.foreach { r =>
+      val (sel, n) = (r.getLong(1), r.getLong(2))
+      assert(sel == (n + 3) / 4, s"${r.getString(0)}: $sel of $n")
+    }
+    // selected docs are exactly the top-w_fp docs of their stratum
+    val again = Corpus.dsirWeights(docs, col("doc_id"), col("text"),
+      col("lang") === "en", col("source"))
+    assert(w.exceptAll(again).isEmpty, "not deterministic")
+  }
 }
