@@ -846,6 +846,20 @@ object Queries {
       },
       Some(Similarity.binaryTopKOracleSql(64, 5, 10))),
 
+    // the production composition of the two pruning axes: IVF cells
+    // cut the corpus, sign codes Hamming-shortlist INSIDE the probed
+    // cells, exact re-rank joins back to floats — the sign twin of
+    // ann_ivf_pq (no codebook training, coarser distances)
+    ("ann_ivf_binary",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfBinaryTopK(emb, emb.filter(col("vec_id") < 10), 5,
+          dim = 64, nCentroids = 16, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(Similarity.ivfBinaryTopKOracleSql(64, 5, 10,
+        nCentroids = 16, nProbe = 4))),
+
     // recall@k of the 1-bit pipeline vs the exact scan — what the
     // 32x saving costs in neighbours kept
     ("ann_binary_recall",

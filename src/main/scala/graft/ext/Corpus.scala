@@ -867,36 +867,50 @@ object Corpus {
     * practical deployment), so the ranking window is
     * stratum-bounded, never a single global sort task.
     *
-    * Scale shape: two token-keyed aggregates (bucket counts:
-    * dim-bounded; per-doc counts: one shuffle on (doc, bucket)), the
-    * LLR table and totals broadcast (dim rows / 1 row), one
-    * stratum-partitioned window. Linear in corpus tokens. */
+    * Scale shape (the 100× probe caught the naive two-shuffle
+    * formulation going superlinear — ~32M (doc, bucket) rows through
+    * a two-level aggregate; this one replaced it): the
+    * [[org.apache.spark.sql.graftext.FeatureHashExpr]] kernel emits
+    * each doc's dense bucket-count vector with NO shuffle; bucket
+    * counts reduce map-side to `dim` rows per partition; the LLR
+    * table takes the sanctioned O(dim) driver hop (the k-means
+    * codebook pattern) and comes back as a LITERAL array, so the
+    * per-doc weight is one codegen [[LongVecDot]] int64 dot — a pure
+    * projection. The only corpus-scale shuffle left is the
+    * stratum-partitioned selection window. */
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
                   target: Column, strata: Column,
                   dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val toks = docs.select(id.as("doc_id"), strata.as("__g"),
-        target.as("__is_t"), explode(split(text, " ")).as("__tok"))
-      .select(col("doc_id"), col("__g"), col("__is_t"),
-        pmod(Hashing.polyHash(col("__tok")), lit(dim.toLong)).as("__b"))
-    val counts = toks.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__cr"),
-        sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"))
-    val totals = counts.agg(sum(col("__cr")).as("__nr"),
-      sum(col("__ct")).as("__nt"))
-    val llr = counts.crossJoin(broadcast(totals))
-      .select(col("__b"),
-        round((log((col("__ct") + 1).cast("double") /
-            (col("__nt") + dim).cast("double")) -
-          log((col("__cr") + 1).cast("double") /
-            (col("__nr") + dim).cast("double"))) * 1e6)
-          .cast("long").as("__llr"))
-    val perDoc = toks.groupBy(col("doc_id"), col("__g"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .join(broadcast(llr), "__b")
-      .groupBy(col("doc_id"), col("__g"))
-      .agg(sum(col("__c")).as("n_toks"),
-        sum(col("__c") * col("__llr")).as("w_fp"))
+    import org.apache.spark.sql.graftext.{FeatureHashBridge, LongVecDot}
+    val fh = docs.select(id.as("doc_id"), strata.as("__g"),
+      target.as("__is_t"),
+      FeatureHashBridge.column(text, dim, Hashing.P).as("__f"))
+    // bucket counts: posexplode collapses map-side to dim rows per
+    // partition before the (tiny) shuffle
+    val counts = fh
+      .select(col("__is_t"), posexplode(col("__f")).as(Seq("__b", "__c")))
+      .groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__cr"),
+        sum(when(col("__is_t"), col("__c")).otherwise(0L)).as("__ct"))
+      .collect().map(r => r.getAs[Int]("__b").toLong ->
+        (r.getAs[Long]("__cr"), r.getAs[Long]("__ct"))).toMap
+    val nr = counts.valuesIterator.map(_._1).sum
+    val nt = counts.valuesIterator.map(_._2).sum
+    // fixed-point LLR table, HALF_UP like both engines' round(); a
+    // bucket no document hits gets its smoothed value too (its dot
+    // contribution is 0 regardless)
+    val llr = Array.tabulate(dim) { b =>
+      val (cr, ct) = counts.getOrElse(b.toLong, (0L, 0L))
+      val v = (math.log((ct + 1).toDouble / (nt + dim).toDouble) -
+        math.log((cr + 1).toDouble / (nr + dim).toDouble)) * 1e6
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val perDoc = fh.select(col("doc_id"), col("__g"),
+      LongVecDot.dotColumn(col("__f"),
+        lit(Array.fill(dim)(1L))).as("n_toks"),
+      LongVecDot.dotColumn(col("__f"), lit(llr)).as("w_fp"))
     val w = Window.partitionBy(col("__g"))
       .orderBy(col("w_fp").desc, col("doc_id").asc)
     val cw = Window.partitionBy(col("__g"))

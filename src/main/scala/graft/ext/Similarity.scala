@@ -1601,6 +1601,118 @@ object Similarity {
     |""".stripMargin.trim
   }
 
+  /** IVF + binary: the production composition of the two pruning
+    * axes — the IVF coarse quantizer cuts the corpus to nProbe
+    * cells, the 1-bit sign signature Hamming-shortlists WITHIN the
+    * probed cells, and the exact decimal re-rank joins back to the
+    * float table for the survivors. At 100 TB this is the layout
+    * where the cell scan reads 16-byte sign codes (not float rows)
+    * and floats are touched for |Q|·shortlist rows only — the sign
+    * twin of [[ivfPqTopK]] (Hamming instead of ADC: no codebook
+    * training, coarser distances; the PQ path buys finer ranking for
+    * a trained codebook). Stage determinism: cell assignment is the
+    * shared compiled argmin, Hamming is integer, re-rank is the
+    * exact decimal dot — ties all break by cand_id. */
+  def ivfBinaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dim: Int, nCentroids: Int, nProbe: Int,
+                    shortlist: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val nWords = (dim + 31) / 32
+    val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
+    val lists = assignedCells(Dedup.spread(corpus.select(
+        col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+        col("cand_id")), cb, "cand_id", "c_emb", 1)
+      .select(col("cand_id"), col("c_id"),
+        signPack(col("c_emb"), dim).as("c_s"))
+    val probes = assignedCells(queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        cb, "query_id", "q_emb", nProbe)
+      .select(col("query_id"), col("c_id"),
+        signPack(col("q_emb"), dim).as("q_s"))
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    val short = lists.join(broadcast(probes), Seq("c_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        hammingPacked(col("q_s"), col("c_s"), nWords).as("hamming"))
+      .withColumn("__srank", row_number().over(shortW))
+      .filter(col("__srank") <= sl)
+      .drop("__srank")
+    val qv = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
+    val cv = corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    short.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos", cosine(
+        dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** Full DuckDB oracle for [[ivfBinaryTopK]] over `embeddings`. */
+  def ivfBinaryTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                             nCentroids: Int, nProbe: Int,
+                             shortlist: Int = 0): String = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val nWords = (dim + 31) / 32
+    val ham = (0 until nWords).map { w =>
+      s"bit_count(xor(q_s[${w + 1}], c_s[${w + 1}]))"
+    }.mkString(" + ")
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |              FROM embeddings WHERE vec_id < $nCentroids),
+    |c0 AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |q0 AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |       WHERE vec_id < $maxQueryId),
+    |lists AS (
+    |  SELECT cand_id, c_id, ${signPackSql("c_emb", dim)} AS c_s FROM (
+    |    SELECT c0.cand_id, cent.c_id, c0.c_emb,
+    |      row_number() OVER (PARTITION BY c0.cand_id
+    |        ORDER BY ${cos("c0.c_emb", "cent.ct_emb")} DESC, cent.c_id)
+    |        AS rn
+    |    FROM c0, cent) WHERE rn <= 1),
+    |probes AS (
+    |  SELECT query_id, c_id, ${signPackSql("q_emb", dim)} AS q_s FROM (
+    |    SELECT q0.query_id, cent.c_id, q0.q_emb,
+    |      row_number() OVER (PARTITION BY q0.query_id
+    |        ORDER BY ${cos("q0.q_emb", "cent.ct_emb")} DESC, cent.c_id)
+    |        AS rn
+    |    FROM q0, cent) WHERE rn <= $nProbe),
+    |short AS (
+    |  SELECT query_id, cand_id, hamming FROM (
+    |    SELECT query_id, cand_id, CAST($ham AS BIGINT) AS hamming,
+    |      row_number() OVER (PARTITION BY query_id
+    |        ORDER BY CAST($ham AS BIGINT), cand_id) AS srank
+    |    FROM lists JOIN probes USING (c_id)
+    |    WHERE query_id <> cand_id) WHERE srank <= $sl),
+    |ranked AS (
+    |  SELECT s.query_id, s.cand_id, s.hamming,
+    |    ${cos("qe.embedding", "ce.embedding")} AS cos,
+    |    row_number() OVER (PARTITION BY s.query_id
+    |      ORDER BY ${cos("qe.embedding", "ce.embedding")} DESC,
+    |        s.cand_id) AS rank
+    |  FROM short s
+    |  JOIN embeddings qe ON qe.vec_id = s.query_id
+    |  JOIN embeddings ce ON ce.vec_id = s.cand_id)
+    |SELECT query_id, cand_id, hamming, round(cos, 6) AS cos,
+    |  CAST(rank AS BIGINT) AS rank
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+  }
+
   /** Recall@k of the 1-bit shortlist+re-rank pipeline against the
     * exact scan — the [[annRecall]] audit for [[binaryTopK]]. The
     * number that prices the 32× bandwidth saving: how many true

@@ -463,6 +463,18 @@ class SimilaritySpec extends SparkSpec {
     assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
   }
 
+  test("ivfBinaryTopK probing every cell with a full shortlist = exact scan") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val nCent = 8
+    val full = Similarity.ivfBinaryTopK(emb, queries, 5, 64,
+        nCentroids = nCent, nProbe = nCent, shortlist = n)
+      .select("query_id", "cand_id", "rank")
+    val exact = Similarity.cosineTopK(emb, queries, 5)
+      .select("query_id", "cand_id", "rank")
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
+  }
+
   test("binaryRecall is bounded and the sign sketch beats chance") {
     val queries = emb.filter(col("vec_id") < 10)
     val rec = Similarity.binaryRecall(emb, queries, 5, 64).collect()
