@@ -94,5 +94,22 @@ object GraftConf {
     "feature_hash" -> PlanContract("projection",
       forbidJoin = true, maxHashShuffles = Some(0)),
     "embedding_quantize" -> PlanContract("projection",
-      forbidJoin = true, maxHashShuffles = Some(0)))
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    "gopher_rules" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    // one 5-column reduce: a single-partition exchange, never a
+    // hash-partitioned one
+    "quality_lr_step" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    // kernel features + literal LLR dot: the ONLY corpus-scale hash
+    // shuffle is the stratum selection window (the 100x probe killed
+    // the (doc,bucket) two-level-aggregate formulation at 32M rows —
+    // this contract keeps it dead); bucket counts reduce into the
+    // same count, so the ceiling is 2
+    "dsir_weights" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(2)),
+    // sign-bit scan: queries broadcast against the spread corpus,
+    // re-rank joins back broadcast-side — no sort-merge anywhere
+    "ann_binary_topk" -> PlanContract("ann", minBroadcastJoins = 2,
+      forbidSortMerge = true, requireExplicitSpread = true))
 }

@@ -1561,6 +1561,16 @@ object Queries {
           col("source"), n = 10).orderBy("g", "rank_in_stratum"),
       Some(ext.Corpus.fixedNSampleOracleSql("source", n = 10))),
 
+    // Incremental DSIR: LLR table fits on the settled index side
+    // only (doc_id < 400), the arriving batch is scored against it —
+    // the DSIR twin of dedup_incremental / ann_pq_incremental
+    ("dsir_incremental",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.dsirIncremental(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("lang") === "en", col("source"), 400L)
+          .orderBy("doc_id"),
+      Some(ext.Corpus.dsirIncrementalOracleSql(400L))),
+
     // Quality-classifier training step: the exact integer first LR
     // gradient at w=0 (label = en target), per feature — the
     // oracle-checked face of the Classifier.lrTrain loop

@@ -880,15 +880,35 @@ object Corpus {
     * stratum-partitioned selection window. */
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
                   target: Column, strata: Column,
-                  dim: Int = 64): DataFrame = {
+                  dim: Int = 64): DataFrame =
+    dsirWeightsWith(docs, id, text, target, strata, dim,
+      fit = lit(true), score = lit(true))
+
+  /** Incremental DSIR — the deployment shape: the LLR table FITS on
+    * the settled index side (`id < splitAt`) only and the arriving
+    * batch (`id >= splitAt`) is scored against it, so a nightly
+    * ingest is a pure projection + a batch-bounded selection window;
+    * the fit never re-reads the corpus (persist the dim-entry table
+    * and the cost is zero). The DSIR twin of `dedup_incremental` /
+    * `ann_pq_incremental`. */
+  def dsirIncremental(docs: DataFrame, id: Column, text: Column,
+                      target: Column, strata: Column, splitAt: Long,
+                      dim: Int = 64): DataFrame =
+    dsirWeightsWith(docs, id, text, target, strata, dim,
+      fit = id < splitAt, score = id >= splitAt)
+
+  private def dsirWeightsWith(docs: DataFrame, id: Column, text: Column,
+                              target: Column, strata: Column, dim: Int,
+                              fit: Column, score: Column): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     import org.apache.spark.sql.graftext.{FeatureHashBridge, LongVecDot}
-    val fh = docs.select(id.as("doc_id"), strata.as("__g"),
-      target.as("__is_t"),
+    val fh0 = docs.select(id.as("doc_id"), strata.as("__g"),
+      target.as("__is_t"), fit.as("__fit"), score.as("__score"),
       FeatureHashBridge.column(text, dim, Hashing.P).as("__f"))
+    val fh = fh0.filter(col("__score"))
     // bucket counts: posexplode collapses map-side to dim rows per
     // partition before the (tiny) shuffle
-    val counts = fh
+    val counts = fh0.filter(col("__fit"))
       .select(col("__is_t"), posexplode(col("__f")).as(Seq("__b", "__c")))
       .groupBy(col("__b"))
       .agg(sum(col("__c")).as("__cr"),
@@ -925,6 +945,14 @@ object Corpus {
   /** DuckDB twin of [[dsirWeights]] over `documents` (target =
     * `lang = 'en'`, strata = `source`). */
   def dsirWeightsOracleSql(dim: Int = 64): String =
+    dsirOracleSqlWith(dim, "TRUE", "TRUE")
+
+  /** DuckDB twin of [[dsirIncremental]]. */
+  def dsirIncrementalOracleSql(splitAt: Long, dim: Int = 64): String =
+    dsirOracleSqlWith(dim, s"doc_id < $splitAt", s"doc_id >= $splitAt")
+
+  private def dsirOracleSqlWith(dim: Int, fitPred: String,
+                                scorePred: String): String =
     s"""
     |WITH toks AS (
     |  SELECT doc_id, source AS g, lang = 'en' AS is_t,
@@ -934,16 +962,26 @@ object Corpus {
     |counts AS (
     |  SELECT b, count(*) AS cr,
     |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
-    |  FROM toks GROUP BY b),
-    |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+    |  FROM toks WHERE $fitPred GROUP BY b),
+    |tot AS (SELECT coalesce(sum(cr), 0) AS nr, coalesce(sum(ct), 0) AS nt
+    |        FROM counts),
+    |-- dense over ALL dim buckets: a bucket the fit side never saw
+    |-- still gets its smoothed LLR (the Spark literal table is dense),
+    |-- so incremental batches with novel buckets score identically
+    |dense AS (
+    |  SELECT CAST(i AS BIGINT) AS b, coalesce(cr, 0) AS cr,
+    |    coalesce(ct, 0) AS ct
+    |  FROM (SELECT unnest(range($dim)) AS i)
+    |  LEFT JOIN counts ON counts.b = i),
     |llr AS (
     |  SELECT b, CAST(round(
     |    (ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $dim AS DOUBLE)) -
     |     ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $dim AS DOUBLE))) * 1e6)
     |    AS BIGINT) AS llr
-    |  FROM counts, tot),
+    |  FROM dense, tot),
     |perdoc AS (
-    |  SELECT doc_id, g, b, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+    |  SELECT doc_id, g, b, count(*) AS c FROM toks
+    |  WHERE $scorePred GROUP BY 1, 2, 3),
     |w AS (
     |  SELECT doc_id, g, CAST(sum(c) AS BIGINT) AS n_toks,
     |    CAST(sum(c * llr) AS BIGINT) AS w_fp

@@ -232,4 +232,25 @@ class CorpusSpec extends SparkSpec {
       col("lang") === "en", col("source"))
     assert(w.exceptAll(again).isEmpty, "not deterministic")
   }
+
+  test("dsirIncremental scores only the batch; novel buckets still score") {
+    import spark.implicits._
+    val inc = Corpus.dsirIncremental(docs, col("doc_id"), col("text"),
+      col("lang") === "en", col("source"), 400L)
+    val ids = inc.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ >= 400L), "fit side leaked into output")
+    // planted: the fit side never contains the batch's vocabulary —
+    // the dense smoothed LLR table must still give the batch doc a
+    // full-token weight (an inner-join llr table would drop tokens)
+    val planted = Seq(
+      (1L, "alpha alpha alpha", "en", "s1"),
+      (2L, "alpha beta", "de", "s1"),
+      (10L, "gamma delta epsilon", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.dsirIncremental(planted, col("doc_id"), col("text"),
+      col("lang") === "en", col("source"), 10L).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 10L)
+    assert(got(0).getAs[Long]("n_toks") == 3L,
+      s"novel-bucket tokens dropped: ${got(0)}")
+  }
 }
