@@ -897,18 +897,19 @@ object Corpus {
     dsirWeightsWith(docs, id, text, target, strata, dim,
       fit = id < splitAt, score = id >= splitAt)
 
-  private def dsirWeightsWith(docs: DataFrame, id: Column, text: Column,
-                              target: Column, strata: Column, dim: Int,
-                              fit: Column, score: Column): DataFrame = {
+  /** Fit the DSIR fixed-point LLR table: target/raw hashed-unigram
+    * counts over `docs` → `dim` quantized log-likelihood-ratio
+    * entries (the O(dim) driver hop). The returned array is the
+    * MODEL — persist it and [[dsirScoreCols]] scores any batch or
+    * stream against it as a pure projection. */
+  def dsirFitLlr(docs: DataFrame, text: Column, target: Column,
+                 dim: Int = 64): Array[Long] = {
     require(dim > 0, s"dim must be positive, got $dim")
-    import org.apache.spark.sql.graftext.{FeatureHashBridge, LongVecDot}
-    val fh0 = docs.select(id.as("doc_id"), strata.as("__g"),
-      target.as("__is_t"), fit.as("__fit"), score.as("__score"),
-      FeatureHashBridge.column(text, dim, Hashing.P).as("__f"))
-    val fh = fh0.filter(col("__score"))
+    import org.apache.spark.sql.graftext.FeatureHashBridge
     // bucket counts: posexplode collapses map-side to dim rows per
     // partition before the (tiny) shuffle
-    val counts = fh0.filter(col("__fit"))
+    val counts = docs.select(target.as("__is_t"),
+        FeatureHashBridge.column(text, dim, Hashing.P).as("__f"))
       .select(col("__is_t"), posexplode(col("__f")).as(Seq("__b", "__c")))
       .groupBy(col("__b"))
       .agg(sum(col("__c")).as("__cr"),
@@ -920,13 +921,41 @@ object Corpus {
     // fixed-point LLR table, HALF_UP like both engines' round(); a
     // bucket no document hits gets its smoothed value too (its dot
     // contribution is 0 regardless)
-    val llr = Array.tabulate(dim) { b =>
+    Array.tabulate(dim) { b =>
       val (cr, ct) = counts.getOrElse(b.toLong, (0L, 0L))
       val v = (math.log((ct + 1).toDouble / (nt + dim).toDouble) -
         math.log((cr + 1).toDouble / (nr + dim).toDouble)) * 1e6
       java.math.BigDecimal.valueOf(v)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     }
+  }
+
+  /** Score documents against a fitted LLR table: (doc_id, n_toks,
+    * w_fp) — one compiled feature-hash pass (pinned behind the `__f`
+    * alias boundary, so the kernel runs once per row, not once per
+    * dot) + two codegen int64 dots. Stateless, so it runs unchanged
+    * on a STREAMING DataFrame (the deployment path: fit once
+    * offline, score every arriving micro-batch —
+    * [[graft.streaming.Streams.dsirScoreStream]]). */
+  def dsirScore(docs: DataFrame, id: Column, text: Column,
+                llr: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.graftext.{FeatureHashBridge, LongVecDot}
+    docs.select(id.as("doc_id"),
+        FeatureHashBridge.column(text, llr.length, Hashing.P).as("__f"))
+      .select(col("doc_id"),
+        LongVecDot.dotColumn(col("__f"),
+          lit(Array.fill(llr.length)(1L))).as("n_toks"),
+        LongVecDot.dotColumn(col("__f"), lit(llr)).as("w_fp"))
+  }
+
+  private def dsirWeightsWith(docs: DataFrame, id: Column, text: Column,
+                              target: Column, strata: Column, dim: Int,
+                              fit: Column, score: Column): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    import org.apache.spark.sql.graftext.{FeatureHashBridge, LongVecDot}
+    val llr = dsirFitLlr(docs.filter(fit), text, target, dim)
+    val fh = docs.filter(score).select(id.as("doc_id"), strata.as("__g"),
+      FeatureHashBridge.column(text, dim, Hashing.P).as("__f"))
     val perDoc = fh.select(col("doc_id"), col("__g"),
       LongVecDot.dotColumn(col("__f"),
         lit(Array.fill(dim)(1L))).as("n_toks"),

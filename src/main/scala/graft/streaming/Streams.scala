@@ -357,6 +357,21 @@ object Streams {
     * here. Emits the user's full chain (timestamps as epoch µs) each
     * time their group is processed; `n_reached` only grows, so the
     * max-`n_reached` row per user is the current funnel position. */
+  /** Streaming DSIR scorer — the online face of
+    * [[graft.ext.Corpus.dsirIncremental]]: the LLR table is fitted
+    * OFFLINE ([[graft.ext.Corpus.dsirFitLlr]], persisted with the
+    * model run) and every arriving document is scored as a pure
+    * stateless projection (compiled feature-hash pass + two codegen
+    * int64 dots — no state store, no shuffle, any micro-batch size).
+    * Because scoring is stateless and integer-exact, stream output
+    * equals the batch [[graft.ext.Corpus.dsirScore]] row-for-row on
+    * the same documents (StreamsSpec pins the parity). Selection
+    * (top-quarter-per-stratum) stays a batch/trigger-level decision
+    * downstream — a streaming operator cannot rank against documents
+    * it has not seen. */
+  def dsirScoreStream(docs: DataFrame, llr: Array[Long]): DataFrame =
+    graft.ext.Corpus.dsirScore(docs, col("doc_id"), col("text"), llr)
+
   def funnelStream(events: DataFrame,
                    stages: Seq[String]): Dataset[FunnelUpdate] = {
     require(stages.nonEmpty, "funnel needs at least one stage")

@@ -387,6 +387,34 @@ class StreamsSpec extends SparkSpec {
         want.zip(got).find { case (w, g) => w != g }})")
   }
 
+  test("dsirScoreStream equals batch dsirScore row-for-row") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val docsDir = tmp("docs-dsir")
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(docsDir)
+    // fit offline on the full fixture (en target), score the stream
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val llr = graft.ext.Corpus.dsirFitLlr(fixture, col("text"),
+      col("lang") === "en")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = Streams.dsirScoreStream(
+        spark.readStream.schema(schema).parquet(docsDir), llr)
+      .writeStream.format("memory").queryName("dsir_parity")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val got = canon(spark.table("dsir_parity"))
+    val want = canon(graft.ext.Corpus.dsirScore(
+      spark.read.parquet(docsDir), col("doc_id"), col("text"), llr))
+    assert(got.nonEmpty && got == want,
+      s"stream/batch dsir scoring diverged (first gap: ${
+        want.zip(got).find { case (w, g) => w != g }})")
+  }
+
   test("seqPackStream: shard counters survive micro-batch boundaries") {
     import org.apache.spark.sql.types._
     val docsDir = tmp("docs-stream")
