@@ -944,6 +944,17 @@ object Queries {
           "embedding", 64, 64, 0.7, nProbe = 2).orderBy("d1", "d2"),
       Some(Similarity.cellNearDupOracleSql(64, 64, 0.7, nProbe = 2))),
 
+    // SemDeDup-style semantic cluster labels: the cell-path pair
+    // graph closed transitively via the shared bounded
+    // star-contraction core — the embedding twin of
+    // neardup_components (oracle: recursive CTE)
+    ("embedding_components",
+      (s: SparkSession, d: String) =>
+        Similarity.embeddingComponents(t(s, d, "embeddings"), 64, 64,
+          0.7, nProbe = 2).orderBy("vec_id"),
+      Some(Similarity.embeddingComponentsOracleSql(64, 64, 0.7,
+        nProbe = 2))),
+
     // Two-level assignment (8 supers over 64 cells): rank √nCells
     // supers, then only the probed supers' children — O(n·√nCells)
     // assignment flops vs the flat path's n·nCells (SCALE.md §12's

@@ -1499,30 +1499,18 @@ object Dedup {
     * `maxHamming` (via [[simhashPairs]]' banded candidate join — never
     * all-pairs). Returns (doc_id, component) for EVERY doc; singletons
     * label themselves. */
-  def nearDupComponents(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // Level 1 — identical-signature collapse (same trick as
-    // [[nearDupDropIds]]): docs sharing a simhash are hamming-0
-    // connected, so only the min-id doc per DISTINCT signature enters
-    // the iteration; members inherit their representative's label at
-    // the end. On a template-clustered corpus this shrinks both the
-    // vertex set and every chain.
-    // one row per DISTINCT signature, materialized once: the rep set
-    // seeds the edge build, the label init, AND the final membership
-    // join — without the checkpoint each of those would re-evaluate
-    // the full-corpus signature scan beneath the aggregation. (The
-    // raw `sims` is deliberately NOT checkpointed: pinning a
-    // corpus-sized frame in the block manager is exactly what this
-    // decomposition avoids at scale; it is scanned twice — here and
-    // in the membership join — same as the pre-collapse design.)
-    val bySig = sims.filter(col("simhash").isNotNull)
-      .groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
-      .localCheckpoint()
-    val reps = bySig.select(col("rep").as("doc_id"), col("simhash"))
-    // candidate edges, directed large→small (simhashPairs guarantees
-    // d1 < d2); materialized once — the loop seeds from it and the
-    // final verification re-reads it, and without the checkpoint both
-    // would re-execute the band-join subtree
-    val pairs = simhashPairs(reps, maxHamming)
+  /** Bounded large-star/small-star contraction (Kiveris et al.
+    * SoCC'14) over an explicit edge list — the shared CC core of
+    * [[nearDupComponents]] and
+    * [[graft.ext.Similarity.embeddingComponents]]. `pairsIn` has
+    * columns (d1, d2) with d1 < d2; `vertices` one `doc_id` per
+    * vertex (isolated vertices come back self-labeled). Output:
+    * (doc_id, component = min reachable id). Round count is bounded
+    * by ⌈log₂ edges⌉+2 with a short optimistic phase and ONE
+    * verification pass — no per-round driver probes. */
+  private[graft] def starComponents(pairsIn: DataFrame,
+                                    vertices: DataFrame): DataFrame = {
+    val pairs = pairsIn
       .select(col("d2").as("u"), col("d1").as("v")).distinct()
       .localCheckpoint()
     // Size the ITERATION frames by the measured edge count — the same
@@ -1535,7 +1523,7 @@ object Dedup {
     // scalar BEFORE the loop, none inside it.
     val nEdges = pairs.count()
     val loopParts = math.max(1L, math.min(
-      sims.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      vertices.sparkSession.sessionState.conf.numShufflePartitions.toLong,
       nEdges / 2000000L + 1L)).toInt
 
     // large-star: every neighbor above u re-points at the minimum of
@@ -1565,16 +1553,17 @@ object Dedup {
       e
     }
     // labels: out-edge target (the star root), or self for roots and
-    // edge-less reps. min() is defensive — at the fixpoint every
+    // edge-less vertices. min() is defensive — at the fixpoint every
     // non-root has exactly one out-edge.
-    def labelsOf(e: DataFrame): DataFrame = reps.select(col("doc_id"))
+    def labelsOf(e: DataFrame): DataFrame = vertices.select(col("doc_id"))
       .join(e.groupBy(col("u").as("doc_id"))
         .agg(min(col("v")).as("__c")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__c"), col("doc_id")).as("component"))
       .localCheckpoint()
     // the verification pass: the labeling must be constant across
-    // every candidate edge (see scaladoc for why this is complete)
+    // every candidate edge (see nearDupComponents scaladoc for why
+    // this is complete)
     def consistent(labels: DataFrame): Boolean = pairs
       .join(labels.select(col("doc_id").as("u"), col("component").as("__c1")),
         Seq("u"))
@@ -1602,6 +1591,33 @@ object Dedup {
       require(consistent(labels),
         s"star contraction not converged after $bound rounds")
     }
+    labels
+  }
+
+  def nearDupComponents(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // Level 1 — identical-signature collapse (same trick as
+    // [[nearDupDropIds]]): docs sharing a simhash are hamming-0
+    // connected, so only the min-id doc per DISTINCT signature enters
+    // the iteration; members inherit their representative's label at
+    // the end. On a template-clustered corpus this shrinks both the
+    // vertex set and every chain.
+    // one row per DISTINCT signature, materialized once: the rep set
+    // seeds the edge build, the label init, AND the final membership
+    // join — without the checkpoint each of those would re-evaluate
+    // the full-corpus signature scan beneath the aggregation. (The
+    // raw `sims` is deliberately NOT checkpointed: pinning a
+    // corpus-sized frame in the block manager is exactly what this
+    // decomposition avoids at scale; it is scanned twice — here and
+    // in the membership join — same as the pre-collapse design.)
+    val bySig = sims.filter(col("simhash").isNotNull)
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint()
+    val reps = bySig.select(col("rep").as("doc_id"), col("simhash"))
+    // candidate edges, directed large→small (simhashPairs guarantees
+    // d1 < d2); the shared contraction core materializes them once
+    val labels = starComponents(
+      simhashPairs(reps, maxHamming).select(col("d1"), col("d2")),
+      reps.select(col("doc_id")))
     // members (non-reps) inherit their representative's label; docs
     // with a NULL signature can't band with anything — they come back
     // self-labeled rather than silently vanishing in the null-

@@ -445,20 +445,16 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
   }
 
-  /** DuckDB oracle for [[cellNearDupPairs]] over `embeddings`. The
-    * SQL side pays a pair-level DISTINCT where the Spark side uses
-    * the smallest-shared-cell predicate — same pair set. Assignment
-    * ranking matches the exact ordering every assignment path uses
-    * (cosine DESC, c_id ASC), the parity [[ivfCosineTopKOracleSql]]
-    * established. */
-  def cellNearDupOracleSql(dim: Int, nCells: Int, minCosine: Double,
-                           nProbe: Int = 2): String = {
+  /** Shared CTE chain (through `pairs`) of the flat cell-path
+    * oracles — consumed by [[cellNearDupOracleSql]] and
+    * [[embeddingComponentsOracleSql]]. */
+  private def cellNearDupCtes(dim: Int, nCells: Int,
+                              nProbe: Int): String = {
     def cos(a: String, b: String): String =
       s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
         s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
         s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
-    s"""
-    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    s"""cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
     |              FROM embeddings WHERE vec_id < $nCells),
     |v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings),
     |assigned AS (
@@ -474,11 +470,60 @@ object Similarity {
     |pairs AS (
     |  SELECT d1, d2, ${cos("v1.e", "v2.e")} AS cos
     |  FROM cand JOIN v v1 ON v1.vid = cand.d1
-    |            JOIN v v2 ON v2.vid = cand.d2)
+    |            JOIN v v2 ON v2.vid = cand.d2)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[cellNearDupPairs]] over `embeddings`. The
+    * SQL side pays a pair-level DISTINCT where the Spark side uses
+    * the smallest-shared-cell predicate — same pair set. Assignment
+    * ranking matches the exact ordering every assignment path uses
+    * (cosine DESC, c_id ASC), the parity [[ivfCosineTopKOracleSql]]
+    * established. */
+  def cellNearDupOracleSql(dim: Int, nCells: Int, minCosine: Double,
+                           nProbe: Int = 2): String =
+    s"""
+    |WITH ${cellNearDupCtes(dim, nCells, nProbe)}
     |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
     |ORDER BY d1, d2
     |""".stripMargin.trim
+
+  /** Transitive near-dup clusters over the cell-path pair graph —
+    * the embedding-side twin of
+    * [[graft.ext.Dedup.nearDupComponents]] (SemDeDup-style semantic
+    * cluster labels: every vector gets the min reachable vec_id as
+    * its component). Pair enumeration is the already-scaled
+    * [[cellNearDupPairs]]; labeling is the shared bounded
+    * star-contraction core ([[graft.ext.Dedup.starComponents]]) —
+    * ⌈log₂ edges⌉+2 rounds, one verification pass. Cell-missed pairs
+    * (recall < 1 by construction) simply stay in separate
+    * components, exactly as the oracle replays. */
+  def embeddingComponents(corpus: DataFrame, dim: Int, nCells: Int,
+                          minCosine: Double, nProbe: Int = 2): DataFrame = {
+    val pairs = cellNearDupPairs(corpus, "vec_id", "embedding", dim,
+      nCells, minCosine, nProbe).select(col("d1"), col("d2"))
+    Dedup.starComponents(pairs,
+        corpus.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("component"))
   }
+
+  /** DuckDB oracle for [[embeddingComponents]]: the cell-path pair
+    * CTEs closed transitively with a recursive CTE (set-semantics
+    * UNION bounds the recursion), min label per vector. */
+  def embeddingComponentsOracleSql(dim: Int, nCells: Int,
+                                   minCosine: Double,
+                                   nProbe: Int = 2): String =
+    s"""
+    |WITH RECURSIVE ${cellNearDupCtes(dim, nCells, nProbe)},
+    |fp AS (SELECT d1, d2 FROM pairs WHERE cos >= $minCosine),
+    |edges AS (SELECT d1, d2 FROM fp UNION ALL SELECT d2, d1 FROM fp),
+    |reach(vid, label) AS (
+    |  SELECT vid, vid FROM v
+    |  UNION
+    |  SELECT e.d1, r.label FROM edges e JOIN reach r ON r.vid = e.d2)
+    |SELECT vid AS vec_id, min(label) AS component
+    |FROM reach GROUP BY vid
+    |ORDER BY vec_id
+    |""".stripMargin.trim
 
   /** Two-level (hierarchical) cell assignment — the O(n·√nCells)
     * remedy SCALE.md §12 sizes for the next decade: the flat

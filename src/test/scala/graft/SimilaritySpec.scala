@@ -463,6 +463,34 @@ class SimilaritySpec extends SparkSpec {
     assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty)
   }
 
+  test("embeddingComponents equals brute-force union-find over cell pairs") {
+    // sf0.001's embeddings have no planted dups (max pairwise cosine
+    // ≈ 0.48), so run the clustering at 0.4 — 66 true pairs, enough
+    // to exercise transitive chains
+    val comp = Similarity.embeddingComponents(emb, 64, 16, 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Similarity.cellNearDupPairs(emb, "vec_id", "embedding",
+        64, 16, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = emb.select("vec_id").collect().map(_.getLong(0))
+      .map(d => d -> find(d)).toMap
+    assert(comp == expected,
+      s"missing=${expected.keySet -- comp.keySet} " +
+        s"wrong=${comp.count { case (k, v) => expected.get(k) != Some(v) }}")
+    // non-trivial clustering: some multi-member component exists
+    assert(comp.groupBy(_._2).exists(_._2.size > 1))
+  }
+
   test("ivfBinaryTopK probing every cell with a full shortlist = exact scan") {
     val queries = emb.filter(col("vec_id") < 5)
     val n = emb.count().toInt
