@@ -1587,7 +1587,7 @@ object Queries {
     // oracle-checked face of the Classifier.lrTrain loop
     ("quality_lr_step",
       (s: SparkSession, d: String) =>
-        ext.Classifier.lrStep0(t(s, d, "documents"), col("doc_id"),
+        ext.Classifier.lrStep0(t(s, d, "documents"),
           col("text"), col("lang") === "en").orderBy("feature"),
       Some(ext.Classifier.lrStep0OracleSql())),
 

@@ -47,7 +47,7 @@ object Classifier {
     * tokenization is pinned behind the `__w` alias boundary —
     * computed once per row, not once per feature (the
     * [[graft.ext.Dedup.wordGramsFrom]] inlining trap). */
-  def lrStep0(docs: DataFrame, id: Column, text: Column,
+  def lrStep0(docs: DataFrame, text: Column,
               label: Column): DataFrame = {
     val stops = TextAnalysis.Markers.head._2
     val pre = docs.select(text.as("__text"), label.as("__y"))

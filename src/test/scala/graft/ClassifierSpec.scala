@@ -9,7 +9,7 @@ class ClassifierSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
 
   test("lrStep0: gradient matches a driver-side integer recomputation") {
-    val got = Classifier.lrStep0(docs, col("doc_id"), col("text"),
+    val got = Classifier.lrStep0(docs, col("text"),
         col("lang") === "en")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = docs.select("text", "lang").collect()
