@@ -1091,6 +1091,23 @@ object Queries {
           col("text")).orderBy("doc_id"),
       Some(TextAnalysis.gopherRulesOracleSql)),
 
+    // Per-source Gopher rejection profile: which rule rejects how
+    // much of each source + survivors of the conjunction
+    ("gopher_reject_stats",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.gopherRejectStats(t(s, d, "documents"),
+          col("doc_id"), col("text"), col("source")).orderBy("g"),
+      Some(TextAnalysis.gopherRejectStatsOracleSql)),
+
+    // RAG/embedding chunk manifest: overlapping 32-word windows every
+    // 24 words — a pure explode projection, (doc_id, chunk_idx) keys
+    ("doc_chunk",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.docChunks(t(s, d, "documents"), col("doc_id"),
+          col("text"), chunkLen = 32, stride = 24)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(ext.Corpus.docChunksOracleSql(32, 24))),
+
     // Maximal duplicated spans: consecutive duplicated tiles merged
     // into (start, length) runs via island detection
     ("dup_span_merge",

@@ -837,6 +837,54 @@ object Corpus {
     |""".stripMargin.trim
   }
 
+  /** Overlapping fixed-size chunk manifest — the RAG/embedding
+    * chunking step: each document splits into word windows of
+    * `chunkLen` starting every `stride` words (overlap = chunkLen −
+    * stride), the unit an embedding or retrieval index actually
+    * stores. Offsets o = 0, stride, 2·stride, … while o < n_words;
+    * the final chunk may be shorter (`chunk_words` carries its true
+    * length). A pure explode projection — rows ≈ n_words/stride per
+    * doc, no shuffle, linear at any scale; chunk ids are (doc_id,
+    * chunk_idx), so downstream embedding jobs join back losslessly. */
+  def docChunks(docs: DataFrame, id: Column, text: Column,
+                chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"need 0 < stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+    docs.select(id.as("doc_id"), split(text, " ").as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("__nw"),
+        col("__w"))
+      .select(col("doc_id"), col("__nw"),
+        posexplode(transform(
+          sequence(lit(0),
+            expr(s"cast((__nw + ${stride - 1}) div $stride as int) - 1")),
+          i => array_join(slice(col("__w"), i * stride + 1, lit(chunkLen)),
+            " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("chunk_start"),
+        least(lit(chunkLen.toLong),
+          col("__nw") - col("pos") * stride).as("chunk_words"),
+        col("col").as("chunk_text"))
+  }
+
+  /** DuckDB twin of [[docChunks]] over `documents`. */
+  def docChunksOracleSql(chunkLen: Int, stride: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nw, w FROM w),
+    |c AS (
+    |  SELECT doc_id, nw, CAST(i AS BIGINT) AS chunk_idx,
+    |    CAST(i * $stride AS BIGINT) AS chunk_start,
+    |    array_to_string(
+    |      list_slice(w, i*$stride + 1, i*$stride + $chunkLen), ' ')
+    |      AS chunk_text
+    |  FROM (SELECT doc_id, nw, w,
+    |          unnest(range((nw + ${stride - 1}) // $stride)) AS i
+    |        FROM b))
+    |SELECT doc_id, chunk_idx, chunk_start,
+    |  least($chunkLen, nw - chunk_start) AS chunk_words, chunk_text
+    |FROM c ORDER BY doc_id, chunk_idx
+    |""".stripMargin.trim
+
   // ---------------------------------------------------------------
   // DSIR — data selection via importance resampling (Xie et al.
   // 2023): hashed n-gram bag-of-words LMs for a TARGET distribution

@@ -497,6 +497,42 @@ object TextAnalysis {
       .drop("__w", "__text")
   }
 
+  /** Per-stratum Gopher rejection profile — the curation report a
+    * pipeline owner reads before shipping a filter config: for each
+    * stratum (source), how many documents each rule rejects and how
+    * many survive the conjunction. One stratum-keyed aggregate over
+    * the [[gopherRules]] projection — |strata|-bounded output. */
+  def gopherRejectStats(docs: DataFrame, id: Column, text: Column,
+                        strata: Column): DataFrame = {
+    val flags = gopherRules(docs, id, text)
+    // gopherRules keeps only doc_id + flags; re-join the stratum
+    flags.join(docs.select(id.as("doc_id"), strata.as("g")), "doc_id")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("flag_n_words")).as("rej_n_words"),
+        sum(lit(1L) - col("flag_word_len")).as("rej_word_len"),
+        sum(lit(1L) - col("flag_alpha")).as("rej_alpha"),
+        sum(lit(1L) - col("flag_symbol")).as("rej_symbol"),
+        sum(lit(1L) - col("flag_stop")).as("rej_stop"),
+        sum(col("keep")).as("n_keep"))
+  }
+
+  /** DuckDB twin of [[gopherRejectStats]] over `documents` with
+    * strata = `source`. */
+  def gopherRejectStatsOracleSql: String =
+    s"""
+    |WITH g AS (${gopherRulesOracleSql.replace("\n", "\n|  ")})
+    |SELECT d.source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+    |  CAST(sum(1 - flag_n_words) AS BIGINT) AS rej_n_words,
+    |  CAST(sum(1 - flag_word_len) AS BIGINT) AS rej_word_len,
+    |  CAST(sum(1 - flag_alpha) AS BIGINT) AS rej_alpha,
+    |  CAST(sum(1 - flag_symbol) AS BIGINT) AS rej_symbol,
+    |  CAST(sum(1 - flag_stop) AS BIGINT) AS rej_stop,
+    |  CAST(sum(keep) AS BIGINT) AS n_keep
+    |FROM g JOIN documents d USING (doc_id)
+    |GROUP BY d.source ORDER BY g
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[gopherRules]] over `documents`. */
   def gopherRulesOracleSql: String = {
     val stops = GopherStops.map(x => s"'$x'").mkString(", ")

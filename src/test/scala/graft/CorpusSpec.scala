@@ -233,6 +233,34 @@ class CorpusSpec extends SparkSpec {
     assert(w.exceptAll(again).isEmpty, "not deterministic")
   }
 
+  test("docChunks: hand-computed windows, full coverage, exact overlap") {
+    import spark.implicits._
+    // 10 words, chunkLen=8, stride=6 -> chunks [0,8) and [6,10)
+    val planted = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.docChunks(planted, col("doc_id"), col("text"), 8, 6)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (1L, 6L, 4L, (7 to 10).map(i => s"w$i").mkString(" "))),
+      s"got ${got.toSeq}")
+    // fixture-wide: every word position is covered by >=1 chunk and
+    // consecutive chunks overlap by exactly chunkLen - stride (or hit
+    // the doc end)
+    val chunks = Corpus.docChunks(docs, col("doc_id"), col("text"), 32, 24)
+    val bad = chunks
+      .groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("chunk_words")).as("covered"),
+        count(lit(1)).as("nc"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nw")), "doc_id")
+      .filter(col("covered") =!= col("nw") ||
+        col("nc") =!= expr("(nw + 23) div 24"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("dsirIncremental scores only the batch; novel buckets still score") {
     import spark.implicits._
     val inc = Corpus.dsirIncremental(docs, col("doc_id"), col("text"),

@@ -114,6 +114,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nw > 0 && nw < g.count(), s"flag_n_words should split: $nw")
   }
 
+  test("gopherRejectStats: per-source accounting reconciles with the flags") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val stats = TextAnalysis.gopherRejectStats(docs, col("doc_id"),
+      col("text"), col("source")).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // rejections + keeps reconcile per row: keep <= n_docs - max(rej)
+    stats.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val rejMax = Seq("rej_n_words", "rej_word_len", "rej_alpha",
+        "rej_symbol", "rej_stop").map(r.getAs[Long]).max
+      assert(r.getAs[Long]("n_keep") <= n - rejMax,
+        s"keeps exceed survivors of the strictest rule: $r")
+    }
+  }
+
   test("featureHash: vector mass equals token count, dim fixed") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fh = TextAnalysis.featureHash(docs, col("doc_id"), col("text"))
