@@ -111,5 +111,15 @@ object GraftConf {
     // sign-bit scan: queries broadcast against the spread corpus,
     // re-rank joins back broadcast-side — no sort-merge anywhere
     "ann_binary_topk" -> PlanContract("ann", minBroadcastJoins = 2,
-      forbidSortMerge = true, requireExplicitSpread = true))
+      forbidSortMerge = true, requireExplicitSpread = true),
+    "doc_chunk" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    // gopher projection + ONE stratum agg (no corpus re-join — the
+    // carry-column variant keeps the grouping key in the projection)
+    "gopher_reject_stats" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(1)),
+    // stats via a driver-collected literal; scoring must stay a pure
+    // projection into a TakeOrdered top-k, never a join or window
+    "bm25_topk" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(0)))
 }

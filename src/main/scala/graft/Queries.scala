@@ -1099,6 +1099,17 @@ object Queries {
           col("doc_id"), col("text"), col("source")).orderBy("g"),
       Some(TextAnalysis.gopherRejectStatsOracleSql)),
 
+    // BM25-family retrieval top-k for a literal probe query —
+    // all-integer rational idf/tf-saturation image (zero
+    // transcendentals), stats via one O(|terms|) driver hop,
+    // scoring a pure projection + TakeOrdered
+    ("bm25_topk",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.bm25TopK(t(s, d, "documents"), col("doc_id"),
+          col("text"), Seq("spark", "merge", "window", "customer"), 20),
+      Some(ext.Corpus.bm25TopKOracleSql(
+        Seq("spark", "merge", "window", "customer"), 20))),
+
     // RAG/embedding chunk manifest: overlapping 32-word windows every
     // 24 words — a pure explode projection, (doc_id, chunk_idx) keys
     ("doc_chunk",

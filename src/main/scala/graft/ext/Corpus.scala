@@ -885,6 +885,114 @@ object Corpus {
     |FROM c ORDER BY doc_id, chunk_idx
     |""".stripMargin.trim
 
+  /** BM25-family retrieval scoring for a LITERAL term set — the
+    * "find the training docs most relevant to this probe query"
+    * operator (contamination triage, targeted corpus inspection,
+    * retrieval-index smoke tests). Per document:
+    * {{{ score = Σ_t idf_fp(t) · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·len/avglen)) }}}
+    * with the Robertson idf replaced by its RATIONAL fixed-point
+    * image `idf_fp = (2N − 2df + 1)·10⁶ div (2df + 1)` — the exact
+    * integer image of (N − df + ½)/(df + ½), strictly monotone in
+    * the true log idf, so rankings agree with BM25's for any single
+    * term and stay engine-exact with ZERO transcendental calls (the
+    * [[graft.ext.TextAnalysis.lmFit]] integer-ratio discipline; the
+    * log only compresses scale). The tf saturation uses k1=1.2,
+    * b=0.75 scaled ×4 into integers: numerator tf·11, denominator
+    * 5·tf + 3·(1 + 3·len·10⁶ div (avglen_fp)) ... all divisions are
+    * integer `div` at ppm precision, replayed verbatim by the
+    * oracle.
+    *
+    * Scale shape: terms are a literal array (bounded); per-doc tf
+    * comes from one projection over the pre-split words; df and
+    * avglen are two scalar aggregates collected once (O(|terms|+1)
+    * driver hop, k-means-codebook pattern) and returned as literals,
+    * so scoring is a pure projection + one TakeOrdered top-k. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val w = col("__w")
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("__w"))
+    // driver hop: N, total tokens (avglen at ppm), per-term dfs —
+    // one 1-row aggregate, O(|terms|) values back
+    val aggCols = Seq(count(lit(1)).as("n"),
+      sum(size(w).cast("long")).as("toks")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(w, t), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val aggRow = base.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val nDocs = aggRow.getAs[Long]("n")
+    val avgLenPpm = math.max(1L,
+      aggRow.getAs[Long]("toks") * 1000000L / math.max(1L, nDocs))
+    // idf image at 1e3 scale: (2N − 2df + 1)·1000 div (2df + 1) —
+    // keeps the per-term product idf_fp3 · sat_ppm under ~1e15, so
+    // the score sum stays overflow-safe past 10^8 docs
+    val idfFp3 = terms.indices.map { i =>
+      val df = aggRow.getAs[Long](s"df$i")
+      (2 * nDocs - 2 * df + 1) * 1000L / (2 * df + 1)
+    }
+    // per-doc: length norm in ppm, per-term tf, saturated-tf ppm
+    // (k1 = 6/5, b = 3/4: tf·(k1+1)/(tf + k1·norm) ⇒
+    // 11·tf·1e12 div (5·tf·1e6 + 6·norm_ppm) at ppm scale), then
+    // score_fp = Σ idf_fp3 · sat_ppm — pure integer projection
+    val withCols = terms.indices.foldLeft(
+        base.withColumn("__norm",
+          lit(250000L) + expr(
+            // cast first: 750000·len·1e6 overflows INT arithmetic
+            s"(cast(750000 as bigint) * size(__w) * 1000000) " +
+              s"div $avgLenPpm"))) {
+      case (d, i) => d.withColumn(s"__tf$i",
+        size(filter(col("__w"), t => t === terms(i))).cast("long"))
+    }
+    withCols
+      .select(col("doc_id") +: terms.indices.map(i =>
+        (lit(idfFp3(i)) * when(col(s"__tf$i") > 0,
+          expr(s"(11 * __tf$i * 1000000000000) div " +
+            s"(5 * __tf$i * 1000000 + 6 * __norm)")).otherwise(0L))
+          .as(s"__s$i")): _*)
+      .select(col("doc_id"),
+        terms.indices.map(i => col(s"__s$i")).reduce(_ + _)
+          .as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** DuckDB twin of [[bm25TopK]] over `documents`. */
+  def bm25TopKOracleSql(terms: Seq[String], k: Int): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(w, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(",\n|    ")
+    val idfCols = terms.indices.map { i =>
+      s"(2*n - 2*df$i + 1) * 1000 // (2*df$i + 1) AS idf$i"
+    }.mkString(",\n|    ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n|    ")
+    val sTerms = terms.indices.map { i =>
+      s"idf$i * (CASE WHEN tf$i > 0 THEN (11 * tf$i * 1000000000000) " +
+        s"// (5 * tf$i * 1000000 + 6 * norm) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |stats AS (
+    |  SELECT CAST(count(*) AS BIGINT) AS n,
+    |    greatest(1, sum(len(w)) * 1000000 // count(*)) AS avg_ppm,
+    |    $dfCols
+    |  FROM w),
+    |idf AS (SELECT n, avg_ppm,
+    |    $idfCols
+    |  FROM stats),
+    |per AS (
+    |  SELECT doc_id,
+    |    250000 + (750000 * len(w) * 1000000) // avg_ppm AS norm,
+    |    $tfCols
+    |  FROM w, idf),
+    |scored AS (
+    |  SELECT doc_id, CAST($sTerms AS BIGINT) AS score_fp
+    |  FROM per, idf)
+    |SELECT doc_id, score_fp FROM scored
+    |ORDER BY score_fp DESC, doc_id LIMIT $k
+    |""".stripMargin.trim
+  }
+
   // ---------------------------------------------------------------
   // DSIR — data selection via importance resampling (Xie et al.
   // 2023): hashed n-gram bag-of-words LMs for a TARGET distribution

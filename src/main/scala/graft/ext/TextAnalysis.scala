@@ -467,11 +467,20 @@ object TextAnalysis {
     * Pure column expressions — a projection, no shuffle, linear at
     * any scale. Ratio comparisons are single exact-long→double
     * divisions (identical IEEE ops both engines). */
-  def gopherRules(docs: DataFrame, id: Column, text: Column): DataFrame = {
+  def gopherRules(docs: DataFrame, id: Column, text: Column): DataFrame =
+    gopherRulesCarry(docs, id, text, Seq.empty)
+
+  /** [[gopherRules]] with pass-through columns (column → output
+    * name) — lets aggregating consumers keep their grouping key in
+    * the projection instead of re-joining the corpus on doc_id (a
+    * full second scan + shuffle at 100 TB). */
+  def gopherRulesCarry(docs: DataFrame, id: Column, text: Column,
+                       carry: Seq[(Column, String)]): DataFrame = {
     val w = col("__w")
     val nWords = size(w).cast("long")
     val flag = (c: Column) => when(c, 1L).otherwise(0L)
-    docs.select(id.as("doc_id"), text.as("__text"))
+    docs.select(id.as("doc_id") +: text.as("__text") +:
+        carry.map { case (c, n) => c.as(n) }: _*)
       .withColumn("__w", split(col("__text"), " "))
       .withColumn("n_words", nWords)
       .withColumn("mean_word_len",
@@ -504,9 +513,7 @@ object TextAnalysis {
     * the [[gopherRules]] projection — |strata|-bounded output. */
   def gopherRejectStats(docs: DataFrame, id: Column, text: Column,
                         strata: Column): DataFrame = {
-    val flags = gopherRules(docs, id, text)
-    // gopherRules keeps only doc_id + flags; re-join the stratum
-    flags.join(docs.select(id.as("doc_id"), strata.as("g")), "doc_id")
+    gopherRulesCarry(docs, id, text, Seq(strata -> "g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"),
         sum(lit(1L) - col("flag_n_words")).as("rej_n_words"),

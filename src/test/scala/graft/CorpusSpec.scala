@@ -261,6 +261,28 @@ class CorpusSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("bm25TopK: tf monotone at equal length, rare term outranks common") {
+    import spark.implicits._
+    // equal-length docs, single query term with tf 3/2/1/0: ranking
+    // must follow tf (saturation is monotone), ties/zeroes by doc_id
+    val tf = Seq(
+      (1L, "x x x a b c"), (2L, "x x a b c d"),
+      (3L, "x a b c d e"), (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val got = Corpus.bm25TopK(tf, col("doc_id"), col("text"),
+      Seq("x"), 4).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), s"got $got")
+    // a doc matching only the RARE term must outrank a doc matching
+    // only the COMMON term (idf image is monotone in rarity)
+    val idf = Seq(
+      (1L, "rare b c"), (2L, "common b c"),
+      (3L, "common x y"), (4L, "common y z"))
+      .toDF("doc_id", "text")
+    val top = Corpus.bm25TopK(idf, col("doc_id"), col("text"),
+      Seq("rare", "common"), 1).collect()(0).getLong(0)
+    assert(top == 1L, s"rare-term doc should rank first, got $top")
+  }
+
   test("dsirIncremental scores only the batch; novel buckets still score") {
     import spark.implicits._
     val inc = Corpus.dsirIncremental(docs, col("doc_id"), col("text"),
