@@ -1619,6 +1619,14 @@ object Queries {
           col("text"), col("lang") === "en").orderBy("feature"),
       Some(ext.Classifier.lrStep0OracleSql())),
 
+    // Deployment scoring under FIXED literal weights (BpeFixedRules
+    // pattern): logit + threshold flag, zero transcendentals
+    ("quality_lr_score",
+      (s: SparkSession, d: String) =>
+        ext.Classifier.scoreFixed(t(s, d, "documents"), col("doc_id"),
+          col("text")).orderBy("doc_id"),
+      Some(ext.Classifier.scoreFixedOracleSql())),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
     // LLR weights vs the en-language target, top quarter per source
     ("dsir_weights",

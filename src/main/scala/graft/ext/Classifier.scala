@@ -172,6 +172,60 @@ object Classifier {
     (wv, losses.result())
   }
 
+  /** Fixed demo weights for the DECLARED `quality_lr_score` query —
+    * literals, so the oracle replays the identical arithmetic (the
+    * [[graft.Queries.BpeFixedRules]] pattern: learned weights are
+    * corpus-dependent and spec-pinned via [[lrTrain]] instead).
+    * Order = [[FeatureNames]] over the normalized features. */
+  val FixedScoreWeights: Seq[Double] = Seq(-1.5, 0.8, 0.2, 4.0, -0.5)
+
+  /** Deployment scoring under FIXED literal weights, emitting the
+    * LOGIT (w·x) rather than σ(w·x): σ is strictly monotone in the
+    * logit, so ranking/thresholding semantics are identical, and the
+    * logit is a short left-associated chain of single IEEE ops on
+    * exact-rational inputs — bit-identical cross-engine with ZERO
+    * transcendental calls (an exp-based σ is only ~1-ulp
+    * reproducible, which a hash gate cannot tolerate at corpus
+    * scale). `pred` = logit > 0 ⟺ σ > ½. Pure projection. */
+  def scoreFixed(docs: DataFrame, id: Column, text: Column,
+                 weights: Seq[Double] = FixedScoreWeights): DataFrame = {
+    require(weights.length == FeatureNames.length)
+    val pre = docs.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__w", split(col("__text"), " "))
+    val logit = normFeatureCols(col("__text"), col("__w")).zip(weights)
+      .map { case (c, w) => c * lit(w) }.reduce(_ + _)
+    pre.select(col("doc_id"), round(logit, 6).as("logit"),
+      when(logit > 0.0, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** DuckDB twin of [[scoreFixed]] over `documents` — the same
+    * left-associated chain over the same rational feature values. */
+  def scoreFixedOracleSql(
+      weights: Seq[Double] = FixedScoreWeights): String = {
+    val stops = TextAnalysis.Markers.head._2.map(x => s"'$x'")
+      .mkString(", ")
+    // feature expressions over the pre-split words column, matching
+    // normFeatureCols exactly (bias, words/100, chars/1000,
+    // stop_ratio, distinct_ratio)
+    val xs = Seq(
+      "1.0",
+      "nw / 100.0",
+      "CAST(length(text) AS DOUBLE) / 1000.0",
+      s"CAST(len(list_filter(w, t -> t IN ($stops))) AS DOUBLE) / nw",
+      "CAST(len(list_distinct(w)) AS DOUBLE) / nw")
+    val logit = xs.zip(weights)
+      .map { case (x, wt) => s"($x) * $wt" }.mkString(" + ")
+    s"""
+    |WITH b AS (
+    |  SELECT doc_id, text, str_split(text, ' ') AS w,
+    |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS nw
+    |  FROM documents)
+    |SELECT doc_id, round($logit, 6) AS logit,
+    |  CAST(CASE WHEN $logit > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+    |FROM b ORDER BY doc_id
+    |""".stripMargin.trim
+  }
+
   /** Score documents with trained weights: σ(w·x) as `lr_score` —
     * a pure projection (the 100 TB deployment path). */
   def scoreWith(docs: DataFrame, id: Column, text: Column,

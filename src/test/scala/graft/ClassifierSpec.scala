@@ -43,6 +43,21 @@ class ClassifierSpec extends SparkSpec {
     assert(w1.sameElements(w2) && l1 == l2, "trajectory not deterministic")
   }
 
+  test("scoreFixed: pred = sign of logit, monotone with sigmoid scoring") {
+    val fixed = Classifier.scoreFixed(docs, col("doc_id"), col("text"))
+    val bad = fixed.filter(
+      (col("logit") > 0.0 && col("pred") =!= 1L) ||
+        (col("logit") <= 0.0 && col("pred") =!= 0L)).count()
+    assert(bad == 0)
+    // σ(w·x) under the same weights crosses ½ exactly where the
+    // logit crosses 0 (the declared pred threshold)
+    val sig = Classifier.scoreWith(docs, col("doc_id"), col("text"),
+      Classifier.FixedScoreWeights.toArray)
+    val disagree = fixed.join(sig, "doc_id")
+      .filter((col("lr_score") > 0.5) =!= (col("pred") === 1L)).count()
+    assert(disagree == 0, "sigmoid threshold must match pred")
+  }
+
   test("trained scores separate the target class on the fixture") {
     val (w, _) = Classifier.lrTrain(docs, col("text"),
       col("lang") === "en", iters = 10, rate = 2.0)
