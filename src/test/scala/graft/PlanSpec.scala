@@ -43,6 +43,16 @@ class PlanSpec extends SparkSpec {
       s"top-k fell back to full sort + limit:\n$p")
   }
 
+  test("bm25_topk plans as TakeOrdered, never a global sort") {
+    // the GraftConf contract counts hash shuffles; a regression to
+    // sort+limit would be a RANGE exchange, which only this pin sees
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"retrieval top-k fell back to full sort + limit:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"unexpected global sort:\n$p")
+  }
+
   test("sample_split is a pure projection: no shuffle, no join") {
     val p = plan("sample_split")
     assert(!p.contains("Exchange hashpartitioning"),
