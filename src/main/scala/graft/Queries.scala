@@ -1083,6 +1083,14 @@ object Queries {
           col("text"), 5).orderBy("doc_id"),
       Some(ext.Dedup.chunkScrubOracleSql(5))),
 
+    // Asymmetric containment pairs (|A∩B|/|A| on the smaller gram
+    // set): the excerpt/quote detector symmetric Jaccard misses
+    ("ngram_containment",
+      (s: SparkSession, d: String) =>
+        ext.Dedup.ngramContainmentPairs(t(s, d, "documents"),
+          col("doc_id"), col("text"), 3, 4, 5).orderBy("d1", "d2"),
+      Some(ext.Dedup.ngramContainmentOracleSql(3, 4, 5))),
+
     // Full Gopher quality-rule set (Rae et al. 2021 §A1.1): per-rule
     // 0/1 flags + conjunctive keep, auditable per source
     ("gopher_rules",

@@ -811,6 +811,64 @@ object Dedup {
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — the excerpt/quote detector
+    * symmetric Jaccard structurally misses: a 50-gram document fully
+    * embedded in a 5,000-gram one has Jaccard ≈ 0.01 but containment
+    * C(A,B) = |A∩B|/|A| = 1.0. Emits pairs where the SMALLER gram
+    * set's containment clears `thresholdNum/thresholdDen` (integer
+    * cross-multiplication — no float ratios), with both containments
+    * as ppm for triage. Same single gram-keyed equi-join shape as
+    * [[ngramJaccardPairs]] (exact-verify path; at corpus scale run it
+    * on LSH/winnow candidates — containment-biased recall prefers the
+    * [[winnowedFingerprints]] index, whose shared-run guarantee is
+    * length-asymmetric by construction). */
+  def ngramContainmentPairs(docs: DataFrame, id: Column, text: Column,
+                            n: Int, thresholdNum: Int,
+                            thresholdDen: Int): DataFrame = {
+    val grams = explodedGrams(docs, id, text, n)
+    val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val a = spread(grams.select(col("gram"), col("doc_id").as("d1")),
+      col("gram"))
+    val b = grams.select(col("gram").as("__g2"), col("doc_id").as("d2"))
+    val inter = a.join(b, col("gram") === col("__g2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("d1"), col("n_grams").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n_grams").as("n2")), "d2")
+      .filter(col("inter") * lit(thresholdDen) >=
+        least(col("n1"), col("n2")) * lit(thresholdNum))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        expr("(inter * 1000000) div n1").as("cont1_ppm"),
+        expr("(inter * 1000000) div n2").as("cont2_ppm"))
+  }
+
+  /** DuckDB twin of [[ngramContainmentPairs]] over `documents`. */
+  def ngramContainmentOracleSql(n: Int, thresholdNum: Int,
+                                thresholdDen: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |grams AS (
+    |  SELECT DISTINCT doc_id, gram
+    |  FROM (SELECT doc_id,
+    |          unnest(list_transform(range(greatest(len(w) - ${n - 1}, 0)),
+    |            i -> ${(1 to n).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
+    |        FROM w)),
+    |counts AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    |inter AS (
+    |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+    |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2)
+    |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+    |  CAST(c1.n_grams AS BIGINT) AS n1, CAST(c2.n_grams AS BIGINT) AS n2,
+    |  (inter * 1000000) // c1.n_grams AS cont1_ppm,
+    |  (inter * 1000000) // c2.n_grams AS cont2_ppm
+    |FROM inter
+    |JOIN counts c1 ON c1.doc_id = d1
+    |JOIN counts c2 ON c2.doc_id = d2
+    |WHERE inter * $thresholdDen >= least(c1.n_grams, c2.n_grams) * $thresholdNum
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+
   /** [[ngramJaccardPairs]] with PPJoin-style prefix filtering (Xiao et
     * al., WWW'08) — same result set, different join shape. Canonical
     * gram order = ascending document frequency (rare first); each doc

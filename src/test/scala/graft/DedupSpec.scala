@@ -260,6 +260,27 @@ class DedupSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("ngramContainment catches a planted excerpt that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = a 6-word excerpt of the 60-word doc 1: containment of
+    // the excerpt is 1.0 while Jaccard is ~0.07
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (20 to 25).map(i => s"w$i").mkString(" ")
+    val planted = Seq((1L, long), (2L, excerpt),
+      (3L, "x y z q r s")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(planted, col("doc_id"),
+      col("text"), 3, 4, 5).collect()
+    assert(cont.length == 1)
+    val r = cont(0)
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getAs[Long]("cont2_ppm") == 1000000L,
+      s"excerpt containment must be exact 1.0: $r")
+    // the same pair fails the symmetric Jaccard gate at the same bar
+    val jac = Dedup.ngramJaccardPairs(planted, col("doc_id"),
+      col("text"), 3, 4, 5).collect()
+    assert(jac.isEmpty, s"jaccard should miss the excerpt: ${jac.toSeq}")
+  }
+
   test("dupSpanMerge: consecutive dup tiles merge, gaps split spans") {
     import spark.implicits._
     // k=3: docs 1/2 share tiles [a b c][d e f] (consecutive → ONE
