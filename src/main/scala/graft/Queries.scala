@@ -799,6 +799,19 @@ object Queries {
           .orderBy("doc_id"),
       Some(Dedup.nearDupComponentsOracleSql(3))),
 
+    // Duplicate-family centrality: fixed-point PageRank over the
+    // minhash candidate graph — which doc a duplicate family radiates
+    // from (canonical-pick signal, quality-blind twin of
+    // neardup_best_keep); fixed 3 iterations, exact BIGINT arithmetic
+    ("neardup_pagerank",
+      (s: SparkSession, d: String) =>
+        Dedup.pairPageRank(
+          Dedup.minhashCandidates(
+            Dedup.minhashSignature(t(s, d, "documents"), col("doc_id"),
+              col("text"), 3, 8), 8, 2), iters = 3)
+          .orderBy("doc_id"),
+      Some(Dedup.pairPageRankOracleSql(3, 8, 2, iters = 3))),
+
     ("embedding_topk",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
@@ -869,6 +882,27 @@ object Queries {
           .orderBy("query_id")
       },
       Some(Similarity.binaryRecallOracleSql(64, 5, 10))),
+
+    // Reciprocal-rank fusion of the two integer scan legs (int8 dot +
+    // 1-bit Hamming): the multi-index ensemble, fixed-point RRF score
+    // so the fused order is exact across engines
+    ("ann_rrf_fusion",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.rrfFuseTopK(emb, emb.filter(col("vec_id") < 10), 5, 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(Similarity.rrfFuseTopKOracleSql(64, 5, 10))),
+
+    // recall@k of the fused ranking vs the exact decimal scan — does
+    // the ensemble of two cheap legs beat either leg alone?
+    ("ann_rrf_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.rrfRecall(emb, emb.filter(col("vec_id") < 10), 5, 64)
+          .orderBy("query_id")
+      },
+      Some(Similarity.rrfRecallOracleSql(64, 5, 10))),
 
     // lookup-table scoring over m-byte PQ codes inside the probed
     // cells (scan cost decoupled from float bandwidth), exact re-rank

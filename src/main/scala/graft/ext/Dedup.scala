@@ -1953,4 +1953,100 @@ object Dedup {
     |GROUP BY 1, 2 HAVING count(*) >= $minShared
     |ORDER BY d1, d2
     |""".stripMargin.trim
+
+  /** Fixed-point PageRank over the near-dup candidate graph —
+    * duplicate-family centrality. Within a duplicate family the
+    * highest-rank doc is the one the most (and most-connected)
+    * near-copies point at: the template/original the family radiates
+    * from, a quality-blind canonical-representative signal that
+    * complements [[nearDupBestKeep]]'s quality-score pick (a scraped
+    * mirror farm has many low-centrality copies of one high-centrality
+    * source page).
+    *
+    * Arithmetic is fixed-point BIGINT throughout — rank mass starts at
+    * `SCALE div n`, each iteration redistributes `pr div deg` along
+    * edges and applies damping as `(15·base) div 100 + (85·in) div
+    * 100` — so the result is exact-integer deterministic across
+    * engines: no float sums, no convergence epsilon, a FIXED iteration
+    * count (the bounded-rounds discipline of [[starComponents]],
+    * applied to rank propagation). Dangling mass never arises: nodes
+    * are defined as pair members, so the symmetrized graph gives every
+    * node out-degree >= 1.
+    *
+    * Scale shape: per iteration one equi join (edges x ranks, keyed on
+    * src) + one hash agg (sum by dst) + one left join back onto the
+    * node set — three shuffles on the edge/node key, the textbook
+    * distributed-PageRank layout. Edges are `localCheckpoint`ed once
+    * and reused every round; the node set is the pair-graph members
+    * only (duplicate families), not the corpus, so the iteration
+    * frames track the duplication rate, not corpus size. */
+  def pairPageRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val Scale = 1000000000000L
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // n (node count) rides along as a 1-row broadcast crossJoin — the
+    // C8 scalar-injection pattern, so the base term needs no driver hop
+    val nodes = deg.select(col("src").as("doc_id"), col("deg"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("__n"))))
+    var ranks = nodes
+      .withColumn("pr_fp", expr(s"$Scale DIV __n"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id").as("src"),
+          expr("pr_fp DIV deg").as("__c")), "src")
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      ranks = ranks.drop("pr_fp")
+        .join(contrib.withColumnRenamed("dst", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("pr_fp", expr(
+          s"(15 * ($Scale DIV __n)) DIV 100 + " +
+            "(85 * coalesce(__in, 0L)) DIV 100"))
+        .drop("__in")
+        .localCheckpoint()
+    }
+    ranks.select(col("doc_id"), col("deg"), col("pr_fp"))
+  }
+
+  /** Full DuckDB oracle for [[pairPageRank]] over the minhash LSH
+    * candidate graph: the iteration unrolls into one CTE per round
+    * (fixed `iters`, so the oracle is a static statement). */
+  def pairPageRankOracleSql(shingle: Int, k: Int, rowsPerBand: Int,
+                            iters: Int = 3): String = {
+    val Scale = "1000000000000"
+    val base = s"(15 * ($Scale // (SELECT n FROM nn))) // 100"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "p0" else s"it${i - 1}"
+      s"""it$i AS (
+         |  SELECT d.doc_id, d.deg,
+         |    $base + (85 * coalesce(s.insum, 0)) // 100 AS pr_fp
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst, sum(p.pr_fp // p.deg) AS insum
+         |    FROM edges e JOIN $prev p ON p.doc_id = e.src
+         |    GROUP BY e.dst) s ON s.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)},
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |edges AS (
+    |  SELECT d1 AS src, d2 AS dst FROM pairs
+    |  UNION SELECT d2, d1 FROM pairs),
+    |deg AS (SELECT src AS doc_id, count(*) AS deg
+    |        FROM edges GROUP BY src),
+    |nn AS (SELECT count(*) AS n FROM deg),
+    |p0 AS (SELECT doc_id, deg, $Scale // (SELECT n FROM nn) AS pr_fp
+    |       FROM deg),
+    |$iterCtes
+    |SELECT doc_id, CAST(deg AS BIGINT) AS deg,
+    |  CAST(pr_fp AS BIGINT) AS pr_fp
+    |FROM it$iters ORDER BY doc_id
+    |""".stripMargin.trim
+  }
 }

@@ -2084,4 +2084,180 @@ object Similarity {
     |ORDER BY c_id, pos
     |""".stripMargin.trim
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the two
+    * cheap integer scan rankings — the int8 symmetric-quantized dot
+    * ([[quantizedTopK]], 4× under float bandwidth) and the 1-bit sign
+    * Hamming scan (16× under; the [[binaryTopK]] shortlist stage).
+    * The multi-index ensemble move: each leg misranks differently, so
+    * fusing their rank lists recovers neighbours either leg alone
+    * drops, without ever touching a float during scoring.
+    *
+    * RRF score is fixed-point integer — `Σ_legs (10^9 div (k0 +
+    * rank))`, absent leg contributes 0 — so the fused ordering is
+    * exact-arithmetic deterministic across engines (no float sums to
+    * tie-break). Final order: score desc, then cand_id.
+    *
+    * Scale shape: each leg is the measured brute scan (|Q|·|C|
+    * integer kernel, queries broadcast, corpus streamed) and the
+    * fusion itself is a |Q|·depth full-outer join + one bounded
+    * window — at 100 TB the legs swap for their pruned twins
+    * ([[ivfPqTopK]] / [[ivfBinaryTopK]]) and the fusion stage is
+    * unchanged, which is the point: RRF needs only (query, cand,
+    * rank) from each index, never scores on a shared scale. */
+  def rrfFuseTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  dim: Int, depth: Int = 20, k0: Int = 60,
+                  bits: Int = 8): DataFrame = {
+    require(k > 0 && depth >= k, s"need depth >= k > 0, got k=$k depth=$depth")
+    val nWords = (dim + 31) / 32
+    val intLeg = quantizedTopK(corpus, queries, depth, bits)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").as("int8_rank"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      signPack(col("embedding"), dim).as("q_s"))
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
+      signPack(col("embedding"), dim).as("c_s")), col("cand_id"))
+    val hamW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    val signLeg = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        hammingPacked(col("q_s"), col("c_s"), nWords).as("hamming"))
+      .withColumn("sign_rank", row_number().over(hamW).cast("long"))
+      .filter(col("sign_rank") <= depth)
+      .select(col("query_id"), col("cand_id"), col("sign_rank"))
+    val fused = intLeg
+      .join(signLeg, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("int8_rank", coalesce(col("int8_rank"), lit(0L)))
+      .withColumn("sign_rank", coalesce(col("sign_rank"), lit(0L)))
+      .withColumn("rrf_fp", expr(
+        s"""CASE WHEN int8_rank > 0
+           | THEN 1000000000 DIV (int8_rank + $k0) ELSE 0 END +
+           |CASE WHEN sign_rank > 0
+           | THEN 1000000000 DIV (sign_rank + $k0) ELSE 0 END""".stripMargin))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("cand_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("int8_rank"),
+        col("sign_rank"), col("rrf_fp"), col("rank"))
+  }
+
+  /** Full DuckDB oracle for [[rrfFuseTopK]] over `embeddings`. */
+  def rrfFuseTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                           depth: Int = 20, k0: Int = 60,
+                           bits: Int = 8): String = {
+    val levels = (1 << (bits - 1)) - 1
+    val nWords = (dim + 31) / 32
+    val ham = (0 until nWords).map { w =>
+      s"bit_count(xor(q_s[${w + 1}], c_s[${w + 1}]))"
+    }.mkString(" + ")
+    s"""
+    |WITH m AS (
+    |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    |  FROM embeddings),
+    |qq AS (
+    |  SELECT vec_id, list_transform(dv,
+    |    x -> CAST(round(x / (ma / $levels)) AS BIGINT)) AS qv
+    |  FROM (SELECT vec_id, dv,
+    |          list_max(list_transform(dv, x -> abs(x))) AS ma FROM m)
+    |  WHERE ma > 0),
+    |q8 AS (SELECT vec_id AS query_id, qv AS q_q FROM qq
+    |       WHERE vec_id < $maxQueryId),
+    |c8 AS (SELECT vec_id AS cand_id, qv AS c_q FROM qq),
+    |i_scored AS (
+    |  SELECT query_id, cand_id,
+    |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+    |      list_transform(range($dim), i -> q_q[i + 1] * c_q[i + 1])),
+    |      (acc, x) -> acc + x) AS score
+    |  FROM c8, q8 WHERE query_id <> cand_id),
+    |int_leg AS (
+    |  SELECT query_id, cand_id, rank FROM (
+    |    SELECT query_id, cand_id,
+    |      row_number() OVER (PARTITION BY query_id
+    |        ORDER BY score DESC, cand_id) AS rank
+    |    FROM i_scored) WHERE rank <= $depth),
+    |sig AS (
+    |  SELECT vec_id, ${signPackSql("embedding", dim)} AS s
+    |  FROM embeddings),
+    |qs AS (SELECT vec_id AS query_id, s AS q_s FROM sig
+    |       WHERE vec_id < $maxQueryId),
+    |cs AS (SELECT vec_id AS cand_id, s AS c_s FROM sig),
+    |sign_leg AS (
+    |  SELECT query_id, cand_id, srank FROM (
+    |    SELECT query_id, cand_id,
+    |      row_number() OVER (PARTITION BY query_id
+    |        ORDER BY CAST($ham AS BIGINT), cand_id) AS srank
+    |    FROM cs, qs WHERE query_id <> cand_id) WHERE srank <= $depth),
+    |fused AS (
+    |  SELECT coalesce(i.query_id, s.query_id) AS query_id,
+    |    coalesce(i.cand_id, s.cand_id) AS cand_id,
+    |    CAST(coalesce(i.rank, 0) AS BIGINT) AS int8_rank,
+    |    CAST(coalesce(s.srank, 0) AS BIGINT) AS sign_rank,
+    |    CAST(CASE WHEN i.rank IS NOT NULL
+    |           THEN 1000000000 // (i.rank + $k0) ELSE 0 END +
+    |         CASE WHEN s.srank IS NOT NULL
+    |           THEN 1000000000 // (s.srank + $k0) ELSE 0 END
+    |      AS BIGINT) AS rrf_fp
+    |  FROM int_leg i FULL OUTER JOIN sign_leg s
+    |    ON i.query_id = s.query_id AND i.cand_id = s.cand_id)
+    |SELECT query_id, cand_id, int8_rank, sign_rank, rrf_fp,
+    |  CAST(rank AS BIGINT) AS rank
+    |FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY query_id
+    |    ORDER BY rrf_fp DESC, cand_id) AS rank
+    |  FROM fused)
+    |WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+  }
+
+  /** recall@k of the fused ranking vs the exact decimal cosine scan —
+    * the [[binaryRecall]] twin for the RRF ensemble: is two cheap
+    * integer legs fused better than either leg alone? (RrfSpec
+    * asserts fused recall >= each single-leg recall on the fixture.) */
+  def rrfRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                dim: Int, depth: Int = 20, k0: Int = 60,
+                bits: Int = 8): DataFrame = {
+    val exact = cosineTopK(corpus, queries, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = rrfFuseTopK(corpus, queries, k, dim, depth, k0, bits)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("n_hits", col("n_hits").cast("long"))
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+  }
+
+  /** DuckDB twin of [[rrfRecall]]. */
+  def rrfRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                         depth: Int = 20, k0: Int = 60,
+                         bits: Int = 8): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    val fusedSql = rrfFuseTopKOracleSql(dim, k, maxQueryId, depth, k0, bits)
+    s"""
+    |WITH q0 AS (SELECT vec_id AS query_id, embedding AS q_emb
+    |            FROM embeddings WHERE vec_id < $maxQueryId),
+    |c0 AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |ex_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM c0, q0 WHERE query_id <> cand_id),
+    |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k),
+    |fused AS (SELECT query_id, cand_id FROM ($fusedSql))
+    |SELECT e.query_id,
+    |  CAST(count(f.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(f.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM exact e LEFT JOIN fused f
+    |  ON e.query_id = f.query_id AND e.cand_id = f.cand_id
+    |GROUP BY e.query_id
+    |ORDER BY e.query_id
+    |""".stripMargin.trim
+  }
 }
