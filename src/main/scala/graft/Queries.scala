@@ -1193,6 +1193,15 @@ object Queries {
           1800, Seq("event_id")).orderBy("user_id", "session_num"),
       Some(Sessions.sessionStatsOracleSql(1800))),
 
+    // Markov transition matrix over within-session event bigrams —
+    // "what do users do after X"; probabilities as exact ppm, the
+    // |types|^2-bounded journey model
+    ("event_transitions",
+      (s: SparkSession, d: String) =>
+        Sessions.transitionCounts(t(s, d, "events"), 1800)
+          .orderBy("prev_type", "next_type"),
+      Some(Sessions.transitionCountsOracleSql(1800))),
+
     ("multimodal_features",
       (s: SparkSession, d: String) =>
         Multimodal.featuresExpr(t(s, d, "documents")).orderBy("doc_id"),

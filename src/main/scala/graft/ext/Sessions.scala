@@ -214,4 +214,67 @@ object Sessions {
     |    AS DOUBLE) AS total_value
     |FROM expanded GROUP BY 1, 2 ORDER BY 1
     |""".stripMargin.trim
+
+  /** Markov transition matrix over within-session event bigrams —
+    * the user-journey model behind "what do users do after X":
+    * consecutive (prev → next) event-type pairs inside a session
+    * (the [[sessionize]] gap rule; a session break is NOT a
+    * transition), counted corpus-wide, with the per-prev-type
+    * transition probability as exact ppm (`n·10⁶ div rowtotal` — the
+    * fixed-point-ratio discipline, no float division).
+    *
+    * Scale shape: the bigram extraction rides the same
+    * (user, ts)-partitioned window as sessionization itself — one
+    * shuffle on user_id shared with every other session op — and the
+    * transition matrix is a |types|²-bounded aggregate, so the
+    * per-prev window that turns counts into row probabilities runs
+    * on a frame the size of the TYPE VOCABULARY, not the corpus. */
+  def transitionCounts(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val sess = sessionize(events, "user_id", "ts", gapSeconds,
+      tiebreak = Seq("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("session_num"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counts = sess
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val rowW = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("__row_total", sum(col("n_trans")).over(rowW))
+      .withColumn("p_ppm", expr("(n_trans * 1000000) DIV __row_total"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        col("p_ppm"))
+  }
+
+  /** DuckDB twin of [[transitionCounts]] over `events`. */
+  def transitionCountsOracleSql(gapSeconds: Long): String =
+    s"""
+    |WITH flagged AS (
+    |  SELECT user_id, event_id, ts, event_type,
+    |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+    |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${gapSeconds * 1000000L}
+    |         THEN 1 ELSE 0 END AS new_sess
+    |  FROM events
+    |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    |sess AS (
+    |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    |    ROWS UNBOUNDED PRECEDING) AS session_num
+    |  FROM flagged),
+    |bigrams AS (
+    |  SELECT lag(event_type) OVER (PARTITION BY user_id, session_num
+    |      ORDER BY ts, event_id) AS prev_type,
+    |    event_type AS next_type
+    |  FROM sess),
+    |counts AS (
+    |  SELECT prev_type, next_type, count(*) AS n_trans
+    |  FROM bigrams WHERE prev_type IS NOT NULL
+    |  GROUP BY prev_type, next_type)
+    |SELECT prev_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+    |  CAST((n_trans * 1000000) //
+    |    sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+    |FROM counts
+    |ORDER BY prev_type, next_type
+    |""".stripMargin.trim
 }

@@ -81,4 +81,31 @@ class SessionsSpec extends SparkSpec {
         firstSeen(r.getDate(0).toString))
     }
   }
+
+  test("transitionCounts: session breaks are not transitions, " +
+    "ppm rows are exact and sum to <= 1e6 per prev_type") {
+    import spark.implicits._
+    // user 1: a->b->a within one session, then a 1h gap, then c->a:
+    // transitions a->b, b->a, c->a (the break a->c is NOT counted)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(10), 1L, "b"), (3L, ts(20), 1L, "a"),
+      (4L, ts(3800), 1L, "c"), (5L, ts(3810), 1L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Sessions.transitionCounts(ev, 1800).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Long]("p_ppm"))).toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("c", "a")))
+    assert(out(("a", "b")) == ((1L, 1000000L)))
+    assert(out(("b", "a")) == ((1L, 1000000L)))
+    assert(out(("c", "a")) == ((1L, 1000000L)))
+    // fixture-wide: per-prev ppm mass can only round DOWN from 1e6
+    val mass = Sessions.transitionCounts(events, 1800)
+      .groupBy("prev_type").agg(sum("p_ppm").as("mass"))
+      .collect().map(_.getAs[Long]("mass"))
+    assert(mass.nonEmpty)
+    mass.foreach(m => assert(m <= 1000000L && m > 999000L))
+  }
 }
