@@ -1694,6 +1694,15 @@ object Queries {
           col("source"), col("text")).orderBy("g"),
       Some(TextAnalysis.ttrStatsOracleSql("source"))),
 
+    // Discounted collocation scores over corpus-wide adjacent word
+    // bigrams (Mikolov phrase detection, min-conditional rational
+    // variant) — the phrase-merge pass before vocabulary building
+    ("phrase_bigrams",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.phraseBigrams(t(s, d, "documents"), col("text"))
+          .orderBy("w1", "w2"),
+      Some(TextAnalysis.phraseBigramsOracleSql())),
+
     // Per-label exact-decimal centroids (k-means update step)
     ("embedding_centroid",
       (s: SparkSession, d: String) =>

@@ -578,4 +578,75 @@ object TextAnalysis {
     |FROM f ORDER BY doc_id
     |""".stripMargin.trim
   }
+
+  /** Discounted collocation scores over corpus-wide adjacent word
+    * bigrams — the phrase-detection pass a tokenizer/phrase-merge
+    * pipeline runs before vocabulary building (Mikolov et al.,
+    * NeurIPS 2013 §4: `score(ab) = (c_ab − δ) / (c_a · c_b)`,
+    * merging high scorers into single tokens). Kept rational for
+    * exact cross-engine arithmetic: this emits the min-conditional
+    * variant `score_ppm = (c_ab − δ)·10⁶ div max(c_a, c_b)` —
+    * the discounted "P(b|a) and P(a|b) are BOTH high" attachment
+    * strength — which ranks the same strong collocations without
+    * the corpus-size factor that would overflow int64 at large N.
+    * δ (`delta`) discounts hapax pairs exactly as in the paper.
+    *
+    * Shape: bigram assembly is a per-doc array projection (zero
+    * shuffle — `transform` over the sliced word array), then one
+    * (w1, w2) hash agg; unigram counts are one token agg joined back
+    * BROADCAST (vocab-bounded, the k-means-codebook reasoning
+    * applied to a count table), so corpus size never rides a
+    * bigram-side shuffle beyond the one count agg. Output rows are
+    * bounded by BIGRAM TYPES (≤ vocab², Heaps-saturating on real
+    * text), not corpus tokens — SCALE.md §21 measures time linear in
+    * that output. The broadcast is the named dial: a web-scale type
+    * table (~10⁸ rows) outgrows the broadcast threshold, at which
+    * point the two joins fall back to shuffle joins on w1/w2 — same
+    * plan shape, one partitioning reused. */
+  def phraseBigrams(docs: DataFrame, text: Column,
+                    delta: Long = 1L): DataFrame = {
+    val words = docs.select(split(text, " ").as("__w"))
+    val uni = words.select(explode(col("__w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val bi = words
+      .select(explode(expr(
+        """transform(slice(__w, 1, size(__w) - 1),
+          |  (x, i) -> struct(x AS w1, element_at(__w, i + 2) AS w2))"""
+          .stripMargin)).as("__b"))
+      .select(col("__b.w1"), col("__b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    bi.join(broadcast(uni.select(col("word").as("w1"),
+        col("n").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("word").as("w2"),
+        col("n").as("n_b"))), "w2")
+      .filter(col("n_ab") > delta)
+      .withColumn("score_ppm", expr(
+        s"((n_ab - $delta) * 1000000L) DIV greatest(n_a, n_b)"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"),
+        col("n_b"), col("score_ppm"))
+  }
+
+  /** DuckDB twin of [[phraseBigrams]] over `documents`. */
+  def phraseBigramsOracleSql(delta: Long = 1L): String =
+    s"""
+    |WITH w AS (SELECT str_split(text, ' ') AS w FROM documents),
+    |uni AS (
+    |  SELECT word, count(*) AS n
+    |  FROM (SELECT unnest(w) AS word FROM w) GROUP BY word),
+    |bi AS (
+    |  SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_ab
+    |  FROM (SELECT unnest(list_transform(
+    |          range(greatest(len(w) - 1, 0)),
+    |          i -> [w[i + 1], w[i + 2]])) AS p
+    |        FROM w)
+    |  GROUP BY 1, 2)
+    |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+    |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+    |  CAST(((n_ab - $delta) * 1000000) // greatest(a.n, b.n) AS BIGINT)
+    |    AS score_ppm
+    |FROM bi JOIN uni a ON bi.w1 = a.word
+    |        JOIN uni b ON bi.w2 = b.word
+    |WHERE n_ab > $delta
+    |ORDER BY w1, w2
+    |""".stripMargin.trim
 }

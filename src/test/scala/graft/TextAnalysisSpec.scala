@@ -141,4 +141,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad == 0)
     assert(fh.count() == docs.count())
   }
+
+  test("phraseBigrams: hand-counted collocations, discount drops " +
+    "hapax pairs, 1-word docs contribute no bigrams") {
+    import spark.implicits._
+    val corpus = Seq(
+      "new york is big", "new york is old", "big apple", "york")
+      .toDF("text")
+    val out = TextAnalysis.phraseBigrams(corpus, col("text"), delta = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("score_ppm"))).toMap
+    // only pairs with n_ab > delta survive: "new york" (2) and
+    // "york is" (2); every other adjacent pair is a hapax
+    assert(out.keySet == Set(("new", "york"), ("york", "is")))
+    // c(new)=2, c(york)=3 (incl. the 1-word doc), c(is)=2:
+    // score = (2-1)*1e6 div max(2,3)
+    assert(out(("new", "york")) == ((2L, 2L, 3L, 333333L)))
+    assert(out(("york", "is")) == ((2L, 3L, 2L, 333333L)))
+    // fixture corpus: every score within [0, 1e6]
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scores = TextAnalysis.phraseBigrams(docs, col("text"))
+      .agg(min("score_ppm"), max("score_ppm")).collect().head
+    assert(scores.getLong(0) >= 0L && scores.getLong(1) <= 1000000L)
+  }
 }
