@@ -225,6 +225,33 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one keyed shuffle:\n$p")
   }
 
+  test("phrase_bigrams joins the unigram table broadcast, never sorted") {
+    val p = plan("phrase_bigrams")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts == 2, s"expected both unigram joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab-bounded join fell back to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("ann_rrf_fusion: both scan legs broadcast the bounded query side") {
+    val p = plan("ann_rrf_fusion")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl == 2, s"expected the two broadcast leg scans:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a leg scan degenerated to a cartesian:\n$p")
+  }
+
+  test("event_transitions: windows are partitioned, matrix agg join-free") {
+    val p = plan("event_transitions")
+    assert(!p.contains("Join"), s"transition matrix must not join:\n$p")
+    // both windows (session numbering, row-probability) carry a
+    // partition spec — an empty partitionBy would collapse the corpus
+    // into one task
+    assert(!p.contains("SinglePartition"),
+      s"a window collapsed to a single partition:\n$p")
+  }
+
   test("declared query names are unique (no silent Map shadowing)") {
     val names = Queries.all.map(_._1)
     val dups = names.groupBy(identity).filter(_._2.length > 1).keys
