@@ -1125,6 +1125,15 @@ object Queries {
           col("doc_id"), col("text"), 3, 4, 5).orderBy("d1", "d2"),
       Some(ext.Dedup.ngramContainmentOracleSql(3, 4, 5))),
 
+    // Sketch-estimated containment audit (Broder identity over the
+    // signature agreement + stored set sizes) vs exact containment —
+    // the at-scale excerpt detector's estimate-vs-truth report
+    ("containment_estimate",
+      (s: SparkSession, d: String) =>
+        ext.Dedup.containmentEstimateAudit(t(s, d, "documents"),
+          col("doc_id"), col("text"), 3, 8, 2).orderBy("d1", "d2"),
+      Some(ext.Dedup.containmentEstimateAuditOracleSql(3, 8, 2))),
+
     // Full Gopher quality-rule set (Rae et al. 2021 §A1.1): per-rule
     // 0/1 flags + conjunctive keep, auditable per source
     ("gopher_rules",

@@ -1265,6 +1265,41 @@ object Dedup {
     |""".stripMargin.trim
   }
 
+  /** Sketch-estimated CONTAINMENT audit — the at-scale twin of
+    * [[ngramContainmentPairs]]: exact containment needs both gram
+    * SETS shuffled to the pair, but a stored sketch row carries only
+    * the k-component signature plus one integer (the gram-set size),
+    * and Broder's identity recovers containment from exactly those:
+    * with Ĵ = m/k (m = matching signature components), the estimated
+    * intersection is Ĵ·(n1+n2)/(1+Ĵ), so
+    * `est_c_ppm = m·(n1+n2)·10⁶ div ((k+m)·min(n1,n2))` — all
+    * integer, no float division. Emitted side by side with the EXACT
+    * containment over the candidate-scoped gram sets (the
+    * estimate-vs-truth audit shape of [[minhashEstimateAudit]]), so a
+    * user reads the error their sketch width k buys before switching
+    * the excerpt detector to the sketch-only path at corpus scale. */
+  def containmentEstimateAudit(docs: DataFrame, id: Column, text: Column,
+                               shingle: Int, k: Int,
+                               rowsPerBand: Int = 2): DataFrame =
+    minhashEstimateAudit(docs, id, text, shingle, k, rowsPerBand)
+      .withColumn("est_c_ppm", expr(
+        s"(sig_matches * (n1 + n2) * 1000000L) DIV " +
+          s"(($k + sig_matches) * least(n1, n2))"))
+      .withColumn("exact_c_ppm",
+        expr("(inter * 1000000L) DIV least(n1, n2)"))
+
+  /** Full DuckDB oracle for [[containmentEstimateAudit]]. */
+  def containmentEstimateAuditOracleSql(shingle: Int, k: Int,
+                                        rowsPerBand: Int = 2): String =
+    s"""
+    |SELECT d1, d2, sig_matches, inter, n1, n2,
+    |  (sig_matches * (n1 + n2) * 1000000) //
+    |    (($k + sig_matches) * least(n1, n2)) AS est_c_ppm,
+    |  (inter * 1000000) // least(n1, n2) AS exact_c_ppm
+    |FROM (${minhashEstimateAuditOracleSql(shingle, k, rowsPerBand)})
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+
   /** Per-source duplicate-drop rates — the provenance summary of the
     * one-hop keep decision: for each source label, how many docs it
     * contributes and how many of those a near-dup dedup pass would

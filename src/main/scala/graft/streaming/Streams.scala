@@ -396,4 +396,54 @@ object Streams {
         FunnelUpdate(user, st.length, st.reverse)
       }
   }
+
+  /** One within-session event-type transition observed on the
+    * stream; aggregate downstream for the live transition matrix. */
+  case class TransitionEvent(prev_type: String, next_type: String)
+
+  /** Streaming transition extractor — the incremental twin of
+    * [[graft.ext.Sessions.transitionCounts]]: per-user keyed state
+    * holds only the LAST event (timestamp, type); each micro-batch's
+    * events fold through it in event-time order, emitting a
+    * (prev → next) row whenever the gap rule keeps the pair inside
+    * one session. The in-batch event-time fold IS the batch lag
+    * window (same (ts, event_id) tie order, same `ts − prev ≤ gap`
+    * session rule), so a single-batch run matches
+    * [[graft.ext.Sessions.transitionCounts]] bigram-for-bigram
+    * (StreamsSpec pins it); across batches the arrival-order online
+    * contract applies, as for [[funnelStream]]/[[seqPackStream]].
+    *
+    * State per user is ONE (int64, string) pair — bounded for any
+    * stream length, smaller than the session ops' span state; one
+    * keyed shuffle. Emitted rows feed a streaming groupBy count (the
+    * |types|²-bounded matrix), with ppm normalization left to the
+    * reader of the counts table, where the row totals live. */
+  def transitionsStream(events: DataFrame,
+                        gapSeconds: Long): Dataset[TransitionEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), TransitionEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, gs) =>
+        var last: Option[(Long, String)] =
+          if (gs.exists) Some(gs.get) else None
+        val out = List.newBuilder[TransitionEvent]
+        it.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, tp) =>
+          last match {
+            case Some((lts, ltp)) if ts - lts <= gapUs =>
+              out += TransitionEvent(ltp, tp)
+            case _ => ()
+          }
+          last = Some((ts, tp))
+        }
+        last.foreach(gs.update)
+        out.result().iterator
+      }
+  }
 }

@@ -456,4 +456,32 @@ class StreamsSpec extends SparkSpec {
       counters(shard) = before + tok
     }
   }
+
+  test("transitionsStream over one batch equals the batch transition " +
+    "matrix bigram-for-bigram") {
+    import org.apache.spark.sql.streaming.Trigger
+    val oneFile = tmp("events-transitions")
+    Queries.eventsTable(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(oneFile)
+    val schema = spark.read.parquet(oneFile).schema
+    val q = Streams.transitionsStream(
+        spark.readStream.schema(schema).parquet(oneFile), 1800)
+      .writeStream.format("memory").queryName("transitions_parity")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("transitions_parity")
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+    val want = Sessions.transitionCounts(
+        spark.read.parquet(oneFile), 1800).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_trans")).toMap
+    assert(want.nonEmpty, "fixture should produce transitions")
+    assert(got == want, s"stream matrix diverged from batch: " +
+      s"${got.size} vs ${want.size} cells")
+  }
 }
