@@ -44,10 +44,15 @@ object Sessions {
         sum(col(valueCol).cast("decimal(12,2)")).cast("decimal(18,2)")
           .cast("double").as("total_value"))
 
-  def sessionStatsOracleSql(gapSeconds: Long): String =
-    s"""
-    |WITH flagged AS (
-    |  SELECT user_id, event_id, ts, value,
+  /** Shared DuckDB CTE chain `flagged, sess` for gap-rule
+    * sessionization over `events` — the single source every
+    * session-derived oracle composes (the [[graft.ext.Dedup]]
+    * `minhashCtes` discipline), so a gap/tiebreak change cannot
+    * silently decouple one oracle from [[sessionize]]. `carry` lists
+    * extra event columns the downstream query needs. */
+  private def sessionCtesSql(gapSeconds: Long, carry: String): String =
+    s"""flagged AS (
+    |  SELECT user_id, event_id, ts$carry,
     |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
     |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${gapSeconds * 1000000L}
     |         THEN 1 ELSE 0 END AS new_sess
@@ -56,7 +61,11 @@ object Sessions {
     |sess AS (
     |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
     |    ROWS UNBOUNDED PRECEDING) AS session_num
-    |  FROM flagged)
+    |  FROM flagged)""".stripMargin
+
+  def sessionStatsOracleSql(gapSeconds: Long): String =
+    s"""
+    |WITH ${sessionCtesSql(gapSeconds, ", value")}
     |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
     |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end,
     |  CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
@@ -251,17 +260,7 @@ object Sessions {
   /** DuckDB twin of [[transitionCounts]] over `events`. */
   def transitionCountsOracleSql(gapSeconds: Long): String =
     s"""
-    |WITH flagged AS (
-    |  SELECT user_id, event_id, ts, event_type,
-    |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-    |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${gapSeconds * 1000000L}
-    |         THEN 1 ELSE 0 END AS new_sess
-    |  FROM events
-    |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    |sess AS (
-    |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    |    ROWS UNBOUNDED PRECEDING) AS session_num
-    |  FROM flagged),
+    |WITH ${sessionCtesSql(gapSeconds, ", event_type")},
     |bigrams AS (
     |  SELECT lag(event_type) OVER (PARTITION BY user_id, session_num
     |      ORDER BY ts, event_id) AS prev_type,

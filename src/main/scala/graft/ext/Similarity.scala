@@ -1291,22 +1291,31 @@ object Similarity {
     * approximate index without a measured recall is a silent-quality
     * bug). Same comparison shape: left join exact top-k to PQ top-k,
     * count hits per query. */
-  def pqRecall(corpus: DataFrame, queries: DataFrame, k: Int,
-               nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
-               dim: Int, rerank: Int): DataFrame = {
+  /** Shared recall@k audit core: the exact decimal top-k left-joined
+    * with an approximate path's (query_id, cand_id) picks, hits
+    * counted per query — the single source every `*_recall` audit
+    * composes, so the hit-count semantics cannot drift between the
+    * LSH/PQ/binary/RRF variants. */
+  private def recallVsExact(corpus: DataFrame, queries: DataFrame,
+                            k: Int, approx: DataFrame): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val exact = cosineTopK(corpus, queries, k)
       .select(col("query_id"), col("cand_id"))
-    val approx = ivfPqTopK(corpus, queries, k, nCentroids, nProbe, m,
-        ksub, dim, rerank)
-      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
-    exact.join(approx, Seq("query_id", "cand_id"), "left")
+    exact.join(approx.select(col("query_id"), col("cand_id"),
+        lit(1L).as("__hit")), Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .withColumn("n_hits", col("n_hits").cast("long"))
       .withColumn("recall_at_k",
         col("n_hits").cast("double") / lit(k).cast("double"))
   }
+
+  def pqRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+               nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
+               dim: Int, rerank: Int): DataFrame =
+    recallVsExact(corpus, queries, k,
+      ivfPqTopK(corpus, queries, k, nCentroids, nProbe, m, ksub, dim,
+        rerank))
 
   /** DuckDB twin of [[pqRecall]]. */
   def pqRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
@@ -1555,6 +1564,25 @@ object Similarity {
     * the oracle too), so correctness holds even where the 1-bit
     * shortlist misses a true neighbour — that gap is what
     * [[binaryRecall]] measures. */
+  /** Hamming shortlist core shared by every 1-bit path
+    * ([[binaryTopK]], [[ivfBinaryTopK]], [[rrfFuseTopK]]'s sign leg):
+    * given paired (query_id, q_s, cand_id, c_s) rows — however the
+    * caller paired them: brute broadcast cross join or IVF-cell equi
+    * join — score xor+popcount Hamming and keep the `sl` best per
+    * query, ties by cand_id. Emits `srank` (the shortlist rank) so
+    * rank-consuming callers (RRF) and membership-consuming callers
+    * (exact re-rank) share one tie-break definition. */
+  private def hammingShortlist(pairs: DataFrame, nWords: Int,
+                               sl: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    pairs.filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        hammingPacked(col("q_s"), col("c_s"), nWords).as("hamming"))
+      .withColumn("srank", row_number().over(w).cast("long"))
+      .filter(col("srank") <= sl)
+  }
+
   def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  dim: Int, shortlist: Int = 0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -1565,15 +1593,8 @@ object Similarity {
       signPack(col("embedding"), dim).as("q_s"))
     val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
       signPack(col("embedding"), dim).as("c_s")), col("cand_id"))
-    val shortW = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("cand_id").asc)
-    val short = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        hammingPacked(col("q_s"), col("c_s"), nWords).as("hamming"))
-      .withColumn("__srank", row_number().over(shortW))
-      .filter(col("__srank") <= sl)
-      .drop("__srank")
+    val short = hammingShortlist(c.crossJoin(broadcast(q)), nWords, sl)
+      .drop("srank")
     // join-back for the exact stage: queries re-broadcast, corpus
     // side is an equi join keyed on cand_id over |Q|·shortlist rows
     val qv = queries.select(col("vec_id").as("query_id"),
@@ -1676,15 +1697,8 @@ object Similarity {
         cb, "query_id", "q_emb", nProbe)
       .select(col("query_id"), col("c_id"),
         signPack(col("q_emb"), dim).as("q_s"))
-    val shortW = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("cand_id").asc)
-    val short = lists.join(broadcast(probes), Seq("c_id"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        hammingPacked(col("q_s"), col("c_s"), nWords).as("hamming"))
-      .withColumn("__srank", row_number().over(shortW))
-      .filter(col("__srank") <= sl)
-      .drop("__srank")
+    val short = hammingShortlist(lists.join(broadcast(probes),
+      Seq("c_id")), nWords, sl).drop("srank")
     val qv = queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
@@ -1763,19 +1777,9 @@ object Similarity {
     * number that prices the 32× bandwidth saving: how many true
     * neighbours the sign sketch's shortlist keeps. */
   def binaryRecall(corpus: DataFrame, queries: DataFrame, k: Int,
-                   dim: Int, shortlist: Int = 0): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val exact = cosineTopK(corpus, queries, k)
-      .select(col("query_id"), col("cand_id"))
-    val approx = binaryTopK(corpus, queries, k, dim, shortlist)
-      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
-    exact.join(approx, Seq("query_id", "cand_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-      .withColumn("n_hits", col("n_hits").cast("long"))
-      .withColumn("recall_at_k",
-        col("n_hits").cast("double") / lit(k).cast("double"))
-  }
+                   dim: Int, shortlist: Int = 0): DataFrame =
+    recallVsExact(corpus, queries, k,
+      binaryTopK(corpus, queries, k, dim, shortlist))
 
   /** DuckDB twin of [[binaryRecall]]. */
   def binaryRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
@@ -1913,20 +1917,9 @@ object Similarity {
     * a SAMPLE of queries (recall estimation, not exhaustive
     * re-scoring); the sample predicate is the caller's `queries`. */
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
-                dim: Int, nPlanes: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    val exact = cosineTopK(corpus, queries, k)
-      .select(col("query_id"), col("cand_id"))
-    val approx = lshCosineTopK(corpus, queries, k, dim, nPlanes)
-      .select(col("query_id"), col("cand_id"),
-        lit(1L).as("__hit"))
-    exact.join(approx, Seq("query_id", "cand_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-      .withColumn("n_hits", col("n_hits").cast("long"))
-      .withColumn("recall_at_k",
-        col("n_hits").cast("double") / lit(k).cast("double"))
-  }
+                dim: Int, nPlanes: Int): DataFrame =
+    recallVsExact(corpus, queries, k,
+      lshCosineTopK(corpus, queries, k, dim, nPlanes))
 
   /** DuckDB twin of [[annRecall]] (queries = vec_id < maxQueryId):
     * the exact and LSH CTE chains of their standalone oracles, joined. */
@@ -2117,15 +2110,10 @@ object Similarity {
       signPack(col("embedding"), dim).as("q_s"))
     val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
       signPack(col("embedding"), dim).as("c_s")), col("cand_id"))
-    val hamW = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming").asc, col("cand_id").asc)
-    val signLeg = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("cand_id"))
+    val signLeg = hammingShortlist(c.crossJoin(broadcast(q)), nWords,
+        depth)
       .select(col("query_id"), col("cand_id"),
-        hammingPacked(col("q_s"), col("c_s"), nWords).as("hamming"))
-      .withColumn("sign_rank", row_number().over(hamW).cast("long"))
-      .filter(col("sign_rank") <= depth)
-      .select(col("query_id"), col("cand_id"), col("sign_rank"))
+        col("srank").as("sign_rank"))
     val fused = intLeg
       .join(signLeg, Seq("query_id", "cand_id"), "full_outer")
       .withColumn("int8_rank", coalesce(col("int8_rank"), lit(0L)))
@@ -2213,23 +2201,15 @@ object Similarity {
   }
 
   /** recall@k of the fused ranking vs the exact decimal cosine scan —
-    * the [[binaryRecall]] twin for the RRF ensemble: is two cheap
-    * integer legs fused better than either leg alone? (RrfSpec
-    * asserts fused recall >= each single-leg recall on the fixture.) */
+    * the [[binaryRecall]] twin for the RRF ensemble. RRF guarantees
+    * robustness to either leg's misrankings, not dominance over the
+    * stronger leg, so the pinned invariant (RrfPageRankSpec) is the
+    * honest one: fused recall is never below the WEAKER leg's. */
   def rrfRecall(corpus: DataFrame, queries: DataFrame, k: Int,
                 dim: Int, depth: Int = 20, k0: Int = 60,
-                bits: Int = 8): DataFrame = {
-    val exact = cosineTopK(corpus, queries, k)
-      .select(col("query_id"), col("cand_id"))
-    val approx = rrfFuseTopK(corpus, queries, k, dim, depth, k0, bits)
-      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
-    exact.join(approx, Seq("query_id", "cand_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-      .withColumn("n_hits", col("n_hits").cast("long"))
-      .withColumn("recall_at_k",
-        col("n_hits").cast("double") / lit(k).cast("double"))
-  }
+                bits: Int = 8): DataFrame =
+    recallVsExact(corpus, queries, k,
+      rrfFuseTopK(corpus, queries, k, dim, depth, k0, bits))
 
   /** DuckDB twin of [[rrfRecall]]. */
   def rrfRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
