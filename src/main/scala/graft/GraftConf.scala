@@ -121,5 +121,16 @@ object GraftConf {
     // stats via a driver-collected literal; scoring must stay a pure
     // projection into a TakeOrdered top-k, never a join or window
     "bm25_topk" -> PlanContract("projection",
-      forbidJoin = true, maxHashShuffles = Some(0)))
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    // zero-shuffle bigram projection + two aggs; the vocab-bounded
+    // unigram table must come back BROADCAST on both keys (a shuffle
+    // join here would reshuffle the bigram table twice)
+    "phrase_bigrams" -> PlanContract("text-agg",
+      minBroadcastJoins = 2, forbidSortMerge = true),
+    // session window + matrix agg + row-probability window: three
+    // keyed shuffles (user, pair, prev_type), never a join and never
+    // more shuffles (a corpus re-join for row totals is the
+    // regression this ceiling catches)
+    "event_transitions" -> PlanContract("sessions",
+      forbidJoin = true, maxHashShuffles = Some(3)))
 }
