@@ -847,6 +847,18 @@ object Queries {
       },
       Some(Similarity.ivfCosineTopKOracleSql(64, 5, 10, 16, 4))),
 
+    // The IVF nProbe tuning curve: recall@k per probe count against
+    // the shared exact scan — the dial-sizing audit as data; the
+    // probe-all arm is exact by construction (self-check row)
+    ("ann_probe_sweep",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfProbeSweep(emb, emb.filter(col("vec_id") < 10), 5,
+          16, Seq(1, 2, 4, 16)).orderBy("n_probe", "query_id")
+      },
+      Some(Similarity.ivfProbeSweepOracleSql(64, 5, 10, 16,
+        Seq(1, 2, 4, 16)))),
+
     // Scale-path ANN #3: IVF-PQ — coarse cells prune the corpus, ADC
     // 1-bit sign-quantized scan (the 32x bandwidth rung below int8
     // and PQ): xor+popcount Hamming shortlist over packed sign bits,

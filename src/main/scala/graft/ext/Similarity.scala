@@ -1317,6 +1317,61 @@ object Similarity {
       ivfPqTopK(corpus, queries, k, nCentroids, nProbe, m, ksub, dim,
         rerank))
 
+  /** The IVF nProbe TUNING CURVE in one query: recall@k of the IVF
+    * path at each probe count, against the shared exact decimal scan —
+    * the dial-sizing audit every IVF deployment runs first ("which
+    * nProbe buys 0.95 recall on MY corpus?"), emitted as data instead
+    * of being re-derived by hand per configuration. Probe-all
+    * (nProbe = nCentroids) is exact by construction, so the curve's
+    * last row doubles as a self-check. Cost shape: |probes| IVF runs
+    * over the same assignment machinery — at corpus scale the sweep
+    * runs on a SAMPLE of queries (the query side is already the
+    * bounded broadcast side). */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nCentroids: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty, "sweep needs at least one probe count")
+    probes.map { np =>
+      recallVsExact(corpus, queries, k,
+        ivfCosineTopK(corpus, queries, k, nCentroids, np))
+        .withColumn("n_probe", lit(np.toLong))
+        .select(col("n_probe"), col("query_id"), col("n_hits"),
+          col("recall_at_k"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Full DuckDB oracle for [[ivfProbeSweep]] over `embeddings`. */
+  def ivfProbeSweepOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                             nCentroids: Int,
+                             probes: Seq[Int]): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    val arms = probes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS n_probe, e.query_id,
+         |  CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.cand_id) AS DOUBLE) / $k AS recall_at_k
+         |FROM exact e LEFT JOIN (
+         |  SELECT query_id, cand_id FROM (
+         |    ${ivfCosineTopKOracleSql(dim, k, maxQueryId, nCentroids, np)})
+         |) a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         |GROUP BY e.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""
+    |WITH q0 AS (SELECT vec_id AS query_id, embedding AS q_emb
+    |            FROM embeddings WHERE vec_id < $maxQueryId),
+    |c0 AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |ex_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM c0, q0 WHERE query_id <> cand_id),
+    |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k)
+    |$arms
+    |ORDER BY n_probe, query_id
+    |""".stripMargin.trim
+  }
+
   /** DuckDB twin of [[pqRecall]]. */
   def pqRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
                         nCentroids: Int, nProbe: Int, m: Int, ksub: Int,

@@ -541,4 +541,23 @@ class SimilaritySpec extends SparkSpec {
     cells.foreach(r =>
       assert(r.getAs[Long]("n_vecs") == byLabel(r.getInt(0))))
   }
+
+  test("ivfProbeSweep: recall is monotone in nProbe and the " +
+    "probe-all arm is exact") {
+    val nCentroids = 16
+    val out = Similarity.ivfProbeSweep(emb,
+        emb.filter(col("vec_id") < 5), 3, nCentroids,
+        Seq(1, 4, nCentroids)).collect()
+      .map(r => (r.getAs[Long]("n_probe"), r.getAs[Long]("query_id")) ->
+        r.getAs[Double]("recall_at_k")).toMap
+    val queries = out.keys.map(_._2).toSet
+    assert(queries.size == 5)
+    queries.foreach { q =>
+      val curve = Seq(1L, 4L, nCentroids.toLong).map(np => out((np, q)))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"recall curve not monotone for query $q: $curve")
+      assert(curve.last == 1.0,
+        s"probe-all must be exact for query $q, got ${curve.last}")
+    }
+  }
 }
