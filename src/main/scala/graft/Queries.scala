@@ -756,6 +756,18 @@ object Queries {
           col("text"), 3, 8, 2).orderBy("d1", "d2"),
       Some(Dedup.minhashEstimateAuditOracleSql(3, 8, 2))),
 
+    // The minhash banding tuning curve: candidate volume + exact-
+    // verify precision per (signature width, rows-per-band) banding
+    // config — the LSH S-curve tradeoff as data (probe-sweep
+    // discipline); loose -> tight: 8 bands of 1, 4/2/1 bands of 2
+    ("minhash_band_sweep",
+      (s: SparkSession, d: String) =>
+        Dedup.bandSweep(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3, Seq((8, 1), (8, 2), (4, 2), (2, 2)), 1, 2)
+          .orderBy("sig_k", "rows_per_band"),
+      Some(Dedup.bandSweepOracleSql(3,
+        Seq((8, 1), (8, 2), (4, 2), (2, 2)), 1, 2))),
+
     // df-adaptive hybrid: prefix join when the sampled prefix stats
     // say verify volume stays linear; MinHash-LSH candidates
     // otherwise — the branch decision is itself replayed by the

@@ -1300,6 +1300,76 @@ object Dedup {
     |ORDER BY d1, d2
     |""".stripMargin.trim
 
+  /** The minhash BANDING tuning curve in one query — the
+    * [[graft.ext.Similarity.ivfProbeSweep]] discipline applied to the
+    * LSH dial: for each (signature width k, rows-per-band r) banding
+    * configuration — shared permutations, so a narrower k is a PREFIX
+    * of the same signature — the candidate volume and its
+    * exact-verify precision (share of candidates whose true gram
+    * Jaccard clears `tNum/tDen`). Loose bands (r=1: any single
+    * component collides) flood the verify stage; fewer bands starve
+    * recall — this
+    * emits the S-curve tradeoff as DATA over the user's own corpus
+    * instead of the textbook formula's i.i.d. assumption. Each arm
+    * reuses [[minhashEstimateAudit]] (candidates + exact inter/n1/n2)
+    * wholesale, so the sweep cannot drift from the estimator audit it
+    * summarizes. |arms| passes over the signature machinery; at
+    * corpus scale run it on a sampled slice — the banding decision
+    * needs the curve's SHAPE, not the full corpus's row count. */
+  def bandSweep(docs: DataFrame, id: Column, text: Column,
+                shingle: Int, configs: Seq[(Int, Int)],
+                tNum: Int, tDen: Int): DataFrame = {
+    require(configs.nonEmpty, "sweep needs at least one config")
+    // the packed-int64 band key holds two ~31-bit components, so the
+    // polynomial packing admits rowsPerBand <= 2; tighter-than-2
+    // banding in production means a tuple-keyed band join (or a wider
+    // key), not a third component in this packing — the constraint
+    // is structural, so fail the sweep loudly rather than overflow
+    configs.foreach { case (k, r) =>
+      require(r <= 2, s"rowsPerBand $r > 2 overflows the packed band " +
+        "key (two ~31-bit components per int64)")
+      require(k % r == 0, s"k=$k must divide into bands of $r")
+    }
+    configs.map { case (k, r) =>
+      minhashEstimateAudit(docs, id, text, shingle, k, r)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("inter") * tDen >=
+            (col("n1") + col("n2") - col("inter")) * tNum, 1L)
+            .otherwise(0L)).as("n_true"))
+        .select(lit(k.toLong).as("sig_k"),
+          lit(r.toLong).as("rows_per_band"),
+          lit((k / r).toLong).as("n_bands"),
+          col("n_candidates"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .withColumn("precision_ppm", expr(
+          "CASE WHEN n_candidates = 0 THEN 0L " +
+            "ELSE (n_true * 1000000L) DIV n_candidates END"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Full DuckDB oracle for [[bandSweep]] over `documents`. */
+  def bandSweepOracleSql(shingle: Int, configs: Seq[(Int, Int)],
+                         tNum: Int, tDen: Int): String = {
+    val arms = configs.map { case (k, r) =>
+      s"""SELECT CAST($k AS BIGINT) AS sig_k,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST(${k / r} AS BIGINT) AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(sum(CASE WHEN inter * $tDen >=
+         |    (n1 + n2 - inter) * $tNum THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_true,
+         |  CAST(CASE WHEN count(*) = 0 THEN 0
+         |    ELSE (coalesce(sum(CASE WHEN inter * $tDen >=
+         |      (n1 + n2 - inter) * $tNum THEN 1 ELSE 0 END), 0)
+         |      * 1000000) // count(*) END AS BIGINT) AS precision_ppm
+         |FROM (${minhashEstimateAuditOracleSql(shingle, k, r)})""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""
+    |$arms
+    |ORDER BY sig_k, rows_per_band
+    |""".stripMargin.trim
+  }
+
   /** Per-source duplicate-drop rates — the provenance summary of the
     * one-hop keep decision: for each source label, how many docs it
     * contributes and how many of those a near-dup dedup pass would

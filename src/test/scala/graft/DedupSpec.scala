@@ -411,4 +411,25 @@ class DedupSpec extends SparkSpec {
     val totalDup = stats.values.sum
     assert(totalDropped > 0 && totalDropped < totalDup)
   }
+
+  test("bandSweep: candidate volume shrinks loose -> tight (prefix " +
+    "bands are subsets), counts self-consistent, r > 2 rejected") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // declared loose -> tight order: 8 bands of 1, then 4/2/1 bands
+    // of 2 via signature prefixes
+    val configs = Seq((8, 1), (8, 2), (4, 2), (2, 2))
+    val rows = graft.ext.Dedup.bandSweep(docs, col("doc_id"),
+        col("text"), 3, configs, 1, 2).collect()
+      .map(r => (r.getAs[Long]("sig_k"), r.getAs[Long]("rows_per_band")) ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"))).toMap
+    val vols = configs.map { case (k, r) => rows((k.toLong, r.toLong))._1 }
+    assert(vols.zip(vols.tail).forall { case (a, b) => a >= b },
+      s"volumes not monotone loose->tight: $vols")
+    assert(vols.head > vols.last, "sweep should actually discriminate")
+    rows.values.foreach { case (nc, nt) => assert(nt <= nc && nt >= 0) }
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.bandSweep(docs, col("doc_id"), col("text"), 3,
+        Seq((8, 4)), 1, 2)
+    }
+  }
 }
