@@ -1711,6 +1711,16 @@ object Queries {
           col("text")).orderBy("doc_id"),
       Some(ext.Classifier.scoreFixedOracleSql())),
 
+    // Quality-filter agreement: the 2x2 (gopher keep, LR keep)
+    // contingency table with doc + token mass per cell — the
+    // dedup_agreement cross-validation applied to quality signals,
+    // one corpus pass (both signals projected from the same scan)
+    ("quality_agreement",
+      (s: SparkSession, d: String) =>
+        ext.Classifier.qualityAgreement(t(s, d, "documents"),
+          col("doc_id"), col("text")).orderBy("gopher_keep", "lr_keep"),
+      Some(ext.Classifier.qualityAgreementOracleSql())),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
     // LLR weights vs the en-language target, top quarter per source
     ("dsir_weights",

@@ -238,4 +238,65 @@ object Classifier {
     pre.select(col("doc_id"),
       (lit(1.0) / (lit(1.0) + exp(-z))).as("lr_score"))
   }
+
+  /** Quality-filter AGREEMENT matrix — the
+    * [[graft.ext.Dedup.pairAgreement]] discipline applied to quality
+    * signals: the 2×2 (gopher keep, LR keep) contingency table with
+    * document and token mass per cell — how much, and how much
+    * TRAINING DATA, the rule filter and the model filter disagree on.
+    * The cross-validation a pipeline owner runs before trusting
+    * either signal alone (the two filters fail differently: rules
+    * miss fluent spam, a model inherits its training skew).
+    *
+    * SINGLE corpus pass: both signals are projections over the same
+    * text, so they ride one [[TextAnalysis.gopherRulesCarry]] scan
+    * with the logit computed on the carried text — never a doc_id
+    * re-join of two scans (the gopherRejectStats reasoning). Output
+    * is 4 rows. */
+  def qualityAgreement(docs: DataFrame, id: Column, text: Column,
+                       weights: Seq[Double] = FixedScoreWeights): DataFrame = {
+    require(weights.length == FeatureNames.length)
+    val g = TextAnalysis.gopherRulesCarry(docs, id, text,
+      Seq(text -> "__txt"))
+    val w = split(col("__txt"), " ")
+    val logit = normFeatureCols(col("__txt"), w).zip(weights)
+      .map { case (c, wt) => c * lit(wt) }.reduce(_ + _)
+    g.withColumn("lr_keep", when(logit > 0.0, 1L).otherwise(0L))
+      .withColumn("__tok", size(w).cast("long"))
+      .groupBy(col("keep").as("gopher_keep"), col("lr_keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"))
+  }
+
+  /** DuckDB twin of [[qualityAgreement]] over `documents`. */
+  def qualityAgreementOracleSql(
+      weights: Seq[Double] = FixedScoreWeights): String = {
+    val stops = TextAnalysis.Markers.head._2.map(x => s"'$x'")
+      .mkString(", ")
+    val xs = Seq(
+      "1.0",
+      "nw / 100.0",
+      "CAST(length(text) AS DOUBLE) / 1000.0",
+      s"CAST(len(list_filter(w, t -> t IN ($stops))) AS DOUBLE) / nw",
+      "CAST(len(list_distinct(w)) AS DOUBLE) / nw")
+    val logit = xs.zip(weights)
+      .map { case (x, wt) => s"($x) * $wt" }.mkString(" + ")
+    s"""
+    |WITH g AS (${TextAnalysis.gopherRulesOracleSql.replace("\n", "\n|  ")}),
+    |b AS (
+    |  SELECT doc_id, text, str_split(text, ' ') AS w,
+    |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS nw
+    |  FROM documents),
+    |scored AS (
+    |  SELECT g.keep AS gopher_keep,
+    |    CAST(CASE WHEN $logit > 0.0 THEN 1 ELSE 0 END AS BIGINT)
+    |      AS lr_keep,
+    |    CAST(len(b.w) AS BIGINT) AS tok
+    |  FROM g JOIN b USING (doc_id))
+    |SELECT gopher_keep, lr_keep, CAST(count(*) AS BIGINT) AS n_docs,
+    |  CAST(sum(tok) AS BIGINT) AS n_tokens
+    |FROM scored GROUP BY 1, 2
+    |ORDER BY gopher_keep, lr_keep
+    |""".stripMargin.trim
+  }
 }

@@ -68,4 +68,41 @@ class ClassifierSpec extends SparkSpec {
     assert(means(true) > means(false),
       s"classifier learned nothing: $means")
   }
+
+  test("qualityAgreement: cells partition the corpus, cell membership " +
+    "matches the two signals computed independently") {
+    import spark.implicits._
+    import graft.ext.{Classifier, TextAnalysis}
+    // mix fixture docs (one cell) with constructed docs engineered to
+    // differ: a long stop-word-rich doc (gopher keep candidate) and a
+    // distinct-word-heavy short doc (LR-positive, gopher-rejected by
+    // the 50-word minimum)
+    val gopherFriendly = (("the be to of and that have with " * 8) +
+      ("value table scan " * 10)).trim
+    val shortDistinct = "alpha beta gamma delta epsilon zeta"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, gopherFriendly),
+        (100002L, shortDistinct)).toDF("doc_id", "text"))
+    val cells = Classifier.qualityAgreement(docs, col("doc_id"),
+        col("text")).collect()
+      .map(r => (r.getAs[Long]("gopher_keep"), r.getAs[Long]("lr_keep")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(cells.size >= 2, s"constructed docs should split cells: $cells")
+    assert(cells.values.map(_._1).sum == docs.count())
+    // recompute both signals independently and check one constructed doc
+    val g = TextAnalysis.gopherRules(docs, col("doc_id"), col("text"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l = Classifier.scoreFixed(docs, col("doc_id"), col("text"))
+      .select("doc_id", "pred").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellOf = (id: Long) => (g(id), l(id))
+    Seq(100001L, 100002L).foreach { id =>
+      assert(cells.contains(cellOf(id)),
+        s"doc $id's independently-computed cell missing from matrix")
+    }
+    assert(cellOf(100001L) != cellOf(100002L),
+      "constructed docs should land in different cells")
+  }
 }
