@@ -198,23 +198,30 @@ object Classifier {
       when(logit > 0.0, 1L).otherwise(0L).as("pred"))
   }
 
-  /** DuckDB twin of [[scoreFixed]] over `documents` — the same
-    * left-associated chain over the same rational feature values. */
-  def scoreFixedOracleSql(
-      weights: Seq[Double] = FixedScoreWeights): String = {
+  /** The fixed-weight logit as a DuckDB expression over a frame with
+    * columns (text, w, nw) — the SINGLE source of the SQL feature
+    * definitions, composed by every oracle that scores documents
+    * (a drift here would silently decouple [[scoreFixedOracleSql]]
+    * from [[qualityAgreementOracleSql]]). Matches [[normFeatureCols]]
+    * term for term: bias, words/100, chars/1000, stop_ratio,
+    * distinct_ratio. */
+  private def fixedLogitSql(weights: Seq[Double]): String = {
     val stops = TextAnalysis.Markers.head._2.map(x => s"'$x'")
       .mkString(", ")
-    // feature expressions over the pre-split words column, matching
-    // normFeatureCols exactly (bias, words/100, chars/1000,
-    // stop_ratio, distinct_ratio)
     val xs = Seq(
       "1.0",
       "nw / 100.0",
       "CAST(length(text) AS DOUBLE) / 1000.0",
       s"CAST(len(list_filter(w, t -> t IN ($stops))) AS DOUBLE) / nw",
       "CAST(len(list_distinct(w)) AS DOUBLE) / nw")
-    val logit = xs.zip(weights)
-      .map { case (x, wt) => s"($x) * $wt" }.mkString(" + ")
+    xs.zip(weights).map { case (x, wt) => s"($x) * $wt" }.mkString(" + ")
+  }
+
+  /** DuckDB twin of [[scoreFixed]] over `documents` — the same
+    * left-associated chain over the same rational feature values. */
+  def scoreFixedOracleSql(
+      weights: Seq[Double] = FixedScoreWeights): String = {
+    val logit = fixedLogitSql(weights)
     s"""
     |WITH b AS (
     |  SELECT doc_id, text, str_split(text, ' ') AS w,
@@ -256,13 +263,15 @@ object Classifier {
   def qualityAgreement(docs: DataFrame, id: Column, text: Column,
                        weights: Seq[Double] = FixedScoreWeights): DataFrame = {
     require(weights.length == FeatureNames.length)
+    // words pinned behind an alias boundary — the lrStep0 rule: an
+    // unaliased split would be inlined into every feature reference
     val g = TextAnalysis.gopherRulesCarry(docs, id, text,
-      Seq(text -> "__txt"))
-    val w = split(col("__txt"), " ")
-    val logit = normFeatureCols(col("__txt"), w).zip(weights)
+        Seq(text -> "__txt"))
+      .withColumn("__w", split(col("__txt"), " "))
+    val logit = normFeatureCols(col("__txt"), col("__w")).zip(weights)
       .map { case (c, wt) => c * lit(wt) }.reduce(_ + _)
     g.withColumn("lr_keep", when(logit > 0.0, 1L).otherwise(0L))
-      .withColumn("__tok", size(w).cast("long"))
+      .withColumn("__tok", size(col("__w")).cast("long"))
       .groupBy(col("keep").as("gopher_keep"), col("lr_keep"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"))
@@ -271,16 +280,7 @@ object Classifier {
   /** DuckDB twin of [[qualityAgreement]] over `documents`. */
   def qualityAgreementOracleSql(
       weights: Seq[Double] = FixedScoreWeights): String = {
-    val stops = TextAnalysis.Markers.head._2.map(x => s"'$x'")
-      .mkString(", ")
-    val xs = Seq(
-      "1.0",
-      "nw / 100.0",
-      "CAST(length(text) AS DOUBLE) / 1000.0",
-      s"CAST(len(list_filter(w, t -> t IN ($stops))) AS DOUBLE) / nw",
-      "CAST(len(list_distinct(w)) AS DOUBLE) / nw")
-    val logit = xs.zip(weights)
-      .map { case (x, wt) => s"($x) * $wt" }.mkString(" + ")
+    val logit = fixedLogitSql(weights)
     s"""
     |WITH g AS (${TextAnalysis.gopherRulesOracleSql.replace("\n", "\n|  ")}),
     |b AS (

@@ -1205,8 +1205,18 @@ object Dedup {
     * [[ngramJaccardViaMinhash]] — never a corpus-wide set shuffle). */
   def minhashEstimateAudit(docs: DataFrame, id: Column, text: Column,
                            shingle: Int, k: Int,
-                           rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignature(docs, id, text, shingle, k).localCheckpoint()
+                           rowsPerBand: Int = 2): DataFrame =
+    minhashEstimateAuditWith(docs, id, text,
+      minhashSignature(docs, id, text, shingle, k).localCheckpoint(),
+      shingle, k, rowsPerBand)
+
+  /** [[minhashEstimateAudit]] over a PRECOMPUTED (already
+    * materialized) signature frame — sweep callers compute the widest
+    * signature once and feed each arm its prefix. */
+  private def minhashEstimateAuditWith(docs: DataFrame, id: Column,
+                                       text: Column, sigs: DataFrame,
+                                       shingle: Int, k: Int,
+                                       rowsPerBand: Int): DataFrame = {
     val cand = minhashCandidates(sigs, k, rowsPerBand).localCheckpoint()
     val a = sigs.select(col("doc_id").as("d1") +:
       (0 until k).map(i => col(s"mh$i").as(s"__a$i")): _*)
@@ -1330,8 +1340,16 @@ object Dedup {
         "key (two ~31-bit components per int64)")
       require(k % r == 0, s"k=$k must divide into bands of $r")
     }
+    // the widest signature is computed and materialized ONCE; every
+    // arm takes its k-component PREFIX (shared permutations), so the
+    // dominant shingle->minhash kernel runs once, not |arms| times
+    val kMax = configs.map(_._1).max
+    val sigsMax = minhashSignature(docs, id, text, shingle, kMax)
+      .localCheckpoint()
     configs.map { case (k, r) =>
-      minhashEstimateAudit(docs, id, text, shingle, k, r)
+      val sigsK = sigsMax.select(col("doc_id") +:
+        (0 until k).map(i => col(s"mh$i")): _*)
+      minhashEstimateAuditWith(docs, id, text, sigsK, shingle, k, r)
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("inter") * tDen >=
             (col("n1") + col("n2") - col("inter")) * tNum, 1L)

@@ -878,8 +878,15 @@ object Similarity {
         col("n2").as("__n2"), explode(col("cells")).as("c_id"))
 
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    nCentroids: Int, nProbe: Int): DataFrame = {
-    val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
+                    nCentroids: Int, nProbe: Int): DataFrame =
+    ivfCosineTopKWith(corpus, queries, k,
+      collectCodebook(corpus, "vec_id", "embedding", nCentroids), nProbe)
+
+  /** [[ivfCosineTopK]] over a PRECOMPUTED codebook — lets sweep /
+    * repeated callers pay the driver-side codebook job once. */
+  private def ivfCosineTopKWith(corpus: DataFrame, queries: DataFrame,
+                                k: Int, cb: Seq[(Long, Seq[Float], Double)],
+                                nProbe: Int): DataFrame = {
     val lists = assignedCells(Dedup.spread(corpus.select(
       col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
       col("cand_id")), cb, "cand_id", "c_emb", 1)
@@ -1299,8 +1306,14 @@ object Similarity {
   private def recallVsExact(corpus: DataFrame, queries: DataFrame,
                             k: Int, approx: DataFrame): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val exact = cosineTopK(corpus, queries, k)
-      .select(col("query_id"), col("cand_id"))
+    recallFrom(cosineTopK(corpus, queries, k)
+      .select(col("query_id"), col("cand_id")), k, approx)
+  }
+
+  /** [[recallVsExact]] over a PRECOMPUTED exact top-k frame — sweep
+    * callers materialize the exact scan once across arms. */
+  private def recallFrom(exact: DataFrame, k: Int,
+                         approx: DataFrame): DataFrame =
     exact.join(approx.select(col("query_id"), col("cand_id"),
         lit(1L).as("__hit")), Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))
@@ -1308,7 +1321,6 @@ object Similarity {
       .withColumn("n_hits", col("n_hits").cast("long"))
       .withColumn("recall_at_k",
         col("n_hits").cast("double") / lit(k).cast("double"))
-  }
 
   def pqRecall(corpus: DataFrame, queries: DataFrame, k: Int,
                nCentroids: Int, nProbe: Int, m: Int, ksub: Int,
@@ -1323,16 +1335,25 @@ object Similarity {
     * nProbe buys 0.95 recall on MY corpus?"), emitted as data instead
     * of being re-derived by hand per configuration. Probe-all
     * (nProbe = nCentroids) is exact by construction, so the curve's
-    * last row doubles as a self-check. Cost shape: |probes| IVF runs
-    * over the same assignment machinery — at corpus scale the sweep
-    * runs on a SAMPLE of queries (the query side is already the
-    * bounded broadcast side). */
+    * last row doubles as a self-check. Cost shape: the codebook job
+    * and the exact reference scan are paid ONCE and shared across
+    * arms (materialized — exchange reuse does not cover identical
+    * subtrees); each arm then pays only its own probed-cell scoring —
+    * at corpus scale the sweep runs on a SAMPLE of queries (the
+    * query side is already the bounded broadcast side). */
   def ivfProbeSweep(corpus: DataFrame, queries: DataFrame, k: Int,
                     nCentroids: Int, probes: Seq[Int]): DataFrame = {
     require(probes.nonEmpty, "sweep needs at least one probe count")
+    // shared across arms, paid ONCE: the codebook's driver job and
+    // the exact scan (materialized — Spark reuses exchanges, not
+    // identical subtrees, so an unmaterialized exact frame would
+    // re-run its corpus×queries join per arm)
+    val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
+    val exact = cosineTopK(corpus, queries, k)
+      .select(col("query_id"), col("cand_id")).localCheckpoint()
     probes.map { np =>
-      recallVsExact(corpus, queries, k,
-        ivfCosineTopK(corpus, queries, k, nCentroids, np))
+      recallFrom(exact, k,
+        ivfCosineTopKWith(corpus, queries, k, cb, np))
         .withColumn("n_probe", lit(np.toLong))
         .select(col("n_probe"), col("query_id"), col("n_hits"),
           col("recall_at_k"))

@@ -74,9 +74,11 @@ class ClassifierSpec extends SparkSpec {
     import spark.implicits._
     import graft.ext.{Classifier, TextAnalysis}
     // mix fixture docs (one cell) with constructed docs engineered to
-    // differ: a long stop-word-rich doc (gopher keep candidate) and a
-    // distinct-word-heavy short doc (LR-positive, gopher-rejected by
-    // the 50-word minimum)
+    // differ: a long stop-word-rich doc (gopher keep AND LR keep —
+    // the 4.0 stop_ratio weight dominates) vs a short distinct-heavy
+    // doc (gopher-rejected by the 50-word minimum AND LR-negative:
+    // its logit ≈ -1.5 + 0.05 - 0.5 < 0) — different cells by both
+    // coordinates
     val gopherFriendly = (("the be to of and that have with " * 8) +
       ("value table scan " * 10)).trim
     val shortDistinct = "alpha beta gamma delta epsilon zeta"
