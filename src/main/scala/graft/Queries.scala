@@ -982,6 +982,18 @@ object Queries {
           "embedding", 64, 4, 0.4, nTables = 4).orderBy("d1", "d2"),
       Some(Similarity.nearDupOracleSql(64, 4, 0.4, nTables = 4))),
 
+    // The SRP (planes, tables) tuning curve: pair recall vs the
+    // exact threshold set per config — more planes cut candidates,
+    // more tables buy recall back; the third dial audit after
+    // ann_probe_sweep / minhash_band_sweep
+    ("srp_sweep",
+      (s: SparkSession, d: String) =>
+        Similarity.srpSweep(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, 0.4, Seq((4, 1), (4, 4), (8, 4)))
+          .orderBy("n_planes", "n_tables"),
+      Some(Similarity.srpSweepOracleSql(64, 0.4,
+        Seq((4, 1), (4, 4), (8, 4))))),
+
     // The production near-dup configuration: cosine >= 0.7 keeps only
     // true near-copies (random 64-dim pairs reach it with P ≈
     // (1-t²)^32 ≈ 7e-10), and 8 planes/table (256 buckets, still

@@ -270,6 +270,95 @@ object Similarity {
     |""".stripMargin.trim
   }
 
+  /** The SRP-LSH configuration tuning curve in one query — the third
+    * dial audit after the IVF probe curve ([[ivfProbeSweep]]) and the
+    * minhash band curve ([[graft.ext.Dedup.bandSweep]]): pair RECALL
+    * of [[nearDupPairs]] at each (planes, tables) configuration
+    * against the exact all-pairs threshold set. More planes = smaller
+    * buckets = candidates missed; more tables = OR amplification =
+    * recall bought back — this emits that tradeoff measured on the
+    * user's own corpus geometry (the i.i.d. formula misprices
+    * clustered cones, which is what SrpStats/SCALE.md §10 found).
+    *
+    * The exact reference is the brute threshold join, computed ONCE
+    * (two-phase: codegen float prefilter with the [[nearDupPairs]]
+    * 1e-3 guard band, exact-decimal confirm), materialized and shared
+    * across arms; each arm then pays its own bucketed candidate join.
+    * At corpus scale the reference (and hence the sweep) runs on a
+    * SAMPLE — the config decision needs the curve's shape, not the
+    * full corpus row count. */
+  def srpSweep(corpus: DataFrame, id: String, emb: String, dim: Int,
+               minCosine: Double, configs: Seq[(Int, Int)]): DataFrame = {
+    require(configs.nonEmpty, "sweep needs at least one config")
+    import graft.functions.VecMath
+    val base = corpus.select(col(id).as("vid"), col(emb).as("e"))
+      .withColumn("n2", dot(col("e"), col("e")))
+      .withColumn("f2", VecMath.dotF(col("e"), col("e")))
+      .localCheckpoint()
+    val a = Dedup.spread(base.select(col("vid").as("d1"),
+      col("e").as("e1"), col("n2").as("n1"), col("f2").as("fn1")),
+      col("d1"))
+    val b = base.select(col("vid").as("d2"), col("e").as("e2"),
+      col("n2").as("n2b"), col("f2").as("fn2"))
+    val preFilter =
+      if (minCosine - 1e-3 > 0)
+        VecMath.dotF(col("e1"), col("e2")) >=
+          lit(minCosine - 1e-3) * sqrt(col("fn1") * col("fn2"))
+      else
+        VecMath.dotF(col("e1"), col("e2")) /
+          sqrt(col("fn1") * col("fn2")) >= lit(minCosine - 1e-3)
+    val exact = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .filter(preFilter)
+      .withColumn("cos", cosine(
+        dot(col("e1"), col("e2")), col("n1"), col("n2b")))
+      .filter(col("cos") >= minCosine)
+      .select(col("d1"), col("d2"))
+      .localCheckpoint()
+    configs.map { case (p, tb) =>
+      val found = nearDupPairs(corpus, id, emb, dim, p, minCosine, tb)
+        .select(col("d1"), col("d2"), lit(1L).as("__hit"))
+      exact.join(found, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_found"))
+        .select(lit(p.toLong).as("n_planes"), lit(tb.toLong).as("n_tables"),
+          col("n_exact"), coalesce(col("n_found"), lit(0L)).as("n_found"))
+        .withColumn("recall_ppm", expr(
+          "CASE WHEN n_exact = 0 THEN 0L " +
+            "ELSE (n_found * 1000000L) DIV n_exact END"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Full DuckDB oracle for [[srpSweep]] over `embeddings`. */
+  def srpSweepOracleSql(dim: Int, minCosine: Double,
+                        configs: Seq[(Int, Int)]): String = {
+    def cos(x: String, y: String): String =
+      s"CAST(${dotSql(x, y, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(x, x, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(y, y, dim)} AS DOUBLE)))"
+    val arms = configs.map { case (p, tb) =>
+      s"""SELECT CAST($p AS BIGINT) AS n_planes,
+         |  CAST($tb AS BIGINT) AS n_tables,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS n_found,
+         |  CAST(CASE WHEN count(*) = 0 THEN 0
+         |    ELSE (coalesce(sum(f.hit), 0) * 1000000) // count(*) END
+         |    AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN (
+         |  SELECT d1, d2, 1 AS hit FROM (
+         |    ${nearDupOracleSql(dim, p, minCosine, tb)})
+         |) f ON f.d1 = e.d1 AND f.d2 = e.d2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""
+    |WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+    |exact AS (
+    |  SELECT a.vec_id AS d1, b.vec_id AS d2
+    |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+    |  WHERE ${cos("a.embedding", "b.embedding")} >= $minCosine)
+    |$arms
+    |ORDER BY n_planes, n_tables
+    |""".stripMargin.trim
+  }
+
   /** Cell-partitioned near-dup pairs — the density-ADAPTIVE
     * alternative to [[nearDupPairs]]' fixed SRP hyperplanes, and the
     * "next decade" design SCALE.md §10 sized from the SrpStats audit:

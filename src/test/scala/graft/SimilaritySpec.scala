@@ -542,6 +542,25 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("n_vecs") == byLabel(r.getInt(0))))
   }
 
+  test("srpSweep: table amplification can only add found pairs " +
+    "(prefix tables are candidate subsets), counts self-consistent") {
+    val out = Similarity.srpSweep(emb, "vec_id", "embedding", 64, 0.4,
+        Seq((4, 1), (4, 4), (8, 4))).collect()
+      .map(r => (r.getAs[Long]("n_planes"), r.getAs[Long]("n_tables")) ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_found"),
+          r.getAs[Long]("recall_ppm"))).toMap
+    // the exact reference set is shared: identical across arms
+    assert(out.values.map(_._1).toSet.size == 1)
+    out.values.foreach { case (ne, nf, rp) =>
+      assert(nf <= ne)
+      val expect = if (ne == 0) 0L else nf * 1000000L / ne
+      assert(rp == expect, s"recall_ppm drifted: $rp vs $expect")
+    }
+    // table 0 of the 4-table config IS the 1-table config (same
+    // plane offsets), so its found set is a superset — structural
+    assert(out((4L, 4L))._2 >= out((4L, 1L))._2)
+  }
+
   test("ivfProbeSweep: recall is monotone in nProbe and the " +
     "probe-all arm is exact") {
     val nCentroids = 16
