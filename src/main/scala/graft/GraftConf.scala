@@ -132,5 +132,16 @@ object GraftConf {
     // more shuffles (a corpus re-join for row totals is the
     // regression this ceiling catches)
     "event_transitions" -> PlanContract("sessions",
-      forbidJoin = true, maxHashShuffles = Some(3)))
+      forbidJoin = true, maxHashShuffles = Some(3)),
+    // cluster-scoped pair expansion (the SemDeDup Σ|c|² bound) must
+    // keep the AQE-coalesce-exempt spread on the cluster key
+    "semantic_dedup" -> PlanContract("pairs",
+      requireExplicitSpread = true),
+    // assignment = scan + broadcast centroid join, then ONE
+    // cluster-keyed window exchange — a corpus-side shuffle join or a
+    // second corpus shuffle is the regression these pins catch
+    "cluster_prune" -> PlanContract("ann", minBroadcastJoins = 1,
+      forbidSortMerge = true, maxHashShuffles = Some(1)),
+    "cluster_health" -> PlanContract("ann", minBroadcastJoins = 1,
+      forbidSortMerge = true, maxHashShuffles = Some(1)))
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.checks.Checks
 import graft.dims.{DateDim, Scd2}
-import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, SemDedup, Sessions, Similarity, TextAnalysis}
 import graft.facts.FactLoader
 
 /** The declared query surface (SURVEY §7.3): one entry per operator
@@ -1071,6 +1071,37 @@ object Queries {
         |SELECT vec_id, label FROM embeddings
         |WHERE NOT EXISTS (SELECT 1 FROM nd_pairs WHERE nd_pairs.d2 = vec_id)
         |ORDER BY vec_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    // top-1 k-means cell bounds the pair space to Σ|cluster|² (the
+    // published trade vs the cell path's nProbe recall device), and
+    // the drop rule keeps the LEAST prototypical end of each dup pair
+    ("semantic_dedup",
+      (s: SparkSession, d: String) =>
+        SemDedup.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          nClusters = 16, tau = 0.4).orderBy("vec_id"),
+      Some(SemDedup.semDedupOracleSql(64, nClusters = 16, tau = 0.4))),
+
+    // D4 prototypicality prune (Tirumala et al. 2023): drop the
+    // ⌊dropFrac·|cluster|⌋ most centroid-like vectors per cluster —
+    // binary-exact fraction so ⌊·⌋ agrees across engines
+    ("cluster_prune",
+      (s: SparkSession, d: String) =>
+        SemDedup.clusterPrune(t(s, d, "embeddings"), "vec_id",
+          "embedding", nClusters = 16, dropFrac = 0.25)
+          .orderBy("vec_id"),
+      Some(SemDedup.clusterPruneOracleSql(64, nClusters = 16,
+        dropFrac = 0.25))),
+
+    // Embedding-space noise audit: per-cluster outlier counts (cosine
+    // to OWN nearest centroid below the cut) — the k-row curation
+    // dashboard
+    ("cluster_health",
+      (s: SparkSession, d: String) =>
+        SemDedup.clusterHealth(t(s, d, "embeddings"), "vec_id",
+          "embedding", nClusters = 16, minCos = 0.1).orderBy("cluster"),
+      Some(SemDedup.clusterHealthOracleSql(64, nClusters = 16,
+        minCos = 0.1))),
 
     // 12 planes/table: sized by the 100× SrpStats audit (SCALE.md §10)
     // — halves clustered-corpus candidate volume vs 8 planes at 99.9%
