@@ -143,5 +143,11 @@ object GraftConf {
     "cluster_prune" -> PlanContract("ann", minBroadcastJoins = 1,
       forbidSortMerge = true, maxHashShuffles = Some(1)),
     "cluster_health" -> PlanContract("ann", minBroadcastJoins = 1,
-      forbidSortMerge = true, maxHashShuffles = Some(1)))
+      forbidSortMerge = true, maxHashShuffles = Some(1)),
+    // boundary scoring is one projection; then four KEYED exchanges
+    // (doc window, (doc, chunk) assembly, (h, chunk) group sizes, doc
+    // counts) and never a join — a corpus re-join for chunk counts is
+    // the regression this pin catches
+    "cdc_chunk_stats" -> PlanContract("text-agg",
+      forbidJoin = true, maxHashShuffles = Some(4)))
 }

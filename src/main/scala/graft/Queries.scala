@@ -1072,6 +1072,17 @@ object Queries {
         |WHERE NOT EXISTS (SELECT 1 FROM nd_pairs WHERE nd_pairs.d2 = vec_id)
         |ORDER BY vec_id""".stripMargin)),
 
+    // Content-defined chunking (LBFS gear, Muthitacharoen et al.
+    // 2001): boundaries from a rolling-window hash, so shared spans
+    // cut into identical chunks at ANY offset — the shift-robust
+    // complement to dup_span_stats' fixed tiles; dup groups key on
+    // (hash, chunk string), the exact-guarantee convention
+    ("cdc_chunk_stats",
+      (s: SparkSession, d: String) =>
+        Dedup.cdcChunkStats(t(s, d, "documents"), col("doc_id"),
+          col("text"), win = 4, mod = 8).orderBy("doc_id"),
+      Some(Dedup.cdcChunkStatsOracleSql(win = 4, mod = 8))),
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
     // top-1 k-means cell bounds the pair space to Σ|cluster|² (the
     // published trade vs the cell path's nProbe recall device), and

@@ -434,6 +434,92 @@ object Dedup {
     |""".stripMargin.trim
 
   // ---------------------------------------------------------------
+  // Content-defined chunking (CDC) — Muthitacharoen et al. 2001
+  // (LBFS); the shift-robust complement to the fixed k-word tiles
+  // above: an inserted word re-aligns every fixed tile after it, but
+  // perturbs CDC boundaries only within one rolling window.
+  // ---------------------------------------------------------------
+
+  /** Content-defined chunk dedup stats: (doc_id, n_chunks,
+    * n_dup_chunks). A chunk boundary falls after word `i` when the
+    * polyhash of the `win`-word window ending at `i` ≡ 0 (mod `mod`)
+    * — boundaries derive from CONTENT, so two documents sharing a
+    * long span cut it into the same chunks regardless of where the
+    * span starts (the property [[chunkDupStats]]'s fixed tiles lose
+    * under a single-word insertion; CdcSpec pins the contrast).
+    * Expected chunk length ≈ `mod` words. Duplicate groups key on
+    * (hash, chunk string) — the exact-guarantee convention of
+    * [[chunkDupExact]], so a hash collision never counts as a dup.
+    *
+    * Scale shape: O(n·win) boundary scoring inside one projection
+    * (the window slices re-read the bound `__w` alias, never re-split
+    * text), then one doc-keyed window (chunk index prefix sum), one
+    * doc-keyed group (chunk assembly — state bounded by one document),
+    * one (h, chunk)-keyed window (corpus-wide group sizes), one
+    * doc-keyed count agg. Every shuffle is keyed; nothing is
+    * corpus-quadratic. */
+  def cdcChunkStats(docs: DataFrame, id: Column, text: Column,
+                    win: Int, mod: Int): DataFrame = {
+    require(win >= 1, "window must be positive")
+    require(mod >= 2, "modulus must be at least 2")
+    val base = docs.select(id.as("doc_id"), words(text).as("__w"))
+    val flagged = base.select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), greatest(size(col("__w")), lit(1))),
+          j => struct(
+            element_at(col("__w"), j).as("word"),
+            (j >= lit(win) && pmod(Hashing.polyHash(
+              array_join(slice(col("__w"), j - lit(win - 1), lit(win)),
+                " ")), lit(mod.toLong)) === 0).cast("long").as("b")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"),
+        col("col.word").as("word"), col("col.b").as("b"))
+    val byPos = Window.partitionBy("doc_id").orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = flagged
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(byPos), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("j"), col("word")))),
+        s => s.getField("word")), " ").as("chunk"))
+      .withColumn("h", Hashing.polyHash(col("chunk")))
+    chunks
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy("h", "chunk")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  /** DuckDB twin of [[cdcChunkStats]] over `documents`. */
+  def cdcChunkStatsOracleSql(win: Int, mod: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |pos AS (
+    |  SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS word,
+    |    CASE WHEN j >= $win AND ${Hashing.polyHashSql(
+      s"array_to_string(list_slice(w, j - ${win - 1}, j), ' ')")}
+    |      % $mod = 0 THEN 1 ELSE 0 END AS b
+    |  FROM (SELECT doc_id, w,
+    |          unnest(range(1, greatest(len(w), 1) + 1)) AS j FROM w)),
+    |idx AS (
+    |  SELECT doc_id, j, word,
+    |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY j
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    |      AS chunk_idx
+    |  FROM pos),
+    |chunks AS (
+    |  SELECT doc_id, chunk_idx,
+    |         array_to_string(list(word ORDER BY j), ' ') AS chunk
+    |  FROM idx GROUP BY doc_id, chunk_idx),
+    |hashed AS (SELECT doc_id, chunk,
+    |                  ${Hashing.polyHashSql("chunk")} AS h FROM chunks),
+    |cnt AS (SELECT doc_id,
+    |          count(*) OVER (PARTITION BY h, chunk) AS c FROM hashed)
+    |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+    |  CAST(count(*) FILTER (c > 1) AS BIGINT) AS n_dup_chunks
+    |FROM cnt GROUP BY doc_id ORDER BY doc_id
+    |""".stripMargin.trim
+
+  // ---------------------------------------------------------------
   // MinHash + LSH (SURVEY §7.6; banding per Leskovec/Rajaraman/Ullman
   // "Mining of Massive Datasets" ch.3)
   // ---------------------------------------------------------------

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Content-defined chunking: the shift-robustness property that
+  * motivates CDC over fixed tiles, plus boundary/edge semantics. */
+class CdcSpec extends SparkSpec {
+
+  // docB = docA with ONE word inserted at the front: every fixed tile
+  // re-aligns; CDC boundaries re-derive from content and realign
+  private val wordsA = (0 until 60).map(i => s"w$i")
+  private def shifted = {
+    import spark.implicits._
+    Seq((1L, wordsA.mkString(" ")),
+      (2L, ("zzz" +: wordsA).mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("CDC chunks survive a front-insertion that kills every fixed tile") {
+    val cdc = Dedup.cdcChunkStats(shifted, col("doc_id"), col("text"),
+      win = 4, mod = 8).collect().map(r => r.getLong(0) -> r).toMap
+    // simulated offline: A cuts into 9 chunks, 8 shared with B
+    assert(cdc(1L).getLong(1) == 9)
+    assert(cdc(1L).getLong(2) == 8, "shared span must re-chunk identically")
+    assert(cdc(2L).getLong(2) == 8)
+    // fixed 5-word tiles on the same corpus: zero duplicate tiles
+    val fixed = Dedup.chunkDupStats(shifted, col("doc_id"), col("text"), 5)
+      .collect()
+    fixed.foreach(r => assert(r.getLong(3) == 0,
+      "a 1-word shift must break every fixed tile (that's the contrast)"))
+  }
+
+  test("identical docs share every chunk; short docs are one chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, wordsA.mkString(" ")), (2L, wordsA.mkString(" ")),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(docs, col("doc_id"), col("text"),
+      win = 4, mod = 8).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == out(1L).getLong(2), "full dup coverage")
+    assert(out(2L).getLong(2) == out(1L).getLong(2))
+    // shorter than the window: no boundary possible, one chunk, no dup
+    assert(out(3L).getLong(1) == 1 && out(3L).getLong(2) == 0)
+  }
+
+  test("chunks tile the document: word counts reconcile") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = 50
+    val sample = docs.filter(col("doc_id") < n)
+    val out = Dedup.cdcChunkStats(sample, col("doc_id"), col("text"),
+      win = 4, mod = 8).collect()
+    assert(out.length == sample.count())
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1, "every doc has at least one chunk")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+}
