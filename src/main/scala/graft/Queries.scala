@@ -1083,6 +1083,19 @@ object Queries {
           col("text"), win = 4, mod = 8).orderBy("doc_id"),
       Some(Dedup.cdcChunkStatsOracleSql(win = 4, mod = 8))),
 
+    // Incremental CDC ingest: new batch chunked against the persisted
+    // index chunk set — the CDC twin of dedup_incremental; the batch
+    // pays its own chunking + one (h, chunk)-keyed join, never a
+    // corpus re-chunk
+    ("cdc_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.cdcIncremental(docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400), col("doc_id"),
+          col("text"), win = 4, mod = 8).orderBy("doc_id")
+      },
+      Some(Dedup.cdcIncrementalOracleSql(win = 4, mod = 8, split = 400L))),
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
     // top-1 k-means cell bounds the pair space to Σ|cluster|² (the
     // published trade vs the cell path's nProbe recall device), and

@@ -459,7 +459,19 @@ object Dedup {
     * doc-keyed count agg. Every shuffle is keyed; nothing is
     * corpus-quadratic. */
   def cdcChunkStats(docs: DataFrame, id: Column, text: Column,
-                    win: Int, mod: Int): DataFrame = {
+                    win: Int, mod: Int): DataFrame =
+    cdcChunks(docs, id, text, win, mod)
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy("h", "chunk")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+
+  /** The CDC front shared by the stats and incremental paths:
+    * (doc_id, chunk_idx, chunk, h) — boundary scoring projection,
+    * doc-keyed prefix sum, doc-keyed chunk assembly. */
+  private[graft] def cdcChunks(docs: DataFrame, id: Column, text: Column,
+                               win: Int, mod: Int): DataFrame = {
     require(win >= 1, "window must be positive")
     require(mod >= 2, "modulus must be at least 2")
     val base = docs.select(id.as("doc_id"), words(text).as("__w"))
@@ -474,49 +486,89 @@ object Dedup {
         col("col.word").as("word"), col("col.b").as("b"))
     val byPos = Window.partitionBy("doc_id").orderBy("j")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = flagged
+    flagged
       .withColumn("chunk_idx", coalesce(sum(col("b")).over(byPos), lit(0L)))
       .groupBy(col("doc_id"), col("chunk_idx"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("j"), col("word")))),
         s => s.getField("word")), " ").as("chunk"))
       .withColumn("h", Hashing.polyHash(col("chunk")))
-    chunks
-      .withColumn("__cnt",
-        count(lit(1)).over(Window.partitionBy("h", "chunk")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
-  /** DuckDB twin of [[cdcChunkStats]] over `documents`. */
-  def cdcChunkStatsOracleSql(win: Int, mod: Int): String =
-    s"""
-    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
-    |pos AS (
+  /** The [[cdcChunks]] CTE chain with prefixed names, ending at
+    * `${p}hashed`(doc_id, chunk, h), over `documents WHERE pred`. */
+  private def cdcCtes(win: Int, mod: Int, pred: String,
+                      p: String): String =
+    s"""${p}w AS (SELECT doc_id, str_split(text, ' ') AS w
+    |        FROM documents WHERE $pred),
+    |${p}pos AS (
     |  SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS word,
     |    CASE WHEN j >= $win AND ${Hashing.polyHashSql(
       s"array_to_string(list_slice(w, j - ${win - 1}, j), ' ')")}
     |      % $mod = 0 THEN 1 ELSE 0 END AS b
     |  FROM (SELECT doc_id, w,
-    |          unnest(range(1, greatest(len(w), 1) + 1)) AS j FROM w)),
-    |idx AS (
+    |          unnest(range(1, greatest(len(w), 1) + 1)) AS j FROM ${p}w)),
+    |${p}idx AS (
     |  SELECT doc_id, j, word,
     |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY j
     |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
     |      AS chunk_idx
-    |  FROM pos),
-    |chunks AS (
+    |  FROM ${p}pos),
+    |${p}chunks AS (
     |  SELECT doc_id, chunk_idx,
     |         array_to_string(list(word ORDER BY j), ' ') AS chunk
-    |  FROM idx GROUP BY doc_id, chunk_idx),
-    |hashed AS (SELECT doc_id, chunk,
-    |                  ${Hashing.polyHashSql("chunk")} AS h FROM chunks),
+    |  FROM ${p}idx GROUP BY doc_id, chunk_idx),
+    |${p}hashed AS (SELECT doc_id, chunk,
+    |                  ${Hashing.polyHashSql("chunk")} AS h
+    |               FROM ${p}chunks)""".stripMargin
+
+  /** DuckDB twin of [[cdcChunkStats]] over `documents`. */
+  def cdcChunkStatsOracleSql(win: Int, mod: Int): String =
+    s"""
+    |WITH ${cdcCtes(win, mod, "TRUE", "")},
     |cnt AS (SELECT doc_id,
     |          count(*) OVER (PARTITION BY h, chunk) AS c FROM hashed)
     |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
     |  CAST(count(*) FILTER (c > 1) AS BIGINT) AS n_dup_chunks
     |FROM cnt GROUP BY doc_id ORDER BY doc_id
+    |""".stripMargin.trim
+
+  /** Incremental CDC ingest: a new BATCH of documents against a
+    * persisted chunk INDEX — the CDC twin of [[dedupIncremental]].
+    * Output per batch doc: (doc_id, n_chunks, n_dup_vs_index), where
+    * a batch chunk counts as duplicated iff the SAME (hash, string)
+    * chunk exists in the index corpus. The batch pays its own
+    * chunking plus one (h, chunk)-keyed join against the distinct
+    * index chunk set — never a corpus re-chunk (at production scale
+    * the index side is computed once at ingest time and persisted
+    * bucketed by h; here both sides derive in-query so the oracle
+    * sees the same relation). */
+  def cdcIncremental(index: DataFrame, batch: DataFrame, id: Column,
+                     text: Column, win: Int, mod: Int): DataFrame = {
+    val idx = cdcChunks(index, id, text, win, mod)
+      .select(col("h"), col("chunk")).distinct()
+      .withColumn("__hit", lit(1L))
+    cdcChunks(batch, id, text, win, mod)
+      .join(idx, Seq("h", "chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_dup_vs_index"))
+  }
+
+  /** DuckDB twin of [[cdcIncremental]] with the id split at `split`
+    * (index = doc_id < split, batch = the rest). */
+  def cdcIncrementalOracleSql(win: Int, mod: Int, split: Long): String =
+    s"""
+    |WITH ${cdcCtes(win, mod, s"doc_id < $split", "i")},
+    |${cdcCtes(win, mod, s"doc_id >= $split", "b")},
+    |iset AS (SELECT DISTINCT h, chunk FROM ihashed),
+    |j AS (SELECT b.doc_id,
+    |        CASE WHEN iset.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+    |      FROM bhashed b LEFT JOIN iset
+    |        ON iset.h = b.h AND iset.chunk = b.chunk)
+    |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+    |  CAST(sum(hit) AS BIGINT) AS n_dup_vs_index
+    |FROM j GROUP BY doc_id ORDER BY doc_id
     |""".stripMargin.trim
 
   // ---------------------------------------------------------------

@@ -288,6 +288,62 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC ingest — the streaming twin of
+    * [[graft.ext.Dedup.cdcIncremental]]: each micro-batch of documents
+    * is content-defined-chunked, scored against the PERSISTED distinct
+    * chunk index, its per-doc stats (doc_id, n_chunks,
+    * n_dup_vs_index) appended to `statsPath`, and its genuinely NEW
+    * (h, chunk) pairs appended to the index. Per trigger the batch
+    * pays its own chunking + one (h, chunk)-keyed lookup into the
+    * index — never a corpus re-chunk; at scale the index is persisted
+    * bucketed by h so the lookup co-locates.
+    *
+    * Delivery: the stats file doubles as the doc-level ledger — batch
+    * docs whose doc_id already has a stats row are skipped up front,
+    * so a replayed (or crash-recovered) batch re-scores nothing and a
+    * doc's stats are immune to its OWN chunks having landed in the
+    * index meanwhile. Stats append BEFORE index append: a crash
+    * between the two can leave a doc's chunks out of the index until
+    * a later identical chunk arrives (under-counting later dups, the
+    * recoverable direction) but can never double-score a doc. */
+  def cdcIngestSink(stream: DataFrame, indexPath: String,
+                    statsPath: String, checkpoint: String,
+                    win: Int = 4, mod: Int = 8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        import graft.ext.Dedup
+        val fs = new org.apache.hadoop.fs.Path(statsPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def exists(p: String) =
+          fs.exists(new org.apache.hadoop.fs.Path(p))
+        val deduped = batch0.dropDuplicates(Seq("doc_id"))
+        val batch =
+          if (exists(statsPath))
+            deduped.join(spark.read.parquet(statsPath).select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          else deduped
+        // one chunking pass feeds the stats agg AND the index append
+        val chunks = Dedup.cdcChunks(batch, col("doc_id"), col("text"),
+          win, mod).localCheckpoint()
+        val idx =
+          if (exists(indexPath))
+            spark.read.parquet(indexPath).withColumn("__hit", lit(1L))
+          else chunks.select(col("h"), col("chunk")).limit(0)
+            .withColumn("__hit", lit(1L))
+        chunks.join(idx, Seq("h", "chunk"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_dup_vs_index"))
+          .write.mode("append").parquet(statsPath)
+        chunks.select(col("h"), col("chunk")).distinct()
+          .join(idx, Seq("h", "chunk"), "left_anti")
+          .write.mode("append").parquet(indexPath)
+      }
+      .start()
+
   case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
                        tokens_before: Long, seq_id: Long, seq_offset: Long)
 

@@ -45,6 +45,22 @@ class CdcSpec extends SparkSpec {
     assert(out(3L).getLong(1) == 1 && out(3L).getLong(2) == 0)
   }
 
+  test("cdcIncremental: copies hit the index fully, fresh docs not at all") {
+    import spark.implicits._
+    val fresh = (100 until 160).map(i => s"q$i")
+    val index = Seq((1L, wordsA.mkString(" ")),
+      (2L, (0 until 30).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq((3L, wordsA.mkString(" ")),
+      (4L, fresh.mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.cdcIncremental(index, batch, col("doc_id"),
+      col("text"), win = 4, mod = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(3L, 4L), "only batch docs in the output")
+    assert(out(3L).getLong(2) == out(3L).getLong(1),
+      "an exact copy of an index doc chunks identically")
+    assert(out(4L).getLong(2) == 0, "fresh content shares no chunk")
+  }
+
   test("chunks tile the document: word counts reconcile") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val n = 50

@@ -484,4 +484,48 @@ class StreamsSpec extends SparkSpec {
     assert(got == want, s"stream matrix diverged from batch: " +
       s"${got.size} vs ${want.size} cells")
   }
+
+  test("cdcIngestSink second trigger equals cdcIncremental; replay is a no-op") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ext.Dedup
+    val docsDir = tmp("docs-cdc-stream")
+    val indexDir = tmp("cdc-index") + "/index"
+    val statsDir = tmp("cdc-stats") + "/stats"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(docsDir)
+      val q = Streams.cdcIngestSink(stream, indexDir, statsDir,
+        tmp("cdc-chk"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val stats = spark.read.parquet(statsDir)
+    assert(stats.count() == docs.count(), "one stats row per doc")
+    // the second trigger saw exactly the first trigger's chunk index:
+    // its stats must equal the batch incremental formulation
+    val got = stats.filter(col("doc_id") >= 400).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = Dedup.cdcIncremental(docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), col("doc_id"), col("text"),
+        win = 4, mod = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == want, "stream stats diverged from the batch twin")
+    // index holds each (h, chunk) once
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.count() == idx.dropDuplicates(Seq("h", "chunk")).count())
+    // full replay (fresh checkpoint): the stats ledger skips every doc
+    run()
+    assert(spark.read.parquet(statsDir).count() == docs.count(),
+      "replay must re-score nothing")
+    assert(spark.read.parquet(indexDir).count() == idx.count(),
+      "replay must append no chunks")
+  }
 }
