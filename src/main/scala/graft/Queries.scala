@@ -1328,6 +1328,18 @@ object Queries {
           col("text"), 100),
       Some(ext.Corpus.vocabTopKOracleSql(100))),
 
+    // Count-Min heavy-hitter audit (Cormode-Muthukrishnan): exact
+    // top-k counts next to their 4x1024-cell sketch estimates —
+    // n_est >= n_exact always; the overshoot is the collision mass
+    // this audit sizes the sketch by. The sketch build is one
+    // map-side-combining agg into FIXED 4096-cell state (the
+    // vocab-agg replacement at 100 TB)
+    ("cms_topk_audit",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.cmsTopkAudit(t(s, d, "documents"), col("text"), 20)
+          .orderBy(col("n_exact").desc, col("token")),
+      Some(ext.Corpus.cmsTopkAuditOracleSql(20))),
+
     // Per-doc salient terms: tf-idf-shaped integer scoring (no libm)
     ("tfidf_topk",
       (s: SparkSession, d: String) =>

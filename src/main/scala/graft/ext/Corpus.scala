@@ -122,6 +122,80 @@ object Corpus {
     |LIMIT $k
     |""".stripMargin.trim
 
+  /** Count-Min Sketch heavy-hitter audit (Cormode & Muthukrishnan
+    * 2005): estimate the top-k tokens' frequencies from a
+    * `depth`×`width` CMS and report them NEXT TO the exact counts —
+    * (token, n_exact, n_est), n_est ≥ n_exact always (each cell
+    * upper-bounds every token hashed into it; the min over `depth`
+    * independent rows is still an upper bound), with the overshoot =
+    * the collision mass the audit exists to expose for a given
+    * (depth, width) sizing.
+    *
+    * Scale posture: the sketch build is the whole point — one pass
+    * over the token stream exploding `depth` (row, cell) probes,
+    * reduced by ONE map-side-combining agg into depth·width cells of
+    * FIXED state (4096 longs here), which is what replaces the
+    * vocab-sized exact agg at 100 TB (the exact leg below exists only
+    * because an audit needs ground truth; production keeps the sketch
+    * + a heavy-hitter heap). Probing joins the k·depth probe rows
+    * broadcast against the cell table. Hash rows are the repo's
+    * shared minhash permutation family over the compiled polyhash. */
+  def cmsTopkAudit(docs: DataFrame, text: Column, k: Int,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= Hashing.Perms.length,
+      s"depth must be in [1, ${Hashing.Perms.length}]")
+    require(width >= 2, "width must be at least 2")
+    def probes(h: Column): Column = array((0 until depth).map(r =>
+      pmod(Hashing.perm(h, r), lit(width.toLong))): _*)
+    val toks = docs.select(explode(Dedup.words(text)).as("token"))
+      .withColumn("h", Hashing.polyHash(col("token")))
+    val cells = toks
+      .select(posexplode(probes(col("h"))))
+      .groupBy(col("pos").as("r"), col("col").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+      .limit(k)
+    val probed = exact
+      .withColumn("h", Hashing.polyHash(col("token")))
+      .select(col("token"), col("n_exact"), posexplode(probes(col("h"))))
+      .select(col("token"), col("n_exact"), col("pos").as("r"),
+        col("col").as("cell"))
+    cells.join(broadcast(probed), Seq("r", "cell"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+  }
+
+  /** DuckDB twin of [[cmsTopkAudit]] over `documents`. */
+  def cmsTopkAuditOracleSql(k: Int, depth: Int = 4,
+                            width: Int = 1024): String = {
+    val cellLegs = (0 until depth).map(r =>
+      s"""SELECT $r AS r, ${Hashing.permSql("hh", r)} % $width AS cell,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM h GROUP BY cell""".stripMargin).mkString("\nUNION ALL\n")
+    val probeLegs = (0 until depth).map(r =>
+      s"SELECT token, n_exact, $r AS r, " +
+        s"${Hashing.permSql("hh", r)} % $width AS cell FROM exact")
+      .mkString("\nUNION ALL\n")
+    s"""
+    |WITH toks AS (SELECT unnest(str_split(text, ' ')) AS token
+    |              FROM documents),
+    |h AS (SELECT token, ${Hashing.polyHashSql("token")} AS hh FROM toks),
+    |cells AS ($cellLegs),
+    |exact AS (
+    |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact,
+    |         ${Hashing.polyHashSql("token")} AS hh
+    |  FROM toks GROUP BY token
+    |  ORDER BY n_exact DESC, token LIMIT $k),
+    |probes AS ($probeLegs)
+    |SELECT p.token, p.n_exact, min(c.cnt) AS n_est
+    |FROM probes p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+    |GROUP BY p.token, p.n_exact
+    |ORDER BY n_exact DESC, token
+    |""".stripMargin.trim
+  }
+
   /** Per-document top-k salient terms by a tf-idf-shaped score.
     * Score = (tf · 10^6) div df — integer division, monotone in
     * tf/df (the corpus-size factor of true tf-idf is constant per

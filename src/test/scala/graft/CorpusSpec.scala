@@ -303,4 +303,22 @@ class CorpusSpec extends SparkSpec {
     assert(got(0).getAs[Long]("n_toks") == 3L,
       s"novel-bucket tokens dropped: ${got(0)}")
   }
+
+  test("cmsTopkAudit: estimates upper-bound exact counts, rows tighten") {
+    val wide = Corpus.cmsTopkAudit(docs, col("text"), 20).collect()
+    assert(wide.length == 20)
+    wide.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS must never under-count: ${r}"))
+    // a 2-cell-wide sketch forces collisions: some token overshoots
+    val narrow = Corpus.cmsTopkAudit(docs, col("text"), 20, depth = 4,
+      width = 2).collect()
+    assert(narrow.exists(r => r.getLong(2) > r.getLong(1)),
+      "width=2 must collide somewhere")
+    // more rows can only tighten: est(depth=4) <= est(depth=1) per token
+    val d1 = Corpus.cmsTopkAudit(docs, col("text"), 20, depth = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    wide.foreach(r =>
+      assert(r.getLong(2) <= d1(r.getString(0)),
+        s"extra rows loosened ${r.getString(0)}"))
+  }
 }
