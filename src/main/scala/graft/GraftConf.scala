@@ -144,6 +144,10 @@ object GraftConf {
       forbidSortMerge = true, maxHashShuffles = Some(1)),
     "cluster_health" -> PlanContract("ann", minBroadcastJoins = 1,
       forbidSortMerge = true, maxHashShuffles = Some(1)),
+    // one projection + one map-side-combining agg over <= |langs|^2
+    // cells; never a join
+    "lang_confusion" -> PlanContract("text-agg",
+      forbidJoin = true, maxHashShuffles = Some(1)),
     // boundary scoring is one projection; then four KEYED exchanges
     // (doc window, (doc, chunk) assembly, (h, chunk) group sizes, doc
     // counts) and never a join — a corpus re-join for chunk counts is

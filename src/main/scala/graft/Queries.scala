@@ -1167,6 +1167,15 @@ object Queries {
           TextAnalysis.langId(col("text")).as("pred_lang")).orderBy("doc_id"),
       Some(TextAnalysis.langIdOracleSql)),
 
+    // Declared-label vs n-gram-prediction confusion matrix — the
+    // label-audit companion to quality_agreement; off-diagonal mass =
+    // mislabeled metadata or marker gaps, watched per ingest batch
+    ("lang_confusion",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.langConfusion(t(s, d, "documents"), col("lang"),
+          col("text")).orderBy("lang", "pred_lang"),
+      Some(TextAnalysis.langConfusionOracleSql)),
+
     ("quality_score",
       (s: SparkSession, d: String) =>
         TextAnalysis.qualityFeatures(

@@ -40,7 +40,18 @@ object TextAnalysis {
     * (inlining the greatest-of-five expression into every CASE branch
     * would re-scan the split ~10×, and textual placeholder replacement
     * is fragile). */
-  def langIdOracleSql: String = {
+  def langIdOracleSql: String =
+    s"""
+    |${predLangSelectSql("doc_id")}
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
+  /** Inner SELECT shared by the lang oracles: `keepCols` + `pred_lang`
+    * over `documents`. Per-language hits and their max are computed
+    * ONCE in a subquery (inlining the greatest-of-five expression into
+    * every CASE branch would re-scan the split ~10×, and textual
+    * placeholder replacement is fragile). */
+  private def predLangSelectSql(keepCols: String): String = {
     def hitsSql(m: Seq[String]) =
       s"len(list_filter(w, t -> t IN (${m.map(x => s"'$x'").mkString(", ")})))"
     val hitCols = Markers.map { case (lang, m) =>
@@ -54,16 +65,36 @@ object TextAnalysis {
     }
     // DuckDB lateral column aliases: __best may reference the __h_*
     // aliases defined earlier in the same SELECT list
-    s"""
-    |SELECT doc_id, $caseExpr AS pred_lang
+    s"""SELECT $keepCols, $caseExpr AS pred_lang
     |FROM (
-    |  SELECT doc_id,
+    |  SELECT $keepCols,
     |    $hitCols,
     |    $best AS __best
-    |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))
-    |ORDER BY doc_id
-    |""".stripMargin.trim
+    |  FROM (SELECT $keepCols, str_split(text, ' ') AS w
+    |        FROM documents))""".stripMargin
   }
+
+  /** Declared-label vs predicted-language confusion matrix:
+    * (lang, pred_lang, n_docs) — the label-audit companion to
+    * `quality_agreement` (rule-vs-model): off-diagonal mass is either
+    * mislabeled source metadata or marker-list gaps, and watching it
+    * per ingest batch is how a curation pipeline catches upstream
+    * label drift. One projection + one map-side-combining agg over at
+    * most |langs|² cells. */
+  def langConfusion(docs: DataFrame, lang: Column,
+                    text: Column): DataFrame =
+    docs.select(lang.as("lang"), langId(text).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** DuckDB twin of [[langConfusion]] over `documents`. */
+  def langConfusionOracleSql: String =
+    s"""
+    |SELECT lang, pred_lang, count(*) AS n_docs
+    |FROM (${predLangSelectSql("doc_id, lang").replace("\n", "\n  ")})
+    |GROUP BY lang, pred_lang
+    |ORDER BY lang, pred_lang
+    |""".stripMargin.trim
 
   /** The blended quality score over a PRE-SPLIT words column
     * (stopword ratio 0.3 + distinct-token ratio 0.7) — the ranking

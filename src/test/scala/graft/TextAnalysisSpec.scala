@@ -166,4 +166,19 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(min("score_ppm"), max("score_ppm")).collect().head
     assert(scores.getLong(0) >= 0L && scores.getLong(1) <= 1000000L)
   }
+
+  test("langConfusion reconciles with lang_id row-for-row") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val conf = TextAnalysis.langConfusion(docs, col("lang"), col("text"))
+      .collect()
+    assert(conf.map(_.getLong(2)).sum == docs.count(),
+      "confusion cells must partition the corpus")
+    // every cell equals the direct per-doc recount
+    val perDoc = docs.select(col("lang"),
+        TextAnalysis.langId(col("text")).as("p"))
+      .groupBy("lang", "p").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    conf.foreach(r => assert(
+      perDoc((r.getString(0), r.getString(1))) == r.getLong(2)))
+  }
 }
