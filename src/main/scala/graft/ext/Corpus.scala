@@ -140,26 +140,42 @@ object Corpus {
     * + a heavy-hitter heap). Probing joins the k·depth probe rows
     * broadcast against the cell table. Hash rows are the repo's
     * shared minhash permutation family over the compiled polyhash. */
-  def cmsTopkAudit(docs: DataFrame, text: Column, k: Int,
-                   depth: Int = 4, width: Int = 1024): DataFrame = {
+  /** The depth cell positions of hash `h` — one per sketch row. */
+  private def cmsProbes(h: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(r =>
+      pmod(Hashing.perm(h, r), lit(width.toLong))): _*)
+
+  /** The CMS itself: (r, cell, cnt) — depth·width rows of fixed
+    * state from one map-side-combining pass over the token stream.
+    * Sketches are MERGEABLE (cell-wise addition — CorpusSpec pins
+    * sketch(A ∪ B) = sketch(A) ⊕ sketch(B)), which is what makes the
+    * build embarrassingly parallel: each shard/day sketches locally
+    * and the combine is a depth·width-row reduce. */
+  def cmsCells(docs: DataFrame, text: Column, depth: Int = 4,
+               width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= Hashing.Perms.length,
       s"depth must be in [1, ${Hashing.Perms.length}]")
     require(width >= 2, "width must be at least 2")
-    def probes(h: Column): Column = array((0 until depth).map(r =>
-      pmod(Hashing.perm(h, r), lit(width.toLong))): _*)
-    val toks = docs.select(explode(Dedup.words(text)).as("token"))
+    docs.select(explode(Dedup.words(text)).as("token"))
       .withColumn("h", Hashing.polyHash(col("token")))
-    val cells = toks
-      .select(posexplode(probes(col("h"))))
+      .select(posexplode(cmsProbes(col("h"), depth, width)))
       .groupBy(col("pos").as("r"), col("col").as("cell"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  def cmsTopkAudit(docs: DataFrame, text: Column, k: Int,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    val toks = docs.select(explode(Dedup.words(text)).as("token"))
+      .withColumn("h", Hashing.polyHash(col("token")))
+    val cells = cmsCells(docs, text, depth, width)
     val exact = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("token").asc)
       .limit(k)
     val probed = exact
       .withColumn("h", Hashing.polyHash(col("token")))
-      .select(col("token"), col("n_exact"), posexplode(probes(col("h"))))
+      .select(col("token"), col("n_exact"),
+        posexplode(cmsProbes(col("h"), depth, width)))
       .select(col("token"), col("n_exact"), col("pos").as("r"),
         col("col").as("cell"))
     cells.join(broadcast(probed), Seq("r", "cell"))

@@ -321,4 +321,16 @@ class CorpusSpec extends SparkSpec {
       assert(r.getLong(2) <= d1(r.getString(0)),
         s"extra rows loosened ${r.getString(0)}"))
   }
+
+  test("cmsCells merge: sketch(A union B) = sketch(A) + sketch(B)") {
+    val a = docs.filter(col("doc_id") < 200)
+    val b = docs.filter(col("doc_id") >= 200)
+    def cellsMap(df: org.apache.spark.sql.DataFrame) =
+      Corpus.cmsCells(df, col("text")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cellsMap(docs)
+    val merged = (cellsMap(a).toSeq ++ cellsMap(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(whole == merged, "CMS must be cell-wise additive")
+  }
 }
