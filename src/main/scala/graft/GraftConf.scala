@@ -153,5 +153,7 @@ object GraftConf {
     // counts) and never a join — a corpus re-join for chunk counts is
     // the regression this pin catches
     "cdc_chunk_stats" -> PlanContract("text-agg",
+      forbidJoin = true, maxHashShuffles = Some(4)),
+    "cdc_scrub" -> PlanContract("text-agg",
       forbidJoin = true, maxHashShuffles = Some(4)))
 }

@@ -1083,6 +1083,16 @@ object Queries {
           col("text"), win = 4, mod = 8).orderBy("doc_id"),
       Some(Dedup.cdcChunkStatsOracleSql(win = 4, mod = 8))),
 
+    // CDC scrub: canonical-first-occurrence removal of duplicated
+    // content-defined chunks + per-doc reassembly — the shift-robust
+    // twin of chunk_scrub (CDC chunks tile the doc, so clean docs
+    // reconstruct byte-identically)
+    ("cdc_scrub",
+      (s: SparkSession, d: String) =>
+        Dedup.cdcScrub(t(s, d, "documents"), col("doc_id"),
+          col("text"), win = 4, mod = 8).orderBy("doc_id"),
+      Some(Dedup.cdcScrubOracleSql(win = 4, mod = 8))),
+
     // Incremental CDC ingest: new batch chunked against the persisted
     // index chunk set — the CDC twin of dedup_incremental; the batch
     // pays its own chunking + one (h, chunk)-keyed join, never a

@@ -518,7 +518,7 @@ object Dedup {
     |  SELECT doc_id, chunk_idx,
     |         array_to_string(list(word ORDER BY j), ' ') AS chunk
     |  FROM ${p}idx GROUP BY doc_id, chunk_idx),
-    |${p}hashed AS (SELECT doc_id, chunk,
+    |${p}hashed AS (SELECT doc_id, chunk_idx, chunk,
     |                  ${Hashing.polyHashSql("chunk")} AS h
     |               FROM ${p}chunks)""".stripMargin
 
@@ -531,6 +531,52 @@ object Dedup {
     |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
     |  CAST(count(*) FILTER (c > 1) AS BIGINT) AS n_dup_chunks
     |FROM cnt GROUP BY doc_id ORDER BY doc_id
+    |""".stripMargin.trim
+
+  /** CDC scrub: remove duplicated chunks, keeping each duplicate
+    * group's canonical FIRST occurrence (smallest encoded
+    * (doc, position) — the [[chunkScrub]] convention), and reassemble
+    * each document from its kept chunks. Because CDC chunks tile the
+    * whole document (no fixed-k tail remainder), a doc with no
+    * duplicated chunks reconstructs byte-identically. Dup groups key
+    * on (hash, chunk string) — the exact-guarantee convention.
+    * Output: (doc_id, n_dropped, scrubbed).
+    *
+    * Shape: the [[cdcChunks]] front plus ONE (h, chunk)-keyed window
+    * (count + canonical-min in one pass) and a doc-keyed reassembly
+    * agg whose state is one document's text. */
+  def cdcScrub(docs: DataFrame, id: Column, text: Column,
+               win: Int, mod: Int): DataFrame = {
+    val w = Window.partitionBy("h", "chunk")
+    val pos = col("doc_id") * ChunkPosEnc + col("chunk_idx")
+    cdcChunks(docs, id, text, win, mod)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__first", min(pos).over(w))
+      .withColumn("__keep", col("__cnt") === 1 || pos === col("__first"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          sort_array(collect_list(when(col("__keep"),
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("scrubbed"))
+  }
+
+  /** DuckDB twin of [[cdcScrub]] over `documents`. */
+  def cdcScrubOracleSql(win: Int, mod: Int): String =
+    s"""
+    |WITH ${cdcCtes(win, mod, "TRUE", "")},
+    |canon AS (SELECT h, chunk, count(*) AS c,
+    |                 min(doc_id * $ChunkPosEnc + chunk_idx) AS fp
+    |          FROM hashed GROUP BY h, chunk),
+    |kept AS (SELECT doc_id, chunk_idx, chunk,
+    |           (c = 1 OR doc_id * $ChunkPosEnc + chunk_idx = fp) AS keep
+    |         FROM hashed JOIN canon USING (h, chunk))
+    |SELECT doc_id,
+    |  CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_dropped,
+    |  COALESCE(array_to_string(
+    |    list(chunk ORDER BY chunk_idx) FILTER (keep), ' '), '')
+    |    AS scrubbed
+    |FROM kept GROUP BY doc_id ORDER BY doc_id
     |""".stripMargin.trim
 
   /** Incremental CDC ingest: a new BATCH of documents against a

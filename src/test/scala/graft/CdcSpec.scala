@@ -61,6 +61,28 @@ class CdcSpec extends SparkSpec {
     assert(out(4L).getLong(2) == 0, "fresh content shares no chunk")
   }
 
+  test("cdcScrub: clean docs reconstruct byte-identically, copies empty out") {
+    import spark.implicits._
+    val fresh = (200 until 260).map(i => s"f$i").mkString(" ")
+    val docs = Seq((1L, wordsA.mkString(" ")), (2L, wordsA.mkString(" ")),
+      (3L, fresh)).toDF("doc_id", "text")
+    val out = Dedup.cdcScrub(docs, col("doc_id"), col("text"),
+      win = 4, mod = 8).collect().map(r => r.getLong(0) -> r).toMap
+    // canonical first occurrence: doc 1 keeps everything, intact
+    assert(out(1L).getLong(1) == 0)
+    assert(out(1L).getString(2) == wordsA.mkString(" "),
+      "CDC chunks tile the doc — no-dup docs must reassemble exactly")
+    // the exact copy loses every chunk
+    assert(out(2L).getString(2) == "")
+    assert(out(2L).getLong(1) > 0)
+    // unrelated doc untouched
+    assert(out(3L).getLong(1) == 0 && out(3L).getString(2) == fresh)
+    // dropped counts reconcile with the stats view
+    val stats = Dedup.cdcChunkStats(docs, col("doc_id"), col("text"),
+      win = 4, mod = 8).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getLong(1) == stats(2L).getLong(2))
+  }
+
   test("chunks tile the document: word counts reconcile") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val n = 50
