@@ -137,6 +137,8 @@ object GraftConf {
     // keep the AQE-coalesce-exempt spread on the cluster key
     "semantic_dedup" -> PlanContract("pairs",
       requireExplicitSpread = true),
+    "semantic_dedup_hier" -> PlanContract("pairs",
+      requireExplicitSpread = true),
     // assignment = scan + broadcast centroid join, then ONE
     // cluster-keyed window exchange — a corpus-side shuffle join or a
     // second corpus shuffle is the regression these pins catch

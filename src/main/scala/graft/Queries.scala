@@ -1116,6 +1116,19 @@ object Queries {
           nClusters = 16, tau = 0.4).orderBy("vec_id"),
       Some(SemDedup.semDedupOracleSql(64, nClusters = 16, tau = 0.4))),
 
+    // semantic_dedup through the O(n·√k) two-level assignment —
+    // the measured third-decade remedy (SCALE.md §23.1: flat n·k
+    // assignment is 8.2 TFLOP/pass at k=16k over 2M vectors); at the
+    // fixture's 16 cells / 4 supers the ranking is the real two-stage
+    // plan, oracle-replayed stage for stage
+    ("semantic_dedup_hier",
+      (s: SparkSession, d: String) =>
+        SemDedup.semDedupHier(t(s, d, "embeddings"), "vec_id",
+          "embedding", nClusters = 16, nSuper = 4, tau = 0.4)
+          .orderBy("vec_id"),
+      Some(SemDedup.semDedupHierOracleSql(64, nClusters = 16,
+        nSuper = 4, tau = 0.4))),
+
     // D4 prototypicality prune (Tirumala et al. 2023): drop the
     // ⌊dropFrac·|cluster|⌋ most centroid-like vectors per cluster —
     // binary-exact fraction so ⌊·⌋ agrees across engines

@@ -49,9 +49,33 @@ object SemDedup {
     * comparisons agree across engines. */
   private[graft] def semanticAssign(corpus: DataFrame, id: String,
                                     emb: String,
-                                    nClusters: Int): DataFrame = {
-    val assigned = Similarity
-      .withNearestCells(corpus, id, emb, nClusters, nProbe = 1)
+                                    nClusters: Int): DataFrame =
+    withCosC(corpus, id, emb, nClusters,
+      Similarity.withNearestCells(corpus, id, emb, nClusters, nProbe = 1))
+
+  /** [[semanticAssign]] through the two-level assignment
+    * ([[Similarity.withNearestCellsHier]]): rank ~`nSuper` supers,
+    * then only the probed supers' children — O(n·√k) instead of
+    * O(n·k), the measured 1000× remedy (SCALE.md §23.1: the flat
+    * n·k assignment is 8.2 TFLOP/pass at k=16,000 over 2M vectors;
+    * with nSuper=√k the FMA budget drops ~60×). With `nSuper` ≤
+    * `sProbe` every super is probed, so the assignment — and hence
+    * every downstream keep/prune decision — is IDENTICAL to the flat
+    * path (SemDedupSpec pins it); larger ratios trade boundary-vector
+    * exactness for the decade. */
+  private[graft] def semanticAssignHier(corpus: DataFrame, id: String,
+                                        emb: String, nClusters: Int,
+                                        nSuper: Int,
+                                        sProbe: Int = 2): DataFrame =
+    withCosC(corpus, id, emb, nClusters,
+      Similarity.withNearestCellsHier(corpus, id, emb, nClusters,
+        nSuper, nProbe = 1, sProbe = sProbe))
+
+  /** Attach the own-centroid cosine to a (vid, e, n2, f2, cells[1])
+    * assignment. */
+  private def withCosC(corpus: DataFrame, id: String, emb: String,
+                       nClusters: Int, assigned0: DataFrame): DataFrame = {
+    val assigned = assigned0
       .select(col("vid"), col("e"), col("n2"), col("f2"),
         element_at(col("cells"), 1).as("cluster"))
     val cents = corpus.filter(col(id) < nClusters)
@@ -102,9 +126,21 @@ object SemDedup {
     * ahead of the exact-decimal cosine, doc-keyed distinct on the drop
     * set, one left join. */
   def semDedup(corpus: DataFrame, id: String, emb: String,
-               nClusters: Int, tau: Double): DataFrame = {
+               nClusters: Int, tau: Double): DataFrame =
+    semDedupFrom(semanticAssign(corpus, id, emb, nClusters), tau)
+
+  /** [[semDedup]] with the O(n·√k) two-level assignment — the
+    * configuration that survives k ∝ n into the third decade
+    * (SCALE.md §23.1). */
+  def semDedupHier(corpus: DataFrame, id: String, emb: String,
+                   nClusters: Int, nSuper: Int, tau: Double,
+                   sProbe: Int = 2): DataFrame =
+    semDedupFrom(
+      semanticAssignHier(corpus, id, emb, nClusters, nSuper, sProbe), tau)
+
+  private def semDedupFrom(assign: DataFrame, tau: Double): DataFrame = {
     require(tau > 0, s"tau must be positive, got $tau")
-    val a = semanticAssign(corpus, id, emb, nClusters).localCheckpoint()
+    val a = assign.localCheckpoint()
     val l = Dedup.spread(
       a.select(col("cluster"), col("vid").as("d1"), col("e").as("e1"),
         col("n2").as("n1"), col("f2").as("fn1"), col("cos_c").as("c1")),
@@ -129,11 +165,11 @@ object SemDedup {
         col("__dropped").isNull.as("keep"))
   }
 
-  /** DuckDB twin of [[semDedup]] over `embeddings`. */
-  def semDedupOracleSql(dim: Int, nClusters: Int, tau: Double): String =
-    s"""
-    |WITH ${semCtes(dim, nClusters)},
-    |pairs AS (
+  /** The pair/drop/report tail shared by the flat and hier oracles —
+    * appended to a WITH chain that has defined `v`(vid, e) and
+    * `sem`(vid, c_id, cosc). */
+  private def semDedupTailSql(dim: Int, tau: Double): String =
+    s"""pairs AS (
     |  SELECT a.vid AS d1, b.vid AS d2, a.cosc AS c1, b.cosc AS c2
     |  FROM sem a JOIN sem b ON a.c_id = b.c_id AND a.vid < b.vid
     |    JOIN v v1 ON v1.vid = a.vid JOIN v v2 ON v2.vid = b.vid
@@ -143,7 +179,59 @@ object SemDedup {
     |  FROM pairs)
     |SELECT s.vid AS vec_id, s.c_id AS cluster, round(s.cosc, 6) AS cos_c,
     |       s.vid NOT IN (SELECT vid FROM dropped) AS keep
-    |FROM sem s ORDER BY vec_id
+    |FROM sem s ORDER BY vec_id""".stripMargin
+
+  /** DuckDB twin of [[semDedup]] over `embeddings`. */
+  def semDedupOracleSql(dim: Int, nClusters: Int, tau: Double): String =
+    s"""
+    |WITH ${semCtes(dim, nClusters)},
+    |${semDedupTailSql(dim, tau)}
+    |""".stripMargin.trim
+
+  /** Two-level assignment CTE chain ending at `sem`(vid, c_id, cosc):
+    * `child` re-derives the cell→super mapping (top-1 super per
+    * centroid), `supassign` the per-vector probed supers (top
+    * `sProbe`), and `sem` keeps the best cell reachable through a
+    * probed super — the [[Similarity.cellNearDupHierOracleSql]]
+    * replica at nProbe=1, carrying the assigned-cell cosine. */
+  private def semCtesHier(dim: Int, nClusters: Int, nSuper: Int,
+                          sProbe: Int): String = {
+    def cos(a: String, b: String): String = cosSql(dim, a, b)
+    s"""cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |              FROM embeddings WHERE vec_id < $nClusters),
+    |sup AS (SELECT vec_id AS s_id, embedding AS s_emb
+    |        FROM embeddings WHERE vec_id < $nSuper),
+    |child AS (
+    |  SELECT c_id, s_id FROM (
+    |    SELECT cent.c_id, sup.s_id,
+    |      row_number() OVER (PARTITION BY cent.c_id
+    |        ORDER BY ${cos("cent.ct_emb", "sup.s_emb")} DESC, sup.s_id) AS rn
+    |    FROM cent, sup) WHERE rn = 1),
+    |v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings),
+    |supassign AS (
+    |  SELECT vid, s_id FROM (
+    |    SELECT v.vid, sup.s_id,
+    |      row_number() OVER (PARTITION BY v.vid
+    |        ORDER BY ${cos("v.e", "sup.s_emb")} DESC, sup.s_id) AS rn
+    |    FROM v, sup) WHERE rn <= $sProbe),
+    |sem AS (
+    |  SELECT vid, c_id, cosc FROM (
+    |    SELECT sa.vid, ch.c_id,
+    |      ${cos("v.e", "cent.ct_emb")} AS cosc,
+    |      row_number() OVER (PARTITION BY sa.vid
+    |        ORDER BY ${cos("v.e", "cent.ct_emb")} DESC, ch.c_id) AS rn
+    |    FROM supassign sa
+    |      JOIN child ch ON ch.s_id = sa.s_id
+    |      JOIN cent ON cent.c_id = ch.c_id
+    |      JOIN v ON v.vid = sa.vid) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[semDedupHier]] over `embeddings`. */
+  def semDedupHierOracleSql(dim: Int, nClusters: Int, nSuper: Int,
+                            tau: Double, sProbe: Int = 2): String =
+    s"""
+    |WITH ${semCtesHier(dim, nClusters, nSuper, sProbe)},
+    |${semDedupTailSql(dim, tau)}
     |""".stripMargin.trim
 
   /** D4-style prototypicality prune: (vec_id, cluster, cos_c, rnk,

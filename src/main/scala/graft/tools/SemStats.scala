@@ -13,13 +13,16 @@ import graft.ext.SemDedup
   * semDedup — run it at 1×/10×/100× with k fixed AND k scaled to see
   * both regimes (SCALE.md §23).
   *
-  * Usage: `graft.tools.SemStats <dir> <nClusters> <tau>`
+  * Usage: `graft.tools.SemStats <dir> <nClusters> <tau> [nSuper]` —
+  * a 4th argument switches to the O(n·√k) two-level assignment
+  * ([[graft.ext.SemDedup.semDedupHier]]), the §23.1 remedy.
   */
 object SemStats {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = if (args.length > 1) args(1).toInt else 16
     val tau = if (args.length > 2) args(2).toDouble else 0.4
+    val nSuper = if (args.length > 3) Some(args(3).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftConf.applyBase(SparkSession.builder()
         .master(s"local[$cpus]"), cpus.toInt)
@@ -28,9 +31,15 @@ object SemStats {
     spark.sparkContext.setLogLevel("WARN")
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    println(s"config: n=${emb.count()} nClusters=$k tau=$tau")
+    println(s"config: n=${emb.count()} nClusters=$k tau=$tau" +
+      nSuper.map(s => s" nSuper=$s").getOrElse(""))
 
-    val occ = SemDedup.semanticAssign(emb, "vec_id", "embedding", k)
+    def assign() = nSuper match {
+      case Some(s) =>
+        SemDedup.semanticAssignHier(emb, "vec_id", "embedding", k, s)
+      case None => SemDedup.semanticAssign(emb, "vec_id", "embedding", k)
+    }
+    val occ = assign()
       .groupBy("cluster").count()
       .agg(count(lit(1)).as("nnz"), max(col("count")).as("maxOcc"),
         sum(col("count") * (col("count") - 1) / 2).as("candPairs"))
@@ -41,8 +50,11 @@ object SemStats {
 
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val dropped = SemDedup.semDedup(emb, "vec_id", "embedding", k, tau)
-        .filter(!col("keep")).count()
+      val dropped = (nSuper match {
+        case Some(s) => SemDedup.semDedupHier(emb, "vec_id", "embedding",
+          k, s, tau)
+        case None => SemDedup.semDedup(emb, "vec_id", "embedding", k, tau)
+      }).filter(!col("keep")).count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
         s"($dropped dropped)")
     }

@@ -58,6 +58,21 @@ class SemDedupSpec extends SparkSpec {
     assert(out(4L).getLong(1) == 1L)
   }
 
+  test("hier assignment with every super probed equals the flat path") {
+    // nSuper=2 <= sProbe=2: both supers probed, full cell
+    // reachability — the two-level ranking must reproduce the flat
+    // argmax (and hence identical keep/drop decisions) exactly
+    val flat = SemDedup.semDedup(emb, "vec_id", "embedding",
+      nClusters = 16, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val hier = SemDedup.semDedupHier(emb, "vec_id", "embedding",
+      nClusters = 16, nSuper = 2, tau = 0.4, sProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(flat == hier, "full-reachability hier diverged from flat")
+  }
+
   test("clusterPrune drops exactly ⌊dropFrac·n⌋ top-ranked per cluster") {
     val out = SemDedup.clusterPrune(emb, "vec_id", "embedding",
       nClusters = 16, dropFrac = 0.25).collect()
