@@ -1914,6 +1914,19 @@ object Queries {
       Some(ext.CorpusPipeline.preparePackOracleSql("source = 'src19'",
         1024, 4, rates = Seq("en" -> 300)))),
 
+    // The deepest composition: prepare -> train slice -> CDC span
+    // scrub -> pack, oracle-checked as ONE query — the packer sees
+    // the scrubbed token stream, so sequence offsets are dense over
+    // what a trainer actually reads
+    ("corpus_pack_scrubbed",
+      (s: SparkSession, d: String) =>
+        ext.CorpusPipeline.preparePackScrubbed(t(s, d, "documents"),
+            col("source") === "src19", 1024, 4,
+            rates = Seq("en" -> 300))
+          .orderBy("doc_id"),
+      Some(ext.CorpusPipeline.preparePackScrubbedOracleSql(
+        "source = 'src19'", 1024, 4, rates = Seq("en" -> 300)))),
+
     // HLL++ approximate distinct. The sketch value itself is
     // engine-specific, but its accuracy contract is checkable: emit the
     // exact count plus a bound flag (relative error <= 5% at rsd 0.018

@@ -122,6 +122,52 @@ object CorpusPipeline {
       col("doc_id"), col("text"), budget, nShards)
   }
 
+  /** [[preparePack]] with a CDC span scrub between the train slice
+    * and the packer: duplicated content-defined chunks leave the
+    * corpus (canonical first occurrence survives), fully-scrubbed
+    * docs drop out, and the packer sees the SCRUBBED token stream —
+    * so sequence offsets are dense over the text a trainer actually
+    * reads. The deepest composition in the library (quality → exact
+    * dedup → near-dup best-keep → contamination → sample → split →
+    * CDC scrub → pack), oracle-checked as ONE query. */
+  def preparePackScrubbed(docs: DataFrame, evalPred: Column, budget: Int,
+                          nShards: Int, win: Int = 4, mod: Int = 8,
+                          rates: Seq[(String, Int)] = Seq.empty): DataFrame = {
+    val (corpus, _) = prepare(docs, evalPred, rates = rates,
+      countStages = false)
+    val train = corpus.filter(col("split") === "train")
+      .select(col("doc_id"), col("text"))
+    val scrubbed = Dedup.cdcScrub(train, col("doc_id"), col("text"),
+        win, mod)
+      .filter(col("scrubbed") =!= "")
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    Corpus.seqPack(scrubbed, col("doc_id"), col("text"), budget, nShards)
+  }
+
+  /** DuckDB twin of [[preparePackScrubbed]]: prepare chain → train
+    * slice → the spliced [[Dedup.cdcScrubCtes]] → packing chain over
+    * the scrubbed relation. */
+  def preparePackScrubbedOracleSql(evalPred: String, budget: Int,
+                                   nShards: Int, win: Int = 4,
+                                   mod: Int = 8,
+                                   rates: Seq[(String, Int)] = Seq.empty): String = {
+    val packSql = Corpus.seqPackOracleSql(budget, nShards, rel = "tr")
+    require(packSql.startsWith("WITH "), "splice point moved")
+    s"""
+    |WITH prepared AS (
+    |${prepareOracleSql(evalPred, rates = rates)}),
+    |tr0 AS (
+    |  SELECT p.doc_id, d.text
+    |  FROM prepared p JOIN documents d ON p.doc_id = d.doc_id
+    |  WHERE p.split = 'train'),
+    |${Dedup.cdcScrubCtes(win, mod, "s", rel = "tr0")},
+    |tr AS (
+    |  SELECT doc_id, scrubbed AS text FROM sscrubrows
+    |  WHERE scrubbed <> ''),
+    |${packSql.stripPrefix("WITH ")}
+    |""".stripMargin.trim
+  }
+
   /** DuckDB twin of [[preparePack]]: the prepare chain as a CTE, the
     * train slice re-joined to `documents` for text, and the packing
     * chain spliced on (its WITH folds into the shared prologue). */

@@ -496,11 +496,13 @@ object Dedup {
   }
 
   /** The [[cdcChunks]] CTE chain with prefixed names, ending at
-    * `${p}hashed`(doc_id, chunk, h), over `documents WHERE pred`. */
-  private def cdcCtes(win: Int, mod: Int, pred: String,
-                      p: String): String =
+    * `${p}hashed`(doc_id, chunk_idx, chunk, h), over
+    * `$rel WHERE pred` (rel must expose doc_id, text). */
+  private[graft] def cdcCtes(win: Int, mod: Int, pred: String,
+                             p: String,
+                             rel: String = "documents"): String =
     s"""${p}w AS (SELECT doc_id, str_split(text, ' ') AS w
-    |        FROM documents WHERE $pred),
+    |        FROM $rel WHERE $pred),
     |${p}pos AS (
     |  SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS word,
     |    CASE WHEN j >= $win AND ${Hashing.polyHashSql(
@@ -561,22 +563,31 @@ object Dedup {
           s => s.getField("chunk")), " ").as("scrubbed"))
   }
 
+  /** [[cdcScrubOracleSql]]'s body as a prefixed CTE chain ending at
+    * `${p}scrubrows`(doc_id, n_dropped, scrubbed) — spliceable into a
+    * larger composition (the pipeline oracle). */
+  private[graft] def cdcScrubCtes(win: Int, mod: Int, p: String,
+                                  rel: String = "documents"): String =
+    s"""${cdcCtes(win, mod, "TRUE", p, rel)},
+    |${p}canon AS (SELECT h, chunk, count(*) AS c,
+    |                 min(doc_id * $ChunkPosEnc + chunk_idx) AS fp
+    |          FROM ${p}hashed GROUP BY h, chunk),
+    |${p}kept AS (SELECT doc_id, chunk_idx, chunk,
+    |           (c = 1 OR doc_id * $ChunkPosEnc + chunk_idx = fp) AS keep
+    |         FROM ${p}hashed JOIN ${p}canon USING (h, chunk)),
+    |${p}scrubrows AS (
+    |  SELECT doc_id,
+    |    CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_dropped,
+    |    COALESCE(array_to_string(
+    |      list(chunk ORDER BY chunk_idx) FILTER (keep), ' '), '')
+    |      AS scrubbed
+    |  FROM ${p}kept GROUP BY doc_id)""".stripMargin
+
   /** DuckDB twin of [[cdcScrub]] over `documents`. */
   def cdcScrubOracleSql(win: Int, mod: Int): String =
     s"""
-    |WITH ${cdcCtes(win, mod, "TRUE", "")},
-    |canon AS (SELECT h, chunk, count(*) AS c,
-    |                 min(doc_id * $ChunkPosEnc + chunk_idx) AS fp
-    |          FROM hashed GROUP BY h, chunk),
-    |kept AS (SELECT doc_id, chunk_idx, chunk,
-    |           (c = 1 OR doc_id * $ChunkPosEnc + chunk_idx = fp) AS keep
-    |         FROM hashed JOIN canon USING (h, chunk))
-    |SELECT doc_id,
-    |  CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_dropped,
-    |  COALESCE(array_to_string(
-    |    list(chunk ORDER BY chunk_idx) FILTER (keep), ' '), '')
-    |    AS scrubbed
-    |FROM kept GROUP BY doc_id ORDER BY doc_id
+    |WITH ${cdcScrubCtes(win, mod, "")}
+    |SELECT doc_id, n_dropped, scrubbed FROM scrubrows ORDER BY doc_id
     |""".stripMargin.trim
 
   /** Incremental CDC ingest: a new BATCH of documents against a

@@ -73,4 +73,30 @@ class CorpusPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("preparePackScrubbed: scrub only shrinks docs, offsets stay dense") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plain = CorpusPipeline.preparePack(docs,
+        col("source") === "src19", 1024, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tokens")).toMap
+    val scrubbed = CorpusPipeline.preparePackScrubbed(docs,
+      col("source") === "src19", 1024, 4).collect()
+    assert(scrubbed.nonEmpty)
+    // scrubbed docs are a subset of the plain pack, never longer
+    scrubbed.foreach { r =>
+      val id = r.getLong(0)
+      assert(plain.contains(id), s"doc $id appeared from nowhere")
+      assert(r.getAs[Long]("n_tokens") <= plain(id),
+        s"scrub grew doc $id")
+    }
+    // dense offsets hold over the scrubbed stream too
+    scrubbed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("tokens_before") == run)
+        run += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
 }
