@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 
 import graft.ext.Dedup
 
@@ -81,6 +82,55 @@ class CdcSpec extends SparkSpec {
     val stats = Dedup.cdcChunkStats(docs, col("doc_id"), col("text"),
       win = 4, mod = 8).collect().map(r => r.getLong(0) -> r).toMap
     assert(out(2L).getLong(1) == stats(2L).getLong(2))
+  }
+
+  test("property: chunks tile every doc; scrub is an ordered sub-tiling") {
+    import spark.implicits._
+    // small alphabet so duplicate chunks arise naturally across docs
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 80)
+        ws <- Gen.listOfN(len, Gen.oneOf("ga", "bu", "zo", "meu", "ra"))
+      } yield ws.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val samples = Iterator.continually(corpusGen.sample)
+      .flatten.take(12).toSeq
+    samples.foreach { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val byId = rows.toMap
+      // tiling identity: re-joining all chunks in order IS the doc
+      val tiled = Dedup.cdcChunks(docs, col("doc_id"), col("text"),
+          win = 3, mod = 4)
+        .groupBy("doc_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("whole"))
+        .collect()
+      tiled.foreach(r => assert(r.getString(1) == byId(r.getLong(0)),
+        s"chunks must tile doc ${r.getLong(0)} exactly"))
+      // scrub output: ordered subsequence of the original words, and
+      // clean docs (n_dropped = 0) round-trip untouched
+      val scrub = Dedup.cdcScrub(docs, col("doc_id"), col("text"),
+        win = 3, mod = 4).collect()
+      assert(scrub.length == rows.length)
+      scrub.foreach { r =>
+        val orig = byId(r.getLong(0)).split(" ")
+        val kept = r.getString(2) match {
+          case "" => Array.empty[String]
+          case s => s.split(" ")
+        }
+        assert(kept.length <= orig.length)
+        if (r.getLong(1) == 0) assert(kept.sameElements(orig))
+        // order-preserving subsequence check
+        var i = 0
+        kept.foreach { w =>
+          while (i < orig.length && orig(i) != w) i += 1
+          assert(i < orig.length, s"scrub invented a word: $w")
+          i += 1
+        }
+      }
+    }
   }
 
   test("chunks tile the document: word counts reconcile") {
