@@ -146,6 +146,9 @@ object GraftConf {
       forbidSortMerge = true, maxHashShuffles = Some(1)),
     "cluster_health" -> PlanContract("ann", minBroadcastJoins = 1,
       forbidSortMerge = true, maxHashShuffles = Some(1)),
+    // one projection + ONE stratum-keyed window cumsum; never a join
+    "token_budget_sample" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(1)),
     // one projection + one map-side-combining agg over <= |langs|^2
     // cells; never a join
     "lang_confusion" -> PlanContract("text-agg",

@@ -1360,6 +1360,17 @@ object Queries {
           col("text"), 100),
       Some(ext.Corpus.vocabTopKOracleSql(100))),
 
+    // Token-budget carve: fill each source with docs in deterministic
+    // hash order until the token budget — "x tokens of source A", the
+    // mixture-execution twin of mix_sample's rate thinning; greedy
+    // fill (last kept doc may overshoot, never undershoots)
+    ("token_budget_sample",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.tokenBudgetSample(t(s, d, "documents"),
+          col("doc_id"), col("text"), col("source"), budget = 600L)
+          .orderBy("doc_id"),
+      Some(ext.Corpus.tokenBudgetSampleOracleSql(budget = 600L))),
+
     // Count-Min heavy-hitter audit (Cormode-Muthukrishnan): exact
     // top-k counts next to their 4x1024-cell sketch estimates —
     // n_est >= n_exact always; the overshoot is the collision mass

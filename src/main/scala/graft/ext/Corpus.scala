@@ -140,6 +140,59 @@ object Corpus {
     * + a heavy-hitter heap). Probing joins the k·depth probe rows
     * broadcast against the cell table. Hash rows are the repo's
     * shared minhash permutation family over the compiled polyhash. */
+  /** Token-budget carve: fill each stratum (source) with docs in
+    * deterministic hash order until `budget` tokens are reached —
+    * the mixture-execution shape practitioners actually run ("x
+    * billion tokens of source A"), complementing [[mixSample]]'s
+    * rate-based thinning. Greedy fill: a doc is kept iff the tokens
+    * BEFORE it (hash order, id tiebreak) are under budget, so the
+    * last kept doc may overshoot — the convention that never
+    * undershoots a requested budget and needs no look-ahead. Output
+    * per doc: (doc_id, source, n_tokens, cum_before, kept).
+    *
+    * Shape: one projection (token count + overflow-safe perm hash,
+    * the [[Hashing.permBucket]] family at index 7 — independent of
+    * the split/sample/shard assignments) and ONE stratum-keyed
+    * window cumsum. Deterministic and idempotent; at 100 TB the
+    * stratum partition is the only shuffle, and a hot stratum is a
+    * single sorted partition — the same posture as every sampling
+    * op here (strata are sources, bounded and known). */
+  def tokenBudgetSample(docs: DataFrame, id: Column, text: Column,
+                        stratum: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val h = Hashing.permBucket(id, 7, 1000000)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(id.as("doc_id"), stratum.as("source"),
+        size(Dedup.words(text)).cast("long").as("n_tokens"),
+        h.as("__h"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_before"), (col("cum_before") < budget).as("kept"))
+  }
+
+  /** DuckDB twin of [[tokenBudgetSample]] over `documents`. */
+  def tokenBudgetSampleOracleSql(budget: Long): String =
+    s"""
+    |WITH t AS (
+    |  SELECT doc_id, source,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+    |    ${Hashing.permBucketSql("doc_id", 7, 1000000)} AS h
+    |  FROM documents),
+    |c AS (
+    |  SELECT doc_id, source, n_tokens,
+    |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+    |      ORDER BY h, doc_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    |      AS BIGINT) AS cum_before
+    |  FROM t)
+    |SELECT doc_id, source, n_tokens, cum_before,
+    |  cum_before < $budget AS kept
+    |FROM c ORDER BY doc_id
+    |""".stripMargin.trim
+
   /** The depth cell positions of hash `h` — one per sketch row. */
   private def cmsProbes(h: Column, depth: Int, width: Int): Column =
     array((0 until depth).map(r =>

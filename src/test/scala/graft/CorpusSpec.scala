@@ -322,6 +322,31 @@ class CorpusSpec extends SparkSpec {
         s"extra rows loosened ${r.getString(0)}"))
   }
 
+  test("tokenBudgetSample: greedy fill reaches the budget, never under") {
+    val budget = 600L
+    val out = Corpus.tokenBudgetSample(docs, col("doc_id"), col("text"),
+      col("source"), budget).collect()
+    assert(out.length == docs.count())
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val kept = rows.filter(_.getBoolean(4))
+      val keptTokens = kept.map(_.getLong(2)).sum
+      // never undershoots: either the whole stratum is kept or the
+      // kept mass reaches the budget
+      assert(kept.length == rows.length || keptTokens >= budget,
+        s"$src undershot: $keptTokens < $budget")
+      // greedy prefix: dropping the LAST kept doc must fall under
+      if (kept.length < rows.length) {
+        val lastKept = kept.maxBy(_.getLong(3))
+        assert(lastKept.getLong(3) < budget)
+        assert(keptTokens - lastKept.getLong(2) < budget,
+          s"$src kept a doc past the full budget")
+      }
+      // kept = exactly the cum_before < budget rows
+      rows.foreach(r =>
+        assert(r.getBoolean(4) == (r.getLong(3) < budget)))
+    }
+  }
+
   test("cmsCells merge: sketch(A union B) = sketch(A) + sketch(B)") {
     val a = docs.filter(col("doc_id") < 200)
     val b = docs.filter(col("doc_id") >= 200)
