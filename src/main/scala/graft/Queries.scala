@@ -1284,6 +1284,20 @@ object Queries {
       Some(ext.Corpus.bm25TopKOracleSql(
         Seq("spark", "merge", "window", "customer"), 20))),
 
+    // Hybrid retrieval: RRF fusion of the BM25 text leg and the
+    // cosine vector leg over the union of their top-20 lists —
+    // fixed-point 1e9 div (rank+60) so the fused order is exact;
+    // the fusion windows sort <= 2*depth rows, never the corpus
+    ("hybrid_rrf_topk",
+      (s: SparkSession, d: String) =>
+        Similarity.hybridRrfTopK(t(s, d, "documents"),
+          t(s, d, "embeddings"),
+          Seq("spark", "merge", "window", "customer"),
+          queryVecId = 0L, k = 10, depth = 20).orderBy("rank"),
+      Some(Similarity.hybridRrfTopKOracleSql(64,
+        Seq("spark", "merge", "window", "customer"),
+        queryVecId = 0L, k = 10, depth = 20))),
+
     // RAG/embedding chunk manifest: overlapping 32-word windows every
     // 24 words — a pure explode projection, (doc_id, chunk_idx) keys
     ("doc_chunk",

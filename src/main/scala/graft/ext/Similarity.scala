@@ -2296,6 +2296,87 @@ object Similarity {
         col("sign_rank"), col("rrf_fp"), col("rank"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of a BM25 TEXT leg
+    * (query = a term set over `documents`) and a cosine VECTOR leg
+    * (query = one embedding over `embeddings`) — the industry-standard
+    * hybrid-search composition, fused over the UNION of the two
+    * top-`depth` lists (an id present in only one leg scores with that
+    * leg alone, the standard RRF convention). Scores are the
+    * [[rrfFuseTopK]] fixed-point 1e9 div (rank + k0), so the fused
+    * order is exact across engines.
+    *
+    * Shape: each leg is its own tested operator
+    * ([[Corpus.bm25TopK]] — driver-literal stats, pure integer
+    * projection into a TakeOrdered; [[cosineTopK]] — broadcast query
+    * side); the fusion then touches only 2·depth rows, so its global
+    * windows sort a BOUNDED relation (≤ 2·depth), never the corpus. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame,
+                    terms: Seq[String], queryVecId: Long, k: Int,
+                    depth: Int = 20, k0: Int = 60): DataFrame = {
+    require(k > 0 && depth >= k, s"need depth >= k > 0, got k=$k depth=$depth")
+    val text = Corpus.bm25TopK(docs, col("doc_id"), col("text"),
+        terms, depth)
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id").as("cand_id"), col("text_rank"))
+    val vec = cosineTopK(emb,
+        emb.filter(col("vec_id") === queryVecId), depth)
+      .select(col("cand_id"), col("rank").as("vec_rank"))
+    val fused = text.join(vec, Seq("cand_id"), "full_outer")
+      .withColumn("text_rank", coalesce(col("text_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+      .withColumn("rrf_fp", expr(
+        s"""CASE WHEN text_rank > 0
+           | THEN 1000000000 DIV (text_rank + $k0) ELSE 0 END +
+           |CASE WHEN vec_rank > 0
+           | THEN 1000000000 DIV (vec_rank + $k0) ELSE 0 END""".stripMargin))
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_fp").desc, col("cand_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cand_id"), col("text_rank"), col("vec_rank"),
+        col("rrf_fp"), col("rank"))
+  }
+
+  /** DuckDB twin of [[hybridRrfTopK]] (vector query = embedding
+    * `queryVecId`; the cosine leg reuses [[cosineTopKOracleSql]] with
+    * the id cut queryVecId+1, so it must be the smallest id — the
+    * fixture uses 0). */
+  def hybridRrfTopKOracleSql(dim: Int, terms: Seq[String],
+                             queryVecId: Long, k: Int,
+                             depth: Int = 20, k0: Int = 60): String = {
+    require(queryVecId == 0L,
+      "oracle composes the < maxQueryId cut; only vec 0 is supported")
+    s"""
+    |SELECT cand_id, text_rank, vec_rank, rrf_fp, rank FROM (
+    |  SELECT cand_id, text_rank, vec_rank, rrf_fp,
+    |    row_number() OVER (ORDER BY rrf_fp DESC, cand_id) AS rank
+    |  FROM (
+    |    SELECT COALESCE(t.cand_id, v.cand_id) AS cand_id,
+    |      COALESCE(t.text_rank, 0) AS text_rank,
+    |      COALESCE(v.vec_rank, 0) AS vec_rank,
+    |      CAST(
+    |        (CASE WHEN COALESCE(t.text_rank, 0) > 0
+    |          THEN 1000000000 // (t.text_rank + $k0) ELSE 0 END) +
+    |        (CASE WHEN COALESCE(v.vec_rank, 0) > 0
+    |          THEN 1000000000 // (v.vec_rank + $k0) ELSE 0 END)
+    |        AS BIGINT) AS rrf_fp
+    |    FROM (
+    |      SELECT doc_id AS cand_id,
+    |        row_number() OVER (ORDER BY score_fp DESC, doc_id)
+    |          AS text_rank
+    |      FROM (${Corpus.bm25TopKOracleSql(terms, depth)
+      .replace("\n", "\n|      ")})) t
+    |    FULL OUTER JOIN (
+    |      SELECT cand_id, rank AS vec_rank
+    |      FROM (${cosineTopKOracleSql(dim, depth, queryVecId + 1)
+      .replace("\n", "\n|      ")})) v
+    |    ON t.cand_id = v.cand_id))
+    |WHERE rank <= $k ORDER BY rank
+    |""".stripMargin.trim
+  }
+
   /** Full DuckDB oracle for [[rrfFuseTopK]] over `embeddings`. */
   def rrfFuseTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,
                            depth: Int = 20, k0: Int = 60,

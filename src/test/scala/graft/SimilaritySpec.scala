@@ -579,4 +579,40 @@ class SimilaritySpec extends SparkSpec {
         s"probe-all must be exact for query $q, got ${curve.last}")
     }
   }
+
+  test("hybridRrfTopK fuses exactly the two legs' rank lists") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val terms = Seq("spark", "merge", "window", "customer")
+    val out = Similarity.hybridRrfTopK(docs, emb, terms, 0L, k = 10,
+      depth = 20).collect()
+    assert(out.length == 10)
+    // rrf_fp non-increasing with rank; ranks are 1..10
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    val fps = byRank.map(_.getAs[Long]("rrf_fp"))
+    fps.zip(fps.tail).foreach { case (a, b) => assert(a >= b) }
+    // leg ranks reconcile with the legs recomputed independently
+    val textLeg = Corpus.bm25TopK(docs, col("doc_id"), col("text"),
+        terms, 20).collect()
+      .sortBy(r => (-r.getLong(1), r.getLong(0)))
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val vecLeg = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") === 0L), 20).collect()
+      .map(r => r.getLong(1) -> r.getAs[Long]("rank")).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == textLeg.getOrElse(id, 0L),
+        s"text rank drifted for $id")
+      assert(r.getLong(2) == vecLeg.getOrElse(id, 0L),
+        s"vec rank drifted for $id")
+      assert(r.getLong(1) > 0 || r.getLong(2) > 0,
+        s"$id is in neither leg")
+      val expFp =
+        (if (r.getLong(1) > 0) 1000000000L / (r.getLong(1) + 60) else 0L) +
+          (if (r.getLong(2) > 0) 1000000000L / (r.getLong(2) + 60) else 0L)
+      assert(r.getLong(3) == expFp)
+    }
+  }
 }
