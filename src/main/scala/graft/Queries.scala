@@ -1333,6 +1333,33 @@ object Queries {
           col("text"), 5, exact = true).orderBy("doc_id"),
       Some(ext.Dedup.chunkScrubOracleSql(5, exact = true))),
 
+    // Suffix-array rung of the exact-dedup ladder (ext.SuffixArray):
+    // Manber-Myers prefix doubling, distributed as log2(p) keyed
+    // joins + range-partitioned two-phase dense ranks — the oracle is
+    // the textbook spec (dense_rank over the 8-token prefix string)
+    ("sa_prefix_rank",
+      (s: SparkSession, d: String) =>
+        ext.SuffixArray.prefixRanks(t(s, d, "documents"), col("doc_id"),
+          col("text"), 8).orderBy("doc_id", "pos"),
+      Some(ext.SuffixArray.prefixRanksOracleSql(8))),
+
+    // Exact alignment-free duplicated windows: positions whose
+    // 5-token window recurs ANYWHERE in the corpus — no tile
+    // alignment, no hash trust; equality is the suffix-rank witness
+    ("sa_dup_windows",
+      (s: SparkSession, d: String) =>
+        ext.SuffixArray.dupWindows(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5).orderBy("doc_id", "pos"),
+      Some(ext.SuffixArray.dupWindowsOracleSql(5))),
+
+    // Maximal duplicated spans from the alignment-free windows —
+    // the Lee-et-al. scrub unit, islands merged per doc
+    ("sa_dup_spans",
+      (s: SparkSession, d: String) =>
+        ext.SuffixArray.dupSpans(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5).orderBy("doc_id", "span_start"),
+      Some(ext.SuffixArray.dupSpansOracleSql(5))),
+
     ("sessionization",
       (s: SparkSession, d: String) =>
         Sessions.sessionStats(t(s, d, "events"), "user_id", "ts", "value",
