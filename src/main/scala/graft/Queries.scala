@@ -37,6 +37,11 @@ object Queries {
   val BpeFixedRules: Seq[(String, String)] =
     Seq(("a", "r"), ("t", "a"), ("ta", "b"), ("l", "e"))
 
+  /** Full lineitem column set for the `profile_stats` profiler. */
+  val ProfileCols: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   /** Fixture reader. `events.ts` is parquet TIMESTAMP(NANOS), which
     * Spark has no native type for: read it as long (legacy conf) and
     * truncate to microsecond TimestampType (`div 1000` in integer
@@ -1374,6 +1379,24 @@ object Queries {
         Sessions.transitionCounts(t(s, d, "events"), 1800)
           .orderBy("prev_type", "next_type"),
       Some(Sessions.transitionCountsOracleSql(1800))),
+
+    // Rolling per-(type, day) volume anomaly: trailing-7-observation
+    // z-test in cleared-denominator exact integer form (no sqrt, no
+    // float variance) — decimal(38,0)/HUGEINT folds on both engines
+    ("zscore_outliers",
+      (s: SparkSession, d: String) =>
+        Sessions.zscoreOutliers(t(s, d, "events"), col("event_type"),
+          col("ts")).orderBy("event_type", "day"),
+      Some(Sessions.zscoreOutliersOracleSql())),
+
+    // One-pass column profiler (deequ-shaped): null/exact-distinct/row
+    // counts for every lineitem column via stack -> two keyed aggs —
+    // never the #cols-fold Expand shuffle of multi-count(distinct)
+    ("profile_stats",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.profileStats(t(s, d, "lineitem"), ProfileCols)
+          .orderBy("col_name"),
+      Some(ext.Profiler.profileStatsOracleSql("lineitem", ProfileCols))),
 
     ("multimodal_features",
       (s: SparkSession, d: String) =>

@@ -276,4 +276,71 @@ object Sessions {
     |FROM counts
     |ORDER BY prev_type, next_type
     |""".stripMargin.trim
+
+  /** Rolling anomaly flags over the per-(type, day) event volume: a
+    * day is an outlier when its count deviates from the trailing
+    * `baseDays`-observation mean by more than `sigmas` sample
+    * standard deviations. The z-test is evaluated in cleared-
+    * denominator EXACT integer form — with S = Σx, Q = Σx² over the
+    * n trailing observations (current day excluded),
+    *
+    *   |x − S/n| > σ·sqrt((nQ − S²)/(n(n−1)))
+    *     ⟺  (nx − S)²·(n−1) > σ²·n·(nQ − S²)
+    *
+    * so there is no sqrt, no float variance fold, and both engines
+    * compute bit-identical flags. Products are folded in
+    * decimal(38,0) (DuckDB: HUGEINT) so the cleared form cannot
+    * overflow at any realistic daily volume (safe beyond 1e15
+    * events/day). Days with fewer than 3 baseline observations are
+    * never flagged. One shuffle for the daily rollup, one
+    * type-keyed window — the window is ROWS-based (trailing
+    * observations, not calendar days), which keeps the semantics
+    * identical across engines when a type has gap days. */
+  def zscoreOutliers(events: DataFrame, typ: Column, ts: Column,
+                     baseDays: Int = 7, sigmas: Int = 2): DataFrame = {
+    val daily = events
+      .select(typ.as("event_type"), to_date(ts).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-baseDays, -1)
+    val x = col("n_events").cast("decimal(38,0)")
+    val withBase = daily
+      .withColumn("n_base", count(lit(1)).over(w).cast("decimal(38,0)"))
+      .withColumn("__s", coalesce(sum(x).over(w), lit(0).cast("decimal(38,0)")))
+      .withColumn("__q", coalesce(sum(x * x).over(w), lit(0).cast("decimal(38,0)")))
+    val dev = x * col("n_base") - col("__s")
+    val lhs = dev * dev * (col("n_base") - 1)
+    val rhs = lit(sigmas * sigmas) * col("n_base") *
+      (col("n_base") * col("__q") - col("__s") * col("__s"))
+    withBase.select(col("event_type"), col("day"),
+      col("n_events").cast("long").as("n_events"),
+      col("n_base").cast("long").as("n_base"),
+      when(col("n_base") >= 3 && lhs > rhs, lit(1L)).otherwise(lit(0L))
+        .as("is_outlier"))
+  }
+
+  /** DuckDB twin of [[zscoreOutliers]] over `events`. */
+  def zscoreOutliersOracleSql(baseDays: Int = 7, sigmas: Int = 2): String =
+    s"""
+    |WITH daily AS (
+    |  SELECT event_type, CAST(ts AS DATE) AS day,
+    |    CAST(count(*) AS HUGEINT) AS x
+    |  FROM events GROUP BY 1, 2),
+    |b AS (
+    |  SELECT event_type, day, x,
+    |    count(*) OVER w AS n_base,
+    |    coalesce(sum(x) OVER w, 0) AS s,
+    |    coalesce(sum(x * x) OVER w, 0) AS q
+    |  FROM daily
+    |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    |    ROWS BETWEEN $baseDays PRECEDING AND 1 PRECEDING))
+    |SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+    |  CAST(n_base AS BIGINT) AS n_base,
+    |  CAST(CASE WHEN n_base >= 3
+    |    AND (x * n_base - s) * (x * n_base - s) * (n_base - 1)
+    |      > ${sigmas * sigmas} * n_base * (n_base * q - s * s)
+    |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    |FROM b ORDER BY event_type, day
+    |""".stripMargin.trim
 }

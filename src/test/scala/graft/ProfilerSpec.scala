@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Profiler, Sessions}
+
+class ProfilerSpec extends SparkSpec {
+
+  test("profileStats counts nulls, exact distincts, rows per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a"), Some(1.5)),
+      (Some(1), None, Some(1.5)),
+      (Some(2), Some("b"), None),
+      (None, Some("a"), Some(2.5))
+    ).toDF("i", "s", "d")
+    val got = Profiler.profileStats(df, Seq("i", "s", "d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("i") == (1L, 2L, 4L))
+    assert(got("s") == (1L, 2L, 4L))
+    assert(got("d") == (1L, 2L, 4L))
+  }
+
+  test("profileStats distinguishes equal renderings across columns") {
+    import spark.implicits._
+    // "1" as string in one column, 1 as int in another: counted
+    // independently per column, no cross-column interference
+    val df = Seq((1, "1"), (2, "1"), (1, "2")).toDF("i", "s")
+    val got = Profiler.profileStats(df, Seq("i", "s"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("i" -> 2L, "s" -> 2L))
+  }
+
+  private def ev(day: Int, n: Int, typ: String = "t"): Seq[(String, java.sql.Timestamp)] =
+    Seq.fill(n)((typ,
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")))
+
+  test("zscoreOutliers flags a spike over a flat baseline, never the flat run") {
+    import spark.implicits._
+    // 9 days at 10 events, then day 10 spikes to 30
+    val events = ((1 to 9).flatMap(d => ev(d, 10)) ++ ev(10, 30))
+      .toDF("event_type", "ts")
+    val got = Sessions.zscoreOutliers(events, col("event_type"), col("ts"))
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("2024-01-10") == (30L, 7L, 1L), "spike day must flag")
+    (4 to 9).foreach { d =>
+      assert(got(f"2024-01-$d%02d")._3 == 0L, s"flat day $d must not flag")
+    }
+  }
+
+  test("zscoreOutliers never flags with under 3 baseline observations") {
+    import spark.implicits._
+    val events = (ev(1, 5) ++ ev(2, 100) ++ ev(3, 500))
+      .toDF("event_type", "ts")
+    val got = Sessions.zscoreOutliers(events, col("event_type"), col("ts"))
+      .collect()
+    assert(got.forall(_.getLong(4) == 0L))
+    assert(got.map(_.getLong(3)).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("zscoreOutliers baselines are per event type") {
+    import spark.implicits._
+    // type a flat at 10; type b flat at 10 but spikes on day 8;
+    // a's day-8 must not flag off b's spike
+    val events = ((1 to 8).flatMap(d => ev(d, 10, "a")) ++
+      (1 to 7).flatMap(d => ev(d, 10, "b")) ++ ev(8, 40, "b"))
+      .toDF("event_type", "ts")
+    val got = Sessions.zscoreOutliers(events, col("event_type"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        r.getLong(4)).toMap
+    assert(got(("b", "2024-01-08")) == 1L)
+    assert(got(("a", "2024-01-08")) == 0L)
+  }
+}
