@@ -1365,6 +1365,15 @@ object Queries {
           col("text"), 5).orderBy("doc_id", "span_start"),
       Some(ext.SuffixArray.dupSpansOracleSql(5))),
 
+    // The scrub census under the suffix-rank witness: every
+    // non-canonical occurrence of a duplicated window marks its l
+    // covered tokens; per-doc kept/dropped counts (distinct positions)
+    ("sa_scrub",
+      (s: SparkSession, d: String) =>
+        ext.SuffixArray.scrubStats(t(s, d, "documents"), col("doc_id"),
+          col("text"), 5).orderBy("doc_id"),
+      Some(ext.SuffixArray.scrubStatsOracleSql(5))),
+
     ("sessionization",
       (s: SparkSession, d: String) =>
         Sessions.sessionStats(t(s, d, "events"), "user_id", "ts", "value",

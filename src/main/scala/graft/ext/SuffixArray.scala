@@ -203,6 +203,85 @@ object SuffixArray {
       .select("doc_id", "span_start", "n_windows", "span_tokens")
   }
 
+  /** The scrub decision under the alignment-free witness: every
+    * occurrence of a duplicated `l`-window except the group's
+    * canonical one (minimal (doc_id, pos)) marks its `l` covered
+    * token positions for removal; a token survives unless some
+    * non-canonical occurrence covers it. Per-doc census
+    * (doc_id, n_tokens, n_dropped) — n_dropped counts DISTINCT
+    * covered positions, so overlapping occurrences never
+    * double-count. The canonical occurrence always survives intact
+    * unless an overlapping different duplicated window claims part
+    * of it (the deterministic tie-break every scrub needs; same
+    * contract family as chunkScrub's canonical-first rule). */
+  def scrubStats(docs: DataFrame, id: Column, text: Column,
+                 l: Int): DataFrame = {
+    val p = Integer.highestOneBit(l)
+    val r = prefixRanks(docs, id, text, p)
+    val keyed =
+      if (l == p)
+        r.select(col("doc_id"), col("pos"),
+          col("rank").as("__ra"), col("rank").as("__rb"))
+      else {
+        val shifted = r.select(col("doc_id"),
+          (col("pos") - (l - p)).as("pos"), col("rank").as("__rb"))
+        r.withColumnRenamed("rank", "__ra").join(shifted, Seq("doc_id", "pos"))
+      }
+    val lens = docs.select(id.cast("long").as("doc_id"),
+      size(Dedup.words(text)).cast("long").as("n_tokens"))
+    val full = keyed.join(lens.select(col("doc_id"),
+        col("n_tokens").as("__len")), "doc_id")
+      .filter(col("pos") + l <= col("__len"))
+    // group census + canonical occurrence in one key-partitioned window
+    val wKey = Window.partitionBy(col("__ra"), col("__rb"))
+    val marked = full
+      .withColumn("__n_occ", count(lit(1)).over(wKey))
+      .withColumn("__canon",
+        min(struct(col("doc_id"), col("pos"))).over(wKey))
+      .filter(col("__n_occ") > 1 &&
+        !(col("doc_id") === col("__canon.doc_id") &&
+          col("pos") === col("__canon.pos")))
+    val dropped = marked
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (l - 1))).as("__tok"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_dropped"))
+    lens.join(dropped, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dropped"))
+  }
+
+  /** DuckDB twin of [[scrubStats]] over `documents`. */
+  def scrubStatsOracleSql(l: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |lens AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    |        CAST(len(w) AS BIGINT) AS n_tokens FROM w),
+    |p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    |        CAST(unnest(range(0, greatest(len(w) - $l + 1, 0))) AS BIGINT)
+    |          AS pos, w
+    |      FROM w),
+    |k AS (SELECT doc_id, pos,
+    |        array_to_string(w[pos + 1 : pos + $l], ' ') AS win
+    |      FROM p),
+    |g AS (SELECT win, count(*) AS n_occ,
+    |        min(struct_pack(d := doc_id, p := pos)) AS canon
+    |      FROM k GROUP BY win),
+    |marked AS (SELECT k.doc_id, k.pos FROM k JOIN g USING (win)
+    |      WHERE g.n_occ > 1
+    |        AND NOT (k.doc_id = g.canon.d AND k.pos = g.canon.p)),
+    |cov AS (SELECT DISTINCT doc_id,
+    |        pos + unnest(range(0, $l)) AS tok
+    |      FROM marked),
+    |drops AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+    |      FROM cov GROUP BY doc_id)
+    |SELECT lens.doc_id, lens.n_tokens,
+    |  coalesce(drops.n_dropped, 0) AS n_dropped
+    |FROM lens LEFT JOIN drops USING (doc_id)
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[dupSpans]] over `documents`. */
   def dupSpansOracleSql(l: Int): String =
     s"""

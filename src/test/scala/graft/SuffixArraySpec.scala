@@ -126,6 +126,40 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("scrubStats matches the brute-force canonical-first census") {
+    val got = SuffixArray.scrubStats(docs, col("doc_id"), col("text"), 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wins = toks.toSeq.flatMap { case (d, w) =>
+      (0 to w.length - 5).map(i => (d, i.toLong, prefix(d, i, 5)))
+    }
+    val groups = wins.groupBy(_._3).filter(_._2.size > 1)
+    val dropped = groups.values.flatMap { occ =>
+      val canon = occ.map(o => (o._1, o._2)).min
+      occ.collect { case (d, i, _) if (d, i) != canon =>
+        (i until i + 5).map(t => (d, t))
+      }.flatten
+    }.toSet
+    val want = toks.map { case (d, w) =>
+      d -> (w.length.toLong, dropped.count(_._1 == d).toLong)
+    }
+    assert(got == want)
+    assert(dropped.nonEmpty, "corpus must exercise the scrub path")
+  }
+
+  test("a doc that is the unique canonical copy drops nothing") {
+    import spark.implicits._
+    // doc 1 and 2 identical; doc 3 unrelated. Canonical = doc 1:
+    // doc 1 keeps all tokens, doc 2 drops all covered tokens.
+    val tiny = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.scrubStats(tiny, col("doc_id"), col("text"), 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (7L, 0L))
+    assert(got(2L) == (7L, 7L))
+    assert(got(3L) == (7L, 0L))
+  }
+
   test("documents shorter than the window contribute no windows") {
     import spark.implicits._
     val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c a b c"))
