@@ -1407,6 +1407,15 @@ object Queries {
           .orderBy("col_name"),
       Some(ext.Profiler.profileStatsOracleSql("lineitem", ProfileCols))),
 
+    // ABC/Pareto revenue banding: global cumulative-share over parts
+    // ordered by revenue desc — the two-phase range cumsum (never a
+    // single-task sort), exact integer ppm banding on cent-exact sums
+    ("pareto_abc",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.paretoAbc(t(s, d, "lineitem"), col("l_partkey"),
+          col("l_extendedprice")).orderBy("part_id"),
+      Some(ext.Profiler.paretoAbcOracleSql)),
+
     ("multimodal_features",
       (s: SparkSession, d: String) =>
         Multimodal.featuresExpr(t(s, d, "documents")).orderBy("doc_id"),

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiler — the deequ/"ANALYZE TABLE"-shaped data
@@ -53,4 +54,75 @@ object Profiler {
          |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
          |  CAST(count(*) AS BIGINT) AS n_rows FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** Global running sum over a TOTAL order, without a single-task
+    * sort: range-repartition on the order columns, sum locally per
+    * bucket, and add per-bucket bases from a broadcast prefix sum
+    * over at most `numShufflePartitions` rows — the Terasort-shaped
+    * twin of Corpus.seqPackGlobal's shard cumsum, usable with any
+    * ordering (here: revenue DESCENDING). The order must be
+    * tie-free for engine parity (callers append a unique key). */
+  private def globalCumsum(df: DataFrame, order: Seq[Column],
+                           value: Column, out: String): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val local = ranged.withColumn("__lc", sum(value).over(wLoc))
+    val wBase = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ranged.groupBy(col("__pid")).agg(sum(value).as("__n"))
+      .withColumn("__base", coalesce(sum(col("__n")).over(wBase), lit(0L)))
+      .select("__pid", "__base")
+    local.join(broadcast(bases), "__pid")
+      .withColumn(out, (col("__base") + col("__lc")).cast("long"))
+      .drop("__pid", "__lc", "__base")
+  }
+
+  /** ABC (Pareto) classification of parts by revenue: parts sorted by
+    * revenue descending, banded by cumulative revenue share — A up to
+    * 80%, B up to 95%, C the tail. Shares are exact integer ppm over
+    * cent-exact revenue (decimal(14,2) per row, summed exactly, ×100
+    * to BIGINT cents), so the banding is bit-identical across
+    * engines. The running total is [[globalCumsum]] — no single-task
+    * global sort; the corpus-total divisor rides a broadcast 1-row
+    * cross join. */
+  def paretoAbc(lineitem: DataFrame, partKey: Column,
+                price: Column): DataFrame = {
+    val rev = lineitem.groupBy(partKey.cast("long").as("part_id"))
+      .agg((sum(price.cast("decimal(14,2)")) * 100).cast("long")
+        .as("rev_cents"))
+    val cum = globalCumsum(rev,
+      Seq(col("rev_cents").desc, col("part_id").asc),
+      col("rev_cents"), "cum_cents")
+    val total = rev.agg(sum(col("rev_cents")).cast("long").as("__total"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("cum_ppm", expr("cum_cents * 1000000 div __total"))
+      .select(col("part_id"), col("rev_cents"),
+        col("cum_ppm").cast("long").as("cum_ppm"),
+        when(col("cum_ppm") <= 800000, "A")
+          .when(col("cum_ppm") <= 950000, "B")
+          .otherwise("C").as("band"))
+  }
+
+  /** DuckDB twin of [[paretoAbc]] over `lineitem`. */
+  val paretoAbcOracleSql: String =
+    """
+    |WITH r AS (
+    |  SELECT CAST(l_partkey AS BIGINT) AS part_id,
+    |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS rev_cents
+    |  FROM lineitem GROUP BY 1),
+    |c AS (
+    |  SELECT part_id, rev_cents,
+    |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, part_id) AS cum_cents,
+    |    sum(rev_cents) OVER () AS total_cents
+    |  FROM r)
+    |SELECT part_id, rev_cents,
+    |  CAST(cum_cents * 1000000 // total_cents AS BIGINT) AS cum_ppm,
+    |  CASE WHEN cum_cents * 1000000 // total_cents <= 800000 THEN 'A'
+    |       WHEN cum_cents * 1000000 // total_cents <= 950000 THEN 'B'
+    |       ELSE 'C' END AS band
+    |FROM c ORDER BY part_id
+    |""".stripMargin.trim
 }

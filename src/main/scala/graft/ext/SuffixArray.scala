@@ -94,16 +94,46 @@ object SuffixArray {
       .select(kCols :+ (col("__base") + col("__li")).cast("long").as("rank"): _*)
   }
 
+  /** Injective group ids for already-DISTINCT key rows — the
+    * equality-only replacement for [[denseRank]] in the doubling
+    * loop when no downstream consumer needs rank ORDER (the
+    * duplicated-window census only tests equality). Skips the range
+    * exchange, its sampling pass, and the per-bucket sort:
+    * one distinct-aggregate, one id projection. Ids are 1-based so
+    * the past-end sentinel 0 can never collide. The ids are only
+    * stable within one materialization — which is exactly what the
+    * per-round `localCheckpoint` in [[doubledIds]] guarantees (and
+    * why that checkpoint is load-bearing, not just lineage hygiene:
+    * the same id relation is consumed twice per round). */
+  private def groupIds(distinctKeys: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    distinctKeys.withColumn("rank", monotonically_increasing_id() + 1)
+
+  /** [[prefixRanks]] with order-free group ids: rank values are
+    * arbitrary injective labels, but rank EQUALITY still witnesses
+    * p-token prefix equality exactly. ~2 exchanges cheaper per
+    * doubling round than the ordered path. */
+  private def doubledIds(docs: DataFrame, id: Column, text: Column,
+                         p: Int): DataFrame =
+    doubleUp(docs, id, text, p, groupIds)
+
   /** (doc_id, pos, rank): rank orders every suffix by its first
     * `p` tokens (p a power of two); suffixes shorter than p rank as
     * their full (shorter) prefix, below any longer extension. */
   def prefixRanks(docs: DataFrame, id: Column, text: Column,
-                  p: Int): DataFrame = {
+                  p: Int): DataFrame =
+    doubleUp(docs, id, text, p, denseRank)
+
+  private def doubleUp(docs: DataFrame, id: Column, text: Column, p: Int,
+      rerank: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
     require(p >= 1 && (p & (p - 1)) == 0, s"p must be a power of two, got $p")
     val toks = tokens(docs, id, text)
-    val wordRank = denseRank(toks.select("w").distinct(), Seq("w"))
+    val wordRank = rerank(toks.select("w").distinct(), Seq("w"))
+    // checkpoint before the loop: round 1 consumes t twice (shifted
+    // and unshifted), and group ids are only stable once materialized
     var t = toks.join(wordRank, "w")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rank"))
+      .localCheckpoint()
     var width = 1
     while (width < p) {
       val nxt = t.select(col("doc_id"), (col("pos") - width).as("pos"),
@@ -111,7 +141,7 @@ object SuffixArray {
       val keyed = t.withColumnRenamed("rank", "__r1")
         .join(nxt, Seq("doc_id", "pos"), "left")
         .na.fill(0L, Seq("__r2"))
-      val rankMap = denseRank(keyed.select("__r1", "__r2").distinct(),
+      val rankMap = rerank(keyed.select("__r1", "__r2").distinct(),
         Seq("__r1", "__r2"))
       t = keyed.join(rankMap, Seq("__r1", "__r2"))
         .select("doc_id", "pos", "rank")
@@ -147,7 +177,7 @@ object SuffixArray {
                  l: Int): DataFrame = {
     require(l >= 1, s"window length must be positive, got $l")
     val p = Integer.highestOneBit(l)
-    val r = prefixRanks(docs, id, text, p)
+    val r = doubledIds(docs, id, text, p)
     val keyed =
       if (l == p)
         r.select(col("doc_id"), col("pos"),
@@ -217,7 +247,7 @@ object SuffixArray {
   def scrubStats(docs: DataFrame, id: Column, text: Column,
                  l: Int): DataFrame = {
     val p = Integer.highestOneBit(l)
-    val r = prefixRanks(docs, id, text, p)
+    val r = doubledIds(docs, id, text, p)
     val keyed =
       if (l == p)
         r.select(col("doc_id"), col("pos"),

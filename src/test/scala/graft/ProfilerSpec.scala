@@ -32,6 +32,27 @@ class ProfilerSpec extends SparkSpec {
     assert(got == Map("i" -> 2L, "s" -> 2L))
   }
 
+  test("paretoAbc bands match a driver-side recomputation") {
+    import spark.implicits._
+    // revenues engineered across many partitions: part k has k+1
+    // line items of price 10.00 each
+    val li = (0 until 50).flatMap(k => Seq.fill(k + 1)((k.toLong, 10.0)))
+      .toDF("l_partkey", "l_extendedprice").repartition(7)
+    val got = Profiler.paretoAbc(li, col("l_partkey"), col("l_extendedprice"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val revs = (0 until 50).map(k => k.toLong -> (k + 1) * 1000L)
+    val totalC = revs.map(_._2).sum
+    var cum = 0L
+    val want = revs.sortBy { case (k, c) => (-c, k) }.map { case (k, c) =>
+      cum += c
+      val ppm = cum * 1000000L / totalC
+      k -> (c, ppm, if (ppm <= 800000) "A" else if (ppm <= 950000) "B" else "C")
+    }.toMap
+    assert(got == want)
+    assert(got.values.map(_._3).toSet == Set("A", "B", "C"))
+  }
+
   private def ev(day: Int, n: Int, typ: String = "t"): Seq[(String, java.sql.Timestamp)] =
     Seq.fill(n)((typ,
       java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")))
