@@ -792,6 +792,16 @@ object Queries {
           col("text"), 3, 4, 5).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardOracleSql(3, 4, 5))),
 
+    // Exact edit-distance near-dup join (PASS-JOIN pigeonhole
+    // segments + codegen threshold-levenshtein verify). Lossless
+    // blocking, so the oracle is the plain banded nested-loop SQL —
+    // a mismatch means a segment filter dropped a true pair.
+    ("edit_neardup",
+      (s: SparkSession, d: String) =>
+        ext.FuzzyJoin.editNeardup(t(s, d, "documents"), col("doc_id"),
+          col("text"), 40, 3).orderBy("doc_a", "doc_b"),
+      Some(ext.FuzzyJoin.editNeardupOracleSql(40, 3))),
+
     // The keep/drop decision: corpus minus docs with a smaller near-dup
     ("neardup_keep",
       (s: SparkSession, d: String) => {
@@ -1415,6 +1425,15 @@ object Queries {
         ext.Profiler.paretoAbc(t(s, d, "lineitem"), col("l_partkey"),
           col("l_extendedprice")).orderBy("part_id"),
       Some(ext.Profiler.paretoAbcOracleSql)),
+
+    // Degree-oriented distributed triangle counting over the part
+    // co-order graph — every wedge built once at its lowest-(deg,id)
+    // apex (sqrt(m) out-degree bound); oracle is the plain 3-way join
+    ("graph_triangles",
+      (s: SparkSession, d: String) =>
+        ext.Graph.coOrderTriangles(t(s, d, "lineitem"))
+          .orderBy("node_id"),
+      Some(ext.Graph.coOrderTrianglesOracleSql)),
 
     ("multimodal_features",
       (s: SparkSession, d: String) =>

@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance similarity self-join — the entity-resolution
+  * primitive (spell variants, OCR noise, boilerplate drift) that the
+  * hash near-dup family (minhash/simhash) cannot express: those bound
+  * SET overlap; edit distance bounds SEQUENCE divergence, and a
+  * k-char guarantee ("differs by at most 3 edits") is what a
+  * dedup-audit or record-linkage user actually asks for.
+  *
+  * The all-pairs form is O(n²·L²) and unthinkable at 100 TB, so this
+  * is the partition-based pigeonhole join (PASS-JOIN, Li/Deng/Wang/
+  * Feng, ICDE 2011 — public paper): split every string into `k`+1
+  * disjoint consecutive segments; `k` edits can touch at most `k`
+  * segments, so any pair within distance `k` shares at least one
+  * segment VERBATIM, shifted by at most `k` positions. Candidates are
+  * therefore an equi-join on segment content — a hash-partitioned
+  * shuffle on selective ~(L/(k+1))-char keys, never an all-pairs
+  * product — pruned by a length band (|la−lb| ≤ k) and the shift band
+  * (|j−p| ≤ k), then verified with Spark's codegen `levenshtein`
+  * (threshold form: banded O(k·L) DP with early exit, not O(L²)).
+  *
+  * Both filters are LOSSLESS (pigeonhole + triangle inequality), so
+  * the result is exactly the brute-force pair set — FuzzyJoinSpec
+  * pins that equality on a corpus with dupes, shorts, and near-pairs.
+  *
+  * Scale posture: index side is (k+1) rows/string; probe side is one
+  * row per substring of a partner-segment length (~3 lengths × L
+  * starts ≈ 3L rows/string — bounded, linear in corpus size). The
+  * shuffle key is the segment CONTENT, so skew follows content
+  * frequency: boilerplate-heavy corpora salt the top segments the
+  * same way `skew_join` does; the fixture's 30-word vocabulary is the
+  * stress case and still joins in seconds (SCALE.md). Strings shorter
+  * than k+1 chars cannot host k+1 non-empty segments and take the
+  * short-bucket path: a length-banded cross join over ONLY the ≤k-char
+  * strings — a vanishing fraction of any real corpus, and the band
+  * keeps it quadratic only in that fraction.
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs of docs whose first `prefixLen` chars are
+    * within edit distance `k`, with the exact distance.
+    * Output: (doc_a, doc_b, dist) with doc_a < doc_b. */
+  def editNeardup(docs: DataFrame, id: Column, text: Column,
+                  prefixLen: Int, k: Int): DataFrame = {
+    require(k >= 1 && prefixLen > k, s"need prefixLen > k >= 1, got ($prefixLen, $k)")
+    val nSeg = k + 1
+    val base = docs
+      .filter(text.isNotNull)
+      .select(id.cast("long").as("doc_id"),
+        substring(text, 1, prefixLen).as("s"))
+      .withColumn("len", length(col("s")))
+
+    // --- main path: strings long enough to host k+1 segments -------
+    val main = base.filter(col("len") >= nSeg)
+
+    // index side: the k+1 even segments of each string. Segment i
+    // has length len/(k+1) (+1 for the first len mod (k+1) of them);
+    // start(i) = 1 + i*(len div nSeg) + min(i, len mod nSeg).
+    val segs = main.select(col("doc_id"), col("len"), col("s"),
+        explode(transform(sequence(lit(0), lit(k)), i => {
+          val q = col("len").cast("int") / lit(nSeg)
+          val base0 = floor(q).cast("int")
+          val rem = col("len").cast("int") % lit(nSeg)
+          val start = lit(1) + i * base0 + least(i, rem)
+          val segLen = base0 + when(i < rem, 1).otherwise(0)
+          struct(start.as("p"), segLen.as("sl"))
+        })).as("g"))
+      .select(col("doc_id").as("doc_a"), col("len").as("la"),
+        col("g.p").as("p"), col("s").substr(col("g.p"), col("g.sl")).as("seg"))
+
+    // probe side: every substring whose length equals SOME partner's
+    // segment length — partner lengths la ∈ [lb−k, lb+k], so segment
+    // lengths span [max(1,(lb−k) div nSeg), (lb+k+nSeg−1) div nSeg].
+    val subs = main.select(col("doc_id"), col("len"), col("s"),
+        explode(flatten(transform(
+          sequence(
+            greatest(lit(1), floor((col("len") - lit(k)) / lit(nSeg)).cast("int")),
+            least(col("len").cast("int"),
+              floor((col("len") + lit(k) + lit(nSeg - 1)) / lit(nSeg)).cast("int")),
+          ),
+          l => transform(sequence(lit(1), col("len").cast("int") - l + lit(1)),
+            j => struct(j.as("j"), col("s").substr(j, l).as("sub")))))).as("g"))
+      .select(col("doc_id").as("doc_b"), col("len").as("lb"),
+        col("g.j").as("j"), col("g.sub").as("sub"))
+
+    val mainCand = segs.join(subs,
+        col("seg") === col("sub") &&
+          col("doc_a") =!= col("doc_b") &&
+          abs(col("la") - col("lb")) <= k &&
+          abs(col("j") - col("p")) <= k)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+
+    // --- short bucket: len ≤ k strings (no k+1-segment pigeonhole).
+    // Banded cross over only these against partners within the band.
+    val shorts = base.filter(col("len") <= k)
+      .select(col("doc_id").as("doc_a"), col("len").as("la"),
+        col("s").as("sa"))
+    val partners = base.filter(col("len") <= 2 * k)
+      .select(col("doc_id").as("doc_b"), col("len").as("lb"),
+        col("s").as("sb"))
+    val shortCand = shorts.join(partners,
+        col("doc_a") =!= col("doc_b") &&
+          abs(col("la") - col("lb")) <= k)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+
+    val cand = mainCand.union(shortCand).distinct()
+
+    // --- verify: exact threshold levenshtein (codegen, banded DP;
+    // -1 when the distance exceeds k).
+    val sa = base.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("dist",
+        expr(s"levenshtein(sa, sb, $k)").cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** Brute-force twin of [[editNeardup]] (spec-only losslessness
+    * witness — the O(n²) plan this operator exists to avoid). */
+  def editNeardupBrute(docs: DataFrame, id: Column, text: Column,
+                       prefixLen: Int, k: Int): DataFrame = {
+    val base = docs.filter(text.isNotNull)
+      .select(id.cast("long").as("doc_id"),
+        substring(text, 1, prefixLen).as("s"))
+    val a = base.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = base.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", expr(s"levenshtein(sa, sb, $k)").cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** DuckDB twin over `documents` — the nested-loop form with the
+    * same length band, feasible at oracle scale only. */
+  def editNeardupOracleSql(prefixLen: Int, k: Int): String =
+    s"""
+    |WITH p AS (
+    |  SELECT doc_id, substr(text, 1, $prefixLen) AS s
+    |  FROM documents WHERE text IS NOT NULL)
+    |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    |FROM p a JOIN p b
+    |  ON a.doc_id < b.doc_id
+    | AND abs(length(a.s) - length(b.s)) <= $k
+    | AND levenshtein(a.s, b.s) <= $k
+    |ORDER BY doc_a, doc_b
+    |""".stripMargin.trim
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.FuzzyJoin
+
+/** Edit-distance join: the pigeonhole blocking must be LOSSLESS —
+  * the joined pair set equals the brute-force pair set exactly. */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "kitten"),
+    (2L, "sitting"),          // ed(kitten, sitting) = 3
+    (3L, "kitten"),           // exact dup of 1
+    (4L, "mitten"),           // ed(kitten, mitten) = 1
+    (5L, "flamingo"),
+    (6L, "flamingos"),        // ed = 1 (insert)
+    (7L, "ab"),               // short bucket (len <= k)
+    (8L, "abc"),              // short bucket
+    (9L, "abcdef"),           // partner of shorts within band? |6-3|=3 ok
+    (10L, "zzzzzzzzzzzzzzzzzzzz"),
+    (11L, "entirely different text here"),
+    (12L, "entirely different text hero") // ed = 1
+  ).toDF("doc_id", "text")
+
+  test("editNeardup finds known pairs with exact distances") {
+    val got = FuzzyJoin.editNeardup(corpus, col("doc_id"), col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 3L)))   // kitten/sitting
+    assert(got.contains((1L, 3L, 0L)))   // exact dup
+    assert(got.contains((1L, 4L, 1L)))   // kitten/mitten
+    assert(got.contains((5L, 6L, 1L)))
+    assert(got.contains((11L, 12L, 1L)))
+    assert(!got.exists { case (a, b, _) => a == 10L || b == 10L })
+  }
+
+  test("blocking is lossless: joined pairs == brute-force pairs") {
+    val fast = FuzzyJoin.editNeardup(corpus, col("doc_id"), col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = FuzzyJoin.editNeardupBrute(corpus, col("doc_id"), col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == brute)
+  }
+
+  test("short bucket covers len <= k strings") {
+    val got = FuzzyJoin.editNeardup(corpus, col("doc_id"), col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((7L, 8L, 1L)))   // ab/abc
+    // abc -> abcdef is 3 inserts: short (len 3) x partner (len 6)
+    assert(got.contains((8L, 9L, 3L)))
+  }
+
+  test("lossless on the sf0.001 documents fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fast = FuzzyJoin.editNeardup(docs, col("doc_id"), col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = FuzzyJoin.editNeardupBrute(docs, col("doc_id"), col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == brute)
+    assert(fast.nonEmpty) // the fixture's near-dup docs produce pairs
+  }
+}
