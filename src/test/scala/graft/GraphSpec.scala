@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Graph
+
+/** Triangle counting: hand-checked graphs + the orientation's
+  * count-each-once invariant vs a naive 3-way join. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangle counts on a hand-built graph") {
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a
+    // pendant 5 and a disconnected edge 6-7 (no triangles).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L)).toDF("u", "v")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("hub node: star graph has zero triangles") {
+    val star = (2L to 20L).map(i => (1L, i)).toDF("u", "v")
+    assert(Graph.triangleCounts(star).count() == 0)
+  }
+
+  test("matches the naive 3-way join on the sf0.001 co-order graph") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val edges = Graph.coEdges(li, col("l_orderkey"), col("l_partkey"))
+    edges.cache()
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"))
+    val e2 = edges.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = edges.select(col("u").as("a3"), col("v").as("c3"))
+    val tris = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+    val naive = tris.select(explode(array(col("a"), col("b"), col("c")))
+        .as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+      .as[(Long, Long)].collect().toMap
+    edges.unpersist()
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+}
