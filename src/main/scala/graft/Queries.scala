@@ -1408,6 +1408,32 @@ object Queries {
           col("ts")).orderBy("event_type", "day"),
       Some(Sessions.zscoreOutliersOracleSql())),
 
+    // EWMA trend of the daily volume: dyadic alpha=1/2 weights folded
+    // entirely in scaled-integer space (num/den ppm) — the smoothed
+    // line next to zscore_outliers' spike flags, bit-identical engines
+    ("ewma_volume",
+      (s: SparkSession, d: String) =>
+        Sessions.ewmaVolume(t(s, d, "events"), col("event_type"),
+          col("ts")).orderBy("event_type", "day"),
+      Some(Sessions.ewmaVolumeOracleSql())),
+
+    // Robust median/MAD outlier flags: heavy-tail-safe twin of the
+    // z-test, folded in doubled/quadrupled integer space (med2/mad4)
+    ("mad_outliers",
+      (s: SparkSession, d: String) =>
+        Sessions.madOutliers(t(s, d, "events"), col("event_type"),
+          col("ts")).orderBy("event_type", "day"),
+      Some(Sessions.madOutliersOracleSql())),
+
+    // Forward as-of with tolerance (pandas merge_asof
+    // direction='forward'): click -> first purchase within 1h, via
+    // running-count positioning + seq equi-join — never a theta join
+    ("attribution_asof",
+      (s: SparkSession, d: String) =>
+        Sessions.attributionAsof(t(s, d, "events"), "click", "purchase",
+          3600L).orderBy("user_id", "event_id"),
+      Some(Sessions.attributionAsofOracleSql("click", "purchase", 3600L))),
+
     // One-pass column profiler (deequ-shaped): null/exact-distinct/row
     // counts for every lineitem column via stack -> two keyed aggs —
     // never the #cols-fold Expand shuffle of multi-count(distinct)

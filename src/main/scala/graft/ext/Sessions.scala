@@ -343,4 +343,208 @@ object Sessions {
     |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
     |FROM b ORDER BY event_type, day
     |""".stripMargin.trim
+
+  /** Exponentially-weighted moving average of the per-(type, day)
+    * event volume — the smoothed trend line next to
+    * [[zscoreOutliers]]'s spike flags. EWMA is a recursive fold, so
+    * engines disagree on float rounding; this uses half-life = one
+    * observation (α = 1/2), whose weights 2⁻ⁱ make every term a
+    * DYADIC rational — but rather than trust doubles at all, the
+    * trailing-8 window is folded in scaled INTEGER form:
+    *
+    *   num = Σ_{i=0..7} x_{t−i} · 2^(7−i)     den = Σ_{i present} 2^(7−i)
+    *
+    * and the published value is the exact ppm ratio num·10⁶ div den.
+    * Rows-based window (8 fixed lags, one type-keyed shuffle), tail
+    * truncation at 2⁻⁸ < 0.4% of mass. Bit-identical across engines,
+    * and at 100 TB the state per key is 8 longs, which is also why the
+    * streaming twin of this fold needs no watermark gymnastics. */
+  def ewmaVolume(events: DataFrame, typ: Column, ts: Column,
+                 span: Int = 8): DataFrame = {
+    val daily = events
+      .select(typ.as("event_type"), to_date(ts).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val x = col("n_events")
+    val terms = (0 until span).map { i =>
+      val wt = 1L << (span - 1 - i)
+      (coalesce(lag(x, i).over(w), lit(0L)) * wt,
+        when(lag(x, i).over(w).isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    daily.select(col("event_type"), col("day"),
+      col("n_events").cast("long").as("n_events"),
+      (num * 1000000L).cast("long").as("__n"), den.cast("long").as("__d"))
+      .withColumn("ewma_ppm", expr("__n div __d"))
+      .drop("__n", "__d")
+  }
+
+  /** DuckDB twin of [[ewmaVolume]] over `events`. */
+  def ewmaVolumeOracleSql(span: Int = 8): String = {
+    val num = (0 until span).map { i =>
+      s"coalesce(lag(x, $i) OVER w, 0) * ${1L << (span - 1 - i)}"
+    }.mkString(" + ")
+    val den = (0 until span).map { i =>
+      s"CASE WHEN lag(x, $i) OVER w IS NOT NULL THEN ${1L << (span - 1 - i)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""
+    |WITH daily AS (
+    |  SELECT event_type, CAST(ts AS DATE) AS day,
+    |    CAST(count(*) AS BIGINT) AS x
+    |  FROM events GROUP BY 1, 2)
+    |SELECT event_type, day, x AS n_events,
+    |  CAST(($num) * 1000000 // ($den) AS BIGINT) AS ewma_ppm
+    |FROM daily
+    |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    |ORDER BY event_type, day
+    |""".stripMargin.trim
+  }
+
+  /** Robust (median/MAD) outlier flags over the per-(type, day)
+    * volume — the heavy-tail-safe twin of [[zscoreOutliers]]: one
+    * genuine 100× spike inflates a mean/stddev baseline enough to
+    * mask the next spike, but moves the median not at all. A day is
+    * flagged when |x − median| > 3·MAD (MAD = median of absolute
+    * deviations from the median).
+    *
+    * Exactness: medians of integers are integers or exact halves
+    * (linear interpolation of two longs), so everything is folded in
+    * DOUBLED/QUADRUPLED integer space — med2 = 2·median(x),
+    * d2 = |2x − med2|, mad4 = 2·median(d2) — and the flag is the pure
+    * integer comparison 2·d2 > 3·mad4. No float ever crosses an
+    * engine boundary. Exact medians cost one sort per type of
+    * |days|-bounded groups (the time dimension, not the fact volume);
+    * the sketch alternative at unbounded cardinality is the declared
+    * `approx_quantile` surface. */
+  def madOutliers(events: DataFrame, typ: Column, ts: Column,
+                  k: Int = 3): DataFrame = {
+    val daily = events
+      .select(typ.as("event_type"), to_date(ts).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy("event_type")
+      .agg((expr("percentile(n_events, 0.5)") * 2).cast("long").as("med2"))
+    val withD = daily.join(med, "event_type")
+      .withColumn("d2", abs(col("n_events") * 2 - col("med2")))
+    val mad = withD.groupBy("event_type")
+      .agg((expr("percentile(d2, 0.5)") * 2).cast("long").as("mad4"))
+    withD.join(mad, "event_type")
+      .select(col("event_type"), col("day"),
+        col("n_events").cast("long").as("n_events"),
+        col("med2").cast("long").as("med2"),
+        col("mad4").cast("long").as("mad4"),
+        when(col("d2") * 2 > col("mad4") * k, lit(1L)).otherwise(lit(0L))
+          .as("is_outlier"))
+  }
+
+  /** DuckDB twin of [[madOutliers]] over `events`. */
+  def madOutliersOracleSql(k: Int = 3): String =
+    s"""
+    |WITH daily AS (
+    |  SELECT event_type, CAST(ts AS DATE) AS day,
+    |    CAST(count(*) AS BIGINT) AS x
+    |  FROM daily_src GROUP BY 1, 2),
+    |m AS (
+    |  SELECT event_type, CAST(2 * median(x) AS BIGINT) AS med2
+    |  FROM daily GROUP BY 1),
+    |d AS (
+    |  SELECT daily.event_type, day, x, med2, abs(2 * x - med2) AS d2
+    |  FROM daily JOIN m USING (event_type)),
+    |md AS (
+    |  SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4
+    |  FROM d GROUP BY 1)
+    |SELECT d.event_type, day, x AS n_events, med2, mad4,
+    |  CAST(CASE WHEN 2 * d2 > $k * mad4 THEN 1 ELSE 0 END AS BIGINT)
+    |    AS is_outlier
+    |FROM d JOIN md USING (event_type)
+    |ORDER BY event_type, day
+    |""".stripMargin.replace("daily_src", "events").trim
+
+  /** Forward as-of attribution with tolerance — pandas
+    * `merge_asof(direction='forward', tolerance=...)`: each `fromType`
+    * event is attributed to the FIRST `toType` event of the same user
+    * at-or-after it, nulled when the match lands beyond `tolSeconds`.
+    * The conversion-lag query behind every ads/checkout funnel.
+    *
+    * Shape — never a per-row subquery or a time-range theta join: both
+    * event sets are unioned and sorted once per user; a running count
+    * of target events positions each source event (`np` targets
+    * strictly before it, with same-instant targets ordered AFTER the
+    * source so ties attribute); target #np+1 — a row_number on the
+    * target side — is then an equi-join on (user, seq). Two
+    * user-keyed windows + one user-keyed join, all sharing one
+    * partitioning. Deterministic: ties broken by (ts, kind,
+    * event_id). */
+  private val lagUsSql =
+    "unix_micros(cast(to_ts as timestamp)) - unix_micros(cast(ts as timestamp))"
+
+  def attributionAsof(events: DataFrame, fromType: String, toType: String,
+                      tolSeconds: Long): DataFrame = {
+    val u = events
+      .filter(col("event_type").isin(fromType, toType))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === toType, lit(1)).otherwise(lit(0))
+          .as("kind"))
+    val wPos = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val positioned = u.withColumn("np",
+      sum(when(col("kind") === 1, 1L).otherwise(0L)).over(wPos))
+    val sources = positioned.filter(col("kind") === 0)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("np") + 1).as("want_seq"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val targets = u.filter(col("kind") === 1)
+      .withColumn("seq", row_number().over(wSeq).cast("long"))
+      .select(col("user_id"), col("event_id").as("to_event_id"),
+        col("ts").as("to_ts"), col("seq"))
+    val tolMicros = tolSeconds * 1000000L
+    val lagUs = unix_micros(col("to_ts").cast("timestamp")) -
+      unix_micros(col("ts").cast("timestamp"))
+    sources.as("s").join(targets.as("p"),
+        col("s.user_id") === col("p.user_id") &&
+          col("want_seq") === col("seq"), "left")
+      .select(col("s.user_id").as("user_id"), col("event_id"), col("ts"),
+        when(lagUs <= tolMicros, col("to_event_id")).as("to_event_id"),
+        when(lagUs <= tolMicros, col("to_ts")).as("to_ts"),
+        when(lagUs <= tolMicros, expr(s"(${lagUsSql}) div 1000000"))
+          .as("lag_s"))
+  }
+
+  /** DuckDB twin of [[attributionAsof]] over `events`. */
+  def attributionAsofOracleSql(fromType: String, toType: String,
+                               tolSeconds: Long): String =
+    s"""
+    |WITH u AS (
+    |  SELECT user_id, ts, event_id,
+    |    CASE WHEN event_type = '$toType' THEN 1 ELSE 0 END AS kind
+    |  FROM events WHERE event_type IN ('$fromType', '$toType')),
+    |pos AS (
+    |  SELECT *, sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END)
+    |    OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+    |          ROWS UNBOUNDED PRECEDING) AS np
+    |  FROM u),
+    |src AS (
+    |  SELECT user_id, event_id, ts, np + 1 AS want_seq
+    |  FROM pos WHERE kind = 0),
+    |tgt AS (
+    |  SELECT user_id, event_id AS to_event_id, ts AS to_ts,
+    |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    |      AS BIGINT) AS seq
+    |  FROM u WHERE kind = 1)
+    |SELECT j.user_id, j.event_id, j.ts,
+    |  CASE WHEN ok THEN to_event_id END AS to_event_id,
+    |  CASE WHEN ok THEN to_ts END AS to_ts,
+    |  CASE WHEN ok THEN (epoch_us(to_ts) - epoch_us(j.ts)) // 1000000
+    |    END AS lag_s
+    |FROM (SELECT src.*, tgt.to_event_id, tgt.to_ts,
+    |        epoch_us(to_ts) - epoch_us(src.ts)
+    |          <= ${tolSeconds * 1000000L} AS ok
+    |      FROM src LEFT JOIN tgt
+    |        ON src.user_id = tgt.user_id AND src.want_seq = tgt.seq) j
+    |ORDER BY user_id, event_id
+    |""".stripMargin.trim
 }
