@@ -792,6 +792,14 @@ object Queries {
           col("text"), 3, 4, 5).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardOracleSql(3, 4, 5))),
 
+    // Corpus novelty curve: per-doc share of first-seen n-grams
+    // (min-doc_id witness) — the "is this source mined out?" measure
+    ("ngram_novelty",
+      (s: SparkSession, d: String) =>
+        Dedup.ngramNovelty(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3).orderBy("doc_id"),
+      Some(Dedup.ngramNoveltyOracleSql(3))),
+
     // Exact edit-distance near-dup join (PASS-JOIN pigeonhole
     // segments + codegen threshold-levenshtein verify). Lossless
     // blocking, so the oracle is the plain banded nested-loop SQL —

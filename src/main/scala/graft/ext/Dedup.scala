@@ -1064,6 +1064,67 @@ object Dedup {
     |ORDER BY d1, d2
     |""".stripMargin.trim
 
+  /** Corpus novelty curve: per document (in corpus order), how many
+    * of its distinct n-grams appear here for the FIRST time — the
+    * marginal-information measure behind "is more of this source
+    * still worth ingesting?" A crawl whose novel share decays to
+    * zero is re-crawling itself; a dedup pass that leaves novelty
+    * flat did its job. First occurrence = the minimum doc_id holding
+    * the gram (the same canonical-witness convention as the scrub
+    * family), so the curve is deterministic and engine-portable.
+    *
+    * Two hash aggregates on the gram key (per-doc distinct grams →
+    * global min-owner) + one gram-keyed join back — all linear in
+    * total gram volume, no pair expansion anywhere. Docs with fewer
+    * than n tokens surface with zero counts via the left join (they
+    * carry no grams but belong on the curve). */
+  def ngramNovelty(docs: DataFrame, id: Column, text: Column,
+                   n: Int): DataFrame = {
+    val grams = explodedGrams(docs, id, text, n)
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).cast("long").as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("(n_novel * 1000000) div n_grams")).otherwise(lit(0L))
+          .cast("long").as("novel_ppm"))
+  }
+
+  /** DuckDB twin of [[ngramNovelty]] over `documents`. */
+  def ngramNoveltyOracleSql(n: Int): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |grams AS (
+    |  SELECT DISTINCT doc_id, gram
+    |  FROM (SELECT doc_id,
+    |          unnest(list_transform(range(greatest(len(w) - ${n - 1}, 0)),
+    |            i -> ${(1 to n).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
+    |        FROM w)),
+    |first_owner AS (
+    |  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram),
+    |per_doc AS (
+    |  SELECT g.doc_id, count(*) AS n_grams,
+    |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+    |  FROM grams g JOIN first_owner f USING (gram)
+    |  GROUP BY g.doc_id)
+    |SELECT d.doc_id,
+    |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+    |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+    |  CAST(CASE WHEN coalesce(n_grams, 0) > 0
+    |    THEN (n_novel * 1000000) // n_grams ELSE 0 END AS BIGINT)
+    |    AS novel_ppm
+    |FROM documents d LEFT JOIN per_doc USING (doc_id)
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
   /** [[ngramJaccardPairs]] with PPJoin-style prefix filtering (Xiao et
     * al., WWW'08) — same result set, different join shape. Canonical
     * gram order = ascending document frequency (rare first); each doc

@@ -432,4 +432,25 @@ class DedupSpec extends SparkSpec {
         Seq((8, 4)), 1, 2)
     }
   }
+
+  test("ngramNovelty: exact dup has zero novel, short docs zero grams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),        // grams: "a b c", "b c d" — both novel
+      (2L, "a b c d"),        // exact dup — zero novel
+      (3L, "x y z w"),        // disjoint — all novel
+      (4L, "b c d a b c"),    // "b c d" seen (doc 1); others novel
+      (5L, "a b")             // too short: zero grams, on the curve
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.ngramNovelty(docs, col("doc_id"),
+        col("text"), 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 2L, 2L, 1000000L),
+      (4L, 4L, 2L, 500000L),  // "b c d"/"a b c" seen in doc 1; 2 novel
+      (5L, 0L, 0L, 0L)))
+  }
 }
