@@ -1451,6 +1451,25 @@ object Queries {
           .orderBy("col_name"),
       Some(ext.Profiler.profileStatsOracleSql("lineitem", ProfileCols))),
 
+    // Zone-map skip audit: simulated file min/max envelopes under
+    // time-append vs z-order layout for one 2-D box predicate — the
+    // measured case for OPTIMIZE ZORDER, two-phase rank, no sort task
+    ("layout_skipping",
+      (s: SparkSession, d: String) =>
+        ext.Layout.layoutSkipping(t(s, d, "orders"), 512,
+          100L, 199L, "1996-01-01", "1999-12-31").orderBy("layout"),
+      Some(ext.Layout.layoutSkippingOracleSql(512,
+        100L, 199L, "1996-01-01", "1999-12-31"))),
+
+    // PSI-shaped distribution drift: rank-fenced deciles of the
+    // pre-pivot price distribution applied to the post-pivot rows,
+    // integer ppm shares — no interpolated-quantile floats anywhere
+    ("drift_check",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.driftCheck(t(s, d, "lineitem"), "1998-06-01")
+          .orderBy("bin"),
+      Some(ext.Profiler.driftCheckOracleSql("1998-06-01"))),
+
     // ABC/Pareto revenue banding: global cumulative-share over parts
     // ordered by revenue desc — the two-phase range cumsum (never a
     // single-task sort), exact integer ppm banding on cent-exact sums

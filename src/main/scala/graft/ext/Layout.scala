@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+
+/** Data-layout effectiveness audit — the quantified answer to "should
+  * this table be z-ordered?". Zone-map (file min/max) skipping is how
+  * a 100 TB scan with a selective 2-D predicate avoids reading 100 TB:
+  * the planner drops every file whose [min,max] envelope misses the
+  * predicate box. How MANY files it can drop is purely a property of
+  * the layout, and this operator measures it ahead of a rewrite, on
+  * the live table, as a plain query: simulate files of `rowsPerFile`
+  * rows under (a) the natural time-append order and (b) the z-order
+  * curve, build each file's min/max zone map, and count files/rows a
+  * zone-map scan must touch for one representative box predicate.
+  *
+  * Time-append layouts prune the time dimension only — a customer-key
+  * range touches nearly every file; the Morton interleave bounds BOTH
+  * dimensions per file, which is the entire case for "OPTIMIZE ZORDER
+  * BY" and why the two summary rows this emits usually differ by an
+  * order of magnitude.
+  *
+  * Scale shape: the file assignment is a global ROW NUMBER under each
+  * layout order, computed as the two-phase range-partitioned cumsum
+  * ([[Profiler.globalCumsum]] — never a single-task window); zone maps
+  * are one hash aggregate per layout on the simulated file id. Rows
+  * scanned/matched are exact integers; nothing floats.
+  */
+object Layout {
+
+  /** Zone-map skip audit over `orders` for the 2-D box
+    * custkey ∈ [cLo, cHi] × orderdate ∈ [dLo, dHi].
+    * Output: one row per layout — (layout, n_files, files_scanned,
+    * rows_scanned, rows_matching). */
+  def layoutSkipping(orders: DataFrame, rowsPerFile: Int,
+                     cLo: Long, cHi: Long,
+                     dLo: String, dHi: String,
+                     bits: Int = 16): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val base = orders.select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("ck"),
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("day"))
+      .withColumn("zv", ZOrder.zValue(col("ck"), col("day"), bits))
+    val dayLo = datediff(to_date(lit(dLo)), epoch).cast("long")
+    val dayHi = datediff(to_date(lit(dHi)), epoch).cast("long")
+
+    def audit(label: String, order: Seq[Column]): DataFrame = {
+      val ranked = Profiler.globalCumsum(base, order, lit(1L), "rk")
+      val zones = ranked
+        .withColumn("fid", expr(s"(rk - 1) div $rowsPerFile"))
+        .groupBy("fid")
+        .agg(min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+          min("day").as("d_lo"), max("day").as("d_hi"),
+          count(lit(1)).as("n"))
+      val scanned = col("ck_hi") >= cLo && col("ck_lo") <= cHi &&
+        col("d_hi") >= dayLo && col("d_lo") <= dayHi
+      zones.agg(
+          count(lit(1)).cast("long").as("n_files"),
+          sum(when(scanned, 1L).otherwise(0L)).cast("long")
+            .as("files_scanned"),
+          sum(when(scanned, col("n")).otherwise(0L)).cast("long")
+            .as("rows_scanned"))
+        .select(lit(label).as("layout"), col("n_files"),
+          col("files_scanned"), col("rows_scanned"))
+    }
+
+    val matching = base.agg(count(when(
+        col("ck") >= cLo && col("ck") <= cHi &&
+          col("day") >= dayLo && col("day") <= dayHi, lit(1)))
+      .cast("long").as("rows_matching"))
+
+    audit("natural", Seq(col("day").asc, col("o_orderkey").asc))
+      .union(audit("zorder", Seq(col("zv").asc, col("o_orderkey").asc)))
+      .crossJoin(broadcast(matching))
+      .select("layout", "n_files", "files_scanned", "rows_scanned",
+        "rows_matching")
+  }
+
+  /** DuckDB twin of [[layoutSkipping]] over `orders`. */
+  def layoutSkippingOracleSql(rowsPerFile: Int, cLo: Long, cHi: Long,
+                              dLo: String, dHi: String,
+                              bits: Int = 16): String = {
+    val dayExpr = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    val zv = ZOrder.zValueSql("o_custkey", dayExpr, bits)
+    val dayLo = s"date_diff('day', DATE '1970-01-01', DATE '$dLo')"
+    val dayHi = s"date_diff('day', DATE '1970-01-01', DATE '$dHi')"
+    def auditSql(label: String, orderBy: String): String =
+      s"""SELECT '$label' AS layout,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS files_scanned,
+      |  CAST(sum(CASE WHEN scanned THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_scanned
+      |FROM (
+      |  SELECT fid, count(*) AS n,
+      |    max(ck) >= $cLo AND min(ck) <= $cHi
+      |      AND max(day) >= $dayLo AND min(day) <= $dayHi AS scanned
+      |  FROM (SELECT *, (row_number() OVER (ORDER BY $orderBy) - 1)
+      |          // $rowsPerFile AS fid
+      |        FROM base)
+      |  GROUP BY fid)""".stripMargin
+    s"""
+    |WITH base AS (
+    |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS ck,
+    |    CAST($dayExpr AS BIGINT) AS day, $zv AS zv
+    |  FROM orders),
+    |m AS (
+    |  SELECT CAST(count(*) AS BIGINT) AS rows_matching FROM base
+    |  WHERE ck BETWEEN $cLo AND $cHi
+    |    AND day BETWEEN $dayLo AND $dayHi),
+    |audits AS (
+    |${auditSql("natural", "day, o_orderkey")}
+    |UNION ALL
+    |${auditSql("zorder", "zv, o_orderkey")})
+    |SELECT layout, n_files, files_scanned, rows_scanned, rows_matching
+    |FROM audits CROSS JOIN m
+    |ORDER BY layout
+    |""".stripMargin.trim
+  }
+}

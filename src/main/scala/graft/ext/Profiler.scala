@@ -62,11 +62,19 @@ object Profiler {
     * twin of Corpus.seqPackGlobal's shard cumsum, usable with any
     * ordering (here: revenue DESCENDING). The order must be
     * tie-free for engine parity (callers append a unique key). */
-  private def globalCumsum(df: DataFrame, order: Seq[Column],
-                           value: Column, out: String): DataFrame = {
+  private[ext] def globalCumsum(df: DataFrame, order: Seq[Column],
+                                value: Column, out: String): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint is LOAD-BEARING: `ranged` feeds two separate
+    // jobs (the local windows and the broadcast base offsets), and
+    // RangePartitioner's sample seed varies with the RDD id, so two
+    // evaluations of the same lineage may pick DIFFERENT boundaries —
+    // the pids would then disagree between the passes and the ranks
+    // silently corrupt. Pinning one materialization makes the
+    // boundary draw shared, hence the ranks exact.
     val ranged = df.repartitionByRange(nPart, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wLoc = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val local = ranged.withColumn("__lc", sum(value).over(wLoc))
     val wBase = Window.orderBy(col("__pid"))
@@ -104,6 +112,105 @@ object Profiler {
           .when(col("cum_ppm") <= 950000, "B")
           .otherwise("C").as("band"))
   }
+
+  /** Distribution-drift check (PSI-shaped, integer-exact): decile
+    * bins of a reference period's value distribution, applied to the
+    * comparison period — the data-quality gate that catches "the new
+    * feed's prices shifted" before a model trains on it. Classic PSI
+    * multiplies log-ratios (floats that no two engines fold alike);
+    * this publishes the per-bin counts and exact ppm shares plus the
+    * absolute share drift — the alarm-worthy number — entirely in
+    * integer space.
+    *
+    * Binning is RANK-based, not interpolated-quantile-based: the
+    * reference rows are ranked by (cents, unique key) with the
+    * two-phase [[globalCumsum]] (never one global sort task), tile =
+    * ((rank−1)·10) div n + 1 (the ntile formula, but from an explicit
+    * deterministic rank), and bin k's upper fence is max(cents) of
+    * tile k. Interpolated quantile boundaries are doubles whose last
+    * ulp differs by fold order; rank fences are integers, so the
+    * same row can never land in different bins on different engines.
+    * Comparison rows bin against the 9 inner fences via a broadcast
+    * 9-row cross join folded back to a sum — linear, no sort. */
+  def driftCheck(lineitem: DataFrame, pivotDate: String,
+                 nBins: Int = 10): DataFrame = {
+    val rows = lineitem.select(
+      (col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"),
+      col("l_orderkey").cast("long").as("ok"),
+      col("l_linenumber").cast("long").as("ln"),
+      (to_date(col("l_shipdate")) < to_date(lit(pivotDate))).as("is_ref"))
+    val ref = rows.filter(col("is_ref"))
+    val cmp = rows.filter(!col("is_ref"))
+
+    val nRef = ref.agg(count(lit(1)).as("__n"))
+    val ranked = globalCumsum(ref,
+        Seq(col("cents").asc, col("ok").asc, col("ln").asc), lit(1L), "rk")
+      .crossJoin(broadcast(nRef))
+      .withColumn("bin", expr(s"((rk - 1) * $nBins) div __n + 1"))
+    val refBins = ranked.groupBy("bin")
+      .agg(count(lit(1)).as("n_ref"), max(col("cents")).as("fence"))
+
+    val fences = refBins.filter(col("bin") < nBins)
+      .select(col("fence").as("f"))
+    val cmpBins = cmp.crossJoin(broadcast(fences))
+      .groupBy(col("cents"), col("ok"), col("ln"))
+      .agg((sum(when(col("cents") > col("f"), 1L).otherwise(0L)) + 1L)
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_cmp"))
+
+    val nCmp = cmp.agg(count(lit(1)).as("__m"))
+    refBins.join(cmpBins, Seq("bin"), "left")
+      .crossJoin(broadcast(nRef)).crossJoin(broadcast(nCmp))
+      .select(col("bin").cast("long").as("bin"),
+        col("n_ref").cast("long").as("n_ref"),
+        coalesce(col("n_cmp"), lit(0L)).cast("long").as("n_cmp"),
+        expr("(n_ref * 1000000) div __n").as("share_ref_ppm"),
+        expr("(coalesce(n_cmp, 0) * 1000000) div __m").as("share_cmp_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_ref_ppm") - col("share_cmp_ppm")))
+  }
+
+  /** DuckDB twin of [[driftCheck]] over `lineitem`. */
+  def driftCheckOracleSql(pivotDate: String, nBins: Int = 10): String =
+    s"""
+    |WITH rows0 AS (
+    |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+    |      AS cents,
+    |    l_orderkey AS ok, l_linenumber AS ln,
+    |    CAST(l_shipdate AS DATE) < DATE '$pivotDate' AS is_ref
+    |  FROM lineitem),
+    |ref AS (SELECT * FROM rows0 WHERE is_ref),
+    |cmp AS (SELECT * FROM rows0 WHERE NOT is_ref),
+    |ranked AS (
+    |  SELECT cents,
+    |    ((row_number() OVER (ORDER BY cents, ok, ln) - 1) * $nBins)
+    |      // (SELECT count(*) FROM ref) + 1 AS bin
+    |  FROM ref),
+    |ref_bins AS (
+    |  SELECT bin, count(*) AS n_ref, max(cents) AS fence
+    |  FROM ranked GROUP BY bin),
+    |cmp_bins AS (
+    |  SELECT bin, count(*) AS n_cmp FROM (
+    |    SELECT cents, ok, ln,
+    |      sum(CASE WHEN cents > f THEN 1 ELSE 0 END) + 1 AS bin
+    |    FROM cmp CROSS JOIN
+    |      (SELECT fence AS f FROM ref_bins WHERE bin < $nBins)
+    |    GROUP BY cents, ok, ln)
+    |  GROUP BY bin)
+    |SELECT CAST(r.bin AS BIGINT) AS bin,
+    |  CAST(n_ref AS BIGINT) AS n_ref,
+    |  CAST(coalesce(n_cmp, 0) AS BIGINT) AS n_cmp,
+    |  CAST(n_ref * 1000000 // (SELECT count(*) FROM ref) AS BIGINT)
+    |    AS share_ref_ppm,
+    |  CAST(coalesce(n_cmp, 0) * 1000000 // (SELECT count(*) FROM cmp)
+    |    AS BIGINT) AS share_cmp_ppm,
+    |  CAST(abs(n_ref * 1000000 // (SELECT count(*) FROM ref)
+    |    - coalesce(n_cmp, 0) * 1000000 // (SELECT count(*) FROM cmp))
+    |    AS BIGINT) AS drift_ppm
+    |FROM ref_bins r LEFT JOIN cmp_bins c ON r.bin = c.bin
+    |ORDER BY bin
+    |""".stripMargin.trim
 
   /** DuckDB twin of [[paretoAbc]] over `lineitem`. */
   val paretoAbcOracleSql: String =

@@ -81,8 +81,15 @@ object SuffixArray {
                              keys: Seq[String]): DataFrame = {
     val kCols = keys.map(col)
     val nPart = distinctKeys.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint is LOAD-BEARING (same reason as groupIds'
+    // note below): the broadcast `bases` job and the final join job
+    // would otherwise each re-evaluate this lineage, and the range
+    // partitioner's sample seed varies with the RDD id — differing
+    // boundary draws would make `__pid` disagree between the two
+    // passes and corrupt the ranks.
     val ranged = distinctKeys.repartitionByRange(nPart, kCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("__pid")).orderBy(kCols: _*)
     val local = ranged.withColumn("__li", row_number().over(wLocal))
     val wBase = Window.orderBy(col("__pid"))

@@ -94,4 +94,50 @@ class ProfilerSpec extends SparkSpec {
     assert(got(("b", "2024-01-08")) == 1L)
     assert(got(("a", "2024-01-08")) == 0L)
   }
+
+  test("driftCheck: identical halves have zero drift; a shift shows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def li(cents: Long, ok: Long, ship: String) =
+      (cents / 100.0, ok, 1L, Timestamp.valueOf(s"$ship 00:00:00"))
+    // ref: prices 100..1000 (cents 10000..100000); cmp identical
+    val same = (1 to 100).map(i => li(i * 1000L, i, "1998-01-01")) ++
+      (1 to 100).map(i => li(i * 1000L, 1000L + i, "1999-01-01"))
+    val df0 = same.toDF("l_extendedprice", "l_orderkey", "l_linenumber",
+      "l_shipdate")
+    val zero = Profiler.driftCheck(df0, "1998-06-01")
+      .agg(sum("drift_ppm")).first().getLong(0)
+    assert(zero == 0L)
+
+    // cmp shifted entirely above ref's max -> all rows in bin 10
+    val shifted = (1 to 100).map(i => li(i * 1000L, i, "1998-01-01")) ++
+      (1 to 100).map(i => li(500000L + i * 1000L, 1000L + i, "1999-01-01"))
+    val df1 = shifted.toDF("l_extendedprice", "l_orderkey", "l_linenumber",
+      "l_shipdate")
+    val got = Profiler.driftCheck(df1, "1998-06-01")
+      .select("bin", "n_ref", "n_cmp", "drift_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 10)
+    (1L to 9L).foreach { b =>
+      assert(got(b) == ((10L, 0L, 100000L)), s"bin $b: ${got(b)}")
+    }
+    assert(got(10L) == ((10L, 100L, 900000L)))
+  }
+
+  test("layoutSkipping: zorder scans fewer files than natural on a " +
+    "cross-dimension predicate; matching rows are never skipped") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val got = graft.ext.Layout.layoutSkipping(orders, 64,
+        100L, 199L, "1997-06-01", "1997-08-31")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nfN, fsN, rsN, m) = got("natural")
+    val (nfZ, fsZ, rsZ, m2) = got("zorder")
+    assert(nfN == nfZ && m == m2)
+    // zone maps are sound: scanned rows always cover the matches
+    assert(rsN >= m && rsZ >= m)
+    // and the z-order layout prunes at least as well as time-append
+    assert(fsZ <= fsN)
+  }
 }
