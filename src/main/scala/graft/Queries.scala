@@ -1470,6 +1470,25 @@ object Queries {
           .orderBy("bin"),
       Some(ext.Profiler.driftCheckOracleSql("1998-06-01"))),
 
+    // Per-segment box-plot profile: exact quarter-scaled quartiles,
+    // IQR and 1.5-IQR outlier counts, all-integer across engines
+    ("boxplot_stats",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.boxplotStats(t(s, d, "orders"),
+          col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long"))
+          .orderBy("grp"),
+      Some(ext.Profiler.boxplotStatsOracleSql("orders", "o_orderpriority",
+        "CAST(o_totalprice AS DECIMAL(14,2)) * 100"))),
+
+    // Gini concentration of revenue across customers: the rank
+    // identity in exact integer ppm over the two-phase global rank
+    ("gini_revenue",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.giniConcentration(t(s, d, "orders"),
+          col("o_custkey"), col("o_totalprice")),
+      Some(ext.Profiler.giniRevenueOracleSql)),
+
     // ABC/Pareto revenue banding: global cumulative-share over parts
     // ordered by revenue desc — the two-phase range cumsum (never a
     // single-task sort), exact integer ppm banding on cent-exact sums

@@ -171,6 +171,111 @@ object Profiler {
         abs(col("share_ref_ppm") - col("share_cmp_ppm")))
   }
 
+  /** Per-group box-plot statistics — quartiles, IQR, whisker fences,
+    * and the count beyond the 1.5·IQR fences — the distribution
+    * summary a profiler publishes per segment. Quartiles of INTEGER
+    * data are exact quarter-integers (the interpolation position
+    * 0.25·(n−1) and the lerp weights are dyadic, so nothing ever
+    * rounds), hence everything is published ×4 in BIGINT — q1_x4,
+    * med_x4, q3_x4, iqr_x4 — and the outlier test is the pure integer
+    * comparison 8·x vs 8·q ± 12·iqr (fences are exact eighths).
+    * Engines agree bit-for-bit; no double crosses the boundary.
+    * One hash aggregate per group for the quartiles (exact
+    * percentile: per-group sort of segment-bounded groups) + one
+    * fence recount. */
+  def boxplotStats(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val rows = df.select(group.as("grp"), value.cast("long").as("x"))
+    val q = rows.groupBy("grp").agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      (expr("percentile(x, 0.25)") * 4).cast("long").as("q1_x4"),
+      (expr("percentile(x, 0.5)") * 4).cast("long").as("med_x4"),
+      (expr("percentile(x, 0.75)") * 4).cast("long").as("q3_x4"))
+      .withColumn("iqr_x4", col("q3_x4") - col("q1_x4"))
+    rows.join(q, "grp")
+      .groupBy(col("grp"), col("n_rows"), col("q1_x4"), col("med_x4"),
+        col("q3_x4"), col("iqr_x4"))
+      .agg(sum(when(
+          col("x") * 8 < col("q1_x4") * 2 - col("iqr_x4") * 3 ||
+            col("x") * 8 > col("q3_x4") * 2 + col("iqr_x4") * 3,
+          1L).otherwise(0L)).cast("long").as("n_outliers"))
+      .select("grp", "n_rows", "q1_x4", "med_x4", "q3_x4", "iqr_x4",
+        "n_outliers")
+  }
+
+  /** DuckDB twin of [[boxplotStats]] for `valueExpr` grouped by
+    * `groupExpr` over `table`. */
+  def boxplotStatsOracleSql(table: String, groupExpr: String,
+                            valueExpr: String): String =
+    s"""
+    |WITH rows0 AS (
+    |  SELECT $groupExpr AS grp, CAST($valueExpr AS BIGINT) AS x
+    |  FROM $table),
+    |q AS (
+    |  SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+    |    CAST(4 * quantile_cont(x, 0.25) AS BIGINT) AS q1_x4,
+    |    CAST(4 * quantile_cont(x, 0.5) AS BIGINT) AS med_x4,
+    |    CAST(4 * quantile_cont(x, 0.75) AS BIGINT) AS q3_x4
+    |  FROM rows0 GROUP BY grp)
+    |SELECT grp, n_rows, q1_x4, med_x4, q3_x4,
+    |  q3_x4 - q1_x4 AS iqr_x4,
+    |  CAST(sum(CASE WHEN x * 8 < q1_x4 * 2 - (q3_x4 - q1_x4) * 3
+    |    OR x * 8 > q3_x4 * 2 + (q3_x4 - q1_x4) * 3
+    |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    |FROM rows0 JOIN q USING (grp)
+    |GROUP BY grp, n_rows, q1_x4, med_x4, q3_x4
+    |ORDER BY grp
+    |""".stripMargin.trim
+
+  /** Gini coefficient of a value's concentration across entities —
+    * "what share of revenue do the top customers hold?" as ONE
+    * number, the inequality audit behind every skew/concentration
+    * dashboard. Computed from the rank identity
+    *
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),  xᵢ ascending, i = 1..n
+    *
+    * entirely in integers: per-entity cent-exact sums, ascending rank
+    * from the two-phase [[globalCumsum]] (tie-broken by entity id —
+    * never a single-task sort), decimal(38,0) moment folds, exact ppm
+    * division at the end. Output is one row; engines agree exactly. */
+  def giniConcentration(df: DataFrame, entity: Column,
+                        value: Column): DataFrame = {
+    val sums = df.groupBy(entity.cast("long").as("ent"))
+      .agg((sum(value.cast("decimal(14,2)")) * 100).cast("long")
+        .as("cents"))
+    val ranked = globalCumsum(sums,
+      Seq(col("cents").asc, col("ent").asc), lit(1L), "rk")
+    ranked.agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("cents").cast("decimal(38,0)")).as("__sx"),
+        sum(col("rk").cast("decimal(38,0)") *
+          col("cents").cast("decimal(38,0)")).as("__sr"))
+      .select(col("__n").cast("long").as("n_entities"),
+        col("__sx").cast("long").as("total_cents"),
+        expr("((__sr * 2 - (__n + 1) * __sx) * 1000000) div (__n * __sx)")
+          .cast("long").as("gini_ppm"))
+  }
+
+  /** DuckDB twin of [[giniConcentration]] for revenue per customer
+    * (orders.o_totalprice by o_custkey). */
+  val giniRevenueOracleSql: String =
+    """
+    |WITH sums AS (
+    |  SELECT CAST(o_custkey AS BIGINT) AS ent,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS cents
+    |  FROM orders GROUP BY 1),
+    |ranked AS (
+    |  SELECT cents,
+    |    CAST(row_number() OVER (ORDER BY cents, ent) AS HUGEINT) AS rk
+    |  FROM sums)
+    |SELECT CAST(count(*) AS BIGINT) AS n_entities,
+    |  CAST(sum(cents) AS BIGINT) AS total_cents,
+    |  CAST((2 * sum(rk * CAST(cents AS HUGEINT))
+    |      - (count(*) + 1) * sum(CAST(cents AS HUGEINT))) * 1000000
+    |    // (count(*) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_ppm
+    |FROM ranked
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[driftCheck]] over `lineitem`. */
   def driftCheckOracleSql(pivotDate: String, nBins: Int = 10): String =
     s"""

@@ -125,6 +125,42 @@ class ProfilerSpec extends SparkSpec {
     assert(got(10L) == ((10L, 100L, 900000L)))
   }
 
+  test("boxplotStats: hand-checked quartiles, fences, outliers") {
+    import spark.implicits._
+    // group a: 1..8 plus outlier 100.
+    // sorted: 1,2,3,4,5,6,7,8,100 (n=9): q1 at pos 2 -> 3, med 5, q3 7.
+    // fences: 3-1.5*4=-3, 7+1.5*4=13 -> only 100 is out.
+    val df = ((1L to 8L) :+ 100L).map(("a", _)).toDF("g", "v")
+    val got = Profiler.boxplotStats(df, col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("a", 9L, 12L, 20L, 28L, 16L, 1L)))
+  }
+
+  test("boxplotStats: interpolated quartiles are exact quarters") {
+    import spark.implicits._
+    // n=4: 10,20,30,40 -> q1 pos 0.75 -> 17.5 (x4=70), med 25 (x4=100),
+    // q3 pos 2.25 -> 32.5 (x4=130)
+    val df = Seq(10L, 20L, 30L, 40L).map(("a", _)).toDF("g", "v")
+    val got = Profiler.boxplotStats(df, col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("a", 4L, 70L, 100L, 130L, 60L, 0L)))
+  }
+
+  test("giniConcentration: uniform ~0, single-holder -> (n-1)/n") {
+    import spark.implicits._
+    val uniform = (1L to 100L).map(i => (i, 50.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g0 = Profiler.giniConcentration(uniform, col("o_custkey"),
+      col("o_totalprice")).first().getLong(2)
+    assert(g0 == 0L)
+    // one customer holds everything: G = (n-1)/n = 0.99
+    val single = ((1L to 99L).map(i => (i, 0.0)) :+ (100L, 1000.0))
+      .toDF("o_custkey", "o_totalprice")
+    val g1 = Profiler.giniConcentration(single, col("o_custkey"),
+      col("o_totalprice")).first().getLong(2)
+    assert(g1 == 990000L)
+  }
+
   test("layoutSkipping: zorder scans fewer files than natural on a " +
     "cross-dimension predicate; matching rows are never skipped") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
