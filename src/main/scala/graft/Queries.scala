@@ -792,6 +792,42 @@ object Queries {
           col("text"), 3, 4, 5).orderBy("d1", "d2"),
       Some(Dedup.ngramJaccardOracleSql(3, 4, 5))),
 
+    // Point-in-time SCD2 snapshot: the dim exactly as a literal
+    // timestamp saw it — the time-travel read every type-2 warehouse
+    // answers with one interval predicate over the version chain
+    ("dim_snapshot",
+      (s: SparkSession, d: String) =>
+        scd2Versions(s, d)
+          .filter(col("active_from") <= ts("2024-02-01 00:00:00") &&
+            col("active_to") > ts("2024-02-01 00:00:00"))
+          .select("nk", "attr_type", "attr_value", "active_from")
+          .orderBy("nk"),
+      Some(s"""WITH $scd2Cte
+        |SELECT nk, attr_type, attr_value, active_from FROM v
+        |WHERE active_from <= TIMESTAMP '2024-02-01 00:00:00'
+        |  AND active_to > TIMESTAMP '2024-02-01 00:00:00'
+        |ORDER BY nk""".stripMargin)),
+
+    // Market-basket lift over co-ordered part pairs: exact ppm
+    // observed/expected ratio, support cut before the marginal joins
+    ("basket_lift",
+      (s: SparkSession, d: String) =>
+        ext.Graph.basketLift(t(s, d, "lineitem"), 2L)
+          .orderBy("u", "v"),
+      Some(ext.Graph.basketLiftOracleSql(2L))),
+
+    // k-anonymity release gate: QI group-size histogram after
+    // generalization (nation x segment x 1000-bucketed balance)
+    ("k_anonymity",
+      (s: SparkSession, d: String) =>
+        ext.Privacy.kAnonymity(t(s, d, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            ext.Privacy.bucketize(col("c_acctbal"), 1000L)), 5L)
+          .orderBy("group_size"),
+      Some(ext.Privacy.kAnonymityOracleSql("customer",
+        Seq("c_nationkey", "c_mktsegment",
+          ext.Privacy.bucketizeSql("c_acctbal", 1000L)), 5L))),
+
     // Corpus novelty curve: per-doc share of first-seen n-grams
     // (min-doc_id witness) — the "is this source mined out?" measure
     ("ngram_novelty",

@@ -80,6 +80,64 @@ object Graph {
   def coOrderTriangles(lineitem: DataFrame): DataFrame =
     triangleCounts(coEdges(lineitem, col("l_orderkey"), col("l_partkey")))
 
+  /** Market-basket association strength: for every pair of parts
+    * co-ordered at least `minSupport` times, the support counts and
+    * the LIFT — observed co-occurrence over the independence
+    * expectation, lift = n_ab·N / (n_a·n_b) — as an exact integer ppm
+    * ratio (a float lift is fold-order-dependent; the ppm form is
+    * bit-identical across engines). Lift > 1e6 ppm = the pair
+    * attracts; < 1e6 = it repels.
+    *
+    * Shape: one distinct projection of (order, part), one order-keyed
+    * self-join for pair counts (bounded by Σ lines(order)² — basket
+    * sizes, not catalog size), one part-keyed agg for the marginals,
+    * and the marginals join back by part key. The total-orders scalar
+    * rides a broadcast 1-row cross join. The `minSupport` cut is
+    * applied BEFORE the marginal joins, so the heavy pair tail never
+    * shuffles twice. */
+  def basketLift(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    val g = lineitem.select(col("l_orderkey").as("o"),
+      col("l_partkey").cast("long").as("i")).distinct()
+    val nOrders = g.select(col("o")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val marg = g.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val a = g.select(col("o"), col("i").as("u"))
+    val b = g.select(col("o"), col("i").as("v"))
+    val pairs = a.join(b, Seq("o")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(marg.select(col("i").as("u"), col("n_i").as("n_a")), "u")
+      .join(marg.select(col("i").as("v"), col("n_i").as("n_b")), "v")
+      .crossJoin(broadcast(nOrders))
+      .select(col("u"), col("v"), col("n_ab").cast("long").as("n_ab"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        expr("(n_ab * __n * 1000000) div (n_a * n_b)").as("lift_ppm"))
+  }
+
+  /** DuckDB twin of [[basketLift]] over `lineitem`. */
+  def basketLiftOracleSql(minSupport: Long): String =
+    s"""
+    |WITH g AS (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |n AS (SELECT count(DISTINCT o) AS total FROM g),
+    |marg AS (SELECT i, count(*) AS n_i FROM g GROUP BY i),
+    |pairs AS (
+    |  SELECT a.i AS u, b.i AS v, count(*) AS n_ab
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  GROUP BY 1, 2 HAVING count(*) >= $minSupport)
+    |SELECT u, v, CAST(n_ab AS BIGINT) AS n_ab,
+    |  CAST(ma.n_i AS BIGINT) AS n_a, CAST(mb.n_i AS BIGINT) AS n_b,
+    |  CAST(n_ab * total * 1000000 // (ma.n_i * mb.n_i) AS BIGINT)
+    |    AS lift_ppm
+    |FROM pairs JOIN marg ma ON ma.i = u
+    |           JOIN marg mb ON mb.i = v
+    |           CROSS JOIN n
+    |ORDER BY u, v
+    |""".stripMargin.trim
+
   /** DuckDB twin: plain 3-way join on the distinct co-order edges —
     * correct at oracle scale, wedge-unbounded at 100 TB (the plan
     * this operator's orientation exists to avoid). */

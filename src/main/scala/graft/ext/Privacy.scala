@@ -51,4 +51,41 @@ object Privacy {
 
   def bucketizeSql(c: String, width: Long): String =
     s"CAST(floor(CAST($c AS DOUBLE) / $width) * $width AS BIGINT)"
+
+  /** k-anonymity audit over a quasi-identifier tuple: the group-size
+    * histogram of the QI partition plus which sizes violate k — the
+    * release gate that says whether [[bucketize]]/[[maskDigits]]
+    * generalized ENOUGH. A row whose QI combination is shared by
+    * fewer than k individuals is re-identifiable by linkage; the
+    * histogram form (size → how many groups / rows) is what the
+    * privacy officer actually reads, and it is |distinct sizes|-
+    * bounded regardless of table size. Two hash aggregates — QI
+    * partition sizes, then the size histogram. */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame,
+                 quasiIds: Seq[Column], k: Long): org.apache.spark.sql.DataFrame =
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        (count(lit(1)) * col("group_size")).cast("long").as("n_rows"))
+      .select(col("group_size").cast("long").as("group_size"),
+        col("n_groups"), col("n_rows"),
+        when(col("group_size") < k, lit(1L)).otherwise(lit(0L))
+          .as("violates_k"))
+
+  /** DuckDB twin of [[kAnonymity]] for `qiExprs` over `table`. */
+  def kAnonymityOracleSql(table: String, qiExprs: Seq[String],
+                          k: Long): String =
+    s"""
+    |WITH groups AS (
+    |  SELECT ${qiExprs.mkString(", ")}, count(*) AS group_size
+    |  FROM $table GROUP BY ${(1 to qiExprs.size).mkString(", ")})
+    |SELECT CAST(group_size AS BIGINT) AS group_size,
+    |  CAST(count(*) AS BIGINT) AS n_groups,
+    |  CAST(count(*) * group_size AS BIGINT) AS n_rows,
+    |  CAST(CASE WHEN group_size < $k THEN 1 ELSE 0 END AS BIGINT)
+    |    AS violates_k
+    |FROM groups GROUP BY group_size
+    |ORDER BY group_size
+    |""".stripMargin.trim
 }

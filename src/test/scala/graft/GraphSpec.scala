@@ -23,6 +23,18 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(star).count() == 0)
   }
 
+  test("basketLift: hand-checked lift on a 4-basket fixture") {
+    // baskets: {1,2} {1,2} {1,3} {2,3} -> N=4
+    // pair (1,2): n_ab=2, n_1=3, n_2=3 -> lift = 2*4/9 = 0.888..
+    // pair (1,3): n_ab=1 < minSupport 2 -> cut
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.ext.Graph.basketLift(li, 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 3L, 3L, 888888L)))
+  }
+
   test("matches the naive 3-way join on the sf0.001 co-order graph") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val edges = Graph.coEdges(li, col("l_orderkey"), col("l_partkey"))

@@ -37,4 +37,19 @@ class PrivacySpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(out.toSeq == Seq(1000L, -1000L, 0L, 0L, 1000L))
   }
+
+  test("kAnonymity: size histogram and k-violation flags") {
+    import spark.implicits._
+    // QI groups: (a: 3 rows), (b: 3 rows), (c: 1 row), (d: 1 row),
+    // (e: 5 rows) -> sizes {1: 2 groups, 3: 2 groups, 5: 1 group}
+    val df = (Seq.fill(3)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d") ++
+      Seq.fill(5)("e")).toDF("qi")
+    val got = Privacy.kAnonymity(df, Seq(col("qi")), 5L)
+      .orderBy("group_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1L),   // singletons violate k=5
+      (3L, 2L, 6L, 1L),   // size-3 groups violate
+      (5L, 1L, 5L, 0L)))  // size-5 group is safe
+  }
 }
