@@ -502,4 +502,69 @@ object Streams {
         out.result().iterator
       }
   }
+
+  /** One DECIDED attribution on the stream: a source event matched to
+    * its first at-or-after target within tolerance, or null-attributed
+    * when the first target landed beyond it. */
+  case class AttributionResult(user_id: Long, event_id: Long, ts_us: Long,
+      to_event_id: Option[Long], to_ts_us: Option[Long],
+      lag_s: Option[Long])
+
+  /** Streaming forward as-of attribution — the incremental twin of
+    * [[graft.ext.Sessions.attributionAsof]]. Per-user keyed state
+    * holds the PENDING source events (clicks awaiting their first
+    * purchase); each arriving target DECIDES every pending source at
+    * or before it — matched when the lag fits the tolerance, null
+    * otherwise — and removes them from state. The in-batch event-time
+    * fold uses the batch's exact (ts, kind, event_id) tie order
+    * (sources before targets at the same instant, so same-instant
+    * targets attribute), so a single-batch run equals the batch
+    * operator row-for-row on every DECIDED source (StreamsSpec pins
+    * it). Sources with no subsequent target stay pending — online,
+    * "never converted" is unknowable without a horizon; a production
+    * deployment adds an event-time timeout at the tolerance to flush
+    * them as null rows once the watermark passes.
+    *
+    * State per user is the pending-source list — bounded by the
+    * source rate within one source→target gap, not by stream length
+    * (every target empties the backlog at or before it); one keyed
+    * shuffle, like the session ops. */
+  def attributionStream(events: DataFrame, fromType: String,
+                        toType: String,
+                        tolSeconds: Long): Dataset[AttributionResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tolUs = tolSeconds * 1000000L
+    events
+      .filter(col("event_type").isin(fromType, toType))
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id").cast("long"),
+        when(col("event_type") === toType, 1).otherwise(0).as("kind"))
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], AttributionResult](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, gs) =>
+        // pending sources as (event_id, ts_us), arrival order = time order
+        var pending: List[(Long, Long)] = if (gs.exists) gs.get else Nil
+        val out = List.newBuilder[AttributionResult]
+        it.toSeq.sortBy(r => (r._2, r._4, r._3)).foreach {
+          case (_, ts, id, kind) =>
+            if (kind == 0) pending = pending :+ (id -> ts)
+            else {
+              val (decided, rest) = pending.partition(_._2 <= ts)
+              decided.foreach { case (srcId, srcTs) =>
+                val lagUs = ts - srcTs
+                out += (if (lagUs <= tolUs)
+                  AttributionResult(user, srcId, srcTs, Some(id), Some(ts),
+                    Some(lagUs / 1000000L))
+                else AttributionResult(user, srcId, srcTs, None, None, None))
+              }
+              pending = rest
+            }
+        }
+        gs.update(pending)
+        out.result().iterator
+      }
+  }
 }

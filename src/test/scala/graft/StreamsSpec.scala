@@ -528,4 +528,40 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(indexDir).count() == idx.count(),
       "replay must append no chunks")
   }
+
+  test("attributionStream over one batch equals batch attribution on " +
+    "every decided source") {
+    import org.apache.spark.sql.streaming.Trigger
+    val oneFile = tmp("events-attribution")
+    Queries.eventsTable(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(oneFile)
+    val schema = spark.read.parquet(oneFile).schema
+    val q = Streams.attributionStream(
+        spark.readStream.schema(schema).parquet(oneFile),
+        "click", "purchase", 3600L)
+      .writeStream.format("memory").queryName("attribution_parity")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val got = spark.table("attribution_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+
+    val events = spark.read.parquet(oneFile)
+    val batch = Sessions.attributionAsof(events, "click", "purchase", 3600L)
+    // decided = clicks with SOME purchase at-or-after them (same user)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(max("ts").as("last_purchase"))
+    val want = batch.join(purchases, "user_id")
+      .filter(col("ts") <= col("last_purchase"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("event_id")) ->
+        (Option(r.getAs[Any]("to_event_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("lag_s")).map(_.asInstanceOf[Long]))).toMap
+    assert(want.nonEmpty, "fixture should decide some attributions")
+    assert(got == want,
+      s"stream decided set diverged: ${got.size} vs ${want.size}")
+  }
 }
