@@ -1534,6 +1534,22 @@ object Queries {
           col("l_extendedprice")).orderBy("part_id"),
       Some(ext.Profiler.paretoAbcOracleSql)),
 
+    // Day-of-week seasonality fingerprint per type: weekday share
+    // + deviation from flat-week, exact ppm, |types|x7 output
+    ("seasonality_profile",
+      (s: SparkSession, d: String) =>
+        Sessions.seasonalityProfile(t(s, d, "events"), col("event_type"),
+          col("ts")).orderBy("event_type", "dow"),
+      Some(Sessions.seasonalityProfileOracleSql())),
+
+    // Per-node clustering coefficient over the co-order graph:
+    // 2*tri/(deg*(deg-1)) exact ppm — the clique-ness health read
+    ("clustering_coeff",
+      (s: SparkSession, d: String) =>
+        ext.Graph.clusteringCoeff(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey"))).orderBy("node_id"),
+      Some(ext.Graph.coOrderClusteringOracleSql)),
+
     // Degree-oriented distributed triangle counting over the part
     // co-order graph — every wedge built once at its lowest-(deg,id)
     // apex (sqrt(m) out-degree bound); oracle is the plain 3-way join

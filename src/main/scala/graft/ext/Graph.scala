@@ -80,6 +80,57 @@ object Graph {
   def coOrderTriangles(lineitem: DataFrame): DataFrame =
     triangleCounts(coEdges(lineitem, col("l_orderkey"), col("l_partkey")))
 
+  /** Per-node local clustering coefficient in exact ppm —
+    * 2·triangles(v) / (deg(v)·(deg(v)−1)), "how clique-like is this
+    * node's neighborhood": the graph-health number read next to the
+    * raw triangle counts (link farms and boilerplate families show
+    * as high-cc clusters; organic catalogs sit low). Extends
+    * [[triangleCounts]] with one degree aggregate and a left join so
+    * triangle-free nodes keep cc = 0; degree-1 nodes (undefined
+    * denominator) publish 0 by convention. Integer division only. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(e), Seq("node_id"), "left")
+      .select(col("node_id"), col("degree").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"),
+        when(col("degree") >= 2,
+          expr("(coalesce(n_tri, 0) * 2 * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).cast("long").as("cc_ppm"))
+  }
+
+  /** DuckDB twin of [[clusteringCoeff]] over the co-order graph. */
+  val coOrderClusteringOracleSql: String =
+    """
+    |WITH e AS (
+    |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    |  FROM lineitem a JOIN lineitem b
+    |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    |deg AS (
+    |  SELECT node_id, count(*) AS degree
+    |  FROM (SELECT u AS node_id FROM e UNION ALL SELECT v FROM e)
+    |  GROUP BY 1),
+    |t AS (
+    |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+    |            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    |tri AS (
+    |  SELECT node_id, count(*) AS n_tri
+    |  FROM (SELECT a AS node_id FROM t UNION ALL
+    |        SELECT b FROM t UNION ALL SELECT c FROM t)
+    |  GROUP BY 1)
+    |SELECT CAST(d.node_id AS BIGINT) AS node_id,
+    |  CAST(degree AS BIGINT) AS degree,
+    |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+    |  CAST(CASE WHEN degree >= 2
+    |    THEN (coalesce(n_tri, 0) * 2 * 1000000) // (degree * (degree - 1))
+    |    ELSE 0 END AS BIGINT) AS cc_ppm
+    |FROM deg d LEFT JOIN tri ON tri.node_id = d.node_id
+    |ORDER BY node_id
+    |""".stripMargin.trim
+
   /** Market-basket association strength: for every pair of parts
     * co-ordered at least `minSupport` times, the support counts and
     * the LIFT — observed co-occurrence over the independence

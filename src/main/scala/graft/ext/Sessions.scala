@@ -477,6 +477,50 @@ object Sessions {
     * user-keyed windows + one user-keyed join, all sharing one
     * partitioning. Deterministic: ties broken by (ts, kind,
     * event_id). */
+  /** Day-of-week seasonality profile per event type: each weekday's
+    * share of the type's volume and its deviation from the flat-week
+    * expectation (1/7), both as exact integer ppm — the calendar
+    * fingerprint that separates "weekend product" from "office-hours
+    * product" and flags feeds whose weekly shape broke. Two
+    * hash aggregates ((type, dow) rollup + type totals joined back);
+    * |types|·7-bounded output. Monday = 1 … Sunday = 7 (ISO), pinned
+    * identically on both engines. */
+  def seasonalityProfile(events: DataFrame, typ: Column,
+                         ts: Column): DataFrame = {
+    val byDow = events
+      .select(typ.as("event_type"),
+        dayofweek(to_date(ts)).as("__dow_sun1"))
+      // Spark dayofweek: Sunday=1..Saturday=7 -> ISO Monday=1..Sunday=7
+      .withColumn("dow", ((col("__dow_sun1") + 5) % 7 + 1).cast("long"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = byDow.groupBy("event_type")
+      .agg(sum("n_events").as("__total"))
+    byDow.join(totals, "event_type")
+      .select(col("event_type"), col("dow"),
+        col("n_events").cast("long").as("n_events"),
+        expr("(n_events * 1000000) div __total").as("share_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - lit(1000000L / 7L))
+  }
+
+  /** DuckDB twin of [[seasonalityProfile]] over `events` (isodow:
+    * Monday = 1 … Sunday = 7, matching the Spark-side remap). */
+  def seasonalityProfileOracleSql(): String =
+    s"""
+    |WITH by_dow AS (
+    |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+    |    CAST(count(*) AS BIGINT) AS n_events
+    |  FROM events GROUP BY 1, 2),
+    |totals AS (
+    |  SELECT event_type, sum(n_events) AS total FROM by_dow GROUP BY 1)
+    |SELECT event_type, dow, n_events,
+    |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+    |  CAST(n_events * 1000000 // total - ${1000000L / 7L} AS BIGINT)
+    |    AS dev_ppm
+    |FROM by_dow JOIN totals USING (event_type)
+    |ORDER BY event_type, dow
+    |""".stripMargin.trim
+
   private val lagUsSql =
     "unix_micros(cast(to_ts as timestamp)) - unix_micros(cast(ts as timestamp))"
 

@@ -23,6 +23,22 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCounts(star).count() == 0)
   }
 
+  test("clusteringCoeff: K4 nodes cc=1, pendant and star cc=0") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = graft.ext.Graph.clusteringCoeff(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 1,2,3: degree 3, all 3 neighbor pairs connected -> cc = 1
+    assert(got(1L) == ((3L, 3L, 1000000L)))
+    assert(got(2L) == ((3L, 3L, 1000000L)))
+    assert(got(3L) == ((3L, 3L, 1000000L)))
+    // 4: degree 4, 3 triangles of C(4,2)=6 wedges -> 500000 ppm
+    assert(got(4L) == ((4L, 3L, 500000L)))
+    // 5: degree 1 -> cc 0 by convention
+    assert(got(5L) == ((1L, 0L, 0L)))
+  }
+
   test("basketLift: hand-checked lift on a 4-basket fixture") {
     // baskets: {1,2} {1,2} {1,3} {2,3} -> N=4
     // pair (1,2): n_ab=2, n_1=3, n_2=3 -> lift = 2*4/9 = 0.888..
