@@ -846,6 +846,19 @@ object Queries {
           col("text"), 40, 3).orderBy("doc_a", "doc_b"),
       Some(ext.FuzzyJoin.editNeardupOracleSql(40, 3))),
 
+    // Incremental twin: settled index never re-joins itself; the
+    // batch pays its own segments/probes, both pigeonhole
+    // orientations + cross short bucket keep it lossless
+    ("edit_neardup_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        ext.FuzzyJoin.editNeardupIncremental(
+          docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400),
+          col("doc_id"), col("text"), 40, 3).orderBy("doc_a", "doc_b")
+      },
+      Some(ext.FuzzyJoin.editNeardupIncrementalOracleSql(40, 3, 400L))),
+
     // The keep/drop decision: corpus minus docs with a smaller near-dup
     ("neardup_keep",
       (s: SparkSession, d: String) => {

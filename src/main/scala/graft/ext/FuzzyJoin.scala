@@ -40,26 +40,22 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  /** All unordered pairs of docs whose first `prefixLen` chars are
-    * within edit distance `k`, with the exact distance.
-    * Output: (doc_a, doc_b, dist) with doc_a < doc_b. */
-  def editNeardup(docs: DataFrame, id: Column, text: Column,
-                  prefixLen: Int, k: Int): DataFrame = {
-    require(k >= 1 && prefixLen > k, s"need prefixLen > k >= 1, got ($prefixLen, $k)")
-    val nSeg = k + 1
-    val base = docs
-      .filter(text.isNotNull)
+  /** (doc_id, s, len) with the truncation applied. */
+  private def prep(docs: DataFrame, id: Column, text: Column,
+                   prefixLen: Int): DataFrame =
+    docs.filter(text.isNotNull)
       .select(id.cast("long").as("doc_id"),
         substring(text, 1, prefixLen).as("s"))
       .withColumn("len", length(col("s")))
 
-    // --- main path: strings long enough to host k+1 segments -------
-    val main = base.filter(col("len") >= nSeg)
-
-    // index side: the k+1 even segments of each string. Segment i
-    // has length len/(k+1) (+1 for the first len mod (k+1) of them);
-    // start(i) = 1 + i*(len div nSeg) + min(i, len mod nSeg).
-    val segs = main.select(col("doc_id"), col("len"), col("s"),
+  /** Index side: the k+1 even segments of each ≥(k+1)-char string.
+    * Segment i has length len/(k+1) (+1 for the first len mod (k+1)
+    * of them); start(i) = 1 + i·(len div nSeg) + min(i, len mod
+    * nSeg). Emits (doc_a, la, p, seg). */
+  private def segments(base: DataFrame, k: Int): DataFrame = {
+    val nSeg = k + 1
+    base.filter(col("len") >= nSeg)
+      .select(col("doc_id"), col("len"), col("s"),
         explode(transform(sequence(lit(0), lit(k)), i => {
           val q = col("len").cast("int") / lit(nSeg)
           val base0 = floor(q).cast("int")
@@ -70,11 +66,16 @@ object FuzzyJoin {
         })).as("g"))
       .select(col("doc_id").as("doc_a"), col("len").as("la"),
         col("g.p").as("p"), col("s").substr(col("g.p"), col("g.sl")).as("seg"))
+  }
 
-    // probe side: every substring whose length equals SOME partner's
-    // segment length — partner lengths la ∈ [lb−k, lb+k], so segment
-    // lengths span [max(1,(lb−k) div nSeg), (lb+k+nSeg−1) div nSeg].
-    val subs = main.select(col("doc_id"), col("len"), col("s"),
+  /** Probe side: every substring whose length equals SOME partner's
+    * segment length — partner lengths la ∈ [lb−k, lb+k], so segment
+    * lengths span [max(1,(lb−k) div nSeg), (lb+k+nSeg−1) div nSeg].
+    * Emits (doc_b, lb, j, sub). */
+  private def probes(base: DataFrame, k: Int): DataFrame = {
+    val nSeg = k + 1
+    base.filter(col("len") >= nSeg)
+      .select(col("doc_id"), col("len"), col("s"),
         explode(flatten(transform(
           sequence(
             greatest(lit(1), floor((col("len") - lit(k)) / lit(nSeg)).cast("int")),
@@ -85,40 +86,83 @@ object FuzzyJoin {
             j => struct(j.as("j"), col("s").substr(j, l).as("sub")))))).as("g"))
       .select(col("doc_id").as("doc_b"), col("len").as("lb"),
         col("g.j").as("j"), col("g.sub").as("sub"))
+  }
 
-    val mainCand = segs.join(subs,
+  /** Pigeonhole candidate pairs segs(A) ⋈ probes(B) with the length
+    * and shift bands, as raw (doc_a, doc_b) id pairs. */
+  private def candJoin(segs: DataFrame, subs: DataFrame,
+                       k: Int): DataFrame =
+    segs.join(subs,
         col("seg") === col("sub") &&
           col("doc_a") =!= col("doc_b") &&
           abs(col("la") - col("lb")) <= k &&
           abs(col("j") - col("p")) <= k)
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
 
-    // --- short bucket: len ≤ k strings (no k+1-segment pigeonhole).
-    // Banded cross over only these against partners within the band.
-    val shorts = base.filter(col("len") <= k)
-      .select(col("doc_id").as("doc_a"), col("len").as("la"),
-        col("s").as("sa"))
-    val partners = base.filter(col("len") <= 2 * k)
-      .select(col("doc_id").as("doc_b"), col("len").as("lb"),
-        col("s").as("sb"))
-    val shortCand = shorts.join(partners,
+  /** Short-bucket candidates: ≤k-char strings of `shorts` against
+    * ≤2k-char partners within the length band (no k+1-segment
+    * pigeonhole exists below k+1 chars). */
+  private def shortCand(shorts: DataFrame, partners: DataFrame,
+                        k: Int): DataFrame =
+    shorts.filter(col("len") <= k)
+      .select(col("doc_id").as("doc_a"), col("len").as("la"))
+      .join(partners.filter(col("len") <= 2 * k)
+          .select(col("doc_id").as("doc_b"), col("len").as("lb")),
         col("doc_a") =!= col("doc_b") &&
           abs(col("la") - col("lb")) <= k)
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
 
-    val cand = mainCand.union(shortCand).distinct()
-
-    // --- verify: exact threshold levenshtein (codegen, banded DP;
-    // -1 when the distance exceeds k).
-    val sa = base.select(col("doc_id").as("doc_a"), col("s").as("sa"))
-    val sb = base.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+  /** Verify raw candidate id pairs with the codegen threshold
+    * levenshtein (banded DP, -1 above k); emits (doc_a, doc_b, dist). */
+  private def verify(cand: DataFrame, baseA: DataFrame, baseB: DataFrame,
+                     k: Int): DataFrame = {
+    val sa = baseA.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val sb = baseB.select(col("doc_id").as("doc_b"), col("s").as("sb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("dist",
         expr(s"levenshtein(sa, sb, $k)").cast("long"))
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** All unordered pairs of docs whose first `prefixLen` chars are
+    * within edit distance `k`, with the exact distance.
+    * Output: (doc_a, doc_b, dist) with doc_a < doc_b. */
+  def editNeardup(docs: DataFrame, id: Column, text: Column,
+                  prefixLen: Int, k: Int): DataFrame = {
+    require(k >= 1 && prefixLen > k, s"need prefixLen > k >= 1, got ($prefixLen, $k)")
+    val base = prep(docs, id, text, prefixLen)
+    val cand = candJoin(segments(base, k), probes(base, k), k)
+      .union(shortCand(base, base, k))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    verify(cand, base, base, k)
+  }
+
+  /** Incremental twin — the `dedup_incremental` contract for the
+    * edit-distance engine: only INDEX×BATCH pairs are produced (the
+    * settled index never re-joins itself; the arriving batch pays its
+    * own segments/probes and one content-keyed join against the
+    * index). The pigeonhole needs the SEGMENT side ≥ k+1 chars, so
+    * both orientations run (index segments × batch substrings and
+    * vice versa — a pair is caught whenever EITHER end can host k+1
+    * segments) plus the cross short bucket for ≤k-char strings.
+    * Output: (doc_a ∈ index, doc_b ∈ batch, dist). */
+  def editNeardupIncremental(index: DataFrame, batch: DataFrame,
+                             id: Column, text: Column,
+                             prefixLen: Int, k: Int): DataFrame = {
+    require(k >= 1 && prefixLen > k, s"need prefixLen > k >= 1, got ($prefixLen, $k)")
+    val bi = prep(index, id, text, prefixLen)
+    val bb = prep(batch, id, text, prefixLen)
+    val flip = (df: DataFrame) =>
+      df.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+    val cand = candJoin(segments(bi, k), probes(bb, k), k)
+      .union(flip(candJoin(segments(bb, k), probes(bi, k), k)))
+      .union(shortCand(bi, bb, k))
+      .union(flip(shortCand(bb, bi, k)))
+      .distinct()
+    verify(cand, bi, bb, k)
   }
 
   /** Brute-force twin of [[editNeardup]] (spec-only losslessness
@@ -135,6 +179,23 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
+
+  /** DuckDB twin of [[editNeardupIncremental]] over `documents`
+    * split at `splitId` (index < splitId ≤ batch). */
+  def editNeardupIncrementalOracleSql(prefixLen: Int, k: Int,
+                                      splitId: Long): String =
+    s"""
+    |WITH p AS (
+    |  SELECT doc_id, substr(text, 1, $prefixLen) AS s
+    |  FROM documents WHERE text IS NOT NULL)
+    |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    |FROM p a JOIN p b
+    |  ON a.doc_id < $splitId AND b.doc_id >= $splitId
+    | AND abs(length(a.s) - length(b.s)) <= $k
+    | AND levenshtein(a.s, b.s) <= $k
+    |ORDER BY doc_a, doc_b
+    |""".stripMargin.trim
 
   /** DuckDB twin over `documents` — the nested-loop form with the
     * same length band, feasible at oracle scale only. */

@@ -50,6 +50,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.contains((8L, 9L, 3L)))
   }
 
+  test("incremental: exactly the cross pairs, lossless vs brute") {
+    val idx = corpus.filter(col("doc_id") <= 6)
+    val batch = corpus.filter(col("doc_id") > 6)
+    val got = FuzzyJoin.editNeardupIncremental(idx, batch,
+        col("doc_id"), col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute cross pairs: full brute restricted to idx x batch
+    val brute = FuzzyJoin.editNeardupBrute(corpus, col("doc_id"),
+        col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => p._1 <= 6 && p._2 > 6)
+    assert(got == brute)
+    // the short-cross pair (ab=7 in batch? no: 7,8 in batch) —
+    // idx-side "flamingo"(5)/"flamingos"(6) never pair intra-index
+    assert(got.forall { case (a, b, _) => a <= 6 && b > 6 })
+  }
+
   test("lossless on the sf0.001 documents fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fast = FuzzyJoin.editNeardup(docs, col("doc_id"), col("text"), 40, 3)
