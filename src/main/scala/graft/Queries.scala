@@ -846,6 +846,14 @@ object Queries {
           col("text"), 40, 3).orderBy("doc_a", "doc_b"),
       Some(ext.FuzzyJoin.editNeardupOracleSql(40, 3))),
 
+    // Entity resolution over the edit-distance graph: transitive
+    // closure via the shared star-contraction core + canonical pick
+    ("edit_components",
+      (s: SparkSession, d: String) =>
+        ext.FuzzyJoin.editComponents(t(s, d, "documents"), col("doc_id"),
+          col("text"), 40, 3).orderBy("doc_id"),
+      Some(ext.FuzzyJoin.editComponentsOracleSql(40, 3))),
+
     // Incremental twin: settled index never re-joins itself; the
     // batch pays its own segments/probes, both pigeonhole
     // orientations + cross short bucket keep it lossless

@@ -165,6 +165,52 @@ object FuzzyJoin {
     verify(cand, bi, bb, k)
   }
 
+  /** Entity-resolution labels over the edit-distance graph:
+    * transitive closure of [[editNeardup]] pairs via the shared
+    * bounded star-contraction core ([[Dedup.starComponents]] —
+    * ⌈log₂e⌉+2 rounds, no driver iteration), with the canonical
+    * member (minimum id, the library-wide witness convention) and a
+    * keep flag per doc. The chain A↔B↔C that pairwise one-hop dedup
+    * splits inconsistently resolves to ONE canonical here — the same
+    * reason neardup_components exists for the hash engines, applied
+    * to the exact-edit-distance signal. */
+  def editComponents(docs: DataFrame, id: Column, text: Column,
+                     prefixLen: Int, k: Int): DataFrame = {
+    val pairs = editNeardup(docs, id, text, prefixLen, k)
+      .select(col("doc_a").as("d1"), col("doc_b").as("d2"))
+    val vertices = docs.filter(text.isNotNull)
+      .select(id.cast("long").as("doc_id"))
+    Dedup.starComponents(pairs, vertices)
+      .select(col("doc_id"), col("component"),
+        when(col("doc_id") === col("component"), 1L).otherwise(0L)
+          .as("is_canonical"))
+  }
+
+  /** DuckDB twin of [[editComponents]] over `documents` (recursive
+    * CTE closure over the banded nested-loop pair set). */
+  def editComponentsOracleSql(prefixLen: Int, k: Int): String =
+    s"""
+    |WITH RECURSIVE p AS (
+    |  SELECT doc_id, substr(text, 1, $prefixLen) AS s
+    |  FROM documents WHERE text IS NOT NULL),
+    |pairs AS (
+    |  SELECT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM p a JOIN p b
+    |    ON a.doc_id < b.doc_id
+    |   AND abs(length(a.s) - length(b.s)) <= $k
+    |   AND levenshtein(a.s, b.s) <= $k),
+    |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    |reach(doc_id, label) AS (
+    |  SELECT doc_id, doc_id FROM p
+    |  UNION
+    |  SELECT e.d1, r.label FROM edges e JOIN reach r ON r.doc_id = e.d2)
+    |SELECT doc_id, min(label) AS component,
+    |  CAST(CASE WHEN doc_id = min(label) THEN 1 ELSE 0 END AS BIGINT)
+    |    AS is_canonical
+    |FROM reach GROUP BY doc_id
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
   /** Brute-force twin of [[editNeardup]] (spec-only losslessness
     * witness — the O(n²) plan this operator exists to avoid). */
   def editNeardupBrute(docs: DataFrame, id: Column, text: Column,

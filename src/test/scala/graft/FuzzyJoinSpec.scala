@@ -67,6 +67,24 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => a <= 6 && b > 6 })
   }
 
+  test("editComponents: the kitten chain resolves to one canonical") {
+    val got = FuzzyJoin.editComponents(corpus, col("doc_id"),
+        col("text"), 40, 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // kitten(1)/sitting(2)/kitten(3)/mitten(4) chain -> component 1
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((1L, 0L)))
+    assert(got(3L) == ((1L, 0L)))
+    assert(got(4L) == ((1L, 0L)))
+    // flamingo family -> component 5
+    assert(got(5L) == ((5L, 1L)))
+    assert(got(6L) == ((5L, 0L)))
+    // singleton stays self-labeled canonical
+    assert(got(10L) == ((10L, 1L)))
+    assert(got.size == corpus.count())
+  }
+
   test("lossless on the sf0.001 documents fixture") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fast = FuzzyJoin.editNeardup(docs, col("doc_id"), col("text"), 40, 3)
