@@ -41,8 +41,15 @@ object Graph {
   /** Per-node triangle participation counts over undirected edges
     * (u < v). Output: (node_id, n_tri) for nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // the edge relation feeds THREE consumers (degrees, orientation,
+    // closing probe). Catalyst's ReusedExchange dedups identical
+    // subtrees when it can, but the pin guarantees one materialization
+    // of the m edge rows regardless of how AQE re-plans each consumer
+    // — and makes the upstream distinct's cost appear once in any
+    // profile instead of ambiguously shared.
     val e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v"))
+      .localCheckpoint()
 
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
