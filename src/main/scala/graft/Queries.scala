@@ -1527,6 +1527,30 @@ object Queries {
           .orderBy("bin"),
       Some(ext.Profiler.driftCheckOracleSql("1998-06-01"))),
 
+    // ANALYZE-style equi-depth histogram: 20 near-equal-count value
+    // buckets of price cents, integer bounds from the two-phase rank
+    ("equi_depth_hist",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.equiDepthHist(
+          t(s, d, "lineitem").withColumn("__cents",
+            (col("l_extendedprice").cast("decimal(14,2)") * 100)
+              .cast("long")),
+          col("__cents"), Seq(col("l_orderkey"), col("l_linenumber")), 20)
+          .orderBy("bin"),
+      Some(ext.Profiler.equiDepthHistOracleSql(20))),
+
+    // Exact Spearman rank correlation (deterministic tie-broken
+    // ranks, canonical pairing of fully-identical rows, the no-ties
+    // identity as an exact rational ppm) — quantity vs price
+    ("spearman_corr",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.spearmanCorr(t(s, d, "lineitem"),
+          col("l_quantity"),
+          (col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("long"),
+          Seq(col("l_orderkey"), col("l_linenumber"))),
+      Some(ext.Profiler.spearmanOracleSql)),
+
     // Per-segment box-plot profile: exact quarter-scaled quartiles,
     // IQR and 1.5-IQR outlier counts, all-integer across engines
     ("boxplot_stats",

@@ -226,6 +226,135 @@ object Profiler {
     |ORDER BY grp
     |""".stripMargin.trim
 
+  /** Equi-depth histogram — the optimizer-statistics artifact behind
+    * every ANALYZE TABLE: `nBins` buckets of (as close as integer
+    * arithmetic allows) equal row count, each with its value bounds
+    * and exact population. Equi-WIDTH histograms collapse under skew
+    * (one hot bucket, the rest empty); equi-depth adapts bin edges to
+    * the data and is what join-cardinality estimation actually wants.
+    * Same rank discipline as [[driftCheck]]: two-phase global rank
+    * (never a single-task sort), the explicit ntile formula, bounds
+    * as min/max INTEGERS per tile — no interpolated doubles. */
+  def equiDepthHist(df: DataFrame, value: Column, tieBreak: Seq[Column],
+                    nBins: Int): DataFrame = {
+    val rows = df.select((value.cast("long").as("x") +: tieBreak): _*)
+    val n = rows.agg(count(lit(1)).as("__n"))
+    globalCumsum(rows,
+        col("x").asc +: tieBreak.map(_.asc), lit(1L), "rk")
+      .crossJoin(broadcast(n))
+      .withColumn("bin", expr(s"((rk - 1) * $nBins) div __n + 1"))
+      .groupBy("bin")
+      .agg(min("x").cast("long").as("lo"), max("x").cast("long").as("hi"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .select(col("bin").cast("long").as("bin"), col("lo"), col("hi"),
+        col("n_rows"))
+  }
+
+  /** DuckDB twin of [[equiDepthHist]] for cent-exact
+    * l_extendedprice over `lineitem`. */
+  def equiDepthHistOracleSql(nBins: Int): String =
+    s"""
+    |WITH rows0 AS (
+    |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+    |      AS x,
+    |    l_orderkey, l_linenumber
+    |  FROM lineitem),
+    |ranked AS (
+    |  SELECT x,
+    |    ((row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) - 1)
+    |      * $nBins) // (SELECT count(*) FROM rows0) + 1 AS bin
+    |  FROM rows0)
+    |SELECT CAST(bin AS BIGINT) AS bin,
+    |  CAST(min(x) AS BIGINT) AS lo, CAST(max(x) AS BIGINT) AS hi,
+    |  CAST(count(*) AS BIGINT) AS n_rows
+    |FROM ranked GROUP BY bin ORDER BY bin
+    |""".stripMargin.trim
+
+  /** Spearman rank correlation between two measures, EXACT: both
+    * columns are ranked under a deterministic total preorder (value,
+    * other value, caller keys — so only FULLY identical rows tie),
+    * making ranks distinct 1..n, and the no-ties identity
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) is an exact rational — the published
+    * ppm value is bit-identical across engines, no Pearson float
+    * folds, no sqrt. (The tie-broken ordering is the operator's
+    * declared semantics under ties.) Rows identical in EVERY column
+    * are interchangeable; they are paired canonically — i-th smallest
+    * a-rank with i-th smallest b-rank via a group-bounded occurrence
+    * window — because the caller's keys need not be unique (the
+    * fixture's (orderkey, linenumber) is not!) and joining ranks on a
+    * non-unique key would multiply rows and corrupt Σd². The
+    * monotone-association number behind "are these two columns
+    * redundant / co-orderable?" — e.g. picking z-order key pairs.
+    * Two two-phase global ranks + two duplicate-bounded occurrence
+    * windows + one equi-join + decimal(38,0) Σd² fold. */
+  def spearmanCorr(df: DataFrame, a: Column, b: Column,
+                   keys: Seq[Column]): DataFrame = {
+    val rows = df.select(
+      (a.cast("long").as("xa") +: b.cast("long").as("xb") +:
+        keys.zipWithIndex.map { case (k, i) => k.as(s"k$i") }): _*)
+    val kCols = keys.indices.map(i => col(s"k$i"))
+    // Each rank order carries BOTH values before the keys, so two
+    // rows can only tie in a sort when they are identical in every
+    // column — i.e. genuinely interchangeable. Rows identical in all
+    // columns are then paired CANONICALLY (i-th smallest a-rank with
+    // i-th smallest b-rank, via a group-bounded occurrence window),
+    // which both engines reproduce; joining on a non-unique key alone
+    // would multiply duplicate rows and corrupt Σd².
+    val grpNames = "xa" +: "xb" +: keys.indices.map(i => s"k$i")
+    val grp = Window.partitionBy(grpNames.map(col): _*)
+    val ra = globalCumsum(rows,
+        Seq(col("xa").asc, col("xb").asc) ++ kCols.map(_.asc),
+        lit(1L), "ra")
+      .withColumn("occ", row_number().over(grp.orderBy(col("ra"))))
+    val rb = globalCumsum(rows,
+        Seq(col("xb").asc, col("xa").asc) ++ kCols.map(_.asc),
+        lit(1L), "rb")
+      .withColumn("occ", row_number().over(grp.orderBy(col("rb"))))
+      .select((col("rb") +: col("occ") +: grpNames.map(col)): _*)
+    ra.join(rb, grpNames :+ "occ")
+      .select((col("ra").cast("decimal(38,0)") -
+        col("rb").cast("decimal(38,0)")).as("__d"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__d") * col("__d")).as("__sd2"))
+      .select(col("__n").cast("long").as("n_rows"),
+        col("__sd2").cast("long").as("sum_d2"),
+        expr("1000000 - (6000000 * __sd2) div (__n * (__n * __n - 1))")
+          .cast("long").as("rho_ppm"))
+  }
+
+  /** DuckDB twin of [[spearmanCorr]] for (l_quantity,
+    * l_extendedprice) over `lineitem` with the (orderkey, linenumber)
+    * tie-break. */
+  val spearmanOracleSql: String =
+    """
+    |WITH rows0 AS (
+    |  SELECT CAST(l_quantity AS BIGINT) AS xa,
+    |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS xb,
+    |    l_orderkey AS k0, l_linenumber AS k1
+    |  FROM lineitem),
+    |ra AS (
+    |  SELECT xa, xb, k0, k1,
+    |    CAST(row_number() OVER (ORDER BY xa, xb, k0, k1) AS HUGEINT) AS ra
+    |  FROM rows0),
+    |rb AS (
+    |  SELECT xa, xb, k0, k1,
+    |    CAST(row_number() OVER (ORDER BY xb, xa, k0, k1) AS HUGEINT) AS rb
+    |  FROM rows0),
+    |rao AS (
+    |  SELECT *, row_number() OVER (PARTITION BY xa, xb, k0, k1
+    |    ORDER BY ra) AS occ FROM ra),
+    |rbo AS (
+    |  SELECT *, row_number() OVER (PARTITION BY xa, xb, k0, k1
+    |    ORDER BY rb) AS occ FROM rb)
+    |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+    |  CAST(1000000 - (6000000 * sum((ra - rb) * (ra - rb)))
+    |    // (CAST(count(*) AS HUGEINT)
+    |        * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT)
+    |    AS rho_ppm
+    |FROM rao JOIN rbo USING (xa, xb, k0, k1, occ)
+    |""".stripMargin.trim
+
   /** Gini coefficient of a value's concentration across entities —
     * "what share of revenue do the top customers hold?" as ONE
     * number, the inequality audit behind every skew/concentration

@@ -146,6 +146,57 @@ class ProfilerSpec extends SparkSpec {
     assert(got == (("a", 4L, 70L, 100L, 130L, 60L, 0L)))
   }
 
+  test("equiDepthHist: depths differ by at most 1 and cover all rows") {
+    import spark.implicits._
+    // skewed data: equi-width would put 90% in one bucket
+    val df = ((1L to 90L).map(_ => 5L) ++ (1L to 10L).map(i => i * 1000L))
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val got = Profiler.equiDepthHist(df, col("v"), Seq(col("id")), 10)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 10)
+    assert(got.map(_._4).sum == 100L)
+    assert(got.map(_._4).forall(n => n == 10L))  // 100 rows / 10 bins
+    // bins are ordered and non-overlapping in value space
+    got.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2) }
+  }
+
+  test("spearmanCorr: perfect monotone -> 1e6, reversed -> -1e6") {
+    import spark.implicits._
+    val up = (1L to 50L).map(i => (i, i * 7L, i)).toDF("a", "b", "id")
+    val gotUp = Profiler.spearmanCorr(up, col("a"), col("b"),
+      Seq(col("id"))).first()
+    assert(gotUp.getLong(2) == 1000000L)
+    val down = (1L to 50L).map(i => (i, -i * 3L, i)).toDF("a", "b", "id")
+    val gotDown = Profiler.spearmanCorr(down, col("a"), col("b"),
+      Seq(col("id"))).first()
+    // exact anti-monotone: rho = -1 exactly
+    assert(gotDown.getLong(2) == -1000000L)
+  }
+
+  test("spearmanCorr: duplicate caller keys do not multiply rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // caller key 'id' repeats (the lineitem fixture's
+    // (orderkey, linenumber) is not unique either) — n_rows must stay
+    // n and Σd² must equal the single-window ground truth
+    val df = Seq((1L, 10L, 1L), (1L, 10L, 1L), (2L, 5L, 1L),
+      (3L, 30L, 2L), (4L, 1L, 2L), (5L, 50L, 2L)).toDF("a", "b", "id")
+    val got = Profiler.spearmanCorr(df, col("a"), col("b"),
+      Seq(col("id"))).first()
+    assert(got.getLong(0) == 6L, s"row count inflated: $got")
+    // ground truth via unpartitioned windows + canonical occ pairing
+    val ra = df.withColumn("ra", row_number().over(
+      Window.orderBy(col("a"), col("b"), col("id"))))
+    val rb = df.withColumn("rb", row_number().over(
+      Window.orderBy(col("b"), col("a"), col("id"))))
+    val occ = Window.partitionBy("a", "b", "id")
+    val truth = ra.withColumn("occ", row_number().over(occ.orderBy("ra")))
+      .join(rb.withColumn("occ", row_number().over(occ.orderBy("rb"))),
+        Seq("a", "b", "id", "occ"))
+      .selectExpr("sum((ra - rb) * (ra - rb)) as sd2").first().getLong(0)
+    assert(got.getLong(1) == truth)
+  }
+
   test("giniConcentration: uniform ~0, single-holder -> (n-1)/n") {
     import spark.implicits._
     val uniform = (1L to 100L).map(i => (i, 50.0))
