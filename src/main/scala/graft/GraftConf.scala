@@ -72,6 +72,15 @@ object GraftConf {
   val contracts: Map[String, PlanContract] = Map(
     "fact_build" -> PlanContract("warehouse",
       minBroadcastJoins = 3, forbidSortMerge = true),
+    // Q5 star: region + nation are O(10)-row broadcasts at ANY
+    // scale; customer broadcasts while it fits the threshold —
+    // pin the two that hold at 100 TB, let AQE decide the third
+    "mart_region_revenue" -> PlanContract("warehouse",
+      minBroadcastJoins = 2),
+    // Q3: the segment-filtered customer side must broadcast at the
+    // conf threshold (the filter is what makes it dimension-shaped)
+    "mart_top_orders" -> PlanContract("warehouse",
+      minBroadcastJoins = 1),
     "fact_delta" -> PlanContract("warehouse",
       minBroadcastJoins = 1, forbidSortMerge = true),
     "asof_join" -> PlanContract("warehouse",

@@ -1604,6 +1604,26 @@ object Queries {
           .orderBy("node_id"),
       Some(ext.Graph.coOrderTrianglesOracleSql)),
 
+    // TPC-H Q5-shaped five-way star: region/nation broadcast at any
+    // scale, customer while it fits (AQE decides), facts meet on
+    // their natural key — cent-exact revenue per (region, nation, yr)
+    ("mart_region_revenue",
+      (s: SparkSession, d: String) =>
+        marts.Marts.regionRevenue(t(s, d, "region"), t(s, d, "nation"),
+          t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))
+          .orderBy("r_name", "n_name", "order_year"),
+      Some(marts.Marts.regionRevenueOracleSql)),
+
+    // TPC-H Q3-shaped top-k: both filters pushed to their scans,
+    // k-bounded TakeOrdered, deterministic (revenue desc, orderkey)
+    ("mart_top_orders",
+      (s: SparkSession, d: String) =>
+        marts.Marts.topOrders(t(s, d, "customer"), t(s, d, "orders"),
+          t(s, d, "lineitem"), "BUILDING", "1996-01-01", "1996-12-31", 10)
+          .orderBy(col("revenue_cents").desc, col("l_orderkey")),
+      Some(marts.Marts.topOrdersOracleSql("BUILDING", "1996-01-01",
+        "1996-12-31", 10))),
+
     ("multimodal_features",
       (s: SparkSession, d: String) =>
         Multimodal.featuresExpr(t(s, d, "documents")).orderBy("doc_id"),
