@@ -1527,6 +1527,22 @@ object Queries {
           .orderBy("bin"),
       Some(ext.Profiler.driftCheckOracleSql("1998-06-01"))),
 
+    // Monthly revenue MoM/YoY growth in exact ppm — gap months yield
+    // NULL, positive-shifted floor division (trunc==floor)
+    ("growth_rates",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.growthRates(t(s, d, "orders"), col("o_orderdate"),
+          col("o_totalprice")).orderBy("year", "month"),
+      Some(ext.Profiler.growthRatesOracleSql)),
+
+    // RFM customer segmentation: rank-quintile scores per dimension
+    // via the two-phase rank, composite segment code — all integer
+    ("rfm_segments",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.rfmSegments(t(s, d, "orders"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")).orderBy("cust_id"),
+      Some(ext.Profiler.rfmSegmentsOracleSql)),
+
     // ANALYZE-style equi-depth histogram: 20 near-equal-count value
     // buckets of price cents, integer bounds from the two-phase rank
     ("equi_depth_hist",

@@ -355,6 +355,134 @@ object Profiler {
     |FROM rao JOIN rbo USING (xa, xb, k0, k1, occ)
     |""".stripMargin.trim
 
+  /** Month-over-month and year-over-year growth of monthly revenue,
+    * in exact integer ppm — the first derivative every BI dashboard
+    * charts. One monthly rollup (cent-exact decimal sums), one
+    * 1-month lag and one 12-month lag over the month sequence
+    * (ROWS lags over a gap-free month spine would need a fill; this
+    * measures against the PREVIOUS OBSERVED month/one-year-back month
+    * by exact month arithmetic, so gap months yield NULL growth
+    * rather than a silently wrong comparison). |months|-bounded. */
+  def growthRates(orders: DataFrame, ts: Column, amount: Column): DataFrame = {
+    val monthly = orders
+      .select((year(to_date(ts)) * 12 + month(to_date(ts)) - 1)
+          .cast("long").as("month_idx"),
+        amount.cast("decimal(14,2)").as("amt"))
+      .groupBy("month_idx")
+      .agg((sum(col("amt")) * 100).cast("long").as("rev_cents"))
+    val w = Window.orderBy(col("month_idx"))
+    val withLags = monthly
+      .withColumn("prev_idx", lag(col("month_idx"), 1).over(w))
+      .withColumn("prev_rev", lag(col("rev_cents"), 1).over(w))
+      .withColumn("yoy_idx", lag(col("month_idx"), 12).over(w))
+      .withColumn("yoy_rev", lag(col("rev_cents"), 12).over(w))
+    // growth = (rev/prev − 1) in ppm, computed as a POSITIVE floor
+    // division minus the 1e6 shift: Spark's `div` truncates toward
+    // zero while DuckDB's `//` floors, so a negative numerator would
+    // disagree by one — with both operands positive, floor == trunc.
+    withLags.select(
+      expr("month_idx div 12").cast("long").as("year"),
+      (col("month_idx") % 12 + 1).cast("long").as("month"),
+      col("rev_cents"),
+      when(col("prev_idx") === col("month_idx") - 1,
+        expr("(rev_cents * 1000000) div prev_rev - 1000000"))
+        .as("mom_ppm"),
+      when(col("yoy_idx") === col("month_idx") - 12,
+        expr("(rev_cents * 1000000) div yoy_rev - 1000000"))
+        .as("yoy_ppm"))
+  }
+
+  /** DuckDB twin of [[growthRates]] over `orders`. */
+  val growthRatesOracleSql: String =
+    """
+    |WITH monthly AS (
+    |  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+    |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS month_idx,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS rev_cents
+    |  FROM orders GROUP BY 1),
+    |lagged AS (
+    |  SELECT *, lag(month_idx, 1) OVER w AS prev_idx,
+    |    lag(rev_cents, 1) OVER w AS prev_rev,
+    |    lag(month_idx, 12) OVER w AS yoy_idx,
+    |    lag(rev_cents, 12) OVER w AS yoy_rev
+    |  FROM monthly WINDOW w AS (ORDER BY month_idx))
+    |SELECT CAST(month_idx // 12 AS BIGINT) AS year,
+    |  CAST(month_idx % 12 + 1 AS BIGINT) AS month, rev_cents,
+    |  CASE WHEN prev_idx = month_idx - 1
+    |    THEN CAST(rev_cents * 1000000 // prev_rev - 1000000 AS BIGINT)
+    |    END AS mom_ppm,
+    |  CASE WHEN yoy_idx = month_idx - 12
+    |    THEN CAST(rev_cents * 1000000 // yoy_rev - 1000000 AS BIGINT)
+    |    END AS yoy_ppm
+    |FROM lagged ORDER BY year, month
+    |""".stripMargin.trim
+
+  /** RFM (recency / frequency / monetary) customer segmentation —
+    * the classic marketing partition, exact: per customer the last
+    * order date, order count, and cent-exact spend; each dimension
+    * scored 1–5 by rank quintile (the explicit ntile formula over the
+    * two-phase [[globalCumsum]] rank with the customer key as the
+    * deterministic tie-break — never an interpolated-quantile double,
+    * never a single-task ntile window). The composite `rfm` code
+    * (R·100 + F·10 + M) is the segment label downstream targeting
+    * joins on. */
+  def rfmSegments(orders: DataFrame, custKey: Column, ts: Column,
+                  amount: Column): DataFrame = {
+    val perCust = orders.groupBy(custKey.cast("long").as("cust_id"))
+      .agg(
+        datediff(max(to_date(ts)), lit("1970-01-01")).cast("long")
+          .as("last_day"),
+        count(lit(1)).cast("long").as("n_orders"),
+        (sum(amount.cast("decimal(14,2)")) * 100).cast("long")
+          .as("spend_cents"))
+    val n = perCust.agg(count(lit(1)).as("__n"))
+    def score(c: Column, out: String, df: DataFrame): DataFrame =
+      globalCumsum(df, Seq(c.asc, col("cust_id").asc), lit(1L), "__rk")
+        .crossJoin(broadcast(n))
+        .withColumn(out, expr("((__rk - 1) * 5) div __n + 1"))
+        .drop("__rk", "__n")
+    val scored = score(col("spend_cents"), "m_score",
+      score(col("n_orders"), "f_score",
+        score(col("last_day"), "r_score", perCust)))
+    scored.select(col("cust_id"), col("last_day"), col("n_orders"),
+      col("spend_cents"),
+      col("r_score").cast("long").as("r_score"),
+      col("f_score").cast("long").as("f_score"),
+      col("m_score").cast("long").as("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .cast("long").as("rfm"))
+  }
+
+  /** DuckDB twin of [[rfmSegments]] over `orders`. */
+  val rfmSegmentsOracleSql: String =
+    """
+    |WITH per_cust AS (
+    |  SELECT CAST(o_custkey AS BIGINT) AS cust_id,
+    |    CAST(date_diff('day', DATE '1970-01-01',
+    |      max(CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+    |    CAST(count(*) AS BIGINT) AS n_orders,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS spend_cents
+    |  FROM orders GROUP BY 1),
+    |n AS (SELECT count(*) AS total FROM per_cust),
+    |scored AS (
+    |  SELECT *,
+    |    ((row_number() OVER (ORDER BY last_day, cust_id) - 1) * 5)
+    |      // total + 1 AS r_score,
+    |    ((row_number() OVER (ORDER BY n_orders, cust_id) - 1) * 5)
+    |      // total + 1 AS f_score,
+    |    ((row_number() OVER (ORDER BY spend_cents, cust_id) - 1) * 5)
+    |      // total + 1 AS m_score
+    |  FROM per_cust CROSS JOIN n)
+    |SELECT cust_id, last_day, n_orders, spend_cents,
+    |  CAST(r_score AS BIGINT) AS r_score,
+    |  CAST(f_score AS BIGINT) AS f_score,
+    |  CAST(m_score AS BIGINT) AS m_score,
+    |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    |FROM scored ORDER BY cust_id
+    |""".stripMargin.trim
+
   /** Gini coefficient of a value's concentration across entities —
     * "what share of revenue do the top customers hold?" as ONE
     * number, the inequality audit behind every skew/concentration

@@ -197,6 +197,46 @@ class ProfilerSpec extends SparkSpec {
     assert(got.getLong(1) == truth)
   }
 
+  test("growthRates: hand-checked MoM, negative growth, gap months") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def o(date: String, amt: Double) =
+      (Timestamp.valueOf(s"$date 00:00:00"), amt)
+    // Jan 100, Feb 150 (+50%), Mar 75 (-50%), May 75 (gap -> null MoM)
+    val df = Seq(o("2024-01-15", 100.0), o("2024-02-15", 150.0),
+      o("2024-03-15", 75.0), o("2024-05-15", 75.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = Profiler.growthRates(df, col("o_orderdate"),
+        col("o_totalprice")).orderBy("year", "month")
+      .select("month", "mom_ppm")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, None), (2L, Some(500000L)),
+      (3L, Some(-500000L)), (5L, None)))
+  }
+
+  test("rfmSegments: quintile scores are balanced and monotone") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val got = Profiler.rfmSegments(orders, col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    got.cache()
+    // each score dimension splits customers into 5 near-equal bands
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = got.groupBy(c).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet == Set(1L, 2L, 3L, 4L, 5L), s"$c: $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c: $sizes")
+    }
+    // monotone: a higher m_score band never has lower max spend
+    val bands = got.groupBy("m_score")
+      .agg(min("spend_cents").as("lo"), max("spend_cents").as("hi"))
+      .orderBy("m_score").collect()
+    bands.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(1),
+        s"m bands overlap: $a vs $b")
+    }
+    got.unpersist()
+  }
+
   test("giniConcentration: uniform ~0, single-holder -> (n-1)/n") {
     import spark.implicits._
     val uniform = (1L to 100L).map(i => (i, 50.0))
