@@ -891,6 +891,30 @@ object Queries {
           .orderBy("doc_id"),
       Some(Dedup.nearDupComponentsOracleSql(3))),
 
+    // Dedup audit: duplicate-cluster size histogram — corpus mass in
+    // big components = the template problem no pairwise stat shows
+    ("component_size_hist",
+      (s: SparkSession, d: String) =>
+        Dedup.componentSizeHist(
+          Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text")), 3)
+          .orderBy("size"),
+      Some(Dedup.componentSizeHistOracleSql(3))),
+
+    // Monthly new-vs-returning order split: first-order-month witness
+    // per customer, exact ppm new share
+    ("new_vs_returning",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.newVsReturning(t(s, d, "orders"), col("o_custkey"),
+          col("o_orderdate")).orderBy("year", "month"),
+      Some(ext.Profiler.newVsReturningOracleSql)),
+
+    // Lag-7 rank autocorrelation of daily volume: spearman machinery
+    // over exact (x_t, x_t-7) day-join pairs — weekly predictability
+    ("volume_autocorr",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.volumeAutocorr(t(s, d, "events"), col("ts"), 7),
+      Some(ext.Profiler.volumeAutocorrOracleSql(7))),
+
     // Duplicate-family centrality: fixed-point PageRank over the
     // minhash candidate graph — which doc a duplicate family radiates
     // from (canonical-pick signal, quality-blind twin of

@@ -2091,6 +2091,47 @@ object Dedup {
     |ORDER BY doc_id
     |""".stripMargin.trim
 
+  /** Duplicate-cluster size distribution — the dedup AUDIT summary:
+    * how many families of each size the near-dup graph contains, and
+    * how much of the corpus sits in big clusters (the boilerplate /
+    * template signature: a corpus whose mass lives in size-100+
+    * components has a template problem no pairwise stat shows).
+    * Derived from [[nearDupComponents]]' labels with two hash
+    * aggregates; |distinct sizes|-bounded output. */
+  def componentSizeHist(sims: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupComponents(sims, maxHamming)
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).cast("long").as("n_components"),
+        (count(lit(1)) * col("size")).cast("long").as("n_docs"))
+      .select(col("size").cast("long").as("size"), col("n_components"),
+        col("n_docs"))
+
+  /** DuckDB twin of [[componentSizeHist]] over `documents`. */
+  def componentSizeHistOracleSql(maxHamming: Int = 3): String =
+    s"""
+    |WITH RECURSIVE $simhashCtes,
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+    |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    |reach(doc_id, label) AS (
+    |  SELECT doc_id, doc_id FROM sims
+    |  UNION
+    |  SELECT e.d1, r.label FROM edges e JOIN reach r ON r.doc_id = e.d2),
+    |labels AS (
+    |  SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id),
+    |sizes AS (
+    |  SELECT component, count(*) AS size FROM labels GROUP BY component)
+    |SELECT CAST(size AS BIGINT) AS size,
+    |  CAST(count(*) AS BIGINT) AS n_components,
+    |  CAST(count(*) * size AS BIGINT) AS n_docs
+    |FROM sizes GROUP BY size
+    |ORDER BY size
+    |""".stripMargin.trim
+
   /** Full DuckDB oracle for [[ngramJaccardPairs]] over `documents`. */
   def ngramJaccardOracleSql(n: Int, thresholdNum: Int,
                             thresholdDen: Int): String =

@@ -483,6 +483,115 @@ object Profiler {
     |FROM scored ORDER BY cust_id
     |""".stripMargin.trim
 
+  /** New-vs-returning split of monthly ACTIVE CUSTOMERS — the
+    * acquisition-vs-retention read every growth dashboard opens with.
+    * A customer's FIRST order month (min over their orders — the same
+    * canonical-witness convention as the dedup family) marks them new
+    * that month and returning in any later active month; per month the
+    * distinct-customer counts and the new share in exact ppm (every
+    * customer is new exactly once — ProfilerSpec pins the
+    * conservation). One customer-keyed agg for the first-month map,
+    * one join back, one monthly distinct rollup. */
+  def newVsReturning(orders: DataFrame, custKey: Column,
+                     ts: Column): DataFrame = {
+    val om = orders.select(custKey.cast("long").as("cust_id"),
+      (year(to_date(ts)) * 12 + month(to_date(ts)) - 1).cast("long")
+        .as("month_idx"))
+    val first = om.groupBy("cust_id")
+      .agg(min("month_idx").as("first_month"))
+    // distinct (customer, month) FIRST, then plain sums — two
+    // count(distinct) in one agg would take Catalyst's Expand
+    // row-multiplication path (the profile_stats scaladoc's villain)
+    om.distinct().join(first, "cust_id")
+      .groupBy("month_idx")
+      .agg(
+        sum(when(col("month_idx") === col("first_month"), 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("month_idx") =!= col("first_month"), 1L)
+          .otherwise(0L)).as("n_returning"))
+      .select(expr("month_idx div 12").cast("long").as("year"),
+        (col("month_idx") % 12 + 1).cast("long").as("month"),
+        col("n_new").cast("long").as("n_new"),
+        col("n_returning").cast("long").as("n_returning"),
+        expr("(n_new * 1000000) div (n_new + n_returning)").cast("long")
+          .as("new_share_ppm"))
+  }
+
+  /** DuckDB twin of [[newVsReturning]] over `orders`. */
+  val newVsReturningOracleSql: String =
+    """
+    |WITH om AS (
+    |  SELECT CAST(o_custkey AS BIGINT) AS cust_id,
+    |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+    |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS month_idx
+    |  FROM orders),
+    |first_m AS (
+    |  SELECT cust_id, min(month_idx) AS first_month FROM om GROUP BY 1),
+    |monthly AS (
+    |  SELECT month_idx,
+    |    count(DISTINCT CASE WHEN month_idx = first_month
+    |      THEN cust_id END) AS n_new,
+    |    count(DISTINCT CASE WHEN month_idx <> first_month
+    |      THEN cust_id END) AS n_returning
+    |  FROM om JOIN first_m USING (cust_id) GROUP BY month_idx)
+    |SELECT CAST(month_idx // 12 AS BIGINT) AS year,
+    |  CAST(month_idx % 12 + 1 AS BIGINT) AS month,
+    |  CAST(n_new AS BIGINT) AS n_new,
+    |  CAST(n_returning AS BIGINT) AS n_returning,
+    |  CAST(n_new * 1000000 // (n_new + n_returning) AS BIGINT)
+    |    AS new_share_ppm
+    |FROM monthly ORDER BY year, month
+    |""".stripMargin.trim
+
+  /** Lag-k rank autocorrelation of the daily event volume — "does
+    * this week predict next week": the exact-ppm [[spearmanCorr]]
+    * applied to (xₜ, xₜ₋ₖ) pairs built by an exact k-day self-join on
+    * the daily rollup (gap days produce no pair rather than a
+    * misaligned one). Spearman rather than Pearson keeps it exact
+    * AND robust to volume spikes. |days|-bounded. */
+  def volumeAutocorr(events: DataFrame, ts: Column, lagDays: Int): DataFrame = {
+    val daily = events
+      .select(datediff(to_date(ts), lit("1970-01-01")).cast("long")
+        .as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val lagged = daily.select((col("day") + lagDays).as("day"),
+      col("x").as("x_prev"))
+    val pairs = daily.join(lagged, "day")
+    spearmanCorr(pairs, col("x"), col("x_prev"), Seq(col("day")))
+  }
+
+  /** DuckDB twin of [[volumeAutocorr]] over `events`. */
+  def volumeAutocorrOracleSql(lagDays: Int): String =
+    s"""
+    |WITH daily AS (
+    |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+    |      AS BIGINT) AS day,
+    |    CAST(count(*) AS BIGINT) AS x
+    |  FROM events GROUP BY 1),
+    |pairs AS (
+    |  SELECT a.day AS k0, a.x AS xa, b.x AS xb
+    |  FROM daily a JOIN daily b ON a.day = b.day + $lagDays),
+    |ra AS (
+    |  SELECT xa, xb, k0,
+    |    CAST(row_number() OVER (ORDER BY xa, xb, k0) AS HUGEINT) AS ra
+    |  FROM pairs),
+    |rb AS (
+    |  SELECT xa, xb, k0,
+    |    CAST(row_number() OVER (ORDER BY xb, xa, k0) AS HUGEINT) AS rb
+    |  FROM pairs),
+    |rao AS (SELECT *, row_number() OVER (PARTITION BY xa, xb, k0
+    |  ORDER BY ra) AS occ FROM ra),
+    |rbo AS (SELECT *, row_number() OVER (PARTITION BY xa, xb, k0
+    |  ORDER BY rb) AS occ FROM rb)
+    |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+    |  CAST(1000000 - (6000000 * sum((ra - rb) * (ra - rb)))
+    |    // (CAST(count(*) AS HUGEINT)
+    |        * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT)
+    |    AS rho_ppm
+    |FROM rao JOIN rbo USING (xa, xb, k0, occ)
+    |""".stripMargin.trim
+
   /** Gini coefficient of a value's concentration across entities —
     * "what share of revenue do the top customers hold?" as ONE
     * number, the inequality audit behind every skew/concentration

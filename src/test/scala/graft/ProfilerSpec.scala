@@ -237,6 +237,37 @@ class ProfilerSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("newVsReturning: every customer is new exactly once") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val got = Profiler.newVsReturning(orders, col("o_custkey"),
+      col("o_orderdate"))
+    val totNew = got.agg(sum("n_new")).first().getLong(0)
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(totNew == nCust)
+    // monthly actives = distinct (customer, month) pairs
+    val actives = orders.select(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("m"))
+      .distinct().count()
+    val totAll = got.agg(sum("n_new") + sum("n_returning")).first()
+      .getLong(0)
+    assert(totAll == actives)
+  }
+
+  test("volumeAutocorr bounds and degenerate perfect case") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // weekly-periodic volumes: day d has d%7+1 events -> lag-7 rho = 1
+    val rows = (0 until 28).flatMap { d =>
+      (0 to d % 7).map(i => (d * 100L + i,
+        Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00"), 1L, "a", 1.0,
+        "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rho = Profiler.volumeAutocorr(rows, col("ts"), 7)
+      .first().getLong(2)
+    assert(rho == 1000000L)
+  }
+
   test("giniConcentration: uniform ~0, single-holder -> (n-1)/n") {
     import spark.implicits._
     val uniform = (1L to 100L).map(i => (i, 50.0))
