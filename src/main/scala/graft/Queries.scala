@@ -1551,6 +1551,14 @@ object Queries {
           .orderBy("bin"),
       Some(ext.Profiler.driftCheckOracleSql("1998-06-01"))),
 
+    // Dense calendar spine with zero-filled gap days — honest
+    // adjacency for any lag/EWMA consumer; |days|-bounded
+    ("calendar_fill",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.calendarFill(t(s, d, "orders"), col("o_orderdate"),
+          col("o_totalprice")).orderBy("date_value"),
+      Some(ext.Profiler.calendarFillOracleSql)),
+
     // Monthly revenue MoM/YoY growth in exact ppm — gap months yield
     // NULL, positive-shifted floor division (trunc==floor)
     ("growth_rates",

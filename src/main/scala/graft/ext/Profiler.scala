@@ -592,6 +592,58 @@ object Profiler {
     |FROM rao JOIN rbo USING (xa, xb, k0, occ)
     |""".stripMargin.trim
 
+  /** Gap-filled daily order series — the dense spine every
+    * time-series model and charting layer needs: one row per
+    * calendar day from the first to the last observed order date,
+    * zero-filled on days with no orders (a lag/EWMA over a sparse
+    * series silently compares non-adjacent days; the spine makes
+    * adjacency honest). The spine is `sequence`+`explode` over the
+    * [min, max] day scalars (one broadcast 1-row hop, the DateDim
+    * generator pattern) left-joined to the daily rollup —
+    * |days|-bounded regardless of fact volume. */
+  def calendarFill(orders: DataFrame, ts: Column,
+                   amount: Column): DataFrame = {
+    val daily = orders
+      .select(datediff(to_date(ts), lit("1970-01-01")).cast("long")
+          .as("day"),
+        amount.cast("decimal(14,2)").as("amt"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("amt")) * 100).cast("long").as("rev_cents"))
+    val bounds = daily.agg(min("day").as("__lo"), max("day").as("__hi"))
+    val spine = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(
+        date_add(to_date(lit("1970-01-01")), col("day").cast("int"))
+          .as("date_value"),
+        coalesce(col("n_orders"), lit(0L)).cast("long").as("n_orders"),
+        coalesce(col("rev_cents"), lit(0L)).cast("long").as("rev_cents"),
+        when(col("n_orders").isNull, 1L).otherwise(0L).as("is_gap"))
+  }
+
+  /** DuckDB twin of [[calendarFill]] over `orders`. */
+  val calendarFillOracleSql: String =
+    """
+    |WITH daily AS (
+    |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+    |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+    |    CAST(count(*) AS BIGINT) AS n_orders,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS rev_cents
+    |  FROM orders GROUP BY 1),
+    |spine AS (
+    |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+    |    (SELECT max(day) FROM daily))) AS day)
+    |SELECT DATE '1970-01-01' + CAST(spine.day AS INTEGER) AS date_value,
+    |  coalesce(n_orders, 0) AS n_orders,
+    |  coalesce(rev_cents, 0) AS rev_cents,
+    |  CAST(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    |    AS is_gap
+    |FROM spine LEFT JOIN daily ON spine.day = daily.day
+    |ORDER BY date_value
+    |""".stripMargin.trim
+
   /** Gini coefficient of a value's concentration across entities —
     * "what share of revenue do the top customers hold?" as ONE
     * number, the inequality audit behind every skew/concentration

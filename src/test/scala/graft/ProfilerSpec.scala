@@ -268,6 +268,23 @@ class ProfilerSpec extends SparkSpec {
     assert(rho == 1000000L)
   }
 
+  test("calendarFill: spine is dense, gaps zero-filled, totals conserved") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val df = Seq(("2024-01-01", 10.0), ("2024-01-01", 5.0),
+      ("2024-01-04", 7.0))
+      .map { case (d, a) => (Timestamp.valueOf(s"$d 00:00:00"), a) }
+      .toDF("o_orderdate", "o_totalprice")
+    val got = Profiler.calendarFill(df, col("o_orderdate"),
+        col("o_totalprice")).orderBy("date_value")
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1.toString) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(got.map(_._2) == Seq(2L, 0L, 0L, 1L))
+    assert(got.map(_._3) == Seq(1500L, 0L, 0L, 700L))
+    assert(got.map(_._4) == Seq(0L, 1L, 1L, 0L))
+  }
+
   test("giniConcentration: uniform ~0, single-holder -> (n-1)/n") {
     import spark.implicits._
     val uniform = (1L to 100L).map(i => (i, 50.0))
