@@ -15,6 +15,17 @@ class PlanSpec extends SparkSpec {
       s"watermark not pushed:\n$p")
   }
 
+  test("mart_top_orders pushes the segment filter and bounds the sort") {
+    val p = plan("mart_top_orders")
+    // the customer scan must carry the mktsegment equality — pushing
+    // it is what makes that side dimension-shaped (and broadcastable)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the customer scan:\n$p")
+    // k-bounded top-k, never a global sort of the aggregate
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost its bounded sort:\n$p")
+  }
+
   test("fact_build broadcasts every dimension join") {
     val p = plan("fact_build")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
