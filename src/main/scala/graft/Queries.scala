@@ -2032,6 +2032,24 @@ object Queries {
     // Deterministic epoch shuffle: trainer-facing global permutation
     // (shard + exact within-shard and global positions), two-phase —
     // shard-partitioned row_number, constant-size offset window
+    // Hard-negative mining: the k most-similar candidates strictly
+    // BELOW the dup threshold — contrastive training's negatives
+    ("ann_hard_negatives",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          5, 0.7).orderBy("query_id", "rank")
+      },
+      Some(Similarity.hardNegativesOracleSql(64, 5, 10, 0.7))),
+
+    // Ordered curriculum manifest: best-quality-first global rank +
+    // balanced contiguous shards — the ordered twin of epoch_shuffle
+    ("curriculum_manifest",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.curriculumManifest(t(s, d, "documents"),
+          col("doc_id"), col("text"), 8).orderBy("doc_id"),
+      Some(ext.Corpus.curriculumManifestOracleSql(8))),
+
     ("epoch_shuffle",
       (s: SparkSession, d: String) =>
         ext.Corpus.epochShuffle(t(s, d, "documents"), col("doc_id"),

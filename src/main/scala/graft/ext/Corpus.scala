@@ -1324,4 +1324,58 @@ object Corpus {
     |    AS selected
     |FROM r ORDER BY doc_id
     |""".stripMargin.trim
+
+  /** Curriculum manifest — the ORDERED twin of [[epochShuffle]]:
+    * docs ranked best-quality-first (the easy→hard / clean→noisy
+    * curriculum a staged training run consumes), with the exact
+    * global position, a balanced contiguous shard assignment (the
+    * explicit ntile formula — shard 0 holds the highest-quality
+    * block), and the within-shard position. Rank is the two-phase
+    * range cumsum ([[Profiler.globalCumsum]] — never a single-task
+    * sort of the corpus); the quality key is the deterministic
+    * [[TextAnalysis.qualityFeatures]] composite with doc_id
+    * tie-break. One extra shard-bounded window for the local
+    * position. */
+  def curriculumManifest(docs: DataFrame, id: Column, text: Column,
+                         nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val q = TextAnalysis.qualityFeatures(
+        docs.select(id.as("doc_id"), text.as("__text")), col("__text"))
+      .select(col("doc_id"), col("quality_score"))
+    val n = q.agg(count(lit(1)).as("__n"))
+    val ranked = Profiler.globalCumsum(q,
+        Seq(col("quality_score").desc, col("doc_id").asc), lit(1L),
+        "global_pos")
+      .crossJoin(broadcast(n))
+      .withColumn("shard",
+        expr(s"((global_pos - 1) * $nShards) div __n"))
+    val wShard = Window.partitionBy(col("shard"))
+      .orderBy(col("global_pos"))
+    ranked.select(col("doc_id"), col("quality_score"),
+        col("global_pos").cast("long").as("global_pos"),
+        col("shard").cast("long").as("shard"))
+      .withColumn("pos_in_shard",
+        row_number().over(wShard).cast("long"))
+  }
+
+  /** DuckDB twin of [[curriculumManifest]] over `documents`. */
+  def curriculumManifestOracleSql(nShards: Int): String =
+    s"""
+    |WITH q AS (
+    |  SELECT doc_id, ${TextAnalysis.qualityFeaturesSqlColumns}
+    |  FROM documents),
+    |ranked AS (
+    |  SELECT doc_id, quality_score,
+    |    CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+    |      AS BIGINT) AS global_pos
+    |  FROM q),
+    |sharded AS (
+    |  SELECT *, CAST((global_pos - 1) * $nShards
+    |    // (SELECT count(*) FROM q) AS BIGINT) AS shard
+    |  FROM ranked)
+    |SELECT doc_id, quality_score, global_pos, shard,
+    |  CAST(row_number() OVER (PARTITION BY shard ORDER BY global_pos)
+    |    AS BIGINT) AS pos_in_shard
+    |FROM sharded ORDER BY doc_id
+    |""".stripMargin.trim
 }

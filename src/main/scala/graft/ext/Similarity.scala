@@ -56,7 +56,11 @@ object Similarity {
     * parallel: queries broadcast (bounded query set), corpus streams,
     * top-k via window over (query, cosine desc). At 100 TB use
     * [[lshCosineTopK]] to bound the candidate set instead. */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** (query_id, cand_id, cos) exact-scored pairs — the shared front
+    * of the brute-force scan family (broadcast bounded query side,
+    * spread streamed corpus, per-vector norms computed once). */
+  private def scoredPairs(corpus: DataFrame,
+                          queries: DataFrame): DataFrame = {
     // norms are per-vector, not per-pair: compute once before the join
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
@@ -67,13 +71,17 @@ object Similarity {
     val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
       col("embedding").as("c_emb")), col("cand_id"))
       .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", cosine(
         dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
+  }
+
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    scoredPairs(corpus, queries)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       // cos reported at 6 decimals on both engines: ranking uses full
       // precision, but decimal→double conversion can differ by ~1 ulp
@@ -81,6 +89,51 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
         round(col("cos"), 6).as("cos"), col("rank"))
   }
+
+  /** Hard-negative mining — the retrieval-training counterpart of
+    * top-k: for each query, the k MOST similar candidates strictly
+    * BELOW the duplicate threshold. Contrastive training wants
+    * exactly these (near-but-not-duplicate = informative negatives;
+    * random negatives are trivially separable, above-threshold ones
+    * are false negatives). Same scan as [[cosineTopK]] with the
+    * threshold cut BEFORE the per-query window, so the rank frame
+    * only sorts survivors. The cos double is bit-identical across
+    * engines (exact decimal dot, correctly-rounded sqrt/divide), so
+    * the threshold compare cannot flip a boundary candidate. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scoredPairs(corpus, queries)
+      .filter(col("cos") < threshold)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[hardNegatives]] with queries =
+    * vec_id < maxQueryId. */
+  def hardNegativesOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                             threshold: Double): String =
+    s"""
+    |WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |           WHERE vec_id < $maxQueryId),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |scored AS (
+    |  SELECT query_id, cand_id,
+    |    CAST(${dotSql("q_emb", "c_emb", dim)} AS DOUBLE) /
+    |      (sqrt(CAST(${dotSql("q_emb", "q_emb", dim)} AS DOUBLE)) *
+    |       sqrt(CAST(${dotSql("c_emb", "c_emb", dim)} AS DOUBLE))) AS cos
+    |  FROM c, q WHERE query_id <> cand_id),
+    |ranked AS (
+    |  SELECT query_id, cand_id, cos,
+    |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+    |  FROM scored WHERE cos < $threshold)
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
 
   /** DuckDB oracle for [[cosineTopK]] with queries = vec_id < maxQueryId. */
   def cosineTopKOracleSql(dim: Int, k: Int, maxQueryId: Long): String =

@@ -358,4 +358,28 @@ class CorpusSpec extends SparkSpec {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     assert(whole == merged, "CMS must be cell-wise additive")
   }
+
+  test("curriculumManifest: positions dense, shards balanced, " +
+    "quality monotone over global order") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = graft.ext.Corpus.curriculumManifest(docs, col("doc_id"),
+      col("text"), 8)
+    m.cache()
+    val n = m.count()
+    assert(m.agg(min("global_pos"), max("global_pos"),
+      countDistinct("global_pos")).first().toSeq == Seq(1L, n, n))
+    val sizes = m.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0L to 7L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // quality never increases as global_pos grows
+    val ordered = m.orderBy("global_pos").select("quality_score")
+      .collect().map(_.getDouble(0))
+    assert(ordered.sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+    m.unpersist()
+  }
 }

@@ -615,4 +615,26 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(3) == expFp)
     }
   }
+
+  test("hardNegatives: all below threshold, disjoint from dup set, " +
+    "densest survivors kept") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val neg = graft.ext.Similarity.hardNegatives(emb, q, 5, 0.7)
+    val rows = neg.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) < 0.7))
+    // per query: the negatives are exactly the top-5 of the <0.7 set —
+    // i.e. every returned cos >= any excluded candidate's cos is not
+    // checkable cheaply, but rank must be 1..<=5 and strictly ordered
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.size).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+    }
+  }
 }
