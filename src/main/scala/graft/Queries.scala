@@ -1514,6 +1514,29 @@ object Queries {
           col("ts")).orderBy("event_type", "day"),
       Some(Sessions.madOutliersOracleSql())),
 
+    // Composition: the conversion-lag distribution per click
+    // weekday — attribution lags through the exact quarter-scaled
+    // box-plot profiler (attributed clicks only)
+    ("conversion_lag_stats",
+      (s: SparkSession, d: String) => {
+        val attributed = Sessions.attributionAsof(t(s, d, "events"),
+            "click", "purchase", 3600L)
+          .filter(col("lag_s").isNotNull)
+          .withColumn("dow",
+            ((dayofweek(to_date(col("ts"))) + 5) % 7 + 1).cast("long"))
+        ext.Profiler.boxplotStats(attributed, col("dow"), col("lag_s"))
+          .orderBy("grp")
+      },
+      Some {
+        // single-source both halves: the as-of CTE from Sessions, the
+        // box-plot shell from Profiler (FROM accepts a subquery)
+        val asof = Sessions.attributionAsofOracleSql("click", "purchase",
+            3600L).replaceAll("ORDER BY user_id, event_id", "")
+        ext.Profiler.boxplotStatsOracleSql(
+          s"($asof) a WHERE lag_s IS NOT NULL",
+          "CAST(isodow(CAST(ts AS DATE)) AS BIGINT)", "lag_s")
+      }),
+
     // Forward as-of with tolerance (pandas merge_asof
     // direction='forward'): click -> first purchase within 1h, via
     // running-count positioning + seq equi-join — never a theta join

@@ -203,7 +203,9 @@ object Profiler {
   }
 
   /** DuckDB twin of [[boxplotStats]] for `valueExpr` grouped by
-    * `groupExpr` over `table`. */
+    * `groupExpr` over `table` — which may be any FROM fragment
+    * (a table name, or a parenthesized subquery with alias and
+    * WHERE), so compositions reuse this shell verbatim. */
   def boxplotStatsOracleSql(table: String, groupExpr: String,
                             valueExpr: String): String =
     s"""
