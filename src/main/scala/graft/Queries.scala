@@ -734,6 +734,34 @@ object Queries {
       Some(Dedup.splitLeakageOracleSql(
         ext.Corpus.sampleSplitSql("doc_id")._2, 3, 8, 2))),
 
+    // Leakage SCRUB — the action split_leakage's report demands:
+    // train docs near-dup to any eval doc flagged, eval untouched
+    ("leakage_scrub",
+      (s: SparkSession, d: String) => {
+        val docs = ext.Corpus.sampleSplit(t(s, d, "documents"),
+          col("doc_id"))
+        Dedup.leakageScrub(docs, col("doc_id"), col("text"),
+          col("split"), 3, 8, 2).orderBy("doc_id")
+      },
+      Some(Dedup.leakageScrubOracleSql(
+        ext.Corpus.sampleSplitSql("doc_id")._2, 3, 8, 2))),
+
+    // Boilerplate share per doc: corpus-common shingle fraction —
+    // the template signal local quality features cannot see
+    ("boilerplate_ratio",
+      (s: SparkSession, d: String) =>
+        Dedup.boilerplateRatio(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3, 50L).orderBy("doc_id"),
+      Some(Dedup.boilerplateRatioOracleSql(3, 50L))),
+
+    // Zipf head/middle/tail vocabulary bands by cumulative token
+    // mass — the tokenizer-budget split, pareto banding on the vocab
+    ("zipf_bands",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.zipfBands(t(s, d, "documents"), col("text"))
+          .orderBy("band"),
+      Some(ext.Corpus.zipfBandsOracleSql)),
+
     // Curation dashboard row: per source, contributed docs and how
     // many a near-dup pass drops (one-hop keep semantics)
     ("dup_rate_by_source",

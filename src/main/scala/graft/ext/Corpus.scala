@@ -1325,6 +1325,62 @@ object Corpus {
     |FROM r ORDER BY doc_id
     |""".stripMargin.trim
 
+  /** Zipf bands — the vocabulary split every tokenizer / embedding
+    * budget decision starts from: words ranked by corpus frequency
+    * and banded by CUMULATIVE token-mass share (head ≤ 50%,
+    * middle ≤ 90%, tail the rest — the [[Profiler.paretoAbc]] banding
+    * applied to the vocabulary), with type counts, token mass, and
+    * exact ppm share per band. A healthy natural-language corpus
+    * puts few hundred types in the head; a corpus whose head is ONE
+    * type is template spam. Frequency rollup + the two-phase global
+    * cumsum over (count desc, word) + one 3-row fold. */
+  def zipfBands(docs: DataFrame, text: Column): DataFrame = {
+    val counts = docs
+      .select(explode(Dedup.words(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val cum = Profiler.globalCumsum(counts,
+      Seq(col("cnt").desc, col("w").asc), col("cnt"), "cum")
+    val total = counts.agg(sum(col("cnt")).cast("long").as("__total"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("cum_ppm", expr("cum * 1000000 div __total"))
+      .withColumn("band",
+        when(col("cum_ppm") <= 500000, "head")
+          .when(col("cum_ppm") <= 900000, "middle")
+          .otherwise("tail"))
+      .groupBy("band")
+      .agg(count(lit(1)).cast("long").as("n_types"),
+        sum(col("cnt")).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("(n_tokens * 1000000) div __total").cast("long"))
+      .select("band", "n_types", "n_tokens", "share_ppm")
+  }
+
+  /** DuckDB twin of [[zipfBands]] over `documents`. */
+  val zipfBandsOracleSql: String =
+    """
+    |WITH counts AS (
+    |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+    |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+    |  GROUP BY w),
+    |cum AS (
+    |  SELECT w, cnt,
+    |    sum(cnt) OVER (ORDER BY cnt DESC, w) AS cum,
+    |    sum(cnt) OVER () AS total
+    |  FROM counts),
+    |banded AS (
+    |  SELECT cnt, total,
+    |    CASE WHEN cum * 1000000 // total <= 500000 THEN 'head'
+    |         WHEN cum * 1000000 // total <= 900000 THEN 'middle'
+    |         ELSE 'tail' END AS band
+    |  FROM cum)
+    |SELECT band, CAST(count(*) AS BIGINT) AS n_types,
+    |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    |  CAST(sum(cnt) * 1000000 // any_value(total) AS BIGINT) AS share_ppm
+    |FROM banded GROUP BY band
+    |ORDER BY band
+    |""".stripMargin.trim
+
   /** Curriculum manifest — the ORDERED twin of [[epochShuffle]]:
     * docs ranked best-quality-first (the easy→hard / clean→noisy
     * curriculum a staged training run consumes), with the exact

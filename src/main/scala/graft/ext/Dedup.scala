@@ -2091,6 +2091,117 @@ object Dedup {
     |ORDER BY doc_id
     |""".stripMargin.trim
 
+  /** Leakage SCRUB — the action [[splitLeakage]]'s detection report
+    * demands: every train document sharing a minhash candidate pair
+    * with a val/test document is flagged for removal (eval splits are
+    * never touched — dropping from train is the only direction that
+    * preserves the benchmark). Emits the full manifest (doc_id,
+    * split, keep) so the train reader is one `keep = 1` filter.
+    * Same banded candidate join as the detector — never all-pairs —
+    * plus one semi-join back to the doc list. */
+  def leakageScrub(docs: DataFrame, id: Column, text: Column,
+                   split: Column, shingle: Int, k: Int,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidates(
+      minhashSignature(docs, id, text, shingle, k), k, rowsPerBand)
+    val prov = docs.select(id.as("__pid"), split.as("__psplit"))
+    val labeled = cand
+      .join(prov.select(col("__pid").as("d1"), col("__psplit").as("__s1")),
+        "d1")
+      .join(prov.select(col("__pid").as("d2"), col("__psplit").as("__s2")),
+        "d2")
+    // the train-side member of every cross-split pair, either slot
+    val contaminated = labeled
+      .filter(col("__s1") === "train" && col("__s2") =!= "train")
+      .select(col("d1").as("bad_id"))
+      .union(labeled
+        .filter(col("__s2") === "train" && col("__s1") =!= "train")
+        .select(col("d2").as("bad_id")))
+      .distinct()
+    docs.select(id.as("doc_id"), split.as("split"))
+      .join(contaminated, col("doc_id") === col("bad_id"), "left")
+      .select(col("doc_id"), col("split"),
+        when(col("bad_id").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
+  /** DuckDB twin of [[leakageScrub]] over `documents`. */
+  def leakageScrubOracleSql(splitSqlExpr: String, shingle: Int, k: Int,
+                            rowsPerBand: Int = 2): String =
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)},
+    |cand AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |prov AS (SELECT doc_id, $splitSqlExpr AS split FROM documents),
+    |bad AS (
+    |  SELECT DISTINCT CASE WHEN p1.split = 'train' THEN c.d1 ELSE c.d2
+    |    END AS bad_id
+    |  FROM cand c
+    |  JOIN prov p1 ON p1.doc_id = c.d1
+    |  JOIN prov p2 ON p2.doc_id = c.d2
+    |  WHERE (p1.split = 'train') <> (p2.split = 'train'))
+    |SELECT p.doc_id, p.split,
+    |  CAST(CASE WHEN bad.bad_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    |    AS keep
+    |FROM prov p LEFT JOIN bad ON bad.bad_id = p.doc_id
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
+  /** Boilerplate ratio — per document, the share of its distinct
+    * shingles that are CORPUS-COMMON (document frequency above
+    * `dfCut`): the template/navigation/license-text signal that
+    * per-document quality features cannot see (a boilerplate page is
+    * locally fluent; only corpus-wide gram frequency exposes it).
+    * The complement of [[ngramNovelty]]'s first-seen curve: novelty
+    * asks "is it new", this asks "is it everywhere". Two gram-keyed
+    * hash aggregates + one join back; ppm exact. */
+  def boilerplateRatio(docs: DataFrame, id: Column, text: Column,
+                       n: Int, dfCut: Long): DataFrame = {
+    val grams = explodedGrams(docs, id, text, n)
+    val df = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+    val perDoc = grams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > dfCut, 1L).otherwise(0L))
+          .as("n_common"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("n_common"), lit(0L)).cast("long").as("n_common"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("(n_common * 1000000) div n_grams")).otherwise(lit(0L))
+          .cast("long").as("common_ppm"))
+  }
+
+  /** DuckDB twin of [[boilerplateRatio]] over `documents`. */
+  def boilerplateRatioOracleSql(n: Int, dfCut: Long): String =
+    s"""
+    |WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |grams AS (
+    |  SELECT DISTINCT doc_id, gram
+    |  FROM (SELECT doc_id,
+    |          unnest(list_transform(range(greatest(len(w) - ${n - 1}, 0)),
+    |            i -> ${(1 to n).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
+    |        FROM w)),
+    |df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+    |per_doc AS (
+    |  SELECT g.doc_id, count(*) AS n_grams,
+    |    sum(CASE WHEN df.df > $dfCut THEN 1 ELSE 0 END) AS n_common
+    |  FROM grams g JOIN df USING (gram)
+    |  GROUP BY g.doc_id)
+    |SELECT d.doc_id,
+    |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+    |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+    |  CAST(CASE WHEN coalesce(n_grams, 0) > 0
+    |    THEN (n_common * 1000000) // n_grams ELSE 0 END AS BIGINT)
+    |    AS common_ppm
+    |FROM documents d LEFT JOIN per_doc USING (doc_id)
+    |ORDER BY doc_id
+    |""".stripMargin.trim
+
   /** Duplicate-cluster size distribution — the dedup AUDIT summary:
     * how many families of each size the near-dup graph contains, and
     * how much of the corpus sits in big clusters (the boilerplate /

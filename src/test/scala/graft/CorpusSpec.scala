@@ -382,4 +382,27 @@ class CorpusSpec extends SparkSpec {
     })
     m.unpersist()
   }
+
+  test("zipfBands: bands partition the vocabulary, mass shares sum") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = graft.ext.Corpus.zipfBands(docs, col("text")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val totalTokens = docs.select(explode(split(col("text"), " ")))
+      .count()
+    assert(got.values.map(_._2).sum == totalTokens)
+    // each band's cumulative fence is respected: head mass <= 50%,
+    // head+middle <= 90% (within one word's rounding), all bands
+    // together carry everything
+    got.get("head").foreach(h => assert(h._3 <= 500000L))
+    val headMid = got.get("head").map(_._3).getOrElse(0L) +
+      got.get("middle").map(_._3).getOrElse(0L)
+    assert(headMid <= 900000L + 1L)
+    val shares = got.values.map(_._3).sum
+    assert(shares >= 1000000L - got.size && shares <= 1000000L)
+    // (no head-vs-tail type-count assertion: the fixture vocabulary
+    // is near-uniform, not Zipfian — the band FENCES are the
+    // operator's contract, the shape is the data's)
+  }
 }

@@ -433,6 +433,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("leakageScrub: only cross-split train members drop") {
+    import spark.implicits._
+    // 1/2: near-dup pair inside train (kept); 3 (train) near-dups
+    // 4 (val) -> 3 drops, 4 kept; 5 clean train
+    val docs = Seq(
+      (1L, "a b c d e f g h", "train"),
+      (2L, "a b c d e f g h", "train"),
+      (3L, "p q r s t u v w", "train"),
+      (4L, "p q r s t u v w", "val"),
+      (5L, "x y z zz yy xx ww vv", "train")
+    ).toDF("doc_id", "text", "split")
+    val got = graft.ext.Dedup.leakageScrub(docs, col("doc_id"),
+        col("text"), col("split"), 3, 8, 2)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("boilerplateRatio: common grams flagged, rare docs clean") {
+    import spark.implicits._
+    // gram "a b c" appears in 3 docs (df 3 > cut 2); doc 4 disjoint
+    val docs = Seq(
+      (1L, "a b c x1 y1"),
+      (2L, "a b c x2 y2"),
+      (3L, "a b c x3 y3"),
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.boilerplateRatio(docs, col("doc_id"),
+        col("text"), 3, 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // each of docs 1-3 has 3 distinct 3-grams, exactly 1 common
+    (1L to 3L).foreach(d => assert(got(d) == ((3L, 1L)), s"doc $d"))
+    assert(got(4L) == ((3L, 0L)))
+  }
+
   test("ngramNovelty: exact dup has zero novel, short docs zero grams") {
     import spark.implicits._
     val docs = Seq(
