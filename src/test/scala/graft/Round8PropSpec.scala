@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.Gen
+
+import graft.ext.{Dedup, FuzzyJoin, Graph, Profiler}
+
+/** Randomized property pins for the round-8 kernels: the fixtures
+  * exercise the designed-for cases; these generators walk the
+  * boundary cases (segment-length edges, tie storms, duplicate rows,
+  * degenerate graphs) where a lossless-blocking or exact-rank claim
+  * actually breaks if it is going to. Samples are drawn through
+  * scalacheck generators (CdcSpec's pattern); each property runs a
+  * fixed number of sampled corpora so the suite stays fast. */
+class Round8PropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("editNeardup blocking is lossless on random short-alphabet strings") {
+    // tiny alphabet + short lengths force segment/shift edge cases:
+    // strings near k+1 chars, heavy duplicates, shared segments with
+    // large shifts
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(4, 14)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 14)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    samples(corpusGen, 8).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val fast = FuzzyJoin.editNeardup(docs, col("doc_id"), col("text"),
+        40, 3).as[(Long, Long, Long)].collect().toSet
+      val brute = FuzzyJoin.editNeardupBrute(docs, col("doc_id"),
+        col("text"), 40, 3).as[(Long, Long, Long)].collect().toSet
+      assert(fast == brute,
+        s"blocking dropped/invented pairs on ${rows.mkString(",")}: " +
+          s"missing=${brute -- fast} extra=${fast -- brute}")
+    }
+  }
+
+  test("globalCumsum rank equals the single-window row_number on " +
+    "random tied data") {
+    val gen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 5L)) // heavy ties
+    } yield vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    samples(gen, 6).foreach { rows =>
+      val df = rows.toDF("v", "id")
+      val fast = Profiler.equiDepthHist(df, col("v"), Seq(col("id")), 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // ground truth from a plain unpartitioned window
+      val n = rows.size
+      val truth = df.withColumn("rk", row_number().over(
+          Window.orderBy(col("v"), col("id"))))
+        .withColumn("bin", expr(s"((rk - 1) * 4) div $n + 1"))
+        .groupBy("bin")
+        .agg(min("v").cast("long").as("lo"), max("v").cast("long").as("hi"),
+          count(lit(1)).cast("long").as("n_rows"))
+        .select(col("bin").cast("long"), col("lo"), col("hi"),
+          col("n_rows"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fast == truth, s"rank path diverged on $rows")
+    }
+  }
+
+  test("triangleCounts equals the naive join on random graphs") {
+    val gen: Gen[Seq[(Long, Long)]] = for {
+      nV <- Gen.choose(3, 12)
+      nE <- Gen.choose(0, 30)
+      es <- Gen.listOfN(nE, for {
+        u <- Gen.choose(0L, nV - 1L)
+        v <- Gen.choose(0L, nV - 1L)
+      } yield (math.min(u, v), math.max(u, v)))
+    } yield es.filter(e => e._1 != e._2).distinct
+    samples(gen, 6).foreach { es =>
+      val edges = (es :+ ((98L, 99L))).toDF("u", "v") // never empty
+      val got = Graph.triangleCounts(edges)
+        .as[(Long, Long)].collect().toMap
+      // naive: count unordered triples pairwise connected
+      val set = es.toSet
+      def conn(a: Long, b: Long) =
+        set.contains((math.min(a, b), math.max(a, b)))
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val naive = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for {
+        Seq(a, b, c) <- verts.sorted.combinations(3)
+        if conn(a, b) && conn(b, c) && conn(a, c)
+      } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+      assert(got == naive.toMap, s"triangles diverged on $es")
+    }
+  }
+
+  test("leakageScrub never drops eval docs and keeps train-internal dups") {
+    val gen: Gen[Seq[(Long, String, String)]] = for {
+      n <- Gen.choose(3, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(3, 10)
+        ws <- Gen.listOfN(len, Gen.oneOf("ga", "bu", "zo", "meu"))
+        sp <- Gen.oneOf("train", "train", "val", "test")
+      } yield (ws.mkString(" "), sp))
+    } yield docs.zipWithIndex.map { case ((t, sp), i) => (i.toLong, t, sp) }
+    samples(gen, 6).foreach { rows =>
+      val docs = rows.toDF("doc_id", "text", "split")
+      val got = Dedup.leakageScrub(docs, col("doc_id"), col("text"),
+          col("split"), 3, 8, 2)
+        .as[(Long, String, Long)].collect()
+      assert(got.length == rows.length, "manifest must cover every doc")
+      got.foreach { case (_, split, keep) =>
+        if (split != "train") assert(keep == 1L, "eval doc dropped")
+      }
+    }
+  }
+}
