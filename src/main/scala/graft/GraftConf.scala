@@ -81,6 +81,12 @@ object GraftConf {
     // conf threshold (the filter is what makes it dimension-shaped)
     "mart_top_orders" -> PlanContract("warehouse",
       minBroadcastJoins = 1),
+    // anomaly family: one rollup exchange + type-keyed window — a
+    // join sneaking in means someone re-derived the totals the
+    // window already carries
+    "ewma_volume" -> PlanContract("anomaly",
+      forbidJoin = true, maxHashShuffles = Some(2)),
+    "growth_rates" -> PlanContract("anomaly", forbidJoin = true),
     "fact_delta" -> PlanContract("warehouse",
       minBroadcastJoins = 1, forbidSortMerge = true),
     "asof_join" -> PlanContract("warehouse",
