@@ -1626,6 +1626,21 @@ object Queries {
           col("o_orderdate"), col("o_totalprice")).orderBy("cust_id"),
       Some(ext.Profiler.rfmSegmentsOracleSql)),
 
+    // Sampling honesty audit: deterministic 1-in-64 hash sample,
+    // scaled estimates vs exact truth, signed error in ppm
+    ("sample_estimate",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.sampleEstimate(t(s, d, "lineitem"), 64),
+      Some(ext.Profiler.sampleEstimateOracleSql(64))),
+
+    // Inter-purchase gap distribution by order-count band, through
+    // the shared exact box-plot shell — the churn-model lifecycle read
+    ("purchase_intervals",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.purchaseIntervals(t(s, d, "orders"),
+          col("o_custkey"), col("o_orderdate")).orderBy("grp"),
+      Some(ext.Profiler.purchaseIntervalsOracleSql)),
+
     // ANALYZE-style equi-depth histogram: 20 near-equal-count value
     // buckets of price cents, integer bounds from the two-phase rank
     ("equi_depth_hist",

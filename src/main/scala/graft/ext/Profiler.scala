@@ -646,6 +646,118 @@ object Profiler {
     |ORDER BY date_value
     |""".stripMargin.trim
 
+  /** Sample-based estimation audit — the 100 TB exploratory tool
+    * made honest: a deterministic 1-in-`rate` hash sample of
+    * lineitem (the engine-portable universal hash on the row key —
+    * reproducible, unlike TABLESAMPLE's rng), the scaled estimates
+    * it implies for row count and revenue, the exact values, and the
+    * signed error in ppm. The point of publishing the audit as a
+    * QUERY: before trusting a sampled dashboard at scale, run this
+    * once on a slice where the truth is computable and read the
+    * error column. All integer (cent-exact decimal sums, ppm via
+    * positive-shifted floor division). */
+  def sampleEstimate(lineitem: DataFrame, rate: Int): DataFrame = {
+    val rows = lineitem.select(
+      (col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
+        .as("cents"),
+      graft.functions.Hashing.permBucket(
+        col("l_orderkey") * 8 + col("l_linenumber"), 6, rate)
+        .as("__b"))
+    rows.agg(
+        count(lit(1)).cast("long").as("n_true"),
+        sum(col("cents")).cast("long").as("rev_true"),
+        count(when(col("__b") === 0, lit(1))).cast("long").as("n_sample"),
+        sum(when(col("__b") === 0, col("cents")).otherwise(lit(0L)))
+          .cast("long").as("rev_sample"))
+      .select(col("n_true"), col("rev_true"), col("n_sample"),
+        (col("n_sample") * rate).as("n_est"),
+        (col("rev_sample") * rate).as("rev_est"),
+        expr(s"(n_sample * $rate * 1000000) div n_true - 1000000")
+          .cast("long").as("n_err_ppm"),
+        expr(s"(rev_sample * $rate * 1000000) div rev_true - 1000000")
+          .cast("long").as("rev_err_ppm"))
+  }
+
+  /** DuckDB twin of [[sampleEstimate]] over `lineitem`. */
+  def sampleEstimateOracleSql(rate: Int): String = {
+    val b = graft.functions.Hashing.permBucketSql(
+      "(l_orderkey * 8 + l_linenumber)", 6, rate)
+    s"""
+    |WITH rows0 AS (
+    |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+    |      AS cents,
+    |    $b AS b
+    |  FROM lineitem),
+    |agg AS (
+    |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+    |    CAST(sum(cents) AS BIGINT) AS rev_true,
+    |    CAST(count(*) FILTER (b = 0) AS BIGINT) AS n_sample,
+    |    CAST(coalesce(sum(cents) FILTER (b = 0), 0) AS BIGINT)
+    |      AS rev_sample
+    |  FROM rows0)
+    |SELECT n_true, rev_true, n_sample,
+    |  CAST(n_sample * $rate AS BIGINT) AS n_est,
+    |  CAST(rev_sample * $rate AS BIGINT) AS rev_est,
+    |  CAST(n_sample * $rate * 1000000 // n_true - 1000000 AS BIGINT)
+    |    AS n_err_ppm,
+    |  CAST(rev_sample * $rate * 1000000 // rev_true - 1000000 AS BIGINT)
+    |    AS rev_err_ppm
+    |FROM agg
+    |""".stripMargin.trim
+  }
+
+  /** Inter-purchase interval distribution — "how often do customers
+    * come back", the lifecycle number behind churn models: per
+    * customer the day-gaps between CONSECUTIVE orders (customer-keyed
+    * lag window), profiled through the exact quarter-scaled
+    * [[boxplotStats]] shell grouped by the customer's order count
+    * band (2-3 / 4-9 / 10+ orders — frequency changes the rhythm, so
+    * one global median misleads). Integer day gaps, exact quartiles. */
+  def purchaseIntervals(orders: DataFrame, custKey: Column,
+                        ts: Column): DataFrame = {
+    val w = Window.partitionBy(col("cust_id")).orderBy(col("day"),
+      col("okey"))
+    val gaps = orders.select(custKey.cast("long").as("cust_id"),
+        datediff(to_date(ts), lit("1970-01-01")).cast("long").as("day"),
+        col("o_orderkey").cast("long").as("okey"))
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val nOrders = orders.groupBy(custKey.cast("long").as("cust_id"))
+      .agg(count(lit(1)).as("n_ord"))
+    val banded = gaps.join(nOrders, "cust_id")
+      .withColumn("band",
+        when(col("n_ord") >= 10, "c_10plus")
+          .when(col("n_ord") >= 4, "b_4to9")
+          .otherwise("a_2to3"))
+    boxplotStats(banded, col("band"), col("gap"))
+  }
+
+  /** DuckDB twin of [[purchaseIntervals]] over `orders` — the gap
+    * derivation as a FROM fragment through the shared
+    * [[boxplotStatsOracleSql]] shell. */
+  val purchaseIntervalsOracleSql: String = {
+    val gaps =
+      """(SELECT g.cust_id, g.gap,
+        |  CASE WHEN n.n_ord >= 10 THEN 'c_10plus'
+        |       WHEN n.n_ord >= 4 THEN 'b_4to9'
+        |       ELSE 'a_2to3' END AS band
+        |FROM (
+        |  SELECT CAST(o_custkey AS BIGINT) AS cust_id,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |        CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      - lag(CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS BIGINT))
+        |        OVER (PARTITION BY o_custkey
+        |              ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |      AS gap
+        |  FROM orders) g
+        |JOIN (SELECT CAST(o_custkey AS BIGINT) AS cust_id,
+        |        count(*) AS n_ord FROM orders GROUP BY 1) n
+        |  USING (cust_id)
+        |WHERE g.gap IS NOT NULL) src""".stripMargin
+    boxplotStatsOracleSql(gaps, "band", "gap")
+  }
+
   /** Gini coefficient of a value's concentration across entities —
     * "what share of revenue do the top customers hold?" as ONE
     * number, the inequality audit behind every skew/concentration

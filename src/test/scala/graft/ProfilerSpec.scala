@@ -285,6 +285,34 @@ class ProfilerSpec extends SparkSpec {
     assert(got.map(_._4) == Seq(0L, 1L, 1L, 0L))
   }
 
+  test("sampleEstimate: estimates scale the sample, errors are sane") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val r = Profiler.sampleEstimate(li, 64).first()
+    val (nTrue, revTrue, nSamp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getLong(3) == nSamp * 64)           // n_est
+    assert(nSamp > 0 && nSamp < nTrue)
+    assert(revTrue > 0)
+    // ~1.5% sampling at 6k rows: the deterministic fixture error is
+    // well inside +-35% — this pins the scaling arithmetic, not luck
+    assert(math.abs(r.getLong(5)) < 350000L, s"n_err ${r.getLong(5)}")
+    assert(math.abs(r.getLong(6)) < 350000L, s"rev_err ${r.getLong(6)}")
+  }
+
+  test("purchaseIntervals: non-negative gaps, gap count conserved") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val got = Profiler.purchaseIntervals(orders, col("o_custkey"),
+      col("o_orderdate")).collect()
+    assert(got.nonEmpty)
+    // every gap row comes from a customer with >= 2 orders: total
+    // gaps = total orders - customers-with-orders
+    val nGaps = got.map(_.getLong(1)).sum
+    val expect = orders.count() -
+      orders.select("o_custkey").distinct().count()
+    assert(nGaps == expect)
+    // quartiles are non-negative (orders never go back in time)
+    got.foreach(r => assert(r.getLong(2) >= 0))
+  }
+
   test("giniConcentration: uniform ~0, single-holder -> (n-1)/n") {
     import spark.implicits._
     val uniform = (1L to 100L).map(i => (i, 50.0))
