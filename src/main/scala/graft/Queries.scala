@@ -1626,6 +1626,22 @@ object Queries {
           col("o_orderdate"), col("o_totalprice")).orderBy("cust_id"),
       Some(ext.Profiler.rfmSegmentsOracleSql)),
 
+    // Single-source supply risk: supplier-count histogram per part
+    // with line-volume exposure and an at-risk flag
+    ("supply_risk",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.supplyRisk(t(s, d, "lineitem"))
+          .orderBy("n_suppliers"),
+      Some(ext.Profiler.supplyRiskOracleSql())),
+
+    // Exact (ISO dow x hour) activity grid with ppm shares — 7x24
+    // bounded, the ops-dashboard opener
+    ("activity_heatmap",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.activityHeatmap(t(s, d, "events"), col("ts"))
+          .orderBy("dow", "hour"),
+      Some(ext.Profiler.activityHeatmapOracleSql)),
+
     // Sampling honesty audit: deterministic 1-in-64 hash sample,
     // scaled estimates vs exact truth, signed error in ppm
     ("sample_estimate",

@@ -758,6 +758,79 @@ object Profiler {
     boxplotStatsOracleSql(gaps, "band", "gap")
   }
 
+  /** Single-source supply risk — per part, how many DISTINCT
+    * suppliers ever shipped it, rolled into the supplier-count
+    * histogram with a risk flag: a part with one supplier is a
+    * single point of failure, and the histogram (count → how many
+    * parts / how much line volume) is the procurement dashboard's
+    * opening row. Two hash aggregates; |distinct counts|-bounded. */
+  def supplyRisk(lineitem: DataFrame, k: Long = 2): DataFrame = {
+    val perPart = lineitem
+      .select(col("l_partkey").cast("long").as("part_id"),
+        col("l_suppkey").cast("long").as("supp_id"))
+      .distinct()
+      .groupBy("part_id").agg(count(lit(1)).as("n_suppliers"))
+    val lines = lineitem.groupBy(col("l_partkey").cast("long")
+      .as("part_id")).agg(count(lit(1)).as("n_lines"))
+    perPart.join(lines, "part_id")
+      .groupBy("n_suppliers")
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum("n_lines").cast("long").as("n_lines"))
+      .select(col("n_suppliers").cast("long").as("n_suppliers"),
+        col("n_parts"), col("n_lines"),
+        when(col("n_suppliers") < k, 1L).otherwise(0L).as("at_risk"))
+  }
+
+  /** DuckDB twin of [[supplyRisk]] over `lineitem`. */
+  def supplyRiskOracleSql(k: Long = 2): String =
+    s"""
+    |WITH per_part AS (
+    |  SELECT part_id, count(*) AS n_suppliers
+    |  FROM (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS part_id,
+    |          CAST(l_suppkey AS BIGINT) AS supp_id FROM lineitem)
+    |  GROUP BY part_id),
+    |lines AS (
+    |  SELECT CAST(l_partkey AS BIGINT) AS part_id, count(*) AS n_lines
+    |  FROM lineitem GROUP BY 1)
+    |SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+    |  CAST(count(*) AS BIGINT) AS n_parts,
+    |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+    |  CAST(CASE WHEN n_suppliers < $k THEN 1 ELSE 0 END AS BIGINT)
+    |    AS at_risk
+    |FROM per_part JOIN lines USING (part_id)
+    |GROUP BY n_suppliers ORDER BY n_suppliers
+    |""".stripMargin.trim
+
+  /** Weekday × hour activity heat map — the exact (ISO dow, hour)
+    * event-count grid every ops dashboard renders first; 7×24-bounded
+    * output, one hash aggregate, share of total in exact ppm. */
+  def activityHeatmap(events: DataFrame, ts: Column): DataFrame = {
+    val grid = events.select(
+        ((dayofweek(to_date(ts)) + 5) % 7 + 1).cast("long").as("dow"),
+        hour(ts.cast("timestamp")).cast("long").as("hour"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val total = grid.agg(sum("n_events").cast("long").as("__t"))
+    grid.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("(n_events * 1000000) div __t").cast("long")
+          .as("share_ppm"))
+  }
+
+  /** DuckDB twin of [[activityHeatmap]] over `events`. */
+  val activityHeatmapOracleSql: String =
+    """
+    |WITH grid AS (
+    |  SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+    |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+    |    CAST(count(*) AS BIGINT) AS n_events
+    |  FROM events GROUP BY 1, 2)
+    |SELECT dow, hour, n_events,
+    |  CAST(n_events * 1000000 // (SELECT sum(n_events) FROM grid)
+    |    AS BIGINT) AS share_ppm
+    |FROM grid ORDER BY dow, hour
+    |""".stripMargin.trim
+
   /** Gini coefficient of a value's concentration across entities —
     * "what share of revenue do the top customers hold?" as ONE
     * number, the inequality audit behind every skew/concentration
