@@ -95,6 +95,43 @@ class Round8PropSpec extends SparkSpec {
     }
   }
 
+  test("attributionAsof on random event streams: first-at-or-after " +
+    "witness verified row by row") {
+    import java.sql.Timestamp
+    val gen: Gen[Seq[(Long, Long, Long, String)]] = for {
+      n <- Gen.choose(2, 40)
+      evs <- Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 4L)
+        t <- Gen.choose(0L, 7200L) // seconds within two hours
+        typ <- Gen.oneOf("click", "purchase", "view")
+      } yield (user, t, typ))
+    } yield evs.zipWithIndex.map { case ((u, t, ty), i) =>
+      (i.toLong, u, t, ty)
+    }
+    samples(gen, 6).foreach { evs =>
+      val df = evs.map { case (id, u, t, ty) =>
+        (id, new Timestamp(1700000000000L + t * 1000L), u, ty, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = graft.ext.Sessions
+        .attributionAsof(df, "click", "purchase", 1800L)
+        .collect().map(r => r.getLong(1) ->
+          (Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+      // reference: per click, scan the raw list for the first
+      // purchase at-or-after (ties: purchase at same second counts,
+      // smallest (ts, event_id) wins), null beyond tolerance
+      val purchases = evs.filter(_._4 == "purchase")
+      evs.filter(_._4 == "click").foreach { case (cid, cu, ct, _) =>
+        val next = purchases.filter(p => p._2 == cu && p._3 >= ct)
+          .sortBy(p => (p._3, p._1)).headOption
+        val expect = next.flatMap { p =>
+          if (p._3 - ct <= 1800L) Some(p._1) else None
+        }
+        assert(got(cid) == expect,
+          s"click $cid: got ${got(cid)}, want $expect in $evs")
+      }
+    }
+  }
+
   test("leakageScrub never drops eval docs and keeps train-internal dups") {
     val gen: Gen[Seq[(Long, String, String)]] = for {
       n <- Gen.choose(3, 10)
