@@ -15,6 +15,16 @@ class PlanSpec extends SparkSpec {
       s"watermark not pushed:\n$p")
   }
 
+  test("mart_region_revenue prunes every scan to its used columns") {
+    val p = plan("mart_region_revenue")
+    // lineitem: 3 of 11 columns; a full-width scan here is the
+    // 100 TB regression this pin exists to catch
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan not pruned to 3 columns:\n$p")
+    assert(!p.contains("l_shipdate"), s"unused fact column read:\n$p")
+  }
+
   test("mart_top_orders pushes the segment filter and bounds the sort") {
     val p = plan("mart_top_orders")
     // the customer scan must carry the mktsegment equality — pushing
