@@ -1610,6 +1610,14 @@ object Queries {
           col("o_totalprice")).orderBy("date_value"),
       Some(ext.Profiler.calendarFillOracleSql)),
 
+    // Monthly order-value trend: exact floor-cents average next to
+    // the x2-exact median — the mix-shift detector pair
+    ("aov_trend",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.aovTrend(t(s, d, "orders"), col("o_orderdate"),
+          col("o_totalprice")).orderBy("year", "month"),
+      Some(ext.Profiler.aovTrendOracleSql)),
+
     // Monthly revenue MoM/YoY growth in exact ppm — gap months yield
     // NULL, positive-shifted floor division (trunc==floor)
     ("growth_rates",

@@ -831,6 +831,45 @@ object Profiler {
     |FROM grid ORDER BY dow, hour
     |""".stripMargin.trim
 
+  /** Monthly order-value trend — average AND median side by side
+    * (the pair that exposes mix shift: a rising average over a flat
+    * median means the tail moved, not the typical customer). Exact
+    * integer forms: average as floor cents (positive floor division,
+    * trunc ≡ floor), median doubled to an exact integer (two-long
+    * interpolation); |months|-bounded. */
+  def aovTrend(orders: DataFrame, ts: Column, amount: Column): DataFrame =
+    orders.select(
+        (year(to_date(ts)) * 12 + month(to_date(ts)) - 1).cast("long")
+          .as("month_idx"),
+        (amount.cast("decimal(14,2)") * 100).cast("long").as("cents"))
+      .groupBy("month_idx")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("cents")).as("__sum"),
+        (expr("percentile(cents, 0.5)") * 2).cast("long").as("med_x2"))
+      .select(expr("month_idx div 12").cast("long").as("year"),
+        (col("month_idx") % 12 + 1).cast("long").as("month"),
+        col("n_orders"),
+        expr("__sum div n_orders").cast("long").as("avg_cents"),
+        col("med_x2"))
+
+  /** DuckDB twin of [[aovTrend]] over `orders`. */
+  val aovTrendOracleSql: String =
+    """
+    |WITH monthly AS (
+    |  SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+    |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS month_idx,
+    |    CAST(count(*) AS BIGINT) AS n_orders,
+    |    sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+    |      AS total_cents,
+    |    CAST(2 * median(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+    |      AS BIGINT)) AS BIGINT) AS med_x2
+    |  FROM orders GROUP BY 1)
+    |SELECT CAST(month_idx // 12 AS BIGINT) AS year,
+    |  CAST(month_idx % 12 + 1 AS BIGINT) AS month, n_orders,
+    |  CAST(total_cents // n_orders AS BIGINT) AS avg_cents, med_x2
+    |FROM monthly ORDER BY year, month
+    |""".stripMargin.trim
+
   /** Gini coefficient of a value's concentration across entities —
     * "what share of revenue do the top customers hold?" as ONE
     * number, the inequality audit behind every skew/concentration
