@@ -1,5 +1,12 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON; sbt's trailing "[success] Total time: ..." line has defeated
+// that parse every round (BENCH_r1..r7 all show it as the final line).
+// Suppressing the success banner makes Bench's compact JSON line the
+// actual last line of stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 name := "etlminidwspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

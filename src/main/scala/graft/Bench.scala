@@ -75,10 +75,16 @@ object Bench {
     }
     // the full per-query line above is ~4 KB and the driver's tail capture
     // has truncated it every round — emit a compact totals-only record as
-    // the VERY LAST stdout line so any tail window still gets parseable JSON
-    System.out.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${results.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
-    System.out.flush()
+    // the VERY LAST stdout line so any tail window still gets parseable JSON.
+    // Printed AFTER spark.stop() (Spark logs go to stderr, but this keeps
+    // any stray shutdown output above the line), and echoed to stderr so a
+    // stderr-reading parser gets it too. build.sbt sets showSuccess:=false
+    // so sbt appends no "[success]" banner after this line.
     spark.stop()
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${results.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    System.err.println(compact)
+    System.err.flush()
+    println(compact)
+    System.out.flush()
   }
 }

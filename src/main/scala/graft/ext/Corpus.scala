@@ -1342,7 +1342,11 @@ object Corpus {
       Seq(col("cnt").desc, col("w").asc), col("cnt"), "cum")
     val total = counts.agg(sum(col("cnt")).cast("long").as("__total"))
     cum.crossJoin(broadcast(total))
-      .withColumn("cum_ppm", expr("cum * 1000000 div __total"))
+      // decimal(38,0) fold: cum approaches the total token mass, and
+      // cum*1e6 overflows Long past ~9e12 tokens (~55 TB of text) —
+      // the DuckDB twin is already safe (sum(BIGINT) -> HUGEINT)
+      .withColumn("cum_ppm",
+        expr("cast(cum as decimal(38,0)) * 1000000 div __total"))
       .withColumn("band",
         when(col("cum_ppm") <= 500000, "head")
           .when(col("cum_ppm") <= 900000, "middle")
@@ -1352,7 +1356,8 @@ object Corpus {
         sum(col("cnt")).cast("long").as("n_tokens"))
       .crossJoin(broadcast(total))
       .withColumn("share_ppm",
-        expr("(n_tokens * 1000000) div __total").cast("long"))
+        expr("(cast(n_tokens as decimal(38,0)) * 1000000) div __total")
+          .cast("long"))
       .select("band", "n_types", "n_tokens", "share_ppm")
   }
 

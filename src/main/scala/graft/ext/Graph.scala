@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting over the item co-occurrence graph —
@@ -28,15 +29,49 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Default per-group item cap for the pair self-joins: a single
+    * group with n items emits n(n−1)/2 pair rows BEFORE any distinct
+    * can dedup them, so one pathological basket (a crawler dumping
+    * 10⁵ parts into one order) would emit ~10¹⁰ rows from one task.
+    * 10⁴ caps any group's pair emission at ~5·10⁷ — large but
+    * bounded — while sitting orders of magnitude above real basket
+    * sizes (TPC-H orders hold ≤ 7 lines). */
+  val DefaultMaxGroupSize: Int = 10000
+
   /** Distinct undirected co-occurrence edges (u < v) from an
-    * item-in-group table: items sharing a group key get an edge. */
-  def coEdges(df: DataFrame, group: Column, item: Column): DataFrame = {
+    * item-in-group table: items sharing a group key get an edge.
+    *
+    * Groups holding more than `maxGroupSize` distinct items are
+    * SKIPPED (their pairs are never emitted) — the quadratic-blowup
+    * guard above. The skip is part of the operator's declared
+    * semantics, mirrored in every oracle twin, so parity holds by
+    * construction even on data that trips the guard; use
+    * [[oversizeGroups]] for the audit of what was skipped. The size
+    * count rides a window over the same `g` hash partitioning the
+    * pair join needs, so the guard adds no extra shuffle of the
+    * item table. */
+  def coEdges(df: DataFrame, group: Column, item: Column,
+              maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
     val g = df.select(group.as("g"), item.cast("long").as("i")).distinct()
+      .withColumn("__gn",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__gn") <= maxGroupSize)
+      .select(col("g"), col("i"))
     val a = g.select(col("g"), col("i").as("u"))
     val b = g.select(col("g"), col("i").as("v"))
     a.join(b, Seq("g")).filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
   }
+
+  /** Audit of the groups [[coEdges]]/[[basketLift]] skip: every group
+    * whose distinct item count exceeds `maxGroupSize`, with the count
+    * — the "what did the guard eat" row a pipeline logs next to the
+    * graph build. Empty on healthy data. */
+  def oversizeGroups(df: DataFrame, group: Column, item: Column,
+                     maxGroupSize: Int = DefaultMaxGroupSize): DataFrame =
+    df.select(group.as("g"), item.cast("long").as("i")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > maxGroupSize)
 
   /** Per-node triangle participation counts over undirected edges
     * (u < v). Output: (node_id, n_tri) for nodes in ≥1 triangle. */
@@ -47,9 +82,8 @@ object Graph {
     // of the m edge rows regardless of how AQE re-plans each consumer
     // — and makes the upstream distinct's cost appear once in any
     // profile instead of ambiguously shared.
-    val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v"))
-      .localCheckpoint()
+    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
 
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -108,13 +142,19 @@ object Graph {
           .otherwise(lit(0L)).cast("long").as("cc_ppm"))
   }
 
-  /** DuckDB twin of [[clusteringCoeff]] over the co-order graph. */
+  /** DuckDB twin of [[clusteringCoeff]] over the co-order graph —
+    * including the oversize-group skip, so parity is by construction
+    * even on data that trips the guard. */
   val coOrderClusteringOracleSql: String =
-    """
-    |WITH e AS (
-    |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-    |  FROM lineitem a JOIN lineitem b
-    |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    s"""
+    |WITH g AS (
+    |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+    |ok AS (
+    |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
+    |e AS (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
     |deg AS (
     |  SELECT node_id, count(*) AS degree
     |  FROM (SELECT u AS node_id FROM e UNION ALL SELECT v FROM e)
@@ -152,13 +192,22 @@ object Graph {
     * and the marginals join back by part key. The total-orders scalar
     * rides a broadcast 1-row cross join. The `minSupport` cut is
     * applied BEFORE the marginal joins, so the heavy pair tail never
-    * shuffles twice. */
-  def basketLift(lineitem: DataFrame, minSupport: Long): DataFrame = {
-    val g = lineitem.select(col("l_orderkey").as("o"),
+    * shuffles twice. Baskets above `maxBasket` distinct parts are
+    * skipped before the pair join (the [[coEdges]] quadratic guard —
+    * skipped baskets still count in the order total and marginals,
+    * since they ARE real orders; only their pair emission is
+    * suppressed), mirrored in the oracle twin. */
+  def basketLift(lineitem: DataFrame, minSupport: Long,
+                 maxBasket: Int = DefaultMaxGroupSize): DataFrame = {
+    val all = lineitem.select(col("l_orderkey").as("o"),
       col("l_partkey").cast("long").as("i")).distinct()
-    val nOrders = g.select(col("o")).distinct()
+    val g = all
+      .withColumn("__gn", count(lit(1)).over(Window.partitionBy(col("o"))))
+      .filter(col("__gn") <= maxBasket)
+      .select(col("o"), col("i"))
+    val nOrders = all.select(col("o")).distinct()
       .agg(count(lit(1)).as("__n"))
-    val marg = g.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val marg = all.groupBy(col("i")).agg(count(lit(1)).as("n_i"))
     val a = g.select(col("o"), col("i").as("u"))
     val b = g.select(col("o"), col("i").as("v"))
     val pairs = a.join(b, Seq("o")).filter(col("u") < col("v"))
@@ -171,24 +220,36 @@ object Graph {
       .select(col("u"), col("v"), col("n_ab").cast("long").as("n_ab"),
         col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
-        expr("(n_ab * __n * 1000000) div (n_a * n_b)").as("lift_ppm"))
+        // ppm numerator folded in decimal(38,0) (DuckDB: HUGEINT): at
+        // the 100 TB posture total orders ~1e11 and n_ab >= minSupport
+        // put n_ab*N*1e6 past Long.MAX, where bare Long arithmetic
+        // wraps silently under ANSI-off Spark while DuckDB errors —
+        // same cleared-overflow discipline as zscoreOutliers/gini
+        expr("(cast(n_ab as decimal(38,0)) * __n * 1000000) " +
+          "div (cast(n_a as decimal(38,0)) * n_b)").as("lift_ppm"))
   }
 
-  /** DuckDB twin of [[basketLift]] over `lineitem`. */
+  /** DuckDB twin of [[basketLift]] over `lineitem` — marginals and
+    * the order total count EVERY basket; only the pair emission skips
+    * oversize baskets, as in the Spark shape. */
   def basketLiftOracleSql(minSupport: Long): String =
     s"""
     |WITH g AS (
     |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
     |  FROM lineitem),
+    |okb AS (
+    |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
     |n AS (SELECT count(DISTINCT o) AS total FROM g),
     |marg AS (SELECT i, count(*) AS n_i FROM g GROUP BY i),
     |pairs AS (
     |  SELECT a.i AS u, b.i AS v, count(*) AS n_ab
     |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM okb)
     |  GROUP BY 1, 2 HAVING count(*) >= $minSupport)
     |SELECT u, v, CAST(n_ab AS BIGINT) AS n_ab,
     |  CAST(ma.n_i AS BIGINT) AS n_a, CAST(mb.n_i AS BIGINT) AS n_b,
-    |  CAST(n_ab * total * 1000000 // (ma.n_i * mb.n_i) AS BIGINT)
+    |  CAST(CAST(n_ab AS HUGEINT) * total * 1000000
+    |       // (CAST(ma.n_i AS HUGEINT) * mb.n_i) AS BIGINT)
     |    AS lift_ppm
     |FROM pairs JOIN marg ma ON ma.i = u
     |           JOIN marg mb ON mb.i = v
@@ -198,13 +259,18 @@ object Graph {
 
   /** DuckDB twin: plain 3-way join on the distinct co-order edges —
     * correct at oracle scale, wedge-unbounded at 100 TB (the plan
-    * this operator's orientation exists to avoid). */
+    * this operator's orientation exists to avoid). Mirrors the
+    * oversize-group skip. */
   val coOrderTrianglesOracleSql: String =
-    """
-    |WITH e AS (
-    |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-    |  FROM lineitem a JOIN lineitem b
-    |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    s"""
+    |WITH g AS (
+    |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+    |ok AS (
+    |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
+    |e AS (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
     |t AS (
     |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
     |  FROM e e1 JOIN e e2 ON e1.v = e2.u

@@ -72,9 +72,8 @@ object Profiler {
     // the pids would then disagree between the passes and the ranks
     // silently corrupt. Pinning one materialization makes the
     // boundary draw shared, hence the ranks exact.
-    val ranged = df.repartitionByRange(nPart, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = Pin.pin(df.repartitionByRange(nPart, order: _*)
+      .withColumn("__pid", spark_partition_id()))
     val wLoc = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val local = ranged.withColumn("__lc", sum(value).over(wLoc))
     val wBase = Window.orderBy(col("__pid"))
@@ -131,7 +130,17 @@ object Profiler {
     * ulp differs by fold order; rank fences are integers, so the
     * same row can never land in different bins on different engines.
     * Comparison rows bin against the 9 inner fences via a broadcast
-    * 9-row cross join folded back to a sum — linear, no sort. */
+    * 9-row cross join folded back to a sum — linear, no sort.
+    *
+    * Known asymmetry (deterministic, engine-consistent): reference
+    * rows are binned by RANK, comparison rows by the derived VALUE
+    * fences — so when one value is tied across a rank fence, the
+    * tied reference rows split between two bins while every tied
+    * comparison row lands in the lower bin, slightly inflating
+    * drift_ppm for heavily-tied distributions. Binning the ref side
+    * by its own fences would erase the guarantee that ref deciles
+    * hold exactly n/10 rows, which is what makes the expected-share
+    * denominator exact; the asymmetry is the cheaper trade. */
   def driftCheck(lineitem: DataFrame, pivotDate: String,
                  nBins: Int = 10): DataFrame = {
     val rows = lineitem.select(

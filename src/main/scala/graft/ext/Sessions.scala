@@ -358,7 +358,16 @@ object Sessions {
     * Rows-based window (8 fixed lags, one type-keyed shuffle), tail
     * truncation at 2⁻⁸ < 0.4% of mass. Bit-identical across engines,
     * and at 100 TB the state per key is 8 longs, which is also why the
-    * streaming twin of this fold needs no watermark gymnastics. */
+    * streaming twin of this fold needs no watermark gymnastics.
+    *
+    * COMPOSITION REQUIREMENT: the lags are over OBSERVED rows, so the
+    * input series must be gap-free per type — on a sparse series the
+    * trailing-8 window silently blends non-adjacent calendar days
+    * (exactly the hazard [[Profiler.calendarFill]]'s scaladoc warns
+    * against). A daily event rollup is dense whenever every type
+    * fires every day; otherwise compose with [[Profiler.calendarFill]]
+    * 's dense spine first so the smoothed trend reflects calendar
+    * adjacency. */
   def ewmaVolume(events: DataFrame, typ: Column, ts: Column,
                  span: Int = 8): DataFrame = {
     val daily = events

@@ -87,9 +87,8 @@ object SuffixArray {
     // partitioner's sample seed varies with the RDD id — differing
     // boundary draws would make `__pid` disagree between the two
     // passes and corrupt the ranks.
-    val ranged = distinctKeys.repartitionByRange(nPart, kCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val ranged = Pin.pin(distinctKeys.repartitionByRange(nPart, kCols: _*)
+      .withColumn("__pid", spark_partition_id()))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(kCols: _*)
     val local = ranged.withColumn("__li", row_number().over(wLocal))
     val wBase = Window.orderBy(col("__pid"))
@@ -138,9 +137,8 @@ object SuffixArray {
     val wordRank = rerank(toks.select("w").distinct(), Seq("w"))
     // checkpoint before the loop: round 1 consumes t twice (shifted
     // and unshifted), and group ids are only stable once materialized
-    var t = toks.join(wordRank, "w")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rank"))
-      .localCheckpoint()
+    var t = Pin.pin(toks.join(wordRank, "w")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("rank")))
     var width = 1
     while (width < p) {
       val nxt = t.select(col("doc_id"), (col("pos") - width).as("pos"),
@@ -150,9 +148,8 @@ object SuffixArray {
         .na.fill(0L, Seq("__r2"))
       val rankMap = rerank(keyed.select("__r1", "__r2").distinct(),
         Seq("__r1", "__r2"))
-      t = keyed.join(rankMap, Seq("__r1", "__r2"))
-        .select("doc_id", "pos", "rank")
-        .localCheckpoint()
+      t = Pin.pin(keyed.join(rankMap, Seq("__r1", "__r2"))
+        .select("doc_id", "pos", "rank"))
       width *= 2
     }
     t

@@ -521,35 +521,61 @@ object Streams {
     * targets attribute), so a single-batch run equals the batch
     * operator row-for-row on every DECIDED source (StreamsSpec pins
     * it). Sources with no subsequent target stay pending — online,
-    * "never converted" is unknowable without a horizon; a production
-    * deployment adds an event-time timeout at the tolerance to flush
-    * them as null rows once the watermark passes.
+    * "never converted" is unknowable without a horizon.
     *
-    * State per user is the pending-source list — bounded by the
-    * source rate within one source→target gap, not by stream length
-    * (every target empties the backlog at or before it); one keyed
-    * shuffle, like the session ops. */
+    * State per user is the pending-source list. With
+    * `timeoutFlush = false` (default) it is bounded by the source
+    * rate within one source→target gap ONLY for users that
+    * eventually convert — a user who never emits a target
+    * accumulates every source forever (NoTimeout, nothing evicts).
+    * The production posture is `timeoutFlush = true` (the caller
+    * must declare `withWatermark` on `ts` upstream): once the
+    * event-time watermark passes a pending source's
+    * `ts + tolSeconds` horizon, ANY future target must land beyond
+    * tolerance, so the source is decidable — it is flushed as the
+    * exact null-attributed row the batch operator would emit and
+    * removed from state, via an event-time timeout registered at the
+    * earliest pending horizon. State is then bounded by the source
+    * rate within one tolerance window for EVERY user. One keyed
+    * shuffle, like the session ops.
+    *
+    * `timeoutFlush = true` declares the watermark ITSELF (on the
+    * projected event-time column, `watermarkDelay` behind max event
+    * time) — Spark requires the watermark-tagged attribute in the
+    * stateful operator's direct input, so an upstream `withWatermark`
+    * on a column this projection replaces would not satisfy the
+    * planner anyway. */
   def attributionStream(events: DataFrame, fromType: String,
-                        toType: String,
-                        tolSeconds: Long): Dataset[AttributionResult] = {
+                        toType: String, tolSeconds: Long,
+                        timeoutFlush: Boolean = false,
+                        watermarkDelay: String = "0 seconds"
+                       ): Dataset[AttributionResult] = {
     val spark = events.sparkSession
     import spark.implicits._
     val tolUs = tolSeconds * 1000000L
-    events
+    val timeoutConf =
+      if (timeoutFlush) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val projected = events
       .filter(col("event_type").isin(fromType, toType))
       .select(col("user_id").cast("long"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"),
         col("event_id").cast("long"),
-        when(col("event_type") === toType, 1).otherwise(0).as("kind"))
-      .as[(Long, Long, Long, Int)]
+        when(col("event_type") === toType, 1).otherwise(0).as("kind"),
+        col("ts").cast("timestamp").as("__event_ts"))
+    val withWm =
+      if (timeoutFlush) projected.withWatermark("__event_ts", watermarkDelay)
+      else projected
+    withWm
+      .as[(Long, Long, Long, Int, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, Long)], AttributionResult](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, gs) =>
+        OutputMode.Append, timeoutConf) { (user, it, gs) =>
         // pending sources as (event_id, ts_us), arrival order = time order
         var pending: List[(Long, Long)] = if (gs.exists) gs.get else Nil
         val out = List.newBuilder[AttributionResult]
         it.toSeq.sortBy(r => (r._2, r._4, r._3)).foreach {
-          case (_, ts, id, kind) =>
+          case (_, ts, id, kind, _) =>
             if (kind == 0) pending = pending :+ (id -> ts)
             else {
               val (decided, rest) = pending.partition(_._2 <= ts)
@@ -563,7 +589,21 @@ object Streams {
               pending = rest
             }
         }
-        gs.update(pending)
+        if (timeoutFlush) {
+          // watermark-expired sources are DECIDED null (strict <: a
+          // target at exactly ts = wm still attributes with lag = tol)
+          val wmUs = gs.getCurrentWatermarkMs() * 1000L
+          val (expired, alive) = pending.partition(_._2 + tolUs < wmUs)
+          expired.foreach { case (srcId, srcTs) =>
+            out += AttributionResult(user, srcId, srcTs, None, None, None)
+          }
+          pending = alive
+          if (pending.nonEmpty)
+            gs.setTimeoutTimestamp(
+              pending.map(_._2).min / 1000L + tolSeconds * 1000L + 1L)
+        }
+        if (pending.isEmpty) { if (gs.exists) gs.remove() }
+        else gs.update(pending)
         out.result().iterator
       }
   }

@@ -72,4 +72,35 @@ class GraphSpec extends SparkSpec {
     assert(got == naive)
     assert(got.nonEmpty)
   }
+
+  test("coEdges guard: a planted oversize basket is skipped, audited, " +
+    "and never emits its quadratic pairs") {
+    // 20 two-item baskets + one pathological 500-item basket
+    val small = (1 to 20).flatMap(o => Seq((o.toLong, 2L * o), (o.toLong, 2L * o + 1)))
+    val big = (1 to 500).map(i => (999L, 100000L + i))
+    val df = (small ++ big).toDF("g", "i")
+    val edges = Graph.coEdges(df, col("g"), col("i"), maxGroupSize = 100)
+    assert(edges.count() == 20, "only the small baskets' edges survive")
+    assert(edges.filter(col("u") >= 100000L).count() == 0)
+    val audit = Graph.oversizeGroups(df, col("g"), col("i"), 100)
+      .as[(Long, Long)].collect().toSeq
+    assert(audit == Seq((999L, 500L)))
+    // at the default bound the same basket is under the cap -> included
+    assert(Graph.coEdges(df, col("g"), col("i")).count() ==
+      20 + 500L * 499 / 2)
+    assert(Graph.oversizeGroups(df, col("g"), col("i")).count() == 0)
+  }
+
+  test("basketLift guard: oversize basket skips pair emission but still " +
+    "counts in order total and marginals") {
+    // orders 10,11 = {1,2}; order 12 = parts 1..200 (oversize at cap 50)
+    val li = (Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L)) ++
+      (1 to 200).map(p => (12L, p.toLong)))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Graph.basketLift(li, 2L, maxBasket = 50)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // pair (1,2): n_ab=2 (order 12's copy suppressed), n_1=n_2=3
+    // (marginals count order 12), N=3 -> lift = 2*3/9 = 666666 ppm
+    assert(got == Seq((1L, 2L, 2L, 3L, 3L, 666666L)))
+  }
 }

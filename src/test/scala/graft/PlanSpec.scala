@@ -416,4 +416,28 @@ class PlanSpec extends SparkSpec {
     assert(failed.isFailure,
       s"contract did not catch the broadcast->sort-merge drift:\n$p")
   }
+
+  test("pin storage dial: disk_only posture is honored and rank results " +
+    "are invariant to it") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def run() = ext.Profiler.paretoAbc(li, col("l_partkey"),
+      col("l_extendedprice")).orderBy("part_id").collect().toSeq
+    val base = run()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    spark.conf.set(ext.Pin.ConfKey, "disk_only")
+    try {
+      val dialed = run()
+      assert(dialed == base,
+        "two-phase rank must be bit-identical under the disk_only pin")
+      // the NEW pinned rdd(s) of this run carry DISK_ONLY, proving the
+      // dial reached the checkpoint (not just a conf no-op)
+      val fresh = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }.values
+      assert(fresh.nonEmpty &&
+        fresh.forall(_.getStorageLevel == StorageLevel.DISK_ONLY),
+        s"expected fresh DISK_ONLY pins, got ${fresh.map(_.getStorageLevel)}")
+    } finally spark.conf.unset(ext.Pin.ConfKey)
+  }
 }

@@ -564,4 +564,45 @@ class StreamsSpec extends SparkSpec {
     assert(got == want,
       s"stream decided set diverged: ${got.size} vs ${want.size}")
   }
+
+  test("attributionStream timeoutFlush: the watermark decides a " +
+    "never-converting source as null and evicts its state") {
+    import spark.implicits._
+    val dir = tmp("events-attr-timeout")
+    def write(rows: Seq[(Long, Long, String, String)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: user 1 clicks at 10:00 (never converts; horizon 11:00),
+    // user 2 clicks at 13:30 (horizon 14:30 — beyond every watermark
+    // this test ever advances to, so it must stay pending throughout)
+    write(Seq((100L, 1L, "2024-01-01 10:00:00", "click"),
+      (101L, 2L, "2024-01-01 13:30:00", "click")))
+    val schema = spark.read.parquet(dir).schema
+    // no-data micro-batches would fire the timeout at a nondeterministic
+    // point between processAllAvailable calls; data-batch-only timeout
+    // delivery makes each assert's watermark state exact
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = Streams.attributionStream(
+        spark.readStream.schema(schema).parquet(dir),
+        "click", "purchase", 3600L, timeoutFlush = true)
+      .writeStream.format("memory").queryName("attr_timeout")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("attr_timeout").count() == 0,
+        "nothing is decidable while the watermark sits at batch start")
+      // batch 2: watermark = 13:30 (batch 1's max event time) passes
+      // user 1's 11:00 horizon -> flushed as the exact null row
+      write(Seq((102L, 3L, "2024-01-01 13:30:01", "click")))
+      q.processAllAvailable()
+      val got = spark.table("attr_timeout").collect().map(r =>
+        (r.getLong(0), r.getLong(1), Option(r.get(3)), Option(r.get(5))))
+      assert(got.toSeq == Seq((1L, 100L, None, None)),
+        s"expected exactly user 1's null-attributed flush, got ${got.toSeq}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+  }
 }
