@@ -62,7 +62,27 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    // build/search decomposition for the oracle-contract rebuild
+    // queries (BenchDecomp): time the build leg alone (min-of-2, same
+    // protocol), search = declared total − build. Not part of the
+    // driver's total; a diagnostic block in the same artifact.
+    val totalsByName = results.toMap
+    val decomp = BenchDecomp.legs.toSeq.sortBy(_._1).flatMap {
+      case (name, leg) =>
+        totalsByName.get(name).filter(_ >= 0).flatMap { t =>
+          try {
+            val bs = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              leg(spark, sfDir)
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            Some(s""""$name":{"build_s":$bs,"search_s":${math.max(0.0, t - bs)},"total_s":$t}""")
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] decomp $name failed: $e"); None
+          }
+        }
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"decomp":$decomp,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture has repeatedly truncated this line (the driver's
     // BENCH_r4/r5 artifacts lost the total); a file copy is the durable record

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, FuzzyJoin, Similarity, Corpus}
+
+/** Build/search decomposition for the queries whose ORACLE CONTRACT
+  * forces an index rebuild inside the declared query (the DuckDB twin
+  * must be able to replay codebook → encode → search from the raw
+  * tables, so the Spark side re-derives the index on every run too).
+  * The bench wall for these therefore overstates the steady-state
+  * operator by the build leg — a production deployment materializes
+  * the index once at ingest and pays only the search leg per batch.
+  *
+  * [[legs]] maps each such query to its BUILD-leg thunk: the
+  * index-side computation alone, forced with the same count()-style
+  * action the bench uses. `Bench` times it separately and reports
+  * `{build_s, search_s (= total − build, floored at 0), total_s}`
+  * per query in bench_result.json. The build thunks reuse the exact
+  * library functions the declared query calls (same plans, same
+  * configs) — not re-implementations:
+  *
+  *  - `ann_ivf_pq` / `ann_pq_incremental`: sample codebooks + the
+  *    PQ encode argmin over the index corpus
+  *    ([[Similarity.pqQuantizationError]] runs the identical m·ksub
+  *    subspace-dot argmin shape over every vector + one reduce —
+  *    the dominant build cost; coarse cell assignment is a second
+  *    small argmin over the same rows).
+  *  - `cdc_incremental`: chunk + distinct the settled index side
+  *    ([[Dedup.cdcChunks]] — what production persists bucketed by h).
+  *  - `dsir_incremental`: fit the LLR table on the settled side
+  *    ([[Corpus.dsirFitLlr]] — the model production persists).
+  *  - `edit_neardup_incremental`: the pigeonhole segment relation of
+  *    the settled side ([[FuzzyJoin.segments]] — what production
+  *    persists bucketed by segment).
+  */
+object BenchDecomp {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** query name → build-leg thunk (returns a row count / scalar to
+    * prove the action ran). Parameters mirror the declared queries
+    * in [[Queries.all]] exactly. */
+  val legs: Map[String, (SparkSession, String) => Long] = Map(
+    "ann_ivf_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqQuantizationError(e,
+        Similarity.pqSampleCodebooks(e, 8, 16, 8), 8, 64).longValue()
+    }),
+    "ann_pq_incremental" -> ((s, d) => {
+      val idx = emb(s, d).filter(col("vec_id") < 400)
+      Similarity.pqQuantizationError(idx,
+        Similarity.pqSampleCodebooks(idx, 8, 16, 8), 8, 64).longValue()
+    }),
+    "cdc_incremental" -> ((s, d) => {
+      val idx = docs(s, d).filter(col("doc_id") < 400)
+      Dedup.cdcChunks(idx, col("doc_id"), col("text"), 4, 8)
+        .select(col("h"), col("chunk")).distinct().count()
+    }),
+    "dsir_incremental" -> ((s, d) => {
+      Corpus.dsirFitLlr(docs(s, d).filter(col("doc_id") < 400),
+        col("text"), col("lang") === "en", 64).length.toLong
+    }),
+    "edit_neardup_incremental" -> ((s, d) => {
+      val idx = docs(s, d).filter(col("doc_id") < 400)
+      FuzzyJoin.segments(
+        FuzzyJoin.prep(idx, col("doc_id"), col("text"), 40), 3).count()
+    })
+  )
+}

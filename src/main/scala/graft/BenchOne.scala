@@ -12,8 +12,13 @@ object BenchOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MASTER=spark://host:7077 points this harness at a
+    // standalone cluster (the SCALE.md §33 two-executor experiment:
+    // same conf posture, per-executor heaps instead of one shared
+    // JVM); default stays single-JVM local[cpus]
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = GraftConf.applyBase(SparkSession.builder()
-        .master(s"local[$cpus]"), cpus.toInt)
+        .master(master), cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Generates `SURVEY_QUERIES.md` — the authoritative per-query table
+  * behind SURVEY.md §7.3 — straight from the runtime registry
+  * (`Queries.all`), so the declared surface and the doc cannot drift:
+  *
+  *  - **name + oracle flag** come from the registry itself (an entry
+  *    with `Some(sql)` is oracle-checked by the driver's DuckDB gate;
+  *    `None` would be rows-only — there are none since round 6).
+  *  - **family** is assigned by [[family]]; the generator THROWS on an
+  *    unclassified name, so adding a query without classifying it
+  *    breaks `SurveyGen`/`SurveyGenSpec` instead of silently
+  *    desyncing the doc.
+  *  - **since round** is derived from the checked-in
+  *    `CORRECTNESS_r*.json` driver artifacts (first round a name
+  *    appears in); names not yet in any artifact are the current
+  *    round's additions, rendered `r{max+1}*`.
+  *
+  * Run `graft.SurveyGen [repoRoot]` to regenerate; `SurveyGenSpec`
+  * asserts the checked-in file's name set and counts match the
+  * registry (byte-stability of the round column is NOT asserted —
+  * the next driver artifact legitimately refines `r{max+1}*`).
+  */
+object SurveyGen {
+
+  /** Family taxonomy for the declared surface. Explicit sets, not
+    * regex guesses: totality is enforced (unknown name → error). */
+  def family(name: String): String = {
+    def in(xs: String*) = xs.contains(name)
+    def pre(p: String) = name.startsWith(p)
+    if (in("dim_date_build", "delta_extract", "deleted_keys", "scd2_dim",
+        "surrogate_keys", "unknown_member", "asof_join", "anti_new_rows",
+        "fact_delta", "fact_build", "latest_per_key", "mart_current",
+        "dup_check", "overlap_check", "overlap_runs", "ref_integrity",
+        "reconcile_totals", "reconcile_rows", "distinct_values",
+        "string_funcs", "top_violations", "dim_snapshot"))
+      "parity (§2 warehouse core)"
+    else if (pre("sa_")) "suffix-array dedup"
+    else if (pre("cdc_") || pre("dup_span") || pre("winnow") ||
+        pre("chunk_scrub")) "span/chunk dedup"
+    else if (pre("minhash") || pre("simhash") || pre("ngram_") ||
+        pre("edit_") || pre("dedup_") || pre("neardup_") ||
+        in("exact_dedup", "source_overlap", "dup_rate_by_source",
+          "split_leakage", "containment_estimate", "contamination_check",
+          "doc_fingerprint", "k_anonymity", "pii_mask", "leakage_scrub"))
+      "document dedup / LSH"
+    else if (pre("semantic_dedup") || pre("cluster_") ||
+        pre("embedding_") || pre("ann_") || pre("srp_") ||
+        in("kmeans_update", "feature_hash"))
+      "similarity / ANN / semantic dedup"
+    else if (pre("bpe_") || pre("quality") || pre("gopher") ||
+        pre("lang_") || pre("length_") ||
+        in("token_count", "vocab_topk", "tfidf_topk", "ttr_stats",
+          "repetition_score", "boilerplate_ratio", "phrase_bigrams",
+          "zipf_bands", "lm_fit", "ngram_novelty", "doc_chunk"))
+      "text analysis / quality"
+    else if (pre("corpus_") || pre("mix_") || pre("dsir") ||
+        pre("seq_pack") ||
+        in("epoch_shuffle", "curriculum_manifest", "pack_manifest",
+          "token_budget_sample"))
+      "corpus prep / packing"
+    else if (in("bm25_topk", "hybrid_rrf_topk")) "retrieval"
+    else if (pre("graph_") ||
+        in("clustering_coeff", "basket_lift", "component_size_hist"))
+      "graph analytics"
+    else if (in("profile_stats", "equi_depth_hist", "drift_check",
+        "zscore_outliers", "mad_outliers", "gini_revenue",
+        "spearman_corr", "boxplot_stats", "pareto_abc", "calendar_fill",
+        "ewma_volume", "volume_autocorr", "corpus_diff"))
+      "profiler / anomaly"
+    else if (in("sessionization", "funnel_steps", "attribution_asof",
+        "event_transitions", "sliding_event_window", "sliding_window",
+        "tumbling_window", "conversion_lag_stats"))
+      "sessions / event windows"
+    else if (in("mart_region_revenue", "mart_top_orders",
+        "retention_cohort", "rfm_segments", "new_vs_returning",
+        "aov_trend", "supply_risk", "activity_heatmap", "growth_rates",
+        "seasonality_profile", "purchase_intervals", "trending_topk"))
+      "marts / BI"
+    else if (in("bloom_prune", "layout_skipping", "zorder_key",
+        "cms_topk_audit", "skew_join", "salted_agg", "sample_estimate",
+        "sample_split", "stratified_sample", "fixed_n_sample",
+        "approx_distinct", "approx_quantile"))
+      "scale devices / sampling"
+    else if (in("multimodal_features", "frame_sample"))
+      "multimodal plumbing"
+    else if (in("date_funcs", "regex_funcs", "array_funcs",
+        "json_extract", "rank_funcs", "lag_lead", "running_total",
+        "set_ops", "group_topk", "pivot_agg", "rollup_agg", "cube_agg",
+        "grouping_sets"))
+      "SQL function surface"
+    else sys.error(s"SurveyGen: unclassified query '$name' — " +
+      "add it to SurveyGen.family before regenerating")
+  }
+
+  /** First round each name appears in a `CORRECTNESS_r*.json`
+    * artifact (top-level keys), via Jackson from the Spark jars. */
+  def firstRounds(root: Path): Map[String, Int] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.matches("CORRECTNESS_r\\d+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    files.foldLeft(Map.empty[String, Int]) { (acc, f) =>
+      val r = f.getFileName.toString
+        .replaceAll("[^0-9]", "").toInt
+      val names = mapper.readTree(f.toFile).fieldNames.asScala.toSeq
+      names.foldLeft(acc)((m, n) => if (m.contains(n)) m else m + (n -> r))
+    }
+  }
+
+  def render(root: Path): String = {
+    val reg = Queries.all.map { case (n, _, sql) => (n, sql.isDefined) }
+    val seen = firstRounds(root)
+    val cur = (if (seen.isEmpty) 0 else seen.values.max) + 1
+    val rows = reg
+      .map { case (n, o) =>
+        (family(n), n, o, seen.get(n).map("r" + _).getOrElse(s"r$cur*")) }
+      .sortBy { case (f, n, _, _) => (f, n) }
+    val withOracle = reg.count(_._2)
+    val sb = new StringBuilder
+    sb ++= "# Declared query surface (GENERATED — do not edit)\n\n"
+    sb ++= "Regenerate with `graft.SurveyGen` (reads `Queries.all` + " +
+      "`CORRECTNESS_r*.json`).\nKept in sync by `SurveyGenSpec`: the " +
+      "name set below must equal the runtime\nregistry " +
+      "`SparkEntry.queries` exactly.\n\n"
+    sb ++= s"**${reg.size} queries; $withOracle oracle-checked " +
+      s"(DuckDB twin), ${reg.size - withOracle} rows-only.** " +
+      s"`r$cur*` = added\nthis round, not yet in a driver artifact.\n\n"
+    sb ++= "| family | query | since | oracle |\n|---|---|---|---|\n"
+    var last = ""
+    rows.foreach { case (f, n, o, r) =>
+      val fc = if (f == last) "" else f
+      last = f
+      sb ++= s"| $fc | `$n` | $r | ${if (o) "yes" else "rows-only"} |\n"
+    }
+    val famCounts = rows.groupBy(_._1).view.mapValues(_.size).toSeq
+      .sortBy(-_._2).map { case (f, c) => s"$f $c" }.mkString("; ")
+    sb ++= s"\nBy family: $famCounts.\n"
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = Paths.get(if (args.nonEmpty) args(0) else ".")
+    val out = root.resolve("SURVEY_QUERIES.md")
+    Files.write(out, render(root).getBytes("UTF-8"))
+    println(s"wrote $out (${Queries.all.size} queries)")
+  }
+}

@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** (doc_id, s, len) with the truncation applied. */
-  private def prep(docs: DataFrame, id: Column, text: Column,
+  private[graft] def prep(docs: DataFrame, id: Column, text: Column,
                    prefixLen: Int): DataFrame =
     docs.filter(text.isNotNull)
       .select(id.cast("long").as("doc_id"),
@@ -52,7 +52,7 @@ object FuzzyJoin {
     * Segment i has length len/(k+1) (+1 for the first len mod (k+1)
     * of them); start(i) = 1 + i·(len div nSeg) + min(i, len mod
     * nSeg). Emits (doc_a, la, p, seg). */
-  private def segments(base: DataFrame, k: Int): DataFrame = {
+  private[graft] def segments(base: DataFrame, k: Int): DataFrame = {
     val nSeg = k + 1
     base.filter(col("len") >= nSeg)
       .select(col("doc_id"), col("len"), col("s"),

@@ -64,24 +64,14 @@ object Profiler {
     * tie-free for engine parity (callers append a unique key). */
   private[ext] def globalCumsum(df: DataFrame, order: Seq[Column],
                                 value: Column, out: String): DataFrame = {
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    // localCheckpoint is LOAD-BEARING: `ranged` feeds two separate
-    // jobs (the local windows and the broadcast base offsets), and
-    // RangePartitioner's sample seed varies with the RDD id, so two
-    // evaluations of the same lineage may pick DIFFERENT boundaries —
-    // the pids would then disagree between the passes and the ranks
-    // silently corrupt. Pinning one materialization makes the
-    // boundary draw shared, hence the ranks exact.
-    val ranged = Pin.pin(df.repartitionByRange(nPart, order: _*)
-      .withColumn("__pid", spark_partition_id()))
+    // two-phase core shared with SuffixArray.denseRank — see
+    // [[Rank.withPidAndBase]] for the boundary-draw consistency
+    // argument (checkpoint mode) and the heap-quiet fences dial.
+    // `order` must be ascending null-free keys (descending numeric
+    // orders pass the negated column — paretoAbc does).
+    val withPb = Rank.withPidAndBase(df, order, value)
     val wLoc = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val local = ranged.withColumn("__lc", sum(value).over(wLoc))
-    val wBase = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = ranged.groupBy(col("__pid")).agg(sum(value).as("__n"))
-      .withColumn("__base", coalesce(sum(col("__n")).over(wBase), lit(0L)))
-      .select("__pid", "__base")
-    local.join(broadcast(bases), "__pid")
+    withPb.withColumn("__lc", sum(value).over(wLoc))
       .withColumn(out, (col("__base") + col("__lc")).cast("long"))
       .drop("__pid", "__lc", "__base")
   }
@@ -99,8 +89,10 @@ object Profiler {
     val rev = lineitem.groupBy(partKey.cast("long").as("part_id"))
       .agg((sum(price.cast("decimal(14,2)")) * 100).cast("long")
         .as("rev_cents"))
+    // descending revenue as an ascending negated key (the rank core
+    // requires ascending null-free keys — see globalCumsum's note)
     val cum = globalCumsum(rev,
-      Seq(col("rev_cents").desc, col("part_id").asc),
+      Seq(-col("rev_cents"), col("part_id")),
       col("rev_cents"), "cum_cents")
     val total = rev.agg(sum(col("rev_cents")).cast("long").as("__total"))
     cum.crossJoin(broadcast(total))
@@ -154,7 +146,7 @@ object Profiler {
 
     val nRef = ref.agg(count(lit(1)).as("__n"))
     val ranked = globalCumsum(ref,
-        Seq(col("cents").asc, col("ok").asc, col("ln").asc), lit(1L), "rk")
+        Seq(col("cents"), col("ok"), col("ln")), lit(1L), "rk")
       .crossJoin(broadcast(nRef))
       .withColumn("bin", expr(s"((rk - 1) * $nBins) div __n + 1"))
     val refBins = ranked.groupBy("bin")
@@ -251,7 +243,7 @@ object Profiler {
     val rows = df.select((value.cast("long").as("x") +: tieBreak): _*)
     val n = rows.agg(count(lit(1)).as("__n"))
     globalCumsum(rows,
-        col("x").asc +: tieBreak.map(_.asc), lit(1L), "rk")
+        col("x") +: tieBreak, lit(1L), "rk")
       .crossJoin(broadcast(n))
       .withColumn("bin", expr(s"((rk - 1) * $nBins) div __n + 1"))
       .groupBy("bin")
@@ -314,11 +306,11 @@ object Profiler {
     val grpNames = "xa" +: "xb" +: keys.indices.map(i => s"k$i")
     val grp = Window.partitionBy(grpNames.map(col): _*)
     val ra = globalCumsum(rows,
-        Seq(col("xa").asc, col("xb").asc) ++ kCols.map(_.asc),
+        Seq(col("xa"), col("xb")) ++ kCols,
         lit(1L), "ra")
       .withColumn("occ", row_number().over(grp.orderBy(col("ra"))))
     val rb = globalCumsum(rows,
-        Seq(col("xb").asc, col("xa").asc) ++ kCols.map(_.asc),
+        Seq(col("xb"), col("xa")) ++ kCols,
         lit(1L), "rb")
       .withColumn("occ", row_number().over(grp.orderBy(col("rb"))))
       .select((col("rb") +: col("occ") +: grpNames.map(col)): _*)
@@ -449,7 +441,7 @@ object Profiler {
           .as("spend_cents"))
     val n = perCust.agg(count(lit(1)).as("__n"))
     def score(c: Column, out: String, df: DataFrame): DataFrame =
-      globalCumsum(df, Seq(c.asc, col("cust_id").asc), lit(1L), "__rk")
+      globalCumsum(df, Seq(c, col("cust_id")), lit(1L), "__rk")
         .crossJoin(broadcast(n))
         .withColumn(out, expr("((__rk - 1) * 5) div __n + 1"))
         .drop("__rk", "__n")
@@ -896,7 +888,7 @@ object Profiler {
       .agg((sum(value.cast("decimal(14,2)")) * 100).cast("long")
         .as("cents"))
     val ranked = globalCumsum(sums,
-      Seq(col("cents").asc, col("ent").asc), lit(1L), "rk")
+      Seq(col("cents"), col("ent")), lit(1L), "rk")
     ranked.agg(
         count(lit(1)).cast("decimal(38,0)").as("__n"),
         sum(col("cents").cast("decimal(38,0)")).as("__sx"),

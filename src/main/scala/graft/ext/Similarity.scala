@@ -1471,6 +1471,16 @@ object Similarity {
       ivfPqTopK(corpus, queries, k, nCentroids, nProbe, m, ksub, dim,
         rerank))
 
+  /** recall@k of the IVF-PQ path under CALLER-SUPPLIED codebooks —
+    * the production-dial audit ([[pqTrainCodebooks]]' Lloyd books at
+    * ksub=256 vs the sample init, same search legs; tools/PqDial). */
+  def pqRecallWith(corpus: DataFrame, queries: DataFrame, cw: DataFrame,
+                   k: Int, nCentroids: Int, nProbe: Int, m: Int,
+                   dim: Int, rerank: Int): DataFrame =
+    recallVsExact(corpus, queries, k,
+      ivfPqTopKWith(corpus, queries, cw, k, nCentroids, nProbe, m, dim,
+        rerank))
+
   /** The IVF nProbe TUNING CURVE in one query: recall@k of the IVF
     * path at each probe count, against the shared exact decimal scan —
     * the dial-sizing audit every IVF deployment runs first ("which

@@ -80,23 +80,12 @@ object SuffixArray {
   private[graft] def denseRank(distinctKeys: DataFrame,
                              keys: Seq[String]): DataFrame = {
     val kCols = keys.map(col)
-    val nPart = distinctKeys.sparkSession.sessionState.conf.numShufflePartitions
-    // localCheckpoint is LOAD-BEARING (same reason as groupIds'
-    // note below): the broadcast `bases` job and the final join job
-    // would otherwise each re-evaluate this lineage, and the range
-    // partitioner's sample seed varies with the RDD id — differing
-    // boundary draws would make `__pid` disagree between the two
-    // passes and corrupt the ranks.
-    val ranged = Pin.pin(distinctKeys.repartitionByRange(nPart, kCols: _*)
-      .withColumn("__pid", spark_partition_id()))
+    // two-phase core shared with Profiler.globalCumsum — see
+    // [[Rank.withPidAndBase]] for the boundary-draw consistency
+    // argument (checkpoint mode) and the heap-quiet fences dial
+    val withPb = Rank.withPidAndBase(distinctKeys, kCols, lit(1L))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(kCols: _*)
-    val local = ranged.withColumn("__li", row_number().over(wLocal))
-    val wBase = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .withColumn("__base", coalesce(sum(col("__n")).over(wBase), lit(0L)))
-      .select("__pid", "__base")
-    local.join(broadcast(bases), "__pid")
+    withPb.withColumn("__li", row_number().over(wLocal))
       .select(kCols :+ (col("__base") + col("__li")).cast("long").as("rank"): _*)
   }
 

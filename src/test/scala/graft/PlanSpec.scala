@@ -440,4 +440,34 @@ class PlanSpec extends SparkSpec {
         s"expected fresh DISK_ONLY pins, got ${fresh.map(_.getStorageLevel)}")
     } finally spark.conf.unset(ext.Pin.ConfKey)
   }
+
+  test("rank mode dial: fences posture checkpoints nothing row-scale " +
+    "and rank results are invariant to it") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // one desc-normalized cumsum (pareto), one multi-key dense rank
+    // (suffix prefix ranks) — the two shapes the shared core serves
+    def pareto() = ext.Profiler.paretoAbc(li, col("l_partkey"),
+      col("l_extendedprice")).orderBy("part_id").collect().toSeq
+    def sa() = ext.SuffixArray.prefixRanks(docs, col("doc_id"),
+      col("text"), 8).orderBy("doc_id", "pos").collect().toSeq
+    val (p0, s0) = (pareto(), sa())
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    spark.conf.set(ext.Rank.ModeKey, "fences")
+    try {
+      assert(pareto() == p0,
+        "globalCumsum must be bit-identical under rank.mode=fences")
+      // the cumsum core alone may not have pinned ANY new rdd under
+      // fences — it materializes only driver-side fence stats.
+      // (Checked before sa(): the doubling loop's per-round id pins
+      // are mode-independent and would show up as fresh.)
+      val fresh = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+      assert(fresh.isEmpty,
+        s"fences mode must not checkpoint row-scale state, pinned ${fresh.size}")
+      assert(sa() == s0,
+        "denseRank must be bit-identical under rank.mode=fences")
+    } finally spark.conf.unset(ext.Rank.ModeKey)
+  }
 }
