@@ -770,6 +770,15 @@ object Queries {
           col("text"), col("source"), 3).orderBy("source"),
       Some(Dedup.dupRateBySourceOracleSql(3))),
 
+    // The per-survivor provenance view of the same drop decision:
+    // what each absorber deleted and from how many sources (one-hop
+    // min-witness semantics; chain-consistent twin = neardup_components)
+    ("dedup_absorption",
+      (s: SparkSession, d: String) =>
+        Dedup.dedupAbsorption(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("source"), 3).orderBy("absorber"),
+      Some(Dedup.dedupAbsorptionOracleSql(3))),
+
     // Corpus-curation view: which provenance sources duplicate each
     // other (and themselves) — the near-dup pair set rolled up to a
     // |sources|²-bounded overlap matrix
@@ -2094,6 +2103,15 @@ object Queries {
         ext.Corpus.mixSample(t(s, d, "documents"), col("doc_id"),
           col("source"), col("text")).orderBy("g"),
       Some(ext.Corpus.mixSampleOracleSql("source"))),
+
+    // The epoch plan the τ=0.5 mixture implies at a fixed token
+    // budget: planned draw + milli-epoch repeat factor per stratum,
+    // decimal(38,0)-folded — the data-plan table next to mix_weights
+    ("mix_epoch_plan",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.mixEpochPlan(t(s, d, "documents"), col("source"),
+          col("text"), budgetTokens = 500000L).orderBy("g"),
+      Some(ext.Corpus.mixEpochPlanOracleSql("source", 500000L))),
 
     // Fixed-width quality bands + per-band token mass (curriculum /
     // quality-cut summary; deliberately not ntile — see scaladoc)

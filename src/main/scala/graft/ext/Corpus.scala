@@ -720,6 +720,67 @@ object Corpus {
     |FROM sq ORDER BY g
     |""".stripMargin.trim
 
+  /** The EPOCH PLAN a temperature-scaled mixture implies for a fixed
+    * training-token budget: per stratum, the planned token draw
+    * (budget × the τ=0.5 weight) and the repeat factor over the
+    * stratum's available mass in exact milli-epochs —
+    * `epochs_x1000 = ceil(planned·1000 / available)`. This is the
+    * "how many times does each source repeat at this mix" table every
+    * large-corpus training recipe publishes next to its mixture
+    * weights; `upsampled=1` (>1 epoch) flags the strata the budget
+    * forces into repetition — the overfitting-risk dial.
+    *
+    * Arithmetic: the weight is [[mixTemperature]]'s exact fixed point
+    * (sqrt_share_e9 / norm_e9 — IEEE-exactly-rounded sqrt, int64
+    * fold), and every product folds in decimal(38,0) BEFORE its
+    * integer division (budget·sqrt_share_e9 passes int64 once the
+    * budget exceeds ~9.2e9 tokens — the basketLift/zipfBands
+    * cleared-overflow discipline applied from the start), so the plan
+    * is bit-identical across engines at any budget. Cost shape: one
+    * stratum aggregate; the plan math runs on |strata| rows. */
+  def mixEpochPlan(docs: DataFrame, g: Column, text: Column,
+                   budgetTokens: Long): DataFrame =
+    mixTemperature(docs, g, text)
+      .withColumn("planned_tokens", expr(
+        s"(cast($budgetTokens as decimal(38,0)) * sqrt_share_e9) " +
+          "div norm_e9").cast("long"))
+      .withColumn("epochs_x1000", expr(
+        "(cast(planned_tokens as decimal(38,0)) * 1000 " +
+          "+ group_tokens - 1) div group_tokens").cast("long"))
+      .withColumn("upsampled",
+        when(col("epochs_x1000") > 1000, 1L).otherwise(0L))
+      .select("g", "n_docs", "group_tokens", "planned_tokens",
+        "epochs_x1000", "upsampled")
+
+  /** DuckDB twin of [[mixEpochPlan]] over `documents`. */
+  def mixEpochPlanOracleSql(g: String, budgetTokens: Long): String =
+    s"""
+    |WITH grouped AS (
+    |  SELECT $g AS g, count(*) AS n_docs,
+    |    CAST(sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)
+    |      AS group_tokens
+    |  FROM documents GROUP BY 1),
+    |sq AS (
+    |  SELECT g, n_docs, group_tokens,
+    |    CAST(round(sqrt(CAST(group_tokens AS DOUBLE)
+    |      / CAST(CAST(sum(group_tokens) OVER () AS BIGINT) AS DOUBLE))
+    |      * 1e9) AS BIGINT) AS sqrt_share_e9
+    |  FROM grouped),
+    |pl AS (
+    |  SELECT g, n_docs, group_tokens,
+    |    CAST(CAST($budgetTokens AS HUGEINT) * sqrt_share_e9
+    |         // CAST(sum(sqrt_share_e9) OVER () AS HUGEINT) AS BIGINT)
+    |      AS planned_tokens
+    |  FROM sq)
+    |SELECT g, n_docs, group_tokens, planned_tokens,
+    |  CAST((CAST(planned_tokens AS HUGEINT) * 1000 + group_tokens - 1)
+    |       // CAST(group_tokens AS HUGEINT) AS BIGINT) AS epochs_x1000,
+    |  CAST(CASE WHEN (CAST(planned_tokens AS HUGEINT) * 1000
+    |         + group_tokens - 1) // CAST(group_tokens AS HUGEINT) > 1000
+    |    THEN 1 ELSE 0 END AS BIGINT) AS upsampled
+    |FROM pl ORDER BY g
+    |""".stripMargin.trim
+
   /** Deterministic mixture down-sampling: cap every stratum at the
     * smallest stratum's token mass by hash-thresholding documents —
     * the EXECUTION step that [[mixWeights]]'s design numbers feed.

@@ -1854,6 +1854,58 @@ object Dedup {
     |ORDER BY d.doc_id
     |""".stripMargin.trim
 
+  /** Provenance rollup of one-hop near-dup dedup: per surviving
+    * ABSORBER, how many documents its signature neighborhood absorbed
+    * and from how many distinct sources — the "what did dedup delete,
+    * and on whose behalf" audit a curation pipeline publishes next to
+    * its drop counts (dup_rate_by_source gives the per-victim view;
+    * this is the per-survivor view). The absorber of a dropped doc is
+    * the MINIMUM d1 among its near-dup pairs — the library-wide
+    * smallest-id witness convention, deterministic hence
+    * oracle-exact. One-hop semantics by design (the chain-consistent
+    * rollup is `neardup_components`); an absorber may itself be
+    * dropped by an even smaller neighbor, so that fact is published
+    * as `absorber_dropped` rather than hidden. Cost: the banded pair
+    * set + |dropped| grouped rows — nothing quadratic, and the
+    * distinct-source count folds map-side per absorber. */
+  def dedupAbsorption(docs: DataFrame, id: Column, text: Column,
+                      src: Column, maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashPairs(simhash(docs, id, text), maxHamming)
+    val absorbed = pairs.groupBy(col("d2"))
+      .agg(min(col("d1")).as("absorber"))
+    val srcs = docs.select(id.cast("long").as("__id"), src.as("__src"))
+    val dropSet = absorbed.select(col("d2").as("__drop"))
+    absorbed.join(srcs, col("d2") === col("__id"))
+      .groupBy(col("absorber"))
+      .agg(count(lit(1)).cast("long").as("n_absorbed"),
+        countDistinct(col("__src")).cast("long").as("n_sources"))
+      .join(dropSet, col("absorber") === col("__drop"), "left")
+      .select(col("absorber"), col("n_absorbed"), col("n_sources"),
+        when(col("__drop").isNotNull, 1L).otherwise(0L)
+          .as("absorber_dropped"))
+  }
+
+  /** DuckDB twin of [[dedupAbsorption]] over `documents`. */
+  def dedupAbsorptionOracleSql(maxHamming: Int = 3): String =
+    s"""
+    |WITH $simhashCtes,
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+    |ab AS (SELECT d2, min(d1) AS absorber FROM pairs GROUP BY d2),
+    |roll AS (
+    |  SELECT ab.absorber, CAST(count(*) AS BIGINT) AS n_absorbed,
+    |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+    |  FROM ab JOIN documents d ON d.doc_id = ab.d2
+    |  GROUP BY 1)
+    |SELECT absorber, n_absorbed, n_sources,
+    |  CAST(CASE WHEN EXISTS (SELECT 1 FROM ab x WHERE x.d2 = roll.absorber)
+    |    THEN 1 ELSE 0 END AS BIGINT) AS absorber_dropped
+    |FROM roll ORDER BY absorber
+    |""".stripMargin.trim
+
   /** Distinct ids to drop under the one-hop rule (d has a smaller-id
     * doc within `maxHamming`), computed WITHOUT materializing the pair
     * set. Two-level decomposition keeps the band join off the
