@@ -18,6 +18,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout normally routes through sbt's logger, which
+// prefixes every line with "[info] " — that prefix is what still broke
+// the driver's bare-JSON tail parse of `sbt "runMain graft.Bench"`
+// after the [success] banner was suppressed (BENCH_r07 parsed:null).
+// StdoutOutput passes the child's streams through verbatim, so the
+// bench's compact JSON line is the literal last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

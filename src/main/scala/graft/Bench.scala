@@ -71,6 +71,13 @@ object Bench {
       case (name, leg) =>
         totalsByName.get(name).filter(_ >= 0).flatMap { t =>
           try {
+            // same warmup protocol as the main loop: compile the build
+            // leg's plan at the smallest SF so codegen isn't billed
+            // (without this, build_s can exceed the warmed total_s)
+            if (new java.io.File(warmupDir).exists &&
+                canon(warmupDir) != canon(sfDir))
+              try leg(spark, warmupDir)
+              catch { case scala.util.control.NonFatal(_) => () }
             val bs = (1 to 2).map { _ =>
               val t0 = System.nanoTime()
               leg(spark, sfDir)

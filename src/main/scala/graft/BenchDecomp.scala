@@ -21,12 +21,10 @@ import graft.ext.{Dedup, FuzzyJoin, Similarity, Corpus}
   * library functions the declared query calls (same plans, same
   * configs) — not re-implementations:
   *
-  *  - `ann_ivf_pq` / `ann_pq_incremental`: sample codebooks + the
-  *    PQ encode argmin over the index corpus
-  *    ([[Similarity.pqQuantizationError]] runs the identical m·ksub
-  *    subspace-dot argmin shape over every vector + one reduce —
-  *    the dominant build cost; coarse cell assignment is a second
-  *    small argmin over the same rows).
+  *  - `ann_ivf_pq` / `ann_pq_incremental`: the materialized index
+  *    relation itself ([[Similarity.ivfPqIndex]] — sample codebooks,
+  *    coarse cell assignment and the m·ksub PQ-encode argmin, the
+  *    exact fragment the declared query derives in-query).
   *  - `cdc_incremental`: chunk + distinct the settled index side
   *    ([[Dedup.cdcChunks]] — what production persists bucketed by h).
   *  - `dsir_incremental`: fit the LLR table on the settled side
@@ -48,13 +46,13 @@ object BenchDecomp {
   val legs: Map[String, (SparkSession, String) => Long] = Map(
     "ann_ivf_pq" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.pqQuantizationError(e,
-        Similarity.pqSampleCodebooks(e, 8, 16, 8), 8, 64).longValue()
+      Similarity.ivfPqIndex(e,
+        Similarity.pqSampleCodebooks(e, 8, 16, 8), 16, 8, 64).count()
     }),
     "ann_pq_incremental" -> ((s, d) => {
       val idx = emb(s, d).filter(col("vec_id") < 400)
-      Similarity.pqQuantizationError(idx,
-        Similarity.pqSampleCodebooks(idx, 8, 16, 8), 8, 64).longValue()
+      Similarity.ivfPqIndex(idx,
+        Similarity.pqSampleCodebooks(idx, 8, 16, 8), 16, 8, 64).count()
     }),
     "cdc_incremental" -> ((s, d) => {
       val idx = docs(s, d).filter(col("doc_id") < 400)

@@ -1186,6 +1186,27 @@ object Similarity {
     *    again, as one broadcast-hash join against the corpus scan.
     * The float-bandwidth term is confined to index build (once) and
     * the survivor handful — the property BENCH/SCALE measure. */
+  /** The materialized IVF-PQ INDEX relation — (cand_id, c_id, sub,
+    * code): every corpus vector's coarse cell plus its m PQ codes.
+    * This is what a production deployment computes ONCE at ingest and
+    * persists bucketed by c_id (m bytes of code payload per vector —
+    * the 32× compression); [[ivfPqTopKWith]] derives it in-query only
+    * because the ORACLE contract must replay the whole chain from raw
+    * tables. BenchDecomp times exactly this relation as the build leg
+    * of the declared PQ queries. */
+  def ivfPqIndex(corpus: DataFrame, cw: DataFrame, nCentroids: Int,
+                 m: Int, dim: Int): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"m=$m must divide dim=$dim")
+    val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb")), col("cand_id"))
+    val lists = assignedCells(c, cb, "cand_id", "c_emb", 1)
+      .select(col("cand_id"), col("c_id"))
+    val codes = pqEncode(c, cw, "cand_id", "c_emb", m, subLen)
+    lists.join(codes, Seq("cand_id"))
+  }
+
   def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, cw: DataFrame,
                     k: Int, nCentroids: Int, nProbe: Int, m: Int,
                     dim: Int, rerank: Int): DataFrame = {
@@ -1193,12 +1214,7 @@ object Similarity {
     require(m * subLen == dim, s"m=$m must divide dim=$dim")
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
-    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb")), col("cand_id"))
-    val lists = assignedCells(c, cb, "cand_id", "c_emb", 1)
-      .select(col("cand_id"), col("c_id"))
-    val codes = pqEncode(c, cw, "cand_id", "c_emb", m, subLen)
-    val index = lists.join(codes, Seq("cand_id"))
+    val index = ivfPqIndex(corpus, cw, nCentroids, m, dim)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
     val probes = assignedCells(q, cb, "query_id", "q_emb", nProbe)

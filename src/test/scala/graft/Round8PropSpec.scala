@@ -67,6 +67,47 @@ class Round8PropSpec extends SparkSpec {
     }
   }
 
+  test("rank fences mode equals checkpoint mode equals the plain-Scala " +
+    "cumsum on random data (both rank shapes)") {
+    // the r8 Rank.withPidAndBase dial: fences must be bit-identical to
+    // the pinned path on arbitrary (value, unique-key) data, including
+    // duplicate values, negative values, and sizes around the
+    // shuffle-partition count where buckets go empty
+    val gen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(1, 120)
+      vals <- Gen.listOfN(n, Gen.choose(-4L, 4L))
+    } yield vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    // zero total would null cum_ppm (div by 0) — not the machinery
+    // under test; skip those draws
+    samples(gen, 6).filter(_.map(_._1).sum != 0).foreach { rows =>
+      val df = rows.toDF("v", "id").repartition(5)
+      def run(): Seq[(Long, Long, Long)] =
+        Profiler.paretoAbc(
+          df.select(col("id").as("l_partkey"),
+            col("v").cast("decimal(14,2)").as("l_extendedprice")),
+          col("l_partkey"), col("l_extendedprice"))
+          .select(col("part_id"), col("rev_cents"), col("cum_ppm"))
+          .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val base = run()
+      spark.conf.set(graft.ext.Rank.ModeKey, "fences")
+      try {
+        assert(run() == base,
+          s"fences diverged from checkpoint on $rows")
+      } finally spark.conf.unset(graft.ext.Rank.ModeKey)
+      // plain-Scala ground truth for the running total (desc by value,
+      // asc by id — pareto's order), checked against the checkpoint run
+      val total = rows.map(_._1 * 100).sum
+      val want = rows.map { case (v, i) => (i, v * 100) }
+        .sortBy { case (i, c) => (-c, i) }
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (i, c)) =>
+          (i, c, cum + c) }.tail
+        .map { case (i, c, cum) =>
+          (i, c, (BigInt(cum) * 1000000 / total).toLong) }
+        .sortBy(_._1)
+      assert(base == want, s"cumsum diverged from scala on $rows")
+    }
+  }
+
   test("triangleCounts equals the naive join on random graphs") {
     val gen: Gen[Seq[(Long, Long)]] = for {
       nV <- Gen.choose(3, 12)
