@@ -973,6 +973,24 @@ object Queries {
       },
       Some(Similarity.cosineTopKOracleSql(64, 5, 10))),
 
+    // The symmetric k-NN graph (every vector a query — the self-join
+    // the query-set ANN family avoids), cell-blocked so candidates
+    // stay Σ|cell|²-bounded; mutual flag marks both-directions edges
+    ("knn_graph",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraph(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, k = 5, nCells = 16, nProbe = 2)
+          .orderBy("vec_id", "rank"),
+      Some(Similarity.knnGraphOracleSql(64, 5, 16, 2))),
+
+    // Its recall audit vs the exact top-k on a bounded query sample
+    ("knn_graph_recall",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraphRecall(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, k = 5, nCells = 16, nProbe = 2,
+          maxQueryId = 10).orderBy("query_id"),
+      Some(Similarity.knnGraphRecallOracleSql(64, 5, 16, 2, 10))),
+
     // Scale-path ANN: SRP-LSH buckets bound the candidate set
     ("ann_lsh",
       (s: SparkSession, d: String) => {
@@ -2296,6 +2314,16 @@ object Queries {
         ext.Classifier.scoreFixed(t(s, d, "documents"), col("doc_id"),
           col("text")).orderBy("doc_id"),
       Some(ext.Classifier.scoreFixedOracleSql())),
+
+    // Calibration/reliability table of the fixed-weight scorer:
+    // logit bands x actual-target ppm — "when the scorer says yes,
+    // how often is it right", the threshold-transfer audit
+    ("quality_calibration",
+      (s: SparkSession, d: String) =>
+        ext.Classifier.qualityCalibration(t(s, d, "documents"),
+          col("doc_id"), col("text"), col("lang") === "en")
+          .orderBy("band"),
+      Some(ext.Classifier.qualityCalibrationOracleSql())),
 
     // Quality-filter agreement: the 2x2 (gopher keep, LR keep)
     // contingency table with doc + token mass per cell — the

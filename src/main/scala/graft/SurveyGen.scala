@@ -48,7 +48,7 @@ object SurveyGen {
           "doc_fingerprint", "k_anonymity", "pii_mask", "leakage_scrub"))
       "document dedup / LSH"
     else if (pre("semantic_dedup") || pre("cluster_") ||
-        pre("embedding_") || pre("ann_") || pre("srp_") ||
+        pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||
         in("kmeans_update", "feature_hash"))
       "similarity / ANN / semantic dedup"
     else if (pre("bpe_") || pre("quality") || pre("gopher") ||

@@ -233,6 +233,69 @@ object Classifier {
     |""".stripMargin.trim
   }
 
+  /** Calibration/reliability table for the fixed-weight quality
+    * scorer: documents binned by logit into quarter-width bands
+    * (band = floor(4·logit), clamped to ±8 so pathological outliers
+    * cannot mint unbounded band keys), and per band the doc count,
+    * the ACTUAL target rate (exact ppm) and the predicted-positive
+    * count — the "when the scorer says 0.7, is it right 70% of the
+    * time" audit that decides whether a threshold transfers to a new
+    * corpus. Monotone target_ppm across bands = well-calibrated
+    * ranking; a flat or inverted run is the classic symptom of a
+    * corpus-shifted feature. All arithmetic engine-parity-safe: the
+    * logit is the established bit-identical IEEE chain, ×4 and floor
+    * are single exactly-rounded ops, and the ppm numerator folds in
+    * decimal(38,0) (the cleared-overflow discipline). One projection
+    * + one ≤17-row aggregate — corpus-scale safe by construction. */
+  def qualityCalibration(docs: DataFrame, id: Column, text: Column,
+                         target: Column,
+                         weights: Seq[Double] = FixedScoreWeights)
+      : DataFrame = {
+    require(weights.length == FeatureNames.length)
+    val pre = docs.select(id.as("doc_id"), target.as("__t"),
+        text.as("__text"))
+      .withColumn("__w", split(col("__text"), " "))
+    val logit = normFeatureCols(col("__text"), col("__w")).zip(weights)
+      .map { case (c, w) => c * lit(w) }.reduce(_ + _)
+    pre.select(col("doc_id"), col("__t"), logit.as("__z"))
+      .withColumn("band",
+        greatest(lit(-8L), least(lit(8L), floor(col("__z") * 4))))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("__t"), 1L).otherwise(0L)).cast("long")
+          .as("n_target"),
+        sum(when(col("__z") > 0.0, 1L).otherwise(0L)).cast("long")
+          .as("n_pred_pos"))
+      .withColumn("target_ppm", expr(
+        "(cast(n_target as decimal(38,0)) * 1000000) div n_docs")
+        .cast("long"))
+  }
+
+  /** DuckDB twin of [[qualityCalibration]] over `documents`
+    * (target = `lang = 'en'`). */
+  def qualityCalibrationOracleSql(
+      weights: Seq[Double] = FixedScoreWeights): String = {
+    val logit = fixedLogitSql(weights)
+    s"""
+    |WITH b AS (
+    |  SELECT doc_id, lang = 'en' AS t, text, str_split(text, ' ') AS w,
+    |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS nw
+    |  FROM documents),
+    |z AS (SELECT doc_id, t, $logit AS z FROM b),
+    |g AS (
+    |  SELECT greatest(-8, least(8, CAST(floor(z * 4) AS BIGINT))) AS band,
+    |    CAST(count(*) AS BIGINT) AS n_docs,
+    |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+    |    CAST(sum(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+    |      AS n_pred_pos
+    |  FROM z GROUP BY 1)
+    |SELECT band, n_docs, n_target, n_pred_pos,
+    |  CAST(CAST(n_target AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+    |    AS target_ppm
+    |FROM g ORDER BY band
+    |""".stripMargin.trim
+  }
+
   /** Score documents with trained weights: σ(w·x) as `lr_score` —
     * a pure projection (the 100 TB deployment path). */
   def scoreWith(docs: DataFrame, id: Column, text: Column,

@@ -629,6 +629,119 @@ object Similarity {
     |ORDER BY d1, d2
     |""".stripMargin.trim
 
+  /** Cell-blocked symmetric k-NN GRAPH: every corpus vector's top-k
+    * neighbors by exact cosine among its cell-candidate set — the
+    * self-join the rest of the ANN family deliberately avoids
+    * (embedding_topk/ann_* search a bounded QUERY set against the
+    * corpus; the kNN graph makes every vector a query). This is the
+    * standard input to graph clustering / SemDeDup variants / mutual-
+    * kNN outlier pruning, and the scale shape is the cell partition:
+    * candidates = same-cell pairs (Σ|cell|² bounded, nProbe recall
+    * dial), never the n² broadcast an exact self-join would need.
+    * Output: (vec_id, neighbor_id, cos, rank, mutual) — `mutual`=1
+    * iff the edge survives in both directions' top-k (the mutual-kNN
+    * edge set that downstream graph algorithms actually want;
+    * asymmetric edges are hub artifacts). Recall < 1 by construction
+    * for cell-missed neighbors — [[knnGraphRecall]] is the audit. */
+  def knnGraph(corpus: DataFrame, id: String, emb: String, dim: Int,
+               k: Int, nCells: Int, nProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val withCells =
+      withNearestCells(corpus, id, emb, nCells, nProbe).localCheckpoint()
+    // no-threshold pair enumeration (cos >= -1 keeps everything);
+    // smallest-shared-cell dedup means each candidate pair scores once
+    val pairs = cellPairsFromAssignment(withCells, -1.0)
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("nbr"),
+        col("cos"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("nbr"),
+        col("cos")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("nbr").asc)
+    // pinned: the top-k frame feeds both sides of the mutuality join
+    // (deterministic either way — this is evaluation cost, not a
+    // boundary-draw correctness pin)
+    val top = Pin.pin(sym
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k))
+    val rev = top.select(col("src").as("__s2"), col("nbr").as("__n2"))
+    top.join(rev,
+        col("src") === col("__n2") && col("nbr") === col("__s2"), "left")
+      .select(col("src").as("vec_id"), col("nbr").as("neighbor_id"),
+        col("cos"), col("rank"),
+        when(col("__s2").isNotNull, 1L).otherwise(0L).as("mutual"))
+  }
+
+  /** DuckDB twin of [[knnGraph]] over `embeddings`. */
+  def knnGraphOracleSql(dim: Int, k: Int, nCells: Int,
+                        nProbe: Int = 2): String =
+    s"""
+    |WITH ${cellNearDupCtes(dim, nCells, nProbe)},
+    |sym AS (SELECT d1 AS src, d2 AS nbr, cos FROM pairs
+    |        UNION ALL SELECT d2, d1, cos FROM pairs),
+    |ranked AS (
+    |  SELECT src, nbr, round(cos, 6) AS cos,
+    |    CAST(row_number() OVER (PARTITION BY src
+    |      ORDER BY round(cos, 6) DESC, nbr) AS BIGINT) AS rank
+    |  FROM sym),
+    |topk AS (SELECT * FROM ranked WHERE rank <= $k)
+    |SELECT t.src AS vec_id, t.nbr AS neighbor_id, t.cos, t.rank,
+    |  CAST(CASE WHEN EXISTS (SELECT 1 FROM topk r
+    |      WHERE r.src = t.nbr AND r.nbr = t.src)
+    |    THEN 1 ELSE 0 END AS BIGINT) AS mutual
+    |FROM topk t ORDER BY vec_id, rank
+    |""".stripMargin.trim
+
+  /** recall@k of the [[knnGraph]] edge set vs the exact top-k, for a
+    * bounded query subsample — the nProbe/nCells audit for the graph
+    * (the ann_recall pattern applied to the self-join). */
+  def knnGraphRecall(corpus: DataFrame, id: String, emb: String,
+                     dim: Int, k: Int, nCells: Int, nProbe: Int,
+                     maxQueryId: Long): DataFrame = {
+    val approx = knnGraph(corpus, id, emb, dim, k, nCells, nProbe)
+      .filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"),
+        col("neighbor_id").as("cand_id"))
+    val queries = corpus.filter(col(id) < maxQueryId)
+    recallVsExact(corpus, queries, k, approx)
+  }
+
+  /** DuckDB twin of [[knnGraphRecall]] over `embeddings`. */
+  def knnGraphRecallOracleSql(dim: Int, k: Int, nCells: Int,
+                              nProbe: Int, maxQueryId: Long): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH ${cellNearDupCtes(dim, nCells, nProbe)},
+    |sym AS (SELECT d1 AS src, d2 AS nbr, cos FROM pairs
+    |        UNION ALL SELECT d2, d1, cos FROM pairs),
+    |g_ranked AS (
+    |  SELECT src, nbr,
+    |    row_number() OVER (PARTITION BY src
+    |      ORDER BY round(cos, 6) DESC, nbr) AS rank
+    |  FROM sym),
+    |approx AS (SELECT src AS query_id, nbr AS cand_id FROM g_ranked
+    |           WHERE rank <= $k AND src < $maxQueryId),
+    |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |      WHERE vec_id < $maxQueryId),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |ex_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM c, q WHERE query_id <> cand_id),
+    |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k)
+    |SELECT e.query_id,
+    |  CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(a.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM exact e LEFT JOIN approx a
+    |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    |GROUP BY e.query_id
+    |ORDER BY e.query_id
+    |""".stripMargin.trim
+  }
+
   /** Transitive near-dup clusters over the cell-path pair graph —
     * the embedding-side twin of
     * [[graft.ext.Dedup.nearDupComponents]] (SemDeDup-style semantic

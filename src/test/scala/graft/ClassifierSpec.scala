@@ -107,4 +107,20 @@ class ClassifierSpec extends SparkSpec {
     assert(cellOf(100001L) != cellOf(100002L),
       "constructed docs should land in different cells")
   }
+  test("qualityCalibration bands partition the corpus exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cal = ext.Classifier.qualityCalibration(docs, col("doc_id"),
+      col("text"), col("lang") === "en").collect()
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "band doc counts must sum to the corpus")
+    cal.foreach { r =>
+      val band = r.getAs[Long]("band")
+      assert(band >= -8 && band <= 8, s"band $band outside clamp")
+      val ppm = r.getAs[Long]("target_ppm")
+      assert(ppm >= 0 && ppm <= 1000000, s"ppm $ppm out of range")
+      assert(r.getAs[Long]("n_target") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_pred_pos") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -637,4 +637,37 @@ class SimilaritySpec extends SparkSpec {
       })
     }
   }
+  test("knnGraph: every vector has ranked neighbors, mutual flag is " +
+    "exactly the symmetric-edge indicator") {
+    import org.apache.spark.sql.functions.col
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", 64,
+      k = 5, nCells = 16, nProbe = 2).collect()
+    val n = emb.count()
+    val byV = g.groupBy(_.getLong(0))
+    assert(byV.size == n, s"every vector must appear, got ${byV.size}/$n")
+    byV.foreach { case (v, rs) =>
+      val ranked = rs.sortBy(_.getLong(3))
+      assert(ranked.map(_.getLong(3)).toSeq == (1L to ranked.size).toSeq)
+      assert(ranked.forall(_.getLong(1) != v), "no self-edges")
+      val cos = ranked.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val edges = g.map(r => (r.getLong(0), r.getLong(1))).toSet
+    g.foreach { r =>
+      val expect = edges.contains((r.getLong(1), r.getLong(0)))
+      assert((r.getLong(4) == 1L) == expect,
+        s"mutual flag wrong on (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("knnGraphRecall: probe-all full-k configuration reaches 1.0") {
+    import org.apache.spark.sql.functions.col
+    // nProbe = nCells means every pair shares a cell -> candidate set
+    // is complete -> the graph's top-k equals the exact top-k
+    val rec = Similarity.knnGraphRecall(emb, "vec_id", "embedding", 64,
+      k = 3, nCells = 8, nProbe = 8, maxQueryId = 5).collect()
+    assert(rec.length == 5)
+    rec.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0,
+      s"probe-all must be exact, got $r"))
+  }
 }
