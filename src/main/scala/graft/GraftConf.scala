@@ -175,5 +175,16 @@ object GraftConf {
     "cdc_chunk_stats" -> PlanContract("text-agg",
       forbidJoin = true, maxHashShuffles = Some(4)),
     "cdc_scrub" -> PlanContract("text-agg",
-      forbidJoin = true, maxHashShuffles = Some(4)))
+      forbidJoin = true, maxHashShuffles = Some(4)),
+    // cell-blocked self-join: the pair expansion must keep its
+    // AQE-exempt spread on the cell key (the mutuality join of the
+    // two n·k top-k frames may legitimately sort-merge at scale)
+    "knn_graph" -> PlanContract("pairs", requireExplicitSpread = true),
+    // one scoring projection + one <=17-row band aggregate; a join or
+    // second corpus shuffle means someone re-derived the logit
+    "quality_calibration" -> PlanContract("projection",
+      forbidJoin = true, maxHashShuffles = Some(1)),
+    // stratum aggregate + |strata|-row plan math; never a corpus join
+    "mix_epoch_plan" -> PlanContract("text-agg",
+      forbidJoin = true, maxHashShuffles = Some(1)))
 }

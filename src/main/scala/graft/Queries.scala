@@ -2267,6 +2267,31 @@ object Queries {
           col("text"), BpeFixedRules).orderBy("g"),
       Some(ext.Bpe.encodeStatsOracleSql("source", BpeFixedRules))),
 
+    // Tokenizer fertility per language: subword tokens per word ppm —
+    // the multilingual context-window-cost audit
+    ("bpe_fertility",
+      (s: SparkSession, d: String) =>
+        ext.Bpe.fertility(t(s, d, "documents"), col("lang"),
+          col("text"), BpeFixedRules).orderBy("g"),
+      Some(ext.Bpe.fertilityOracleSql("lang", BpeFixedRules))),
+
+    // The curation waterfall as data: surviving docs per pipeline
+    // stage (quality -> exact dedup -> best-keep -> contamination ->
+    // sample -> split), single-sourced from CorpusPipeline.stageFrames
+    ("corpus_funnel",
+      (s: SparkSession, d: String) =>
+        ext.CorpusPipeline.funnel(t(s, d, "documents"),
+          col("source") === "src19").orderBy("stage_no"),
+      Some(ext.CorpusPipeline.funnelOracleSql("source = 'src19'"))),
+
+    // Deterministic round-robin-by-rank shard assignment + balance
+    // audit: per-shard token mass and signed ppm imbalance vs ideal
+    ("shard_balance",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.shardBalance(t(s, d, "documents"), col("doc_id"),
+          col("text"), nShards = 8).orderBy("shard"),
+      Some(ext.Corpus.shardBalanceOracleSql(nShards = 8))),
+
     // Hashing-trick bag-of-words: dense 64-bucket token-count vector
     // per doc — the stateless text->vector bridge into the ANN paths
     ("feature_hash",

@@ -60,7 +60,7 @@ object SurveyGen {
     else if (pre("corpus_") || pre("mix_") || pre("dsir") ||
         pre("seq_pack") ||
         in("epoch_shuffle", "curriculum_manifest", "pack_manifest",
-          "token_budget_sample"))
+          "token_budget_sample", "shard_balance"))
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk")) "retrieval"
     else if (pre("graph_") ||

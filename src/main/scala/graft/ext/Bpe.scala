@@ -138,6 +138,35 @@ object Bpe {
           .as("chars_per_token_ppm"))
   }
 
+  /** Tokenizer FERTILITY per stratum — subword tokens per whitespace
+    * word, in exact ppm ([[encodeStats]] + one derived column). The
+    * standard multilingual-tokenizer audit: a language whose fertility
+    * runs far above the corpus norm pays proportionally more of the
+    * context window per word (and more compute per sentence), which
+    * is exactly what the mixture/budget planners upstream need to
+    * know before trusting token counts as a proxy for content mass.
+    * Same decimal(38,0) fold discipline as the other ppm columns. */
+  def fertility(docs: DataFrame, g: Column, text: Column,
+                rules: Seq[(String, String)]): DataFrame =
+    encodeStats(docs, g, text, rules)
+      .withColumn("tokens_per_word_ppm", expr(
+        "(cast(n_tokens as decimal(38,0)) * 1000000) div n_words")
+        .cast("long"))
+
+  /** DuckDB twin of [[fertility]] over `documents`. */
+  def fertilityOracleSql(g: String,
+                         rules: Seq[(String, String)]): String = {
+    val inner = encodeStatsOracleSql(g, rules)
+      .replaceAll("ORDER BY g\\s*$", "")
+    s"""
+    |SELECT g, n_words, n_chars, n_tokens, chars_per_token_ppm,
+    |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_words AS BIGINT)
+    |    AS tokens_per_word_ppm
+    |FROM ($inner)
+    |ORDER BY g
+    |""".stripMargin.trim
+  }
+
   /** One greedy-fold round in DuckDB over a VARCHAR[] expression —
     * the literal twin of [[applyMerge]] (element-wise `[x]` wrapping
     * keeps the lambda types uniform across chained rounds). */

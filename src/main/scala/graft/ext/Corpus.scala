@@ -1395,6 +1395,62 @@ object Corpus {
     * puts few hundred types in the head; a corpus whose head is ONE
     * type is template spam. Frequency rollup + the two-phase global
     * cumsum over (count desc, word) + one 3-row fold. */
+  /** Deterministic trainer-shard assignment with a balance audit:
+    * docs ranked by token count DESC (two-phase
+    * [[Profiler.globalCumsum]], never a single-task sort; doc id
+    * breaks ties) and dealt round-robin by rank across `nShards` —
+    * the folded-deal approximation of LPT greedy bin packing that
+    * needs NO sequential state: the k-th heaviest doc lands in shard
+    * (k−1) mod n, so each shard receives one doc from every
+    * n-wide weight band. Output per shard: doc count, token mass,
+    * and the signed imbalance vs the ideal even share in ppm
+    * (decimal-folded) — the number that decides whether stragglers
+    * will gate the training epoch. Assignment is reproducible from
+    * the corpus alone (no RNG), so shard manifests regenerate
+    * bit-identically. */
+  def shardBalance(docs: DataFrame, id: Column, text: Column,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val perDoc = docs.select(id.cast("long").as("doc_id"),
+      size(Dedup.words(text)).cast("long").as("toks"))
+    val ranked = Profiler.globalCumsum(perDoc,
+      Seq(-col("toks"), col("doc_id")), lit(1L), "rk")
+    val total = perDoc.agg(sum(col("toks")).cast("long").as("__total"))
+    ranked
+      .withColumn("shard", expr(s"(rk - 1) % $nShards").cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("toks")).cast("long").as("shard_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("imbalance_ppm", expr(
+        s"(cast(shard_tokens as decimal(38,0)) * $nShards * 1000000) " +
+          "div __total - 1000000").cast("long"))
+      .select("shard", "n_docs", "shard_tokens", "imbalance_ppm")
+  }
+
+  /** DuckDB twin of [[shardBalance]] over `documents`. */
+  def shardBalanceOracleSql(nShards: Int): String =
+    s"""
+    |WITH d AS (
+    |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+    |  FROM documents),
+    |r AS (
+    |  SELECT doc_id, toks,
+    |    row_number() OVER (ORDER BY toks DESC, doc_id) AS rk
+    |  FROM d),
+    |g AS (
+    |  SELECT CAST((rk - 1) % $nShards AS BIGINT) AS shard,
+    |    CAST(count(*) AS BIGINT) AS n_docs,
+    |    CAST(sum(toks) AS BIGINT) AS shard_tokens
+    |  FROM r GROUP BY 1)
+    |SELECT shard, n_docs, shard_tokens,
+    |  CAST(CAST(shard_tokens AS HUGEINT) * $nShards * 1000000
+    |       // (SELECT sum(toks) FROM d) - 1000000 AS BIGINT)
+    |    AS imbalance_ppm
+    |FROM g ORDER BY shard
+    |""".stripMargin.trim
+
   def zipfBands(docs: DataFrame, text: Column): DataFrame = {
     val counts = docs
       .select(explode(Dedup.words(text)).as("w"))

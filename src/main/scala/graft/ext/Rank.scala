@@ -45,7 +45,16 @@ object Rank {
                      value: Column): DataFrame = {
     val mode = df.sparkSession.conf.getOption(ModeKey)
       .map(_.toLowerCase).getOrElse("checkpoint")
-    if (mode == "fences") withFences(df, order, value)
+    if (mode == "fences")
+      // fences requires plain ascending value expressions as keys; a
+      // caller passing SortOrder-decorated columns (zipf_bands' desc,
+      // Layout's caller-supplied orders) fails the stats job's
+      // analysis — degrade to the always-correct checkpoint posture
+      // rather than surface a dial-dependent error (the dial is a
+      // cost choice, never a semantics choice)
+      try withFences(df, order, value)
+      catch { case scala.util.control.NonFatal(_) =>
+        withCheckpoint(df, order, value) }
     else withCheckpoint(df, order, value)
   }
 

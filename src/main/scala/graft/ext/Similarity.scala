@@ -657,18 +657,22 @@ object Similarity {
         col("cos")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("nbr").asc)
-    // pinned: the top-k frame feeds both sides of the mutuality join
-    // (deterministic either way — this is evaluation cost, not a
-    // boundary-draw correctness pin)
-    val top = Pin.pin(sym
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k))
-    val rev = top.select(col("src").as("__s2"), col("nbr").as("__n2"))
-    top.join(rev,
-        col("src") === col("__n2") && col("nbr") === col("__s2"), "left")
+    // mutuality WITHOUT a top-k self-join: each unordered pair occurs
+    // exactly twice in `sym` (once per direction, same cos), so a
+    // second window over the unordered pair key counts how many of
+    // its two directions survive the per-source top-k — 2 = mutual.
+    // One plan, two keyed windows, no join, no re-evaluation of the
+    // pair enumeration (the join formulation would need a pin that
+    // also hides the cell spread from plan contracts).
+    val wPair = Window.partitionBy(
+      least(col("src"), col("nbr")), greatest(col("src"), col("nbr")))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__surv2",
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).over(wPair))
+      .filter(col("rank") <= k)
       .select(col("src").as("vec_id"), col("nbr").as("neighbor_id"),
         col("cos"), col("rank"),
-        when(col("__s2").isNotNull, 1L).otherwise(0L).as("mutual"))
+        when(col("__surv2") === 2L, 1L).otherwise(0L).as("mutual"))
   }
 
   /** DuckDB twin of [[knnGraph]] over `embeddings`. */
