@@ -186,5 +186,13 @@ object GraftConf {
       forbidJoin = true, maxHashShuffles = Some(1)),
     // stratum aggregate + |strata|-row plan math; never a corpus join
     "mix_epoch_plan" -> PlanContract("text-agg",
-      forbidJoin = true, maxHashShuffles = Some(1)))
+      forbidJoin = true, maxHashShuffles = Some(1)),
+    // one scoring projection + one domain-keyed window; a join means
+    // the cap re-derived quality from a second corpus scan
+    "domain_cap" -> PlanContract("text-agg",
+      forbidJoin = true, maxHashShuffles = Some(1)),
+    // the topN vocab must BROADCAST into the coverage join (a
+    // sort-merge here shuffles the full exploded token stream twice)
+    "vocab_coverage" -> PlanContract("text-agg",
+      minBroadcastJoins = 1, forbidSortMerge = true))
 }

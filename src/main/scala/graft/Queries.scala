@@ -2292,6 +2292,30 @@ object Queries {
           col("text"), nShards = 8).orderBy("shard"),
       Some(ext.Corpus.shardBalanceOracleSql(nShards = 8))),
 
+    // Web-crawl curation cap: keep the 15 best docs per source by
+    // exact-ppm quality — one prolific host can't dominate the mix
+    ("domain_cap",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.domainCap(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("source"), cap = 15).orderBy("domain", "rk"),
+      Some(ext.Corpus.domainCapOracleSql(cap = 15))),
+
+    // OOV audit: per-language token-mass coverage of the global
+    // top-100 vocabulary, in exact ppm
+    ("vocab_coverage",
+      (s: SparkSession, d: String) =>
+        ext.TextAnalysis.vocabCoverage(t(s, d, "documents"),
+          col("lang"), col("text"), topN = 100).orderBy("g"),
+      Some(ext.TextAnalysis.vocabCoverageOracleSql("lang", topN = 100))),
+
+    // "Is the quality gate secretly a length cut?" — exact-ppm
+    // Spearman of quality vs token count over the whole corpus
+    ("quality_length_bias",
+      (s: SparkSession, d: String) =>
+        ext.TextAnalysis.qualityLengthBias(t(s, d, "documents"),
+          col("doc_id"), col("text")),
+      Some(ext.TextAnalysis.qualityLengthBiasOracleSql)),
+
     // Hashing-trick bag-of-words: dense 64-bucket token-count vector
     // per doc — the stateless text->vector bridge into the ANN paths
     ("feature_hash",

@@ -53,14 +53,15 @@ object SurveyGen {
       "similarity / ANN / semantic dedup"
     else if (pre("bpe_") || pre("quality") || pre("gopher") ||
         pre("lang_") || pre("length_") ||
-        in("token_count", "vocab_topk", "tfidf_topk", "ttr_stats",
-          "repetition_score", "boilerplate_ratio", "phrase_bigrams",
-          "zipf_bands", "lm_fit", "ngram_novelty", "doc_chunk"))
+        in("token_count", "vocab_topk", "vocab_coverage", "tfidf_topk",
+          "ttr_stats", "repetition_score", "boilerplate_ratio",
+          "phrase_bigrams", "zipf_bands", "lm_fit", "ngram_novelty",
+          "doc_chunk"))
       "text analysis / quality"
     else if (pre("corpus_") || pre("mix_") || pre("dsir") ||
         pre("seq_pack") ||
         in("epoch_shuffle", "curriculum_manifest", "pack_manifest",
-          "token_budget_sample", "shard_balance"))
+          "token_budget_sample", "shard_balance", "domain_cap"))
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk")) "retrieval"
     else if (pre("graph_") ||

@@ -1451,6 +1451,46 @@ object Corpus {
     |FROM g ORDER BY shard
     |""".stripMargin.trim
 
+  /** Per-domain document cap — the web-crawl curation rule that stops
+    * one prolific host from dominating the mixture: within each
+    * `domain` keep the `cap` best documents by
+    * ([[TextAnalysis.qualityPpmFrom]] DESC, doc id ASC). Emits the
+    * kept rows with their within-domain rank, so downstream stages
+    * join on doc_id to apply the cut. One hash shuffle on domain +
+    * one bounded window; output ≤ |domains|·cap rows. The exact-ppm
+    * quality (not the float score) is what makes the rank boundary
+    * engine-stable: ties at the cap edge are broken by an integer
+    * compare both engines replay identically. */
+  def domainCap(docs: DataFrame, id: Column, text: Column,
+                domain: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val scored = docs.withColumn("__w", Dedup.words(text))
+      .select(domain.as("domain"), id.cast("long").as("doc_id"),
+        TextAnalysis.qualityPpmFrom(col("__w")).as("q_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("q_ppm").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
+  /** DuckDB twin of [[domainCap]] over `documents` with
+    * `source` as the domain. */
+  def domainCapOracleSql(cap: Int): String =
+    s"""
+    |WITH q AS (
+    |  SELECT source AS domain, CAST(doc_id AS BIGINT) AS doc_id,
+    |    ${TextAnalysis.qualityPpmSql("text")} AS q_ppm
+    |  FROM documents),
+    |r AS (
+    |  SELECT *, CAST(row_number() OVER (PARTITION BY domain
+    |    ORDER BY q_ppm DESC, doc_id) AS BIGINT) AS rk
+    |  FROM q)
+    |SELECT domain, doc_id, q_ppm, rk FROM r
+    |WHERE rk <= $cap
+    |ORDER BY domain, rk
+    |""".stripMargin.trim
+
   def zipfBands(docs: DataFrame, text: Column): DataFrame = {
     val counts = docs
       .select(explode(Dedup.words(text)).as("w"))

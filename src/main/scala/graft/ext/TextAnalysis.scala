@@ -128,6 +128,134 @@ object TextAnalysis {
       s" / CAST(len(str_split($text, ' ')) AS DOUBLE)) * 0.7"
   }
 
+  /** [[qualityScoreFrom]]'s float-free twin in exact ppm:
+    * 0.3·stop/n + 0.7·dist/n folded as one integer division
+    * (stop·300000 + dist·700000) div n — the form to use wherever the
+    * score becomes a SORT KEY or a RANK INPUT (per-domain caps,
+    * bias audits), because two engines agree on an integer division
+    * unconditionally while float rounding at a rank boundary could
+    * reorder ties. Takes the pre-split words column (same alias-
+    * boundary contract as [[qualityScoreFrom]]). */
+  def qualityPpmFrom(w: Column): Column = {
+    val n = size(w).cast("long")
+    val stop = hits(w, Markers.head._2)
+    val dist = size(array_distinct(w)).cast("long")
+    // exact integer division without `div` (which needs named-column
+    // expr strings): subtract the remainder first, so the long/long
+    // `/` (a double op) divides exactly and IEEE returns the integer
+    // quotient bit-exactly. Bound: numerator < 2^53 ⟺ the single
+    // document has < ~1.3e10 words — a per-document bound, not a
+    // corpus-mass one, so the 100 TB posture is unaffected.
+    val num = stop * lit(300000L) + dist * lit(700000L)
+    ((num - num % n) / n).cast("long")
+  }
+
+  /** DuckDB twin of [[qualityPpmFrom]] over a raw `text` column. */
+  def qualityPpmSql(text: String): String = {
+    val stop = Markers.head._2.map(x => s"'$x'").mkString(", ")
+    s"CAST((len(list_filter(str_split($text, ' '), t -> t IN ($stop)))" +
+      s" * 300000 + len(list_distinct(str_split($text, ' '))) * 700000)" +
+      s" // len(str_split($text, ' ')) AS BIGINT)"
+  }
+
+  /** Tokenizer-vocabulary coverage per stratum: the fraction (ppm) of
+    * the stratum's token mass covered by the corpus-global top-`topN`
+    * vocabulary — the OOV-rate audit run before trusting a fixed
+    * vocab across languages (a stratum whose coverage sits far below
+    * the corpus norm will fragment into fallback bytes/UNKs at
+    * training time). Vocabulary = top-N words by (count DESC, word) —
+    * a full word rollup then a TakeOrdered head, so the only
+    * row-scale shuffle is the rollup; the vocab itself is topN rows
+    * and broadcasts into the coverage join. */
+  def vocabCoverage(docs: DataFrame, g: Column, text: Column,
+                    topN: Int): DataFrame = {
+    val toks = docs.select(g.as("g"),
+      explode(Dedup.words(text)).as("w"))
+    val vocab = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("w").asc)
+      .limit(topN)
+      .select(col("w"), lit(1L).as("__v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(coalesce(col("__v"), lit(0L))).cast("long").as("n_covered"))
+      .withColumn("coverage_ppm", expr(
+        "(cast(n_covered as decimal(38,0)) * 1000000) div n_tokens")
+        .cast("long"))
+      .withColumn("oov_ppm", lit(1000000L) - col("coverage_ppm"))
+  }
+
+  /** DuckDB twin of [[vocabCoverage]] over `documents` grouped by
+    * `g` (a column of `documents`). */
+  def vocabCoverageOracleSql(g: String, topN: Int): String =
+    s"""
+    |WITH toks AS (
+    |  SELECT $g AS g, unnest(str_split(text, ' ')) AS w
+    |  FROM documents),
+    |vocab AS (
+    |  SELECT w FROM (SELECT w, count(*) AS cnt FROM toks GROUP BY 1)
+    |  ORDER BY cnt DESC, w LIMIT $topN),
+    |cov AS (
+    |  SELECT g, CAST(count(*) AS BIGINT) AS n_tokens,
+    |    CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)
+    |             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+    |  FROM toks GROUP BY g)
+    |SELECT g, n_tokens, n_covered,
+    |  CAST(CAST(n_covered AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+    |    AS coverage_ppm,
+    |  1000000 - CAST(CAST(n_covered AS HUGEINT) * 1000000 // n_tokens
+    |    AS BIGINT) AS oov_ppm
+    |FROM cov ORDER BY g
+    |""".stripMargin.trim
+
+  /** "Is the quality filter secretly a length filter?" — the exact-ppm
+    * Spearman rank correlation between [[qualityPpmFrom]] and the
+    * token count, over the whole corpus ([[Profiler.spearmanCorr]]'s
+    * two two-phase global ranks; doc id breaks ties). A |rho| near
+    * 1e6 means the quality gate re-implements a length cut and the
+    * curation ablation table is redundant; near 0 means the two gates
+    * prune different documents. */
+  def qualityLengthBias(docs: DataFrame, id: Column,
+                        text: Column): DataFrame = {
+    val base = docs.withColumn("__w", Dedup.words(text))
+      .select(qualityPpmFrom(col("__w")).as("q"),
+        size(col("__w")).cast("long").as("len"),
+        id.cast("long").as("did"))
+    Profiler.spearmanCorr(base, col("q"), col("len"), Seq(col("did")))
+  }
+
+  /** DuckDB twin of [[qualityLengthBias]] over `documents`. */
+  def qualityLengthBiasOracleSql: String =
+    s"""
+    |WITH rows0 AS (
+    |  SELECT ${qualityPpmSql("text")} AS xa,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS xb,
+    |    CAST(doc_id AS BIGINT) AS k0
+    |  FROM documents),
+    |ra AS (
+    |  SELECT xa, xb, k0,
+    |    CAST(row_number() OVER (ORDER BY xa, xb, k0) AS HUGEINT) AS ra
+    |  FROM rows0),
+    |rb AS (
+    |  SELECT xa, xb, k0,
+    |    CAST(row_number() OVER (ORDER BY xb, xa, k0) AS HUGEINT) AS rb
+    |  FROM rows0),
+    |rao AS (
+    |  SELECT *, row_number() OVER (PARTITION BY xa, xb, k0
+    |    ORDER BY ra) AS occ FROM ra),
+    |rbo AS (
+    |  SELECT *, row_number() OVER (PARTITION BY xa, xb, k0
+    |    ORDER BY rb) AS occ FROM rb)
+    |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+    |  CAST(1000000 - (6000000 * sum((ra - rb) * (ra - rb)))
+    |    // (CAST(count(*) AS HUGEINT)
+    |        * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT)
+    |    AS rho_ppm
+    |FROM rao JOIN rbo USING (xa, xb, k0, occ)
+    |""".stripMargin.trim
+
   /** Quality features: token count, mean token length, stopword ratio,
     * alpha ratio — plus a blended score. Ratios are double divisions
     * of exact longs (same IEEE op both engines). */

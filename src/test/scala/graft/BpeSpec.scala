@@ -54,4 +54,19 @@ class BpeSpec extends SparkSpec {
     val got = pc.select(sum("pair_cnt")).collect()(0).getLong(0)
     assert(got == expected, s"pair mass $got != $expected")
   }
+
+  test("fertility: >= 1 token per word, exact against encodeStats") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rules = Seq("a b" -> "ab", "ab c" -> "abc")
+    val out = Bpe.fertility(docs, col("lang"), col("text"), rules)
+      .collect().map(r => (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("tokens_per_word_ppm")))
+    assert(out.nonEmpty)
+    out.foreach { case (toks, words, ppm) =>
+      // BPE never crosses word boundaries: every word is >= 1 token,
+      // so fertility can dip below 1.0 only if the fold invented words
+      assert(ppm >= 1000000L, s"fertility $ppm < 1.0")
+      assert(ppm == (BigInt(toks) * 1000000 / BigInt(words)).toLong)
+    }
+  }
 }

@@ -99,4 +99,21 @@ class CorpusPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("funnel rows equal prepare's own StageCount accounting") {
+    val pred = col("source") === "src3"
+    val rows = CorpusPipeline.funnel(docs, pred).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val (_, counts) = CorpusPipeline.prepare(docs, pred)
+    assert(rows.map(_._2).toSeq == counts.map(_.stage),
+      "stage names/order drifted between funnel and prepare")
+    assert(rows.map(_._3).toSeq == counts.map(_.rows),
+      s"counts drifted: funnel=${rows.map(_._3).mkString(",")} " +
+        s"prepare=${counts.map(_.rows).mkString(",")}")
+    // the waterfall only narrows until split assignment (which is 1:1)
+    rows.init.zip(rows.tail).foreach { case ((_, s1, n1), (_, s2, n2)) =>
+      assert(n2 <= n1 || s2 == "split_assign", s"$s1 -> $s2 grew: $n1 -> $n2")
+    }
+  }
 }

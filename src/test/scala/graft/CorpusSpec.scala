@@ -405,4 +405,54 @@ class CorpusSpec extends SparkSpec {
     // is near-uniform, not Zipfian — the band FENCES are the
     // operator's contract, the shape is the data's)
   }
+
+  test("shardBalance: deal is complete, conserved, and folded-deal tight") {
+    val n = 8
+    val out = Corpus.shardBalance(docs, col("doc_id"), col("text"), n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).sorted.toSeq == (0L until n.toLong))
+    // every doc dealt exactly once; token mass conserved
+    assert(out.map(_._2).sum == docs.count())
+    val totalToks = docs
+      .select(sum(size(split(col("text"), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(out.map(_._3).sum == totalToks)
+    // round-robin by rank: doc counts differ by at most 1 across shards
+    assert(out.map(_._2).max - out.map(_._2).min <= 1L)
+    // folded-deal bound: shard-mass spread <= the single largest doc
+    // (shard i takes one doc from every n-wide weight band; band
+    // spreads telescope because band b's max <= band b-1's min)
+    val maxDoc = docs.select(max(size(split(col("text"), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(out.map(_._3).max - out.map(_._3).min <= maxDoc,
+      s"spread ${out.map(_._3).max - out.map(_._3).min} > maxDoc $maxDoc")
+    // imbalance_ppm is the decimal-folded signed share error
+    out.foreach { case (_, _, toks, ppm) =>
+      val expect = (BigInt(toks) * n * 1000000 / BigInt(totalToks) -
+        1000000).toLong
+      assert(ppm == expect)
+    }
+  }
+
+  test("domainCap keeps exactly the per-domain quality top-cap") {
+    val cap = 5
+    val out = Corpus.domainCap(docs, col("doc_id"), col("text"),
+        col("source"), cap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ranks dense from 1, never past the cap
+    out.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.size.toLong), d)
+      assert(rows.size <= cap)
+    }
+    // brute-force the keep set for one domain from the raw frame
+    val dom = out.head._1
+    val brute = docs.filter(col("source") === dom)
+      .withColumn("__w", split(col("text"), " "))
+      .select(col("doc_id").cast("long"),
+        graft.ext.TextAnalysis.qualityPpmFrom(col("__w")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, q) => (-q, id) }.take(cap).map(_._1).toSet
+    assert(out.filter(_._1 == dom).map(_._2).toSet == brute)
+  }
 }

@@ -181,4 +181,54 @@ class TextAnalysisSpec extends SparkSpec {
     conf.foreach(r => assert(
       perDoc((r.getString(0), r.getString(1))) == r.getLong(2)))
   }
+
+  test("qualityPpmFrom is the exact integer floor of the rational score") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    import spark.implicits._
+    val got = docs.select(col("text"),
+        TextAnalysis.qualityPpmFrom(split(col("text"), " ")).as("q"))
+      .as[(String, Long)].collect()
+    val stop = Set("the", "a", "and", "of", "to", "is", "in")
+    got.foreach { case (text, q) =>
+      val w = text.split(" ", -1).toSeq
+      val expect = (BigInt(w.count(stop) * 300000L) +
+        BigInt(w.distinct.size * 700000L)) / w.size
+      assert(q == expect.toLong, s"ppm $q != $expect for: $text")
+    }
+  }
+
+  test("vocabCoverage: parts sum, and full-vocab coverage is total") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cov = TextAnalysis.vocabCoverage(docs, col("lang"), col("text"),
+      topN = 100).collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("coverage_ppm") + r.getAs[Long]("oov_ppm")
+        == 1000000L)
+    }
+    // a vocabulary bigger than the type count covers every token
+    val full = TextAnalysis.vocabCoverage(docs, col("lang"), col("text"),
+      topN = 1000000).collect()
+    full.foreach(r => assert(r.getAs[Long]("oov_ppm") == 0L,
+      s"full vocab left OOV mass: $r"))
+  }
+
+  test("qualityLengthBias: rho bounded, and a pure length proxy hits 1.0") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rho = TextAnalysis.qualityLengthBias(docs, col("doc_id"),
+      col("text")).collect()(0).getAs[Long]("rho_ppm")
+    assert(rho >= -1000000L && rho <= 1000000L)
+    // witness frame whose "quality" IS its length: rho must be 1e6
+    val proxy = (1L to 50L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r1 = graft.ext.Profiler.spearmanCorr(
+      proxy.select(size(split(col("text"), " ")).cast("long").as("a"),
+        size(split(col("text"), " ")).cast("long").as("b"),
+        col("doc_id")),
+      col("a"), col("b"), Seq(col("doc_id")))
+      .collect()(0).getAs[Long]("rho_ppm")
+    assert(r1 == 1000000L)
+  }
 }
