@@ -2300,6 +2300,28 @@ object Queries {
           col("text"), col("source"), cap = 15).orderBy("domain", "rk"),
       Some(ext.Corpus.domainCapOracleSql(cap = 15))),
 
+    // Incremental twin: only delta-touched domains recompute; result
+    // pinned row-identical to the full recompute the oracle replays
+    ("domain_cap_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        ext.Corpus.domainCapIncremental(
+          docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400),
+          col("doc_id"), col("text"), col("source"), cap = 15)
+          .orderBy("domain", "rk")
+      },
+      Some(ext.Corpus.domainCapOracleSql(cap = 15))),
+
+    // Asset-level dedup audit: per sniffed format, byte-identical
+    // payload mass in ppm — decides if content-hash dedup precedes
+    // the decode stage
+    ("media_dedup",
+      (s: SparkSession, d: String) =>
+        ext.Multimodal.mediaDedup(t(s, d, "documents"))
+          .orderBy("format"),
+      Some(ext.Multimodal.mediaDedupOracleSql)),
+
     // OOV audit: per-language token-mass coverage of the global
     // top-100 vocabulary, in exact ppm
     ("vocab_coverage",

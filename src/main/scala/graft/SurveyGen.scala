@@ -61,7 +61,8 @@ object SurveyGen {
     else if (pre("corpus_") || pre("mix_") || pre("dsir") ||
         pre("seq_pack") ||
         in("epoch_shuffle", "curriculum_manifest", "pack_manifest",
-          "token_budget_sample", "shard_balance", "domain_cap"))
+          "token_budget_sample", "shard_balance", "domain_cap",
+          "domain_cap_incremental"))
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk")) "retrieval"
     else if (pre("graph_") ||
@@ -86,7 +87,7 @@ object SurveyGen {
         "sample_split", "stratified_sample", "fixed_n_sample",
         "approx_distinct", "approx_quantile"))
       "scale devices / sampling"
-    else if (in("multimodal_features", "frame_sample"))
+    else if (in("multimodal_features", "frame_sample", "media_dedup"))
       "multimodal plumbing"
     else if (in("date_funcs", "regex_funcs", "array_funcs",
         "json_extract", "rank_funcs", "lag_lead", "running_total",

@@ -231,4 +231,48 @@ object Multimodal {
     |  frame_idx * 1000 // $fps AS ts_ms
     |FROM f ORDER BY doc_id, frame_idx
     |""".stripMargin.trim
+
+  /** Asset-level exact dedup audit, per sniffed format: how much of
+    * the media column is byte-identical payloads — the number that
+    * decides whether a content-hash dedup pass pays for itself BEFORE
+    * any decode work is scheduled (dup frames/images are the single
+    * biggest decode-cost saving in web-scale multimodal ingest).
+    * Hash = md5 over the payload bytes; per format: payload count,
+    * distinct-hash count, total bytes, and dup mass in ppm. One
+    * projection + one format-keyed aggregate — the hash shuffles
+    * |formats| groups of partial aggregates, never the payloads. */
+  def mediaDedup(docs: DataFrame): DataFrame = {
+    val n = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    withPayload(docs)
+      .select(
+        when(n % 2 === 0, "jpeg").when(n.isNotNull, "png").as("format"),
+        md5(col("payload")).as("__h"),
+        n.as("__bytes"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).cast("long").as("n_media"),
+        countDistinct(col("__h")).cast("long").as("n_distinct"),
+        sum(col("__bytes")).cast("long").as("total_bytes"))
+      .withColumn("dup_ppm", expr(
+        "(cast(n_media - n_distinct as decimal(38,0)) * 1000000) " +
+          "div n_media").cast("long"))
+  }
+
+  /** DuckDB twin of [[mediaDedup]] over `documents` (md5 of the
+    * UTF-8 payload bytes is md5 of the text on both engines). */
+  val mediaDedupOracleSql: String =
+    """
+    |WITH m AS (
+    |  SELECT CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'jpeg'
+    |              WHEN octet_length(encode(text)) IS NOT NULL
+    |                THEN 'png' END AS format,
+    |    md5(text) AS h,
+    |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    |  FROM documents)
+    |SELECT format, CAST(count(*) AS BIGINT) AS n_media,
+    |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+    |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+    |  CAST((CAST(count(*) AS HUGEINT) - count(DISTINCT h)) * 1000000
+    |       // count(*) AS BIGINT) AS dup_ppm
+    |FROM m GROUP BY format ORDER BY format
+    |""".stripMargin.trim
 }

@@ -455,4 +455,19 @@ class CorpusSpec extends SparkSpec {
       .sortBy { case (id, q) => (-q, id) }.take(cap).map(_._1).toSet
     assert(out.filter(_._1 == dom).map(_._2).toSet == brute)
   }
+
+  test("domainCapIncremental is row-identical to the full recompute") {
+    val cap = 5
+    // delta slices that leave some domains untouched (tests the
+    // carried-forward branch) and one that touches every domain
+    Seq(col("doc_id") >= 450, col("doc_id") % 2 === 0).foreach { isDelta =>
+      val inc = Corpus.domainCapIncremental(
+        docs.filter(!isDelta), docs.filter(isDelta),
+        col("doc_id"), col("text"), col("source"), cap)
+      val full = Corpus.domainCap(docs, col("doc_id"), col("text"),
+        col("source"), cap)
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"incremental drifted from full recompute for delta $isDelta")
+    }
+  }
 }

@@ -104,4 +104,26 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Long]("ts_ms") == r.getAs[Long]("frame_idx") * 1000 / 4))
     }
   }
+
+  test("mediaDedup: distinct <= count, a planted dup moves dup_ppm") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = Multimodal.mediaDedup(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_media"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_ppm"))).toMap
+    assert(base.nonEmpty)
+    base.values.foreach { case (n, d, ppm) =>
+      assert(d <= n)
+      assert(ppm == (BigInt(n - d) * 1000000 / BigInt(n)).toLong)
+    }
+    // duplicate the whole corpus: every payload now appears twice, so
+    // per-format n doubles, distinct stays, dup mass >= 500000 ppm
+    val doubled = Multimodal.mediaDedup(
+      docs.unionByName(docs)).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_media"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("dup_ppm"))).toMap
+    doubled.foreach { case (f, (n, d, ppm)) =>
+      assert(n == 2 * base(f)._1 && d == base(f)._2)
+      assert(ppm >= 500000L)
+    }
+  }
 }
