@@ -1443,6 +1443,18 @@ object Queries {
       Some(ext.Corpus.bm25TopKOracleSql(
         Seq("spark", "merge", "window", "customer"), 20))),
 
+    // Pseudo-relevance-feedback expansion: non-seed terms of the
+    // BM25 top-20, ranked by feedback-tf x rational idf — the
+    // second-pass query builder; feedback vocab broadcasts, the df
+    // agg is semi-join pruned to it
+    ("bm25_prf_expand",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.bm25PrfExpand(t(s, d, "documents"), col("doc_id"),
+          col("text"), Seq("spark", "merge", "window", "customer"),
+          kDocs = 20, mTerms = 15),
+      Some(ext.Corpus.bm25PrfExpandOracleSql(
+        Seq("spark", "merge", "window", "customer"), 20, 15))),
+
     // Hybrid retrieval: RRF fusion of the BM25 text leg and the
     // cosine vector leg over the union of their top-20 lists —
     // fixed-point 1e9 div (rank+60) so the fused order is exact;
@@ -1768,6 +1780,15 @@ object Queries {
         ext.Graph.coOrderTriangles(t(s, d, "lineitem"))
           .orderBy("node_id"),
       Some(ext.Graph.coOrderTrianglesOracleSql)),
+
+    // Missing-link ranking: non-adjacent part pairs sharing >= 2
+    // co-order neighbors, top-100 by neighborhood-Jaccard ppm —
+    // wedge emission apex-capped, full degrees in the denominator
+    ("link_predict",
+      (s: SparkSession, d: String) =>
+        ext.Graph.linkPredict(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), minCn = 2, k = 100),
+      Some(ext.Graph.linkPredictOracleSql(minCn = 2, k = 100))),
 
     // TPC-H Q5-shaped five-way star: region/nation broadcast at any
     // scale, customer while it fits (AQE decides), facts meet on
@@ -2414,6 +2435,15 @@ object Queries {
           col("text"), col("lang") === "en", col("source"))
           .orderBy("doc_id"),
       Some(ext.Corpus.dsirWeightsOracleSql())),
+
+    // Vocabulary-tail audit: per-source corpus-wide-hapax token mass
+    // in exact ppm (the min(g)-on-tf-row attribution trick — no
+    // second corpus join); the complement of vocab_coverage's head
+    ("hapax_stats",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.hapaxStats(t(s, d, "documents"), col("source"),
+          col("text")).orderBy("g"),
+      Some(TextAnalysis.hapaxStatsOracleSql)),
 
     // Lexical diversity per source: type/token counts + exact-ppm TTR
     ("ttr_stats",

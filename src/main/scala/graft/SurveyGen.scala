@@ -53,7 +53,8 @@ object SurveyGen {
       "similarity / ANN / semantic dedup"
     else if (pre("bpe_") || pre("quality") || pre("gopher") ||
         pre("lang_") || pre("length_") ||
-        in("token_count", "vocab_topk", "vocab_coverage", "tfidf_topk",
+        in("token_count", "vocab_topk", "vocab_coverage", "hapax_stats",
+          "tfidf_topk",
           "ttr_stats", "repetition_score", "boilerplate_ratio",
           "phrase_bigrams", "zipf_bands", "lm_fit", "ngram_novelty",
           "doc_chunk"))
@@ -64,9 +65,11 @@ object SurveyGen {
           "token_budget_sample", "shard_balance", "domain_cap",
           "domain_cap_incremental"))
       "corpus prep / packing"
-    else if (in("bm25_topk", "hybrid_rrf_topk")) "retrieval"
+    else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand"))
+      "retrieval"
     else if (pre("graph_") ||
-        in("clustering_coeff", "basket_lift", "component_size_hist"))
+        in("clustering_coeff", "basket_lift", "component_size_hist",
+          "link_predict"))
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
         "zscore_outliers", "mad_outliers", "gini_revenue",

@@ -1197,6 +1197,83 @@ object Corpus {
     |""".stripMargin.trim
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio / RM1-style,
+    * Lavrenko & Croft SIGIR 2001 family, rational fixed-point): run
+    * [[bm25TopK]] for the literal seed `terms`, treat its top
+    * `kDocs` documents as relevant, and rank every non-seed term in
+    * them by feedback-frequency × global-rarity:
+    * {{{ score_fp = (tf_fb · (2N − 2df + 1) · 1000) div (2df + 1) }}}
+    * — tf_fb the term's occurrence count inside the feedback set, df
+    * its corpus-wide document frequency, and the second factor the
+    * same rational idf image as BM25's (strictly monotone in true
+    * idf, zero transcendentals). The top `mTerms` rows are the
+    * expansion candidates a retrieval pipeline appends to the query
+    * for the second pass.
+    *
+    * Scale shape: the feedback set is `kDocs` rows, so its term
+    * table `tf_fb` is bounded (kDocs × doc vocab) and BROADCASTS —
+    * both as the semi-join prune that keeps the corpus-wide df agg
+    * to feedback-vocabulary terms only, and as the final join's
+    * small side. The only big operations are the bm25 scoring pass
+    * (one projection + TakeOrdered) and one corpus explode → df agg
+    * pruned to that broadcast vocabulary. The score numerator folds
+    * in decimal(38,0) before the trailing `div` (which returns
+    * bigint on both engines) — at the 100 TB posture N ~ 1e12 and
+    * tf_fb ~ 1e6 exceed int64 in the intermediate product, the
+    * [[graft.ext.Graph.basketLift]] cleared-overflow discipline. */
+  def bm25PrfExpand(docs: DataFrame, id: Column, text: Column,
+                    terms: Seq[String], kDocs: Int,
+                    mTerms: Int): DataFrame = {
+    require(terms.nonEmpty && kDocs > 0 && mTerms > 0)
+    val base = docs.select(id.as("doc_id"), split(text, " ").as("__w"))
+    val fb = bm25TopK(docs, id, text, terms, kDocs).select(col("doc_id"))
+    val fbTf = base.join(broadcast(fb), Seq("doc_id"))
+      .select(explode(col("__w")).as("__t"))
+      .filter(!col("__t").isin(terms: _*))
+      .groupBy(col("__t")).agg(count(lit(1)).as("tf_fb"))
+    val dfT = base.select(explode(array_distinct(col("__w"))).as("__t"))
+      .join(broadcast(fbTf.select(col("__t"))), Seq("__t"), "left_semi")
+      .groupBy(col("__t")).agg(count(lit(1)).as("df"))
+    val nRow = base.agg(count(lit(1)).as("__n"))
+    fbTf.join(dfT, Seq("__t"))
+      .crossJoin(broadcast(nRow))
+      .select(col("__t").as("term"), col("tf_fb").cast("long").as("tf_fb"),
+        col("df").cast("long").as("df"),
+        expr("(cast(tf_fb as decimal(38,0)) * (2*__n - 2*df + 1) * 1000) " +
+          "div (2*df + 1)").cast("long").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("term").asc).limit(mTerms)
+  }
+
+  /** DuckDB twin of [[bm25PrfExpand]] over `documents` — the
+    * feedback-doc CTE single-sources from [[bm25TopKOracleSql]]. */
+  def bm25PrfExpandOracleSql(terms: Seq[String], kDocs: Int,
+                             mTerms: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    |WITH fbdocs AS (
+    |  SELECT doc_id FROM (${bm25TopKOracleSql(terms, kDocs)
+        .replace("\n", "\n|    ")})),
+    |fbtf AS (
+    |  SELECT tok AS t, count(*) AS tf_fb
+    |  FROM (SELECT unnest(str_split(text, ' ')) AS tok
+    |        FROM documents JOIN fbdocs USING (doc_id))
+    |  WHERE tok NOT IN ($termList) GROUP BY tok),
+    |dft AS (
+    |  SELECT t, count(*) AS df
+    |  FROM (SELECT DISTINCT doc_id, t FROM
+    |         (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+    |          FROM documents))
+    |  WHERE t IN (SELECT t FROM fbtf) GROUP BY t),
+    |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    |SELECT t AS term, CAST(tf_fb AS BIGINT) AS tf_fb,
+    |  CAST(df AS BIGINT) AS df,
+    |  CAST(CAST(tf_fb AS HUGEINT) * (2*n - 2*df + 1) * 1000
+    |       // (2*df + 1) AS BIGINT) AS score_fp
+    |FROM fbtf JOIN dft USING (t) CROSS JOIN n
+    |ORDER BY score_fp DESC, term LIMIT $mTerms
+    |""".stripMargin.trim
+  }
+
   // ---------------------------------------------------------------
   // DSIR — data selection via importance resampling (Xie et al.
   // 2023): hashed n-gram bag-of-words LMs for a TARGET distribution

@@ -282,4 +282,90 @@ object Graph {
     |      SELECT c FROM t)
     |GROUP BY 1 ORDER BY node_id
     |""".stripMargin.trim
+
+  /** Common-neighbor link prediction over undirected edges (u < v):
+    * for every NON-adjacent pair sharing ≥ `minCn` neighbors, the
+    * common-neighbor count and the neighborhood Jaccard
+    * `cn · 1e6 div (deg_u + deg_v − cn)` in exact ppm, top `k` by
+    * (jaccard, cn) — the classic missing-link ranker (Liben-Nowell &
+    * Kleinberg CIKM 2003): "these two parts are never co-ordered but
+    * share most of their co-order neighborhoods", the
+    * recommendation / catalog-gap signal next to [[basketLift]]'s
+    * observed-pair view.
+    *
+    * Shape: wedges are built at each shared neighbor (apex), so the
+    * cost is Σ deg(apex)² — the inherent price of exact CN counting
+    * (every common neighbor must witness its pair once; the triangle
+    * orientation trick does not apply because the PAIR, not the
+    * wedge, is the output key). The bound is enforced: apexes above
+    * `maxDegree` are skipped as wedge builders (hub products
+    * co-ordered with everything carry no discrimination anyway —
+    * standard practice; the skip is part of the declared semantics
+    * and mirrored in the oracle), so wedge emission ≤ n·maxDegree².
+    * Degrees in the Jaccard denominator stay FULL degrees — only
+    * wedge building is capped. One distinct-edge projection, one
+    * degree agg, one apex-keyed self-join, one (u,v) count agg, a
+    * left-anti probe against the edge set, and a TakeOrdered top-k:
+    * every join equi-keyed, nothing quadratic in the catalog. */
+  def linkPredict(edges: DataFrame, minCn: Long, k: Int,
+                  maxDegree: Int = DefaultMaxGroupSize): DataFrame = {
+    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
+    val adj = e.select(col("u").as("a"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("n")))
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+    val adjOk = adj.join(
+      deg.filter(col("degree") <= maxDegree).select(col("a")), Seq("a"),
+      "left_semi")
+    val w1 = adjOk.select(col("a"), col("n").as("u"))
+    val w2 = adjOk.select(col("a"), col("n").as("v"))
+    val cand = w1.join(w2, Seq("a")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCn)
+      .join(e, Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("a").as("u"), col("degree").as("deg_u")), "u")
+      .join(deg.select(col("a").as("v"), col("degree").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("cn").cast("long").as("cn"),
+        col("deg_u").cast("long").as("deg_u"),
+        col("deg_v").cast("long").as("deg_v"),
+        expr("(cn * 1000000L) div (deg_u + deg_v - cn)")
+          .cast("long").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[linkPredict]] over the part co-order graph —
+    * mirrors both guards (oversize baskets at edge build, oversize
+    * apexes at wedge build). */
+  def linkPredictOracleSql(minCn: Long, k: Int): String =
+    s"""
+    |WITH g AS (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |ok AS (
+    |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
+    |e AS (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
+    |adj AS (SELECT u AS a, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    |deg AS (SELECT a, count(*) AS degree FROM adj GROUP BY a),
+    |adjok AS (
+    |  SELECT adj.a, adj.n FROM adj JOIN deg ON deg.a = adj.a
+    |  WHERE deg.degree <= $DefaultMaxGroupSize),
+    |cand AS (
+    |  SELECT w1.n AS u, w2.n AS v, count(*) AS cn
+    |  FROM adjok w1 JOIN adjok w2 ON w1.a = w2.a AND w1.n < w2.n
+    |  GROUP BY 1, 2 HAVING count(*) >= $minCn),
+    |nonedge AS (
+    |  SELECT c.u, c.v, c.cn FROM cand c
+    |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v))
+    |SELECT u, v, CAST(cn AS BIGINT) AS cn,
+    |  CAST(du.degree AS BIGINT) AS deg_u,
+    |  CAST(dv.degree AS BIGINT) AS deg_v,
+    |  (cn * 1000000) // (du.degree + dv.degree - cn) AS jaccard_ppm
+    |FROM nonedge JOIN deg du ON du.a = u JOIN deg dv ON dv.a = v
+    |ORDER BY jaccard_ppm DESC, u, v LIMIT $k
+    |""".stripMargin.trim
 }

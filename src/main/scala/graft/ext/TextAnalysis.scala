@@ -589,6 +589,54 @@ object TextAnalysis {
     |FROM toks GROUP BY g ORDER BY g
     |""".stripMargin.trim
 
+  /** Vocabulary-TAIL audit per stratum: how much of each source's
+    * token mass is corpus-wide hapax legomena (global frequency 1) —
+    * the complement of `vocab_coverage`'s head view. High hapax mass
+    * flags OCR noise, mojibake, or id-like junk vocabularies that
+    * inflate a learned tokenizer; curation pipelines read it next to
+    * TTR when deciding per-source cleanup passes.
+    *
+    * Shape: one explode + one token-keyed hash agg (the big shuffle,
+    * partial-combined map-side), then per-stratum folds. The trick
+    * that keeps it two aggregates instead of re-joining the hapax
+    * set against the exploded corpus: a global-frequency-1 token has
+    * exactly ONE occurrence, so `min(g)` on its tf row IS the
+    * stratum of that occurrence — the hapax→stratum attribution is
+    * exact and rides the tf agg for free. Integer ppm only. */
+  def hapaxStats(docs: DataFrame, g: Column, text: Column): DataFrame = {
+    val toks = docs.select(g.as("g"), explode(split(text, " ")).as("__tok"))
+    val tf = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__tf"), min(col("g")).as("g"))
+    val hapax = tf.filter(col("__tf") === 1)
+      .groupBy(col("g")).agg(count(lit(1)).as("n_hapax"))
+    val tot = toks.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__tok")).as("n_types"))
+    tot.join(hapax, Seq("g"), "left")
+      .select(col("g"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).cast("long").as("n_hapax"),
+        expr("(coalesce(n_hapax, 0) * 1000000L) div n_tokens")
+          .cast("long").as("hapax_ppm"))
+  }
+
+  /** DuckDB twin of [[hapaxStats]] over `documents` by `source`. */
+  val hapaxStatsOracleSql: String =
+    """
+    |WITH toks AS (
+    |  SELECT source AS g, unnest(str_split(text, ' ')) AS tok
+    |  FROM documents),
+    |tf AS (SELECT tok, count(*) AS tf, min(g) AS g FROM toks GROUP BY tok),
+    |hap AS (SELECT g, count(*) AS n_hapax FROM tf WHERE tf = 1 GROUP BY g),
+    |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_tokens,
+    |          CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+    |        FROM toks GROUP BY g)
+    |SELECT tot.g, n_tokens, n_types,
+    |  CAST(coalesce(n_hapax, 0) AS BIGINT) AS n_hapax,
+    |  (coalesce(n_hapax, 0) * 1000000) // n_tokens AS hapax_ppm
+    |FROM tot LEFT JOIN hap ON hap.g = tot.g ORDER BY tot.g
+    |""".stripMargin.trim
+
   // ===============================================================
   // Gopher quality rules (Rae et al. 2021, §A1.1)
   // ===============================================================

@@ -283,6 +283,32 @@ class CorpusSpec extends SparkSpec {
     assert(top == 1L, s"rare-term doc should rank first, got $top")
   }
 
+  test("bm25PrfExpand: brute parity on the fixture, seeds excluded") {
+    val seeds = Seq("spark", "merge", "window", "customer")
+    val fbIds = Corpus.bm25TopK(docs, col("doc_id"), col("text"),
+      seeds, 20).collect().map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = all.length.toLong
+    val tfFb = scala.collection.mutable.Map.empty[String, Long]
+    all.filter(d => fbIds(d._1)).foreach(_._2.split(" ", -1)
+      .filterNot(seeds.contains).foreach(w =>
+        tfFb(w) = tfFb.getOrElse(w, 0L) + 1))
+    val dfAll = all.flatMap(_._2.split(" ", -1).distinct)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val brute = tfFb.toSeq.map { case (w, tf) =>
+      val df = dfAll(w)
+      (w, tf, df,
+        (BigInt(tf) * (2 * n - 2 * df + 1) * 1000 / (2 * df + 1)).toLong)
+    }.sortBy { case (w, _, _, s) => (-s, w) }.take(15)
+    val got = Corpus.bm25PrfExpand(docs, col("doc_id"), col("text"),
+      seeds, kDocs = 20, mTerms = 15).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == brute, s"\ngot:   $got\nbrute: $brute")
+    assert(got.forall(r => !seeds.contains(r._1)))
+  }
+
   test("dsirIncremental scores only the batch; novel buckets still score") {
     import spark.implicits._
     val inc = Corpus.dsirIncremental(docs, col("doc_id"), col("text"),

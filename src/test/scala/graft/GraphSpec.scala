@@ -103,4 +103,46 @@ class GraphSpec extends SparkSpec {
     // (marginals count order 12), N=3 -> lift = 2*3/9 = 666666 ppm
     assert(got == Seq((1L, 2L, 2L, 3L, 3L, 666666L)))
   }
+
+  test("linkPredict: 4-cycle + chord — only the open pair is ranked") {
+    // cycle 1-2-3-4-1 plus chord 1-3: (1,3) shares {2,4} but IS an
+    // edge -> excluded; (2,4) shares {1,3}, deg 2 = deg 4 = 2 ->
+    // jaccard = 2/(2+2-2) = 1e6 ppm, the only row at minCn=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("u", "v")
+    val got = Graph.linkPredict(edges, minCn = 2, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 4L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  test("linkPredict: apex-degree guard suppresses hub wedges") {
+    // star hub 1 with 9 leaves: every leaf pair shares only apex 1;
+    // with maxDegree=3 the hub is skipped as wedge builder -> empty
+    val star = (2L to 10L).map(i => (1L, i)).toDF("u", "v")
+    assert(Graph.linkPredict(star, minCn = 1, k = 100,
+      maxDegree = 3).count() == 0)
+    // and with the guard off, C(9,2)=36 leaf pairs rank
+    assert(Graph.linkPredict(star, minCn = 1, k = 100).count() == 36)
+  }
+
+  test("linkPredict matches a brute neighbor-set scan at sf0.001") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val edges = Graph.coEdges(li, col("l_orderkey"), col("l_partkey"))
+    edges.cache()
+    val es = edges.as[(Long, Long)].collect()
+    val nbrs = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val edgeSet = es.map { case (u, v) => (u, v) }.toSet
+    val brute = (for {
+      (u, nu) <- nbrs.toSeq; (v, nv) <- nbrs.toSeq
+      if u < v && !edgeSet.contains((u, v))
+      cn = (nu & nv).size if cn >= 2
+    } yield (u, v, cn.toLong, nu.size.toLong, nv.size.toLong,
+      cn.toLong * 1000000L / (nu.size + nv.size - cn)))
+      .sortBy { case (u, v, _, _, _, j) => (-j, u, v) }.take(100)
+    val got = Graph.linkPredict(edges, minCn = 2, k = 100)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == brute)
+    edges.unpersist()
+  }
 }

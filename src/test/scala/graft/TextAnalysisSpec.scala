@@ -231,4 +231,34 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0).getAs[Long]("rho_ppm")
     assert(r1 == 1000000L)
   }
+
+  test("hapaxStats: hand fixture + brute parity on the sf corpus") {
+    import spark.implicits._
+    // 'x' occurs once globally (in s1), 'a' twice, 'b' twice within
+    // one source, 'y' once (in s2): hapax of s1 = {x}, s2 = {y}
+    val hand = Seq(("s1", "a x b b"), ("s2", "a y"))
+      .toDF("source", "text")
+    val got = TextAnalysis.hapaxStats(hand, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s1") == ((4L, 3L, 1L, 250000L)))
+    assert(got("s2") == ((2L, 2L, 1L, 500000L)))
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tf = scala.collection.mutable.Map.empty[String, (Long, String)]
+    rows.foreach { case (src, text) =>
+      text.split(" ", -1).foreach { w =>
+        val (c, s0) = tf.getOrElse(w, (0L, src))
+        tf(w) = (c + 1, if (c == 0) src else s0)
+      }
+    }
+    val hapBySrc = tf.collect { case (_, (1L, src)) => src }
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val spark_ = TextAnalysis.hapaxStats(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(spark_ == rows.map(_._1).distinct
+      .map(s => s -> hapBySrc.getOrElse(s, 0L)).toMap)
+  }
 }
