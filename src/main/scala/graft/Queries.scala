@@ -865,6 +865,62 @@ object Queries {
         Seq("c_nationkey", "c_mktsegment",
           ext.Privacy.bucketizeSql("c_acctbal", 1000L)), 5L))),
 
+    // t-closeness: the distribution-skew gate ℓ-diversity misses —
+    // per-group vs global EMD over ordered bands, closed-form via
+    // cumulative prefix sums, exact integer ppm
+    ("t_closeness",
+      (s: SparkSession, d: String) =>
+        ext.Privacy.tCloseness(t(s, d, "customer"), col("c_mktsegment"),
+          ext.Privacy.bucketize(col("c_acctbal"), 2500L), 20000L),
+      Some(ext.Privacy.tClosenessOracleSql("customer", "c_mktsegment",
+        ext.Privacy.bucketizeSql("c_acctbal", 2500L), 20000L))),
+
+    // Priority (PPS) sampling: token-mass-proportional fixed-n doc
+    // sample — stateless hash projection + k-bounded TakeOrdered
+    ("priority_sample",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.prioritySample(t(s, d, "documents"), col("doc_id"),
+          col("text"), 50),
+      Some(ext.Corpus.prioritySampleOracleSql(50))),
+
+    // Degree assortativity: hub-to-hub mixing of the co-order graph
+    // (one quarter's slice — the filter pushes to the scan), Spearman
+    // rank machinery over (deg_u, deg_v) edge pairs
+    ("degree_assortativity",
+      (s: SparkSession, d: String) =>
+        ext.Graph.degreeAssortativity(ext.Graph.coEdges(
+          t(s, d, "lineitem").filter(col("l_shipdate")
+            .between("1995-01-01", "1995-03-31")),
+          col("l_orderkey"), col("l_partkey"))),
+      Some(ext.Graph.degreeAssortativityOracleSql(
+        "l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'"))),
+
+    // ℓ-diversity: the attribute-disclosure gate k-anonymity misses —
+    // distinct sensitive values per QI group, histogrammed; exact
+    // distinct-ℓ, three map-side-combining hash aggs
+    ("l_diversity",
+      (s: SparkSession, d: String) =>
+        ext.Privacy.lDiversity(t(s, d, "customer"),
+          Seq(col("c_nationkey"),
+            ext.Privacy.bucketize(col("c_acctbal"), 2000L)),
+          col("c_mktsegment"), 3L)
+          .orderBy("diversity"),
+      Some(ext.Privacy.lDiversityOracleSql("customer",
+        Seq("c_nationkey", ext.Privacy.bucketizeSql("c_acctbal", 2000L)),
+        "c_mktsegment", 3L))),
+
+    // Numeric band (ε) self-join via δ-bucket replication: the theta
+    // join that would be a per-group cartesian becomes a constant-
+    // factor-2 equi-join; exact |a−b| ≤ δ post-filter keeps it
+    // lossless (FuzzyJoinSpec pins bucketed ≡ brute theta)
+    ("band_join",
+      (s: SparkSession, d: String) =>
+        ext.FuzzyJoin.bandSelfJoinAgg(t(s, d, "customer"),
+          col("c_mktsegment"), col("c_custkey"),
+          (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"),
+          500L),
+      Some(ext.FuzzyJoin.bandJoinOracleSql(500L))),
+
     // Corpus novelty curve: per-doc share of first-seen n-grams
     // (min-doc_id witness) — the "is this source mined out?" measure
     ("ngram_novelty",
@@ -1631,6 +1687,15 @@ object Queries {
           100L, 199L, "1996-01-01", "1999-12-31").orderBy("layout"),
       Some(ext.Layout.layoutSkippingOracleSql(512,
         100L, 199L, "1996-01-01", "1999-12-31"))),
+
+    // CUSUM sequential drift alarm (Page 1954): reset-at-zero
+    // recursion expressed as prefix-sum − running-min (two windows
+    // over the |days|-bounded daily rollup), exact integer cents
+    ("cusum_drift",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.cusumDrift(t(s, d, "orders"), col("o_orderdate"),
+          col("o_totalprice")),
+      Some(ext.Profiler.cusumDriftOracleSql)),
 
     // PSI-shaped distribution drift: rank-fenced deciles of the
     // pre-pivot price distribution applied to the post-pivot rows,

@@ -45,7 +45,8 @@ object SurveyGen {
         pre("edit_") || pre("dedup_") || pre("neardup_") ||
         in("exact_dedup", "source_overlap", "dup_rate_by_source",
           "split_leakage", "containment_estimate", "contamination_check",
-          "doc_fingerprint", "k_anonymity", "pii_mask", "leakage_scrub"))
+          "doc_fingerprint", "k_anonymity", "l_diversity", "t_closeness",
+          "pii_mask", "leakage_scrub", "band_join"))
       "document dedup / LSH"
     else if (pre("semantic_dedup") || pre("cluster_") ||
         pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||
@@ -69,10 +70,10 @@ object SurveyGen {
       "retrieval"
     else if (pre("graph_") ||
         in("clustering_coeff", "basket_lift", "component_size_hist",
-          "link_predict"))
+          "link_predict", "degree_assortativity"))
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
-        "zscore_outliers", "mad_outliers", "gini_revenue",
+        "cusum_drift", "zscore_outliers", "mad_outliers", "gini_revenue",
         "spearman_corr", "boxplot_stats", "pareto_abc", "calendar_fill",
         "ewma_volume", "volume_autocorr", "corpus_diff"))
       "profiler / anomaly"
@@ -88,7 +89,7 @@ object SurveyGen {
     else if (in("bloom_prune", "layout_skipping", "zorder_key",
         "cms_topk_audit", "skew_join", "salted_agg", "sample_estimate",
         "sample_split", "stratified_sample", "fixed_n_sample",
-        "approx_distinct", "approx_quantile"))
+        "priority_sample", "approx_distinct", "approx_quantile"))
       "scale devices / sampling"
     else if (in("multimodal_features", "frame_sample", "media_dedup"))
       "multimodal plumbing"

@@ -173,6 +173,52 @@ object Corpus {
         col("cum_before"), (col("cum_before") < budget).as("kept"))
   }
 
+  /** Priority sampling (Duffield/Lund/Thorup 2007 — public):
+    * a fixed-size sample where inclusion probability is proportional
+    * to document WEIGHT (token count) — the unbiased way to take "n
+    * documents that represent the token mass", where a uniform
+    * sample over-represents short docs. Priority q_i = w_i/u_i with
+    * u_i uniform; keep the n largest q. Here u_i is the
+    * deterministic hash bucket (reproducible, engine-portable, no
+    * rand()) and the comparison key is inverted into exact integer
+    * space: key_i = ((h_i+1)·10⁶) div w_i, ascending — monotone in
+    * u_i/w_i, so the kept set is exactly the top-n by q under this
+    * u. (h+1) ≤ 10⁶ keeps the numerator ≤ 10¹² — no overflow.
+    *
+    * Scale shape: one stateless projection (hash + token count, any
+    * worker re-derives any doc) and one k-bounded TakeOrdered — no
+    * shuffle of the corpus, no per-stratum pass; the 100 TB cost is
+    * the scan. */
+  def prioritySample(docs: DataFrame, id: Column, text: Column,
+                     n: Int): DataFrame = {
+    val h = Hashing.permBucket(id, 5, 1000000)
+    docs.select(id.as("doc_id"),
+        size(Dedup.words(text)).cast("long").as("weight"),
+        h.as("__h"))
+      .filter(col("weight") > 0)
+      .withColumn("priority",
+        expr("((__h + 1) * 1000000) div weight").cast("long"))
+      .select(col("doc_id"), col("weight"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(n)
+  }
+
+  /** DuckDB twin of [[prioritySample]] over `documents`. */
+  def prioritySampleOracleSql(n: Int): String =
+    s"""
+    |WITH t AS (
+    |  SELECT doc_id,
+    |    CAST(len(str_split(text, ' ')) AS BIGINT) AS weight,
+    |    ${Hashing.permBucketSql("doc_id", 5, 1000000)} AS h
+    |  FROM documents),
+    |p AS (
+    |  SELECT doc_id, weight,
+    |    CAST(((h + 1) * 1000000) // weight AS BIGINT) AS priority
+    |  FROM t WHERE weight > 0)
+    |SELECT doc_id, weight, priority
+    |FROM p ORDER BY priority, doc_id LIMIT $n
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[tokenBudgetSample]] over `documents`. */
   def tokenBudgetSampleOracleSql(budget: Long): String =
     s"""

@@ -258,4 +258,101 @@ object FuzzyJoin {
     | AND levenshtein(a.s, b.s) <= $k
     |ORDER BY doc_a, doc_b
     |""".stripMargin.trim
+
+  /** Numeric band (ε-distance) self-join: all within-group pairs
+    * whose values differ by at most `delta` — the record-linkage /
+    * reconciliation primitive for CONTINUOUS attributes ("candidate
+    * duplicate payments within $5", "sensor readings within ε"),
+    * the 1-D special case of a similarity join that neither an
+    * equi-join (exact match only) nor the hash near-dup family
+    * (set overlap, not numeric distance) expresses.
+    *
+    * A theta self-join `abs(a.x − b.x) <= δ` is a cartesian product
+    * per group under Spark's join planner — O(n²) compares and a
+    * broadcast-nested-loop plan that dies at 100 TB. The classic fix
+    * (the "grid file" / ε-join bucketing of the spatial-join
+    * literature) makes it an EQUI-join: bucket every value by
+    * `floor(x/δ)`; two values within δ land in the same or ADJACENT
+    * buckets (|⌊a/δ⌋−⌊b/δ⌋| ≤ 1 whenever |a−b| ≤ δ), so replicating
+    * the left side to buckets {b, b+1} and hash-joining on the
+    * replica key finds every candidate. Replication factor is a
+    * CONSTANT 2 — not data-dependent — and the shuffle is a plain
+    * hash partition on (group, bucket); the exact |a−b| ≤ δ filter
+    * after the join makes the bucketing lossless (FuzzyJoinSpec pins
+    * bucketed ≡ brute theta on data with negatives and exact-δ gaps).
+    *
+    * Pair orientation is canonicalized by (bucket, key): for
+    * same-bucket pairs both orientations survive the join and the
+    * key tiebreak keeps one; for adjacent-bucket pairs only the
+    * lower-bucket-left orientation can match the replica key, so the
+    * bucket order keeps exactly that one. Every unordered pair is
+    * emitted once, no distinct needed.
+    *
+    * Output: one row per group — pair count and the gap spread
+    * (min/max/sum of |a−b|) — the audit a reconciliation pipeline
+    * logs. Unbounded pair OUTPUT would be the caller's variant; the
+    * declared aggregate keeps the result |groups|-bounded. */
+  def bandSelfJoinAgg(rows: DataFrame, group: Column, key: Column,
+                      value: Column, delta: Long): DataFrame = {
+    val base = rows.select(group.as("g"), key.cast("long").as("k"),
+        value.cast("long").as("x"))
+      // floor division (not `div`, which truncates toward zero):
+      // negative values must bucket downward or adjacency breaks
+      // across zero. |x| ≤ ~1e15 keeps the double floor exact.
+      .withColumn("b", floor(col("x").cast("double") / delta.toDouble)
+        .cast("long"))
+    val left = base.select(col("g"), col("k").as("ka"), col("x").as("xa"),
+        col("b").as("ba"),
+        explode(array(col("b"), col("b") + 1)).as("probe"))
+    val right = base.select(col("g"), col("k").as("kb"), col("x").as("xb"),
+      col("b").as("probe"))
+    left.join(right, Seq("g", "probe"))
+      .filter((col("ba") < col("probe")) ||
+        (col("ba") === col("probe") && col("ka") < col("kb")))
+      .filter(abs(col("xa") - col("xb")) <= delta)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(abs(col("xa") - col("xb"))).cast("long").as("min_gap"),
+        max(abs(col("xa") - col("xb"))).cast("long").as("max_gap"),
+        sum(abs(col("xa") - col("xb"))).cast("long").as("sum_gap"))
+      .orderBy("g")
+  }
+
+  /** Brute theta-join twin of [[bandSelfJoinAgg]] — spec-only
+    * witness, never declared. */
+  private[graft] def bandSelfJoinAggBrute(rows: DataFrame, group: Column,
+      key: Column, value: Column, delta: Long): DataFrame = {
+    val base = rows.select(group.as("g"), key.cast("long").as("k"),
+      value.cast("long").as("x"))
+    val a = base.select(col("g"), col("k").as("ka"), col("x").as("xa"))
+    val b = base.select(col("g").as("gb"), col("k").as("kb"),
+      col("x").as("xb"))
+    a.join(b, col("g") === col("gb") && col("ka") < col("kb") &&
+        abs(col("xa") - col("xb")) <= delta)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        min(abs(col("xa") - col("xb"))).cast("long").as("min_gap"),
+        max(abs(col("xa") - col("xb"))).cast("long").as("max_gap"),
+        sum(abs(col("xa") - col("xb"))).cast("long").as("sum_gap"))
+      .orderBy("g")
+  }
+
+  /** DuckDB twin of [[bandSelfJoinAgg]] over `customer` —
+    * (mktsegment, custkey, acctbal cents); the oracle may use the
+    * theta form because DuckDB's IEJoin handles band predicates and
+    * oracle scale is small. */
+  def bandJoinOracleSql(delta: Long): String =
+    s"""
+    |WITH r AS (
+    |  SELECT c_mktsegment AS g, CAST(c_custkey AS BIGINT) AS k,
+    |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+    |  FROM customer)
+    |SELECT a.g, CAST(count(*) AS BIGINT) AS n_pairs,
+    |  CAST(min(abs(a.x - b.x)) AS BIGINT) AS min_gap,
+    |  CAST(max(abs(a.x - b.x)) AS BIGINT) AS max_gap,
+    |  CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sum_gap
+    |FROM r a JOIN r b
+    |  ON a.g = b.g AND a.k < b.k AND abs(a.x - b.x) <= $delta
+    |GROUP BY a.g ORDER BY a.g
+    |""".stripMargin.trim
 }

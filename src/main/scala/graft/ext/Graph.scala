@@ -335,6 +335,82 @@ object Graph {
       .limit(k)
   }
 
+  /** Degree assortativity: do hubs link to hubs? The mixing number
+    * (Newman 2002 — public) behind "is this near-dup graph a few
+    * boilerplate megaclusters (assortative) or star-shaped template
+    * families (disassortative)?" — it decides whether component
+    * contraction or star-peeling is the right dedup follow-up.
+    *
+    * Computed as the SPEARMAN correlation of (deg(u), deg(v)) over
+    * all DIRECTED edge instances (both orientations, the standard
+    * symmetrization) — reusing [[Profiler.spearmanCorr]]'s exact-
+    * rational rank machinery: ranks are exact integers, ρ·10⁶ is a
+    * single integer division, bit-identical on both engines, no
+    * Pearson float folds or sqrt. (Rank-based assortativity is also
+    * the robust choice: degree distributions are heavy-tailed and a
+    * moment-based Pearson is hub-dominated.)
+    *
+    * Scale: degrees are one hash agg over the edge list; the pair
+    * table is 2m rows; the rank machinery is two two-phase global
+    * ranks (no single-task sort — see spearmanCorr's scaladoc). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("s"), col("v").as("t"))
+      .unionAll(e.select(col("v").as("s"), col("u").as("t")))
+    val deg = adj.groupBy(col("s").as("n")).agg(count(lit(1)).as("d"))
+    val pairs = adj
+      .join(deg.select(col("n").as("s"), col("d").as("xa")), Seq("s"))
+      .join(deg.select(col("n").as("t"), col("d").as("xb")), Seq("t"))
+      .select(col("xa"), col("xb"), col("s").as("k0"), col("t").as("k1"))
+    Profiler.spearmanCorr(pairs, col("xa"), col("xb"),
+      Seq(col("k0"), col("k1")))
+  }
+
+  /** DuckDB twin of [[degreeAssortativity]] over the co-order graph
+    * of a `lineitem` slice (`whereSql` filters the scan — mirrored
+    * by the Spark side's pushed predicate). Rank machinery follows
+    * [[Profiler.spearmanOracleSql]]. */
+  def degreeAssortativityOracleSql(whereSql: String): String =
+    s"""
+    |WITH g AS (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem WHERE $whereSql),
+    |ok AS (
+    |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
+    |e AS (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
+    |adj AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+    |deg AS (SELECT s AS n, count(*) AS d FROM adj GROUP BY 1),
+    |rows0 AS (
+    |  SELECT CAST(du.d AS BIGINT) AS xa, CAST(dv.d AS BIGINT) AS xb,
+    |    adj.s AS k0, adj.t AS k1
+    |  FROM adj JOIN deg du ON du.n = adj.s JOIN deg dv ON dv.n = adj.t),
+    |ra AS (
+    |  SELECT xa, xb, k0, k1,
+    |    CAST(row_number() OVER (ORDER BY xa, xb, k0, k1) AS HUGEINT) AS ra
+    |  FROM rows0),
+    |rb AS (
+    |  SELECT xa, xb, k0, k1,
+    |    CAST(row_number() OVER (ORDER BY xb, xa, k0, k1) AS HUGEINT) AS rb
+    |  FROM rows0),
+    |rao AS (
+    |  SELECT *, row_number() OVER (PARTITION BY xa, xb, k0, k1
+    |    ORDER BY ra) AS occ FROM ra),
+    |rbo AS (
+    |  SELECT *, row_number() OVER (PARTITION BY xa, xb, k0, k1
+    |    ORDER BY rb) AS occ FROM rb)
+    |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+    |  CAST(1000000 - (6000000 * sum((ra - rb) * (ra - rb)))
+    |    // (CAST(count(*) AS HUGEINT)
+    |        * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT)
+    |    AS rho_ppm
+    |FROM rao JOIN rbo USING (xa, xb, k0, k1, occ)
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[linkPredict]] over the part co-order graph —
     * mirrors both guards (oversize baskets at edge build, oversize
     * apexes at wedge build). */

@@ -88,4 +88,135 @@ object Privacy {
     |FROM groups GROUP BY group_size
     |ORDER BY group_size
     |""".stripMargin.trim
+
+  /** ℓ-diversity audit (Machanavajjhala et al. 2006 — public): the
+    * companion gate [[kAnonymity]] cannot express. A QI group can be
+    * large (k-anonymous) yet still leak if every member shares the
+    * SAME sensitive value — group size bounds LINKAGE, diversity
+    * bounds ATTRIBUTE disclosure. Per QI group count the DISTINCT
+    * sensitive values, then histogram by that diversity: (diversity →
+    * n_groups, n_rows, violates_l). Distinct-ℓ (not entropy-ℓ) on
+    * purpose: exact integers, no transcendentals, same answer on both
+    * engines. Three hash aggs — (QI, sensitive) dedup, QI group
+    * fold, diversity histogram — each map-side combining; output is
+    * |distinct diversities|-bounded regardless of table size. */
+  def lDiversity(df: org.apache.spark.sql.DataFrame, quasiIds: Seq[Column],
+                 sensitive: Column, l: Long): org.apache.spark.sql.DataFrame =
+    df.select((quasiIds.zipWithIndex.map { case (q, i) => q.as(s"q$i") } :+
+        sensitive.as("sv")): _*)
+      .groupBy(quasiIds.indices.map(i => col(s"q$i")): _*)
+      .agg(countDistinct(col("sv")).as("diversity"),
+        count(lit(1)).as("n_in_group"))
+      .groupBy(col("diversity"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("n_in_group")).cast("long").as("n_rows"))
+      .select(col("diversity").cast("long").as("diversity"),
+        col("n_groups"), col("n_rows"),
+        when(col("diversity") < l, lit(1L)).otherwise(lit(0L))
+          .as("violates_l"))
+
+  /** DuckDB twin of [[lDiversity]] for `qiExprs`/`sensitiveExpr`
+    * over `table`. */
+  def lDiversityOracleSql(table: String, qiExprs: Seq[String],
+                          sensitiveExpr: String, l: Long): String =
+    s"""
+    |WITH groups AS (
+    |  SELECT ${qiExprs.mkString(", ")},
+    |    count(DISTINCT $sensitiveExpr) AS diversity,
+    |    count(*) AS n_in_group
+    |  FROM $table GROUP BY ${(1 to qiExprs.size).mkString(", ")})
+    |SELECT CAST(diversity AS BIGINT) AS diversity,
+    |  CAST(count(*) AS BIGINT) AS n_groups,
+    |  CAST(sum(n_in_group) AS BIGINT) AS n_rows,
+    |  CAST(CASE WHEN diversity < $l THEN 1 ELSE 0 END AS BIGINT)
+    |    AS violates_l
+    |FROM groups GROUP BY diversity
+    |ORDER BY diversity
+    |""".stripMargin.trim
+
+  /** t-closeness audit (Li/Li/Venkatasubramanian 2007 — public) for
+    * an ORDERED sensitive attribute: even an ℓ-diverse group leaks if
+    * its sensitive DISTRIBUTION skews far from the table's (all
+    * salaries in the group are "some high value" — diverse, yet
+    * disclosing). Per group, the Earth Mover's Distance between the
+    * group's banded sensitive distribution and the global one; for
+    * ordered 1-D bands EMD has the closed form
+    * Σ_b |cumP(b) − cumQ(b)| / (m−1) — prefix sums, no LP solver.
+    *
+    * Exact integer ppm throughout: cumulative COUNTS are folded
+    * first, each cum count scaled by 10⁶ and integer-divided by its
+    * total, so both engines round identically. The band grid is
+    * densified (groups × bands cross join — both aggregate-bounded,
+    * broadcast) because a band ABSENT from a group still contributes
+    * |0 − cumQ| mass; skipping it would understate the distance.
+    * Three hash aggs over the table, then windows over the
+    * |groups|·|bands| grid. */
+  def tCloseness(df: org.apache.spark.sql.DataFrame, group: Column,
+                 sensitiveBand: Column, tPpm: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("g"), sensitiveBand.cast("long").as("b"))
+    val gb = base.groupBy("g", "b").agg(count(lit(1)).as("n_gb"))
+    val gTot = base.groupBy("g").agg(count(lit(1)).as("n_g"))
+    val wAll = Window.partitionBy()
+    val wCumB = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bTot = base.groupBy("b").agg(count(lit(1)).as("n_b"))
+      .withColumn("cum_nb", sum(col("n_b")).over(wCumB))
+      .withColumn("n_total", sum(col("n_b")).over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val wCumGb = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = gTot.crossJoin(bTot)
+      .join(gb, Seq("g", "b"), "left")
+      .withColumn("cum_gb",
+        sum(coalesce(col("n_gb"), lit(0L))).over(wCumGb))
+    grid
+      .select(col("g"), col("n_g"), col("m"),
+        abs(expr("cum_gb * 1000000 div n_g") -
+          expr("cum_nb * 1000000 div n_total")).as("__cd"))
+      .groupBy("g")
+      .agg(first(col("n_g")).as("n_rows"), first(col("m")).as("__m"),
+        sum(col("__cd")).as("__sum"))
+      .select(col("g"), col("n_rows").cast("long").as("n_rows"),
+        when(col("__m") > 1, expr("__sum div (__m - 1)"))
+          .otherwise(lit(0L)).cast("long").as("emd_ppm"))
+      .withColumn("violates_t",
+        when(col("emd_ppm") > tPpm, lit(1L)).otherwise(lit(0L)))
+      .orderBy("g")
+  }
+
+  /** DuckDB twin of [[tCloseness]] for `groupExpr`/`bandExpr` over
+    * `table`. */
+  def tClosenessOracleSql(table: String, groupExpr: String,
+                          bandExpr: String, tPpm: Long): String =
+    s"""
+    |WITH base AS (
+    |  SELECT $groupExpr AS g, CAST($bandExpr AS BIGINT) AS b
+    |  FROM $table),
+    |gb AS (SELECT g, b, count(*) AS n_gb FROM base GROUP BY g, b),
+    |gt AS (SELECT g, count(*) AS n_g FROM base GROUP BY g),
+    |bt AS (
+    |  SELECT b, count(*) AS n_b,
+    |    sum(count(*)) OVER (ORDER BY b
+    |      ROWS UNBOUNDED PRECEDING) AS cum_nb,
+    |    sum(count(*)) OVER () AS n_total,
+    |    count(*) OVER () AS m
+    |  FROM base GROUP BY b),
+    |grid AS (
+    |  SELECT gt.g, gt.n_g, bt.b, bt.cum_nb, bt.n_total, bt.m,
+    |    sum(coalesce(gb.n_gb, 0)) OVER (PARTITION BY gt.g ORDER BY bt.b
+    |      ROWS UNBOUNDED PRECEDING) AS cum_gb
+    |  FROM gt CROSS JOIN bt
+    |  LEFT JOIN gb ON gb.g = gt.g AND gb.b = bt.b)
+    |SELECT g, CAST(any_value(n_g) AS BIGINT) AS n_rows,
+    |  CAST(CASE WHEN any_value(m) > 1 THEN
+    |    sum(abs(cum_gb * 1000000 // n_g - cum_nb * 1000000 // n_total))
+    |      // (any_value(m) - 1)
+    |    ELSE 0 END AS BIGINT) AS emd_ppm,
+    |  CAST(CASE WHEN (CASE WHEN any_value(m) > 1 THEN
+    |    sum(abs(cum_gb * 1000000 // n_g - cum_nb * 1000000 // n_total))
+    |      // (any_value(m) - 1) ELSE 0 END) > $tPpm
+    |    THEN 1 ELSE 0 END AS BIGINT) AS violates_t
+    |FROM grid GROUP BY g ORDER BY g
+    |""".stripMargin.trim
 }

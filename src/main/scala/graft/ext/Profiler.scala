@@ -982,4 +982,77 @@ object Profiler {
     |       ELSE 'C' END AS band
     |FROM c ORDER BY part_id
     |""".stripMargin.trim
+
+  /** CUSUM change-point detection (Page 1954 — public) over the
+    * daily revenue series: the sequential drift alarm that fires on
+    * a SUSTAINED small shift long before any single day trips a
+    * z-score gate — [[zscoreOutliers]] catches spikes, this catches
+    * creep (a fee mis-applied every day, a slow feed decay).
+    *
+    * The textbook recursion s_i = max(0, s_{i−1} + (x_i − μ − slack))
+    * looks sequential, but the reset-at-zero max has a closed form
+    * over prefix sums: with P_i = Σ_{t≤i}(x_t − μ − slack) and
+    * P_0 = 0, s_i = P_i − min_{0≤j≤i} P_j — one running sum and one
+    * running min, both plain windows, no driver loop and no UDF
+    * recursion on either engine.
+    *
+    * Everything is exact integer cents: μ = total div n_days
+    * (truncating BIGINT division, positive so both engines agree),
+    * slack = μ div 20 (the 5 % "allowance" k of the CUSUM
+    * literature), alarm threshold h = μ (one average day of excess).
+    * The windows run over the DAILY aggregate — |days|-bounded — so
+    * the single-partition window is a few thousand rows at any
+    * corpus scale; the only full-data pass is the first hash agg. */
+  def cusumDrift(orders: DataFrame, dateCol: Column,
+                 amount: Column): DataFrame = {
+    val daily = orders
+      .select(dateCol.as("date_value"),
+        amount.cast("decimal(14,2)").as("amt"))
+      .groupBy("date_value")
+      .agg((sum(col("amt")) * 100).cast("long").as("rev_cents"))
+    val withMu = daily
+      .withColumn("__tot", sum(col("rev_cents")).over(Window.partitionBy()))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("mu", expr("__tot div __n"))
+    val w = Window.orderBy(col("date_value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withMu
+      .withColumn("__p",
+        sum(col("rev_cents") - col("mu") - expr("mu div 20")).over(w))
+      .withColumn("cusum_cents",
+        (col("__p") - least(min(col("__p")).over(w), lit(0L))).cast("long"))
+      .select(col("date_value"), col("rev_cents"),
+        col("cusum_cents"),
+        when(col("cusum_cents") > col("mu"), lit(1L)).otherwise(lit(0L))
+          .as("alarm"))
+      .orderBy("date_value")
+  }
+
+  /** DuckDB twin of [[cusumDrift]] over `orders`. */
+  val cusumDriftOracleSql: String =
+    """
+    |WITH d AS (
+    |  SELECT o_orderdate AS date_value,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS rev_cents
+    |  FROM orders GROUP BY 1),
+    |m AS (
+    |  SELECT date_value, rev_cents,
+    |    CAST(sum(rev_cents) OVER () // count(*) OVER () AS BIGINT) AS mu
+    |  FROM d),
+    |p AS (
+    |  SELECT date_value, rev_cents, mu,
+    |    sum(rev_cents - mu - mu // 20)
+    |      OVER (ORDER BY date_value ROWS UNBOUNDED PRECEDING) AS pp
+    |  FROM m),
+    |c AS (
+    |  SELECT date_value, rev_cents, mu,
+    |    pp - least(min(pp)
+    |      OVER (ORDER BY date_value ROWS UNBOUNDED PRECEDING),
+    |      CAST(0 AS HUGEINT)) AS cusum
+    |  FROM p)
+    |SELECT date_value, rev_cents, CAST(cusum AS BIGINT) AS cusum_cents,
+    |  CAST(CASE WHEN cusum > mu THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    |FROM c ORDER BY date_value
+    |""".stripMargin.trim
 }

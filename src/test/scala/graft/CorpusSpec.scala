@@ -482,6 +482,31 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(_._1 == dom).map(_._2).toSet == brute)
   }
 
+  test("prioritySample: kept set is exactly the global top-n by " +
+      "priority, and token mass biases inclusion") {
+    import spark.implicits._
+    val n = 25
+    val kept = Corpus.prioritySample(docs, col("doc_id"), col("text"), n)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kept.size == n)
+    // priorities ascend with the deterministic (priority, id) order
+    assert(kept == kept.sortBy { case (id, _, p) => (p, id) })
+    // the kept set equals the n smallest of the FULL projection
+    val full = Corpus.prioritySample(docs, col("doc_id"), col("text"),
+      1000000).as[(Long, Long, Long)].collect().toSeq
+    assert(kept == full.sortBy { case (id, _, p) => (p, id) }.take(n))
+    // weight bias: 100 heavy docs (60 tokens) vs 400 light (3
+    // tokens) -> heavies dominate the sample despite being 20% of
+    // docs (priority ~ u/w: expected heavy share ≈ 95%)
+    val heavyTxt = Seq.fill(60)("w").mkString(" ")
+    val synth = ((1L to 100L).map(i => (i, heavyTxt)) ++
+      (101L to 500L).map(i => (i, "a b c"))).toDF("doc_id", "text")
+    val picked = Corpus.prioritySample(synth, col("doc_id"),
+      col("text"), 50).as[(Long, Long, Long)].collect()
+    assert(picked.count(_._1 <= 100L) >= 35,
+      s"heavy docs under-sampled: ${picked.count(_._1 <= 100L)}/50")
+  }
+
   test("domainCapIncremental is row-identical to the full recompute") {
     val cap = 5
     // delta slices that leave some domains untouched (tests the

@@ -94,4 +94,36 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(fast == brute)
     assert(fast.nonEmpty) // the fixture's near-dup docs produce pairs
   }
+
+  test("bandSelfJoinAgg: bucketed equi-join == brute theta join, " +
+      "negatives and exact-delta gaps included") {
+    // deterministic pseudo-random values straddling zero, plus
+    // planted exact-boundary pairs: |x| == delta (kept) and
+    // delta+1 (dropped), and a cross-zero pair (-3, 2)
+    val rng = new scala.util.Random(42)
+    val rand = (1 to 300).map(i =>
+      (i.toLong, if (i % 2 == 0) "g1" else "g2",
+        (rng.nextInt(4001) - 2000).toLong))
+    val planted = Seq(
+      (1001L, "g1", -3L), (1002L, "g1", 2L),    // cross-zero, gap 5
+      (1003L, "g2", 100L), (1004L, "g2", 150L), // gap == delta: kept
+      (1005L, "g2", 201L))                      // 1004->1005 gap 51 > delta
+    val df = (rand ++ planted).toDF("k", "g", "x")
+    val fast = FuzzyJoin.bandSelfJoinAgg(df, col("g"), col("k"),
+      col("x"), 50L).as[(String, Long, Long, Long, Long)].collect().toSeq
+    val brute = FuzzyJoin.bandSelfJoinAggBrute(df, col("g"), col("k"),
+      col("x"), 50L).as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(fast == brute)
+    assert(fast.nonEmpty && fast.map(_._2).sum > 10)
+  }
+
+  test("bandSelfJoinAgg: hand-checked pairs on a tiny group") {
+    // values 0, 40, 100: pairs within delta=60 are (0,40) and
+    // (40,100) — (0,100) is out; gaps 40 and 60
+    val df = Seq((1L, "g", 0L), (2L, "g", 40L), (3L, "g", 100L))
+      .toDF("k", "g", "x")
+    val got = FuzzyJoin.bandSelfJoinAgg(df, col("g"), col("k"),
+      col("x"), 60L).as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 2L, 40L, 60L, 100L)))
+  }
 }

@@ -145,4 +145,52 @@ class GraphSpec extends SparkSpec {
     assert(got == brute)
     edges.unpersist()
   }
+
+  test("degreeAssortativity: clique is perfectly assortative, " +
+      "star is strongly disassortative") {
+    // K4: every endpoint degree 3, all pairs identical -> rho = 1e6
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("u", "v")
+    val rhoK4 = Graph.degreeAssortativity(k4)
+      .select("rho_ppm").as[Long].head()
+    assert(rhoK4 == 1000000L)
+    // star K1,10: every edge joins the deg-10 hub to a deg-1 leaf
+    val star = (2L to 11L).map(i => (1L, i)).toDF("u", "v")
+    val rhoStar = Graph.degreeAssortativity(star)
+      .select("rho_ppm").as[Long].head()
+    assert(rhoStar < -500000L)
+  }
+
+  test("degreeAssortativity matches a driver-side rank reference " +
+      "on the sf0.001 co-order graph") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val edges = Graph.coEdges(li, col("l_orderkey"), col("l_partkey"))
+    val es = edges.as[(Long, Long)].collect()
+    val deg = es.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    // both orientations; rows (xa, xb, k0, k1)
+    val rows = es.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v), u, v), (deg(v), deg(u), v, u)) }
+    val ra = rows.sortBy { case (xa, xb, k0, k1) => (xa, xb, k0, k1) }
+      .zipWithIndex.map { case (r, i) => r -> (i + 1L) }
+    val rb = rows.sortBy { case (xa, xb, k0, k1) => (xb, xa, k0, k1) }
+      .zipWithIndex.map { case (r, i) => r -> (i + 1L) }
+    // canonical pairing: within identical rows, i-th a-rank with
+    // i-th b-rank
+    val raG = ra.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2).sorted }
+    val rbG = rb.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2).sorted }
+    val d2 = raG.toSeq.flatMap { case (k, ras) =>
+      ras.zip(rbG(k)).map { case (x, y) =>
+        BigInt(x - y) * BigInt(x - y) } }.sum
+    val n = BigInt(rows.length)
+    val expRho = (BigInt(1000000) -
+      (BigInt(6000000) * d2) / (n * (n * n - 1))).toLong
+    val got = Graph.degreeAssortativity(edges)
+      .as[(Long, Long, Long)].head()
+    assert(got._1 == rows.length.toLong)
+    assert(got._2 == d2.toLong)
+    assert(got._3 == expRho)
+  }
 }

@@ -52,4 +52,54 @@ class PrivacySpec extends SparkSpec {
       (3L, 2L, 6L, 1L),   // size-3 groups violate
       (5L, 1L, 5L, 0L)))  // size-5 group is safe
   }
+
+  test("lDiversity: group size is not diversity — a large uniform " +
+      "group still violates") {
+    import spark.implicits._
+    // group a: 6 rows, ALL the same sensitive value (diversity 1 —
+    // k-anonymous at k=5 yet fully disclosing); group b: 3 rows,
+    // 3 distinct values; group c: 2 rows, 2 values
+    val df = (Seq.fill(6)(("a", "s1")) ++
+      Seq(("b", "s1"), ("b", "s2"), ("b", "s3")) ++
+      Seq(("c", "s1"), ("c", "s2"))).toDF("qi", "sv")
+    val got = Privacy.lDiversity(df, Seq(col("qi")), col("sv"), 3L)
+      .orderBy("diversity")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 6L, 1L),   // the uniform group of 6: diversity 1
+      (2L, 1L, 2L, 1L),   // c violates l=3
+      (3L, 1L, 3L, 0L)))  // b satisfies
+  }
+
+  test("tCloseness: skewed groups carry half the mass in EMD, " +
+      "a global-matching group carries zero") {
+    import spark.implicits._
+    // bands {1, 2}, global 6+6; A all band-1, B all band-2, C
+    // matches the global 50/50 split exactly
+    val df = (Seq.fill(4)(("A", 1L)) ++ Seq.fill(4)(("B", 2L)) ++
+      Seq(("C", 1L), ("C", 1L), ("C", 2L), ("C", 2L))).toDF("g", "b")
+    val got = Privacy.tCloseness(df, col("g"), col("b"), 400000L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 4L, 500000L, 1L),
+      ("B", 4L, 500000L, 1L),
+      ("C", 4L, 0L, 0L)))
+  }
+
+  test("tCloseness: a group absent from a band still pays that " +
+      "band's cumulative mass (dense grid, not sparse join)") {
+    import spark.implicits._
+    // three bands; group X sits entirely in the TOP band: its cum
+    // shortfall accrues across both lower bands
+    val df = (Seq.fill(3)(("X", 3L)) ++
+      Seq(("Y", 1L), ("Y", 2L), ("Y", 3L))).toDF("g", "b")
+    // global: b1=1, b2=2... wait: counts are b1:1, b2:1, b3:4; n=6
+    // cumQ_ppm: b1 = 166666, b2 = 333333, b3 = 1000000
+    // X (3 rows, all b3): cumP = 0, 0, 1e6 ->
+    //   |0-166666| + |0-333333| + 0 = 499999; /(m-1)=2 -> 249999
+    val gotX = Privacy.tCloseness(df, col("g"), col("b"), 100000L)
+      .as[(String, Long, Long, Long)].collect()
+      .find(_._1 == "X").get
+    assert(gotX == (("X", 3L, 249999L, 1L)))
+  }
 }

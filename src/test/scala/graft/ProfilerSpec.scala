@@ -343,4 +343,35 @@ class ProfilerSpec extends SparkSpec {
     // and the z-order layout prunes at least as well as time-append
     assert(fsZ <= fsN)
   }
+
+  test("cusumDrift: window form equals the textbook recursion, " +
+      "creep alarms where spikes alone would not") {
+    import spark.implicits._
+    // 20 quiet days at ~100, then 10 days of sustained creep: each
+    // creep day is an unremarkable single observation (the +40% is
+    // under 2x the quiet-day spread once mu absorbs the shift), but
+    // the CUSUM accumulates ~2000 cents/day and crosses h = mu
+    val days = (1 to 20).map(i => (f"2024-01-$i%02d", 100.00 + (i % 3))) ++
+      (1 to 10).map(i => (f"2024-02-$i%02d", 140.00 + (i % 3)))
+    val orders = days.toDF("d", "amt")
+      .select(to_date(col("d")).as("d"), col("amt"))
+    val got = Profiler.cusumDrift(orders, col("d"), col("amt"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    // driver-side reference: the literal recursion
+    val rev = got.map(_._2)
+    val mu = rev.sum / rev.length
+    val slack = mu / 20
+    var s = 0L
+    val expected = rev.map { x =>
+      s = math.max(0L, s + (x - mu - slack)); s }
+    assert(got.map(_._3).toSeq == expected.toSeq)
+    // quiet phase never alarms; the creep phase eventually does
+    val alarms = got.map(_._4)
+    assert(alarms.take(20).forall(_ == 0L))
+    assert(alarms.drop(20).contains(1L))
+    // and once alarming under sustained creep it stays alarming
+    val firstAlarm = alarms.indexOf(1L)
+    assert(alarms.drop(firstAlarm).forall(_ == 1L))
+  }
 }
