@@ -883,6 +883,91 @@ object Queries {
           col("text"), 50),
       Some(ext.Corpus.prioritySampleOracleSql(50))),
 
+    // Bounded-round k-core peel: delete degree<k nodes R times,
+    // census after each round — the link-farm vs organic triage;
+    // declared semantics ARE the bounded rounds (fixpoint depth is
+    // data-dependent), each round pinned once for its two consumers
+    ("kcore_rounds",
+      (s: SparkSession, d: String) =>
+        ext.Graph.kcoreRounds(ext.Graph.coEdges(
+          t(s, d, "lineitem").filter(col("l_shipdate")
+            .between("1995-01-01", "1995-03-31")),
+          col("l_orderkey"), col("l_partkey")), k = 2, rounds = 4),
+      Some(ext.Graph.kcoreRoundsOracleSql(
+        "l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'",
+        k = 2, rounds = 4))),
+
+    // Exponential time-decay ranking: per-row integer halving by age
+    // (rev div 2^age_years — bit shift, no libm), then one hash agg
+    // and a k-bounded TakeOrdered: "what sells NOW" vs all-time
+    ("decay_topk",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .select(col("l_partkey").cast("long").as("part_id"),
+            (col("l_extendedprice").cast("decimal(14,2)") * 100)
+              .cast("long").as("rev_cents"),
+            greatest(floor(datediff(lit("1998-12-01").cast("date"),
+              col("l_shipdate")) / 365), lit(0L)).cast("int").as("age"))
+          .select(col("part_id"),
+            expr("rev_cents div shiftleft(cast(1 as bigint), age)")
+              .as("dk"))
+          .groupBy("part_id")
+          .agg(sum(col("dk")).cast("long").as("decayed_cents"))
+          .orderBy(col("decayed_cents").desc, col("part_id"))
+          .limit(20),
+      Some("""WITH r AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS part_id,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |      AS rev_cents,
+        |    greatest(date_diff('day', l_shipdate, DATE '1998-12-01')
+        |      // 365, 0) AS age
+        |  FROM lineitem)
+        |SELECT part_id,
+        |  CAST(sum(rev_cents // (CAST(1 AS BIGINT) << age)) AS BIGINT)
+        |    AS decayed_cents
+        |FROM r GROUP BY part_id
+        |ORDER BY decayed_cents DESC, part_id LIMIT 20""".stripMargin)),
+
+    // Pre-join blowup audit: EXACT join-output cardinality from the
+    // two sides' key histograms (Σ n_a·n_b) + the top contributing
+    // keys — the "will this shuffle explode" check run BEFORE the
+    // join; two hash aggs + a join on distinct keys, never the join
+    ("join_size_audit",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val a = t(s, d, "orders").groupBy(col("o_custkey").as("key"))
+          .agg(count(lit(1)).as("n_a"))
+        val b = t(s, d, "events").groupBy(col("user_id").as("key"))
+          .agg(count(lit(1)).as("n_b"))
+        val wAll = Window.partitionBy()
+        a.join(b, "key")
+          .withColumn("contrib", col("n_a") * col("n_b"))
+          .withColumn("total_est_pairs", sum(col("contrib")).over(wAll))
+          .withColumn("n_common_keys", count(lit(1)).over(wAll))
+          .orderBy(col("contrib").desc, col("key"))
+          .limit(10)
+          .select(col("key").cast("long").as("key"),
+            col("n_a").cast("long").as("n_a"),
+            col("n_b").cast("long").as("n_b"),
+            col("contrib").cast("long").as("contrib"),
+            col("total_est_pairs").cast("long").as("total_est_pairs"),
+            col("n_common_keys").cast("long").as("n_common_keys"))
+      },
+      Some("""WITH a AS (
+        |  SELECT o_custkey AS key, count(*) AS n_a FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT user_id AS key, count(*) AS n_b FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT a.key, n_a, n_b, n_a * n_b AS contrib,
+        |    sum(n_a * n_b) OVER () AS total_est_pairs,
+        |    count(*) OVER () AS n_common_keys
+        |  FROM a JOIN b ON a.key = b.key)
+        |SELECT CAST(key AS BIGINT) AS key, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(contrib AS BIGINT) AS contrib,
+        |  CAST(total_est_pairs AS BIGINT) AS total_est_pairs,
+        |  CAST(n_common_keys AS BIGINT) AS n_common_keys
+        |FROM j ORDER BY contrib DESC, key LIMIT 10""".stripMargin)),
+
     // Degree assortativity: hub-to-hub mixing of the co-order graph
     // (one quarter's slice — the filter pushes to the scan), Spearman
     // rank machinery over (deg_u, deg_v) edge pairs

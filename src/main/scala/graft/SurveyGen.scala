@@ -70,7 +70,7 @@ object SurveyGen {
       "retrieval"
     else if (pre("graph_") ||
         in("clustering_coeff", "basket_lift", "component_size_hist",
-          "link_predict", "degree_assortativity"))
+          "link_predict", "degree_assortativity", "kcore_rounds"))
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
         "cusum_drift", "zscore_outliers", "mad_outliers", "gini_revenue",
@@ -84,12 +84,14 @@ object SurveyGen {
     else if (in("mart_region_revenue", "mart_top_orders",
         "retention_cohort", "rfm_segments", "new_vs_returning",
         "aov_trend", "supply_risk", "activity_heatmap", "growth_rates",
-        "seasonality_profile", "purchase_intervals", "trending_topk"))
+        "seasonality_profile", "purchase_intervals", "trending_topk",
+        "decay_topk"))
       "marts / BI"
     else if (in("bloom_prune", "layout_skipping", "zorder_key",
         "cms_topk_audit", "skew_join", "salted_agg", "sample_estimate",
         "sample_split", "stratified_sample", "fixed_n_sample",
-        "priority_sample", "approx_distinct", "approx_quantile"))
+        "priority_sample", "approx_distinct", "approx_quantile",
+        "join_size_audit"))
       "scale devices / sampling"
     else if (in("multimodal_features", "frame_sample", "media_dedup"))
       "multimodal plumbing"

@@ -411,6 +411,91 @@ object Graph {
     |FROM rao JOIN rbo USING (xa, xb, k0, k1, occ)
     |""".stripMargin.trim
 
+  /** Bounded-round k-core peeling (Seidman 1983; the MapReduce
+    * bounded-iteration form follows Montresor et al. — public):
+    * repeatedly delete nodes of degree < k and report the graph's
+    * (n_nodes, n_edges) after each peel round. The dedup/link-farm
+    * triage number: a near-dup graph whose 3-core survives peeling
+    * is template spam, organic similarity dissolves in 1-2 rounds.
+    *
+    * Full decomposition iterates to a fixpoint whose round count is
+    * data-dependent (worst case O(n) on a path — unusable as a
+    * declared deterministic query), so the DECLARED semantics are
+    * exactly `rounds` peels: at 100 TB each round is one degree agg
+    * + two semi-joins, all hash-partitioned on node id, and R is a
+    * dial. Each round's survivor edge set is [[Pin.pin]]ned — it
+    * feeds both that round's census row and the next round, and
+    * without the pin round r's lineage re-evaluates rounds 1..r−1
+    * (quadratic recompute). Census rows are 1-row aggregates. */
+  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def census(r: Int, e: DataFrame): DataFrame = {
+      val nodes = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .agg(countDistinct(col("n")).as("n_nodes"))
+      val m = e.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(m).select(lit(r.toLong).as("round"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        col("n_edges").cast("long").as("n_edges"))
+    }
+    var e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
+    var out = census(0, e)
+    for (r <- 1 to rounds) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = Pin.pin(e
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
+      out = out.unionAll(census(r, e))
+    }
+    out.orderBy("round")
+  }
+
+  /** DuckDB twin of [[kcoreRounds]] over the co-order graph of a
+    * `lineitem` slice — the peel unrolled as one CTE chain per
+    * round (the declared bounded-round semantics, verbatim). Every
+    * e$r is `AS MATERIALIZED`: each round is consumed by THREE
+    * downstream references (degree build, census n_nodes, census
+    * n_edges), and DuckDB's default CTE inlining would re-evaluate
+    * the whole prefix chain per reference — ~5^R blowup, minutes at
+    * sf0.01 (observed). Materialization is the oracle-side analog of
+    * the Spark side's [[Pin.pin]] per round. */
+  def kcoreRoundsOracleSql(whereSql: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH g AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+      |  FROM lineitem WHERE $whereSql),
+      |ok AS MATERIALIZED (
+      |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.i AS u, b.i AS v
+      |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+      |  WHERE a.o IN (SELECT o FROM ok))""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+        |k$r AS MATERIALIZED (
+        |  SELECT x FROM (
+        |    SELECT u AS x FROM e$p UNION ALL SELECT v AS x FROM e$p)
+        |  GROUP BY x HAVING count(*) >= $k),
+        |e$r AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e$p e
+        |  JOIN k$r ku ON ku.x = e.u
+        |  JOIN k$r kv ON kv.x = e.v)""".stripMargin
+    }
+    val census = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        |  CAST((SELECT count(DISTINCT x) FROM (
+        |    SELECT u AS x FROM e$r UNION ALL SELECT v AS x FROM e$r))
+        |    AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM e$r) AS BIGINT) AS n_edges"""
+        .stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    sb ++= census
+    sb.toString
+  }
+
   /** DuckDB twin of [[linkPredict]] over the part co-order graph —
     * mirrors both guards (oversize baskets at edge build, oversize
     * apexes at wedge build). */

@@ -146,6 +146,22 @@ class GraphSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("kcoreRounds: the clique core survives peeling, the tail " +
+      "dissolves one node per round") {
+    // K4 on {1,2,3,4} + path 4-5-6-7. k=2 peel: the path unravels
+    // from the endpoint one node per round, K4 is the fixpoint
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val got = Graph.kcoreRounds(edges, k = 2, rounds = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 7L, 9L),
+      (1L, 6L, 8L),   // node 7 (deg 1) peeled
+      (2L, 5L, 7L),   // node 6 unravels
+      (3L, 4L, 6L),   // node 5 unravels -> K4
+      (4L, 4L, 6L)))  // fixpoint
+  }
+
   test("degreeAssortativity: clique is perfectly assortative, " +
       "star is strongly disassortative") {
     // K4: every endpoint degree 3, all pairs identical -> rho = 1e6
