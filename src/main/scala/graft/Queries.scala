@@ -1773,6 +1773,116 @@ object Queries {
       Some(ext.Layout.layoutSkippingOracleSql(512,
         100L, 199L, "1996-01-01", "1999-12-31"))),
 
+    // Per-dimension embedding moments: dead-dim / runaway-dim audit,
+    // exact integers after 1e4 quantization, |dims| output rows
+    ("embedding_dim_stats",
+      (s: SparkSession, d: String) =>
+        ext.Similarity.dimStats(t(s, d, "embeddings"), col("embedding")),
+      Some(ext.Similarity.dimStatsOracleSql)),
+
+    // Grid-sketch quantiles: mergeable G-cell histogram -> percentile
+    // upper bounds with error <= one cell width; fixed state, one pass
+    ("grid_quantiles",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.gridQuantiles(t(s, d, "lineitem"),
+          (col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("long"),
+          grid = 1024, Seq(250000L, 500000L, 750000L, 900000L, 990000L)),
+      Some(ext.Profiler.gridQuantilesOracleSql(grid = 1024,
+        Seq(250000L, 500000L, 750000L, 900000L, 990000L)))),
+
+    // Interval union: merge overlapping per-user activity spans ->
+    // engaged-time coverage (the sum naive durations overcount)
+    ("interval_union",
+      (s: SparkSession, d: String) =>
+        ext.Sessions.intervalUnion(t(s, d, "events"), padSeconds = 300L),
+      Some(ext.Sessions.intervalUnionOracleSql(padSeconds = 300L))),
+
+    // Winsorized moments: rank-fenced [p05, p95] clip, then exact
+    // integer aggregation — robust mean without dropping rows
+    ("winsorized_stats",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.winsorizedStats(t(s, d, "lineitem"),
+          (col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("long"),
+          Seq(col("l_orderkey"), col("l_linenumber"))),
+      Some(ext.Profiler.winsorizedStatsOracleSql())),
+
+    // Forward fill over the dense calendar: per-nation daily revenue
+    // where gap days carry the last observed value — the as-of view
+    // calendar_fill's zero-fill cannot express
+    ("forward_fill",
+      (s: SparkSession, d: String) => {
+        val oc = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        ext.Profiler.forwardFill(oc, col("c_nationkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      },
+      Some(ext.Profiler.forwardFillOracleSql)),
+
+    // Distinctive vocabulary per source: in-source vs corpus token
+    // rate lift (decimal-folded ppm), min-support floor, top-5
+    ("source_terms",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.sourceTerms(t(s, d, "documents"), col("source"),
+          col("text"), k = 5, minTf = 5L),
+      Some(ext.Corpus.sourceTermsOracleSql(k = 5, minTf = 5L))),
+
+    // Small-group suppression: rollup groups under the disclosure
+    // floor merge into one '(suppressed)' residual — totals conserved
+    ("suppressed_rollup",
+      (s: SparkSession, d: String) =>
+        ext.Privacy.suppressedRollup(t(s, d, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          col("c_acctbal"), 10L),
+      Some(ext.Privacy.suppressedRollupOracleSql("customer",
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", 10L))),
+
+    // Half-sample metric stability: B deterministic hash replicates
+    // of the mean — the bootstrap-CI read without rand(); one pass
+    ("resample_stability",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.resampleStability(t(s, d, "orders"),
+          col("o_orderkey"), col("o_totalprice")),
+      Some(ext.Profiler.resampleStabilityOracleSql())),
+
+    // A/A-shaped experiment audit: hash arms over orders, order-value
+    // conversion, z-squared x100 vs the chi-square 95% bar; sqrt-free
+    ("ab_test_audit",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.abTestAudit(t(s, d, "orders"), col("o_orderkey"),
+          col("o_totalprice"), thresholdCents = 20000000L),
+      Some(ext.Profiler.abTestAuditOracleSql(
+        thresholdCents = 20000000L))),
+
+    // Benford first-digit forensic screen: digit from the decimal
+    // STRING (engine-stable), ppm shares vs compile-time Benford
+    // literals — 9 output rows at any scale
+    ("benford_audit",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.benfordAudit(t(s, d, "orders"), col("o_totalprice")),
+      Some(ext.Profiler.benfordOracleSql)),
+
+    // Order-independent table fingerprint: sum of row polyhashes mod
+    // 2^61-1 — one map-side-combining pass, 16 bytes shipped per side
+    ("table_checksum",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.tableChecksum(t(s, d, "lineitem"),
+          Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_shipdate"))),
+      Some(ext.Profiler.tableChecksumOracleSql("lineitem",
+        Seq("CAST(l_orderkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)",
+          "l_returnflag", "CAST(l_shipdate AS VARCHAR)")))),
+
+    // Partition sizing as a query: rows/bytes -> ceil-division
+    // partition counts at the 128 MiB target; rows_per_partition is
+    // the flat-at-any-scale invariant
+    ("partition_planner",
+      (s: SparkSession, d: String) =>
+        ext.Layout.partitionPlanner(t(s, d, "lineitem"),
+          t(s, d, "documents")),
+      Some(ext.Layout.partitionPlannerOracleSql())),
+
     // CUSUM sequential drift alarm (Page 1954): reset-at-zero
     // recursion expressed as prefix-sum − running-min (two windows
     // over the |days|-bounded daily rollup), exact integer cents
@@ -2634,6 +2744,31 @@ object Queries {
         ext.Sessions.retentionCohort(t(s, d, "events"), col("user_id"),
           col("ts")).orderBy("cohort_day", "day_offset"),
       Some(ext.Sessions.retentionCohortOracleSql)),
+
+    // Cohort LTV curve: cumulative revenue per acquisition cohort by
+    // month offset, cent-exact folds, one integer division per row
+    ("cohort_ltv",
+      (s: SparkSession, d: String) =>
+        ext.Sessions.cohortLtv(t(s, d, "orders"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")),
+      Some(ext.Sessions.cohortLtvOracleSql)),
+
+    // Event debounce: chained-gap burst collapse to the first event
+    // (double-click / retry hygiene) — lag + running sum + one
+    // per-burst window, all on one hash partition key
+    ("event_dedup",
+      (s: SparkSession, d: String) =>
+        ext.Sessions.eventDedup(t(s, d, "events"), gapSeconds = 60L),
+      Some(ext.Sessions.eventDedupOracleSql(gapSeconds = 60L))),
+
+    // Token-mass-weighted length quantiles: "p of all TOKENS live in
+    // docs shorter than L" — distinct-length spine + decimal fences
+    ("weighted_quantiles",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.weightedQuantiles(t(s, d, "documents"), col("text"),
+          Seq(250000L, 500000L, 750000L, 900000L, 990000L)),
+      Some(ext.Corpus.weightedQuantilesOracleSql(
+        Seq(250000L, 500000L, 750000L, 900000L, 990000L)))),
 
     // Dataset card: the one-row corpus summary a release ships with
     // (single aggregation, exact integer stats only)

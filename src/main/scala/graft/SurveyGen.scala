@@ -46,7 +46,7 @@ object SurveyGen {
         in("exact_dedup", "source_overlap", "dup_rate_by_source",
           "split_leakage", "containment_estimate", "contamination_check",
           "doc_fingerprint", "k_anonymity", "l_diversity", "t_closeness",
-          "pii_mask", "leakage_scrub", "band_join"))
+          "suppressed_rollup", "pii_mask", "leakage_scrub", "band_join"))
       "document dedup / LSH"
     else if (pre("semantic_dedup") || pre("cluster_") ||
         pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||
@@ -58,13 +58,13 @@ object SurveyGen {
           "tfidf_topk",
           "ttr_stats", "repetition_score", "boilerplate_ratio",
           "phrase_bigrams", "zipf_bands", "lm_fit", "ngram_novelty",
-          "doc_chunk"))
+          "doc_chunk", "source_terms"))
       "text analysis / quality"
     else if (pre("corpus_") || pre("mix_") || pre("dsir") ||
         pre("seq_pack") ||
         in("epoch_shuffle", "curriculum_manifest", "pack_manifest",
           "token_budget_sample", "shard_balance", "domain_cap",
-          "domain_cap_incremental"))
+          "domain_cap_incremental", "weighted_quantiles"))
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand"))
       "retrieval"
@@ -73,25 +73,29 @@ object SurveyGen {
           "link_predict", "degree_assortativity", "kcore_rounds"))
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
-        "cusum_drift", "zscore_outliers", "mad_outliers", "gini_revenue",
+        "cusum_drift", "benford_audit", "table_checksum",
+        "winsorized_stats", "forward_fill",
+        "zscore_outliers", "mad_outliers", "gini_revenue",
         "spearman_corr", "boxplot_stats", "pareto_abc", "calendar_fill",
         "ewma_volume", "volume_autocorr", "corpus_diff"))
       "profiler / anomaly"
     else if (in("sessionization", "funnel_steps", "attribution_asof",
         "event_transitions", "sliding_event_window", "sliding_window",
-        "tumbling_window", "conversion_lag_stats"))
+        "tumbling_window", "conversion_lag_stats", "event_dedup",
+        "interval_union"))
       "sessions / event windows"
     else if (in("mart_region_revenue", "mart_top_orders",
         "retention_cohort", "rfm_segments", "new_vs_returning",
         "aov_trend", "supply_risk", "activity_heatmap", "growth_rates",
         "seasonality_profile", "purchase_intervals", "trending_topk",
-        "decay_topk"))
+        "decay_topk", "cohort_ltv", "ab_test_audit"))
       "marts / BI"
     else if (in("bloom_prune", "layout_skipping", "zorder_key",
         "cms_topk_audit", "skew_join", "salted_agg", "sample_estimate",
         "sample_split", "stratified_sample", "fixed_n_sample",
         "priority_sample", "approx_distinct", "approx_quantile",
-        "join_size_audit"))
+        "join_size_audit", "partition_planner", "grid_quantiles",
+        "resample_stability"))
       "scale devices / sampling"
     else if (in("multimodal_features", "frame_sample", "media_dedup"))
       "multimodal plumbing"

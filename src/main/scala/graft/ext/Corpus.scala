@@ -219,6 +219,134 @@ object Corpus {
     |FROM p ORDER BY priority, doc_id LIMIT $n
     |""".stripMargin.trim
 
+  /** Token-mass-weighted length quantiles: the smallest doc length L
+    * such that docs of length ≤ L hold at least p of ALL TOKENS —
+    * "half the training tokens live in docs shorter than X", the
+    * number that actually sizes sequence-length / packing decisions
+    * (the unweighted median answers a different question: half the
+    * DOCS are shorter than X, which over-weights shorts).
+    *
+    * Shape: lengths collapse to one row per DISTINCT length (one
+    * hash agg — the only full-data pass), a cumulative window over
+    * that |distinct lengths|-bounded spine (≤ max doc length rows at
+    * any corpus size), then each requested p picks its fence by
+    * `cum·10⁶ ≥ p·total` in decimal(38,0) — exact at 10¹³+ tokens
+    * where a long×10⁶ would overflow. */
+  def weightedQuantiles(docs: DataFrame, text: Column,
+                        pPpm: Seq[Long]): DataFrame = {
+    val byLen = docs
+      .select(size(Dedup.words(text)).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .groupBy("len").agg(sum(col("len")).as("mass"))
+    val wCum = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byLen
+      .withColumn("cum_mass", sum(col("mass")).over(wCum))
+      .withColumn("total_mass",
+        sum(col("mass")).over(Window.partitionBy()))
+    val fences = cum
+      .select(col("len"), col("cum_mass"), col("total_mass"),
+        explode(array(pPpm.map(lit): _*)).as("p_ppm"))
+      .filter(expr("cast(cum_mass as decimal(38,0)) * 1000000 >= " +
+        "p_ppm * cast(total_mass as decimal(38,0))"))
+      .groupBy("p_ppm").agg(min(col("len")).as("len"))
+    fences.join(cum.select(col("len"), col("cum_mass"),
+        col("total_mass")), Seq("len"))
+      .select(col("p_ppm").cast("long").as("p_ppm"), col("len"),
+        expr("cast(cast(cum_mass as decimal(38,0)) * 1000000 div " +
+          "cast(total_mass as decimal(38,0)) as long)").as("cum_ppm"))
+      .orderBy("p_ppm")
+  }
+
+  /** DuckDB twin of [[weightedQuantiles]] over `documents`. */
+  def weightedQuantilesOracleSql(pPpm: Seq[Long]): String =
+    s"""
+    |WITH byl AS (
+    |  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS len,
+    |    sum(CAST(len(str_split(text, ' ')) AS BIGINT)) AS mass
+    |  FROM documents
+    |  WHERE CAST(len(str_split(text, ' ')) AS BIGINT) > 0
+    |  GROUP BY 1),
+    |c AS (
+    |  SELECT len,
+    |    sum(mass) OVER (ORDER BY len ROWS UNBOUNDED PRECEDING)
+    |      AS cum_mass,
+    |    sum(mass) OVER () AS total_mass
+    |  FROM byl),
+    |p AS (SELECT unnest([${pPpm.mkString(", ")}]) AS p_ppm),
+    |f AS (
+    |  SELECT p.p_ppm, min(c.len) AS len
+    |  FROM c CROSS JOIN p
+    |  WHERE c.cum_mass * 1000000 >= p.p_ppm * c.total_mass
+    |  GROUP BY p.p_ppm)
+    |SELECT CAST(f.p_ppm AS BIGINT) AS p_ppm, f.len,
+    |  CAST(c.cum_mass * 1000000 // c.total_mass AS BIGINT) AS cum_ppm
+    |FROM f JOIN c ON c.len = f.len
+    |ORDER BY p_ppm
+    |""".stripMargin.trim
+
+  /** Distinctive vocabulary per source: the top-k tokens whose
+    * in-source rate most exceeds their corpus rate — lift_ppm =
+    * (tf_s·T·10⁶) div (tf·T_s), the corpus-exploration "what makes
+    * this domain different" table (and the eyeball check on any
+    * domain-mixture decision). The [[tfidfTopTerms]] per-DOC shape
+    * lifted to the source level, with a min-support floor so one-off
+    * typos don't top the list. Numerator folds in decimal(38,0):
+    * tf_s·T·10⁶ passes 10³² at corpus scale — bare long wraps
+    * silently (the basketLift lesson). Two token aggs, one source
+    * agg, one broadcast-size join, a per-source top-k window. */
+  def sourceTerms(docs: DataFrame, source: Column, text: Column,
+                  k: Int, minTf: Long): DataFrame = {
+    val toks = docs.select(source.as("src"),
+        explode(Dedup.words(text)).as("token"))
+    val tfS = toks.groupBy("src", "token").agg(count(lit(1)).as("tf_s"))
+    val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val tS = toks.groupBy("src").agg(count(lit(1)).as("t_s"))
+    val wAll = Window.partitionBy()
+    val withTotal = tS.withColumn("t", sum(col("t_s")).over(wAll))
+    val scored = tfS.filter(col("tf_s") >= minTf)
+      .join(tf, "token")
+      .join(withTotal, "src")
+      .withColumn("lift_ppm",
+        expr("cast(tf_s as decimal(38,0)) * t * 1000000 div " +
+          "(cast(tf as decimal(38,0)) * t_s)").cast("long"))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("lift_ppm").desc, col("token"))
+    scored.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src").as("source"), col("rank"), col("token"),
+        col("tf_s").cast("long").as("tf_source"),
+        col("tf").cast("long").as("tf_corpus"), col("lift_ppm"))
+      .orderBy("source", "rank")
+  }
+
+  /** DuckDB twin of [[sourceTerms]] over `documents`. */
+  def sourceTermsOracleSql(k: Int, minTf: Long): String =
+    s"""
+    |WITH toks AS (
+    |  SELECT source AS src, unnest(str_split(text, ' ')) AS token
+    |  FROM documents),
+    |tfs AS (SELECT src, token, count(*) AS tf_s FROM toks GROUP BY 1, 2),
+    |tf AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+    |ts AS (SELECT src, count(*) AS t_s,
+    |         sum(count(*)) OVER () AS t FROM toks GROUP BY 1),
+    |scored AS (
+    |  SELECT tfs.src, tfs.token, tfs.tf_s, tf.tf,
+    |    CAST(CAST(tfs.tf_s AS HUGEINT) * ts.t * 1000000
+    |      // (CAST(tf.tf AS HUGEINT) * ts.t_s) AS BIGINT) AS lift_ppm
+    |  FROM tfs JOIN tf USING (token) JOIN ts ON ts.src = tfs.src
+    |  WHERE tfs.tf_s >= $minTf),
+    |ranked AS (
+    |  SELECT *, CAST(row_number() OVER (PARTITION BY src
+    |    ORDER BY lift_ppm DESC, token) AS BIGINT) AS rank
+    |  FROM scored)
+    |SELECT src AS source, rank, token,
+    |  CAST(tf_s AS BIGINT) AS tf_source, CAST(tf AS BIGINT) AS tf_corpus,
+    |  lift_ppm
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY source, rank
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[tokenBudgetSample]] over `documents`. */
   def tokenBudgetSampleOracleSql(budget: Long): String =
     s"""

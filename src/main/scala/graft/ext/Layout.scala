@@ -120,4 +120,70 @@ object Layout {
     |ORDER BY layout
     |""".stripMargin.trim
   }
+
+  /** Estimated bytes per lineitem row: 16 columns, mostly fixed-width
+    * numerics/dates plus three short strings — the declared planning
+    * width (a constant by design: the planner must be computable from
+    * row counts alone for fixed-schema tables). */
+  val LineitemRowBytes: Long = 120L
+
+  /** Per-row envelope overhead for variable-width documents (ids,
+    * offsets, metadata columns) added to the measured text bytes. */
+  val DocRowOverheadBytes: Long = 64L
+
+  /** Shuffle/partition sizing audit — the "would this partition
+    * strategy hold at 1000×?" arithmetic as a QUERY, so the numbers
+    * that size `spark.sql.shuffle.partitions` and
+    * `files.maxPartitionBytes` come from the data, not from a guess.
+    * Per table: row count, estimated bytes (documents: measured text
+    * mass + per-row envelope; lineitem: declared fixed row width),
+    * the target partition size, the partition count that hits it
+    * (ceil division — exact integers), and the resulting rows per
+    * partition. Two 1-row aggregates; output is |tables| rows at any
+    * scale. The interesting property at 100 TB: `n_partitions` grows
+    * linearly with data while `rows_per_partition` stays FLAT — the
+    * invariant that keeps per-task memory constant at any corpus
+    * size. */
+  def partitionPlanner(lineitem: DataFrame, docs: DataFrame,
+                       targetBytes: Long = 134217728L): DataFrame = {
+    val li = lineitem.agg(count(lit(1)).as("n_rows"))
+      .select(lit("lineitem").as("table_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        (col("n_rows") * LineitemRowBytes).cast("long").as("est_bytes"))
+    val dc = docs.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("chars"))
+      .select(lit("documents").as("table_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        (col("chars") + col("n_rows") * DocRowOverheadBytes)
+          .cast("long").as("est_bytes"))
+    li.unionAll(dc)
+      .withColumn("target_bytes", lit(targetBytes))
+      .withColumn("n_partitions",
+        expr(s"(est_bytes + $targetBytes - 1) div $targetBytes")
+          .cast("long"))
+      .withColumn("rows_per_partition",
+        expr("n_rows div n_partitions").cast("long"))
+      .orderBy("table_name")
+  }
+
+  /** DuckDB twin of [[partitionPlanner]]. */
+  def partitionPlannerOracleSql(targetBytes: Long = 134217728L): String =
+    s"""
+    |WITH t AS (
+    |  SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+    |    count(*) * $LineitemRowBytes AS est_bytes
+    |  FROM lineitem
+    |  UNION ALL
+    |  SELECT 'documents', count(*),
+    |    sum(n_chars) + count(*) * $DocRowOverheadBytes
+    |  FROM documents)
+    |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+    |  CAST(est_bytes AS BIGINT) AS est_bytes,
+    |  CAST($targetBytes AS BIGINT) AS target_bytes,
+    |  CAST((est_bytes + $targetBytes - 1) // $targetBytes AS BIGINT)
+    |    AS n_partitions,
+    |  CAST(n_rows // ((est_bytes + $targetBytes - 1) // $targetBytes)
+    |    AS BIGINT) AS rows_per_partition
+    |FROM t ORDER BY table_name
+    |""".stripMargin.trim
 }

@@ -134,6 +134,66 @@ object Privacy {
     |ORDER BY diversity
     |""".stripMargin.trim
 
+  /** Small-group suppression for published rollups: groups under the
+    * disclosure floor `k` are not dropped (their mass would vanish
+    * from the totals) and not published (their key is identifying) —
+    * they are MERGED into one '(suppressed)' residual row. The
+    * standard statistical-disclosure-control move for any externally
+    * shared aggregate. Two hash aggs (the rollup, then the residual
+    * fold); totals are conserved by construction (the spec pins
+    * Σ published = Σ raw). Counts and cent-exact sums only. */
+  def suppressedRollup(df: org.apache.spark.sql.DataFrame,
+                       keys: Seq[Column], amount: Column,
+                       k: Long): org.apache.spark.sql.DataFrame = {
+    val rolled = df.select((keys.zipWithIndex.map { case (c, i) =>
+        c.cast("string").as(s"g$i") } :+
+        amount.cast("decimal(14,2)").as("amt")): _*)
+      .groupBy(keys.indices.map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("amt")) * 100).cast("long").as("total_cents"))
+    val big = rolled.filter(col("n") >= k)
+      .select((keys.indices.map(i => col(s"g$i")) :+
+        col("n").cast("long").as("n_rows") :+ col("total_cents") :+
+        lit(0L).as("is_suppressed")): _*)
+    val small = rolled.filter(col("n") < k)
+      .agg(sum(col("n")).as("n"), sum(col("total_cents")).as("tc"),
+        count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") > 0)
+      .select((keys.indices.map(i => lit("(suppressed)").as(s"g$i")) :+
+        col("n").cast("long").as("n_rows") :+
+        col("tc").cast("long").as("total_cents") :+
+        lit(1L).as("is_suppressed")): _*)
+    big.unionAll(small)
+      .orderBy(col("is_suppressed") +:
+        keys.indices.map(i => col(s"g$i")): _*)
+  }
+
+  /** DuckDB twin of [[suppressedRollup]] for `keyExprs`/`amountExpr`
+    * over `table`. */
+  def suppressedRollupOracleSql(table: String, keyExprs: Seq[String],
+                                amountExpr: String, k: Long): String = {
+    val gs = keyExprs.indices.map(i => s"g$i")
+    s"""
+    |WITH rolled AS (
+    |  SELECT ${keyExprs.zipWithIndex.map { case (e, i) =>
+        s"CAST($e AS VARCHAR) AS g$i" }.mkString(", ")},
+    |    count(*) AS n,
+    |    CAST(sum(CAST($amountExpr AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS total_cents
+    |  FROM $table GROUP BY ${(1 to keyExprs.size).mkString(", ")})
+    |SELECT ${gs.mkString(", ")}, CAST(n AS BIGINT) AS n_rows,
+    |  total_cents, CAST(0 AS BIGINT) AS is_suppressed
+    |FROM rolled WHERE n >= $k
+    |UNION ALL
+    |SELECT ${gs.map(_ => "'(suppressed)'").mkString(", ")},
+    |  CAST(sum(n) AS BIGINT), CAST(sum(total_cents) AS BIGINT),
+    |  CAST(1 AS BIGINT)
+    |FROM rolled WHERE n < $k
+    |HAVING count(*) > 0
+    |ORDER BY is_suppressed, ${gs.mkString(", ")}
+    |""".stripMargin.trim
+  }
+
   /** t-closeness audit (Li/Li/Venkatasubramanian 2007 — public) for
     * an ORDERED sensitive attribute: even an ℓ-diverse group leaks if
     * its sensitive DISTRIBUTION skews far from the table's (all

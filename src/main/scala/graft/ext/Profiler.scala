@@ -1028,6 +1028,448 @@ object Profiler {
       .orderBy("date_value")
   }
 
+  /** Benford first-digit ppm shares for each leading digit d of
+    * log10(1+1/d), floored to ppm — exact literals, no libm at
+    * query time. */
+  val BenfordPpm: Seq[(Int, Long)] = Seq(1 -> 301029L, 2 -> 176091L,
+    3 -> 124938L, 4 -> 96910L, 5 -> 79181L, 6 -> 66946L, 7 -> 57991L,
+    8 -> 51152L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit (Newcomb 1881 / Benford 1938 —
+    * public; the standard forensic-accounting screen): natural
+    * multiplicative data (order totals, populations, revenues) has
+    * first significant digit d with probability log10(1+1/d) —
+    * fabricated or capped numbers don't. Per digit: observed count,
+    * observed share (ppm, integer division), the Benford expectation
+    * (compile-time ppm literals — no libm at query time), and the
+    * absolute deviation the auditor thresholds on.
+    *
+    * The digit is taken from the DECIMAL STRING rendering (first
+    * [1-9] match) rather than via log10/pow — string logic is
+    * bit-identical across engines while float log10 at bucket
+    * boundaries is not. One projection + one 9-bucket hash agg;
+    * output is 9 rows at any scale. */
+  def benfordAudit(df: DataFrame, amount: Column): DataFrame = {
+    val digitExpr = regexp_extract(amount.cast("decimal(14,2)")
+      .cast("string"), "[1-9]", 0)
+    val expected = BenfordPpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    df.select(digitExpr.cast("long").as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n").cast("long").as("n"),
+        expr("n * 1000000 div __tot").cast("long").as("share_ppm"))
+      .withColumn("benford_ppm", expected)
+      .withColumn("dev_ppm",
+        abs(col("share_ppm") - col("benford_ppm")).cast("long"))
+      .orderBy("digit")
+  }
+
+  /** DuckDB twin of [[benfordAudit]] over `orders.o_totalprice`. */
+  val benfordOracleSql: String = {
+    val cases = BenfordPpm.map { case (d, p) =>
+      s"WHEN $d THEN $p" }.mkString(" ")
+    s"""
+    |WITH d AS (
+    |  SELECT CAST(nullif(regexp_extract(
+    |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR),
+    |    '[1-9]', 0), '') AS BIGINT) AS digit
+    |  FROM orders),
+    |c AS (
+    |  SELECT digit, count(*) AS n, sum(count(*)) OVER () AS tot
+    |  FROM d WHERE digit IS NOT NULL GROUP BY digit)
+    |SELECT digit, CAST(n AS BIGINT) AS n,
+    |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+    |  CAST(CASE digit $cases END AS BIGINT) AS benford_ppm,
+    |  CAST(abs(n * 1000000 // tot - CASE digit $cases END) AS BIGINT)
+    |    AS dev_ppm
+    |FROM c ORDER BY digit
+    |""".stripMargin.trim
+  }
+
+  /** Order-independent table fingerprint: Σ polyHash(row) mod M —
+    * the cross-system reconciliation primitive ("does the replica
+    * equal the source?") that a row-count + SUM check can't provide
+    * (two compensating errors pass SUM; any single changed byte
+    * moves the hash sum). Addition is commutative, so the checksum
+    * is partition-order- and fold-order-independent BY CONSTRUCTION:
+    * each side computes it in one map-side-combining pass with no
+    * sort, no collect, no row shipping — at 100 TB the comparison
+    * ships 16 bytes per table. M = 2^61−1 (Mersenne) keeps the
+    * residue a BIGINT on both engines while the fold itself runs in
+    * exact decimal(38,0)/HUGEINT.
+    *
+    * Columns are rendered to canonical strings and joined with '|'
+    * — the caller picks columns whose string forms are engine-stable
+    * (ints, strings, dates, pinned-scale decimals). */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val rowStr = concat_ws("|", cols.map(_.cast("string")): _*)
+    df.select(graft.functions.Hashing.polyHash(rowStr).as("__h"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).as("__s"))
+      .select(col("n_rows"),
+        expr("cast(__s % 2305843009213693951 as long)").as("checksum"))
+  }
+
+  /** DuckDB twin of [[tableChecksum]] for `colExprs` over `table`
+    * (each expression must already render engine-stable text). */
+  def tableChecksumOracleSql(table: String, colExprs: Seq[String]): String = {
+    val rowStr = s"concat_ws('|', ${colExprs.mkString(", ")})"
+    s"""
+    |WITH h AS (
+    |  SELECT ${graft.functions.Hashing.polyHashSql(rowStr)} AS h
+    |  FROM $table)
+    |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum
+    |FROM h
+    |""".stripMargin.trim
+  }
+
+  /** Winsorized (clipped) moments: the robust mean that survives the
+    * fat tail a raw mean drowns in — clip every value to the
+    * [p05, p95] rank fences, then aggregate. Unlike trimming (drop
+    * the tails), winsorizing keeps n constant, which is what a
+    * reconciliation needs. Fences are RANK-based (value at the
+    * ceil(p·n)-th position in the (value, tiebreak) total order —
+    * the same fence rule as [[equiDepthHist]]), found by one
+    * two-phase global rank; the clip itself is a broadcast of TWO
+    * scalar fences against the raw rows — no second rank pass, no
+    * per-row shuffle. All integer cents; means are integer division.
+    */
+  def winsorizedStats(df: DataFrame, value: Column,
+                      tieBreak: Seq[Column],
+                      loPpm: Long = 50000L,
+                      hiPpm: Long = 950000L): DataFrame = {
+    val rows = df.select((value.cast("long").as("x") +:
+      tieBreak.zipWithIndex.map { case (c, i) => c.as(s"k$i") }): _*)
+    val ranked = globalCumsum(rows,
+      col("x") +: tieBreak.indices.map(i => col(s"k$i")), lit(1L), "rk")
+    val n1 = rows.agg(count(lit(1)).as("n"))
+    val fences = ranked.crossJoin(n1)
+      .select(col("x"), col("rk"),
+        expr(s"(n * $loPpm + 999999) div 1000000").as("k_lo"),
+        expr(s"(n * $hiPpm + 999999) div 1000000").as("k_hi"))
+      .agg(min(when(col("rk") >= col("k_lo"), col("x"))).as("lo_fence"),
+        min(when(col("rk") >= col("k_hi"), col("x"))).as("hi_fence"))
+    rows.crossJoin(fences)
+      .select(col("x"), col("lo_fence"), col("hi_fence"),
+        least(greatest(col("x"), col("lo_fence")), col("hi_fence"))
+          .as("clipped"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        first(col("lo_fence")).cast("long").as("lo_fence"),
+        first(col("hi_fence")).cast("long").as("hi_fence"),
+        sum(when(col("x") < col("lo_fence"), 1L).otherwise(0L))
+          .cast("long").as("n_clipped_lo"),
+        sum(when(col("x") > col("hi_fence"), 1L).otherwise(0L))
+          .cast("long").as("n_clipped_hi"),
+        expr("sum(cast(x as decimal(38,0))) div count(1)")
+          .cast("long").as("raw_mean"),
+        expr("sum(cast(clipped as decimal(38,0))) div count(1)")
+          .cast("long").as("winsorized_mean"))
+  }
+
+  /** DuckDB twin of [[winsorizedStats]] over `lineitem` price cents
+    * with the (orderkey, linenumber) tie-break. */
+  def winsorizedStatsOracleSql(loPpm: Long = 50000L,
+                               hiPpm: Long = 950000L): String =
+    s"""
+    |WITH r AS (
+    |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+    |      AS x,
+    |    l_orderkey AS k0, l_linenumber AS k1
+    |  FROM lineitem),
+    |rk AS (
+    |  SELECT x, CAST(row_number() OVER (ORDER BY x, k0, k1) AS BIGINT)
+    |    AS rk, count(*) OVER () AS n
+    |  FROM r),
+    |f AS (
+    |  SELECT
+    |    min(CASE WHEN rk >= (n * $loPpm + 999999) // 1000000 THEN x END)
+    |      AS lo_fence,
+    |    min(CASE WHEN rk >= (n * $hiPpm + 999999) // 1000000 THEN x END)
+    |      AS hi_fence
+    |  FROM rk)
+    |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(any_value(lo_fence) AS BIGINT) AS lo_fence,
+    |  CAST(any_value(hi_fence) AS BIGINT) AS hi_fence,
+    |  CAST(sum(CASE WHEN x < lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+    |    AS n_clipped_lo,
+    |  CAST(sum(CASE WHEN x > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+    |    AS n_clipped_hi,
+    |  CAST(sum(x) // count(*) AS BIGINT) AS raw_mean,
+    |  CAST(sum(least(greatest(x, lo_fence), hi_fence)) // count(*)
+    |    AS BIGINT) AS winsorized_mean
+    |FROM r CROSS JOIN f
+    |""".stripMargin.trim
+
+  /** Forward fill over the dense calendar spine: per key, each gap
+    * day carries the LAST OBSERVED value — the "current balance /
+    * last known price as of any day" view that [[calendarFill]]'s
+    * zero-fill cannot express (zero is a VALUE; absence means
+    * "unchanged"). One observed-day aggregate, one spine cross join
+    * (|keys| × |days| — bounded by the calendar, not the fact
+    * table), one `last(_, ignoreNulls)` running window per key.
+    * Engine note: Spark's `last(ignoreNulls)` ≡ DuckDB's
+    * `last_value(x IGNORE NULLS)` over the same frame. */
+  def forwardFill(df: DataFrame, key: Column, dateCol: Column,
+                  amount: Column): DataFrame = {
+    val daily = df.select(key.as("key"), dateCol.as("d"),
+        amount.cast("decimal(14,2)").as("amt"))
+      .groupBy("key", "d")
+      .agg((sum(col("amt")) * 100).cast("long").as("rev_cents"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select(col("key")).distinct()
+      .crossJoin(span)
+      .select(col("key"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("date_value"))
+    val w = Window.partitionBy(col("key")).orderBy(col("date_value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily,
+        spine("key") === daily("key") && col("date_value") === col("d"),
+        "left")
+      .select(spine("key").as("key"), col("date_value"),
+        col("rev_cents"))
+      .withColumn("filled_cents",
+        coalesce(last(col("rev_cents"), ignoreNulls = true).over(w),
+          lit(0L)).cast("long"))
+      .withColumn("observed",
+        when(col("rev_cents").isNotNull, 1L).otherwise(0L))
+      .drop("rev_cents")
+      .orderBy("key", "date_value")
+  }
+
+  /** DuckDB twin of [[forwardFill]] for per-nation daily order
+    * revenue (orders→customer→nation). */
+  val forwardFillOracleSql: String =
+    """
+    |WITH daily AS (
+    |  SELECT c.c_nationkey AS key, o.o_orderdate AS d,
+    |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS rev_cents
+    |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    |  GROUP BY 1, 2),
+    |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    |spine AS (
+    |  SELECT k.key,
+    |    CAST(unnest(generate_series(span.d0, span.d1, INTERVAL 1 DAY))
+    |      AS DATE) AS date_value
+    |  FROM (SELECT DISTINCT key FROM daily) k CROSS JOIN span)
+    |SELECT s.key, s.date_value,
+    |  CAST(coalesce(last_value(daily.rev_cents IGNORE NULLS)
+    |    OVER (PARTITION BY s.key ORDER BY s.date_value
+    |          ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS filled_cents,
+    |  CAST(CASE WHEN daily.rev_cents IS NOT NULL THEN 1 ELSE 0 END
+    |    AS BIGINT) AS observed
+    |FROM spine s LEFT JOIN daily
+    |  ON daily.key = s.key AND daily.d = s.date_value
+    |ORDER BY s.key, s.date_value
+    |""".stripMargin.trim
+
+  /** Grid-sketch quantiles: the MERGEABLE approximate-percentile
+    * path for 100 TB. Values land in G equi-width cells between the
+    * observed [lo, hi]; the cell histogram is fixed G-row state that
+    * merges by cell-wise addition (shards/days sketch independently,
+    * the combine is a G-row reduce — same mergeability contract as
+    * [[Corpus.cmsCells]]), and quantile p reads the first cell whose
+    * cumulative count covers p. The published estimate is the cell's
+    * UPPER value bound, so error ≤ one cell width (hi−lo)/G by
+    * construction — vs [[equiDepthHist]]'s exact ranks which need a
+    * global two-phase rank, this needs ONE pass plus a G-row window.
+    * All arithmetic integer: cell = (x−lo)·G div (hi−lo+1), bounds
+    * back out the same way, comparisons cross-multiplied in ppm. */
+  def gridQuantiles(df: DataFrame, value: Column, grid: Int,
+                    pPpm: Seq[Long]): DataFrame = {
+    val rows = df.select(value.cast("long").as("x"))
+    val bounds = rows.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val cells = rows.crossJoin(bounds)
+      .select(expr(s"(x - lo) * $grid div (hi - lo + 1)").as("cell"),
+        col("lo"), col("hi"))
+      .groupBy("cell", "lo", "hi").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    cum.select(col("cell"), col("lo"), col("hi"), col("cum"), col("total"),
+        explode(array(pPpm.map(lit): _*)).as("p_ppm"))
+      .filter(expr("cast(cum as decimal(38,0)) * 1000000 >= " +
+        "p_ppm * cast(total as decimal(38,0))"))
+      .groupBy("p_ppm")
+      .agg(min(col("cell")).as("cell"), first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"))
+      .select(col("p_ppm").cast("long").as("p_ppm"),
+        col("cell").cast("long").as("cell"),
+        expr(s"cast(lo + ((cell + 1) * (hi - lo + 1)) div $grid - 1 " +
+          "as long)").as("est_hi"))
+      .orderBy("p_ppm")
+  }
+
+  /** DuckDB twin of [[gridQuantiles]] over `lineitem` price cents. */
+  def gridQuantilesOracleSql(grid: Int, pPpm: Seq[Long]): String =
+    s"""
+    |WITH r AS (
+    |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+    |    AS x
+    |  FROM lineitem),
+    |b AS (SELECT min(x) AS lo, max(x) AS hi FROM r),
+    |cells AS (
+    |  SELECT (x - lo) * $grid // (hi - lo + 1) AS cell, lo, hi,
+    |    count(*) AS cnt
+    |  FROM r CROSS JOIN b GROUP BY 1, 2, 3),
+    |c AS (
+    |  SELECT cell, lo, hi,
+    |    sum(cnt) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cum,
+    |    sum(cnt) OVER () AS total
+    |  FROM cells),
+    |p AS (SELECT unnest([${pPpm.mkString(", ")}]) AS p_ppm),
+    |f AS (
+    |  SELECT p.p_ppm, min(c.cell) AS cell,
+    |    any_value(c.lo) AS lo, any_value(c.hi) AS hi
+    |  FROM c CROSS JOIN p
+    |  WHERE c.cum * 1000000 >= p.p_ppm * c.total
+    |  GROUP BY p.p_ppm)
+    |SELECT CAST(p_ppm AS BIGINT) AS p_ppm, CAST(cell AS BIGINT) AS cell,
+    |  CAST(lo + ((cell + 1) * (hi - lo + 1)) // $grid - 1 AS BIGINT)
+    |    AS est_hi
+    |FROM f ORDER BY p_ppm
+    |""".stripMargin.trim
+
+  /** Metric stability via deterministic half-sampling: recompute the
+    * mean under B independent hash half-samples and read the spread
+    * — the poor man's bootstrap CI, with every "draw" a pure
+    * function of the row key (reproducible, engine-portable, no
+    * rand()). A metric whose half-sample means scatter wildly is
+    * noise; one that holds is load-bearing. One pass: each row
+    * explodes into its B (replicate, in/out) memberships (fixed
+    * fan-out B — not data-dependent), one hash agg per replicate.
+    * All-integer means (cents, truncating division — sums here are
+    * non-negative so both engines agree). */
+  def resampleStability(df: DataFrame, key: Column, amount: Column,
+                        b: Int = 8): DataFrame = {
+    require(b >= 2 && b <= graft.functions.Hashing.Perms.length,
+      s"b must be in [2, ${graft.functions.Hashing.Perms.length}]")
+    val members = array((0 until b).map(i => struct(lit(i).as("b"),
+      graft.functions.Hashing.permBucket(key, i, 2).as("m"))): _*)
+    df.select(amount.cast("decimal(14,2)").as("amt"),
+        explode(members).as("s"))
+      .filter(col("s.m") === 0)
+      .groupBy(col("s.b").cast("long").as("replicate"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        expr("cast(sum(amt) * 100 as decimal(38,0))").as("__c"))
+      .select(col("replicate"), col("n_rows"),
+        expr("cast(__c div n_rows as long)").as("mean_cents"))
+      .orderBy("replicate")
+  }
+
+  /** DuckDB twin of [[resampleStability]] over `orders`. */
+  def resampleStabilityOracleSql(b: Int = 8): String = {
+    val packs = (0 until b).map(i => s"struct_pack(b := $i, m := " +
+      s"${graft.functions.Hashing.permBucketSql("o_orderkey", i, 2)})")
+      .mkString(", ")
+    s"""
+    |WITH r AS (
+    |  SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS amt,
+    |    unnest([$packs]) AS s
+    |  FROM orders)
+    |SELECT CAST(s.b AS BIGINT) AS replicate,
+    |  CAST(count(*) AS BIGINT) AS n_rows,
+    |  CAST(CAST(sum(amt) * 100 AS HUGEINT) // count(*) AS BIGINT)
+    |    AS mean_cents
+    |FROM r WHERE s.m = 0
+    |GROUP BY 1 ORDER BY replicate
+    |""".stripMargin.trim
+  }
+
+  /** A/B comparison audit with a sqrt-free significance read: users
+    * hash into two arms (deterministic — re-runs reproduce the
+    * assignment), per-arm conversion is "did the user ever emit
+    * `convType`", and instead of the z statistic (which needs a
+    * square root) the audit publishes z²·100 against the χ²(1)
+    * 95% threshold 384 (= 3.84·100): z² = diff² · nA·nB/(nA+nB) /
+    * (p̄(1−p̄)) — every factor an exact integer in ppm space, folded
+    * in decimal(38,0) (diff_ppm²·nA·nB reaches 10³⁴ at 10¹⁰ users).
+    * Run on a hash split with no real treatment this is an A/A
+    * test: 'significant' should be 0 — the standard health check
+    * that the assignment hash isn't correlated with the metric.
+    * Degenerate rates (p̄ ∈ {0, 1} — nothing or everything
+    * converts) publish z² = 0 instead of dividing by zero.
+    * One projection + one 2-row hash agg. */
+  def abTestAudit(df: DataFrame, unit: Column, amount: Column,
+                  thresholdCents: Long): DataFrame = {
+    val units = df.select(
+      graft.functions.Hashing.permBucket(unit, 2, 2).as("arm"),
+      when((amount.cast("decimal(14,2)") * 100).cast("long") >
+        thresholdCents, 1L).otherwise(0L).as("conv"))
+    val arms = units.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val wide = arms.agg(
+      sum(when(col("arm") === 0, col("n"))).cast("long").as("n_a"),
+      sum(when(col("arm") === 0, col("c"))).cast("long").as("conv_a"),
+      sum(when(col("arm") === 1, col("n"))).cast("long").as("n_b"),
+      sum(when(col("arm") === 1, col("c"))).cast("long").as("conv_b"))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * 1000000 div n_a").as("rate_a_ppm"),
+        expr("conv_b * 1000000 div n_b").as("rate_b_ppm"),
+        expr("(conv_a + conv_b) * 1000000 div (n_a + n_b)").as("__pb"))
+      .withColumn("diff_ppm",
+        (col("rate_a_ppm") - col("rate_b_ppm")).cast("long"))
+      .withColumn("z2_x100",
+        expr("cast(case when __pb <= 0 or __pb >= 1000000 then 0 " +
+          "else (cast(diff_ppm as decimal(38,0)) * diff_ppm * n_a " +
+          "* n_b * 100) div ((cast(n_a as decimal(38,0)) + n_b) * __pb " +
+          "* (1000000 - __pb)) end as long)"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        col("rate_a_ppm").cast("long").as("rate_a_ppm"),
+        col("rate_b_ppm").cast("long").as("rate_b_ppm"),
+        col("diff_ppm"), col("z2_x100"),
+        when(col("z2_x100") >= 384L, 1L).otherwise(0L)
+          .as("significant"))
+  }
+
+  /** DuckDB twin of [[abTestAudit]] over `orders` with an
+    * order-value conversion threshold (cents). */
+  def abTestAuditOracleSql(thresholdCents: Long): String = {
+    val arm = graft.functions.Hashing.permBucketSql("o_orderkey", 2, 2)
+    s"""
+    |WITH u AS (
+    |  SELECT $arm AS arm,
+    |    CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+    |      AS BIGINT) > $thresholdCents THEN 1 ELSE 0 END AS conv
+    |  FROM orders),
+    |w AS (
+    |  SELECT
+    |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+    |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_a,
+    |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+    |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_b
+    |  FROM u),
+    |r AS (
+    |  SELECT *, conv_a * 1000000 // n_a AS rate_a_ppm,
+    |    conv_b * 1000000 // n_b AS rate_b_ppm,
+    |    (conv_a + conv_b) * 1000000 // (n_a + n_b) AS pb
+    |  FROM w),
+    |z AS (
+    |  SELECT *, rate_a_ppm - rate_b_ppm AS diff_ppm,
+    |    CAST(CASE WHEN pb <= 0 OR pb >= 1000000 THEN 0 ELSE
+    |      (CAST(rate_a_ppm - rate_b_ppm AS HUGEINT)
+    |        * (rate_a_ppm - rate_b_ppm) * n_a * n_b * 100)
+    |      // ((CAST(n_a AS HUGEINT) + n_b) * pb * (1000000 - pb))
+    |      END AS BIGINT) AS z2_x100
+    |  FROM r)
+    |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+    |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+    |  CAST(rate_a_ppm AS BIGINT) AS rate_a_ppm,
+    |  CAST(rate_b_ppm AS BIGINT) AS rate_b_ppm,
+    |  CAST(diff_ppm AS BIGINT) AS diff_ppm, z2_x100,
+    |  CAST(CASE WHEN z2_x100 >= 384 THEN 1 ELSE 0 END AS BIGINT)
+    |    AS significant
+    |FROM z
+    |""".stripMargin.trim
+  }
+
   /** DuckDB twin of [[cusumDrift]] over `orders`. */
   val cusumDriftOracleSql: String =
     """

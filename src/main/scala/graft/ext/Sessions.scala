@@ -600,4 +600,202 @@ object Sessions {
     |        ON src.user_id = tgt.user_id AND src.want_seq = tgt.seq) j
     |ORDER BY user_id, event_id
     |""".stripMargin.trim
+
+  /** Cohort LTV curve: cumulative revenue per acquisition cohort by
+    * month offset, normalized per cohort member — the "how much is a
+    * January customer worth by month 6" table behind every payback /
+    * CAC decision, and the revenue-weighted extension of
+    * [[retentionCohort]] (which counts heads only).
+    *
+    * Months are exact integer indices (year·12 + month − 1, as in
+    * Profiler.growthRates), revenue folds in cent-exact decimals,
+    * and the per-user LTV is one integer division at the end —
+    * engine-identical throughout. Shape: one first-order agg, one
+    * join back, one (cohort, offset) agg, then windows over the
+    * |cohorts|·|offsets|-bounded curve — the only full-data passes
+    * are the two hash aggs. */
+  def cohortLtv(orders: DataFrame, user: Column, ts: Column,
+                amount: Column): DataFrame = {
+    val o = orders.select(user.as("user_id"),
+      (year(to_date(ts)) * 12 + month(to_date(ts)) - 1).cast("long")
+        .as("midx"),
+      amount.cast("decimal(14,2)").as("amt"))
+    val first = o.groupBy(col("user_id"))
+      .agg(min(col("midx")).as("cohort_month"))
+    val sizes = first.groupBy(col("cohort_month"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    val cur = o.join(first, Seq("user_id"))
+      .groupBy(col("cohort_month"),
+        (col("midx") - col("cohort_month")).as("month_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        (sum(col("amt")) * 100).cast("long").as("rev_cents"))
+    val wCum = Window.partitionBy(col("cohort_month"))
+      .orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur.join(sizes, Seq("cohort_month"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .select(col("cohort_month"), col("month_offset").cast("long"),
+        col("n_active").cast("long").as("n_active"),
+        col("rev_cents"),
+        col("cum_rev_cents").cast("long").as("cum_rev_cents"),
+        expr("cum_rev_cents div cohort_size").cast("long")
+          .as("ltv_cents_per_user"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  /** DuckDB twin of [[cohortLtv]] over `orders`. */
+  val cohortLtvOracleSql: String =
+    """
+    |WITH o AS (
+    |  SELECT o_custkey AS user_id,
+    |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+    |      AS midx,
+    |    CAST(o_totalprice AS DECIMAL(14,2)) AS amt
+    |  FROM orders),
+    |f AS (SELECT user_id, min(midx) AS cohort_month FROM o GROUP BY 1),
+    |s AS (SELECT cohort_month, count(DISTINCT user_id) AS cohort_size
+    |      FROM f GROUP BY 1),
+    |c AS (
+    |  SELECT f.cohort_month, o.midx - f.cohort_month AS month_offset,
+    |    count(DISTINCT o.user_id) AS n_active,
+    |    CAST(sum(o.amt) * 100 AS BIGINT) AS rev_cents
+    |  FROM o JOIN f ON o.user_id = f.user_id
+    |  GROUP BY 1, 2),
+    |w AS (
+    |  SELECT c.*, s.cohort_size,
+    |    sum(rev_cents) OVER (PARTITION BY c.cohort_month
+    |      ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS cum_rev
+    |  FROM c JOIN s ON s.cohort_month = c.cohort_month)
+    |SELECT cohort_month, CAST(month_offset AS BIGINT) AS month_offset,
+    |  CAST(n_active AS BIGINT) AS n_active, rev_cents,
+    |  CAST(cum_rev AS BIGINT) AS cum_rev_cents,
+    |  CAST(cum_rev // cohort_size AS BIGINT) AS ltv_cents_per_user
+    |FROM w ORDER BY cohort_month, month_offset
+    |""".stripMargin.trim
+
+  /** Interval union (coverage): merge each user's overlapping
+    * activity spans and report how many merged spans remain and how
+    * much wall-clock they cover — the "actual engaged time" number
+    * (billable seconds, machine uptime, listening time) that naive
+    * per-event duration sums OVERCOUNT wherever intervals overlap.
+    * Spans here are event-anchored [ts, ts+pad).
+    *
+    * The merge is the classic sweep: within a user, order spans by
+    * start; a span starts a NEW merged group iff its start exceeds
+    * the running max of all PRECEDING ends (strictly — touching
+    * spans merge). Each group formed this way is contiguous by
+    * construction, so its union is [min start, max end] and coverage
+    * is one subtraction. One lag-style window + one running sum +
+    * one group agg, all on the user's hash partition — no interval
+    * self-join, nothing quadratic in events per user. */
+  def intervalUnion(events: DataFrame, padSeconds: Long): DataFrame = {
+    val s = unix_micros(col("ts").cast("timestamp"))
+    val spans = events.select(col("user_id"), col("event_id"),
+      s.as("s"), (s + padSeconds * 1000000L).as("e"))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans
+      .withColumn("__new",
+        when(col("s") > coalesce(max(col("e")).over(wPrev),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(wCum))
+      .groupBy(col("user_id"), col("__grp"))
+      .agg(min(col("s")).as("gs"), max(col("e")).as("ge"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        expr("sum(ge - gs) div 1000000").cast("long").as("covered_s"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[intervalUnion]] over `events`. */
+  def intervalUnionOracleSql(padSeconds: Long): String =
+    s"""
+    |WITH spans AS (
+    |  SELECT user_id, event_id, epoch_us(ts) AS s,
+    |    epoch_us(ts) + ${padSeconds * 1000000L} AS e
+    |  FROM events),
+    |m AS (
+    |  SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+    |      PARTITION BY user_id ORDER BY s, event_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    |      ${Long.MinValue}) THEN 1 ELSE 0 END AS is_new
+    |  FROM spans),
+    |g AS (
+    |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+    |    ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS grp
+    |  FROM m),
+    |sp AS (
+    |  SELECT user_id, grp, min(s) AS gs, max(e) AS ge
+    |  FROM g GROUP BY 1, 2)
+    |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+    |  CAST(sum(ge - gs) // 1000000 AS BIGINT) AS covered_s
+    |FROM sp GROUP BY user_id ORDER BY user_id
+    |""".stripMargin.trim
+
+  /** Event debounce: collapse bursts of same-(user, type) events
+    * whose inter-arrival gap chains within `gapSeconds` down to
+    * their FIRST event, reporting how many each kept event absorbed
+    * — the double-click / retry / at-least-once-delivery hygiene
+    * pass run before any funnel or attribution query (a retry storm
+    * otherwise counts as engagement). Chained-gap (session-style)
+    * semantics: a new burst starts when the gap from the PREVIOUS
+    * EVENT exceeds the threshold — one lag + one running sum + one
+    * per-burst window, all on the same (user, type) hash partition;
+    * no self-join, nothing quadratic, state is one row per event. */
+  def eventDedup(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts").cast("timestamp")) -
+      unix_micros(col("__prev").cast("timestamp"))
+    val marked = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("ts"), 1).over(wSeq))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          gapUs > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wGrp = Window.partitionBy(col("user_id"), col("event_type"),
+      col("__grp"))
+    marked
+      .withColumn("__n", count(lit(1)).over(wGrp))
+      .withColumn("__rk", row_number().over(
+        wGrp.orderBy(col("ts"), col("event_id"))))
+      .filter(col("__rk") === 1)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("__n").cast("long").as("n_collapsed"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB twin of [[eventDedup]] over `events`. */
+  def eventDedupOracleSql(gapSeconds: Long): String =
+    s"""
+    |WITH l AS (
+    |  SELECT user_id, event_type, ts, event_id,
+    |    lag(ts) OVER (PARTITION BY user_id, event_type
+    |      ORDER BY ts, event_id) AS prev
+    |  FROM events),
+    |m AS (
+    |  SELECT *, CASE WHEN prev IS NULL OR
+    |      epoch_us(ts) - epoch_us(prev) > ${gapSeconds * 1000000L}
+    |    THEN 1 ELSE 0 END AS is_new
+    |  FROM l),
+    |g AS (
+    |  SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type
+    |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
+    |  FROM m),
+    |k AS (
+    |  SELECT *, count(*) OVER (PARTITION BY user_id, event_type, grp)
+    |      AS n_collapsed,
+    |    row_number() OVER (PARTITION BY user_id, event_type, grp
+    |      ORDER BY ts, event_id) AS rk
+    |  FROM g)
+    |SELECT user_id, event_type, ts, event_id,
+    |  CAST(n_collapsed AS BIGINT) AS n_collapsed
+    |FROM k WHERE rk = 1 ORDER BY event_id
+    |""".stripMargin.trim
 }

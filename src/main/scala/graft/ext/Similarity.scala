@@ -2682,4 +2682,54 @@ object Similarity {
     |ORDER BY e.query_id
     |""".stripMargin.trim
   }
+
+  /** Per-dimension moment audit of the embedding table: n, mean and
+    * a variance proxy for every dimension, in exact integers after
+    * the standard 1e4 quantization — the "is this embedding space
+    * healthy" check (dead dims ≈ zero variance from a collapsed
+    * encoder or a padding bug; one runaway dim dominating the norm
+    * breaks cosine ranking). var_x1e8 = (n·Σq² − (Σq)²) div n² is
+    * the population variance in quantized units², folded in
+    * decimal(38,0) (n·Σq² passes 10³⁰ at corpus scale — a long
+    * wraps). One posexplode + one dim-keyed hash agg (map-side
+    * combined); output is |dims| rows at any corpus size. */
+  def dimStats(emb: DataFrame, vec: Column): DataFrame =
+    emb.select(posexplode(transform(vec, v => v.cast("double")))
+        .as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"),
+        expr("cast(round(v * 10000) as bigint)").as("q"))
+      .groupBy("pos")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("__s"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("__s2"))
+      .select(col("pos"), col("n"),
+        // Σq can be negative: Spark's `div` truncates toward zero,
+        // DuckDB's `//` floors — divide magnitudes, reapply the sign
+        expr("cast(case when __s < 0 then -((-__s) div n) " +
+          "else __s div n end as long)").as("mean_q"),
+        expr("cast((n * __s2 - __s * __s) div (cast(n as decimal(38,0)) " +
+          "* n) as long)").as("var_x1e8"))
+      .orderBy("pos")
+
+  /** DuckDB twin of [[dimStats]] over `embeddings`. */
+  val dimStatsOracleSql: String =
+    """
+    |WITH q AS (
+    |  SELECT i AS pos,
+    |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 10000) AS BIGINT)
+    |      AS q
+    |  FROM (SELECT embedding, unnest(range(len(embedding))) AS i
+    |        FROM embeddings)),
+    |a AS (
+    |  SELECT pos, count(*) AS n,
+    |    sum(CAST(q AS HUGEINT)) AS s,
+    |    sum(CAST(q AS HUGEINT) * q) AS s2
+    |  FROM q GROUP BY pos)
+    |SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+    |  CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS BIGINT)
+    |    AS mean_q,
+    |  CAST((n * s2 - s * s) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+    |    AS var_x1e8
+    |FROM a ORDER BY pos
+    |""".stripMargin.trim
 }

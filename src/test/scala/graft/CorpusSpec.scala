@@ -507,6 +507,52 @@ class CorpusSpec extends SparkSpec {
       s"heavy docs under-sampled: ${picked.count(_._1 <= 100L)}/50")
   }
 
+  test("weightedQuantiles: token-mass fences land where the MASS " +
+      "lives, not where the docs are") {
+    import spark.implicits._
+    // six 1-token docs, one 2-token, one 10-token: 8 docs, 18 tokens.
+    // Doc-count median is length 1; the token-mass median is 10 —
+    // the long doc holds over half the mass
+    val synth = ((1L to 6L).map(i => (i, "w")) ++
+      Seq((7L, "w w"), (8L, Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = Corpus.weightedQuantiles(synth, col("text"),
+      Seq(250000L, 500000L, 990000L))
+      .as[(Long, Long, Long)].collect().toSeq
+    // cum masses: len1 -> 6/18 = 333333 ppm, len2 -> 8/18 = 444444,
+    // len10 -> 18/18 = 1000000
+    assert(got == Seq(
+      (250000L, 1L, 333333L),
+      (500000L, 10L, 1000000L),
+      (990000L, 10L, 1000000L)))
+    // and on the fixture: fences are monotone in p, cum covers p
+    val fx = Corpus.weightedQuantiles(docs, col("text"),
+      Seq(250000L, 500000L, 750000L, 900000L, 990000L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fx.map(_._2) == fx.map(_._2).sorted)
+    fx.foreach { case (p, _, cum) => assert(cum >= p) }
+  }
+
+  test("sourceTerms: each source's distinctive token outranks the " +
+      "shared one, lift is the exact rate ratio") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "A", (Seq.fill(10)("apple") ++ Seq.fill(10)("the"))
+        .mkString(" ")),
+      (2L, "B", (Seq.fill(10)("banana") ++ Seq.fill(10)("the"))
+        .mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.sourceTerms(synth, col("source"), col("text"),
+        k = 2, minTf = 5L)
+      .as[(String, Long, String, Long, Long, Long)].collect().toSeq
+    // apple: (10/20) / (10/40) = 2.0 -> 2e6 ppm; the: 1.0 -> 1e6
+    assert(got == Seq(
+      ("A", 1L, "apple", 10L, 10L, 2000000L),
+      ("A", 2L, "the", 10L, 20L, 1000000L),
+      ("B", 1L, "banana", 10L, 10L, 2000000L),
+      ("B", 2L, "the", 10L, 20L, 1000000L)))
+  }
+
   test("domainCapIncremental is row-identical to the full recompute") {
     val cap = 5
     // delta slices that leave some domains untouched (tests the

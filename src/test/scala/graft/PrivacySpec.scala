@@ -71,6 +71,25 @@ class PrivacySpec extends SparkSpec {
       (3L, 1L, 3L, 0L)))  // b satisfies
   }
 
+  test("suppressedRollup: small groups merge into one residual row, " +
+      "totals are conserved") {
+    import spark.implicits._
+    val df = (Seq.fill(6)(("a", 1.00)) ++
+      Seq(("b", 0.75), ("b", 0.75), ("c", 0.50))).toDF("g", "amt")
+    val got = Privacy.suppressedRollup(df, Seq(col("g")), col("amt"), 5L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 6L, 600L, 0L),
+      ("(suppressed)", 3L, 200L, 1L)))
+    // conservation: published mass equals raw mass
+    assert(got.map(_._2).sum == 9L && got.map(_._3).sum == 800L)
+    // no small groups -> no residual row
+    val none = Privacy.suppressedRollup(df, Seq(col("g")), col("amt"), 1L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(none.forall(_._4 == 0L) && none.map(_._1).toSet ==
+      Set("a", "b", "c"))
+  }
+
   test("tCloseness: skewed groups carry half the mass in EMD, " +
       "a global-matching group carries zero") {
     import spark.implicits._

@@ -344,6 +344,179 @@ class ProfilerSpec extends SparkSpec {
     assert(fsZ <= fsN)
   }
 
+  test("partitionPlanner: ceil division covers the bytes, and " +
+      "rows_per_partition is flat under 10x data growth") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // small target so the fixture spans several partitions
+    val plan = graft.ext.Layout.partitionPlanner(li, docs, 65536L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5))).toMap
+    plan.foreach { case (t, (n, bytes, parts, rpp)) =>
+      assert(parts >= 1, t)
+      // ceil: partitions cover the bytes, and not one more than needed
+      assert(parts * 65536L >= bytes && (parts - 1) * 65536L < bytes, t)
+      assert(rpp == n / parts, t)
+    }
+    // 10x the data -> ~10x partitions, rows_per_partition stays flat
+    val li10 = (1 to 10).map(_ => li).reduce(_ unionAll _)
+    val docs10 = (1 to 10).map(_ => docs).reduce(_ unionAll _)
+    val plan10 = graft.ext.Layout.partitionPlanner(li10, docs10, 65536L)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getLong(5)))
+      .toMap
+    plan.foreach { case (t, (_, _, parts, rpp)) =>
+      val (parts10, rpp10) = plan10(t)
+      assert(parts10 >= 9 * parts && parts10 <= 10 * parts + 1, t)
+      // flat within ceil-rounding wiggle
+      assert(math.abs(rpp10 - rpp) <= rpp / 8 + 1, t)
+    }
+  }
+
+  test("resampleStability: half-samples cover ~half the rows each, " +
+      "are reproducible, and every replicate mean is sane") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, 100.0 + (i % 7))).toDF("k", "amt")
+    val got = Profiler.resampleStability(df, col("k"), col("amt"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L to 7L))
+    got.foreach { case (_, n, m) =>
+      assert(n > 350 && n < 650, s"half-sample size off: $n")
+      assert(m > 10000 && m < 10700, s"replicate mean off: $m")
+    }
+    val again = Profiler.resampleStability(df, col("k"), col("amt"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == again)
+  }
+
+  test("abTestAudit: a planted arm effect is significant, the A/A " +
+      "hash split is not") {
+    import spark.implicits._
+    // amounts depend on the SAME hash bit used for arming -> a real
+    // treatment effect the audit must flag
+    val armBit = graft.functions.Hashing.permBucket(col("k"), 2, 2)
+    val planted = (1L to 4000L).toDF("k")
+      .select(col("k"), when(armBit === 0, 200.0).otherwise(100.0)
+        .as("amt"))
+    val eff = Profiler.abTestAudit(planted, col("k"), col("amt"), 15000L)
+      .select("significant", "z2_x100").as[(Long, Long)].head()
+    assert(eff._1 == 1L && eff._2 > 384L)
+    // independent amounts -> A/A, no significance
+    val aa = (1L to 4000L).map(i => (i, 100.0 + (i % 100)))
+      .toDF("k", "amt")
+    val aaRes = Profiler.abTestAudit(aa, col("k"), col("amt"), 15000L)
+      .select("significant").as[Long].head()
+    assert(aaRes == 0L)
+    // degenerate rate (everything converts) publishes z2 = 0
+    val degen = Profiler.abTestAudit(aa, col("k"), col("amt"), 0L)
+      .select("z2_x100").as[Long].head()
+    assert(degen == 0L)
+  }
+
+  test("gridQuantiles: one-to-one grid is exact, coarse grid stays " +
+      "within one cell width of the exact quantile") {
+    import spark.implicits._
+    // 0..1023 with grid 1024: every cell holds exactly one value,
+    // so the estimate IS the exact quantile
+    val df = (0L to 1023L).toDF("x")
+    val fine = Profiler.gridQuantiles(df, col("x"), 1024,
+      Seq(500000L, 990000L)).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fine(500000L) == ((511L, 511L)))
+    assert(fine(990000L) == ((1013L, 1013L)))
+    // coarse grid 16: error bounded by one cell width (64)
+    val coarse = Profiler.gridQuantiles(df, col("x"), 16,
+      Seq(500000L, 990000L)).as[(Long, Long, Long)].collect()
+    coarse.foreach { case (p, _, est) =>
+      val exact = (1023L * p) / 1000000L
+      assert(est >= exact && est - exact <= 64L, s"p=$p est=$est")
+    }
+  }
+
+  test("winsorizedStats matches a driver-side reference with " +
+      "planted outliers") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val xs = (1 to 200).map(i => (i.toLong, 0L,
+      (1000 + rng.nextInt(500)).toLong)) ++
+      Seq((201L, 0L, 1000000L), (202L, 0L, -999999L)) // fat tails
+    val df = xs.toDF("k0", "k1", "x")
+    val got = Profiler.winsorizedStats(df, col("x"),
+        Seq(col("k0"), col("k1")))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    // reference: rank-fence at ceil(p*n), clip, integer means
+    val sorted = xs.map(_._3).sorted
+    val n = sorted.length
+    def fence(ppm: Long) =
+      sorted(((n * ppm + 999999L) / 1000000L).toInt - 1)
+    val (lo, hi) = (fence(50000L), fence(950000L))
+    val clipped = sorted.map(v => math.min(math.max(v, lo), hi))
+    assert(got == ((n.toLong, lo, hi,
+      sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong,
+      // Spark decimal `div` truncates toward zero; sums are positive
+      sorted.sum / n, clipped.sum / n)))
+    // the whole point: raw mean is dragged, winsorized is not
+    assert(math.abs(got._7 - 1250) < 100 && got._6 != got._7)
+  }
+
+  test("forwardFill: gap days carry the last observation, days " +
+      "before the first observation are zero") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "2024-01-01", 0.10), ("A", "2024-01-03", 0.30),
+      ("B", "2024-01-02", 0.20)
+    ).toDF("key", "d", "amt")
+      .select(col("key"), to_date(col("d")).as("d"), col("amt"))
+    val got = Profiler.forwardFill(df, col("key"), col("d"), col("amt"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("A", "2024-01-01", 10L, 1L),
+      ("A", "2024-01-02", 10L, 0L),  // carried
+      ("A", "2024-01-03", 30L, 1L),
+      ("B", "2024-01-01", 0L, 0L),   // before first observation
+      ("B", "2024-01-02", 20L, 1L),
+      ("B", "2024-01-03", 20L, 0L))) // carried
+  }
+
+  test("benfordAudit: digits counted from the significand, shares " +
+      "and deviations exact") {
+    import spark.implicits._
+    // 3 values leading 1, 2 leading 2, 1 leading 9; 0.5 -> digit 5
+    val df = Seq(1.23, 10.0, 199.99, 2.5, 25.0, 900.0, 0.5).toDF("v")
+    val got = Profiler.benfordAudit(df, col("v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byDigit = got.map(r => r._1 -> r).toMap
+    assert(byDigit(1L)._2 == 3L && byDigit(2L)._2 == 2L &&
+      byDigit(5L)._2 == 1L && byDigit(9L)._2 == 1L)
+    // share_ppm: 3/7 = 428571 ppm; benford(1) = 301029; dev = 127542
+    assert(byDigit(1L)._3 == 428571L)
+    assert(byDigit(1L)._4 == 301029L && byDigit(1L)._5 == 127542L)
+    // shares are consistent: every dev = |share - benford|
+    got.foreach { case (_, _, s, b, dv) => assert(dv == math.abs(s - b)) }
+  }
+
+  test("tableChecksum: order/partition-invariant, byte-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val base = Profiler.tableChecksum(df, Seq(col("k"), col("s")))
+      .as[(Long, Long)].head()
+    assert(base._1 == 3L)
+    // row order and partitioning do not move the fingerprint
+    val shuffled = Profiler.tableChecksum(
+      df.orderBy(col("s").desc).repartition(7),
+      Seq(col("k"), col("s"))).as[(Long, Long)].head()
+    assert(shuffled == base)
+    // one changed byte does
+    val tweaked = Profiler.tableChecksum(
+      Seq((1L, "a"), (2L, "b"), (3L, "d")).toDF("k", "s"),
+      Seq(col("k"), col("s"))).as[(Long, Long)].head()
+    assert(tweaked._2 != base._2)
+    // and column order is part of the identity
+    val swapped = Profiler.tableChecksum(df, Seq(col("s"), col("k")))
+      .as[(Long, Long)].head()
+    assert(swapped._2 != base._2)
+  }
+
   test("cusumDrift: window form equals the textbook recursion, " +
       "creep alarms where spikes alone would not") {
     import spark.implicits._

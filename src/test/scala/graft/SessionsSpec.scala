@@ -108,4 +108,67 @@ class SessionsSpec extends SparkSpec {
     assert(mass.nonEmpty)
     mass.foreach(m => assert(m <= 1000000L && m > 999000L))
   }
+
+  test("cohortLtv: hand-checked cumulative curve and per-user division") {
+    import spark.implicits._
+    // user 1, 2 acquired in 2024-01; user 3 in 2024-02
+    val orders = Seq(
+      (1L, "2024-01-05", 10.00), (1L, "2024-02-10", 20.00),
+      (2L, "2024-01-20", 5.00),
+      (3L, "2024-02-02", 7.00)
+    ).toDF("cust", "d", "amt").select(col("cust"),
+      to_date(col("d")).as("d"), col("amt"))
+    val got = Sessions.cohortLtv(orders, col("cust"), col("d"), col("amt"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val jan = 2024 * 12 + 0
+    val feb = jan + 1
+    assert(got == Seq(
+      // cohort Jan: offset 0 -> both users, 1500 cents, ltv 750
+      (jan, 0L, 2L, 1500L, 1500L, 750L),
+      // offset 1 -> user 1 only, 2000 cents, cum 3500, ltv 1750
+      (jan, 1L, 1L, 2000L, 3500L, 1750L),
+      (feb, 0L, 1L, 700L, 700L, 700L)))
+  }
+
+  test("intervalUnion: overlapping spans merge, disjoint ones don't, " +
+      "coverage never exceeds the naive duration sum") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: events at 0s and 100s, pad 300 -> one merged span
+      // [0, 400): coverage 400; then a far event -> its own 300
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:01:40"), 2L),
+      (1L, ts("2024-01-01 12:00:00"), 3L),
+      // user 2: touching spans (gap exactly = pad) merge
+      (2L, ts("2024-01-01 10:00:00"), 4L),
+      (2L, ts("2024-01-01 10:05:00"), 5L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = Sessions.intervalUnion(ev, 300L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 700L), (2L, 1L, 600L)))
+  }
+
+  test("eventDedup: chained bursts collapse to the first event and " +
+      "count what they absorbed") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1 click burst: 0s, 40s, 80s chain within 60s gaps ->
+      // ONE burst (chained-gap), keep the first, absorb 3
+      (1L, "click", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:00:40"), 2L),
+      (1L, "click", ts("2024-01-01 10:01:20"), 3L),
+      // then a 61s gap -> new burst
+      (1L, "click", ts("2024-01-01 10:02:21"), 4L),
+      // different type at the same instant is its own stream
+      (1L, "view", ts("2024-01-01 10:00:00"), 5L),
+      // user 2: singleton
+      (2L, "click", ts("2024-01-01 10:00:00"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = Sessions.eventDedup(ev, 60L)
+      .select("event_id", "n_collapsed")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (4L, 1L), (5L, 1L), (6L, 1L)))
+  }
 }

@@ -670,4 +670,26 @@ class SimilaritySpec extends SparkSpec {
     rec.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0,
       s"probe-all must be exact, got $r"))
   }
+
+  test("dimStats: dead dims show zero variance, centered dims zero " +
+      "mean, negative means divide symmetrically") {
+    import spark.implicits._
+    import graft.ext.Similarity
+    // dim0: ±1 (mean 0, var 1e8 in q² units); dim1: constant 1
+    // (dead: var 0); dim2: constant -0.5 (negative-mean division)
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, -0.5f)),
+      (2L, Array(-1.0f, 1.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(vecs, col("embedding"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 100000000L),
+      (1L, 2L, 10000L, 0L),
+      (2L, 2L, -5000L, 0L)))
+    // fixture sanity: every dim present, variance non-negative
+    val fx = Similarity.dimStats(emb, col("embedding"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(fx.length == 64 && fx.forall(_._4 >= 0L))
+  }
 }
