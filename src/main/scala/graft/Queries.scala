@@ -174,6 +174,42 @@ object Queries {
         |  nk, attr_type, attr_value, active_from, active_to, is_current
         |FROM v ORDER BY dim_id""".stripMargin)),
 
+    // SCD2 churn: versions opened vs closed per month — the
+    // dimension-volatility metric that sizes history storage and
+    // flags attribute thrash (a feed re-sending unchanged rows shows
+    // as an open/close spike); two month rollups off the same
+    // version derivation, full-outer joined on the month spine
+    ("scd2_churn",
+      (s: SparkSession, d: String) => {
+        val v = scd2Versions(s, d)
+        val mo = (c: org.apache.spark.sql.Column) =>
+          (year(to_date(c)) * 12 + month(to_date(c)) - 1).cast("long")
+        val opened = v.groupBy(mo(col("active_from")).as("month_idx"))
+          .agg(count(lit(1)).as("n_opened"))
+        val closed = v.filter(col("is_current") === 0)
+          .groupBy(mo(col("active_to")).as("month_idx"))
+          .agg(count(lit(1)).as("n_closed"))
+        opened.join(closed, Seq("month_idx"), "full_outer")
+          .select(col("month_idx"),
+            coalesce(col("n_opened"), lit(0L)).cast("long").as("n_opened"),
+            coalesce(col("n_closed"), lit(0L)).cast("long").as("n_closed"))
+          .orderBy("month_idx")
+      },
+      Some(s"""WITH $scd2Cte,
+        |o AS (
+        |  SELECT CAST(year(active_from) * 12 + month(active_from) - 1
+        |    AS BIGINT) AS month_idx, count(*) AS n_opened
+        |  FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(year(active_to) * 12 + month(active_to) - 1
+        |    AS BIGINT) AS month_idx, count(*) AS n_closed
+        |  FROM v WHERE is_current = 0 GROUP BY 1)
+        |SELECT coalesce(o.month_idx, c.month_idx) AS month_idx,
+        |  CAST(coalesce(n_opened, 0) AS BIGINT) AS n_opened,
+        |  CAST(coalesce(n_closed, 0) AS BIGINT) AS n_closed
+        |FROM o FULL OUTER JOIN c ON o.month_idx = c.month_idx
+        |ORDER BY month_idx""".stripMargin)),
+
     // E1/J40: deterministic surrogate assignment
     ("surrogate_keys",
       (s: SparkSession, d: String) =>
@@ -1854,6 +1890,30 @@ object Queries {
           col("o_totalprice"), thresholdCents = 20000000L),
       Some(ext.Profiler.abTestAuditOracleSql(
         thresholdCents = 20000000L))),
+
+    // Watermark-sizing disorder histogram: per-user arrival-order
+    // lateness bucketed into <=6 rows — reads off the X for
+    // withWatermark("ts", X)
+    ("late_data_audit",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.lateDataAudit(t(s, d, "events")),
+      Some(ext.Profiler.lateDataAuditOracleSql)),
+
+    // Append-algebra checksum: fingerprint(base) + fingerprint(delta)
+    // combined mod M equals fingerprint(whole), proven in-query —
+    // daily reconciliation re-hashes the day, not the decade
+    ("checksum_incremental",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val cols = (df: DataFrame) => Seq(df("l_orderkey"),
+          df("l_linenumber"), df("l_returnflag"), df("l_shipdate"))
+        ext.Profiler.checksumIncremental(
+          li.filter(col("l_orderkey") < 30000L),
+          li.filter(col("l_orderkey") >= 30000L), li, cols)
+      },
+      Some(ext.Profiler.checksumIncrementalOracleSql(30000L,
+        Seq("CAST(l_orderkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)",
+          "l_returnflag", "CAST(l_shipdate AS VARCHAR)")))),
 
     // Benford first-digit forensic screen: digit from the decimal
     // STRING (engine-stable), ppm shares vs compile-time Benford

@@ -36,7 +36,7 @@ object SurveyGen {
         "fact_delta", "fact_build", "latest_per_key", "mart_current",
         "dup_check", "overlap_check", "overlap_runs", "ref_integrity",
         "reconcile_totals", "reconcile_rows", "distinct_values",
-        "string_funcs", "top_violations", "dim_snapshot"))
+        "string_funcs", "top_violations", "dim_snapshot", "scd2_churn"))
       "parity (§2 warehouse core)"
     else if (pre("sa_")) "suffix-array dedup"
     else if (pre("cdc_") || pre("dup_span") || pre("winnow") ||
@@ -74,6 +74,7 @@ object SurveyGen {
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
         "cusum_drift", "benford_audit", "table_checksum",
+        "checksum_incremental", "late_data_audit",
         "winsorized_stats", "forward_fill",
         "zscore_outliers", "mad_outliers", "gini_revenue",
         "spearman_corr", "boxplot_stats", "pareto_abc", "calendar_fill",

@@ -1470,6 +1470,121 @@ object Profiler {
     |""".stripMargin.trim
   }
 
+  /** Out-of-order arrival audit: per user, how late does each event
+    * arrive relative to the latest event time already seen in that
+    * user's ARRIVAL order (event_id) — the disorder histogram that
+    * sizes a streaming watermark (`withWatermark("ts", X)`): pick X
+    * at the bucket that covers the tail you're willing to wait for;
+    * everything later is the data a streaming job would drop and a
+    * batch backfill must reconcile. Per-user on purpose: that is the
+    * unit Spark keys state by, and it keeps the running max a plain
+    * partitioned window (no global sequential scan). Fixed CASE
+    * buckets → one hash agg; output ≤ 6 rows at any scale. */
+  def lateDataAudit(events: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateUs = greatest(coalesce(
+      max(unix_micros(col("ts").cast("timestamp"))).over(wPrev) -
+        unix_micros(col("ts").cast("timestamp")), lit(0L)), lit(0L))
+    events.select(lateUs.as("late_us"))
+      .select(when(col("late_us") === 0, "0_in_order")
+        .when(col("late_us") <= 1000000L, "1_upto_1s")
+        .when(col("late_us") <= 10000000L, "2_upto_10s")
+        .when(col("late_us") <= 60000000L, "3_upto_1m")
+        .when(col("late_us") <= 600000000L, "4_upto_10m")
+        .otherwise("5_over_10m").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy()))
+      .select(col("bucket"), col("n").cast("long").as("n"),
+        expr("n * 1000000 div __tot").cast("long").as("share_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[lateDataAudit]] over `events`. */
+  val lateDataAuditOracleSql: String =
+    """
+    |WITH l AS (
+    |  SELECT greatest(coalesce(
+    |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    |    - epoch_us(ts), 0), 0) AS late_us
+    |  FROM events),
+    |b AS (
+    |  SELECT CASE
+    |    WHEN late_us = 0 THEN '0_in_order'
+    |    WHEN late_us <= 1000000 THEN '1_upto_1s'
+    |    WHEN late_us <= 10000000 THEN '2_upto_10s'
+    |    WHEN late_us <= 60000000 THEN '3_upto_1m'
+    |    WHEN late_us <= 600000000 THEN '4_upto_10m'
+    |    ELSE '5_over_10m' END AS bucket
+    |  FROM l),
+    |c AS (
+    |  SELECT bucket, count(*) AS n, sum(count(*)) OVER () AS tot
+    |  FROM b GROUP BY bucket)
+    |SELECT bucket, CAST(n AS BIGINT) AS n,
+    |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+    |FROM c ORDER BY bucket
+    |""".stripMargin.trim
+
+  /** Append-algebra twin of [[tableChecksum]]: because the
+    * fingerprint is a SUM mod M, an append updates it in O(delta) —
+    * new = (old + checksum(delta)) mod M — with no touch of the
+    * base table. This query PROVES that identity on a real split:
+    * it fingerprints the base slice and the delta slice separately,
+    * combines them in the algebra, fingerprints the whole table the
+    * hard way, and publishes both plus the match flag (always 1 —
+    * the oracle replays all three paths). The operational point at
+    * 100 TB: a daily reconciliation re-hashes the DAY, not the
+    * decade. */
+  def checksumIncremental(base: DataFrame, delta: DataFrame,
+                          full: DataFrame,
+                          cols: DataFrame => Seq[Column]): DataFrame = {
+    val cBase = tableChecksum(base, cols(base))
+      .select(col("n_rows").as("n_base"), col("checksum").as("c_base"))
+    val cDelta = tableChecksum(delta, cols(delta))
+      .select(col("n_rows").as("n_delta"), col("checksum").as("c_delta"))
+    val cFull = tableChecksum(full, cols(full))
+      .select(col("n_rows").as("n_full"), col("checksum").as("c_full"))
+    cBase.crossJoin(cDelta).crossJoin(cFull)
+      .select((col("n_base") + col("n_delta")).cast("long")
+          .as("n_combined"),
+        expr("(c_base + c_delta) % 2305843009213693951")
+          .cast("long").as("checksum_combined"),
+        col("n_full"), col("c_full").as("checksum_full"))
+      .withColumn("matches",
+        when(col("checksum_combined") === col("checksum_full") &&
+          col("n_combined") === col("n_full"), 1L).otherwise(0L))
+  }
+
+  /** DuckDB twin of [[checksumIncremental]] over `lineitem` split at
+    * `splitKey` on l_orderkey. */
+  def checksumIncrementalOracleSql(splitKey: Long,
+                                   colExprs: Seq[String]): String = {
+    val rowStr = s"concat_ws('|', ${colExprs.mkString(", ")})"
+    val h = graft.functions.Hashing.polyHashSql(rowStr)
+    s"""
+    |WITH base AS (
+    |  SELECT count(*) AS n, sum(h) % 2305843009213693951 AS c FROM (
+    |    SELECT $h AS h FROM lineitem WHERE l_orderkey < $splitKey)),
+    |delta AS (
+    |  SELECT count(*) AS n, sum(h) % 2305843009213693951 AS c FROM (
+    |    SELECT $h AS h FROM lineitem WHERE l_orderkey >= $splitKey)),
+    |f AS (
+    |  SELECT count(*) AS n, sum(h) % 2305843009213693951 AS c FROM (
+    |    SELECT $h AS h FROM lineitem))
+    |SELECT CAST(base.n + delta.n AS BIGINT) AS n_combined,
+    |  CAST((base.c + delta.c) % 2305843009213693951 AS BIGINT)
+    |    AS checksum_combined,
+    |  CAST(f.n AS BIGINT) AS n_full,
+    |  CAST(f.c AS BIGINT) AS checksum_full,
+    |  CAST(CASE WHEN (base.c + delta.c) % 2305843009213693951 = f.c
+    |    AND base.n + delta.n = f.n THEN 1 ELSE 0 END AS BIGINT)
+    |    AS matches
+    |FROM base, delta, f
+    |""".stripMargin.trim
+  }
+
   /** DuckDB twin of [[cusumDrift]] over `orders`. */
   val cusumDriftOracleSql: String =
     """

@@ -372,6 +372,47 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("lateDataAudit: planted disorder lands in the right buckets, " +
+      "per-user streams are independent") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 arrival order (event_id): t0, t+100s, then one event
+    // 5s BEFORE the max seen (late 105s -> bucket 3_upto_1m? no:
+    // 105s > 60s -> 4_upto_10m), then in-order again
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:01:40"), 2L),
+      (1L, ts("2024-01-01 09:59:55"), 3L),  // 105s late
+      (1L, ts("2024-01-01 10:02:00"), 4L),
+      // user 2: 1s-late event; first events are always in order
+      (2L, ts("2024-01-01 10:00:00"), 5L),
+      (2L, ts("2024-01-01 09:59:59"), 6L)   // exactly 1s late
+    ).toDF("user_id", "ts", "event_id")
+    val got = Profiler.lateDataAudit(ev)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == Map(
+      "0_in_order" -> 4L, "1_upto_1s" -> 1L, "4_upto_10m" -> 1L))
+  }
+
+  test("checksumIncremental: combine equals full on a clean split, " +
+      "and flags a corrupted delta") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"row$i")).toDF("k", "s")
+    val cols = (d: org.apache.spark.sql.DataFrame) => Seq(d("k"), d("s"))
+    val ok = Profiler.checksumIncremental(
+      df.filter(col("k") <= 250), df.filter(col("k") > 250), df, cols)
+      .select("matches", "n_combined").as[(Long, Long)].head()
+    assert(ok == ((1L, 500L)))
+    // corrupt one delta row -> combined checksum must diverge
+    val corrupted = df.filter(col("k") > 250)
+      .withColumn("s", when(col("k") === 400L, lit("rowX"))
+        .otherwise(col("s")))
+    val bad = Profiler.checksumIncremental(
+      df.filter(col("k") <= 250), corrupted, df, cols)
+      .select("matches").as[Long].head()
+    assert(bad == 0L)
+  }
+
   test("resampleStability: half-samples cover ~half the rows each, " +
       "are reproducible, and every replicate mean is sane") {
     import spark.implicits._
