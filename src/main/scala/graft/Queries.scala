@@ -1891,6 +1891,58 @@ object Queries {
       Some(ext.Profiler.abTestAuditOracleSql(
         thresholdCents = 20000000L))),
 
+    // Supplier-concentration HHI histogram: single-source risk bands
+    // over the whole catalog, decimal-folded squares, <=10 rows out
+    ("hhi_concentration",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.hhiBands(t(s, d, "lineitem")),
+      Some(ext.Profiler.hhiBandsOracleSql)),
+
+    // Dead-stock audit per brand: parts with no shipment since the
+    // cutoff — anti-join against the recent-part set, brand rollup
+    ("dead_stock",
+      (s: SparkSession, d: String) => {
+        val recent = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-06-01").cast("date"))
+          .select(col("l_partkey").as("p_partkey")).distinct()
+        t(s, d, "part").join(recent, Seq("p_partkey"), "left_anti")
+          .groupBy(col("p_brand").as("brand"))
+          .agg(count(lit(1)).cast("long").as("n_dead"),
+            (sum(col("p_retailprice").cast("decimal(14,2)")) * 100)
+              .cast("long").as("dead_value_cents"))
+          .orderBy("brand")
+      },
+      Some("""WITH recent AS (
+        |  SELECT DISTINCT l_partkey FROM lineitem
+        |  WHERE l_shipdate >= DATE '2001-06-01')
+        |SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_dead,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(14,2))) * 100
+        |    AS BIGINT) AS dead_value_cents
+        |FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM recent)
+        |GROUP BY 1 ORDER BY brand""".stripMargin)),
+
+    // Heaps'-law vocabulary growth: cumulative types vs tokens along
+    // the doc order — first-seen buckets, no per-prefix distincts
+    ("vocab_growth",
+      (s: SparkSession, d: String) =>
+        ext.Corpus.vocabGrowth(t(s, d, "documents"), col("doc_id"),
+          col("text"), bucketDocs = 100L),
+      Some(ext.Corpus.vocabGrowthOracleSql(bucketDocs = 100L))),
+
+    // Rank movers: biggest revenue-RANK shifts between two years —
+    // two two-phase ranks + part-keyed join + k-bounded TakeOrdered
+    ("rank_movers",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.rankMovers(t(s, d, "lineitem"), 1996, 1997, 15),
+      Some(ext.Profiler.rankMoversOracleSql(1996, 1997, 15))),
+
+    // Three-step behavioral paths: two leads on the per-user stream,
+    // one hash agg, k-bounded top paths
+    ("event_trigrams",
+      (s: SparkSession, d: String) =>
+        ext.Sessions.eventTrigrams(t(s, d, "events"), k = 20),
+      Some(ext.Sessions.eventTrigramsOracleSql(k = 20))),
+
     // Watermark-sizing disorder histogram: per-user arrival-order
     // lateness bucketed into <=6 rows — reads off the X for
     // withWatermark("ts", X)

@@ -64,7 +64,8 @@ object SurveyGen {
         pre("seq_pack") ||
         in("epoch_shuffle", "curriculum_manifest", "pack_manifest",
           "token_budget_sample", "shard_balance", "domain_cap",
-          "domain_cap_incremental", "weighted_quantiles"))
+          "domain_cap_incremental", "weighted_quantiles",
+          "vocab_growth"))
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand"))
       "retrieval"
@@ -75,7 +76,7 @@ object SurveyGen {
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
         "cusum_drift", "benford_audit", "table_checksum",
         "checksum_incremental", "late_data_audit",
-        "winsorized_stats", "forward_fill",
+        "winsorized_stats", "forward_fill", "hhi_concentration",
         "zscore_outliers", "mad_outliers", "gini_revenue",
         "spearman_corr", "boxplot_stats", "pareto_abc", "calendar_fill",
         "ewma_volume", "volume_autocorr", "corpus_diff"))
@@ -83,13 +84,14 @@ object SurveyGen {
     else if (in("sessionization", "funnel_steps", "attribution_asof",
         "event_transitions", "sliding_event_window", "sliding_window",
         "tumbling_window", "conversion_lag_stats", "event_dedup",
-        "interval_union"))
+        "interval_union", "event_trigrams"))
       "sessions / event windows"
     else if (in("mart_region_revenue", "mart_top_orders",
         "retention_cohort", "rfm_segments", "new_vs_returning",
         "aov_trend", "supply_risk", "activity_heatmap", "growth_rates",
         "seasonality_profile", "purchase_intervals", "trending_topk",
-        "decay_topk", "cohort_ltv", "ab_test_audit"))
+        "decay_topk", "cohort_ltv", "ab_test_audit", "rank_movers",
+        "dead_stock"))
       "marts / BI"
     else if (in("bloom_prune", "layout_skipping", "zorder_key",
         "cms_topk_audit", "skew_join", "salted_agg", "sample_estimate",

@@ -347,6 +347,63 @@ object Corpus {
     |ORDER BY source, rank
     |""".stripMargin.trim
 
+  /** Vocabulary growth (Heaps'-law) curve: cumulative distinct types
+    * vs cumulative tokens along the doc_id order, sampled at fixed
+    * doc-id buckets — the "is the corpus still teaching the
+    * tokenizer new words" read that decides when vocab training has
+    * seen enough data, and the empirical Heaps exponent check
+    * (types ~ tokens^β, β≈0.5 for natural text; β near 1 means
+    * boilerplate-free novelty, near 0 means the corpus has
+    * saturated). A type's contribution is its FIRST-SEEN bucket
+    * (min doc_id per token — one hash agg), so the cumulative
+    * distinct count needs no giant distinct-per-prefix recompute:
+    * cum_types(bucket) = Σ new types per bucket, a window over the
+    * |buckets|-bounded spine. Two token-keyed aggs + two bounded
+    * windows. */
+  def vocabGrowth(docs: DataFrame, id: Column, text: Column,
+                  bucketDocs: Long): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      explode(Dedup.words(text)).as("token"))
+    val newTypes = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy((col("first_doc") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val tokCounts = toks
+      .groupBy((col("doc_id") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts.join(newTypes, Seq("bucket"), "left")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types",
+        sum(coalesce(col("n_new_types"), lit(0L))).over(w))
+      .select(col("bucket"), col("cum_tokens").cast("long"),
+        col("cum_types").cast("long"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[vocabGrowth]] over `documents`. */
+  def vocabGrowthOracleSql(bucketDocs: Long): String =
+    s"""
+    |WITH toks AS (
+    |  SELECT doc_id, unnest(str_split(text, ' ')) AS token
+    |  FROM documents),
+    |ft AS (SELECT token, min(doc_id) AS first_doc FROM toks
+    |       GROUP BY token),
+    |nt AS (SELECT first_doc // $bucketDocs AS bucket, count(*) AS n
+    |       FROM ft GROUP BY 1),
+    |tc AS (
+    |  SELECT doc_id // $bucketDocs AS bucket, count(*) AS n
+    |  FROM toks GROUP BY 1)
+    |SELECT CAST(tc.bucket AS BIGINT) AS bucket,
+    |  CAST(sum(tc.n) OVER (ORDER BY tc.bucket
+    |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+    |  CAST(sum(coalesce(nt.n, 0)) OVER (ORDER BY tc.bucket
+    |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+    |FROM tc LEFT JOIN nt ON nt.bucket = tc.bucket
+    |ORDER BY bucket
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[tokenBudgetSample]] over `documents`. */
   def tokenBudgetSampleOracleSql(budget: Long): String =
     s"""

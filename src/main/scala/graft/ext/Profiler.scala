@@ -1585,6 +1585,112 @@ object Profiler {
     |""".stripMargin.trim
   }
 
+  /** Rank movers: the parts whose revenue RANK moved most between
+    * two periods — the "what changed" view a raw revenue delta
+    * hides (a 10% move in the head is news; in the tail it's noise;
+    * rank deltas normalize for position). Both period ranks come
+    * from [[globalCumsum]]'s two-phase machinery (descending order
+    * via the negated revenue column — no single-task global sort at
+    * any scale), the join is part-keyed, and the output is a
+    * k-bounded TakeOrdered by |Δrank|. Parts absent from a period
+    * don't rank there and are excluded (inner join) — entering/
+    * leaving the catalog is a different report. */
+  def rankMovers(lineitem: DataFrame, y1: Int, y2: Int,
+                 k: Int): DataFrame = {
+    def periodRank(year: Int, out: String, rk: String): DataFrame = {
+      val rev = lineitem
+        .filter(expr(s"year(l_shipdate) = $year"))
+        .groupBy(col("l_partkey").cast("long").as("part_id"))
+        .agg((sum(col("l_extendedprice").cast("decimal(14,2)")) * 100)
+          .cast("long").as(out))
+      globalCumsum(rev, Seq((-col(out)).as("__neg"), col("part_id")),
+        lit(1L), rk).drop("__neg")
+    }
+    periodRank(y1, "rev1_cents", "rank1")
+      .join(periodRank(y2, "rev2_cents", "rank2"), Seq("part_id"))
+      .select(col("part_id"), col("rev1_cents"), col("rev2_cents"),
+        col("rank1"), col("rank2"),
+        (col("rank1") - col("rank2")).cast("long").as("rank_delta"))
+      .orderBy(abs(col("rank_delta")).desc, col("part_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[rankMovers]] over `lineitem`. */
+  def rankMoversOracleSql(y1: Int, y2: Int, k: Int): String = {
+    def p(year: Int, out: String, rk: String) =
+      s"""(SELECT CAST(l_partkey AS BIGINT) AS part_id,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+        |    AS BIGINT) AS $out,
+        |  CAST(row_number() OVER (ORDER BY
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+        |      AS BIGINT) DESC, l_partkey) AS BIGINT) AS $rk
+        |FROM lineitem WHERE year(l_shipdate) = $year
+        |GROUP BY l_partkey)""".stripMargin
+    s"""
+    |SELECT a.part_id, a.rev1_cents, b.rev2_cents, a.rank1, b.rank2,
+    |  CAST(a.rank1 - b.rank2 AS BIGINT) AS rank_delta
+    |FROM ${p(y1, "rev1_cents", "rank1")} a
+    |JOIN ${p(y2, "rev2_cents", "rank2")} b USING (part_id)
+    |ORDER BY abs(a.rank1 - b.rank2) DESC, part_id LIMIT $k
+    |""".stripMargin.trim
+  }
+
+  /** Herfindahl-Hirschman concentration bands: per part, the HHI of
+    * its suppliers' revenue shares (Σ share², the antitrust /
+    * supply-risk concentration number — 10⁶ ppm = single-source,
+    * 10⁶/n = perfectly split across n), then a histogram of parts by
+    * HHI band — the portfolio view "how much of my catalog is
+    * single-sourced" that [[giniConcentration]]'s global inequality
+    * number doesn't give. Shares are integer ppm (truncating
+    * division), squares fold in decimal(38,0) (share² alone is
+    * 10¹², times 10⁵ suppliers per key would wrap a long), and the
+    * published histogram is ≤ 10 rows at any scale. Two keyed hash
+    * aggs + the band fold. */
+  def hhiBands(lineitem: DataFrame): DataFrame = {
+    val ps = lineitem.groupBy(col("l_partkey").as("part_id"),
+        col("l_suppkey").as("supp_id"))
+      .agg((sum(col("l_extendedprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("rev"))
+    val hhi = ps
+      .withColumn("part_rev",
+        sum(col("rev")).over(Window.partitionBy(col("part_id"))))
+      .select(col("part_id"),
+        expr("rev * 1000000 div part_rev").as("share_ppm"))
+      .groupBy("part_id")
+      .agg(expr("cast(sum(cast(share_ppm as decimal(38,0)) " +
+        "* share_ppm) div 1000000 as long)").as("hhi_ppm"))
+    hhi.groupBy(expr("hhi_ppm div 100000").cast("long").as("band"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        min(col("hhi_ppm")).cast("long").as("min_hhi_ppm"),
+        max(col("hhi_ppm")).cast("long").as("max_hhi_ppm"))
+      .orderBy("band")
+  }
+
+  /** DuckDB twin of [[hhiBands]] over `lineitem`. */
+  val hhiBandsOracleSql: String =
+    """
+    |WITH ps AS (
+    |  SELECT l_partkey AS part_id, l_suppkey AS supp_id,
+    |    CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+    |      AS BIGINT) AS rev
+    |  FROM lineitem GROUP BY 1, 2),
+    |sh AS (
+    |  SELECT part_id,
+    |    rev * 1000000 // sum(rev) OVER (PARTITION BY part_id)
+    |      AS share_ppm
+    |  FROM ps),
+    |h AS (
+    |  SELECT part_id,
+    |    CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm) // 1000000
+    |      AS BIGINT) AS hhi_ppm
+    |  FROM sh GROUP BY part_id)
+    |SELECT CAST(hhi_ppm // 100000 AS BIGINT) AS band,
+    |  CAST(count(*) AS BIGINT) AS n_parts,
+    |  CAST(min(hhi_ppm) AS BIGINT) AS min_hhi_ppm,
+    |  CAST(max(hhi_ppm) AS BIGINT) AS max_hhi_ppm
+    |FROM h GROUP BY 1 ORDER BY band
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[cusumDrift]] over `orders`. */
   val cusumDriftOracleSql: String =
     """

@@ -673,6 +673,43 @@ object Sessions {
     |FROM w ORDER BY cohort_month, month_offset
     |""".stripMargin.trim
 
+  /** Top event TRIGRAMS: the three-step behavioral paths
+    * (A→B→C) users actually walk, ranked by frequency — one step
+    * deeper than the first-order transition matrix
+    * (`event_transitions`), which cannot distinguish "view→click→
+    * purchase" from "click→view→purchase" even though they imply
+    * opposite funnels. Two lead() windows on the per-user stream
+    * (same hash partition, one sort), one hash agg, k-bounded
+    * TakeOrdered. Paths never cross users by construction. */
+  def eventTrigrams(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[eventTrigrams]] over `events`. */
+  def eventTrigramsOracleSql(k: Int): String =
+    s"""
+    |WITH t AS (
+    |  SELECT event_type AS e1,
+    |    lead(event_type, 1) OVER w AS e2,
+    |    lead(event_type, 2) OVER w AS e3
+    |  FROM events
+    |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    |GROUP BY 1, 2, 3
+    |ORDER BY n DESC, e1, e2, e3 LIMIT $k
+    |""".stripMargin.trim
+
   /** Interval union (coverage): merge each user's overlapping
     * activity spans and report how many merged spans remain and how
     * much wall-clock they cover — the "actual engaged time" number

@@ -156,6 +156,78 @@ object Streams {
       }
   }
 
+  /** A kept (burst-leading) event emitted by [[debounceStream]]. */
+  case class DebouncedEvent(user_id: Long, event_type: String,
+                            t_us: Long, event_id: Long, n_collapsed: Long)
+  /** An open burst: span bounds, the leading event's id, its count. */
+  case class Burst(start_us: Long, end_us: Long, first_id: Long, n: Long)
+  case class KeyBursts(bursts: Seq[Burst])
+
+  /** Streaming twin of [[graft.ext.Sessions.eventDedup]] — the
+    * chained-gap debounce as live state: bursts of same-(user, type)
+    * events whose inter-arrival gaps chain within `gapSeconds`
+    * collapse to their FIRST event, emitted once the event-time
+    * watermark passes `burst end + gap` (the burst can no longer
+    * grow). Same `flatMapGroupsWithState` shape as
+    * [[statefulSessions]], with the leading event's identity carried
+    * through the merge (ties on start time resolve by event_id, the
+    * batch operator's exact order). State per key = open bursts
+    * only; late rows inside the watermark stitch bursts and the
+    * leader re-resolves, so out-of-order delivery converges to the
+    * batch answer — StreamsSpec pins the row-for-row parity. */
+  def debounceStream(events: DataFrame, gapSeconds: Long,
+                     watermark: String = "0 seconds"): Dataset[DebouncedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val gapMs = gapSeconds * 1000L
+
+    def mergeBursts(bs: List[Burst]): List[Burst] =
+      bs.sortBy(b => (b.start_us, b.first_id))
+        .foldLeft(List.empty[Burst]) {
+          case (prev :: rest, b) if b.start_us <= prev.end_us + gapUs =>
+            // prev leads (sorted by (start, id)); ties keep min id
+            val lead =
+              if (b.start_us == prev.start_us && b.first_id < prev.first_id)
+                b.first_id
+              else prev.first_id
+            Burst(prev.start_us, math.max(prev.end_us, b.end_us),
+              lead, prev.n + b.n) :: rest
+          case (acc, b) => b :: acc
+        }.reverse
+
+    def flush(key: (Long, String), bursts: List[Burst],
+              gs: GroupState[KeyBursts]): Iterator[DebouncedEvent] = {
+      val wmMs = gs.getCurrentWatermarkMs()
+      val (closed, open) =
+        bursts.partition(b => b.end_us / 1000 + gapMs < wmMs)
+      if (open.isEmpty) gs.remove()
+      else {
+        gs.update(KeyBursts(open))
+        gs.setTimeoutTimestamp(
+          math.max(open.map(_.end_us).min / 1000 + gapMs + 1, wmMs + 1))
+      }
+      closed.sortBy(_.start_us).iterator.map(b =>
+        DebouncedEvent(key._1, key._2, b.start_us, b.first_id, b.n))
+    }
+
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[KeyBursts, DebouncedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, gs) =>
+          val prior = if (gs.exists) gs.get.bursts.toList else Nil
+          val incoming =
+            it.map { case (_, _, _, t, id) => Burst(t, t, id, 1L) }.toList
+          flush(key, mergeBursts(prior ++ incoming), gs)
+      }
+  }
+
   /** Micro-batch SCD2 sink: every trigger appends the batch to the
     * change-history table, dedups on the event identity (exactly-once
     * on top of the source's at-least-once), and republishes the dim

@@ -553,6 +553,26 @@ class CorpusSpec extends SparkSpec {
       ("B", 2L, "the", 10L, 20L, 1000000L)))
   }
 
+  test("vocabGrowth: types attribute to their first-seen bucket, " +
+      "curve ends at the exact corpus totals") {
+    import spark.implicits._
+    // bucket 0 (docs 0-1): tokens a b a b -> 2 new types, 4 tokens
+    // bucket 1 (docs 2-3): b c c a    -> 1 new type (c), 4 tokens
+    val synth = Seq((0L, "a b"), (1L, "a b"), (2L, "b c"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    val got = Corpus.vocabGrowth(synth, col("doc_id"), col("text"), 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L, 2L), (1L, 8L, 3L)))
+    // fixture: cumulative curves are monotone and end at the truth
+    val fx = Corpus.vocabGrowth(docs, col("doc_id"), col("text"), 100L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fx.map(_._2) == fx.map(_._2).sorted)
+    assert(fx.map(_._3) == fx.map(_._3).sorted)
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    assert(fx.last._2 == toks.count())
+    assert(fx.last._3 == toks.distinct().count())
+  }
+
   test("domainCapIncremental is row-identical to the full recompute") {
     val cap = 5
     // delta slices that leave some domains untouched (tests the

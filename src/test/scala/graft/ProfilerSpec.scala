@@ -372,6 +372,43 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("hhiBands: single-source hits 1e6, an even 4-way split ~250k, " +
+      "every part lands in exactly one band") {
+    import spark.implicits._
+    // part 1: one supplier -> HHI 1e6 (band 10)
+    // part 2: four equal suppliers -> 4 * 250000^2 / 1e6 = 250000
+    val li = (Seq((1L, 10L, 100.00)) ++
+      (1L to 4L).map(s => (2L, s, 50.00)))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val got = Profiler.hhiBands(li)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 1L, 250000L, 250000L),    // part 2 in band 2
+      (10L, 1L, 1000000L, 1000000L)) // part 1 fully concentrated
+    )
+    assert(got.map(_._2).sum == 2L)  // both parts banded once
+  }
+
+  test("rankMovers: a planted head-to-tail crash is the top mover") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // 1996: part 1 rev 300, part 2 rev 200, part 3 rev 100
+    // 1997: part 1 rev 10 (crashes to rank 3), others keep order
+    val li = Seq(
+      (1L, 300.00, d("1996-05-01")), (2L, 200.00, d("1996-05-01")),
+      (3L, 100.00, d("1996-05-01")),
+      (1L, 10.00, d("1997-05-01")), (2L, 200.00, d("1997-05-01")),
+      (3L, 100.00, d("1997-05-01"))
+    ).toDF("l_partkey", "l_extendedprice", "l_shipdate")
+    val got = Profiler.rankMovers(li, 1996, 1997, 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // part 1: rank1=1 -> rank2=3, delta -2, the biggest |move|
+    assert(got.head == ((1L, 30000L, 1000L, 1L, 3L, -2L)))
+    // parts 2,3 each move up one
+    assert(got.map(r => r._1 -> r._6).toMap == Map(1L -> -2L,
+      2L -> 1L, 3L -> 1L))
+  }
+
   test("lateDataAudit: planted disorder lands in the right buckets, " +
       "per-user streams are independent") {
     import spark.implicits._

@@ -130,6 +130,27 @@ class SessionsSpec extends SparkSpec {
       (feb, 0L, 1L, 700L, 700L, 700L)))
   }
 
+  test("eventTrigrams: paths follow per-user time order and never " +
+      "cross users") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:00:10"), 2L),
+      (1L, "purchase", ts("2024-01-01 10:00:20"), 3L),
+      (1L, "view", ts("2024-01-01 10:00:30"), 4L),
+      // user 2 contributes the same leading pair but then diverges;
+      // a cross-user path (view,click,purchase)x2 would be wrong
+      (2L, "view", ts("2024-01-01 11:00:00"), 5L),
+      (2L, "click", ts("2024-01-01 11:00:10"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = Sessions.eventTrigrams(ev, 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got.toSet == Set(
+      ("view", "click", "purchase", 1L),
+      ("click", "purchase", "view", 1L)))
+  }
+
   test("intervalUnion: overlapping spans merge, disjoint ones don't, " +
       "coverage never exceeds the naive duration sum") {
     import spark.implicits._

@@ -121,6 +121,51 @@ class StreamsSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("debounceStream: closed bursts equal the batch eventDedup " +
+      "restricted to what the final watermark closed") {
+    import org.apache.spark.sql.expressions.Window
+    val gap = 1800L
+    val stream = Streams.debounceStream(
+      Streams.readEventsStream(spark, eventsDir), gapSeconds = gap)
+    val q = stream.writeStream.format("memory").queryName("debounce")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("debounce").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+
+    // batch truth: same chained-gap grouping, kept = burst leader,
+    // restricted to bursts whose end + gap the final watermark passed
+    val ev = Queries.eventsTable(spark, sf)
+      .withColumn("t_us", unix_micros(col("ts").cast("timestamp")))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val marked = ev
+      .withColumn("__prev", lag(col("t_us"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("t_us") - col("__prev") > gap * 1000000L, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bursts = marked.groupBy("user_id", "event_type", "__grp")
+      .agg(min(struct(col("t_us"), col("event_id"))).as("lead"),
+        max(col("t_us")).as("end_us"), count(lit(1)).as("n"))
+    val wmMs = ev.agg(max(col("t_us"))).first().getLong(0) / 1000
+    val want = bursts
+      .filter(col("end_us") / 1000 + gap * 1000 < wmMs)
+      .select(col("user_id"), col("event_type"),
+        col("lead.t_us"), col("lead.event_id"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(want.nonEmpty, "fixture should close some bursts")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // and the stream actually collapsed something
+    assert(got.exists(_._5 > 1L))
+  }
+
   test("nearDupIngestSink: collision-free corpus, replays append nothing") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.ext.Dedup
