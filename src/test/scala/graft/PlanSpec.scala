@@ -81,6 +81,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"split assignment must not join:\n$p")
   }
 
+  test("band_join is an equi-join on the delta cell, never a " +
+      "nested-loop theta join") {
+    val p = plan("band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"band predicate must ride the bucket equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("join"),
+      s"expected a hash/sort-merge equi-join in:\n$p")
+  }
+
+  test("priority_sample plans as TakeOrdered over a pure projection") {
+    val p = plan("priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fixed-n sample must be a k-bounded TakeOrdered:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"priority assignment must not shuffle:\n$p")
+  }
+
   test("ann_ivf assigns cells with the compiled shortlist, not a crossJoin") {
     val p = plan("ann_ivf")
     // both assignment sides run the NearestCellsShortlist kernel as a

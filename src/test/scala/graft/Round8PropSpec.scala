@@ -173,6 +173,63 @@ class Round8PropSpec extends SparkSpec {
     }
   }
 
+  test("bandSelfJoinAgg bucketing is lossless on random values with " +
+      "negatives, ties, and exact-delta gaps") {
+    val gen: Gen[Seq[(Long, String, Long)]] = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2")
+        // tight range + tiny delta forces boundary collisions:
+        // duplicates, |diff| == delta, cross-zero pairs
+        x <- Gen.choose(-25L, 25L)
+      } yield (g, x))
+    } yield rows.zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
+    samples(gen, 8).foreach { rows =>
+      val df = rows.toDF("k", "g", "x")
+      val fast = FuzzyJoin.bandSelfJoinAgg(df, col("g"), col("k"),
+        col("x"), 7L).as[(String, Long, Long, Long, Long)].collect().toSeq
+      val brute = FuzzyJoin.bandSelfJoinAggBrute(df, col("g"), col("k"),
+        col("x"), 7L).as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(fast == brute, s"bucket/brute drift on $rows")
+    }
+  }
+
+  test("intervalUnion coverage equals a driver-side exact union on " +
+      "random event streams") {
+    val gen: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.choose(3, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 3L)
+        t <- Gen.choose(0L, 2000L) // seconds; pad 300 forces overlaps
+      } yield (u, t))
+    } yield rows.zipWithIndex.map { case ((u, t), i) =>
+      (u, t, i.toLong + 1) }
+    samples(gen, 8).foreach { rows =>
+      val df = rows.map { case (u, t, id) =>
+        (u, new java.sql.Timestamp(t * 1000L), id) }
+        .toDF("user_id", "ts", "event_id")
+      val got = graft.ext.Sessions.intervalUnion(df, 300L)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // exact union per user, driver-side sweep over sorted intervals
+      val want = rows.groupBy(_._1).map { case (u, rs) =>
+        val iv = rs.map(r => (r._2 * 1000000L, (r._2 + 300L) * 1000000L))
+          .sortBy(identity)
+        var spans = List.empty[(Long, Long)]
+        iv.foreach { case (s, e) =>
+          spans match {
+            case (ps, pe) :: rest if s <= pe =>
+              spans = (ps, math.max(pe, e)) :: rest
+            case _ => spans = (s, e) :: spans
+          }
+        }
+        u -> ((spans.length.toLong,
+          spans.map(sp => sp._2 - sp._1).sum / 1000000L))
+      }
+      assert(got == want, s"interval drift on $rows")
+    }
+  }
+
   test("leakageScrub never drops eval docs and keeps train-internal dups") {
     val gen: Gen[Seq[(Long, String, String)]] = for {
       n <- Gen.choose(3, 10)
