@@ -1891,6 +1891,22 @@ object Queries {
       Some(ext.Profiler.abTestAuditOracleSql(
         thresholdCents = 20000000L))),
 
+    // 2-D epsilon self-join: same customer, close amount AND close
+    // date -> duplicate-payment candidates; 3x3 grid-cell replication
+    // makes it an equi-join, exact band filter keeps it lossless
+    ("dup_payment_audit",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long").as("cents"),
+          datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+            .cast("long").as("days"))
+        ext.FuzzyJoin.band2dPairs(o, col("o_custkey"), col("o_orderkey"),
+          col("cents"), col("days"), dx = 50000L, dy = 60L)
+      },
+      Some(ext.FuzzyJoin.dupPaymentOracleSql(50000L, 60L))),
+
     // Supplier-concentration HHI histogram: single-source risk bands
     // over the whole catalog, decimal-folded squares, <=10 rows out
     ("hhi_concentration",

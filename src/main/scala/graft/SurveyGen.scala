@@ -46,7 +46,8 @@ object SurveyGen {
         in("exact_dedup", "source_overlap", "dup_rate_by_source",
           "split_leakage", "containment_estimate", "contamination_check",
           "doc_fingerprint", "k_anonymity", "l_diversity", "t_closeness",
-          "suppressed_rollup", "pii_mask", "leakage_scrub", "band_join"))
+          "suppressed_rollup", "pii_mask", "leakage_scrub", "band_join",
+          "dup_payment_audit"))
       "document dedup / LSH"
     else if (pre("semantic_dedup") || pre("cluster_") ||
         pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||

@@ -337,6 +337,70 @@ object FuzzyJoin {
       .orderBy("g")
   }
 
+  /** Two-dimensional ε self-join: within-group pairs close in BOTH a
+    * numeric and a time dimension (|Δamount| ≤ δx AND |Δdays| ≤ δy)
+    * — the duplicate-payment / double-billing candidate generator,
+    * where closeness in either dimension alone is meaningless (many
+    * same-week orders, many similar amounts — suspicious only
+    * together). Same grid-file idea as [[bandSelfJoinAgg]] lifted to
+    * 2-D: each row owns a (δx, δy) grid cell; a qualifying partner's
+    * cell differs by at most 1 in each axis, so replicating the
+    * probe side to its 3×3 cell neighborhood makes candidates an
+    * EQUI-join on (group, cellx, celly) — constant ×9 replication,
+    * never data-dependent — and the exact band filter keeps it
+    * lossless. Each unordered pair matches through exactly one
+    * replica per orientation; the key tiebreak keeps one
+    * orientation. Output is the sparse candidate pair list the dual
+    * band implies (the audit's premise: real dup pairs are rare). */
+  def band2dPairs(rows: DataFrame, group: Column, key: Column,
+                  x: Column, y: Column, dx: Long, dy: Long): DataFrame = {
+    val base = rows.select(group.as("g"), key.cast("long").as("k"),
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .withColumn("bx", floor(col("x").cast("double") / dx.toDouble)
+        .cast("long"))
+      .withColumn("by", floor(col("y").cast("double") / dy.toDouble)
+        .cast("long"))
+    val offsets = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j")))): _*)
+    val probes = base.select(col("g"), col("k").as("ka"),
+        col("x").as("xa"), col("y").as("ya"),
+        explode(offsets).as("o"),
+        col("bx"), col("by"))
+      .select(col("g"), col("ka"), col("xa"), col("ya"),
+        (col("bx") + col("o.i")).as("cx"),
+        (col("by") + col("o.j")).as("cy"))
+    val build = base.select(col("g"), col("k").as("kb"),
+      col("x").as("xb"), col("y").as("yb"),
+      col("bx").as("cx"), col("by").as("cy"))
+    probes.join(build, Seq("g", "cx", "cy"))
+      .filter(col("ka") < col("kb") &&
+        abs(col("xa") - col("xb")) <= dx &&
+        abs(col("ya") - col("yb")) <= dy)
+      .select(col("g"), col("ka"), col("kb"),
+        abs(col("xa") - col("xb")).cast("long").as("x_gap"),
+        abs(col("ya") - col("yb")).cast("long").as("y_gap"))
+      .orderBy("g", "ka", "kb")
+  }
+
+  /** DuckDB twin of [[band2dPairs]] over `orders` (same customer,
+    * close total, close date). */
+  def dupPaymentOracleSql(dxCents: Long, dyDays: Long): String =
+    s"""
+    |WITH r AS (
+    |  SELECT o_custkey AS g, CAST(o_orderkey AS BIGINT) AS k,
+    |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+    |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT)
+    |      AS y
+    |  FROM orders)
+    |SELECT a.g, a.k AS ka, b.k AS kb,
+    |  CAST(abs(a.x - b.x) AS BIGINT) AS x_gap,
+    |  CAST(abs(a.y - b.y) AS BIGINT) AS y_gap
+    |FROM r a JOIN r b
+    |  ON a.g = b.g AND a.k < b.k
+    | AND abs(a.x - b.x) <= $dxCents AND abs(a.y - b.y) <= $dyDays
+    |ORDER BY a.g, ka, kb
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[bandSelfJoinAgg]] over `customer` —
     * (mktsegment, custkey, acctbal cents); the oracle may use the
     * theta form because DuckDB's IEJoin handles band predicates and

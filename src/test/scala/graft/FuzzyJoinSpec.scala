@@ -117,6 +117,39 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(fast.nonEmpty && fast.map(_._2).sum > 10)
   }
 
+  test("band2dPairs: 3x3 grid replication is lossless vs the brute " +
+      "theta join, including both-dims-at-delta corners") {
+    val rng = new scala.util.Random(11)
+    val rand = (1 to 200).map(i => (i.toLong, (i % 3).toString,
+      (rng.nextInt(201) - 100).toLong, (rng.nextInt(201) - 100).toLong))
+    val planted = Seq(
+      // exactly at delta on both axes: kept
+      (901L, "0", 500L, 500L), (902L, "0", 510L, 507L),
+      // inside x, one past delta on y: dropped
+      (903L, "1", 500L, 500L), (904L, "1", 505L, 508L))
+    val df = (rand ++ planted).toDF("k", "g", "x", "y")
+    val fast = FuzzyJoin.band2dPairs(df, col("g"), col("k"),
+        col("x"), col("y"), 10L, 7L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val a = df.select(col("g"), col("k").as("ka"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = df.select(col("g").as("gb"), col("k").as("kb"),
+      col("x").as("xb"), col("y").as("yb"))
+    val brute = a.join(b, col("g") === col("gb") &&
+        col("ka") < col("kb") &&
+        abs(col("xa") - col("xb")) <= 10L &&
+        abs(col("ya") - col("yb")) <= 7L)
+      .select(col("g"), col("ka"), col("kb"),
+        abs(col("xa") - col("xb")).cast("long"),
+        abs(col("ya") - col("yb")).cast("long"))
+      .orderBy("g", "ka", "kb")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(fast == brute)
+    assert(fast.contains(("0", 901L, 902L, 10L, 7L)))
+    assert(!fast.exists(p => p._2 == 903L && p._3 == 904L))
+    assert(fast.size > 5)
+  }
+
   test("bandSelfJoinAgg: hand-checked pairs on a tiny group") {
     // values 0, 40, 100: pairs within delta=60 are (0,40) and
     // (40,100) — (0,100) is out; gaps 40 and 60
