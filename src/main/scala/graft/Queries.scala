@@ -2011,6 +2011,14 @@ object Queries {
           t(s, d, "documents")),
       Some(ext.Layout.partitionPlannerOracleSql())),
 
+    // Theil-Sen robust trend: median pairwise slope over the weekly
+    // spine — |weeks|^2 pairs, CONSTANT in corpus size; exact ppm
+    ("theil_sen_trend",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.theilSenTrend(t(s, d, "orders"), col("o_orderdate"),
+          col("o_totalprice"), bucketDays = 7),
+      Some(ext.Profiler.theilSenOracleSql)),
+
     // CUSUM sequential drift alarm (Page 1954): reset-at-zero
     // recursion expressed as prefix-sum − running-min (two windows
     // over the |days|-bounded daily rollup), exact integer cents
@@ -2879,6 +2887,20 @@ object Queries {
       (s: SparkSession, d: String) =>
         ext.Sessions.cohortLtv(t(s, d, "orders"), col("o_custkey"),
           col("o_orderdate"), col("o_totalprice")),
+      Some(ext.Sessions.cohortLtvOracleSql)),
+
+    // Incremental cohort LTV: only delta-touched cohorts recompute,
+    // the rest carry forward; oracle replays the FULL path, so the
+    // green row IS the incremental ≡ full identity
+    ("cohort_ltv_incremental",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val cut = lit("1998-01-01").cast("date")
+        ext.Sessions.cohortLtvIncremental(
+          o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut),
+          col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      },
       Some(ext.Sessions.cohortLtvOracleSql)),
 
     // Event debounce: chained-gap burst collapse to the first event

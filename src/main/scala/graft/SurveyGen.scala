@@ -78,6 +78,7 @@ object SurveyGen {
         "cusum_drift", "benford_audit", "table_checksum",
         "checksum_incremental", "late_data_audit",
         "winsorized_stats", "forward_fill", "hhi_concentration",
+        "theil_sen_trend",
         "zscore_outliers", "mad_outliers", "gini_revenue",
         "spearman_corr", "boxplot_stats", "pareto_abc", "calendar_fill",
         "ewma_volume", "volume_autocorr", "corpus_diff"))
@@ -91,8 +92,8 @@ object SurveyGen {
         "retention_cohort", "rfm_segments", "new_vs_returning",
         "aov_trend", "supply_risk", "activity_heatmap", "growth_rates",
         "seasonality_profile", "purchase_intervals", "trending_topk",
-        "decay_topk", "cohort_ltv", "ab_test_audit", "rank_movers",
-        "dead_stock"))
+        "decay_topk", "cohort_ltv", "cohort_ltv_incremental",
+        "ab_test_audit", "rank_movers", "dead_stock"))
       "marts / BI"
     else if (in("bloom_prune", "layout_skipping", "zorder_key",
         "cms_topk_audit", "skew_join", "salted_agg", "sample_estimate",

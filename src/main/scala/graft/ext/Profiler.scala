@@ -1691,6 +1691,82 @@ object Profiler {
     |FROM h GROUP BY 1 ORDER BY band
     |""".stripMargin.trim
 
+  /** Theil-Sen robust trend (Theil 1950 / Sen 1968 — public): the
+    * MEDIAN of all pairwise slopes of the daily-revenue series — the
+    * trend line one contaminated month cannot drag (OLS breaks at a
+    * single bad batch; the pairwise-slope median has a 29% breakdown
+    * point). Slopes are exact integer ppm cents-per-day
+    * ((Δrev·10⁶) div Δday, truncating — the declared semantics), the
+    * median picks ranks ⌈p/2⌉ and ⌊p/2⌋+1 deterministically
+    * (tie-broken by the day pair), and everything runs on the
+    * |buckets|-bounded spine (bucketDays sets the granularity —
+    * the declared query uses weekly buckets, ~65k pairs for a
+    * decade; daily is ~3M and measured ~6 s): the pair count is
+    * CONSTANT in corpus size, so the one full-data pass is the
+    * first hash agg. Slope unit is cents per BUCKET. */
+  def theilSenTrend(orders: DataFrame, dateCol: Column,
+                    amount: Column, bucketDays: Int = 1): DataFrame = {
+    val daily = orders
+      .select((datediff(dateCol, lit("1990-01-01").cast("date"))
+          .cast("long") / bucketDays).cast("long").as("day"),
+        amount.cast("decimal(14,2)").as("amt"))
+      .groupBy("day")
+      .agg((sum(col("amt")) * 100).cast("long").as("rev"))
+    val a = daily.select(col("day").as("d1"), col("rev").as("r1"))
+    val b = daily.select(col("day").as("d2"), col("rev").as("r2"))
+    val slopes = a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("cast(case when r2 >= r1 " +
+          "then (cast(r2 as decimal(38,0)) - r1) * 1000000 div (d2 - d1) " +
+          "else -(((cast(r1 as decimal(38,0)) - r2) * 1000000) " +
+          "div (d2 - d1)) end as long)").as("slope_ppm"))
+    // pin once: the slope table feeds both the rank and the count;
+    // unpinned, the |days|²/2 pair enumeration evaluates twice
+    val pinned = Pin.pin(slopes)
+    val ranked = globalCumsum(pinned,
+        Seq(col("slope_ppm"), col("d1"), col("d2")), lit(1L), "rk")
+      .crossJoin(pinned.agg(count(lit(1)).as("p")))
+    ranked
+      .filter(col("rk") === expr("(p + 1) div 2") ||
+        col("rk") === expr("p div 2 + 1"))
+      .agg(first(col("p")).cast("long").as("n_pairs"),
+        expr("cast(case when sum(slope_ppm) >= 0 " +
+          "then sum(slope_ppm) div count(1) " +
+          "else -((-sum(slope_ppm)) div count(1)) end as long)")
+          .as("slope_cents_per_day_ppm"))
+  }
+
+  /** DuckDB twin of [[theilSenTrend]] over `orders` at the weekly
+    * (bucketDays = 7) granularity the declared query uses. */
+  val theilSenOracleSql: String =
+    """
+    |WITH d AS (
+    |  SELECT CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+    |      // 7 AS BIGINT) AS day,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS rev
+    |  FROM orders GROUP BY 1),
+    |s AS (
+    |  SELECT a.day AS d1, b.day AS d2,
+    |    CAST(CASE WHEN b.rev >= a.rev
+    |      THEN (CAST(b.rev AS HUGEINT) - a.rev) * 1000000
+    |        // (b.day - a.day)
+    |      ELSE -(((CAST(a.rev AS HUGEINT) - b.rev) * 1000000)
+    |        // (b.day - a.day)) END AS BIGINT) AS slope_ppm
+    |  FROM d a JOIN d b ON a.day < b.day),
+    |r AS (
+    |  SELECT slope_ppm,
+    |    row_number() OVER (ORDER BY slope_ppm, d1, d2) AS rk,
+    |    count(*) OVER () AS p
+    |  FROM s)
+    |SELECT CAST(any_value(p) AS BIGINT) AS n_pairs,
+    |  CAST(CASE WHEN sum(slope_ppm) >= 0
+    |    THEN sum(slope_ppm) // count(*)
+    |    ELSE -((-sum(slope_ppm)) // count(*)) END AS BIGINT)
+    |    AS slope_cents_per_day_ppm
+    |FROM r WHERE rk = (p + 1) // 2 OR rk = p // 2 + 1
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[cusumDrift]] over `orders`. */
   val cusumDriftOracleSql: String =
     """

