@@ -2011,6 +2011,42 @@ object Queries {
           t(s, d, "documents")),
       Some(ext.Layout.partitionPlannerOracleSql())),
 
+    // STL-lite seasonal/trend split on the dense weekly spine:
+    // 13-week centered trend, per-week-of-year seasonal index
+    ("seasonal_split",
+      (s: SparkSession, d: String) =>
+        ext.Profiler.seasonalSplit(t(s, d, "orders"), col("o_orderdate"),
+          col("o_totalprice")),
+      Some(ext.Profiler.seasonalSplitOracleSql)),
+
+    // Order-to-ship latency trend: per order month, line count and
+    // avg/max ship lag — the fulfillment SLA read
+    ("order_ship_lag",
+      (s: SparkSession, d: String) => {
+        val j = t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        j.select((year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate")) - 1).cast("long").as("month_idx"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("lag_days"))
+          .groupBy("month_idx")
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            expr("cast((sum(lag_days) * 100) div count(1) as bigint)")
+              .as("avg_lag_days_x100"),
+            max(col("lag_days")).cast("long").as("max_lag_days"))
+          .orderBy("month_idx")
+      },
+      Some("""SELECT
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |    AS month_idx,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(date_diff('day', o_orderdate, l_shipdate)) * 100
+        |    // count(*) AS BIGINT) AS avg_lag_days_x100,
+        |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+        |    AS max_lag_days
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY month_idx""".stripMargin)),
+
     // Theil-Sen robust trend: median pairwise slope over the weekly
     // spine — |weeks|^2 pairs, CONSTANT in corpus size; exact ppm
     ("theil_sen_trend",

@@ -91,7 +91,8 @@ object SurveyGen {
     else if (in("mart_region_revenue", "mart_top_orders",
         "retention_cohort", "rfm_segments", "new_vs_returning",
         "aov_trend", "supply_risk", "activity_heatmap", "growth_rates",
-        "seasonality_profile", "purchase_intervals", "trending_topk",
+        "seasonality_profile", "seasonal_split", "order_ship_lag",
+        "purchase_intervals", "trending_topk",
         "decay_topk", "cohort_ltv", "cohort_ltv_incremental",
         "ab_test_audit", "rank_movers", "dead_stock"))
       "marts / BI"

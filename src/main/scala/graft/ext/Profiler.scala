@@ -1767,6 +1767,88 @@ object Profiler {
     |FROM r WHERE rk = (p + 1) // 2 OR rk = p // 2 + 1
     |""".stripMargin.trim
 
+  /** STL-lite decomposition on the weekly revenue spine: trend =
+    * centered 13-week moving average (ROWS frame over the DENSE
+    * weekly spine — gap weeks are zero-filled first, the
+    * [[calendarFill]] lesson, so the window always spans calendar
+    * time); residual = rev − trend; seasonal index = the mean
+    * residual per week-of-year (how far a given calendar week
+    * habitually sits from trend). The "is this dip seasonal or real"
+    * split behind every holiday-adjusted report, with none of STL's
+    * loess — integer sums and truncating divisions only, identical
+    * on both engines (revenues non-negative; residuals may be
+    * negative but are only SUMMED per week-of-year then divided
+    * sign-safely). Everything past the first hash agg runs on the
+    * |weeks|-bounded spine. */
+  def seasonalSplit(orders: DataFrame, dateCol: Column,
+                    amount: Column): DataFrame = {
+    val weekly = orders
+      .select((datediff(dateCol, lit("1990-01-06").cast("date"))
+          .cast("long") / 7).cast("long").as("week"),
+        amount.cast("decimal(14,2)").as("amt"))
+      .groupBy("week")
+      .agg((sum(col("amt")) * 100).cast("long").as("rev"))
+    val span = weekly.agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
+    val spine = span.select(explode(expr("sequence(w0, w1)")).as("week"))
+      .join(weekly, Seq("week"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+    spine
+      .withColumn("trend",
+        expr("cast(sum(rev) over (order by week rows between 6 " +
+          "preceding and 6 following) div count(rev) over (order by " +
+          "week rows between 6 preceding and 6 following) as bigint)"))
+      .withColumn("resid", col("rev") - col("trend"))
+      .withColumn("woy", pmod(col("week"), lit(52L)))
+      .withColumn("__sr",
+        sum(col("resid")).over(Window.partitionBy(col("woy"))))
+      .withColumn("__nr",
+        count(lit(1)).over(Window.partitionBy(col("woy"))))
+      .select(col("week"), col("rev"), col("trend"),
+        col("resid").cast("long").as("resid"),
+        col("woy").cast("long").as("week_of_year"),
+        expr("cast(case when __sr >= 0 then __sr div __nr " +
+          "else -((-__sr) div __nr) end as long)").as("seasonal_cents"))
+      .orderBy("week")
+  }
+
+  /** DuckDB twin of [[seasonalSplit]] over `orders`. */
+  val seasonalSplitOracleSql: String =
+    """
+    |WITH w AS (
+    |  SELECT CAST(date_diff('day', DATE '1990-01-06', o_orderdate)
+    |      // 7 AS BIGINT) AS week,
+    |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+    |      AS rev
+    |  FROM orders GROUP BY 1),
+    |span AS (SELECT min(week) AS w0, max(week) AS w1 FROM w),
+    |spine AS (
+    |  SELECT CAST(unnest(generate_series(span.w0, span.w1)) AS BIGINT)
+    |    AS week FROM span),
+    |d AS (
+    |  SELECT spine.week, coalesce(w.rev, 0) AS rev
+    |  FROM spine LEFT JOIN w ON w.week = spine.week),
+    |t AS (
+    |  SELECT week, rev,
+    |    CAST(sum(rev) OVER win // count(rev) OVER win AS BIGINT)
+    |      AS trend
+    |  FROM d
+    |  WINDOW win AS (ORDER BY week
+    |    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+    |r AS (
+    |  SELECT week, rev, trend, rev - trend AS resid,
+    |    ((week % 52) + 52) % 52 AS woy
+    |  FROM t),
+    |s AS (
+    |  SELECT *, sum(resid) OVER (PARTITION BY woy) AS sr,
+    |    count(*) OVER (PARTITION BY woy) AS nr
+    |  FROM r)
+    |SELECT week, rev, trend, CAST(resid AS BIGINT) AS resid,
+    |  CAST(woy AS BIGINT) AS week_of_year,
+    |  CAST(CASE WHEN sr >= 0 THEN sr // nr
+    |    ELSE -((-sr) // nr) END AS BIGINT) AS seasonal_cents
+    |FROM s ORDER BY week
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[cusumDrift]] over `orders`. */
   val cusumDriftOracleSql: String =
     """

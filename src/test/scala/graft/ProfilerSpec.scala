@@ -372,6 +372,39 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("seasonalSplit: constant series decomposes to itself, a " +
+      "recurring weekly spike lands in the seasonal index, gap " +
+      "weeks are zero-filled") {
+    import spark.implicits._
+    def d(w: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(1990, 1, 8).plusWeeks(w))
+    // 104 weeks at $100; every week-of-year 10 spikes to $204;
+    // week 30 of the first year is MISSING (a gap, not a zero sale
+    // in the input — the spine must reintroduce it as zero)
+    val rows = (0 until 104).filter(_ != 30).map { w =>
+      (d(w), if (w % 52 == 10) 204.00 else 100.00) }
+    val got = Profiler.seasonalSplit(rows.toDF("dt", "amt"),
+        col("dt"), col("amt"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 104) // dense spine including the gap week
+    val byWeek = got.map(r => r._1 -> r).toMap
+    val w0 = got.map(_._1).min
+    // the gap week exists with rev 0
+    assert(byWeek(w0 + 30)._2 == 0L)
+    // seasonal index: the spiking week-of-year is strongly positive,
+    // a mid-quiet week-of-year is mildly negative (it pays for the
+    // spike inside its trend window)
+    val spikeWoy = got.find(_._2 == 20400L).get._5
+    val seasonalAt = got.groupBy(_._5).view.mapValues(_.head._6)
+    assert(seasonalAt(spikeWoy) > 8000L,
+      s"spike woy index: ${seasonalAt(spikeWoy)}")
+    // far from spike and gap, trend == rev and resid == 0
+    val quiet = got.filter(r => r._2 == 10000L &&
+      math.abs(r._5 - spikeWoy) > 8 && math.abs(r._1 - (w0 + 30)) > 8 &&
+      r._1 > w0 + 6 && r._1 < w0 + 97)
+    assert(quiet.nonEmpty && quiet.forall(r => r._3 == 10000L && r._4 == 0L))
+  }
+
   test("theilSenTrend: recovers a clean linear slope through a " +
       "planted outlier that would drag a mean-based fit") {
     import spark.implicits._
