@@ -2011,6 +2011,46 @@ object Queries {
           t(s, d, "documents")),
       Some(ext.Layout.partitionPlannerOracleSql())),
 
+    // Returned-revenue share per month: flag-share trend in exact
+    // ppm over cent-exact folds — the quality-of-sales counterpart
+    // to the volume trends
+    ("return_rate_trend",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .select((year(col("l_shipdate")) * 12 +
+              month(col("l_shipdate")) - 1).cast("long").as("month_idx"),
+            (col("l_extendedprice").cast("decimal(14,2)") * 100)
+              .cast("long").as("cents"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L)
+              .as("ret"))
+          .groupBy("month_idx")
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum(when(col("ret") === 1L, col("cents")).otherwise(0L))
+              .cast("long").as("returned_cents"),
+            sum(col("cents")).cast("long").as("total_cents"))
+          .withColumn("return_ppm",
+            // decimal fold: monthly cents x 1e6 passes Long at the
+            // 100 TB posture (the basketLift overflow lesson)
+            expr("cast(case when total_cents > 0 then " +
+              "cast(returned_cents as decimal(38,0)) * 1000000 " +
+              "div total_cents else 0 end as long)"))
+          .orderBy("month_idx"),
+      Some("""WITH m AS (
+        |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS month_idx,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN
+        |      CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+        |        AS BIGINT) ELSE 0 END) AS BIGINT) AS returned_cents,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month_idx, n_lines, returned_cents, total_cents,
+        |  CAST(CASE WHEN total_cents > 0 THEN
+        |    CAST(returned_cents AS HUGEINT) * 1000000 // total_cents
+        |    ELSE 0 END AS BIGINT) AS return_ppm
+        |FROM m ORDER BY month_idx""".stripMargin)),
+
     // STL-lite seasonal/trend split on the dense weekly spine:
     // 13-week centered trend, per-week-of-year seasonal index
     ("seasonal_split",

@@ -92,7 +92,7 @@ object SurveyGen {
         "retention_cohort", "rfm_segments", "new_vs_returning",
         "aov_trend", "supply_risk", "activity_heatmap", "growth_rates",
         "seasonality_profile", "seasonal_split", "order_ship_lag",
-        "purchase_intervals", "trending_topk",
+        "return_rate_trend", "purchase_intervals", "trending_topk",
         "decay_topk", "cohort_ltv", "cohort_ltv_incremental",
         "ab_test_audit", "rank_movers", "dead_stock"))
       "marts / BI"
