@@ -942,8 +942,13 @@ object Queries {
           .select(col("l_partkey").cast("long").as("part_id"),
             (col("l_extendedprice").cast("decimal(14,2)") * 100)
               .cast("long").as("rev_cents"),
-            greatest(floor(datediff(lit("1998-12-01").cast("date"),
-              col("l_shipdate")) / 365), lit(0L)).cast("int").as("age"))
+            // least(...,62): Spark's shiftleft wraps shift amounts
+            // mod 64, so an age >= 64 (corrupt far-past shipdate)
+            // would yield a wrong/negative divisor instead of
+            // decaying to ~0; 2^62 already floors any BIGINT to 0-1.
+            least(greatest(floor(datediff(lit("1998-12-01").cast("date"),
+              col("l_shipdate")) / 365), lit(0L)), lit(62L))
+              .cast("int").as("age"))
           .select(col("part_id"),
             expr("rev_cents div shiftleft(cast(1 as bigint), age)")
               .as("dk"))
@@ -955,8 +960,8 @@ object Queries {
         |  SELECT CAST(l_partkey AS BIGINT) AS part_id,
         |    CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
         |      AS rev_cents,
-        |    greatest(date_diff('day', l_shipdate, DATE '1998-12-01')
-        |      // 365, 0) AS age
+        |    least(greatest(date_diff('day', l_shipdate, DATE '1998-12-01')
+        |      // 365, 0), 62) AS age
         |  FROM lineitem)
         |SELECT part_id,
         |  CAST(sum(rev_cents // (CAST(1 AS BIGINT) << age)) AS BIGINT)

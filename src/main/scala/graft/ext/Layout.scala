@@ -150,16 +150,19 @@ object Layout {
       .select(lit("lineitem").as("table_name"),
         col("n_rows").cast("long").as("n_rows"),
         (col("n_rows") * LineitemRowBytes).cast("long").as("est_bytes"))
+    // coalesce: sum(n_chars) is NULL on an empty documents table.
     val dc = docs.agg(count(lit(1)).as("n_rows"),
-        sum(col("n_chars")).as("chars"))
+        coalesce(sum(col("n_chars")), lit(0L)).as("chars"))
       .select(lit("documents").as("table_name"),
         col("n_rows").cast("long").as("n_rows"),
         (col("chars") + col("n_rows") * DocRowOverheadBytes)
           .cast("long").as("est_bytes"))
     li.unionAll(dc)
       .withColumn("target_bytes", lit(targetBytes))
+      // greatest(...,1): an empty table plans 1 partition, not a
+      // 0-partition divide-by-zero (NULL in Spark, error in DuckDB).
       .withColumn("n_partitions",
-        expr(s"(est_bytes + $targetBytes - 1) div $targetBytes")
+        expr(s"greatest((est_bytes + $targetBytes - 1) div $targetBytes, 1)")
           .cast("long"))
       .withColumn("rows_per_partition",
         expr("n_rows div n_partitions").cast("long"))
@@ -175,14 +178,15 @@ object Layout {
     |  FROM lineitem
     |  UNION ALL
     |  SELECT 'documents', count(*),
-    |    sum(n_chars) + count(*) * $DocRowOverheadBytes
+    |    coalesce(sum(n_chars), 0) + count(*) * $DocRowOverheadBytes
     |  FROM documents)
     |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
     |  CAST(est_bytes AS BIGINT) AS est_bytes,
     |  CAST($targetBytes AS BIGINT) AS target_bytes,
-    |  CAST((est_bytes + $targetBytes - 1) // $targetBytes AS BIGINT)
-    |    AS n_partitions,
-    |  CAST(n_rows // ((est_bytes + $targetBytes - 1) // $targetBytes)
+    |  CAST(greatest((est_bytes + $targetBytes - 1) // $targetBytes, 1)
+    |    AS BIGINT) AS n_partitions,
+    |  CAST(n_rows
+    |    // greatest((est_bytes + $targetBytes - 1) // $targetBytes, 1)
     |    AS BIGINT) AS rows_per_partition
     |FROM t ORDER BY table_name
     |""".stripMargin.trim

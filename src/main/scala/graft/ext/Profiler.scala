@@ -1010,15 +1010,22 @@ object Profiler {
         amount.cast("decimal(14,2)").as("amt"))
       .groupBy("date_value")
       .agg((sum(col("amt")) * 100).cast("long").as("rev_cents"))
+    // sign-safe magnitude division (the dimStats/theilSen pattern):
+    // Spark `div` truncates toward zero while DuckDB `//` floors, so
+    // a refund-heavy (negative-total) series would diverge unguarded.
     val withMu = daily
       .withColumn("__tot", sum(col("rev_cents")).over(Window.partitionBy()))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("mu", expr("__tot div __n"))
+      .withColumn("mu", expr(
+        "case when __tot >= 0 then __tot div __n " +
+        "else -((-__tot) div __n) end"))
     val w = Window.orderBy(col("date_value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withMu
       .withColumn("__p",
-        sum(col("rev_cents") - col("mu") - expr("mu div 20")).over(w))
+        sum(col("rev_cents") - col("mu") - expr(
+          "case when mu >= 0 then mu div 20 " +
+          "else -((-mu) div 20) end")).over(w))
       .withColumn("cusum_cents",
         (col("__p") - least(min(col("__p")).over(w), lit(0L))).cast("long"))
       .select(col("date_value"), col("rev_cents"),
@@ -1061,7 +1068,10 @@ object Profiler {
       .agg(count(lit(1)).as("n"))
       .withColumn("__tot", sum(col("n")).over(Window.partitionBy()))
       .select(col("digit"), col("n").cast("long").as("n"),
-        expr("n * 1000000 div __tot").cast("long").as("share_ppm"))
+        // decimal(38,0) fold: bare long `n * 1000000` wraps past
+        // ~9.2e12 rows per bucket; the widened product cannot.
+        expr("cast(n as decimal(38,0)) * 1000000 div __tot")
+          .cast("long").as("share_ppm"))
       .withColumn("benford_ppm", expected)
       .withColumn("dev_ppm",
         abs(col("share_ppm") - col("benford_ppm")).cast("long"))
@@ -1082,10 +1092,10 @@ object Profiler {
     |  SELECT digit, count(*) AS n, sum(count(*)) OVER () AS tot
     |  FROM d WHERE digit IS NOT NULL GROUP BY digit)
     |SELECT digit, CAST(n AS BIGINT) AS n,
-    |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm,
+    |  CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm,
     |  CAST(CASE digit $cases END AS BIGINT) AS benford_ppm,
-    |  CAST(abs(n * 1000000 // tot - CASE digit $cases END) AS BIGINT)
-    |    AS dev_ppm
+    |  CAST(abs(CAST(n AS HUGEINT) * 1000000 // tot
+    |    - CASE digit $cases END) AS BIGINT) AS dev_ppm
     |FROM c ORDER BY digit
     |""".stripMargin.trim
   }
@@ -1165,9 +1175,15 @@ object Profiler {
           .cast("long").as("n_clipped_lo"),
         sum(when(col("x") > col("hi_fence"), 1L).otherwise(0L))
           .cast("long").as("n_clipped_hi"),
-        expr("sum(cast(x as decimal(38,0))) div count(1)")
+        // sign-safe: truncating `div` vs flooring `//` diverge on
+        // negative sums (refunds/credits) — fold magnitudes instead.
+        expr("case when sum(cast(x as decimal(38,0))) >= 0 " +
+          "then sum(cast(x as decimal(38,0))) div count(1) " +
+          "else -((-sum(cast(x as decimal(38,0)))) div count(1)) end")
           .cast("long").as("raw_mean"),
-        expr("sum(cast(clipped as decimal(38,0))) div count(1)")
+        expr("case when sum(cast(clipped as decimal(38,0))) >= 0 " +
+          "then sum(cast(clipped as decimal(38,0))) div count(1) " +
+          "else -((-sum(cast(clipped as decimal(38,0)))) div count(1)) end")
           .cast("long").as("winsorized_mean"))
   }
 
@@ -1199,9 +1215,12 @@ object Profiler {
     |    AS n_clipped_lo,
     |  CAST(sum(CASE WHEN x > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
     |    AS n_clipped_hi,
-    |  CAST(sum(x) // count(*) AS BIGINT) AS raw_mean,
-    |  CAST(sum(least(greatest(x, lo_fence), hi_fence)) // count(*)
-    |    AS BIGINT) AS winsorized_mean
+    |  CAST(CASE WHEN sum(x) >= 0 THEN sum(x) // count(*)
+    |    ELSE -((-sum(x)) // count(*)) END AS BIGINT) AS raw_mean,
+    |  CAST(CASE WHEN sum(least(greatest(x, lo_fence), hi_fence)) >= 0
+    |    THEN sum(least(greatest(x, lo_fence), hi_fence)) // count(*)
+    |    ELSE -((-sum(least(greatest(x, lo_fence), hi_fence)))
+    |      // count(*)) END AS BIGINT) AS winsorized_mean
     |FROM r CROSS JOIN f
     |""".stripMargin.trim
 
@@ -1497,7 +1516,10 @@ object Profiler {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .withColumn("__tot", sum(col("n")).over(Window.partitionBy()))
       .select(col("bucket"), col("n").cast("long").as("n"),
-        expr("n * 1000000 div __tot").cast("long").as("share_ppm"))
+        // decimal(38,0) fold: a bucket past ~9.2e12 rows would wrap
+        // bare long `n * 1000000`; the widened product cannot.
+        expr("cast(n as decimal(38,0)) * 1000000 div __tot")
+          .cast("long").as("share_ppm"))
       .orderBy("bucket")
   }
 
@@ -1523,7 +1545,7 @@ object Profiler {
     |  SELECT bucket, count(*) AS n, sum(count(*)) OVER () AS tot
     |  FROM b GROUP BY bucket)
     |SELECT bucket, CAST(n AS BIGINT) AS n,
-    |  CAST(n * 1000000 // tot AS BIGINT) AS share_ppm
+    |  CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_ppm
     |FROM c ORDER BY bucket
     |""".stripMargin.trim
 
@@ -1859,11 +1881,15 @@ object Profiler {
     |  FROM orders GROUP BY 1),
     |m AS (
     |  SELECT date_value, rev_cents,
-    |    CAST(sum(rev_cents) OVER () // count(*) OVER () AS BIGINT) AS mu
+    |    CAST(CASE WHEN sum(rev_cents) OVER () >= 0
+    |      THEN sum(rev_cents) OVER () // count(*) OVER ()
+    |      ELSE -((-sum(rev_cents) OVER ()) // count(*) OVER ())
+    |      END AS BIGINT) AS mu
     |  FROM d),
     |p AS (
     |  SELECT date_value, rev_cents, mu,
-    |    sum(rev_cents - mu - mu // 20)
+    |    sum(rev_cents - mu - (CASE WHEN mu >= 0 THEN mu // 20
+    |      ELSE -((-mu) // 20) END))
     |      OVER (ORDER BY date_value ROWS UNBOUNDED PRECEDING) AS pp
     |  FROM m),
     |c AS (

@@ -638,7 +638,11 @@ object Sessions {
         col("n_active").cast("long").as("n_active"),
         col("rev_cents"),
         col("cum_rev_cents").cast("long").as("cum_rev_cents"),
-        expr("cum_rev_cents div cohort_size").cast("long")
+        // sign-safe: cum revenue can go negative under refunds;
+        // truncating `div` vs flooring `//` would diverge unguarded.
+        expr("case when cum_rev_cents >= 0 " +
+          "then cum_rev_cents div cohort_size " +
+          "else -((-cum_rev_cents) div cohort_size) end").cast("long")
           .as("ltv_cents_per_user"))
       .orderBy("cohort_month", "month_offset")
   }
@@ -669,7 +673,9 @@ object Sessions {
     |SELECT cohort_month, CAST(month_offset AS BIGINT) AS month_offset,
     |  CAST(n_active AS BIGINT) AS n_active, rev_cents,
     |  CAST(cum_rev AS BIGINT) AS cum_rev_cents,
-    |  CAST(cum_rev // cohort_size AS BIGINT) AS ltv_cents_per_user
+    |  CAST(CASE WHEN cum_rev >= 0 THEN cum_rev // cohort_size
+    |    ELSE -((-cum_rev) // cohort_size) END AS BIGINT)
+    |    AS ltv_cents_per_user
     |FROM w ORDER BY cohort_month, month_offset
     |""".stripMargin.trim
 
@@ -805,9 +811,14 @@ object Sessions {
     val touchedUsers = firstAll
       .join(broadcast(touchedCohorts), Seq("__cohort"), "left_semi")
       .select(col("__u"))
-    val touchedRows = all.join(broadcast(touchedUsers),
+    // touchedUsers is NOT broadcast-hinted: for a typical one-month
+    // delta the touched cohorts cover most cohorts with an active
+    // user, so touchedUsers approaches the full user base — an
+    // unbounded set. AQE picks the semi/anti strategy at runtime
+    // (broadcast when genuinely small, shuffled hash otherwise).
+    val touchedRows = all.join(touchedUsers,
       user === col("__u"), "left_semi")
-    val untouchedRows = base.join(broadcast(touchedUsers),
+    val untouchedRows = base.join(touchedUsers,
       user === col("__u"), "left_anti")
     cohortLtv(touchedRows, user, ts, amount)
       .unionByName(cohortLtv(untouchedRows, user, ts, amount))

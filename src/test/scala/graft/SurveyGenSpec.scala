@@ -36,6 +36,18 @@ class SurveyGenSpec extends AnyFunSuite {
       "counts line stale — regenerate with SurveyGen")
   }
 
+  test("prose counts in README.md and SURVEY.md match the registry") {
+    val n = Queries.all.size
+    val readme = Files.readAllLines(root.resolve("README.md"))
+      .asScala.mkString("\n")
+    assert(readme.contains(s"$n declared queries"),
+      s"README.md query count drifted — update to '$n declared queries'")
+    val survey = Files.readAllLines(root.resolve("SURVEY.md"))
+      .asScala.mkString("\n")
+    assert(survey.contains(s"$n queries as of round"),
+      s"SURVEY.md query count drifted — update to '$n queries as of round N'")
+  }
+
   test("oracle coverage stated in the doc matches the registry") {
     val withOracle = Queries.all.count(_._3.isDefined)
     val text = Files.readAllLines(root.resolve("SURVEY_QUERIES.md"))
