@@ -67,28 +67,42 @@ object Bench {
     // protocol), search = declared total − build. Not part of the
     // driver's total; a diagnostic block in the same artifact.
     val totalsByName = results.toMap
-    val decomp = BenchDecomp.legs.toSeq.sortBy(_._1).flatMap {
+    def timedLeg(name: String,
+                 leg: (SparkSession, String) => Long): Option[Double] =
+      try {
+        // same warmup protocol as the main loop: compile the build
+        // leg's plan at the smallest SF so codegen isn't billed
+        // (without this, build_s can exceed the warmed total_s)
+        if (new java.io.File(warmupDir).exists &&
+            canon(warmupDir) != canon(sfDir))
+          try leg(spark, warmupDir)
+          catch { case scala.util.control.NonFatal(_) => () }
+        Some((1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          leg(spark, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }.min)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] decomp $name failed: $e"); None
+      }
+    val inQueryRows = BenchDecomp.legs.toSeq.sortBy(_._1).flatMap {
       case (name, leg) =>
         totalsByName.get(name).filter(_ >= 0).flatMap { t =>
-          try {
-            // same warmup protocol as the main loop: compile the build
-            // leg's plan at the smallest SF so codegen isn't billed
-            // (without this, build_s can exceed the warmed total_s)
-            if (new java.io.File(warmupDir).exists &&
-                canon(warmupDir) != canon(sfDir))
-              try leg(spark, warmupDir)
-              catch { case scala.util.control.NonFatal(_) => () }
-            val bs = (1 to 2).map { _ =>
-              val t0 = System.nanoTime()
-              leg(spark, sfDir)
-              (System.nanoTime() - t0) / 1e9
-            }.min
-            Some(s""""$name":{"build_s":$bs,"search_s":${math.max(0.0, t - bs)},"total_s":$t}""")
-          } catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] decomp $name failed: $e"); None
-          }
+          timedLeg(name, leg).map(bs =>
+            s""""$name":{"build_s":$bs,"search_s":${math.max(0.0, t - bs)},"total_s":$t}""")
         }
-    }.mkString("{", ",", "}")
+    }
+    // persisted-index queries: the declared total IS the search leg
+    // (index already on disk across trials); build is the one-time
+    // ingest cost — see BenchDecomp.persistedLegs
+    val persistedRows = BenchDecomp.persistedLegs.toSeq.sortBy(_._1)
+      .flatMap { case (name, leg) =>
+        totalsByName.get(name).filter(_ >= 0).flatMap { t =>
+          timedLeg(name, leg).map(bs =>
+            s""""$name":{"build_s":$bs,"search_s":$t,"total_s":${bs + t}}""")
+        }
+      }
+    val decomp = (inQueryRows ++ persistedRows).mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"decomp":$decomp,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture has repeatedly truncated this line (the driver's

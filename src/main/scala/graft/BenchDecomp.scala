@@ -69,4 +69,25 @@ object BenchDecomp {
         FuzzyJoin.prep(idx, col("doc_id"), col("text"), 40), 3).count()
     })
   )
+
+  /** Decomposition for PERSISTED-index queries, where the semantics
+    * INVERT: the declared query's steady-state time (min-of-N with
+    * the index already on disk) IS the search leg, and the build is
+    * the one-time ingest cost paid outside the per-query loop. The
+    * thunk here times that one-time build+write into a fresh bench
+    * scratch dir (never the declared query's cached index, which must
+    * stay warm so the declared timing stays search-only). Bench
+    * reports `{build_s (thunk), search_s (= declared total),
+    * total_s (= build + search)}` — the "first query pays build,
+    * every later query pays search" ledger of a real deployment. */
+  val persistedLegs: Map[String, (SparkSession, String) => Long] = Map(
+    "ann_pq_persisted" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bench-pq").toString
+      Similarity.ivfPqWriteIndex(e,
+        Similarity.pqSampleCodebooks(e, 8, 16, 8), 16, 8, 64, dir)
+      1L
+    })
+  )
 }

@@ -66,6 +66,19 @@ object Queries {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Scratch root for PERSISTED-index queries (`ann_pq_persisted`):
+    * build-once/search-many indexes keyed by (format/dial tag,
+    * canonical fixture path) so different scale factors never collide
+    * and a format change invalidates old builds. Lives under
+    * java.io.tmpdir — the index is derived data, rebuildable from the
+    * fixtures; reuse is gated by the index's own completion marker
+    * ([[graft.ext.Similarity.ivfPqIndexExists]]). */
+  private def indexScratch(sfDir: String, tag: String): String = {
+    val canon = new java.io.File(sfDir).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-index/$tag/$canon"
+  }
+
   /** Naive (NTZ) timestamp literal — the whole warehouse runs on
     * TIMESTAMP_NTZ + UTC session, matching both the parquet fixtures
     * and DuckDB's naive TIMESTAMP. */
@@ -1313,6 +1326,30 @@ object Queries {
           rerank = 20).orderBy("query_id")
       },
       Some(Similarity.pqRecallOracleSql(64, 5, 10, nCentroids = 16,
+        nProbe = 4, m = 8, ksub = 16, rerank = 20))),
+
+    // Build-once / search-many: the IVF-PQ index PERSISTED as parquet
+    // (codebooks + coarse centroids + cell-partitioned m-byte codes)
+    // and searched from disk — the J43-style index lifecycle the
+    // in-query oracle contract cannot show. The first run at a
+    // fixture pays the build (≈ ann_ivf_pq's decomp build leg) and
+    // writes the index; every later run pays ONLY the search leg, so
+    // this query's steady-state bench time is the measured
+    // search-many cost. Results = ann_ivf_pq by construction (the
+    // index is deterministic), so the oracle replays the same chain
+    // from the raw tables.
+    ("ann_pq_persisted",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val dir = indexScratch(d, "pq_v1_c16_m8_k16_d64")
+        if (!Similarity.ivfPqIndexExists(s, dir))
+          Similarity.ivfPqWriteIndex(emb,
+            Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, dir)
+        Similarity.ivfPqSearchPersisted(s, dir, emb,
+          emb.filter(col("vec_id") < 10), 5, nProbe = 4, m = 8,
+          dim = 64, rerank = 20).orderBy("query_id", "rank")
+      },
+      Some(Similarity.ivfPqTopKOracleSql(64, 5, 10, nCentroids = 16,
         nProbe = 4, m = 8, ksub = 16, rerank = 20))),
 
     // Embedding-cosine near-dup pairs (dedup suite, embedding leg):

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1336,6 +1336,22 @@ object Similarity {
       col("embedding").as("q_emb"))
     val probes = assignedCells(q, cb, "query_id", "q_emb", nProbe)
       .select(col("query_id"), col("c_id"))
+    ivfPqSearchStages(index, corpus, q, cw, probes, k, m, subLen, rerank)
+  }
+
+  /** The SEARCH leg shared by the in-query ([[ivfPqTopKWith]]) and
+    * persisted ([[ivfPqSearchPersisted]]) IVF-PQ paths: probes join
+    * the (cand_id, c_id, sub, code) index relation on cell id, ADC
+    * scores the code rows against the broadcast |Q|·m·ksub lookup
+    * table, and only the |Q|·rerank survivors join back to corpus
+    * floats. `probes` is caller-supplied so the persisted path can
+    * broadcast-hint it (which makes the partitioned codes scan
+    * dynamic-partition-prunable) without perturbing the in-query
+    * callers' pinned plans. */
+  private def ivfPqSearchStages(index: DataFrame, corpus: DataFrame,
+                                q: DataFrame, cw: DataFrame,
+                                probes: DataFrame, k: Int, m: Int,
+                                subLen: Int, rerank: Int): DataFrame = {
     val lut = q.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("__n2s", dotSub(col("q_emb"), col("q_emb"), col("sub"), subLen))
       .join(broadcast(cw), Seq("sub"))
@@ -1377,6 +1393,88 @@ object Similarity {
     ivfPqTopKWith(corpus, queries,
       pqSampleCodebooks(corpus, m, ksub, dim / m),
       k, nCentroids, nProbe, m, dim, rerank)
+
+  /** Persist the IVF-PQ index: build ONCE at ingest, search MANY —
+    * the J43-style index lifecycle (build cost paid once) the
+    * in-query oracle contract cannot express. Layout under `dir`:
+    *
+    *  - `codebooks/` — (sub, cw_id, cw_emb, cw_n2s): the m·ksub PQ
+    *    codewords (driver-scale);
+    *  - `centroids/` — (c_id, c_emb): the coarse IVF centroids
+    *    (nCentroids rows, driver-scale);
+    *  - `codes/` — (cand_id, sub, code) hive-PARTITIONED BY c_id:
+    *    m small ints per vector, the 32× compression vs float32 —
+    *    a 100 TB float corpus persists as ~3 TB of codes. Partitioned
+    *    by coarse cell so a search touches only the nProbe/nCentroids
+    *    probed directories (dynamic partition pruning; at cluster
+    *    scale the same relation goes through
+    *    [[graft.sources.Sources.writeBucketed]] on c_id for a
+    *    shuffle-free probe join).
+    *
+    * Raw floats never enter the index — re-rank fetches the survivor
+    * handful from the corpus table. `codes/` is written LAST, so its
+    * `_SUCCESS` marker gates reuse: a crash mid-build leaves no
+    * marker and the next caller rebuilds (mode=overwrite heals any
+    * partial output — the StagedWrite posture without the rename
+    * dance, acceptable because the index is derived data). */
+  def ivfPqWriteIndex(corpus: DataFrame, cw: DataFrame, nCentroids: Int,
+                      m: Int, dim: Int, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    cw.write.mode("overwrite").parquet(s"$dir/codebooks")
+    val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
+    import spark.implicits._
+    cb.map { case (cid, v, _) => (cid, v) }.toDF("c_id", "c_emb")
+      .withColumn("c_emb", col("c_emb").cast("array<float>"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfPqIndex(corpus, cw, nCentroids, m, dim)
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"$dir/codes")
+  }
+
+  /** True iff a complete index build exists under `dir` (the
+    * `codes/_SUCCESS` marker — codes are written last). */
+  def ivfPqIndexExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Search a PERSISTED IVF-PQ index ([[ivfPqWriteIndex]] layout):
+    * the steady-state leg a production deployment pays per query
+    * batch — load codebooks + centroids (both driver/broadcast
+    * scale), assign probes, join the broadcast probe set into the
+    * cell-partitioned codes table (dynamic partition pruning keeps
+    * the scan to the probed cells), ADC-score, and re-rank only the
+    * |Q|·rerank survivors against corpus floats. No raw-float pass
+    * over the corpus, no index rebuild — the build cost lives in
+    * [[ivfPqWriteIndex]], paid once at ingest. */
+  def ivfPqSearchPersisted(spark: SparkSession, dir: String,
+                           corpus: DataFrame, queries: DataFrame,
+                           k: Int, nProbe: Int, m: Int, dim: Int,
+                           rerank: Int): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"m=$m must divide dim=$dim")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cw = spark.read.parquet(s"$dir/codebooks")
+    val cb = spark.read.parquet(s"$dir/centroids").collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("c_emb"))
+        var n2 = 0.0
+        v.foreach(x => n2 += x.toDouble * x.toDouble)
+        (r.getLong(r.fieldIndex("c_id")), v, math.sqrt(n2))
+      }.sortBy(_._1).toSeq
+    // partition-column c_id comes back from directory inference as
+    // int — restore the long the join keys expect
+    val index = spark.read.parquet(s"$dir/codes")
+      .withColumn("c_id", col("c_id").cast("long"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val probes = broadcast(
+      assignedCells(q, cb, "query_id", "q_emb", nProbe)
+        .select(col("query_id"), col("c_id")))
+    ivfPqSearchStages(index, corpus, q, cw, probes, k, m, subLen, rerank)
+  }
 
   /** Lloyd-trained PQ codebooks, descending THE SAME L2 objective
     * [[pqEncode]]/[[pqQuantizationError]] score (assignment = the
