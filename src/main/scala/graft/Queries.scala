@@ -1178,6 +1178,20 @@ object Queries {
           .orderBy("vec_id", "rank"),
       Some(Similarity.knnGraphOracleSql(64, 5, 16, 2))),
 
+    // The scale rung for the kNN graph: two-level O(n·√nCells)
+    // assignment (the SemDeDup §23.1 remedy) so nCells can grow ∝ n
+    // — each row scores sProbe supers then only their child cells;
+    // everything downstream of the assignment is shared with
+    // knn_graph. With sProbe = nSuper the edge set provably equals
+    // the flat graph's (KnnGraphHierSpec); the declared dial probes
+    // a strict subset (sProbe 2 of 4 supers)
+    ("knn_graph_hier",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraphHier(t(s, d, "embeddings"), "vec_id",
+          "embedding", 64, k = 5, nCells = 16, nSuper = 4, nProbe = 2,
+          sProbe = 2).orderBy("vec_id", "rank"),
+      Some(Similarity.knnGraphHierOracleSql(64, 5, 16, 4, 2, 2))),
+
     // Its recall audit vs the exact top-k on a bounded query sample
     ("knn_graph_recall",
       (s: SparkSession, d: String) =>

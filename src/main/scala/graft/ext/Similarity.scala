@@ -646,8 +646,31 @@ object Similarity {
   def knnGraph(corpus: DataFrame, id: String, emb: String, dim: Int,
                k: Int, nCells: Int, nProbe: Int = 2): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val withCells =
-      withNearestCells(corpus, id, emb, nCells, nProbe).localCheckpoint()
+    knnGraphFromAssignment(
+      withNearestCells(corpus, id, emb, nCells, nProbe).localCheckpoint(), k)
+  }
+
+  /** [[knnGraph]] with the two-level O(n·√nCells) cell assignment
+    * ([[withNearestCellsHier]]) — the assignment-cost remedy measured
+    * for SemDeDup (SCALE.md §23.1) applied to the kNN graph, so
+    * nCells can be sized ∝ n without the per-row assignment blowing
+    * up: each row scores sProbe supers and then only those supers'
+    * child cells instead of all nCells. Downstream (pair enumeration,
+    * the two keyed windows) is byte-identical to [[knnGraph]]; with
+    * sProbe = nSuper every cell is reachable and the edge set equals
+    * the flat graph's at the same (nCells, nProbe) — the parity
+    * KnnGraphHierSpec pins. */
+  def knnGraphHier(corpus: DataFrame, id: String, emb: String, dim: Int,
+                   k: Int, nCells: Int, nSuper: Int, nProbe: Int = 2,
+                   sProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    knnGraphFromAssignment(
+      withNearestCellsHier(corpus, id, emb, nCells, nSuper, nProbe, sProbe)
+        .localCheckpoint(), k)
+  }
+
+  private def knnGraphFromAssignment(withCells: DataFrame,
+                                     k: Int): DataFrame = {
     // no-threshold pair enumeration (cos >= -1 keeps everything);
     // smallest-shared-cell dedup means each candidate pair scores once
     val pairs = cellPairsFromAssignment(withCells, -1.0)
@@ -885,13 +908,24 @@ object Similarity {
     * reachable through probed supers. */
   def cellNearDupHierOracleSql(dim: Int, nCells: Int, nSuper: Int,
                                minCosine: Double, nProbe: Int = 2,
-                               sProbe: Int = 2): String = {
+                               sProbe: Int = 2): String =
+    s"""
+    |WITH ${cellNearDupHierCtes(dim, nCells, nSuper, nProbe, sProbe)}
+    |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
+    |ORDER BY d1, d2
+    |""".stripMargin.trim
+
+  /** The two-level CTE chain shared by the hier oracles — mirrors
+    * [[withNearestCellsHier]] + pair enumeration, ending at
+    * `pairs`(d1, d2, cos) with no threshold applied. */
+  private def cellNearDupHierCtes(dim: Int, nCells: Int, nSuper: Int,
+                                  nProbe: Int, sProbe: Int): String = {
     def cos(a: String, b: String): String =
       s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
         s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
         s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
     s"""
-    |WITH cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
+    |cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
     |              FROM embeddings WHERE vec_id < $nCells),
     |sup AS (SELECT vec_id AS s_id, embedding AS s_emb
     |        FROM embeddings WHERE vec_id < $nSuper),
@@ -925,10 +959,29 @@ object Similarity {
     |  SELECT d1, d2, ${cos("v1.e", "v2.e")} AS cos
     |  FROM cand JOIN v v1 ON v1.vid = cand.d1
     |            JOIN v v2 ON v2.vid = cand.d2)
-    |SELECT d1, d2, round(cos, 6) AS cos FROM pairs WHERE cos >= $minCosine
-    |ORDER BY d1, d2
     |""".stripMargin.trim
   }
+
+  /** DuckDB twin of [[knnGraphHier]] over `embeddings` — the flat
+    * [[knnGraphOracleSql]] tail over the two-level CTE chain. */
+  def knnGraphHierOracleSql(dim: Int, k: Int, nCells: Int, nSuper: Int,
+                            nProbe: Int = 2, sProbe: Int = 2): String =
+    s"""
+    |WITH ${cellNearDupHierCtes(dim, nCells, nSuper, nProbe, sProbe)},
+    |sym AS (SELECT d1 AS src, d2 AS nbr, cos FROM pairs
+    |        UNION ALL SELECT d2, d1, cos FROM pairs),
+    |ranked AS (
+    |  SELECT src, nbr, round(cos, 6) AS cos,
+    |    CAST(row_number() OVER (PARTITION BY src
+    |      ORDER BY round(cos, 6) DESC, nbr) AS BIGINT) AS rank
+    |  FROM sym),
+    |topk AS (SELECT * FROM ranked WHERE rank <= $k)
+    |SELECT t.src AS vec_id, t.nbr AS neighbor_id, t.cos, t.rank,
+    |  CAST(CASE WHEN EXISTS (SELECT 1 FROM topk r
+    |      WHERE r.src = t.nbr AND r.nbr = t.src)
+    |    THEN 1 ELSE 0 END AS BIGINT) AS mutual
+    |FROM topk t ORDER BY vec_id, rank
+    |""".stripMargin.trim
 
   /** Incremental cell near-dup: a new BATCH of vectors against a
     * persisted INDEX corpus — the embedding twin of
