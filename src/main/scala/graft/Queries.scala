@@ -2318,6 +2318,27 @@ object Queries {
           col("l_orderkey"), col("l_partkey")), minCn = 2, k = 100),
       Some(ext.Graph.linkPredictOracleSql(minCn = 2, k = 100))),
 
+    // The hub-heavy escape hatch for exact CN ranking: minhash the
+    // NEIGHBOR SETS (one agg, linear in edges), band the signatures,
+    // estimate Jaccard as matching positions — no Σ deg(apex)²
+    // wedge term anywhere; oversize LSH buckets skipped (the coEdges
+    // guard applied to bands)
+    ("link_predict_approx",
+      (s: SparkSession, d: String) =>
+        ext.Graph.linkPredictApprox(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), k = 100),
+      Some(ext.Graph.linkPredictApproxOracleSql(k = 100))),
+
+    // What the estimator costs: overlap of the approx top-k with the
+    // exact ranker's top-k, in exact ppm — the ann_recall pattern
+    // applied to link prediction
+    ("link_predict_approx_recall",
+      (s: SparkSession, d: String) =>
+        ext.Graph.linkPredictApproxRecall(
+          ext.Graph.coEdges(t(s, d, "lineitem"),
+            col("l_orderkey"), col("l_partkey")), minCn = 2, k = 100),
+      Some(ext.Graph.linkPredictApproxRecallOracleSql(minCn = 2, k = 100))),
+
     // TPC-H Q5-shaped five-way star: region/nation broadcast at any
     // scale, customer while it fits (AQE decides), facts meet on
     // their natural key — cent-exact revenue per (region, nation, yr)

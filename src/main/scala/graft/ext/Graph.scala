@@ -350,6 +350,230 @@ object Graph {
       .limit(k)
   }
 
+  /** MinHash approximate common-neighbor link prediction — the
+    * hub-heavy escape hatch for [[linkPredict]]: exact CN counting
+    * must build wedges at every shared neighbor (Σ deg(apex)² —
+    * inherent, because the PAIR is the output key), while this
+    * estimator never enumerates wedges at all. Each node's NEIGHBOR
+    * SET gets an nHashes-perm minhash signature (Broder 1997 —
+    * public) in ONE hash agg — O(Σ deg · nHashes), linear in edges
+    * even at a 10⁶-degree hub. Candidates come from single-row LSH
+    * bands over the signatures (nodes sharing any minhash position —
+    * OR-amplification, the right dial for the low-Jaccard regime of
+    * co-occurrence graphs); per-(position, value) buckets larger
+    * than `maxBucket` are SKIPPED (declared semantics, mirrored in
+    * the oracle — a hub neighbor that argmins for its whole
+    * neighborhood would otherwise re-create the quadratic this
+    * estimator exists to avoid; the skip is [[coEdges]]'
+    * oversize-group discipline applied to LSH buckets). Each
+    * candidate is then scored EXACTLY — cn, full degrees, Jaccard
+    * ppm, the same columns as the exact ranker — by intersecting the
+    * two adjacency lists (equi-joins keyed on (node, neighbor):
+    * Σ_cand deg(u) rows, bounded by the banding, never Σ deg² over
+    * the graph). This is the candidates→verify discipline the
+    * minhash dedup ladder uses: ONLY candidate generation is
+    * approximate, scores never are — ranking by an 8-sample Jaccard
+    * estimate across millions of candidates lets estimation noise
+    * flood the top (measured on the fixture: 0 of the exact top-100
+    * survived; with verification the ranking among surfaced pairs is
+    * exact and recall reduces to the banding's pair recall,
+    * 1−(1−j)^nHashes — the dial [[linkPredictApproxRecall]]
+    * measures). Hash family: polyHash of the id rendered as a string
+    * (the MIXING step — a raw (a·x+b) mod P of a small int id never
+    * wraps and is order-preserving, which collapses every position
+    * onto the same min neighbor) then per-position (a_i·h + b_i)
+    * mod P2 with a second fixed wrap stage, shared with the
+    * text-minhash family ([[graft.functions.Hashing]]). */
+  def linkPredictApprox(edges: DataFrame, k: Int, nHashes: Int = 8,
+                        minCn: Long = 2L,
+                        maxBucket: Int = DefaultMaxGroupSize): DataFrame = {
+    require(nHashes >= 1 && k >= 1)
+    require(nHashes <= graft.functions.Hashing.Perms.size,
+      s"nHashes > ${graft.functions.Hashing.Perms.size} needs more Perms")
+    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
+    val adj = e.select(col("u").as("a"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("n")))
+    // one agg: per (node, position) the min hash over the neighbor set
+    import graft.functions.Hashing
+    val as = typedLit(Hashing.Perms.take(nHashes).map(_._1))
+    val bs = typedLit(Hashing.Perms.take(nHashes).map(_._2))
+    // TWO permutation stages: polyHash of a short digit-string id is
+    // tiny (≤ ~1.7e6 for 4-char ids), and a single (a·h+b) mod P2 of
+    // a tiny value never wraps — order-preserving, so every position
+    // would argmin at the same smallest-hash neighbor (matches = 8
+    // for any pair sharing that one neighbor). The second fixed
+    // permutation always wraps (stage-1 output spans up to P2, and
+    // even the smallest stage-1 value ~1.5e6 × 75479 wraps P2 dozens
+    // of times), restoring per-position independence.
+    val sigs = Pin.pin(adj
+      .withColumn("__base", Hashing.polyHash(col("n").cast("string")))
+      .withColumn("i", explode(sequence(lit(0), lit(nHashes - 1))))
+      .select(col("a"), col("i"),
+        pmod(pmod(col("__base") * element_at(as, col("i") + 1) +
+          element_at(bs, col("i") + 1), lit(Hashing.P2)) * lit(75479L) +
+          lit(2357L), lit(Hashing.P2)).as("h"))
+      .groupBy(col("a"), col("i")).agg(min(col("h")).as("h")))
+    val oversize = sigs.groupBy(col("i"), col("h"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBucket)
+      .select(col("i"), col("h"))
+    val banded = sigs.join(oversize, Seq("i", "h"), "left_anti")
+    val cand = banded.select(col("i"), col("h"), col("a").as("u"))
+      .join(banded.select(col("i"), col("h"), col("a").as("v")),
+        Seq("i", "h"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .join(e, Seq("u", "v"), "left_anti")
+    // EXACT verification on the screened candidates only: intersect
+    // the two adjacency lists per candidate pair — Σ_cand deg(u)
+    // rows through two keyed equi-joins, never a wedge build
+    val au = adj.select(col("a").as("u"), col("n"))
+    val av = adj.select(col("a").as("v"), col("n"))
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("degree"))
+    cand.join(au, Seq("u")).join(av, Seq("v", "n"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCn)
+      .join(deg.select(col("a").as("u"), col("degree").as("deg_u")), "u")
+      .join(deg.select(col("a").as("v"), col("degree").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("cn").cast("long").as("cn"),
+        col("deg_u").cast("long").as("deg_u"),
+        col("deg_v").cast("long").as("deg_v"),
+        expr("(cn * 1000000L) div (deg_u + deg_v - cn)")
+          .cast("long").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
+
+  /** Recall of [[linkPredictApprox]]'s top-k pair set against the
+    * exact [[linkPredict]] top-k — one row: how many of the exact
+    * ranker's pairs the screened ranker surfaced, in exact ppm. The
+    * ann_recall pattern applied to link prediction: every
+    * approximate operator in this library ships with the audit that
+    * prices its approximation. Because scores are exact on both
+    * sides, the miss mass is pure BANDING misses — expected recall
+    * ≈ 1−(1−j)^nHashes at the top-k's Jaccard level, the dial a
+    * deployment turns (more hashes = more recall, linear cost). */
+  def linkPredictApproxRecall(edges: DataFrame, minCn: Long, k: Int,
+                              nHashes: Int = 8): DataFrame = {
+    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
+    val exact = linkPredict(e, minCn, k).select(col("u"), col("v"))
+    val approx = linkPredictApprox(e, k, nHashes, minCn)
+      .select(col("u"), col("v"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("u", "v"), "left")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).cast("long").as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        expr("cast(n_hit as decimal(38,0)) * 1000000 " +
+          "div greatest(n_exact, 1)").cast("long").as("recall_ppm"))
+  }
+
+  /** Shared CTE chain for the approx-link oracles: lineitem co-order
+    * edges → per-node minhash signatures → capped single-row-band
+    * candidates → EXACT scoring of the screened pairs, ending at
+    * `approx`(u, v, cn, deg_u, deg_v, jaccard_ppm) BEFORE the top-k
+    * cut. */
+  private def linkPredictApproxCtes(nHashes: Int, minCn: Long,
+                                    maxBucket: Int): String = {
+    import graft.functions.Hashing
+    val aCase = Hashing.Perms.take(nHashes).zipWithIndex
+      .map { case ((a, _), i) => s"WHEN $i THEN $a" }.mkString(" ")
+    val bCase = Hashing.Perms.take(nHashes).zipWithIndex
+      .map { case ((_, b), i) => s"WHEN $i THEN $b" }.mkString(" ")
+    s"""
+    |g AS (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |ok AS (
+    |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
+    |e AS (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
+    |adj AS (SELECT u AS a, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    |deg AS (SELECT a, count(*) AS degree FROM adj GROUP BY a),
+    |base AS (
+    |  SELECT a, ${Hashing.polyHashSql("CAST(n AS VARCHAR)")} AS bh
+    |  FROM adj),
+    |sigs AS (
+    |  SELECT a, r.i,
+    |    min((((bh * (CASE r.i $aCase END)
+    |      + (CASE r.i $bCase END)) % ${Hashing.P2})
+    |      * 75479 + 2357) % ${Hashing.P2}) AS h
+    |  FROM base CROSS JOIN (SELECT unnest(range(0, $nHashes)) AS i) r
+    |  GROUP BY a, r.i),
+    |banded AS (
+    |  SELECT s.* FROM sigs s
+    |  JOIN (SELECT i, h FROM sigs GROUP BY i, h
+    |        HAVING count(*) <= $maxBucket) okb
+    |    ON okb.i = s.i AND okb.h = s.h),
+    |cand AS (
+    |  SELECT DISTINCT b1.a AS u, b2.a AS v
+    |  FROM banded b1 JOIN banded b2
+    |    ON b1.i = b2.i AND b1.h = b2.h AND b1.a < b2.a),
+    |noncand AS (
+    |  SELECT c.u, c.v FROM cand c
+    |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)),
+    |cnv AS (
+    |  SELECT c.u, c.v, count(*) AS cn
+    |  FROM noncand c
+    |    JOIN adj a1 ON a1.a = c.u
+    |    JOIN adj a2 ON a2.a = c.v AND a2.n = a1.n
+    |  GROUP BY c.u, c.v
+    |  HAVING count(*) >= $minCn),
+    |approx AS (
+    |  SELECT cnv.u, cnv.v, CAST(cnv.cn AS BIGINT) AS cn,
+    |    CAST(du.degree AS BIGINT) AS deg_u,
+    |    CAST(dv.degree AS BIGINT) AS deg_v,
+    |    CAST((cnv.cn * 1000000) // (du.degree + dv.degree - cnv.cn)
+    |      AS BIGINT) AS jaccard_ppm
+    |  FROM cnv JOIN deg du ON du.a = cnv.u JOIN deg dv ON dv.a = cnv.v)""".stripMargin.trim
+  }
+
+  /** DuckDB twin of [[linkPredictApprox]] over lineitem co-edges. */
+  def linkPredictApproxOracleSql(k: Int, nHashes: Int = 8,
+                                 minCn: Long = 2L,
+                                 maxBucket: Int = DefaultMaxGroupSize): String =
+    s"""
+    |WITH ${linkPredictApproxCtes(nHashes, minCn, maxBucket)}
+    |SELECT u, v, cn, deg_u, deg_v, jaccard_ppm FROM approx
+    |ORDER BY jaccard_ppm DESC, u, v LIMIT $k
+    |""".stripMargin.trim
+
+  /** DuckDB twin of [[linkPredictApproxRecall]] over lineitem
+    * co-edges (exact chain parameters as in [[linkPredictOracleSql]]). */
+  def linkPredictApproxRecallOracleSql(minCn: Long, k: Int,
+                                       nHashes: Int = 8,
+                                       maxBucket: Int =
+                                         DefaultMaxGroupSize): String =
+    s"""
+    |WITH ${linkPredictApproxCtes(nHashes, minCn, maxBucket)},
+    |adjok AS (
+    |  SELECT adj.a, adj.n FROM adj JOIN deg ON deg.a = adj.a
+    |  WHERE deg.degree <= $DefaultMaxGroupSize),
+    |cncand AS (
+    |  SELECT w1.n AS u, w2.n AS v, count(*) AS cn
+    |  FROM adjok w1 JOIN adjok w2 ON w1.a = w2.a AND w1.n < w2.n
+    |  GROUP BY 1, 2 HAVING count(*) >= $minCn),
+    |exact AS (
+    |  SELECT c.u, c.v
+    |  FROM cncand c
+    |    JOIN deg du ON du.a = c.u JOIN deg dv ON dv.a = c.v
+    |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)
+    |  ORDER BY (c.cn * 1000000) // (du.degree + dv.degree - c.cn) DESC,
+    |    c.u, c.v
+    |  LIMIT $k),
+    |atop AS (
+    |  SELECT u, v FROM approx
+    |  ORDER BY jaccard_ppm DESC, u, v LIMIT $k)
+    |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+    |  CAST(count(a.u) AS BIGINT) AS n_hit,
+    |  CAST(CAST(count(a.u) AS HUGEINT) * 1000000
+    |    // greatest(count(*), 1) AS BIGINT) AS recall_ppm
+    |FROM exact x LEFT JOIN atop a ON a.u = x.u AND a.v = x.v
+    |""".stripMargin.trim
+
   /** Degree assortativity: do hubs link to hubs? The mixing number
     * (Newman 2002 — public) behind "is this near-dup graph a few
     * boilerplate megaclusters (assortative) or star-shaped template
