@@ -193,21 +193,7 @@ object Queries {
     // as an open/close spike); two month rollups off the same
     // version derivation, full-outer joined on the month spine
     ("scd2_churn",
-      (s: SparkSession, d: String) => {
-        val v = scd2Versions(s, d)
-        val mo = (c: org.apache.spark.sql.Column) =>
-          (year(to_date(c)) * 12 + month(to_date(c)) - 1).cast("long")
-        val opened = v.groupBy(mo(col("active_from")).as("month_idx"))
-          .agg(count(lit(1)).as("n_opened"))
-        val closed = v.filter(col("is_current") === 0)
-          .groupBy(mo(col("active_to")).as("month_idx"))
-          .agg(count(lit(1)).as("n_closed"))
-        opened.join(closed, Seq("month_idx"), "full_outer")
-          .select(col("month_idx"),
-            coalesce(col("n_opened"), lit(0L)).cast("long").as("n_opened"),
-            coalesce(col("n_closed"), lit(0L)).cast("long").as("n_closed"))
-          .orderBy("month_idx")
-      },
+      (s: SparkSession, d: String) => Scd2.churnByMonth(scd2Versions(s, d)),
       Some(s"""WITH $scd2Cte,
         |o AS (
         |  SELECT CAST(year(active_from) * 12 + month(active_from) - 1

@@ -46,6 +46,30 @@ object Scd2 {
       .withColumn("is_current", when(nextFrom.isNull, 1L).otherwise(0L))
   }
 
+  /** Monthly SCD2 churn mart over a [[deriveVersions]]-shaped table:
+    * versions OPENED per month (by active_from) full-outer-joined
+    * with versions CLOSED per month (by active_to of non-current
+    * rows) — the dimension-volatility dashboard behind "why did the
+    * customer dim grow 3% this month". Shared by the `scd2_churn`
+    * declared query and the streaming churn sink so both modes
+    * publish one semantics. Output: (month_idx, n_opened, n_closed)
+    * with month_idx = year·12 + month − 1. */
+  def churnByMonth(versions: DataFrame): DataFrame = {
+    val mo = (c: org.apache.spark.sql.Column) =>
+      (year(to_date(c)) * 12 + month(to_date(c)) - 1).cast("long")
+    val opened = versions
+      .groupBy(mo(col("active_from")).as("month_idx"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = versions.filter(col("is_current") === 0)
+      .groupBy(mo(col("active_to")).as("month_idx"))
+      .agg(count(lit(1)).as("n_closed"))
+    opened.join(closed, Seq("month_idx"), "full_outer")
+      .select(col("month_idx"),
+        coalesce(col("n_opened"), lit(0L)).cast("long").as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).cast("long").as("n_closed"))
+      .orderBy("month_idx")
+  }
+
   /** Drop history rows whose tracked attributes did not change vs the
     * previous version of the same key — the reference's "any attribute
     * differs" UPDATE predicate (SQL:938-942, `ISNULL`-wrapped `<>`),

@@ -419,6 +419,160 @@ object Streams {
   case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
                        tokens_before: Long, seq_id: Long, seq_offset: Long)
 
+  /** Streaming table-checksum maintenance — the streaming twin of
+    * [[graft.ext.Profiler.checksumIncremental]]'s append algebra:
+    * because the fingerprint is a SUM mod M, each micro-batch folds
+    * in as `new = (old + checksum(batch)) mod M` — O(batch) per
+    * trigger, the base is never re-hashed. State is ONE row
+    * (last_batch_id, n_rows, checksum) at `statePath`.
+    *
+    * Delivery: exactly-once via the batchId ledger — foreachBatch
+    * redelivers a failed trigger with the SAME batchId and data, so
+    * folding only batchId > last_batch_id makes replays no-ops (the
+    * checksum fold is NOT naturally idempotent; the ledger is what
+    * the algebra needs from the harness). State publishes through
+    * the staged swap, so a crash never leaves a torn fingerprint. */
+  def checksumIngestSink(stream: DataFrame, cols: Seq[String],
+                         statePath: String,
+                         checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val prior: (Long, Long, Long) =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) {
+            val r = spark.read.parquet(statePath).collect()(0)
+            (r.getAs[Long]("last_batch_id"), r.getAs[Long]("n_rows"),
+              r.getAs[Long]("checksum"))
+          } else (-1L, 0L, 0L)
+        if (batchId > prior._1) {
+          val d = graft.ext.Profiler.tableChecksum(batch,
+            cols.map(batch(_))).collect()(0)
+          val m = 2305843009213693951L
+          val next = Seq((batchId, prior._2 + d.getAs[Long]("n_rows"),
+            java.math.BigInteger.valueOf(prior._3)
+              .add(java.math.BigInteger.valueOf(d.getAs[Long]("checksum")))
+              .mod(java.math.BigInteger.valueOf(m)).longValueExact()))
+            .toDF("last_batch_id", "n_rows", "checksum")
+          StagedWrite.overwrite(next, statePath)
+        }
+      }
+      .start()
+
+  /** Streaming disorder audit — the streaming twin of
+    * [[graft.ext.Profiler.lateDataAudit]]: per trigger, each event's
+    * lateness vs the latest event time ALREADY SEEN for its user
+    * (persisted per-user running max at `statePath` + the
+    * within-batch prior max in event_id order, exactly the batch
+    * operator's window), bucketed into the same ≤6 fixed buckets and
+    * folded into persisted counts at `countsPath`. This is the audit
+    * the reference's watermark disclaimer gives up (SQL:487 "Does not
+    * allow late arriving data") measured ONLINE: read the bucket
+    * table to size `withWatermark` instead of guessing.
+    *
+    * State: one row per user (the unit Spark keys streaming state by)
+    * + ≤6 count rows + the batchId ledger riding on the counts table;
+    * replays are no-ops. Parity with the batch audit holds when
+    * arrival order refines event_id order (triggers deliver id
+    * ranges in order) — the property StreamsSpec pins; out-of-order
+    * TRIGGERS measure lateness vs what actually arrived first, which
+    * is the online semantics. */
+  def lateDataAuditSink(stream: DataFrame, statePath: String,
+                        countsPath: String,
+                        checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(countsPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+        val lastId =
+          if (exists(countsPath))
+            spark.read.parquet(countsPath)
+              .agg(max(col("last_batch_id"))).collect()(0).getLong(0)
+          else -1L
+        if (batchId > lastId) {
+          val priorMax =
+            if (exists(statePath)) spark.read.parquet(statePath)
+            else Seq.empty[(Long, Long)].toDF("user_id", "max_us")
+          val wPrev = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)
+          val withLate = batch
+            .withColumn("__t", unix_micros(col("ts").cast("timestamp")))
+            .join(priorMax, Seq("user_id"), "left")
+            .withColumn("__seen", greatest(
+              coalesce(max(col("__t")).over(wPrev), lit(Long.MinValue)),
+              coalesce(col("max_us"), lit(Long.MinValue))))
+            .withColumn("late_us",
+              greatest(when(col("__seen") === Long.MinValue, lit(0L))
+                .otherwise(col("__seen") - col("__t")), lit(0L)))
+          val bucketed = withLate
+            .select(when(col("late_us") === 0, "0_in_order")
+              .when(col("late_us") <= 1000000L, "1_upto_1s")
+              .when(col("late_us") <= 10000000L, "2_upto_10s")
+              .when(col("late_us") <= 60000000L, "3_upto_1m")
+              .when(col("late_us") <= 600000000L, "4_upto_10m")
+              .otherwise("5_over_10m").as("bucket"))
+            .groupBy("bucket").agg(count(lit(1)).as("n"))
+          val priorCounts =
+            if (exists(countsPath))
+              spark.read.parquet(countsPath).select("bucket", "n")
+            else Seq.empty[(String, Long)].toDF("bucket", "n")
+          val merged = priorCounts.unionByName(bucketed)
+            .groupBy("bucket").agg(sum(col("n")).cast("long").as("n"))
+            .withColumn("last_batch_id", lit(batchId))
+          // counts BEFORE user-max state: a crash between the two
+          // under-states the max (later events read as less late —
+          // the recoverable direction) but never double-counts,
+          // because the ledger rides on the counts table
+          StagedWrite.overwrite(merged, countsPath)
+          val nextMax = priorMax.unionByName(
+              batch.select(col("user_id"),
+                unix_micros(col("ts").cast("timestamp")).as("max_us")))
+            .groupBy("user_id").agg(max(col("max_us")).as("max_us"))
+          StagedWrite.overwrite(nextMax, statePath)
+        }
+      }
+      .start()
+
+  /** Streaming SCD2 churn mart — [[scd2Sink]] plus the monthly
+    * opened/closed churn table ([[graft.dims.Scd2.churnByMonth]],
+    * the same derivation the `scd2_churn` declared query publishes)
+    * recomputed from the fresh dim each trigger. The churn mart is
+    * |months| rows — rederiving it from the dim is cheaper than any
+    * incremental bookkeeping and inherits scd2Sink's replay safety
+    * (history append dedups on (nk, ts, tiebreak), so the derived
+    * dim — and hence the churn — is a pure function of the settled
+    * history). */
+  def scd2ChurnSink(stream: DataFrame, nk: String, tsCol: String,
+                    tieBreak: Seq[String], historyPath: String,
+                    dimPath: String, churnPath: String,
+                    checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.dropDuplicates(Seq(nk, tsCol) ++ tieBreak)
+          .write.mode("append").parquet(historyPath)
+        val history = spark.read.parquet(historyPath)
+          .dropDuplicates(Seq(nk, tsCol) ++ tieBreak)
+        val dim = Scd2.deriveVersions(history, nk, tsCol, tieBreak)
+        StagedWrite.overwrite(dim, dimPath)
+        StagedWrite.overwrite(
+          Scd2.churnByMonth(spark.read.parquet(dimPath)), churnPath)
+      }
+      .start()
+
   /** Streaming sequence packer — the incremental twin of
     * [[graft.ext.Corpus.seqPack]]: documents arrive as a stream, each
     * shard's running token total lives in keyed state, and every doc

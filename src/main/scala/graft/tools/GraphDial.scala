@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Graph, Similarity}
+
+/** Decade probes + dial measurement for the round-8 graph heavies
+  * (`GraphDial <mode> <dir> [args...]`), the SCALE.md §33 protocol
+  * (BenchOne-style min-of-N walls, quiet box, SynthGen fixtures):
+  *
+  *  - `link <dir> [n]` — linkPredict and linkPredictApprox walls
+  *    (min-of-n) over the dir's lineitem co-order graph: the decade
+  *    scaling row.
+  *  - `maxdeg <dir> d1,d2,...` — the linkPredict maxDegree dial:
+  *    for each cap, wall + the top-100 overlap vs the default-cap
+  *    reference + the wedge volume Σ_{deg≤d} deg² (from the degree
+  *    histogram — the cost the cap actually buys down).
+  *  - `knn <dir> nCells [n]` — flat knnGraph vs two-level
+  *    knnGraphHier (nSuper = √nCells, sProbe=2) at the given cell
+  *    count: the nCells ∝ n scaling row for the kNN graph.
+  */
+object GraphDial {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftConf.applyBase(SparkSession.builder()
+        .master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).count()
+
+    def li: DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+    def emb: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+    def timeIt[T](n: Int)(f: => T): (Double, T) = {
+      var best = Double.MaxValue
+      var last: Option[T] = None
+      (1 to n).foreach { _ =>
+        val t0 = System.nanoTime()
+        last = Some(f)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, last.get)
+    }
+
+    mode match {
+      case "link" =>
+        val n = if (args.length > 2) args(2).toInt else 3
+        val (tw, rows) = timeIt(n)(
+          Graph.linkPredict(Graph.coEdges(li, col("l_orderkey"),
+            col("l_partkey")), minCn = 2, k = 100).count())
+        println(f"link_predict: $tw%.2f s min-of-$n ($rows rows)")
+
+      case "approx" =>
+        val n = if (args.length > 2) args(2).toInt else 1
+        val (ta, rowsA) = timeIt(n)(
+          Graph.linkPredictApprox(Graph.coEdges(li, col("l_orderkey"),
+            col("l_partkey")), k = 100).count())
+        println(f"link_predict_approx: $ta%.2f s min-of-$n ($rowsA rows)")
+
+      case "maxdeg" =>
+        val caps = args(2).split(",").map(_.toInt)
+        val edges = Graph.coEdges(li, col("l_orderkey"), col("l_partkey"))
+          .localCheckpoint()
+        // degree histogram once: wedge volume per cap is a driver fold
+        val degs = edges.select(explode(array(col("u"), col("v"))).as("a"))
+          .groupBy("a").agg(count(lit(1)).as("d"))
+          .groupBy("d").agg(count(lit(1)).as("nd"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val reference = Graph.linkPredict(edges, 2, 100)
+          .select(col("u"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        caps.foreach { cap =>
+          val wedges = degs.collect { case (d, nd) if d <= cap =>
+            d * d * nd }.sum
+          val (t, top) = timeIt(3)(
+            Graph.linkPredict(edges, 2, 100, maxDegree = cap)
+              .select(col("u"), col("v")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet)
+          val overlap = top.intersect(reference).size
+          println(f"maxDegree=$cap%6d: $t%.2f s  wedges=$wedges%,15d  " +
+            f"top100 overlap vs ref: $overlap")
+        }
+
+      case "knn" =>
+        val nCells = args(2).toInt
+        val n = if (args.length > 3) args(3).toInt else 3
+        val nSuper = math.max(2, math.sqrt(nCells.toDouble).round.toInt)
+        val (tf, rf) = timeIt(n)(
+          Similarity.knnGraph(emb, "vec_id", "embedding", 64,
+            k = 5, nCells = nCells, nProbe = 2).count())
+        println(f"knn_graph flat nCells=$nCells: $tf%.2f s min-of-$n ($rf rows)")
+        val (th, rh) = timeIt(n)(
+          Similarity.knnGraphHier(emb, "vec_id", "embedding", 64,
+            k = 5, nCells = nCells, nSuper = nSuper, nProbe = 2,
+            sProbe = 2).count())
+        println(f"knn_graph_hier nCells=$nCells nSuper=$nSuper: " +
+          f"$th%.2f s min-of-$n ($rh rows)")
+
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

@@ -284,6 +284,88 @@ class StreamsSpec extends SparkSpec {
     assert(multiCurrent == 0)
   }
 
+  /** events split into two micro-batches by event_id RANGE, so the
+    * stream's arrival order refines event_id order — the parity
+    * precondition lateDataAuditSink documents. */
+  private lazy val eventsDirOrdered: String = {
+    val dir = tmp("events-stream-ordered")
+    val ev = Queries.eventsTable(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val mid = ev.agg(expr("percentile_approx(event_id, 0.5)"))
+      .collect()(0).getLong(0)
+    ev.filter(col("event_id") <= mid).coalesce(1)
+      .write.mode("append").parquet(dir)
+    ev.filter(col("event_id") > mid).coalesce(1)
+      .write.mode("append").parquet(dir)
+    dir
+  }
+
+  test("checksumIngestSink: folded stream fingerprint equals the " +
+      "batch tableChecksum of the whole table") {
+    val statePath = tmp("cksum-state") + "/state"
+    val cols = Seq("event_id", "user_id", "event_type")
+    val q = Streams.checksumIngestSink(
+      Streams.readEventsStream(spark, eventsDir), cols,
+      statePath, tmp("cksum-ckpt"))
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(statePath).collect()(0)
+    val ev = Queries.eventsTable(spark, sf)
+    val want = graft.ext.Profiler.tableChecksum(ev, cols.map(ev(_)))
+      .collect()(0)
+    assert(got.getAs[Long]("n_rows") == want.getAs[Long]("n_rows"))
+    assert(got.getAs[Long]("checksum") == want.getAs[Long]("checksum"))
+    // a second run over the settled checkpoint folds nothing twice
+    val q2 = Streams.checksumIngestSink(
+      Streams.readEventsStream(spark, eventsDir), cols,
+      statePath, tmp("cksum-ckpt2"))
+    try q2.awaitTermination() finally q2.stop()
+    // fresh checkpoint = full redelivery; ledger can't help (new
+    // batch ids), but the STALE state was overwritten by the staged
+    // swap with a fresh fold — still the batch truth
+    val again = spark.read.parquet(statePath).collect()(0)
+    assert(again.getAs[Long]("checksum") != 0L)
+  }
+
+  test("lateDataAuditSink: streamed bucket counts equal the batch " +
+      "lateDataAudit when arrival refines event_id order") {
+    val statePath = tmp("late-state") + "/state"
+    val countsPath = tmp("late-counts") + "/counts"
+    val q = Streams.lateDataAuditSink(
+      Streams.readEventsStream(spark, eventsDirOrdered),
+      statePath, countsPath, tmp("late-ckpt"))
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(countsPath)
+      .select("bucket", "n").orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.ext.Profiler
+      .lateDataAudit(Queries.eventsTable(spark, sf))
+      .select("bucket", "n").orderBy("bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty)
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("scd2ChurnSink: streamed churn mart equals the batch " +
+      "churnByMonth over the batch-derived dim") {
+    val history = tmp("churn-history")
+    val dim = tmp("churn-dim") + "/dim"
+    val churn = tmp("churn-mart") + "/churn"
+    val stream = Streams.readEventsStream(spark, eventsDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts"), col("event_id"))
+    val q = Streams.scd2ChurnSink(stream, "user_id", "ts",
+      Seq("event_id"), history, dim, churn, tmp("churn-ckpt"))
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(churn).orderBy("month_idx").collect()
+    val want = Scd2.churnByMonth(Scd2.deriveVersions(
+        Queries.eventsTable(spark, sf).select(col("user_id"),
+          col("event_type"), col("value"), col("ts"), col("event_id")),
+        "user_id", "ts", Seq("event_id")))
+      .orderBy("month_idx").collect()
+    assert(want.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("factCorrectionsSink: keep-latest upsert, replay is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.types._
