@@ -1493,6 +1493,40 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Append a NEW batch of vectors to a persisted index — the day-2
+    * ingest of build-once/search-many: the batch is assigned and
+    * PQ-encoded against the index's OWN codebooks + centroids (loaded
+    * from `dir`, never re-derived — the ann_pq_incremental contract),
+    * and its code rows land in the same cell-partitioned layout via
+    * dynamic-partition append (only the batch's cells' directories
+    * are touched). Cost is O(batch): one assignment pass + one
+    * encode argmin over the batch. Codebook drift is the declared
+    * trade of every IVF append path (reclustering is a rebuild);
+    * [[pqQuantizationError]] over the appended rows is the audit
+    * that decides when to rebuild. */
+  def ivfPqAppendToIndex(spark: SparkSession, batch: DataFrame,
+                         m: Int, dim: Int, dir: String): Unit = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"m=$m must divide dim=$dim")
+    val cw = spark.read.parquet(s"$dir/codebooks")
+    val cb = spark.read.parquet(s"$dir/centroids").collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("c_emb"))
+        var n2 = 0.0
+        v.foreach(x => n2 += x.toDouble * x.toDouble)
+        (r.getLong(r.fieldIndex("c_id")), v, math.sqrt(n2))
+      }.sortBy(_._1).toSeq
+    val b = Dedup.spread(batch.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb")), col("cand_id"))
+    val lists = assignedCells(b, cb, "cand_id", "c_emb", 1)
+      .select(col("cand_id"), col("c_id"))
+    val codes = pqEncode(b, cw, "cand_id", "c_emb", m, subLen)
+    lists.join(codes, Seq("cand_id"))
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id")
+      .parquet(s"$dir/codes")
+  }
+
   /** Search a PERSISTED IVF-PQ index ([[ivfPqWriteIndex]] layout):
     * the steady-state leg a production deployment pays per query
     * batch — load codebooks + centroids (both driver/broadcast

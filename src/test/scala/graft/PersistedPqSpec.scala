@@ -72,6 +72,29 @@ class PersistedPqSpec extends SparkSpec {
         "would read every cell directory instead of the probed ones")
   }
 
+  test("append path: build(base) + append(batch) searches == " +
+      "build(base) with the batch encoded against base codebooks") {
+    val dir = freshDir()
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    Similarity.ivfPqWriteIndex(base,
+      Similarity.pqSampleCodebooks(base, m, ksub, dim / m),
+      nCentroids, m, dim, dir)
+    Similarity.ivfPqAppendToIndex(spark, batch, m, dim, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val appended = Similarity.ivfPqSearchPersisted(spark, dir, emb, q,
+        k = 5, nProbe = 4, m = m, dim = dim, rerank = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    // truth: the incremental contract — codebooks/centroids from the
+    // BASE side only, full corpus searched
+    val want = Similarity.ivfPqTopKWith(emb, q,
+        Similarity.pqSampleCodebooks(base, m, ksub, dim / m),
+        5, nCentroids, 4, m, dim, 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(appended.nonEmpty)
+    assert(appended == want, "append path drifted from base-codebook truth")
+  }
+
   test("reuse is gated by the completion marker; rebuild heals") {
     val dir = freshDir()
     assert(!Similarity.ivfPqIndexExists(spark, dir))
