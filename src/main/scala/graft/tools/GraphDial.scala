@@ -62,6 +62,7 @@ object GraphDial {
 
       case "maxdeg" =>
         val caps = args(2).split(",").map(_.toInt)
+        val nRuns = if (args.length > 3) args(3).toInt else 3
         val edges = Graph.coEdges(li, col("l_orderkey"), col("l_partkey"))
           .localCheckpoint()
         // degree histogram once: wedge volume per cap is a driver fold
@@ -75,13 +76,13 @@ object GraphDial {
         caps.foreach { cap =>
           val wedges = degs.collect { case (d, nd) if d <= cap =>
             d * d * nd }.sum
-          val (t, top) = timeIt(3)(
+          val (t, top) = timeIt(nRuns)(
             Graph.linkPredict(edges, 2, 100, maxDegree = cap)
               .select(col("u"), col("v")).collect()
               .map(r => (r.getLong(0), r.getLong(1))).toSet)
           val overlap = top.intersect(reference).size
-          println(f"maxDegree=$cap%6d: $t%.2f s  wedges=$wedges%,15d  " +
-            f"top100 overlap vs ref: $overlap")
+          println(f"maxDegree=$cap%6d: $t%.2f s min-of-$nRuns  " +
+            f"wedges=$wedges%,15d  top100 overlap vs ref: $overlap")
         }
 
       case "knn" =>
