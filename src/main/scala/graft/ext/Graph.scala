@@ -425,20 +425,28 @@ object Graph {
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
       .join(e, Seq("u", "v"), "left_anti")
-    // EXACT verification on the screened candidates only: intersect
-    // the two adjacency lists per candidate pair — Σ_cand deg(u)
-    // rows through two keyed equi-joins, never a wedge build
-    val au = adj.select(col("a").as("u"), col("n"))
-    val av = adj.select(col("a").as("v"), col("n"))
-    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("degree"))
-    cand.join(au, Seq("u")).join(av, Seq("v", "n"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    // EXACT verification on the screened candidates only, in the
+    // ARRAY-INTERSECTION form: per node one sorted neighbor array
+    // (one agg), each candidate pair ships two arrays and computes
+    // cn = |array_intersect| inside codegen — degrees come free as
+    // array sizes. The row-explosion form this replaced
+    // (cand ⋈ adj ⋈ adj → count) pushed Σ_cand(deg_u) ≈ 10⁹ rows
+    // through a unique-keyed aggregate at sf0.1 and measured 187 s;
+    // the array form moves the same information as |cand| rows of
+    // array payload with no re-aggregation (19.8 s — 9.5× faster,
+    // SCALE.md §39).
+    val nbrs = adj.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("n"))).as("nbr"))
+    cand
+      .join(nbrs.select(col("a").as("u"), col("nbr").as("__nu")), "u")
+      .join(nbrs.select(col("a").as("v"), col("nbr").as("__nv")), "v")
+      .select(col("u"), col("v"),
+        size(array_intersect(col("__nu"), col("__nv"))).cast("long")
+          .as("cn"),
+        size(col("__nu")).cast("long").as("deg_u"),
+        size(col("__nv")).cast("long").as("deg_v"))
       .filter(col("cn") >= minCn)
-      .join(deg.select(col("a").as("u"), col("degree").as("deg_u")), "u")
-      .join(deg.select(col("a").as("v"), col("degree").as("deg_v")), "v")
-      .select(col("u"), col("v"), col("cn").cast("long").as("cn"),
-        col("deg_u").cast("long").as("deg_u"),
-        col("deg_v").cast("long").as("deg_v"),
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
         expr("(cn * 1000000L) div (deg_u + deg_v - cn)")
           .cast("long").as("jaccard_ppm"))
       .orderBy(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
@@ -515,20 +523,20 @@ object Graph {
     |noncand AS (
     |  SELECT c.u, c.v FROM cand c
     |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)),
+    |nbrs AS (SELECT a, list_sort(list(n)) AS nbr FROM adj GROUP BY a),
     |cnv AS (
-    |  SELECT c.u, c.v, count(*) AS cn
+    |  SELECT c.u, c.v,
+    |    CAST(len(list_intersect(nu.nbr, nv.nbr)) AS BIGINT) AS cn,
+    |    CAST(len(nu.nbr) AS BIGINT) AS deg_u,
+    |    CAST(len(nv.nbr) AS BIGINT) AS deg_v
     |  FROM noncand c
-    |    JOIN adj a1 ON a1.a = c.u
-    |    JOIN adj a2 ON a2.a = c.v AND a2.n = a1.n
-    |  GROUP BY c.u, c.v
-    |  HAVING count(*) >= $minCn),
+    |    JOIN nbrs nu ON nu.a = c.u
+    |    JOIN nbrs nv ON nv.a = c.v),
     |approx AS (
-    |  SELECT cnv.u, cnv.v, CAST(cnv.cn AS BIGINT) AS cn,
-    |    CAST(du.degree AS BIGINT) AS deg_u,
-    |    CAST(dv.degree AS BIGINT) AS deg_v,
-    |    CAST((cnv.cn * 1000000) // (du.degree + dv.degree - cnv.cn)
-    |      AS BIGINT) AS jaccard_ppm
-    |  FROM cnv JOIN deg du ON du.a = cnv.u JOIN deg dv ON dv.a = cnv.v)""".stripMargin.trim
+    |  SELECT u, v, cn, deg_u, deg_v,
+    |    CAST((cn * 1000000) // (deg_u + deg_v - cn) AS BIGINT)
+    |      AS jaccard_ppm
+    |  FROM cnv WHERE cn >= $minCn)""".stripMargin.trim
   }
 
   /** DuckDB twin of [[linkPredictApprox]] over lineitem co-edges. */
