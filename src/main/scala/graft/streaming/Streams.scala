@@ -573,6 +573,41 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN-index maintenance — the online twin of
+    * [[graft.ext.Similarity.ivfPqAppendToIndex]]: each micro-batch of
+    * vectors is PQ-encoded against the persisted index's OWN
+    * codebooks/centroids and appended into the cell-partitioned codes
+    * layout; searches ([[graft.ext.Similarity.ivfPqSearchPersisted]])
+    * see every settled batch. O(batch) per trigger — assignment +
+    * encode argmin + a dynamic-partition append touching only the
+    * batch's cells; the corpus is never re-indexed.
+    *
+    * Delivery: exactly-once via a vec_id ledger riding ON the codes
+    * table itself — a replayed batch left-antis against the already-
+    * indexed ids and appends nothing (the cdcIngestSink discipline;
+    * an id-keyed ledger beats a batchId ledger here because the codes
+    * table IS the ledger — no second table to crash between). The
+    * index must already exist ([[graft.ext.Similarity.ivfPqWriteIndex]]
+    * runs once at bootstrap; codebook drift under a shifting
+    * distribution is the declared rebuild trigger, audited by
+    * [[graft.ext.Similarity.pqQuantizationError]]). */
+  def pqIngestSink(stream: DataFrame, m: Int, dim: Int, indexDir: String,
+                   checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val deduped = batch0.dropDuplicates(Seq("vec_id"))
+        val indexed = spark.read.parquet(s"$indexDir/codes")
+          .select(col("cand_id").as("vec_id")).distinct()
+        val batch = deduped.join(indexed, Seq("vec_id"), "left_anti")
+        if (!batch.isEmpty)
+          graft.ext.Similarity.ivfPqAppendToIndex(spark, batch, m, dim,
+            indexDir)
+      }
+      .start()
+
   /** Streaming sequence packer — the incremental twin of
     * [[graft.ext.Corpus.seqPack]]: documents arrive as a stream, each
     * shard's running token total lives in keyed state, and every doc

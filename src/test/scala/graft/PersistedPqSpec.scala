@@ -95,6 +95,51 @@ class PersistedPqSpec extends SparkSpec {
     assert(appended == want, "append path drifted from base-codebook truth")
   }
 
+  test("pqIngestSink: streamed appends search identically to batch " +
+      "append; replays append nothing") {
+    import org.apache.spark.sql.types._
+    val dir = freshDir()
+    val srcDir = freshDir()
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    Similarity.ivfPqWriteIndex(base,
+      Similarity.pqSampleCodebooks(base, m, ksub, dim / m),
+      nCentroids, m, dim, dir)
+    // two stream files -> two micro-batches
+    batch.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    batch.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def run(ckpt: String) = {
+      val q = graft.streaming.Streams.pqIngestSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        m, dim, dir, ckpt)
+      try q.awaitTermination() finally q.stop()
+    }
+    run(Files.createTempDirectory("pq-ingest-ckpt").toString)
+    val q10 = emb.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqSearchPersisted(spark, dir, emb, q10,
+        k = 5, nProbe = 4, m = m, dim = dim, rerank = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = Similarity.ivfPqTopKWith(emb, q10,
+        Similarity.pqSampleCodebooks(base, m, ksub, dim / m),
+        5, nCentroids, 4, m, dim, 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "streamed index drifted from base-codebook truth")
+    // replay with a FRESH checkpoint: the vec_id ledger (the codes
+    // table itself) must reject every row
+    val before = spark.read.parquet(s"$dir/codes").count()
+    run(Files.createTempDirectory("pq-ingest-ckpt2").toString)
+    assert(spark.read.parquet(s"$dir/codes").count() == before,
+      "replayed ingest appended duplicate codes")
+  }
+
   test("reuse is gated by the completion marker; rebuild heals") {
     val dir = freshDir()
     assert(!Similarity.ivfPqIndexExists(spark, dir))
