@@ -1178,6 +1178,15 @@ object Queries {
           sProbe = 2).orderBy("vec_id", "rank"),
       Some(Similarity.knnGraphHierOracleSql(64, 5, 16, 4, 2, 2))),
 
+    // The nCells-sizing pre-flight: per-cell occupancy + pair-mass
+    // contribution — SUM(n_pairs) is the exact candidate cost of the
+    // flat cell paths, the first-order dial §39 measured at 8×
+    ("knn_cell_audit",
+      (s: SparkSession, d: String) =>
+        Similarity.cellOccupancy(t(s, d, "embeddings"), "vec_id",
+          "embedding", nCells = 16),
+      Some(Similarity.cellOccupancyOracleSql(64, 16))),
+
     // Its recall audit vs the exact top-k on a bounded query sample
     ("knn_graph_recall",
       (s: SparkSession, d: String) =>

@@ -615,6 +615,35 @@ object Similarity {
     |            JOIN v v2 ON v2.vid = cand.d2)""".stripMargin
   }
 
+  /** Cell-occupancy audit — the nCells-sizing pre-flight every
+    * cell-blocked operator (knnGraph, cellNearDupPairs, SemDeDup)
+    * should run BEFORE committing to a dial: per primary cell the
+    * occupant count and its pair-mass contribution n(n−1)/2, whose
+    * SUM is the exact candidate-enumeration cost of the flat paths.
+    * SCALE.md §39 measured why this matters: under-celling (160
+    * cells on 20k vectors) cost 8× more than the assignment ever
+    * does — occupancy, not assignment, is the first-order dial.
+    * One assignment pass + one |nCells|-row agg. */
+  def cellOccupancy(corpus: DataFrame, id: String, emb: String,
+                    nCells: Int): DataFrame =
+    withNearestCells(corpus, id, emb, nCells, 1)
+      .select(explode(col("cells")).as("c_id"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .select(col("c_id"), col("n_vectors").cast("long").as("n_vectors"),
+        (col("n_vectors") * (col("n_vectors") - 1) / 2).cast("long")
+          .as("n_pairs"))
+      .orderBy("c_id")
+
+  /** DuckDB twin of [[cellOccupancy]] over `embeddings`. */
+  def cellOccupancyOracleSql(dim: Int, nCells: Int): String =
+    s"""
+    |WITH ${cellNearDupCtes(dim, nCells, 1)}
+    |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vectors,
+    |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+    |FROM assigned GROUP BY c_id ORDER BY c_id
+    |""".stripMargin.trim
+
   /** DuckDB oracle for [[cellNearDupPairs]] over `embeddings`. The
     * SQL side pays a pair-level DISTINCT where the Spark side uses
     * the smallest-shared-cell predicate — same pair set. Assignment
