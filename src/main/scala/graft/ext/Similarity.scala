@@ -631,8 +631,11 @@ object Similarity {
       .groupBy(col("c_id"))
       .agg(count(lit(1)).as("n_vectors"))
       .select(col("c_id"), col("n_vectors").cast("long").as("n_vectors"),
-        (col("n_vectors") * (col("n_vectors") - 1) / 2).cast("long")
-          .as("n_pairs"))
+        // decimal fold + integer div: `/` on longs is DOUBLE division
+        // in Spark (precision loss past 2^53 pairs), and the bare
+        // long product wraps past ~4.3e9 occupants
+        expr("cast(n_vectors as decimal(38,0)) * (n_vectors - 1) div 2")
+          .cast("long").as("n_pairs"))
       .orderBy("c_id")
 
   /** DuckDB twin of [[cellOccupancy]] over `embeddings`. */
@@ -640,7 +643,8 @@ object Similarity {
     s"""
     |WITH ${cellNearDupCtes(dim, nCells, 1)}
     |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vectors,
-    |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+    |  CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 AS BIGINT)
+    |    AS n_pairs
     |FROM assigned GROUP BY c_id ORDER BY c_id
     |""".stripMargin.trim
 

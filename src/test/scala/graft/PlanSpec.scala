@@ -488,4 +488,40 @@ class PlanSpec extends SparkSpec {
         "denseRank must be bit-identical under rank.mode=fences")
     } finally spark.conf.unset(ext.Rank.ModeKey)
   }
+
+  test("link_predict_approx: equi-joins only — banding and array " +
+      "verification never degenerate to a cartesian") {
+    val p = plan("link_predict_approx")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a non-equi join crept into the screen:\n$p")
+    // verification is the array form: no third re-aggregation of an
+    // exploded adjacency (count-distinct-free plan past the banding)
+    assert(p.contains("array_intersect"),
+      s"verification lost the array-intersection form:\n$p")
+  }
+
+  test("knn_graph_hier: assignment through the compiled shortlist " +
+      "kernels, no crossJoin") {
+    val p = plan("knn_graph_hier")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the declared query checkpoints the assignment, so pin the
+    // kernel on the assignment subplan itself (same path the query
+    // materializes)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ap = ext.Similarity.withNearestCellsHier(emb, "vec_id",
+        "embedding", nCells = 16, nSuper = 4, nProbe = 2, sProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct"),
+      s"hier assignment crossJoins:\n$ap")
+    assert(ap.toLowerCase.contains("shortlist"),
+      s"hier assignment lost the compiled kernel:\n$ap")
+  }
+
+  test("knn_cell_audit: one assignment projection + one hash agg, " +
+      "no join anywhere") {
+    val p = plan("knn_cell_audit")
+    assert(!p.contains("Join"), s"occupancy audit must not join:\n$p")
+    assert(p.contains("HashAggregate"), s"expected a hash agg:\n$p")
+  }
 }
