@@ -740,6 +740,15 @@ object Queries {
             col("text"), 3, 8), 8, 2).orderBy("d1", "d2"),
       Some(Dedup.minhashOracleSql(3, 8, 2))),
 
+    // The LSH pre-flight (knn_cell_audit's dedup twin): (band, sig)
+    // bucket-size histogram + per-size pair mass — Σ pair_mass is the
+    // exact candidate volume the band join will emit, read BEFORE
+    // paying for it
+    ("minhash_bucket_audit",
+      (s: SparkSession, d: String) =>
+        Dedup.bandOccupancy(t(s, d, "documents"), 3, 8, 2),
+      Some(Dedup.bandOccupancyOracleSql(3, 8, 2))),
+
     ("simhash_dedup",
       (s: SparkSession, d: String) =>
         Dedup.simhashPairs(

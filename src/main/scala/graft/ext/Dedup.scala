@@ -775,6 +775,44 @@ object Dedup {
     |""".stripMargin.trim
   }
 
+  /** LSH bucket-occupancy audit — the dedup-ladder twin of
+    * [[graft.ext.Similarity.cellOccupancy]]: the (band, sig) bucket
+    * SIZE HISTOGRAM with each size's pair-mass contribution
+    * s(s−1)/2 · n_buckets, whose sum is the exact candidate volume
+    * the band join will emit. The pre-flight a 100 TB dedup runs
+    * BEFORE the join: a boilerplate-heavy corpus shows up here as a
+    * fat tail (one 10⁶-doc bucket = 5·10¹¹ pairs from one key) while
+    * the fix (shingle/band dials, or a bucket cap) is still cheap.
+    * Histogram output is ≤ |distinct sizes| rows at any corpus scale;
+    * pair mass folds in decimal(38,0)/HUGEINT. */
+  def bandOccupancy(docs: DataFrame, shingle: Int, k: Int,
+                    rowsPerBand: Int = 2): DataFrame =
+    minhashBandRows(
+        minhashSignature(docs, col("doc_id"), col("text"), shingle, k),
+        k, rowsPerBand)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("s").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("bucket_size").cast("long").as("bucket_size"),
+        col("n_buckets").cast("long").as("n_buckets"),
+        expr("cast(bucket_size as decimal(38,0)) * (bucket_size - 1) " +
+          "div 2 * n_buckets").cast("long").as("pair_mass"))
+      .orderBy("bucket_size")
+
+  /** DuckDB twin of [[bandOccupancy]] over `documents`. */
+  def bandOccupancyOracleSql(shingle: Int, k: Int,
+                             rowsPerBand: Int = 2): String =
+    s"""
+    |WITH ${minhashCtes(shingle, k, rowsPerBand)},
+    |bsz AS (SELECT band, sig, count(*) AS s FROM bands GROUP BY 1, 2)
+    |SELECT CAST(s AS BIGINT) AS bucket_size,
+    |  CAST(count(*) AS BIGINT) AS n_buckets,
+    |  CAST(CAST(s AS HUGEINT) * (s - 1) // 2 * count(*) AS BIGINT)
+    |    AS pair_mass
+    |FROM bsz GROUP BY s ORDER BY bucket_size
+    |""".stripMargin.trim
+
   /** Full DuckDB oracle for minhash LSH candidates over `documents`. */
   def minhashOracleSql(shingle: Int, k: Int, rowsPerBand: Int): String =
     s"""
