@@ -85,9 +85,19 @@ object BenchDecomp {
       val e = emb(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft-bench-pq").toString
-      Similarity.ivfPqWriteIndex(e,
-        Similarity.pqSampleCodebooks(e, 8, 16, 8), 16, 8, 64, dir)
-      1L
+      try {
+        Similarity.ivfPqWriteIndex(e,
+          Similarity.pqSampleCodebooks(e, 8, 16, 8), 16, 8, 64, dir)
+        1L
+      } finally {
+        // the thunk runs 2-3 times per bench (warmup + trials);
+        // without cleanup every run leaves a full index copy in /tmp.
+        // Deleting a freshly-written small index is ms-scale noise
+        // inside a multi-second build wall.
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     })
   )
 }

@@ -68,15 +68,84 @@ object Queries {
 
   /** Scratch root for PERSISTED-index queries (`ann_pq_persisted`):
     * build-once/search-many indexes keyed by (format/dial tag,
-    * canonical fixture path) so different scale factors never collide
-    * and a format change invalidates old builds. Lives under
-    * java.io.tmpdir — the index is derived data, rebuildable from the
-    * fixtures; reuse is gated by the index's own completion marker
+    * canonical fixture path, CONTENT FINGERPRINT of the source table)
+    * so different scale factors never collide, a format change
+    * invalidates old builds, and — the part the path alone can't give
+    * — a REGENERATED fixture at the same path (new synth round/seed)
+    * gets a fresh key instead of silently reusing a stale index built
+    * from the old data. Lives under java.io.tmpdir — the index is
+    * derived data, rebuildable from the fixtures; reuse is gated by
+    * the index's own completion marker
     * ([[graft.ext.Similarity.ivfPqIndexExists]]). */
-  private def indexScratch(sfDir: String, tag: String): String = {
+  private def indexScratch(sfDir: String, tag: String,
+                           table: String): String = {
     val canon = new java.io.File(sfDir).getCanonicalPath
       .replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft-index/$tag/$canon"
+    val fp = fixtureFingerprint(sfDir, table)
+    s"${System.getProperty("java.io.tmpdir")}/graft-index/$tag/$canon-$fp"
+  }
+
+  /** Cheap content fingerprint of a fixture table: fold (relative
+    * path, length, mtime) of every file under `<sfDir>/<table>.parquet`
+    * into one 64-bit mix. Metadata-only — no data scan — but any
+    * rewrite of the fixture (new file set, new sizes, new mtimes)
+    * changes it, which is exactly the staleness signal the scratch
+    * key needs. */
+  private def fixtureFingerprint(sfDir: String, table: String): String = {
+    val root = new java.io.File(s"$sfDir/$table.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    var h = 1125899906842597L
+    walk(root).foreach { f =>
+      h = h * 31 + f.getName.hashCode
+      h = h * 31 + f.length()
+      h = h * 31 + f.lastModified()
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** Build-and-publish an index dir ATOMICALLY: `build` writes into a
+    * unique temp sibling, which is then rename(2)-published to `dir`.
+    * Concurrent builders each build their own copy; exactly one
+    * rename wins, the loser discards its copy and uses the winner's —
+    * a reader can never observe two builds interleaved under `dir`.
+    * A crash LEFTOVER at `dir` (partial build, no codes/_SUCCESS —
+    * possible only for pre-atomic builds or a torn filesystem) is
+    * deleted and the publish retried, so the heal path of
+    * [[graft.ext.Similarity.ivfPqIndexExists]] terminates instead of
+    * rebuilding forever against an unpublishable destination. */
+  private def publishIndexAtomic(s: SparkSession, dir: String)
+                                (build: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dest = Paths.get(dir)
+    Files.createDirectories(dest.getParent)
+    val tmp = Files.createTempDirectory(dest.getParent, ".build-")
+    // the builder writes INTO tmp (Spark creates subdirs itself)
+    Files.deleteIfExists(tmp)
+    build(tmp.toString)
+    def tryPublish(): Boolean =
+      try {
+        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.nio.file.FileSystemException => false }
+    if (!tryPublish()) {
+      if (!ext.Similarity.ivfPqIndexExists(s, dir)) {
+        // dest exists but is incomplete: crash leftover — heal it
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        if (!tryPublish()) deleteLocalDir(tmp) // concurrent healer won
+      } else deleteLocalDir(tmp) // another builder won; use its index
+    }
+  }
+
+  private def deleteLocalDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Naive (NTZ) timestamp literal — the whole warehouse runs on
@@ -1359,10 +1428,11 @@ object Queries {
     ("ann_pq_persisted",
       (s: SparkSession, d: String) => {
         val emb = t(s, d, "embeddings")
-        val dir = indexScratch(d, "pq_v1_c16_m8_k16_d64")
+        val dir = indexScratch(d, "pq_v1_c16_m8_k16_d64", "embeddings")
         if (!Similarity.ivfPqIndexExists(s, dir))
-          Similarity.ivfPqWriteIndex(emb,
-            Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, dir)
+          publishIndexAtomic(s, dir)(tmp =>
+            Similarity.ivfPqWriteIndex(emb,
+              Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, tmp))
         Similarity.ivfPqSearchPersisted(s, dir, emb,
           emb.filter(col("vec_id") < 10), 5, nProbe = 4, m = 8,
           dim = 64, rerank = 20).orderBy("query_id", "rank")

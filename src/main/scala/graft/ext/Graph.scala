@@ -404,15 +404,19 @@ object Graph {
     // would argmin at the same smallest-hash neighbor (matches = 8
     // for any pair sharing that one neighbor). The second fixed
     // permutation always wraps (stage-1 output spans up to P2, and
-    // even the smallest stage-1 value ~1.5e6 × 75479 wraps P2 dozens
-    // of times), restoring per-position independence.
+    // even the smallest stage-1 value ~1.5e6 × Stage2.a wraps P2
+    // dozens of times), restoring per-position independence. Stage 2
+    // uses [[Hashing.Stage2]], a coefficient pair deliberately
+    // OUTSIDE Perms — reusing a Perms member would make that
+    // position's two stages the same affine map composed with itself.
+    val (s2a, s2b) = Hashing.Stage2
     val sigs = Pin.pin(adj
       .withColumn("__base", Hashing.polyHash(col("n").cast("string")))
       .withColumn("i", explode(sequence(lit(0), lit(nHashes - 1))))
       .select(col("a"), col("i"),
         pmod(pmod(col("__base") * element_at(as, col("i") + 1) +
-          element_at(bs, col("i") + 1), lit(Hashing.P2)) * lit(75479L) +
-          lit(2357L), lit(Hashing.P2)).as("h"))
+          element_at(bs, col("i") + 1), lit(Hashing.P2)) * lit(s2a) +
+          lit(s2b), lit(Hashing.P2)).as("h"))
       .groupBy(col("a"), col("i")).agg(min(col("h")).as("h")))
     val oversize = sigs.groupBy(col("i"), col("h"))
       .agg(count(lit(1)).as("__bn"))
@@ -508,7 +512,7 @@ object Graph {
     |  SELECT a, r.i,
     |    min((((bh * (CASE r.i $aCase END)
     |      + (CASE r.i $bCase END)) % ${Hashing.P2})
-    |      * 75479 + 2357) % ${Hashing.P2}) AS h
+    |      * ${Hashing.Stage2._1} + ${Hashing.Stage2._2}) % ${Hashing.P2}) AS h
     |  FROM base CROSS JOIN (SELECT unnest(range(0, $nHashes)) AS i) r
     |  GROUP BY a, r.i),
     |banded AS (

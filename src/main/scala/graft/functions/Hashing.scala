@@ -29,6 +29,17 @@ object Hashing {
     (32771L, 11L), (49157L, 1009L), (65537L, 8191L), (92821L, 131L),
     (75479L, 2357L), (54679L, 6173L), (88523L, 947L), (41233L, 521L))
 
+  /** Second-stage mixing coefficients for COMPOSED two-stage
+    * permutations (e.g. the neighbor-set minhash in
+    * [[graft.ext.Graph.linkPredictApprox]], where stage 1 is
+    * Perms(i) and stage 2 re-wraps the result so small stage-1
+    * outputs can't stay order-preserving). Deliberately NOT a member
+    * of [[Perms]]: if stage 2 reused Perms(j), position i = j would
+    * compose the same affine map with itself and the per-position
+    * independence argument breaks for that position. a < 10^5 keeps
+    * the product bounded exactly as for Perms (P2·a < 2^48). */
+  val Stage2: (Long, Long) = (99991L, 7919L)
+
   /** Polynomial hash of a string column (Spark side) — the compiled
     * [[org.apache.spark.sql.graftext.PolyHashExpr]] kernel; HashingSpec
     * pins it to [[polyHashHof]] below. */

@@ -9,9 +9,10 @@ import graft.ext.{Graph, Similarity}
   * (`GraphDial <mode> <dir> [args...]`), the SCALE.md §33 protocol
   * (BenchOne-style min-of-N walls, quiet box, SynthGen fixtures):
   *
-  *  - `link <dir> [n]` — linkPredict and linkPredictApprox walls
-  *    (min-of-n) over the dir's lineitem co-order graph: the decade
-  *    scaling row.
+  *  - `link <dir> [n]` — linkPredict wall (min-of-n) over the dir's
+  *    lineitem co-order graph: the decade scaling row.
+  *  - `approx <dir> [n]` — linkPredictApprox wall (min-of-n) over
+  *    the same graph: the screened ranker's side of the decade row.
   *  - `maxdeg <dir> d1,d2,...` — the linkPredict maxDegree dial:
   *    for each cap, wall + the top-100 overlap vs the default-cap
   *    reference + the wedge volume Σ_{deg≤d} deg² (from the degree
