@@ -2383,6 +2383,17 @@ object Queries {
           .orderBy("node_id"),
       Some(ext.Graph.coOrderTrianglesOracleSql)),
 
+    // The graph family's sizing pre-flight (the minhash_bucket_audit
+    // / knn_cell_audit discipline applied to CN ranking): exact
+    // degree deciles + hub tail + Σdeg² wedge mass + the per-edge
+    // cost multiplier E[deg²]/E[deg] in ppm — the §39 cost model as
+    // one cheap agg a deployment runs BEFORE paying for link_predict
+    ("degree_histogram",
+      (s: SparkSession, d: String) =>
+        ext.Graph.degreeHistogram(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey"))),
+      Some(ext.Graph.degreeHistogramOracleSql)),
+
     // Missing-link ranking: non-adjacent part pairs sharing >= 2
     // co-order neighbors, top-100 by neighborhood-Jaccard ppm —
     // wedge emission apex-capped, full degrees in the denominator

@@ -74,7 +74,7 @@ object SurveyGen {
         in("clustering_coeff", "basket_lift", "component_size_hist",
           "link_predict", "link_predict_approx",
           "link_predict_approx_recall", "degree_assortativity",
-          "kcore_rounds"))
+          "degree_histogram", "kcore_rounds"))
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
         "cusum_drift", "benford_audit", "table_checksum",

@@ -383,17 +383,38 @@ object Graph {
     * wraps and is order-preserving, which collapses every position
     * onto the same min neighbor) then per-position (a_i·h + b_i)
     * mod P2 with a second fixed wrap stage, shared with the
-    * text-minhash family ([[graft.functions.Hashing]]). */
+    * text-minhash family ([[graft.functions.Hashing]]).
+    *
+    * `maxDegree` (declared semantics, mirrored in the oracle — the
+    * same dial [[linkPredict]] has): nodes whose degree exceeds it
+    * are EXCLUDED from ranking — no signature, no candidacy, no
+    * verification array. Without the cap the verify stage's per-node
+    * `sort_array(collect_list)` payload is O(deg): fine at the
+    * measured 58,943-degree hub (~0.5 MB/row, SCALE.md §39) but a
+    * 10⁸-degree pathological hub would build one ~800 MB aggregation
+    * row and die in the agg exactly the way the uncapped wedge form
+    * did. With it, every verify array is ≤ maxDegree elements by
+    * construction. The bias is the cap's declared trade: a hub-
+    * endpoint pair is never ranked (a hub's neighborhood Jaccard is
+    * ~0 against non-hubs anyway); hubs still COUNT as common
+    * neighbors inside surviving pairs' arrays — cn stays exact. */
   def linkPredictApprox(edges: DataFrame, k: Int, nHashes: Int = 8,
                         minCn: Long = 2L,
-                        maxBucket: Int = DefaultMaxGroupSize): DataFrame = {
+                        maxBucket: Int = DefaultMaxGroupSize,
+                        maxDegree: Int = DefaultMaxGroupSize): DataFrame = {
     require(nHashes >= 1 && k >= 1)
     require(nHashes <= graft.functions.Hashing.Perms.size,
       s"nHashes > ${graft.functions.Hashing.Perms.size} needs more Perms")
     val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
-    val adj = e.select(col("u").as("a"), col("v").as("n"))
+    val adjAll = e.select(col("u").as("a"), col("v").as("n"))
       .unionByName(e.select(col("v").as("a"), col("u").as("n")))
+    // degree cap FIRST: one count agg + a semi join, so hub nodes
+    // never reach the signature agg, the band join, or the
+    // collect_list verify arrays — the O(deg) payload bound
+    val okDeg = adjAll.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") <= maxDegree).select(col("a"))
+    val adj = adjAll.join(okDeg, Seq("a"), "left_semi")
     // one agg: per (node, position) the min hash over the neighbor set
     import graft.functions.Hashing
     val as = typedLit(Hashing.Perms.take(nHashes).map(_._1))
@@ -487,7 +508,8 @@ object Graph {
     * `approx`(u, v, cn, deg_u, deg_v, jaccard_ppm) BEFORE the top-k
     * cut. */
   private def linkPredictApproxCtes(nHashes: Int, minCn: Long,
-                                    maxBucket: Int): String = {
+                                    maxBucket: Int,
+                                    maxDegree: Int): String = {
     import graft.functions.Hashing
     val aCase = Hashing.Perms.take(nHashes).zipWithIndex
       .map { case ((a, _), i) => s"WHEN $i THEN $a" }.mkString(" ")
@@ -505,9 +527,12 @@ object Graph {
     |  WHERE a.o IN (SELECT o FROM ok)),
     |adj AS (SELECT u AS a, v AS n FROM e UNION ALL SELECT v, u FROM e),
     |deg AS (SELECT a, count(*) AS degree FROM adj GROUP BY a),
+    |adjc AS (
+    |  SELECT adj.a, adj.n FROM adj JOIN deg ON deg.a = adj.a
+    |  WHERE deg.degree <= $maxDegree),
     |base AS (
     |  SELECT a, ${Hashing.polyHashSql("CAST(n AS VARCHAR)")} AS bh
-    |  FROM adj),
+    |  FROM adjc),
     |sigs AS (
     |  SELECT a, r.i,
     |    min((((bh * (CASE r.i $aCase END)
@@ -527,7 +552,7 @@ object Graph {
     |noncand AS (
     |  SELECT c.u, c.v FROM cand c
     |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)),
-    |nbrs AS (SELECT a, list_sort(list(n)) AS nbr FROM adj GROUP BY a),
+    |nbrs AS (SELECT a, list_sort(list(n)) AS nbr FROM adjc GROUP BY a),
     |cnv AS (
     |  SELECT c.u, c.v,
     |    CAST(len(list_intersect(nu.nbr, nv.nbr)) AS BIGINT) AS cn,
@@ -546,9 +571,10 @@ object Graph {
   /** DuckDB twin of [[linkPredictApprox]] over lineitem co-edges. */
   def linkPredictApproxOracleSql(k: Int, nHashes: Int = 8,
                                  minCn: Long = 2L,
-                                 maxBucket: Int = DefaultMaxGroupSize): String =
+                                 maxBucket: Int = DefaultMaxGroupSize,
+                                 maxDegree: Int = DefaultMaxGroupSize): String =
     s"""
-    |WITH ${linkPredictApproxCtes(nHashes, minCn, maxBucket)}
+    |WITH ${linkPredictApproxCtes(nHashes, minCn, maxBucket, maxDegree)}
     |SELECT u, v, cn, deg_u, deg_v, jaccard_ppm FROM approx
     |ORDER BY jaccard_ppm DESC, u, v LIMIT $k
     |""".stripMargin.trim
@@ -558,9 +584,11 @@ object Graph {
   def linkPredictApproxRecallOracleSql(minCn: Long, k: Int,
                                        nHashes: Int = 8,
                                        maxBucket: Int =
+                                         DefaultMaxGroupSize,
+                                       maxDegree: Int =
                                          DefaultMaxGroupSize): String =
     s"""
-    |WITH ${linkPredictApproxCtes(nHashes, minCn, maxBucket)},
+    |WITH ${linkPredictApproxCtes(nHashes, minCn, maxBucket, maxDegree)},
     |adjok AS (
     |  SELECT adj.a, adj.n FROM adj JOIN deg ON deg.a = adj.a
     |  WHERE deg.degree <= $DefaultMaxGroupSize),
@@ -779,5 +807,107 @@ object Graph {
     |  (cn * 1000000) // (du.degree + dv.degree - cn) AS jaccard_ppm
     |FROM nonedge JOIN deg du ON du.a = u JOIN deg dv ON dv.a = v
     |ORDER BY jaccard_ppm DESC, u, v LIMIT $k
+    |""".stripMargin.trim
+
+  /** Degree-histogram pre-flight for the common-neighbor rankers —
+    * the "measure before you load" gate (the watermark-read
+    * discipline of J35, applied to graph cost): one row of exact
+    * sizing facts a deployment reads BEFORE paying for
+    * [[linkPredict]] / [[clusteringCoeff]], because their cost model
+    * is wedge mass, not edge count (SCALE.md §39:
+    * rows × E[deg²]/E[deg]). Columns:
+    *
+    *  - `n_nodes`, `n_edges` — the graph's size;
+    *  - `d_p10/d_p50/d_p90/d_p99/d_p999/d_max` — exact degree
+    *    deciles + the hub tail (rank-based, value at ceiling rank —
+    *    no float percentiles), the numbers that say whether a
+    *    `maxDegree` cap will bite and where to set it;
+    *  - `wedge_mass` = Σ deg² — the exact wedge-enumeration volume
+    *    an uncapped CN ranker pays (§39's 46-minute lesson was one
+    *    hub's deg² ≈ 3.5·10⁹ alone);
+    *  - `wedge_per_edge_ppm` = Σdeg²·10⁶ div Σdeg — E[deg²]/E[deg]
+    *    in exact ppm, the per-edge cost multiplier that separates a
+    *    healthy graph (≈ mean degree) from a hub-dominated one.
+    *
+    * Scale shape: degrees are one hash agg over 2m adjacency rows;
+    * everything after runs on the DEGREE HISTOGRAM — at most
+    * max-degree distinct rows, usually a few hundred — so the one
+    * global window (the cumulative rank) sorts the histogram, never
+    * the nodes. Sums fold in decimal(38,0): Σdeg² at a 10⁸-degree
+    * hub is 10¹⁶ before the ppm multiply, past int64 × 10⁶. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("nd"))
+    // cumulative node count in degree order — a window over the
+    // HISTOGRAM (≤ max-degree rows), not the node table
+    val cum = hist.withColumn("cum",
+      sum(col("nd")).over(Window.orderBy(col("d"))))
+    val tot = hist.agg(
+      sum(col("nd")).as("__n"),
+      sum(col("d").cast("decimal(38,0)") * col("nd")).as("__sd"),
+      sum(col("d").cast("decimal(38,0)") * col("d") * col("nd"))
+        .as("__sd2"),
+      max(col("d")).as("__dmax"))
+    def pct(ppm: Long): Column =
+      min(when(col("cum") >=
+        expr(s"(__n * $ppm + 999999L) div 1000000L"), col("d")))
+        .cast("long")
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("__n"), col("__sd"), col("__sd2"), col("__dmax"))
+      .agg(
+        pct(100000L).as("d_p10"), pct(500000L).as("d_p50"),
+        pct(900000L).as("d_p90"), pct(990000L).as("d_p99"),
+        pct(999000L).as("d_p999"))
+      .select(
+        col("__n").cast("long").as("n_nodes"),
+        expr("__sd div 2").cast("long").as("n_edges"),
+        col("d_p10"), col("d_p50"), col("d_p90"), col("d_p99"),
+        col("d_p999"), col("__dmax").cast("long").as("d_max"),
+        col("__sd2").cast("long").as("wedge_mass"),
+        expr("(__sd2 * 1000000) div __sd").cast("long")
+          .as("wedge_per_edge_ppm"))
+  }
+
+  /** DuckDB twin of [[degreeHistogram]] over the part co-order
+    * graph (same `g/ok/e` chain as [[linkPredictOracleSql]]). */
+  def degreeHistogramOracleSql: String =
+    s"""
+    |WITH g AS (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |ok AS (
+    |  SELECT o FROM g GROUP BY o HAVING count(*) <= $DefaultMaxGroupSize),
+    |e AS (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
+    |adj AS (SELECT u AS a, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    |deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a),
+    |hist AS (SELECT d, count(*) AS nd FROM deg GROUP BY d),
+    |cum AS (SELECT d, nd, sum(nd) OVER (ORDER BY d) AS cum FROM hist),
+    |tot AS (
+    |  SELECT sum(nd) AS n, sum(CAST(d AS HUGEINT) * nd) AS sd,
+    |    sum(CAST(d AS HUGEINT) * d * nd) AS sd2, max(d) AS dmax
+    |  FROM hist)
+    |SELECT CAST(t.n AS BIGINT) AS n_nodes,
+    |  CAST(t.sd // 2 AS BIGINT) AS n_edges,
+    |  CAST(min(CASE WHEN c.cum >= (t.n * 100000 + 999999) // 1000000
+    |    THEN c.d END) AS BIGINT) AS d_p10,
+    |  CAST(min(CASE WHEN c.cum >= (t.n * 500000 + 999999) // 1000000
+    |    THEN c.d END) AS BIGINT) AS d_p50,
+    |  CAST(min(CASE WHEN c.cum >= (t.n * 900000 + 999999) // 1000000
+    |    THEN c.d END) AS BIGINT) AS d_p90,
+    |  CAST(min(CASE WHEN c.cum >= (t.n * 990000 + 999999) // 1000000
+    |    THEN c.d END) AS BIGINT) AS d_p99,
+    |  CAST(min(CASE WHEN c.cum >= (t.n * 999000 + 999999) // 1000000
+    |    THEN c.d END) AS BIGINT) AS d_p999,
+    |  CAST(t.dmax AS BIGINT) AS d_max,
+    |  CAST(t.sd2 AS BIGINT) AS wedge_mass,
+    |  CAST((t.sd2 * 1000000) // t.sd AS BIGINT) AS wedge_per_edge_ppm
+    |FROM cum c CROSS JOIN tot t
+    |GROUP BY t.n, t.sd, t.sd2, t.dmax
     |""".stripMargin.trim
 }

@@ -104,6 +104,57 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, 3L, 3L, 666666L)))
   }
 
+  test("degreeHistogram: hand-checked deciles, wedge mass and hub tail " +
+    "on a star + pendant edge") {
+    // star center 1 with leaves 2..10 plus a disconnected edge
+    // 11-12: 12 nodes, degrees {1:9, 2..10:1, 11:1, 12:1}
+    // → hist {d=1: 11 nodes, d=9: 1 node}
+    val edges = ((2L to 10L).map(i => (1L, i)) ++ Seq((11L, 12L)))
+      .toDF("u", "v")
+    val r = Graph.degreeHistogram(edges).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 12L)
+    assert(r.getAs[Long]("n_edges") == 10L)
+    // cum: d=1 → 11 of 12; ranks ceil(p·12): p10→2, p50→6, p90→11
+    // all land in the d=1 mass; p99→ceil(11.88)=12 and p999→12 hit
+    // the hub row
+    assert(r.getAs[Long]("d_p10") == 1L)
+    assert(r.getAs[Long]("d_p50") == 1L)
+    assert(r.getAs[Long]("d_p90") == 1L)
+    assert(r.getAs[Long]("d_p99") == 9L)
+    assert(r.getAs[Long]("d_p999") == 9L)
+    assert(r.getAs[Long]("d_max") == 9L)
+    // Σdeg² = 81 + 11·1 = 92; Σdeg = 20 → 92·10⁶ div 20 = 4.6e6 —
+    // the hub multiplier: 4.6 wedges/edge where mean degree is 1.67
+    assert(r.getAs[Long]("wedge_mass") == 92L)
+    assert(r.getAs[Long]("wedge_per_edge_ppm") == 4600000L)
+  }
+
+  test("linkPredictApprox maxDegree: hub-endpoint pairs drop out of " +
+    "ranking, hubs still count as common neighbors, arrays stay bounded") {
+    // two hubs 100,101 sharing leaves 1..15 (deg 15 each, cn 15);
+    // two normal nodes 200,201 sharing {50,51,100} (deg 3, cn 3 —
+    // one common neighbor IS hub 100)
+    val edges = ((1L to 15L).flatMap(i => Seq((100L, i), (101L, i))) ++
+      Seq((200L, 50L), (200L, 51L), (200L, 100L),
+          (201L, 50L), (201L, 51L), (201L, 100L)))
+      .toDF("u", "v")
+    // uncapped: both pairs ranked, hub pair's cn = 15 (+200,201 now
+    // neighbors of 100, so deg(100)=17)
+    val open = Graph.linkPredictApprox(edges, k = 200, minCn = 2L)
+      .select("u", "v", "cn").as[(Long, Long, Long)].collect().toSet
+    assert(open.contains((100L, 101L, 15L)))
+    assert(open.contains((200L, 201L, 3L)))
+    // capped at 10: hub endpoints (deg 17/15 > 10) are never ranked;
+    // the normal pair survives and its cn STILL counts hub 100 as a
+    // common neighbor — only endpoints are capped, membership isn't
+    val capped = Graph.linkPredictApprox(edges, k = 200, minCn = 2L,
+      maxDegree = 10).select("u", "v", "cn")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 == 100L || p._1 == 101L ||
+      p._2 == 100L || p._2 == 101L))
+    assert(capped.contains((200L, 201L, 3L)))
+  }
+
   test("linkPredict: 4-cycle + chord — only the open pair is ranked") {
     // cycle 1-2-3-4-1 plus chord 1-3: (1,3) shares {2,4} but IS an
     // edge -> excluded; (2,4) shares {1,3}, deg 2 = deg 4 = 2 ->
