@@ -1248,13 +1248,21 @@ object Queries {
     // everything downstream of the assignment is shared with
     // knn_graph. With sProbe = nSuper the edge set provably equals
     // the flat graph's (KnnGraphHierSpec); the declared dial probes
-    // a strict subset (sProbe 2 of 4 supers)
+    // a strict subset (sProbe 2 of 4 supers). Declared on a
+    // vec_id < 1000 prefix slice: the mechanism proof lives in the
+    // parity pin, and the pair stage downstream of the assignment is
+    // byte-shared with knn_graph (which covers the full corpus) — a
+    // second full-corpus pass here bought ~10s/bench of evidence the
+    // pins already carry. Prefix keeps the vec_id < nCells codebook
+    // cut inside the corpus on both engines.
     ("knn_graph_hier",
       (s: SparkSession, d: String) =>
-        Similarity.knnGraphHier(t(s, d, "embeddings"), "vec_id",
-          "embedding", 64, k = 5, nCells = 16, nSuper = 4, nProbe = 2,
-          sProbe = 2).orderBy("vec_id", "rank"),
-      Some(Similarity.knnGraphHierOracleSql(64, 5, 16, 4, 2, 2))),
+        Similarity.knnGraphHier(
+          t(s, d, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", 64, k = 5, nCells = 16, nSuper = 4,
+          nProbe = 2, sProbe = 2).orderBy("vec_id", "rank"),
+      Some(Similarity.knnGraphHierOracleSql(64, 5, 16, 4, 2, 2,
+        corpusPred = "vec_id < 1000"))),
 
     // The nCells-sizing pre-flight: per-cell occupancy + pair-mass
     // contribution — SUM(n_pairs) is the exact candidate cost of the

@@ -950,9 +950,13 @@ object Similarity {
 
   /** The two-level CTE chain shared by the hier oracles — mirrors
     * [[withNearestCellsHier]] + pair enumeration, ending at
-    * `pairs`(d1, d2, cos) with no threshold applied. */
+    * `pairs`(d1, d2, cos) with no threshold applied. `corpusPred`
+    * bounds the corpus (`v`) — must be a PREFIX predicate containing
+    * the `vec_id < nCells` centroid cut so codebook derivation stays
+    * inside the corpus on both engines. */
   private def cellNearDupHierCtes(dim: Int, nCells: Int, nSuper: Int,
-                                  nProbe: Int, sProbe: Int): String = {
+                                  nProbe: Int, sProbe: Int,
+                                  corpusPred: String = "TRUE"): String = {
     def cos(a: String, b: String): String =
       s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
         s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
@@ -968,7 +972,8 @@ object Similarity {
     |      row_number() OVER (PARTITION BY cent.c_id
     |        ORDER BY ${cos("cent.ct_emb", "sup.s_emb")} DESC, sup.s_id) AS rn
     |    FROM cent, sup) WHERE rn = 1),
-    |v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings),
+    |v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings
+    |      WHERE $corpusPred),
     |supassign AS (
     |  SELECT vid, s_id FROM (
     |    SELECT v.vid, sup.s_id,
@@ -996,11 +1001,15 @@ object Similarity {
   }
 
   /** DuckDB twin of [[knnGraphHier]] over `embeddings` — the flat
-    * [[knnGraphOracleSql]] tail over the two-level CTE chain. */
+    * [[knnGraphOracleSql]] tail over the two-level CTE chain.
+    * `corpusPred` mirrors the declared dial's prefix slice (see
+    * [[cellNearDupHierCtes]]'s contract). */
   def knnGraphHierOracleSql(dim: Int, k: Int, nCells: Int, nSuper: Int,
-                            nProbe: Int = 2, sProbe: Int = 2): String =
+                            nProbe: Int = 2, sProbe: Int = 2,
+                            corpusPred: String = "TRUE"): String =
     s"""
-    |WITH ${cellNearDupHierCtes(dim, nCells, nSuper, nProbe, sProbe)},
+    |WITH ${cellNearDupHierCtes(dim, nCells, nSuper, nProbe, sProbe,
+      corpusPred)},
     |sym AS (SELECT d1 AS src, d2 AS nbr, cos FROM pairs
     |        UNION ALL SELECT d2, d1, cos FROM pairs),
     |ranked AS (
