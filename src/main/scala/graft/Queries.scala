@@ -1448,6 +1448,23 @@ object Queries {
       Some(Similarity.ivfPqTopKOracleSql(64, 5, 10, nCentroids = 16,
         nProbe = 4, m = 8, ksub = 16, rerank = 20))),
 
+    // The persisted index's REBUILD TRIGGER as data: exact
+    // quantization error of the appended slice (vec_id >= 400,
+    // encoded against the base slice's codebooks — the
+    // ann_pq_incremental contract) vs the base's own error, ratio in
+    // exact ppm. The day-2 audit ivfPqAppendToIndex's scaladoc names:
+    // append while drift_ppm holds, rebuild when it crosses the
+    // deployment's threshold (J43's rebuild half as a declared query)
+    ("pq_drift_audit",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqDriftAudit(emb,
+          Similarity.pqSampleCodebooks(
+            emb.filter(col("vec_id") < 400), 8, 16, 8),
+          m = 8, dim = 64, splitId = 400L)
+      },
+      Some(Similarity.pqDriftAuditOracleSql(64, 400L, m = 8, ksub = 16))),
+
     // Embedding-cosine near-dup pairs (dedup suite, embedding leg):
     // 4 hash tables x 4 planes -> OR-amplified recall
     ("embedding_neardup",

@@ -51,7 +51,7 @@ object SurveyGen {
       "document dedup / LSH"
     else if (pre("semantic_dedup") || pre("cluster_") ||
         pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||
-        in("kmeans_update", "feature_hash"))
+        in("kmeans_update", "feature_hash", "pq_drift_audit"))
       "similarity / ANN / semantic dedup"
     else if (pre("bpe_") || pre("quality") || pre("gopher") ||
         pre("lang_") || pre("length_") ||

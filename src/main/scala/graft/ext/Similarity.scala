@@ -1569,6 +1569,116 @@ object Similarity {
       .parquet(s"$dir/codes")
   }
 
+  /** Compact a persisted index's `codes` table — the day-2 half of
+    * J43's index-rebuild discipline (reference SQL:870-875: the
+    * maintenance window pays to restore scan shape). Every
+    * [[ivfPqAppendToIndex]] / [[graft.streaming.Streams.pqIngestSink]]
+    * micro-batch lands one small parquet file per touched cell; after
+    * months of appends the probe scan's cost tracks FILE COUNT, not
+    * code volume. Partitioned compaction ([[graft.sources.Sources
+    * .compact]] with c_id) clusters each cell into one file while
+    * preserving the hive layout — and with it dynamic partition
+    * pruning and the append/search contracts (PersistedPqSpec pins
+    * append → compact → search ≡ pre-compaction search row-for-row).
+    * Publishes through StagedWrite, so a crash mid-compaction never
+    * loses the codes table. */
+  def ivfPqCompactIndex(spark: SparkSession, dir: String): Unit =
+    graft.sources.Sources.compact(spark, s"$dir/codes",
+      partitionCols = Seq("c_id"))
+
+  /** Codebook DRIFT audit — the number that decides when a persisted
+    * PQ index must be REBUILT rather than appended to
+    * ([[ivfPqAppendToIndex]]'s declared trade: appended batches are
+    * encoded against the BASE codebooks, and as the corpus
+    * distribution drifts those codebooks quantize new rows worse).
+    * One row: per-slice totals of the exact min-subspace-L2
+    * quantization error ([[pqQuantizationError]]'s objective, in
+    * exact picounits — every distance is a multiple of 10⁻¹²) for
+    * the base slice (`vec_id < splitId` — what the codebooks saw)
+    * and the appended slice, plus `drift_ppm` = mean-error(new) /
+    * mean-error(base) in exact ppm. ≈ 10⁶ means the appended rows
+    * quantize as well as the base did (no drift); a deployment
+    * schedules the rebuild when it crosses its chosen threshold.
+    *
+    * Exactness: every per-(row, subspace) distance is an exact
+    * DECIMAL(25,12) ([[dotSub]]), so the row-level 10¹² scaling below
+    * is integral and the ppm ratio folds in integer space on both
+    * engines — no float means, no rounding drift. Scale shape: one
+    * corpus pass against broadcast codebooks (the [[pqEncode]] join),
+    * one min agg, one global fold. */
+  def pqDriftAudit(corpus: DataFrame, cw: DataFrame, m: Int, dim: Int,
+                   splitId: Long): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"m=$m must divide dim=$dim")
+    val c = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"))
+    val dmin = c
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("__n2s", dotSub(col("c_emb"), col("c_emb"), col("sub"), subLen))
+      .join(broadcast(cw), Seq("sub"))
+      .withColumn("__d", col("__n2s") + col("cw_n2s") -
+        lit(2) * dotSub(col("c_emb"), col("cw_emb"), col("sub"), subLen))
+      .groupBy(col("cand_id"), col("sub"))
+      .agg(min(col("__d")).as("__dmin"))
+      // exact picounit integer per (row, subspace): __dmin is a
+      // multiple of 10⁻¹² by construction
+      .withColumn("__dp",
+        expr("cast(__dmin * 1000000000000 as decimal(38,0))"))
+    dmin.agg(
+        expr(s"sum(case when cand_id < $splitId then 1 else 0 end)" +
+          s" div $m").cast("long").as("n_base"),
+        expr(s"sum(case when cand_id >= $splitId then 1 else 0 end)" +
+          s" div $m").cast("long").as("n_new"),
+        sum(when(col("cand_id") < splitId, col("__dp")))
+          .cast("decimal(38,0)").as("__ebp"),
+        sum(when(col("cand_id") >= splitId, col("__dp")))
+          .cast("decimal(38,0)").as("__enp"))
+      .select(col("n_base"), col("n_new"),
+        col("__ebp").cast("long").as("err_base_pico"),
+        col("__enp").cast("long").as("err_new_pico"),
+        expr("(__enp * n_base * 1000000) div (__ebp * n_new)")
+          .cast("long").as("drift_ppm"))
+  }
+
+  /** DuckDB twin of [[pqDriftAudit]] over `embeddings` with the
+    * sample codebooks derived from the BASE slice (ksub < splitId, so
+    * the codebook cut stays inside the base on both engines). */
+  def pqDriftAuditOracleSql(dim: Int, splitId: Long, m: Int,
+                            ksub: Int): String = {
+    val subLen = dim / m
+    def dsub(a: String, b: String): String = dotSubSql(a, b, "sub", subLen)
+    require(ksub <= splitId, "codebook cut must sit inside the base slice")
+    s"""
+    |WITH cw AS (
+    |  SELECT t.sub, e.vec_id AS cw_id, e.embedding AS cw_emb,
+    |    ${dotSubSql("e.embedding", "e.embedding", "t.sub", subLen)} AS cw_n2s
+    |  FROM embeddings e, range(0, $m) t(sub) WHERE e.vec_id < $ksub),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+    |dmin AS (
+    |  SELECT c.cand_id, cw.sub,
+    |    CAST(min(${dsub("c.c_emb", "c.c_emb")} + cw.cw_n2s
+    |      - 2 * ${dsub("c.c_emb", "cw.cw_emb")}) * 1000000000000
+    |      AS HUGEINT) AS dp
+    |  FROM c, cw GROUP BY c.cand_id, cw.sub)
+    |SELECT
+    |  CAST(count(CASE WHEN cand_id < $splitId THEN 1 END) // $m
+    |    AS BIGINT) AS n_base,
+    |  CAST(count(CASE WHEN cand_id >= $splitId THEN 1 END) // $m
+    |    AS BIGINT) AS n_new,
+    |  CAST(sum(CASE WHEN cand_id < $splitId THEN dp END)
+    |    AS BIGINT) AS err_base_pico,
+    |  CAST(sum(CASE WHEN cand_id >= $splitId THEN dp END)
+    |    AS BIGINT) AS err_new_pico,
+    |  CAST((sum(CASE WHEN cand_id >= $splitId THEN dp END)
+    |      * (count(CASE WHEN cand_id < $splitId THEN 1 END) // $m)
+    |      * 1000000)
+    |    // (sum(CASE WHEN cand_id < $splitId THEN dp END)
+    |      * (count(CASE WHEN cand_id >= $splitId THEN 1 END) // $m))
+    |    AS BIGINT) AS drift_ppm
+    |FROM dmin
+    |""".stripMargin.trim
+  }
+
   /** Search a PERSISTED IVF-PQ index ([[ivfPqWriteIndex]] layout):
     * the steady-state leg a production deployment pays per query
     * batch — load codebooks + centroids (both driver/broadcast

@@ -140,6 +140,45 @@ class PersistedPqSpec extends SparkSpec {
       "replayed ingest appended duplicate codes")
   }
 
+  test("compaction: append -> compact -> search == pre-compaction " +
+      "search row-for-row; file count shrinks, layout + marker survive") {
+    val dir = freshDir()
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    Similarity.ivfPqWriteIndex(base,
+      Similarity.pqSampleCodebooks(base, m, ksub, dim / m),
+      nCentroids, m, dim, dir)
+    // two appends = the small-files accumulation compaction exists for
+    Similarity.ivfPqAppendToIndex(spark,
+      batch.filter(col("vec_id") % 2 === 0), m, dim, dir)
+    Similarity.ivfPqAppendToIndex(spark,
+      batch.filter(col("vec_id") % 2 === 1), m, dim, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def search(): Seq[org.apache.spark.sql.Row] =
+      Similarity.ivfPqSearchPersisted(spark, dir, emb, q,
+          k = 5, nProbe = 4, m = m, dim = dim, rerank = 20)
+        .orderBy("query_id", "rank").collect().toSeq
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/codes"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = search()
+    val nBefore = parquetFiles()
+    Similarity.ivfPqCompactIndex(spark, dir)
+    assert(Similarity.ivfPqIndexExists(spark, dir),
+      "compaction lost the completion marker")
+    assert(parquetFiles() < nBefore,
+      s"compaction did not reduce file count ($nBefore)")
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+    assert(cellDirs.length > 1,
+      "compaction flattened the cell partitioning — DPP is gone")
+    assert(search() == before,
+      "search result drifted across compaction")
+  }
+
   test("reuse is gated by the completion marker; rebuild heals") {
     val dir = freshDir()
     assert(!Similarity.ivfPqIndexExists(spark, dir))
