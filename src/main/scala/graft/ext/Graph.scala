@@ -415,30 +415,54 @@ object Graph {
     val okDeg = adjAll.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") <= maxDegree).select(col("a"))
     val adj = adjAll.join(okDeg, Seq("a"), "left_semi")
-    // one agg: per (node, position) the min hash over the neighbor set
+    approxRankTail(e, adj, Pin.pin(neighborMinhash(adj, nHashes)),
+      k, minCn, maxBucket)
+  }
+
+  /** Per-(node, position) minhash MINIMA over the given adjacency
+    * rows — one agg, the signature kernel shared by the batch ranker
+    * and the streaming index's per-trigger delta
+    * ([[graft.streaming.Streams.linkApproxIngestSink]]). Min is
+    * associative, so minima over an adjacency DELTA min-merged with
+    * previously stored minima equal the full-set signature — the
+    * property that makes the persisted signature log incremental.
+    *
+    * TWO permutation stages: polyHash of a short digit-string id is
+    * tiny (≤ ~1.7e6 for 4-char ids), and a single (a·h+b) mod P2 of
+    * a tiny value never wraps — order-preserving, so every position
+    * would argmin at the same smallest-hash neighbor (matches = 8
+    * for any pair sharing that one neighbor). The second fixed
+    * permutation always wraps (stage-1 output spans up to P2, and
+    * even the smallest stage-1 value ~1.5e6 × Stage2.a wraps P2
+    * dozens of times), restoring per-position independence. Stage 2
+    * uses [[graft.functions.Hashing.Stage2]], a coefficient pair
+    * deliberately OUTSIDE Perms — reusing a Perms member would make
+    * that position's two stages the same affine map composed with
+    * itself. */
+  private[graft] def neighborMinhash(adj: DataFrame,
+                                     nHashes: Int): DataFrame = {
     import graft.functions.Hashing
     val as = typedLit(Hashing.Perms.take(nHashes).map(_._1))
     val bs = typedLit(Hashing.Perms.take(nHashes).map(_._2))
-    // TWO permutation stages: polyHash of a short digit-string id is
-    // tiny (≤ ~1.7e6 for 4-char ids), and a single (a·h+b) mod P2 of
-    // a tiny value never wraps — order-preserving, so every position
-    // would argmin at the same smallest-hash neighbor (matches = 8
-    // for any pair sharing that one neighbor). The second fixed
-    // permutation always wraps (stage-1 output spans up to P2, and
-    // even the smallest stage-1 value ~1.5e6 × Stage2.a wraps P2
-    // dozens of times), restoring per-position independence. Stage 2
-    // uses [[Hashing.Stage2]], a coefficient pair deliberately
-    // OUTSIDE Perms — reusing a Perms member would make that
-    // position's two stages the same affine map composed with itself.
     val (s2a, s2b) = Hashing.Stage2
-    val sigs = Pin.pin(adj
+    adj
       .withColumn("__base", Hashing.polyHash(col("n").cast("string")))
       .withColumn("i", explode(sequence(lit(0), lit(nHashes - 1))))
       .select(col("a"), col("i"),
         pmod(pmod(col("__base") * element_at(as, col("i") + 1) +
           element_at(bs, col("i") + 1), lit(Hashing.P2)) * lit(s2a) +
           lit(s2b), lit(Hashing.P2)).as("h"))
-      .groupBy(col("a"), col("i")).agg(min(col("h")).as("h")))
+      .groupBy(col("a"), col("i")).agg(min(col("h")).as("h"))
+  }
+
+  /** The banding + exact-verify + top-k tail shared by
+    * [[linkPredictApprox]] and [[linkPredictApproxFromIndex]]:
+    * `e` = the known-edge set (u < v) for the non-adjacency anti
+    * join, `adj` = degree-capped adjacency rows, `sigs` = (a, i, h)
+    * signatures over exactly `adj`'s nodes. */
+  private def approxRankTail(e: DataFrame, adj: DataFrame,
+                             sigs: DataFrame, k: Int, minCn: Long,
+                             maxBucket: Int): DataFrame = {
     val oversize = sigs.groupBy(col("i"), col("h"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket)
@@ -476,6 +500,42 @@ object Graph {
           .cast("long").as("jaccard_ppm"))
       .orderBy(col("jaccard_ppm").desc, col("u").asc, col("v").asc)
       .limit(k)
+  }
+
+  /** [[linkPredictApprox]] served from the PERSISTED signature index
+    * a [[graft.streaming.Streams.linkApproxIngestSink]] stream
+    * maintains under `dir`:
+    *
+    *  - `adj/` — (a, n) adjacency rows, exactly-once by construction
+    *    (the sink's anti-join ledger);
+    *  - `sigs/` — an append-only LOG of per-(a, i) minhash minima;
+    *    the true signature is the min-fold over the log, taken here
+    *    as one hash agg. Replayed deltas append duplicate minima,
+    *    which the fold absorbs — idempotence via min's associativity
+    *    instead of a second ledger.
+    *
+    * The degree cap, band skip, verification and ranking are the
+    * batch tail verbatim, so the result equals [[linkPredictApprox]]
+    * over the union of all streamed edges row-for-row (StreamsSpec
+    * pins it). This is the steady-state economics of the persisted
+    * PQ index applied to the graph family: per trigger the stream
+    * pays O(batch · nHashes); ranking never recomputes a signature
+    * from scratch. */
+  def linkPredictApproxFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, k: Int, nHashes: Int = 8,
+                                 minCn: Long = 2L,
+                                 maxBucket: Int = DefaultMaxGroupSize,
+                                 maxDegree: Int = DefaultMaxGroupSize): DataFrame = {
+    val adjAll = spark.read.parquet(s"$dir/adj")
+    val e = Pin.pin(adjAll.filter(col("a") < col("n"))
+      .select(col("a").as("u"), col("n").as("v")))
+    val okDeg = adjAll.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") <= maxDegree).select(col("a"))
+    val adj = adjAll.join(okDeg, Seq("a"), "left_semi")
+    val sigs = Pin.pin(spark.read.parquet(s"$dir/sigs")
+      .groupBy(col("a"), col("i")).agg(min(col("h")).as("h"))
+      .join(okDeg, Seq("a"), "left_semi"))
+    approxRankTail(e, adj, sigs, k, minCn, maxBucket)
   }
 
   /** Recall of [[linkPredictApprox]]'s top-k pair set against the

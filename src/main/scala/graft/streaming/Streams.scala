@@ -608,6 +608,59 @@ object Streams {
       }
       .start()
 
+  /** Streaming link-prediction index maintenance — the online twin of
+    * [[graft.ext.Graph.linkPredictApprox]]'s candidate machinery:
+    * each micro-batch of EDGES updates a persisted per-node state
+    * under `indexDir` that [[graft.ext.Graph.linkPredictApproxFromIndex]]
+    * ranks from at any time, equal to the batch ranker over the union
+    * of all streamed edges row-for-row:
+    *
+    *  - `adj/` — (a, n) adjacency rows, both orientations, distinct;
+    *  - `sigs/` — an append-only log of per-(a, i) minhash MINIMA
+    *    ([[graft.ext.Graph.neighborMinhash]] over each trigger's NEW
+    *    adjacency rows). Min is associative, so the reader's min-fold
+    *    over the log equals the full neighbor-set signature — no
+    *    signature is ever recomputed from the whole graph.
+    *
+    * Per trigger: canonicalize + dedup the batch's edges, anti-join
+    * against stored adjacency (the exactly-once ledger — adjacency IS
+    * the ledger, the pqIngestSink discipline), hash only the truly
+    * new rows (O(batch · nHashes)), append sigs THEN adj. That order
+    * is the crash contract: a crash between the two appends leaves
+    * orphan sig minima whose adjacency rows retry on replay (the
+    * min-fold absorbs the duplicate minima); the opposite order would
+    * mark rows as settled while their signature delta is lost
+    * forever — the cdcIngestSink under-count-not-lose rule. */
+  def linkApproxIngestSink(stream: DataFrame, indexDir: String,
+                           checkpoint: String,
+                           nHashes: Int = 8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val e = batch0.select(
+            least(col("u"), col("v")).cast("long").as("u"),
+            greatest(col("u"), col("v")).cast("long").as("v"))
+          .filter(col("u") =!= col("v")).dropDuplicates(Seq("u", "v"))
+        val badj = e.select(col("u").as("a"), col("v").as("n"))
+          .unionByName(e.select(col("v").as("a"), col("u").as("n")))
+          .dropDuplicates(Seq("a", "n"))
+        val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val newAdj = (if (fs.exists(
+            new org.apache.hadoop.fs.Path(s"$indexDir/adj")))
+          badj.join(spark.read.parquet(s"$indexDir/adj"),
+            Seq("a", "n"), "left_anti")
+        else badj).localCheckpoint()
+        if (!newAdj.isEmpty) {
+          graft.ext.Graph.neighborMinhash(newAdj, nHashes)
+            .write.mode("append").parquet(s"$indexDir/sigs")
+          newAdj.write.mode("append").parquet(s"$indexDir/adj")
+        }
+      }
+      .start()
+
   /** Streaming sequence packer — the incremental twin of
     * [[graft.ext.Corpus.seqPack]]: documents arrive as a stream, each
     * shard's running token total lives in keyed state, and every doc

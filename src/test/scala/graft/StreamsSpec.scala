@@ -231,6 +231,49 @@ class StreamsSpec extends SparkSpec {
     assert(got == want, "stream keep set diverged from the batch answer")
   }
 
+  test("linkApproxIngestSink: streamed index ranks identically to the " +
+    "batch approx ranker; replay appends nothing") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.ext.Graph
+    val edgesDir = tmp("link-edges-stream")
+    val indexDir = tmp("link-index") + "/ix"
+    val edges = Graph.coEdges(spark.read.parquet(s"$sf/lineitem.parquet"),
+      col("l_orderkey"), col("l_partkey")).localCheckpoint()
+    // two files -> two micro-batches: signatures must min-merge
+    // across triggers, not just within one
+    edges.filter(col("u") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(edgesDir)
+    edges.filter(col("u") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(edgesDir)
+    val schema = StructType(Seq(StructField("u", LongType),
+      StructField("v", LongType)))
+    def run(ckpt: String): Unit = {
+      val q = Streams.linkApproxIngestSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(edgesDir),
+        indexDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmp("link-chk"))
+    val got = Graph.linkPredictApproxFromIndex(spark, indexDir, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = Graph.linkPredictApprox(edges, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(want.nonEmpty, "fixture should rank some pairs")
+    assert(got == want, "streamed index drifted from the batch ranker")
+    // full replay (fresh checkpoint): every edge anti-joins against
+    // the stored adjacency -> nothing appended to either store
+    val adjBefore = spark.read.parquet(s"$indexDir/adj").count()
+    val sigsBefore = spark.read.parquet(s"$indexDir/sigs").count()
+    run(tmp("link-chk2"))
+    assert(spark.read.parquet(s"$indexDir/adj").count() == adjBefore,
+      "replay appended adjacency rows")
+    assert(spark.read.parquet(s"$indexDir/sigs").count() == sigsBefore,
+      "replay appended signature minima")
+  }
+
   test("nearDupIngestSink dedups same-batch redelivered ids") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docsDir = tmp("docs-stream-dup")
