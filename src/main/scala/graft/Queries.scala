@@ -2428,6 +2428,20 @@ object Queries {
           col("l_orderkey"), col("l_partkey")), minCn = 2, k = 100),
       Some(ext.Graph.linkPredictOracleSql(minCn = 2, k = 100))),
 
+    // Degree-weighted missing-link ranking: resource-allocation index
+    // Σ 1e6 div deg(z) over common neighbors — selective neighbors
+    // outrank hubs, in exact integer micro-units; declared on the
+    // 1995 full-year slice (the quarter is pair-free at sf0.01)
+    ("link_predict_ra",
+      (s: SparkSession, d: String) =>
+        ext.Graph.linkPredictRa(ext.Graph.coEdges(
+          t(s, d, "lineitem").filter(col("l_shipdate")
+            .between("1995-01-01", "1995-12-31")),
+          col("l_orderkey"), col("l_partkey")), minCn = 2, k = 100),
+      Some(ext.Graph.linkPredictRaOracleSql(
+        "l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'",
+        minCn = 2, k = 100))),
+
     // The hub-heavy escape hatch for exact CN ranking: minhash the
     // NEIGHBOR SETS (one agg, linear in edges), band the signatures,
     // estimate Jaccard as matching positions — no Σ deg(apex)²

@@ -476,7 +476,7 @@ object Similarity {
   /** Driver-scale codebook: the corpus vectors with id < nCells,
     * id-sorted, with double self-norms (the same driver-scale object
     * as the k-means centroid set). */
-  private def collectCodebook(corpus: DataFrame, id: String, emb: String,
+  private[graft] def collectCodebook(corpus: DataFrame, id: String, emb: String,
                               nCells: Int): Seq[(Long, Seq[Float], Double)] =
     corpus.filter(col(id) < nCells)
       .select(col(id).cast("long"), col(emb))
@@ -1224,7 +1224,7 @@ object Similarity {
     * superlinear at the round-7 decade probe (n·k wide rows through a
     * per-vector window sort); exploded output shape (id, emb, n2,
     * c_id) is identical, so the oracles are untouched. */
-  private def assignedCells(df: DataFrame, cb: Seq[(Long, Seq[Float], Double)],
+  private[graft] def assignedCells(df: DataFrame, cb: Seq[(Long, Seq[Float], Double)],
                             idCol: String, embCol: String,
                             nBest: Int): DataFrame =
     assignWithCodebook(df, idCol, embCol, cb, nBest)
@@ -1443,7 +1443,7 @@ object Similarity {
     * broadcast-hint it (which makes the partitioned codes scan
     * dynamic-partition-prunable) without perturbing the in-query
     * callers' pinned plans. */
-  private def ivfPqSearchStages(index: DataFrame, corpus: DataFrame,
+  private[graft] def ivfPqSearchStages(index: DataFrame, corpus: DataFrame,
                                 q: DataFrame, cw: DataFrame,
                                 probes: DataFrame, k: Int, m: Int,
                                 subLen: Int, rerank: Int): DataFrame = {

@@ -11,8 +11,10 @@ import graft.ext.{Graph, Similarity}
   *
   *  - `link <dir> [n]` — linkPredict wall (min-of-n) over the dir's
   *    lineitem co-order graph: the decade scaling row.
-  *  - `approx <dir> [n]` — linkPredictApprox wall (min-of-n) over
-  *    the same graph: the screened ranker's side of the decade row.
+  *  - `approx <dir> [n] [maxDegree]` — degreeHistogram pre-flight
+  *    then the linkPredictApprox wall (min-of-n) at the given verify
+  *    cap over the same graph: the screened ranker's side of the
+  *    decade row, and the hub-payload dial measurement.
   *  - `maxdeg <dir> d1,d2,...` — the linkPredict maxDegree dial:
   *    for each cap, wall + the top-100 overlap vs the default-cap
   *    reference + the wedge volume Σ_{deg≤d} deg² (from the degree
@@ -56,10 +58,18 @@ object GraphDial {
 
       case "approx" =>
         val n = if (args.length > 2) args(2).toInt else 1
+        val cap = if (args.length > 3) args(3).toInt
+                  else Graph.DefaultMaxGroupSize
+        val edges = Graph.coEdges(li, col("l_orderkey"),
+          col("l_partkey")).localCheckpoint()
+        // the declared pre-flight, run exactly as a deployment would:
+        // decide the cap from the hub tail BEFORE paying for the ranker
+        Graph.degreeHistogram(edges).show(false)
         val (ta, rowsA) = timeIt(n)(
-          Graph.linkPredictApprox(Graph.coEdges(li, col("l_orderkey"),
-            col("l_partkey")), k = 100).count())
-        println(f"link_predict_approx: $ta%.2f s min-of-$n ($rowsA rows)")
+          Graph.linkPredictApprox(edges, k = 100,
+            maxDegree = cap).count())
+        println(f"link_predict_approx maxDegree=$cap: " +
+          f"$ta%.2f s min-of-$n ($rowsA rows)")
 
       case "maxdeg" =>
         val caps = args(2).split(",").map(_.toInt)

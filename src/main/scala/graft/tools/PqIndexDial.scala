@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** Persisted-index scaling probes (`PqIndexDial <mode> <dir> ...`),
+  * the SCALE.md §33 protocol (min-of-N walls, quiet box, SynthGen
+  * fixtures). Two questions VERDICT r9 left open:
+  *
+  *  - `decade <dir> <nCentroids> [n]` — build the persisted IVF-PQ
+  *    index into a fresh scratch dir (build wall reported once),
+  *    then min-of-n search-leg walls at the declared 10-query batch.
+  *    Run across ×10/×30/×100 corpora with nCentroids ∝ n (fixed
+  *    occupancy): if dynamic partition pruning holds, the probed
+  *    row count — and the search wall — stays ~flat as the corpus
+  *    decades, because a probe touches nProbe cells of constant
+  *    occupancy regardless of how many sibling cells exist.
+  *
+  *  - `layout <dir> <nCentroids> [n]` — hive-partitioned codes
+  *    (dynamic partition pruning) vs BUCKETED codes
+  *    ([[graft.sources.Sources.writeBucketed]] on c_id, shuffle-free
+  *    join side) on the SAME index relation, measured at the two
+  *    probe regimes that decide the layout: a bounded query batch
+  *    (10 queries — the search-service shape, probes broadcast) and
+  *    an index×index probe set (every corpus vector a query — the
+  *    knn-join / batch-scoring shape, probes too big to broadcast).
+  *    The measured join is probes ⋈ codes on c_id + a cheap agg —
+  *    the exact stage the layout exists for.
+  */
+object PqIndexDial {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val nCentroids = args(2).toInt
+    val n = if (args.length > 3) args(3).toInt else 3
+    val m = 8; val dim = 64; val ksub = 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftConf.applyBase(SparkSession.builder()
+        .master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).count()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .localCheckpoint()
+    val nVec = emb.count()
+    println(s"corpus: $nVec vectors, nCentroids=$nCentroids " +
+      s"(occupancy ~${nVec / nCentroids})")
+
+    def timeIt[T](k: Int)(f: => T): (Double, T) = {
+      var best = Double.MaxValue
+      var last: Option[T] = None
+      (1 to k).foreach { _ =>
+        val t0 = System.nanoTime()
+        last = Some(f)
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, last.get)
+    }
+
+    mode match {
+      case "decade" =>
+        val ixDir = java.nio.file.Files
+          .createTempDirectory("pq-decade-ix").toString
+        val cw = Similarity.pqSampleCodebooks(emb, m, ksub, dim / m)
+        val t0 = System.nanoTime()
+        Similarity.ivfPqWriteIndex(emb, cw, nCentroids, m, dim, ixDir)
+        println(f"build+persist: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val q = emb.filter(col("vec_id") < 10)
+        val (ts, rows) = timeIt(n)(
+          Similarity.ivfPqSearchPersisted(spark, ixDir, emb, q,
+            k = 5, nProbe = 4, m = m, dim = dim, rerank = 20).count())
+        println(f"search leg (10 queries, nProbe=4): $ts%.2f s " +
+          f"min-of-$n ($rows rows)")
+        val p = new org.apache.hadoop.fs.Path(ixDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+
+      case "layout" =>
+        val cw = Similarity.pqSampleCodebooks(emb, m, ksub, dim / m)
+        val index = Similarity.ivfPqIndex(emb, cw, nCentroids, m, dim)
+          .localCheckpoint()
+        val cb = Similarity.collectCodebook(emb, "vec_id", "embedding",
+          nCentroids)
+        val scratch = java.nio.file.Files
+          .createTempDirectory("pq-layout").toString
+        // hive-partitioned layout (the shipped ivfPqWriteIndex shape)
+        index.repartition(col("c_id"))
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"$scratch/hive")
+        val hive = spark.read.parquet(s"$scratch/hive")
+          .withColumn("c_id", col("c_id").cast("long"))
+        // bucketed layout (the scaladoc's cluster-scale claim)
+        spark.sql("DROP TABLE IF EXISTS codes_bucketed")
+        graft.sources.Sources.writeBucketed(index, "codes_bucketed",
+          s"$scratch/bucketed", "c_id", 32)
+        val bucketed = spark.table("codes_bucketed")
+
+        def probesFor(q: DataFrame): DataFrame =
+          Similarity.assignedCells(
+            q.select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")),
+            cb, "query_id", "q_emb", 2)
+            .select(col("query_id"), col("c_id"))
+
+        val smallProbes = probesFor(emb.filter(col("vec_id") < 10))
+          .localCheckpoint()
+        val bigProbes = probesFor(emb).localCheckpoint()
+        println(s"probe sets: small=${smallProbes.count()} rows, " +
+          s"big=${bigProbes.count()} rows")
+
+        def leg(tag: String, probes: DataFrame, codes: DataFrame,
+                bcast: Boolean): Unit = {
+          val p = if (bcast) broadcast(probes) else probes
+          val (t, rows) = timeIt(n)(
+            p.join(codes, Seq("c_id"))
+              .agg(count(lit(1)), sum(col("code"))).collect()(0).getLong(0))
+          println(f"$tag: $t%.2f s min-of-$n ($rows join rows)")
+        }
+        leg("small-batch  hive+DPP     ", smallProbes, hive, bcast = true)
+        leg("small-batch  bucketed     ", smallProbes, bucketed, bcast = true)
+        leg("index-x-index hive (no bc)", bigProbes, hive, bcast = false)
+        leg("index-x-index bucketed    ", bigProbes, bucketed, bcast = false)
+        spark.sql("DROP TABLE IF EXISTS codes_bucketed")
+        val sp = new org.apache.hadoop.fs.Path(scratch)
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(sp, true)
+
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

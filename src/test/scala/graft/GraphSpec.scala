@@ -129,6 +129,35 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("wedge_per_edge_ppm") == 4600000L)
   }
 
+  test("linkPredictRa: selective common neighbors outrank a hub — " +
+    "the ranking CN counting inverts") {
+    // pair (1,2): THREE common neighbors, all hubs of degree 8
+    //   -> cn=3, ra = 3·(1e6 div 8) = 375000
+    // pair (3,4): TWO common neighbors of degree 2 (selective)
+    //   -> cn=2, ra = 2·(1e6 div 2) = 1000000
+    // CN ranks (1,2) first; RA must rank (3,4) first.
+    val hubs = Seq(10L, 11L, 12L)
+    val hubEdges = hubs.flatMap(h =>
+      Seq((1L, h), (2L, h)) ++ (1L to 6L).map(i => (h, 100L * h + i)))
+    val selective = Seq((3L, 20L), (4L, 20L), (3L, 21L), (4L, 21L))
+    val edges = (hubEdges ++ selective).toDF("u", "v")
+    val got = Graph.linkPredictRa(edges, minCn = 2, k = 10)
+      .select("u", "v", "cn", "ra_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == ((3L, 4L, 2L, 1000000L)),
+      s"RA must put the selective pair first, got $got")
+    // the hub-apex pair (1,2) ranks LAST — below the mirror pair
+    // (20,21) (apexes 3,4 of degree 2) and the hub-endpoint pairs
+    // (10,11)/(10,12)/(11,12) (apexes 1,2 of degree 3)
+    assert(got.last == ((1L, 2L, 3L, 375000L)) && got.size == 6,
+      s"got $got")
+    // while the jaccard-ranked exact CN ranker puts (1,2) first —
+    // the inversion RA exists for
+    val cn = Graph.linkPredict(edges, minCn = 2, k = 2)
+      .select("u", "v").as[(Long, Long)].collect().toSeq
+    assert(cn.head == ((1L, 2L)), s"expected (1,2) first, got $cn")
+  }
+
   test("linkPredictApprox maxDegree: hub-endpoint pairs drop out of " +
     "ranking, hubs still count as common neighbors, arrays stay bounded") {
     // two hubs 100,101 sharing leaves 1..15 (deg 15 each, cn 15);
