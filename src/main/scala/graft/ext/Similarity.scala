@@ -1468,9 +1468,16 @@ object Similarity {
       q.withColumn("q_n2", dot(col("q_emb"), col("q_emb"))), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
+    // survivor join BEFORE any per-row decimal math: only the
+    // |Q|·rerank joined rows ever pay a dot. The dot-before-join
+    // form computed c_n2 for EVERY corpus row — Catalyst does not
+    // hoist an expensive projection above a join on its own, and the
+    // decimal kernel over the whole corpus was the measured non-flat
+    // term of the persisted search leg (20.1 s → 2.3 s at ×100,
+    // SCALE.md §41)
     corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
-      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
       .join(broadcast(sq), Seq("cand_id"))
+      .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
       .withColumn("cos", cosine(
         dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1696,21 +1703,36 @@ object Similarity {
     require(m * subLen == dim, s"m=$m must divide dim=$dim")
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cw = spark.read.parquet(s"$dir/codebooks")
-    val cb = spark.read.parquet(s"$dir/centroids").collect()
-      .map { r =>
-        val v = r.getSeq[Float](r.fieldIndex("c_emb"))
-        var n2 = 0.0
-        v.foreach(x => n2 += x.toDouble * x.toDouble)
-        (r.getLong(r.fieldIndex("c_id")), v, math.sqrt(n2))
-      }.sortBy(_._1).toSeq
-    // partition-column c_id comes back from directory inference as
-    // int — restore the long the join keys expect
+    // probe assignment as a broadcast JOIN against the persisted
+    // centroid RELATION — not the compiled-shortlist kernel the
+    // in-query paths use. The kernel needs the codebook as a plan
+    // literal (typedLit for its exact re-rank), and that literal
+    // scales with nCentroids: at the nCells ∝ n dial the PLAN —
+    // optimizer + codegen over the embedded codebook — was the
+    // measured non-flat term of the search leg (6.5 s for a 10-row
+    // probe assignment at 1600 cells, SCALE.md §41). The join form
+    // ranks by the identical exact key (cosine DESC, c_id ASC — the
+    // oracle's own formulation, so PersistedPqSpec's parity pin
+    // carries over) with a plan whose SIZE is constant in
+    // nCentroids; |Q|·nCentroids scoring rows are the right trade
+    // for the bounded-query-batch search-service shape. The kernel
+    // stays the right path where rows dominate cells (index build,
+    // O(batch) append).
+    val cents = spark.read.parquet(s"$dir/centroids")
     val index = spark.read.parquet(s"$dir/codes")
       .withColumn("c_id", col("c_id").cast("long"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pcos").desc, col("c_id").asc)
     val probes = broadcast(
-      assignedCells(q, cb, "query_id", "q_emb", nProbe)
+      q.withColumn("__qn2", dot(col("q_emb"), col("q_emb")))
+        .crossJoin(broadcast(cents))
+        .withColumn("__pcos", cosine(
+          dot(col("q_emb"), col("c_emb")), col("__qn2"),
+          dot(col("c_emb"), col("c_emb"))))
+        .withColumn("__prn", row_number().over(wp))
+        .filter(col("__prn") <= nProbe)
         .select(col("query_id"), col("c_id")))
     ivfPqSearchStages(index, corpus, q, cw, probes, k, m, subLen, rerank)
   }

@@ -74,9 +74,53 @@ object PqIndexDial {
             k = 5, nProbe = 4, m = m, dim = dim, rerank = 20).count())
         println(f"search leg (10 queries, nProbe=4): $ts%.2f s " +
           f"min-of-$n ($rows rows)")
+        if (sys.env.contains("EXPLAIN")) {
+          val df = Similarity.ivfPqSearchPersisted(spark, ixDir, emb, q,
+            k = 5, nProbe = 4, m = m, dim = dim, rerank = 20)
+          df.count()
+          println(df.queryExecution.executedPlan.toString.take(12000))
+        }
         val p = new org.apache.hadoop.fs.Path(ixDir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
+
+      case "stages" =>
+        // attribute the search-leg wall: build once, then time each
+        // stage of ivfPqSearchPersisted in isolation
+        val ixDir = java.nio.file.Files
+          .createTempDirectory("pq-stages-ix").toString
+        val cw0 = Similarity.pqSampleCodebooks(emb, m, ksub, dim / m)
+        Similarity.ivfPqWriteIndex(emb, cw0, nCentroids, m, dim, ixDir)
+        val q = emb.filter(col("vec_id") < 10)
+        def stage(tag: String)(f: => Long): Unit = {
+          val (t, rows) = timeIt(n)(f)
+          println(f"$tag: $t%.2f s min-of-$n ($rows rows)")
+        }
+        stage("read codes (list+scan+count)")(
+          spark.read.parquet(s"$ixDir/codes").count())
+        stage("read centroids + collect")({
+          spark.read.parquet(s"$ixDir/centroids").collect().length.toLong
+        })
+        stage("probes assignment (collect)")({
+          val cb = spark.read.parquet(s"$ixDir/centroids").collect()
+            .map { r =>
+              val v = r.getSeq[Float](r.fieldIndex("c_emb"))
+              var n2 = 0.0
+              v.foreach(x => n2 += x.toDouble * x.toDouble)
+              (r.getLong(r.fieldIndex("c_id")), v, math.sqrt(n2))
+            }.sortBy(_._1).toSeq
+          Similarity.assignedCells(
+            q.select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")),
+            cb, "query_id", "q_emb", 4)
+            .select(col("query_id"), col("c_id")).count()
+        })
+        stage("full persisted search")(
+          Similarity.ivfPqSearchPersisted(spark, ixDir, emb, q,
+            k = 5, nProbe = 4, m = m, dim = dim, rerank = 20).count())
+        val p2 = new org.apache.hadoop.fs.Path(ixDir)
+        p2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p2, true)
 
       case "layout" =>
         val cw = Similarity.pqSampleCodebooks(emb, m, ksub, dim / m)
