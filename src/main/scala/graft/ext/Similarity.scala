@@ -1508,10 +1508,16 @@ object Similarity {
     *    m small ints per vector, the 32× compression vs float32 —
     *    a 100 TB float corpus persists as ~3 TB of codes. Partitioned
     *    by coarse cell so a search touches only the nProbe/nCentroids
-    *    probed directories (dynamic partition pruning; at cluster
-    *    scale the same relation goes through
-    *    [[graft.sources.Sources.writeBucketed]] on c_id for a
-    *    shuffle-free probe join).
+    *    probed directories (dynamic partition pruning). Layout choice,
+    *    measured (SCALE.md §41): hive-DPP is the right default for
+    *    the bounded-query-batch search shape (pruned bytes +
+    *    partition-wise append/compaction won both probe regimes at
+    *    ×100/1600 cells); switch to
+    *    [[graft.sources.Sources.writeBucketed]] on c_id when the cell
+    *    count itself becomes the listing/small-file bottleneck
+    *    (file count is ∝ nCells here, constant when bucketed) or when
+    *    the dominant consumer is an index×index join too big to
+    *    broadcast (bucketing pre-shuffles the codes side).
     *
     * Raw floats never enter the index — re-rank fetches the survivor
     * handful from the corpus table. `codes/` is written LAST, so its
