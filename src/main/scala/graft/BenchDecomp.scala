@@ -81,6 +81,21 @@ object BenchDecomp {
     * total_s (= build + search)}` — the "first query pays build,
     * every later query pays search" ledger of a real deployment. */
   val persistedLegs: Map[String, (SparkSession, String) => Long] = Map(
+    "link_predict_approx_persisted" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bench-link").toString
+      try {
+        graft.ext.Graph.linkApproxWriteIndex(
+          graft.ext.Graph.coEdges(
+            s.read.parquet(s"$d/lineitem.parquet"),
+            col("l_orderkey"), col("l_partkey")), dir)
+        1L
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+    }),
     "ann_pq_persisted" -> ((s, d) => {
       val e = emb(s, d)
       val dir = java.nio.file.Files

@@ -116,7 +116,9 @@ object Queries {
     * deleted and the publish retried, so the heal path of
     * [[graft.ext.Similarity.ivfPqIndexExists]] terminates instead of
     * rebuilding forever against an unpublishable destination. */
-  private def publishIndexAtomic(s: SparkSession, dir: String)
+  private def publishIndexAtomic(s: SparkSession, dir: String,
+                                 exists: (SparkSession, String) => Boolean =
+                                   ext.Similarity.ivfPqIndexExists)
                                 (build: String => Unit): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dest = Paths.get(dir)
@@ -131,7 +133,7 @@ object Queries {
         true
       } catch { case _: java.nio.file.FileSystemException => false }
     if (!tryPublish()) {
-      if (!ext.Similarity.ivfPqIndexExists(s, dir)) {
+      if (!exists(s, dir)) {
         // dest exists but is incomplete: crash leftover — heal it
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -2451,6 +2453,26 @@ object Queries {
       (s: SparkSession, d: String) =>
         ext.Graph.linkPredictApprox(ext.Graph.coEdges(t(s, d, "lineitem"),
           col("l_orderkey"), col("l_partkey")), k = 100),
+      Some(ext.Graph.linkPredictApproxOracleSql(k = 100))),
+
+    // Build-once / rank-many for the graph family (the
+    // ann_pq_persisted economics): the per-node signature index
+    // PERSISTED (adjacency + minhash-minima log, atomic fingerprinted
+    // scratch) and ranked from disk — first run at a fixture pays the
+    // signature agg and writes the index; every later run pays only
+    // banding + exact verification. Result = link_predict_approx by
+    // construction (min-fold over the log = the full-set signature),
+    // so the oracle replays the same chain from the raw tables.
+    ("link_predict_approx_persisted",
+      (s: SparkSession, d: String) => {
+        val dir = indexScratch(d, "linkapprox_v1_h8", "lineitem")
+        if (!ext.Graph.linkApproxIndexExists(s, dir))
+          publishIndexAtomic(s, dir, ext.Graph.linkApproxIndexExists)(
+            tmp => ext.Graph.linkApproxWriteIndex(
+              ext.Graph.coEdges(t(s, d, "lineitem"),
+                col("l_orderkey"), col("l_partkey")), tmp))
+        ext.Graph.linkPredictApproxFromIndex(s, dir, k = 100)
+      },
       Some(ext.Graph.linkPredictApproxOracleSql(k = 100))),
 
     // What the estimator costs: overlap of the approx top-k with the

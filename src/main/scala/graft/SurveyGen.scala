@@ -73,7 +73,8 @@ object SurveyGen {
     else if (pre("graph_") ||
         in("clustering_coeff", "basket_lift", "component_size_hist",
           "link_predict", "link_predict_approx",
-          "link_predict_approx_recall", "link_predict_ra",
+          "link_predict_approx_recall", "link_predict_approx_persisted",
+          "link_predict_ra",
           "degree_assortativity", "degree_histogram", "kcore_rounds"))
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",

@@ -572,9 +572,39 @@ object Graph {
       .limit(k)
   }
 
+  /** Batch-build the persisted link-prediction signature index under
+    * `dir` — the one-time ingest of build-once/rank-many for the
+    * graph family (the ivfPqWriteIndex economics applied to
+    * [[linkPredictApprox]]): the per-node signature agg — the
+    * linear-but-large leg, O(edges · nHashes) — is paid once here;
+    * every later [[linkPredictApproxFromIndex]] call pays only
+    * banding + verification. Layout is the
+    * [[graft.streaming.Streams.linkApproxIngestSink]] contract
+    * (`sigs/` minima log written first, `adj/` last so adj's
+    * `_SUCCESS` is the completion marker a crash can't fake). */
+  def linkApproxWriteIndex(edges: DataFrame, dir: String,
+                           nHashes: Int = 8): Unit = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("n")))
+      .dropDuplicates(Seq("a", "n")).localCheckpoint()
+    neighborMinhash(adj, nHashes)
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    adj.write.mode("overwrite").parquet(s"$dir/adj")
+  }
+
+  /** True iff a complete [[linkApproxWriteIndex]] build exists under
+    * `dir` (`adj/_SUCCESS` — adj is written last). */
+  def linkApproxIndexExists(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/adj/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** [[linkPredictApprox]] served from the PERSISTED signature index
-    * a [[graft.streaming.Streams.linkApproxIngestSink]] stream
-    * maintains under `dir`:
+    * a [[graft.streaming.Streams.linkApproxIngestSink]] stream — or a
+    * [[linkApproxWriteIndex]] batch build — maintains under `dir`:
     *
     *  - `adj/` — (a, n) adjacency rows, exactly-once by construction
     *    (the sink's anti-join ledger);

@@ -184,6 +184,22 @@ class GraphSpec extends SparkSpec {
     assert(capped.contains((200L, 201L, 3L)))
   }
 
+  test("linkApproxWriteIndex: batch-built persisted index ranks " +
+    "identically to linkPredictApprox; marker gates completeness") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("link-ix-spec").toString + "/ix"
+    val edges = Graph.coEdges(spark.read.parquet(s"$sf/lineitem.parquet"),
+      col("l_orderkey"), col("l_partkey")).localCheckpoint()
+    assert(!Graph.linkApproxIndexExists(spark, dir))
+    Graph.linkApproxWriteIndex(edges, dir)
+    assert(Graph.linkApproxIndexExists(spark, dir))
+    val got = Graph.linkPredictApproxFromIndex(spark, dir, k = 50)
+      .collect().toSeq
+    val want = Graph.linkPredictApprox(edges, k = 50).collect().toSeq
+    assert(want.nonEmpty && got == want,
+      "persisted ranking drifted from the batch ranker")
+  }
+
   test("linkPredict: 4-cycle + chord — only the open pair is ranked") {
     // cycle 1-2-3-4-1 plus chord 1-3: (1,3) shares {2,4} but IS an
     // edge -> excluded; (2,4) shares {1,3}, deg 2 = deg 4 = 2 ->
