@@ -524,4 +524,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"occupancy audit must not join:\n$p")
     assert(p.contains("HashAggregate"), s"expected a hash agg:\n$p")
   }
+
+  test("degree_histogram: the global window runs on the degree " +
+      "HISTOGRAM, never the node table") {
+    val p = plan("degree_histogram")
+    // shape: adjacency agg -> histogram agg -> window. The window's
+    // input must sit above BOTH aggs — a window straight over the
+    // degree table would single-partition-sort every node at scale
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"expected the cumulative window:\n$p")
+    val aggsAbove = "HashAggregate".r.findAllIn(p.substring(winIdx)).size
+    assert(aggsAbove >= 4,
+      s"window not fed by the two-agg histogram reduction:\n$p")
+    // the totals row joins in as a 1-row broadcast; a true cartesian
+    // would mean the histogram reduction was lost
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian:\n$p")
+  }
+
+  test("pq_drift_audit: codebook joins broadcast, no window, " +
+      "no cartesian") {
+    val p = plan("pq_drift_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"codebook join fell back to sort-merge:\n$p")
+    assert(!p.contains("Window"),
+      s"the drift audit needs no window:\n$p")
+  }
+
+  test("link_predict_approx_persisted: ranking from the index never " +
+      "recomputes a signature (no hash kernel in the plan)") {
+    val p = plan("link_predict_approx_persisted")
+    // the signature agg lives in the BUILD (linkApproxWriteIndex);
+    // the ranking plan must read persisted minima and min-fold them —
+    // a poly_hash in this plan means the index stopped paying for
+    // itself
+    assert(!p.toLowerCase.contains("poly_hash"),
+      s"ranking recomputed signatures:\n$p")
+    assert(p.contains("array_intersect"),
+      s"verification lost the array-intersection form:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
 }
