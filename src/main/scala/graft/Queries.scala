@@ -1189,6 +1189,16 @@ object Queries {
           .orderBy("doc_id"),
       Some(Dedup.nearDupComponentsOracleSql(3))),
 
+    // The split_leakage ENFORCEMENT counterpart: whole near-dup
+    // components assigned to one train/valid/test split (bucket of
+    // the component label), so no simhash-connected pair can straddle
+    // the eval boundary — leakage-free by construction, not by audit
+    ("component_split",
+      (s: SparkSession, d: String) =>
+        Dedup.componentSplit(t(s, d, "documents"), col("doc_id"),
+          col("text"), 3).orderBy("doc_id"),
+      Some(Dedup.componentSplitOracleSql(3))),
+
     // Dedup audit: duplicate-cluster size histogram — corpus mass in
     // big components = the template problem no pairwise stat shows
     ("component_size_hist",

@@ -44,7 +44,8 @@ object SurveyGen {
     else if (pre("minhash") || pre("simhash") || pre("ngram_") ||
         pre("edit_") || pre("dedup_") || pre("neardup_") ||
         in("exact_dedup", "source_overlap", "dup_rate_by_source",
-          "split_leakage", "containment_estimate", "contamination_check",
+          "split_leakage", "component_split",
+          "containment_estimate", "contamination_check",
           "doc_fingerprint", "k_anonymity", "l_diversity", "t_closeness",
           "suppressed_rollup", "pii_mask", "leakage_scrub", "band_join",
           "dup_payment_audit"))

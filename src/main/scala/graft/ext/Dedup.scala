@@ -2181,6 +2181,64 @@ object Dedup {
     |ORDER BY doc_id
     |""".stripMargin.trim
 
+  /** Component-aware train/valid/test assignment — the ENFORCEMENT
+    * counterpart to [[splitLeakage]]'s audit. A per-document random
+    * split leaks near-duplicates across the eval boundary (that's why
+    * the audit exists); assigning whole NEAR-DUP COMPONENTS to one
+    * split makes that leakage impossible by construction for every
+    * pair the simhash detector can see: connected docs share a
+    * component ([[nearDupComponents]]), and the split is a
+    * deterministic hash bucket of the COMPONENT label
+    * ([[graft.functions.Hashing.permBucket]] — engine-portable), so
+    * components share a split. DedupSpec pins the property directly:
+    * no [[simhashPairs]] pair ever straddles splits. Determinism also
+    * buys the incremental story: a new doc joining an existing
+    * component lands in that component's split on the next run
+    * (component labels are min-reachable-ids, stable under growth as
+    * long as the minimum member stays — the standard caveat of
+    * min-label components, same as [[nearDupComponents]]').
+    * Cut points: bucket < trainPct → train, < trainPct+validPct →
+    * valid, else test. */
+  def componentSplit(docs: DataFrame, id: Column, text: Column,
+                     maxHamming: Int = 3, trainPct: Int = 90,
+                     validPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"bad cut points: train=$trainPct valid=$validPct")
+    val comp = nearDupComponents(simhash(docs, id, text), maxHamming)
+    val b = graft.functions.Hashing.permBucket(col("component"), 1, 100)
+    comp.select(col("doc_id"), col("component"),
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + validPct, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** DuckDB twin of [[componentSplit]] over `documents`. */
+  def componentSplitOracleSql(maxHamming: Int = 3, trainPct: Int = 90,
+                              validPct: Int = 5): String = {
+    val b = graft.functions.Hashing.permBucketSql("component", 1, 100)
+    s"""
+    |WITH RECURSIVE $simhashCtes,
+    |pairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM bands a JOIN bands b
+    |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+    |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+    |reach(doc_id, label) AS (
+    |  SELECT doc_id, doc_id FROM sims
+    |  UNION
+    |  SELECT e.d1, r.label FROM edges e JOIN reach r ON r.doc_id = e.d2),
+    |comp AS (
+    |  SELECT doc_id, min(label) AS component
+    |  FROM reach GROUP BY doc_id)
+    |SELECT doc_id, component,
+    |  CASE WHEN $b < $trainPct THEN 'train'
+    |       WHEN $b < ${trainPct + validPct} THEN 'valid'
+    |       ELSE 'test' END AS split
+    |FROM comp ORDER BY doc_id
+    |""".stripMargin.trim
+  }
+
   /** Leakage SCRUB — the action [[splitLeakage]]'s detection report
     * demands: every train document sharing a minhash candidate pair
     * with a val/test document is flagged for removal (eval splits are

@@ -451,6 +451,32 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("componentSplit: no simhash near-dup pair ever straddles " +
+    "splits, and the assignment is deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val split = graft.ext.Dedup.componentSplit(docs, col("doc_id"),
+      col("text"), 3).localCheckpoint()
+    // the enforcement property: every pair the detector can see
+    // shares a split (this is exactly what a per-doc random split
+    // violates — splitLeakage exists because it does)
+    val pairs = graft.ext.Dedup.simhashPairs(
+      graft.ext.Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .filter(col("s1") =!= col("s2"))
+    assert(pairs.count() > 0, "fixture should have near-dup pairs")
+    assert(straddling.isEmpty,
+      "a near-dup pair straddles the eval boundary")
+    // all three splits materialize on the fixture (cut points bite)
+    assert(split.select("split").distinct().count() == 3)
+    // deterministic: a second derivation is row-identical
+    val again = graft.ext.Dedup.componentSplit(docs, col("doc_id"),
+      col("text"), 3)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
   test("boilerplateRatio: common grams flagged, rare docs clean") {
     import spark.implicits._
     // gram "a b c" appears in 3 docs (df 3 > cut 2); doc 4 disjoint
