@@ -608,6 +608,81 @@ object Streams {
       }
       .start()
 
+  /** Streaming CUSUM drift monitor — the online twin of
+    * [[graft.ext.Profiler.cusumDrift]], which is the shape a
+    * deployment actually runs it in: the batch op derives μ from the
+    * whole series (retrospective analysis), the stream monitors NEW
+    * days against a FIXED baseline μ (in integer cents — computed
+    * once from a settled reference window, exactly how Page's CUSUM
+    * is deployed). Maintains a state table at `statePath` with one
+    * row per day: (date_value, rev_cents, p, minp, cusum_cents,
+    * alarm) — `p`/`minp` are the prefix-sum closed form's running
+    * terms, so each trigger extends the recursion from the stored
+    * tail in O(batch days): no day is ever re-read, and the
+    * per-trigger window runs over that trigger's days only.
+    *
+    * Delivery: the state table is its own ledger (the pqIngestSink
+    * discipline) — a day at or before the stored frontier is dropped,
+    * so replays append nothing and out-of-order days are REJECTED
+    * rather than silently corrupting the recursion (CUSUM is
+    * order-defined; feed it from a date-partitioned source or accept
+    * the drop, the lateDataAuditSink trade stated as a contract).
+    * With μ equal to the batch op's internally-derived mean, the
+    * state table reproduces [[graft.ext.Profiler.cusumDrift]]
+    * row-for-row (StreamsSpec pins it across two triggers). */
+  def cusumIngestSink(stream: DataFrame, dateCol: String,
+                      amountCol: String, muCents: Long,
+                      statePath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val slack = if (muCents >= 0) muCents / 20 else -((-muCents) / 20)
+        val daily = batch0
+          .select(col(dateCol).as("date_value"),
+            col(amountCol).cast("decimal(14,2)").as("amt"))
+          .groupBy("date_value")
+          .agg((sum(col("amt")) * 100).cast("long").as("rev_cents"))
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val (pTail, minTail, frontier) =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath))) {
+            val last = spark.read.parquet(statePath)
+              .orderBy(col("date_value").desc).limit(1).collect()
+            if (last.isEmpty) (0L, 0L, None)
+            else (last(0).getAs[Long]("p"), last(0).getAs[Long]("minp"),
+              Some(last(0).getAs[Any]("date_value")))
+          } else (0L, 0L, None)
+        val fresh = frontier match {
+          case Some(d) => daily.filter(col("date_value") > lit(d))
+          case None => daily
+        }
+        if (!fresh.isEmpty) {
+          // |days-per-trigger|-bounded single-partition window — the
+          // same bound the batch op's daily window carries
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("date_value"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          fresh
+            .withColumn("__d", col("rev_cents") - lit(muCents) - lit(slack))
+            .withColumn("p", (lit(pTail) + sum(col("__d")).over(w))
+              .cast("long"))
+            .withColumn("minp",
+              least(lit(minTail), min(col("p")).over(w)).cast("long"))
+            .withColumn("cusum_cents",
+              (col("p") - least(col("minp"), lit(0L))).cast("long"))
+            .withColumn("alarm",
+              when(col("cusum_cents") > lit(muCents), 1L).otherwise(0L))
+            .select(col("date_value"), col("rev_cents"), col("p"),
+              col("minp"), col("cusum_cents"), col("alarm"))
+            .write.mode("append").parquet(statePath)
+        }
+      }
+      .start()
+
   /** Streaming link-prediction index maintenance — the online twin of
     * [[graft.ext.Graph.linkPredictApprox]]'s candidate machinery:
     * each micro-batch of EDGES updates a persisted per-node state

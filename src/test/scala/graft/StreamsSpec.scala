@@ -231,6 +231,57 @@ class StreamsSpec extends SparkSpec {
     assert(got == want, "stream keep set diverged from the batch answer")
   }
 
+  test("cusumIngestSink: two ordered triggers reproduce the batch " +
+    "CUSUM row-for-row; replay and out-of-order days append nothing") {
+    import org.apache.spark.sql.types._
+    val srcDir = tmp("cusum-src")
+    val statePath = tmp("cusum-state") + "/state"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderdate"), col("o_totalprice")).localCheckpoint()
+    // the stream's fixed baseline = the batch op's internally-derived
+    // mean, same integer arithmetic (sign-safe div)
+    val daily = orders.groupBy(col("o_orderdate"))
+      .agg((sum(col("o_totalprice").cast("decimal(14,2)")) * 100)
+        .cast("long").as("rev_cents"))
+    val tots = daily.agg(sum("rev_cents"), count(lit(1))).collect()(0)
+    val (tot, n) = (tots.getLong(0), tots.getLong(1))
+    val mu = if (tot >= 0) tot / n else -((-tot) / n)
+    // two date-ordered files -> two ordered triggers: the recursion
+    // must extend across the trigger boundary from stored state
+    val dates = daily.select(col("o_orderdate"))
+      .orderBy("o_orderdate").collect().map(_.get(0))
+    val split = dates(dates.length / 2)
+    orders.filter(col("o_orderdate") <= lit(split)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    orders.filter(col("o_orderdate") > lit(split)).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = StructType(Seq(
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_totalprice", DoubleType)))
+    def run(ckpt: String): Unit = {
+      val q = Streams.cusumIngestSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        "o_orderdate", "o_totalprice", mu, statePath, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmp("cusum-chk"))
+    val got = spark.read.parquet(statePath)
+      .select(col("date_value"), col("rev_cents"), col("cusum_cents"),
+        col("alarm")).orderBy("date_value").collect().toSeq
+    val want = graft.ext.Profiler.cusumDrift(orders,
+        col("o_orderdate"), col("o_totalprice"))
+      .orderBy("date_value").collect().toSeq
+    assert(want.nonEmpty && got == want,
+      "streamed CUSUM state drifted from the batch recursion")
+    // replay with a fresh checkpoint: every day is at or before the
+    // frontier -> nothing appended
+    val before = spark.read.parquet(statePath).count()
+    run(tmp("cusum-chk2"))
+    assert(spark.read.parquet(statePath).count() == before,
+      "replay appended state rows")
+  }
+
   test("linkApproxIngestSink: streamed index ranks identically to the " +
     "batch approx ranker; replay appends nothing") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
