@@ -85,21 +85,24 @@ object Queries {
     s"${System.getProperty("java.io.tmpdir")}/graft-index/$tag/$canon-$fp"
   }
 
-  /** Cheap content fingerprint of a fixture table: fold (relative
+  /** Cheap content fingerprint of a fixture table: fold (root-relative
     * path, length, mtime) of every file under `<sfDir>/<table>.parquet`
     * into one 64-bit mix. Metadata-only — no data scan — but any
-    * rewrite of the fixture (new file set, new sizes, new mtimes)
-    * changes it, which is exactly the staleness signal the scratch
-    * key needs. */
+    * rewrite of the fixture (new file set, new sizes, new mtimes,
+    * files moved between partition directories) changes it, which is
+    * exactly the staleness signal the scratch key needs. */
   private def fixtureFingerprint(sfDir: String, table: String): String = {
     val root = new java.io.File(s"$sfDir/$table.parquet")
+    val rootPath = root.getPath
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     var h = 1125899906842597L
     walk(root).foreach { f =>
-      h = h * 31 + f.getName.hashCode
+      // RELATIVE path, not leaf name: a same-named file moving between
+      // partition directories must change the fingerprint
+      h = h * 31 + f.getPath.stripPrefix(rootPath).hashCode
       h = h * 31 + f.length()
       h = h * 31 + f.lastModified()
     }
@@ -126,28 +129,51 @@ object Queries {
     val tmp = Files.createTempDirectory(dest.getParent, ".build-")
     // the builder writes INTO tmp (Spark creates subdirs itself)
     Files.deleteIfExists(tmp)
-    build(tmp.toString)
-    def tryPublish(): Boolean =
-      try {
-        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-        true
-      } catch { case _: java.nio.file.FileSystemException => false }
-    if (!tryPublish()) {
-      if (!exists(s, dir)) {
-        // dest exists but is incomplete: crash leftover — heal it
-        val p = new org.apache.hadoop.fs.Path(dir)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        if (!tryPublish()) deleteLocalDir(tmp) // concurrent healer won
-      } else deleteLocalDir(tmp) // another builder won; use its index
+    try {
+      build(tmp.toString)
+      def tryPublish(): Boolean =
+        try {
+          Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
+      if (!tryPublish()) {
+        if (!exists(s, dir)) {
+          // dest exists but is incomplete: crash leftover — heal it
+          deleteDir(s, dir)
+          if (!tryPublish()) {
+            // a concurrent healer may have won the re-publish; if
+            // nobody did, failing loudly beats an endless silent
+            // build-then-discard loop against an unpublishable dest
+            deleteDir(s, tmp.toString)
+            if (!exists(s, dir))
+              throw new RuntimeException(
+                s"index publish failed and no complete index at $dir")
+          }
+        } else deleteDir(s, tmp.toString) // another builder won
+      }
+      // a SUCCESSFUL publish sweeps stale sibling builds of the same
+      // fixture path (older fingerprints): each fixture regeneration
+      // mints a new key, and without the sweep every old full index
+      // copy would sit in tmpdir forever
+      val base = dest.getFileName.toString
+      val canon = base.take(base.lastIndexOf('-').max(0))
+      if (canon.nonEmpty) {
+        Option(dest.getParent.toFile.listFiles()).toSeq.flatten
+          .filter(f => f.getName.startsWith(canon + "-") &&
+            f.getName != base && !f.getName.contains(".build-"))
+          .foreach(f => deleteDir(s, f.getPath))
+      }
+    } catch {
+      case e: Throwable =>
+        // a failed build must not leak a partial index copy in /tmp
+        deleteDir(s, tmp.toString)
+        throw e
     }
   }
 
-  private def deleteLocalDir(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+  private def deleteDir(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Naive (NTZ) timestamp literal — the whole warehouse runs on

@@ -392,8 +392,8 @@ object Graph {
   /** DuckDB twin of [[linkPredictRa]] over the co-order graph of a
     * `lineitem` slice (`whereSql` filters the scan, mirroring the
     * declared query's pushed predicate). */
-  def linkPredictRaOracleSql(whereSql: String, minCn: Long,
-                             k: Int): String =
+  def linkPredictRaOracleSql(whereSql: String, minCn: Long, k: Int,
+                             maxDegree: Int = DefaultMaxGroupSize): String =
     s"""
     |WITH g AS (
     |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
@@ -409,7 +409,7 @@ object Graph {
     |adjok AS (
     |  SELECT adj.a, adj.n, 1000000 // deg.degree AS wt
     |  FROM adj JOIN deg ON deg.a = adj.a
-    |  WHERE deg.degree <= $DefaultMaxGroupSize),
+    |  WHERE deg.degree <= $maxDegree),
     |cand AS (
     |  SELECT w1.n AS u, w2.n AS v, count(*) AS cn, sum(w1.wt) AS ra
     |  FROM adjok w1 JOIN adjok w2 ON w1.a = w2.a AND w1.n < w2.n

@@ -1731,12 +1731,15 @@ object Similarity {
       col("embedding").as("q_emb"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("__pcos").desc, col("c_id").asc)
+    // self-norms hoisted to their own side: the centroid norm is
+    // query-independent, so it folds nCentroids times, not
+    // |Q|·nCentroids times inside the cross join
     val probes = broadcast(
       q.withColumn("__qn2", dot(col("q_emb"), col("q_emb")))
-        .crossJoin(broadcast(cents))
+        .crossJoin(broadcast(
+          cents.withColumn("__cn2", dot(col("c_emb"), col("c_emb")))))
         .withColumn("__pcos", cosine(
-          dot(col("q_emb"), col("c_emb")), col("__qn2"),
-          dot(col("c_emb"), col("c_emb"))))
+          dot(col("q_emb"), col("c_emb")), col("__qn2"), col("__cn2")))
         .withColumn("__prn", row_number().over(wp))
         .filter(col("__prn") <= nProbe)
         .select(col("query_id"), col("c_id")))

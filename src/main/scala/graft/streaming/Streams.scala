@@ -625,11 +625,17 @@ object Streams {
     * discipline) — a day at or before the stored frontier is dropped,
     * so replays append nothing and out-of-order days are REJECTED
     * rather than silently corrupting the recursion (CUSUM is
-    * order-defined; feed it from a date-partitioned source or accept
-    * the drop, the lateDataAuditSink trade stated as a contract).
-    * With μ equal to the batch op's internally-derived mean, the
-    * state table reproduces [[graft.ext.Profiler.cusumDrift]]
-    * row-for-row (StreamsSpec pins it across two triggers). */
+    * order-defined). The feed contract is therefore DAY-ATOMIC: a
+    * day's rows must not span triggers, or the frontier day settles
+    * with a partial sum and its remainder is rejected — feed from a
+    * date-partitioned source (one day's files per trigger). The drop
+    * is never silent: rejected (date, rev_cents) mass is appended to
+    * `<statePath>.rejected` (the lateDataAuditSink discipline), so a
+    * violated contract shows up as audit rows, not as a quietly wrong
+    * alarm series. With μ equal to the batch op's internally-derived
+    * mean, the state table reproduces
+    * [[graft.ext.Profiler.cusumDrift]] row-for-row (StreamsSpec pins
+    * it across two triggers). */
   def cusumIngestSink(stream: DataFrame, dateCol: String,
                       amountCol: String, muCents: Long,
                       statePath: String, checkpoint: String): StreamingQuery =
@@ -657,6 +663,13 @@ object Streams {
         val fresh = frontier match {
           case Some(d) => daily.filter(col("date_value") > lit(d))
           case None => daily
+        }
+        // loud, not silent: at-or-before-frontier mass (replays, late
+        // days, a day split across triggers) lands in the audit file
+        frontier.foreach { d =>
+          val stale = daily.filter(col("date_value") <= lit(d))
+          if (!stale.isEmpty)
+            stale.write.mode("append").parquet(statePath + ".rejected")
         }
         if (!fresh.isEmpty) {
           // |days-per-trigger|-bounded single-partition window — the

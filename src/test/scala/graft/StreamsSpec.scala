@@ -275,11 +275,15 @@ class StreamsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want,
       "streamed CUSUM state drifted from the batch recursion")
     // replay with a fresh checkpoint: every day is at or before the
-    // frontier -> nothing appended
+    // frontier -> nothing appended to state, everything audited as
+    // rejected (the drop is loud, never silent)
     val before = spark.read.parquet(statePath).count()
     run(tmp("cusum-chk2"))
     assert(spark.read.parquet(statePath).count() == before,
       "replay appended state rows")
+    val rejected = spark.read.parquet(statePath + ".rejected")
+    assert(rejected.count() == before,
+      "replayed days missing from the rejected audit")
   }
 
   test("linkApproxIngestSink: streamed index ranks identically to the " +
