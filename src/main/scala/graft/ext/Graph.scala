@@ -602,6 +602,25 @@ object Graph {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Compact the persisted link index — the day-2 maintenance twin of
+    * [[graft.ext.Similarity.ivfPqCompactIndex]]: every
+    * [[graft.streaming.Streams.linkApproxIngestSink]] trigger appends
+    * one small file to `adj/` and one to `sigs/`, and the sigs LOG
+    * additionally accumulates duplicate (a, i) minima (each trigger's
+    * partial minimum — correct under the min-fold, but rows and files
+    * both grow with trigger count, not with graph size). Compaction
+    * folds the log down to one row per (a, i) — the idempotent
+    * min-merge, so ranking is unchanged by construction — and rewrites
+    * both stores through the staged-swap publisher (a crash never
+    * loses the index; GraphSpec pins compact → rank ≡ pre-compact). */
+  def linkApproxCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val sigs = spark.read.parquet(s"$dir/sigs")
+      .groupBy(col("a"), col("i")).agg(min(col("h")).as("h"))
+    graft.meta.StagedWrite.overwrite(sigs, s"$dir/sigs")
+    graft.sources.Sources.compact(spark, s"$dir/adj")
+  }
+
   /** [[linkPredictApprox]] served from the PERSISTED signature index
     * a [[graft.streaming.Streams.linkApproxIngestSink]] stream — or a
     * [[linkApproxWriteIndex]] batch build — maintains under `dir`:

@@ -327,6 +327,17 @@ class StreamsSpec extends SparkSpec {
       "replay appended adjacency rows")
     assert(spark.read.parquet(s"$indexDir/sigs").count() == sigsBefore,
       "replay appended signature minima")
+    // day-2 maintenance: compaction folds the minima log to one row
+    // per (node, position) and leaves the ranking bit-identical
+    Graph.linkApproxCompactIndex(spark, indexDir)
+    val sigsAfter = spark.read.parquet(s"$indexDir/sigs")
+    assert(sigsAfter.count() ==
+      sigsAfter.select("a", "i").distinct().count(),
+      "compaction left duplicate minima")
+    val gotC = Graph.linkPredictApproxFromIndex(spark, indexDir, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(gotC == want, "ranking drifted across compaction")
   }
 
   test("nearDupIngestSink dedups same-batch redelivered ids") {
