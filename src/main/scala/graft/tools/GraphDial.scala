@@ -11,6 +11,9 @@ import graft.ext.{Graph, Similarity}
   *
   *  - `link <dir> [n]` — linkPredict wall (min-of-n) over the dir's
   *    lineitem co-order graph: the decade scaling row.
+  *  - `approxix <dir> [n]` — linkApproxWriteIndex build wall, then
+  *    min-of-n linkPredictApproxFromIndex ranking walls: the
+  *    build-once/rank-many economics row.
   *  - `approx <dir> [n] [maxDegree]` — degreeHistogram pre-flight
   *    then the linkPredictApprox wall (min-of-n) at the given verify
   *    cap over the same graph: the screened ranker's side of the
@@ -70,6 +73,24 @@ object GraphDial {
             maxDegree = cap).count())
         println(f"link_predict_approx maxDegree=$cap: " +
           f"$ta%.2f s min-of-$n ($rowsA rows)")
+
+      case "approxix" =>
+        // build-once/rank-many economics: one-time signature-index
+        // build wall, then min-of-n ranking walls from the index
+        val n = if (args.length > 2) args(2).toInt else 3
+        val ixDir = java.nio.file.Files
+          .createTempDirectory("link-ix-dial").toString + "/ix"
+        val edges = Graph.coEdges(li, col("l_orderkey"),
+          col("l_partkey")).localCheckpoint()
+        val t0 = System.nanoTime()
+        Graph.linkApproxWriteIndex(edges, ixDir)
+        println(f"index build+persist: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val (tr, rows) = timeIt(n)(
+          Graph.linkPredictApproxFromIndex(spark, ixDir, k = 100).count())
+        println(f"rank from index: $tr%.2f s min-of-$n ($rows rows)")
+        val p = new org.apache.hadoop.fs.Path(ixDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
 
       case "maxdeg" =>
         val caps = args(2).split(",").map(_.toInt)
