@@ -19,6 +19,45 @@ class Round8PropSpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     Iterator.continually(g.sample).flatten.take(n).toSeq
 
+  test("degreeHistogram matches a driver-side brute reference on " +
+    "random multigraph-ish edge lists") {
+    // small id space forces duplicate edges (deduped by caller
+    // contract? no — degreeHistogram takes edges as given), ties in
+    // the degree histogram, and single-node hubs; the brute reference
+    // recomputes deciles by sorting all degrees on the driver
+    val edgesGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      es <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 12L)
+        v <- Gen.choose(0L, 12L)
+      } yield (math.min(u, v), math.max(u, v) + 1))
+    } yield es.distinct
+    samples(edgesGen, 10).foreach { es =>
+      val r = Graph.degreeHistogram(es.toDF("u", "v")).collect()(0)
+      // brute: degree per node over both orientations
+      val deg = (es.map(_._1) ++ es.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+      val sorted = deg.sorted
+      val nNodes = sorted.size.toLong
+      def pct(ppm: Long): Long = {
+        val rank = (nNodes * ppm + 999999L) / 1000000L
+        sorted(math.max(rank.toInt - 1, 0))
+      }
+      assert(r.getAs[Long]("n_nodes") == nNodes, s"n_nodes on $es")
+      assert(r.getAs[Long]("n_edges") == deg.sum / 2, s"n_edges on $es")
+      assert(r.getAs[Long]("d_p10") == pct(100000L), s"p10 on $es")
+      assert(r.getAs[Long]("d_p50") == pct(500000L), s"p50 on $es")
+      assert(r.getAs[Long]("d_p90") == pct(900000L), s"p90 on $es")
+      assert(r.getAs[Long]("d_p99") == pct(990000L), s"p99 on $es")
+      assert(r.getAs[Long]("d_p999") == pct(999000L), s"p999 on $es")
+      assert(r.getAs[Long]("d_max") == sorted.last, s"max on $es")
+      assert(r.getAs[Long]("wedge_mass") == deg.map(d => d * d).sum,
+        s"wedge mass on $es")
+      assert(r.getAs[Long]("wedge_per_edge_ppm") ==
+        deg.map(d => d * d).sum * 1000000L / deg.sum, s"ppm on $es")
+    }
+  }
+
   test("editNeardup blocking is lossless on random short-alphabet strings") {
     // tiny alphabet + short lengths force segment/shift edge cases:
     // strings near k+1 chars, heavy duplicates, shared segments with
