@@ -1216,9 +1216,12 @@ object Queries {
       Some(Dedup.nearDupComponentsOracleSql(3))),
 
     // The split_leakage ENFORCEMENT counterpart: whole near-dup
-    // components assigned to one train/valid/test split (bucket of
-    // the component label), so no simhash-connected pair can straddle
-    // the eval boundary — leakage-free by construction, not by audit
+    // components — over the UNION of the simhash pair set and the
+    // minhash band candidates (the audit's own detector) — assigned
+    // to one train/valid/test split via a bucket of the component
+    // label, so no pair either detector can see straddles the eval
+    // boundary: running split_leakage on this split's output is
+    // clean BY CONSTRUCTION (DedupSpec pins it)
     ("component_split",
       (s: SparkSession, d: String) =>
         Dedup.componentSplit(t(s, d, "documents"), col("doc_id"),

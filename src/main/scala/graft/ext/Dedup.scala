@@ -752,26 +752,28 @@ object Dedup {
     * both [[minhashOracleSql]] and [[ngramJaccardViaMinhashOracleSql]]
     * compose, so a signature-scheme change cannot silently decouple
     * one oracle from the kernel. */
-  private def minhashCtes(shingle: Int, k: Int, rowsPerBand: Int): String = {
+  private def minhashCtes(shingle: Int, k: Int, rowsPerBand: Int,
+                          prefix: String = ""): String = {
     val nBands = k / rowsPerBand
+    val q = prefix
     val mins = (0 until k)
       .map(i => s"min(${Hashing.permSql("h", i)}) AS mh$i").mkString(", ")
     val bandRows = (0 until nBands).map { b =>
       val sig = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
         .reduceLeft((acc, c) => s"($acc * ${Hashing.P2} + $c)")
-      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM ${q}mh"
     }.mkString(" UNION ALL ")
     s"""
-    |w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
-    |grams AS (
+    |${q}w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |${q}grams AS (
     |  SELECT DISTINCT doc_id, gram
     |  FROM (SELECT doc_id,
     |          unnest(list_transform(range(greatest(len(w) - ${shingle - 1}, 0)),
     |            i -> ${(1 to shingle).map(x => s"w[i + $x]").mkString(" || ' ' || ")})) AS gram
-    |        FROM w)),
-    |hashed AS (SELECT doc_id, ${Hashing.polyHashSql("gram")} AS h FROM grams),
-    |mh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-    |bands AS ($bandRows)
+    |        FROM ${q}w)),
+    |${q}hashed AS (SELECT doc_id, ${Hashing.polyHashSql("gram")} AS h FROM ${q}grams),
+    |${q}mh AS (SELECT doc_id, $mins FROM ${q}hashed GROUP BY doc_id),
+    |${q}bands AS ($bandRows)
     |""".stripMargin.trim
   }
 
@@ -2186,25 +2188,38 @@ object Dedup {
     * split leaks near-duplicates across the eval boundary (that's why
     * the audit exists); assigning whole NEAR-DUP COMPONENTS to one
     * split makes that leakage impossible by construction for every
-    * pair the simhash detector can see: connected docs share a
-    * component ([[nearDupComponents]]), and the split is a
+    * pair EITHER detector can see: the component edge set is the
+    * UNION of the simhash near-dup pairs ([[simhashPairs]]) and the
+    * minhash band candidates ([[minhashCandidates]] — the
+    * splitLeakage detector itself, so running the audit on this
+    * split's output returns zero cross-split pairs BY CONSTRUCTION,
+    * not by luck; a single-detector split measured 2 cross-split
+    * minhash pairs on the fixture). Connected docs share a component
+    * ([[starComponents]] over the union), and the split is a
     * deterministic hash bucket of the COMPONENT label
     * ([[graft.functions.Hashing.permBucket]] — engine-portable), so
-    * components share a split. DedupSpec pins the property directly:
-    * no [[simhashPairs]] pair ever straddles splits. Determinism also
-    * buys the incremental story: a new doc joining an existing
-    * component lands in that component's split on the next run
-    * (component labels are min-reachable-ids, stable under growth as
-    * long as the minimum member stays — the standard caveat of
-    * min-label components, same as [[nearDupComponents]]').
+    * components share a split. DedupSpec pins both no-straddle
+    * properties directly. Determinism also buys the incremental
+    * story: a new doc joining an existing component lands in that
+    * component's split on the next run (component labels are
+    * min-reachable-ids, stable under growth as long as the minimum
+    * member stays — the standard caveat of min-label components).
     * Cut points: bucket < trainPct → train, < trainPct+validPct →
     * valid, else test. */
   def componentSplit(docs: DataFrame, id: Column, text: Column,
-                     maxHamming: Int = 3, trainPct: Int = 90,
+                     maxHamming: Int = 3, shingle: Int = 3, k: Int = 8,
+                     rowsPerBand: Int = 2, trainPct: Int = 90,
                      validPct: Int = 5): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
       s"bad cut points: train=$trainPct valid=$validPct")
-    val comp = nearDupComponents(simhash(docs, id, text), maxHamming)
+    val d = docs.select(id.as("doc_id"), text.as("text"))
+    val sPairs = simhashPairs(simhash(d, col("doc_id"), col("text")),
+      maxHamming).select(col("d1"), col("d2"))
+    val mPairs = minhashCandidates(
+      minhashSignature(d, col("doc_id"), col("text"), shingle, k),
+      k, rowsPerBand).select(col("d1"), col("d2"))
+    val comp = starComponents(
+      sPairs.unionByName(mPairs).distinct(), d.select(col("doc_id")))
     val b = graft.functions.Hashing.permBucket(col("component"), 1, 100)
     comp.select(col("doc_id"), col("component"),
       when(b < trainPct, lit("train"))
@@ -2212,17 +2227,27 @@ object Dedup {
         .otherwise(lit("test")).as("split"))
   }
 
-  /** DuckDB twin of [[componentSplit]] over `documents`. */
-  def componentSplitOracleSql(maxHamming: Int = 3, trainPct: Int = 90,
+  /** DuckDB twin of [[componentSplit]] over `documents` (simhash and
+    * minhash CTE families combined; the minhash chain is prefixed to
+    * avoid CTE-name collisions). */
+  def componentSplitOracleSql(maxHamming: Int = 3, shingle: Int = 3,
+                              k: Int = 8, rowsPerBand: Int = 2,
+                              trainPct: Int = 90,
                               validPct: Int = 5): String = {
     val b = graft.functions.Hashing.permBucketSql("component", 1, 100)
     s"""
     |WITH RECURSIVE $simhashCtes,
-    |pairs AS (
+    |${minhashCtes(shingle, k, rowsPerBand, prefix = "mh_")},
+    |spairs AS (
     |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
     |  FROM bands a JOIN bands b
     |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+    |mpairs AS (
+    |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    |  FROM mh_bands a JOIN mh_bands b
+    |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    |pairs AS (SELECT d1, d2 FROM spairs UNION SELECT d1, d2 FROM mpairs),
     |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
     |reach(doc_id, label) AS (
     |  SELECT doc_id, doc_id FROM sims

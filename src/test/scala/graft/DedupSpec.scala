@@ -451,24 +451,39 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
   }
 
-  test("componentSplit: no simhash near-dup pair ever straddles " +
-    "splits, and the assignment is deterministic") {
+  test("componentSplit: no near-dup pair under EITHER detector ever " +
+    "straddles splits; splitLeakage on its output is clean; " +
+    "assignment deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
     val split = graft.ext.Dedup.componentSplit(docs, col("doc_id"),
       col("text"), 3).localCheckpoint()
-    // the enforcement property: every pair the detector can see
-    // shares a split (this is exactly what a per-doc random split
-    // violates — splitLeakage exists because it does)
-    val pairs = graft.ext.Dedup.simhashPairs(
-      graft.ext.Dedup.simhash(docs, col("doc_id"), col("text")), 3)
-    val straddling = pairs
+    // the enforcement property, per detector: every pair either
+    // detector can see shares a split (this is exactly what a
+    // per-doc random split violates — splitLeakage exists because
+    // it does, and a simhash-only split still leaked 2 minhash
+    // pairs on this fixture)
+    def straddling(pairs: org.apache.spark.sql.DataFrame) = pairs
       .join(split.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
       .join(split.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
       .filter(col("s1") =!= col("s2"))
-    assert(pairs.count() > 0, "fixture should have near-dup pairs")
-    assert(straddling.isEmpty,
-      "a near-dup pair straddles the eval boundary")
+    val sPairs = graft.ext.Dedup.simhashPairs(
+      graft.ext.Dedup.simhash(docs, col("doc_id"), col("text")), 3)
+    val mPairs = graft.ext.Dedup.minhashCandidates(
+      graft.ext.Dedup.minhashSignature(docs, col("doc_id"),
+        col("text"), 3, 8), 8, 2).select(col("d1"), col("d2"))
+    assert(sPairs.count() > 0 && mPairs.count() > 0,
+      "fixture should have near-dup pairs under both detectors")
+    assert(straddling(sPairs).isEmpty,
+      "a simhash pair straddles the eval boundary")
+    assert(straddling(mPairs).isEmpty,
+      "a minhash pair straddles the eval boundary")
+    // and the audit itself agrees: zero cross-split leakage rows
+    val leak = graft.ext.Dedup.splitLeakage(
+      docs.join(split.select("doc_id", "split"), "doc_id"),
+      col("doc_id"), col("text"), col("split"), 3, 8, 2)
+      .filter(col("split_a") =!= col("split_b"))
+    assert(leak.isEmpty, "splitLeakage found cross-split pairs")
     // all three splits materialize on the fixture (cut points bite)
     assert(split.select("split").distinct().count() == 3)
     // deterministic: a second derivation is row-identical
