@@ -1509,15 +1509,17 @@ object Similarity {
     *    a 100 TB float corpus persists as ~3 TB of codes. Partitioned
     *    by coarse cell so a search touches only the nProbe/nCentroids
     *    probed directories (dynamic partition pruning). Layout choice,
-    *    measured (SCALE.md §41): hive-DPP is the right default for
-    *    the bounded-query-batch search shape (pruned bytes +
-    *    partition-wise append/compaction won both probe regimes at
-    *    ×100/1600 cells); switch to
-    *    [[graft.sources.Sources.writeBucketed]] on c_id when the cell
-    *    count itself becomes the listing/small-file bottleneck
-    *    (file count is ∝ nCells here, constant when bucketed) or when
-    *    the dominant consumer is an index×index join too big to
-    *    broadcast (bucketing pre-shuffles the codes side).
+    *    measured (SCALE.md §41): hive-DPP is the shipped default for
+    *    the bounded-query-batch search shape — at ×100/1600 cells the
+    *    bare probe-join walls are near-noise either way, but pruning
+    *    advantage grows with corpus size and the hive layout keeps
+    *    the partition-wise append/compaction lifecycle the day-2 ops
+    *    use. Re-layout via [[graft.sources.Sources.writeBucketed]] on
+    *    c_id when the cell count itself becomes the listing/
+    *    small-file bottleneck (file count is ∝ nCells here, constant
+    *    when bucketed) or when the dominant consumer is an
+    *    index×index join too big to broadcast (bucketing pre-shuffles
+    *    the codes side).
     *
     * Raw floats never enter the index — re-rank fetches the survivor
     * handful from the corpus table. `codes/` is written LAST, so its
