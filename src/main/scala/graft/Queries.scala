@@ -154,21 +154,37 @@ object Queries {
       // a SUCCESSFUL publish sweeps stale sibling builds of the same
       // fixture path (older fingerprints): each fixture regeneration
       // mints a new key, and without the sweep every old full index
-      // copy would sit in tmpdir forever
+      // copy would sit in tmpdir forever. Single-process posture: a
+      // concurrent session still resolving the OLD fingerprint can
+      // lose its index mid-read (it rebuilds; correctness is gated by
+      // the completion marker) — age-gate the sweep before sharing a
+      // tmpdir across live sessions.
       val base = dest.getFileName.toString
-      val canon = base.take(base.lastIndexOf('-').max(0))
-      if (canon.nonEmpty) {
-        Option(dest.getParent.toFile.listFiles()).toSeq.flatten
-          .filter(f => f.getName.startsWith(canon + "-") &&
-            f.getName != base && !f.getName.contains(".build-"))
-          .foreach(f => deleteDir(s, f.getPath))
-      }
+      Option(dest.getParent.toFile.listFiles()).toSeq.flatten
+        .filter(f => isStaleSibling(base, f.getName))
+        .foreach(f => deleteDir(s, f.getPath))
     } catch {
       case e: Throwable =>
         // a failed build must not leak a partial index copy in /tmp
         deleteDir(s, tmp.toString)
         throw e
     }
+  }
+
+  /** True iff sibling `name` is a STALE build of the same fixture as
+    * published `base` — same canonical prefix, different (older)
+    * fingerprint token. Both names have the [[indexScratch]] shape
+    * `<canon>-<fp>`; the comparison strips exactly the final `-<fp>`
+    * token from EACH side and requires the remainders to be equal.
+    * `startsWith(canon + "-")` was wrong here: `-` is a legal
+    * character inside the sanitized canonical path, so fixture
+    * `/data/sf0.1-old`'s index name starts with fixture
+    * `/data/sf0.1`'s prefix and was deleted on every publish. */
+  private[graft] def isStaleSibling(base: String, name: String): Boolean = {
+    def stem(n: String): String = n.take(n.lastIndexOf('-').max(0))
+    val canon = stem(base)
+    canon.nonEmpty && name != base && !name.contains(".build-") &&
+      stem(name) == canon
   }
 
   private def deleteDir(s: SparkSession, dir: String): Unit = {

@@ -584,6 +584,17 @@ object Graph {
     * `_SUCCESS` is the completion marker a crash can't fake). */
   def linkApproxWriteIndex(edges: DataFrame, dir: String,
                            nHashes: Int = 8): Unit = {
+    val spark = edges.sparkSession
+    // in-place REBUILD honesty: drop the old adj completion marker
+    // BEFORE touching sigs — without this, a crash after the sigs
+    // overwrite but before the adj overwrite left the OLD complete
+    // adj (marker present) paired with NEW/partial sigs, and
+    // linkApproxIndexExists reported the inconsistent index complete.
+    // Shipped call sites build into a fresh dir via publishIndexAtomic;
+    // this closes the public API's in-place path too.
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/adj/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
     val e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v"))
     val adj = e.select(col("u").as("a"), col("v").as("n"))
@@ -612,7 +623,17 @@ object Graph {
     * folds the log down to one row per (a, i) — the idempotent
     * min-merge, so ranking is unchanged by construction — and rewrites
     * both stores through the staged-swap publisher (a crash never
-    * loses the index; GraphSpec pins compact → rank ≡ pre-compact). */
+    * loses the index; GraphSpec pins compact → rank ≡ pre-compact).
+    *
+    * PRECONDITION: stop the ingest stream first. Compaction is
+    * read-then-swap; rows a concurrently running
+    * [[graft.streaming.Streams.linkApproxIngestSink]] trigger appends
+    * between the read and the swap are lost in the rewrite — and for
+    * `adj/` that permanently diverges the ledger from the sigs log
+    * (edges whose sig minima survive but whose adjacency rows vanish
+    * are treated as already-settled forever unless replayed). Run it
+    * the way the reference runs J43's rebuild: in the maintenance
+    * window, between streams. */
   def linkApproxCompactIndex(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
     val sigs = spark.read.parquet(s"$dir/sigs")

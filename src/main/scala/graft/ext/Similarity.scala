@@ -1596,7 +1596,16 @@ object Similarity {
     * pruning and the append/search contracts (PersistedPqSpec pins
     * append → compact → search ≡ pre-compaction search row-for-row).
     * Publishes through StagedWrite, so a crash mid-compaction never
-    * loses the codes table. */
+    * loses the codes table.
+    *
+    * PRECONDITION: stop the ingest stream first. Compaction is
+    * read-then-swap; code rows a concurrently running
+    * [[graft.streaming.Streams.pqIngestSink]] trigger appends between
+    * the read and the swap are dropped by the rewrite — and since the
+    * trigger has already committed its checkpoint, the source never
+    * replays those vectors: they are silently missing from the index
+    * until re-fed. Run it the way the reference runs J43's rebuild:
+    * in the maintenance window, between streams. */
   def ivfPqCompactIndex(spark: SparkSession, dir: String): Unit =
     graft.sources.Sources.compact(spark, s"$dir/codes",
       partitionCols = Seq("c_id"))
@@ -1614,6 +1623,12 @@ object Similarity {
     * mean-error(base) in exact ppm. ≈ 10⁶ means the appended rows
     * quantize as well as the base did (no drift); a deployment
     * schedules the rebuild when it crosses its chosen threshold.
+    * `drift_ppm` is NULL — the declared undefined-ratio sentinel on
+    * BOTH engines — when the base slice quantizes exactly (err_base
+    * = 0; any nonzero new error is then infinite drift, visible in
+    * `err_new_pico` directly) or when the appended slice is empty;
+    * without the guard Spark's `div` nulls while DuckDB's `//`
+    * RAISES on zero, the one input where the twins would diverge.
     *
     * Exactness: every per-(row, subspace) distance is an exact
     * DECIMAL(25,12) ([[dotSub]]), so the row-level 10¹² scaling below
@@ -1651,7 +1666,8 @@ object Similarity {
       .select(col("n_base"), col("n_new"),
         col("__ebp").cast("long").as("err_base_pico"),
         col("__enp").cast("long").as("err_new_pico"),
-        expr("(__enp * n_base * 1000000) div (__ebp * n_new)")
+        expr("case when coalesce(__ebp, 0) = 0 or n_new = 0 then null " +
+          "else (__enp * n_base * 1000000) div (__ebp * n_new) end")
           .cast("long").as("drift_ppm"))
   }
 
@@ -1684,12 +1700,16 @@ object Similarity {
     |    AS BIGINT) AS err_base_pico,
     |  CAST(sum(CASE WHEN cand_id >= $splitId THEN dp END)
     |    AS BIGINT) AS err_new_pico,
-    |  CAST((sum(CASE WHEN cand_id >= $splitId THEN dp END)
+    |  CAST(CASE
+    |    WHEN coalesce(sum(CASE WHEN cand_id < $splitId THEN dp END), 0) = 0
+    |      OR count(CASE WHEN cand_id >= $splitId THEN 1 END) // $m = 0
+    |    THEN NULL
+    |    ELSE (sum(CASE WHEN cand_id >= $splitId THEN dp END)
     |      * (count(CASE WHEN cand_id < $splitId THEN 1 END) // $m)
     |      * 1000000)
     |    // (sum(CASE WHEN cand_id < $splitId THEN dp END)
     |      * (count(CASE WHEN cand_id >= $splitId THEN 1 END) // $m))
-    |    AS BIGINT) AS drift_ppm
+    |    END AS BIGINT) AS drift_ppm
     |FROM dmin
     |""".stripMargin.trim
   }

@@ -629,10 +629,17 @@ object Streams {
     * day's rows must not span triggers, or the frontier day settles
     * with a partial sum and its remainder is rejected — feed from a
     * date-partitioned source (one day's files per trigger). The drop
-    * is never silent: rejected (date, rev_cents) mass is appended to
-    * `<statePath>.rejected` (the lateDataAuditSink discipline), so a
-    * violated contract shows up as audit rows, not as a quietly wrong
-    * alarm series. With μ equal to the batch op's internally-derived
+    * is never silent: rejected (date, rev_cents, batch_id) mass is
+    * appended to `<statePath>.rejected` (the lateDataAuditSink
+    * discipline), so a violated contract shows up as audit rows, not
+    * as a quietly wrong alarm series. Replay caveat: the audit is
+    * at-least-once — a crash after the state append but before the
+    * checkpoint commit makes the retried trigger classify its own
+    * (correctly settled) days as stale, so rejected MASS can
+    * overstate true feed violations; each row carries the trigger's
+    * `batch_id`, so a reader distinguishes replay duplicates (same
+    * day, later batch_id, matching settled state) from genuine
+    * contract violations and dedupes on (date_value) as needed. With μ equal to the batch op's internally-derived
     * mean, the state table reproduces
     * [[graft.ext.Profiler.cusumDrift]] row-for-row (StreamsSpec pins
     * it across two triggers). */
@@ -642,7 +649,7 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         val slack = if (muCents >= 0) muCents / 20 else -((-muCents) / 20)
         val daily = batch0
@@ -669,7 +676,8 @@ object Streams {
         frontier.foreach { d =>
           val stale = daily.filter(col("date_value") <= lit(d))
           if (!stale.isEmpty)
-            stale.write.mode("append").parquet(statePath + ".rejected")
+            stale.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(statePath + ".rejected")
         }
         if (!fresh.isEmpty) {
           // |days-per-trigger|-bounded single-partition window — the

@@ -78,8 +78,11 @@ object GraphDial {
         // build-once/rank-many economics: one-time signature-index
         // build wall, then min-of-n ranking walls from the index
         val n = if (args.length > 2) args(2).toInt else 3
-        val ixDir = java.nio.file.Files
-          .createTempDirectory("link-ix-dial").toString + "/ix"
+        // cleanup deletes the createTempDirectory PARENT — deleting
+        // only the /ix child leaked one empty temp dir per invocation
+        val ixParent = java.nio.file.Files
+          .createTempDirectory("link-ix-dial").toString
+        val ixDir = ixParent + "/ix"
         val edges = Graph.coEdges(li, col("l_orderkey"),
           col("l_partkey")).localCheckpoint()
         val t0 = System.nanoTime()
@@ -88,7 +91,7 @@ object GraphDial {
         val (tr, rows) = timeIt(n)(
           Graph.linkPredictApproxFromIndex(spark, ixDir, k = 100).count())
         println(f"rank from index: $tr%.2f s min-of-$n ($rows rows)")
-        val p = new org.apache.hadoop.fs.Path(ixDir)
+        val p = new org.apache.hadoop.fs.Path(ixParent)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
 

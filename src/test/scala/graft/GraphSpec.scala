@@ -186,18 +186,25 @@ class GraphSpec extends SparkSpec {
 
   test("linkApproxWriteIndex: batch-built persisted index ranks " +
     "identically to linkPredictApprox; marker gates completeness") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("link-ix-spec").toString + "/ix"
-    val edges = Graph.coEdges(spark.read.parquet(s"$sf/lineitem.parquet"),
-      col("l_orderkey"), col("l_partkey")).localCheckpoint()
-    assert(!Graph.linkApproxIndexExists(spark, dir))
-    Graph.linkApproxWriteIndex(edges, dir)
-    assert(Graph.linkApproxIndexExists(spark, dir))
-    val got = Graph.linkPredictApproxFromIndex(spark, dir, k = 50)
-      .collect().toSeq
-    val want = Graph.linkPredictApprox(edges, k = 50).collect().toSeq
-    assert(want.nonEmpty && got == want,
-      "persisted ranking drifted from the batch ranker")
+    val parent = java.nio.file.Files
+      .createTempDirectory("link-ix-spec").toString
+    val dir = parent + "/ix"
+    try {
+      val edges = Graph.coEdges(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("l_orderkey"), col("l_partkey")).localCheckpoint()
+      assert(!Graph.linkApproxIndexExists(spark, dir))
+      Graph.linkApproxWriteIndex(edges, dir)
+      assert(Graph.linkApproxIndexExists(spark, dir))
+      val got = Graph.linkPredictApproxFromIndex(spark, dir, k = 50)
+        .collect().toSeq
+      val want = Graph.linkPredictApprox(edges, k = 50).collect().toSeq
+      assert(want.nonEmpty && got == want,
+        "persisted ranking drifted from the batch ranker")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(parent)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
   }
 
   test("linkPredict: 4-cycle + chord — only the open pair is ranked") {

@@ -194,4 +194,24 @@ class PersistedPqSpec extends SparkSpec {
     assert(Similarity.ivfPqSearchPersisted(spark, dir, emb, q,
       k = 3, nProbe = 4, m = m, dim = dim, rerank = 10).count() > 0)
   }
+
+  test("stale-sibling sweep: same fixture's old fingerprints only — " +
+    "a canon that extends another with '-suffix' is not its sibling") {
+    // the r10 collision: '-' is legal inside the sanitized canonical
+    // path, so startsWith(canon + "-") matched fixture
+    // /data/sf0.1-old's index from fixture /data/sf0.1's sweep and
+    // deleted it after every publish
+    val base = "_data_sf0.1-1a2b3c"
+    assert(Queries.isStaleSibling(base, "_data_sf0.1-9f9f9f"),
+      "older fingerprint of the same fixture must be swept")
+    assert(!Queries.isStaleSibling(base, "_data_sf0.1-old-1a2b3c"),
+      "a DIFFERENT fixture whose canon extends ours must survive")
+    assert(!Queries.isStaleSibling(base, base),
+      "the freshly published dir itself must survive")
+    assert(!Queries.isStaleSibling(base, ".build-xyz"),
+      "in-flight builder temp dirs must survive")
+    // and the reverse direction: the longer canon's sweep must not
+    // claim the shorter canon's index either
+    assert(!Queries.isStaleSibling("_data_sf0.1-old-77aa", base))
+  }
 }

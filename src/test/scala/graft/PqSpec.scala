@@ -131,4 +131,27 @@ class PqSpec extends SparkSpec {
     assert(rec.length == 3)
     rec.foreach(r => assert(r.getAs[Double]("recall_at_k") >= 0.0))
   }
+
+  test("pqDriftAudit: zero-error base yields the NULL drift sentinel " +
+    "on both engines' formulations") {
+    // base slice == the codewords themselves (splitId = ksub): every
+    // base vector quantizes to itself exactly, err_base_pico = 0 and
+    // the ratio is undefined — the declared sentinel is NULL, not a
+    // Spark-nulls-while-DuckDB-raises divergence
+    val m = 8; val ksub = 16
+    val cw = Similarity.pqSampleCodebooks(emb, m, ksub, dim / m)
+    val row = Similarity.pqDriftAudit(emb, cw, m, dim, splitId = ksub)
+      .collect().head
+    assert(row.getAs[Long]("err_base_pico") == 0L,
+      "base-equals-codebook fixture must quantize exactly")
+    assert(row.getAs[Long]("n_new") > 0)
+    assert(row.isNullAt(row.fieldIndex("drift_ppm")),
+      "zero-error base must produce the NULL sentinel")
+    // and the declared fixture (splitId past the codebook cut) still
+    // produces a defined ratio — the guard is inert off the edge
+    val ok = Similarity.pqDriftAudit(emb, cw, m, dim, splitId = 400L)
+      .collect().head
+    assert(!ok.isNullAt(ok.fieldIndex("drift_ppm")),
+      "declared fixture must keep a defined drift_ppm")
+  }
 }
