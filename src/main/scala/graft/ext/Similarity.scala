@@ -1427,8 +1427,12 @@ object Similarity {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
     val index = ivfPqIndex(corpus, cw, nCentroids, m, dim)
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
+    // spread the query batch before the assignment kernel: a query
+    // table small in bytes arrives as one scan partition, and the
+    // per-row exact re-rank would run single-threaded (the same
+    // spread ivfPqIndex already applies to the corpus side)
+    val q = Dedup.spread(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), col("query_id"))
     val probes = assignedCells(q, cb, "query_id", "q_emb", nProbe)
       .select(col("query_id"), col("c_id"))
     ivfPqSearchStages(index, corpus, q, cw, probes, k, m, subLen, rerank)
@@ -1447,6 +1451,19 @@ object Similarity {
                                 q: DataFrame, cw: DataFrame,
                                 probes: DataFrame, k: Int, m: Int,
                                 subLen: Int, rerank: Int): DataFrame = {
+    // the decimal-heavy narrow points below all get an EXPLICIT
+    // AQE-exempt spread (the Dedup.spread discipline): their rows are
+    // byte-light but CPU-heavy (exact-decimal kernels), and AQE sizes
+    // partitions by INPUT BYTES — measured at |Q|=1600/sf0.1, it ran
+    // the whole |Q|·m·ksub LUT on the query table's single scan
+    // partition (1.5 s) and coalesced the survivor window's exchange
+    // to ONE task (2.3 s of decimal sort) out of a 5.6 s search leg
+    // (SCALE.md §43). Each spread is keyed on the consumer's own
+    // distribution, so no extra exchange materializes where one
+    // already existed — the exchange is pinned wide, not added.
+    // CONTRACT: `q` arrives already spread (both callers spread it
+    // before probe assignment — spreading again here would stack a
+    // second identical exchange on the lut branch).
     val lut = q.withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("__n2s", dotSub(col("q_emb"), col("q_emb"), col("sub"), subLen))
       .join(broadcast(cw), Seq("sub"))
@@ -1461,7 +1478,8 @@ object Similarity {
       .agg(sum(col("lut_d")).as("__adc"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col("cand_id").asc)
-    val survivors = adc.withColumn("__srn", row_number().over(ws))
+    val survivors = Dedup.spread(adc, col("query_id"))
+      .withColumn("__srn", row_number().over(ws))
       .filter(col("__srn") <= rerank)
       .select(col("query_id"), col("cand_id"))
     val sq = survivors.join(
@@ -1474,9 +1492,14 @@ object Similarity {
     // hoist an expensive projection above a join on its own, and the
     // decimal kernel over the whole corpus was the measured non-flat
     // term of the persisted search leg (20.1 s → 2.3 s at ×100,
-    // SCALE.md §41)
-    corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    // SCALE.md §41). The corpus itself is NEVER spread (that would
+    // shuffle the whole table); the spread lands on the join OUTPUT —
+    // |Q|·rerank rows — so the survivor dots run wide while the
+    // corpus still streams through the broadcast join filter.
+    val joined = corpus
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
       .join(broadcast(sq), Seq("cand_id"))
+    Dedup.spread(joined, col("query_id"))
       .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
       .withColumn("cos", cosine(
         dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
@@ -1749,8 +1772,11 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     val index = spark.read.parquet(s"$dir/codes")
       .withColumn("c_id", col("c_id").cast("long"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
+    // spread the query batch first (the ivfPqSearchStages contract):
+    // probe scoring and the downstream LUT/survivor decimal kernels
+    // otherwise run on the query table's single scan partition
+    val q = Dedup.spread(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), col("query_id"))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(col("__pcos").desc, col("c_id").asc)
     // self-norms hoisted to their own side: the centroid norm is
