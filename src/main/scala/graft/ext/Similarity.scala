@@ -1553,6 +1553,15 @@ object Similarity {
   def ivfPqWriteIndex(corpus: DataFrame, cw: DataFrame, nCentroids: Int,
                       m: Int, dim: Int, dir: String): Unit = {
     val spark = corpus.sparkSession
+    // in-place REBUILD honesty (the linkApproxWriteIndex rule): drop
+    // the old codes completion marker BEFORE touching any store — a
+    // crash between the codebooks overwrite and the codes overwrite
+    // would otherwise leave NEW codebooks paired with the OLD
+    // complete codes table, and ivfPqIndexExists would report the
+    // inconsistent index complete
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/codes/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
     cw.write.mode("overwrite").parquet(s"$dir/codebooks")
     val cb = collectCodebook(corpus, "vec_id", "embedding", nCentroids)
     import spark.implicits._
@@ -1735,6 +1744,53 @@ object Similarity {
     |    END AS BIGINT) AS drift_ppm
     |FROM dmin
     |""".stripMargin.trim
+  }
+
+  /** The REBUILD half of the persisted PQ index's day-2 loop — J43's
+    * maintenance-window rebuild (reference SQL:870-875) as the policy
+    * that CONSUMES [[pqDriftAudit]] instead of leaving it a number in
+    * a report. Audits the appended slice (`vec_id >= splitId`, the
+    * ingest watermark at last build) against the index's OWN persisted
+    * codebooks, and when drift crosses `thresholdPpm` rebuilds the
+    * whole index from the current corpus via [[ivfPqWriteIndex]]
+    * (in-place; the marker-delete rule above keeps a crashed rebuild
+    * honest — callers wanting publish-then-swap wrap it the way the
+    * declared queries wrap builds). Returns true iff it rebuilt.
+    *
+    * Policy on the NULL drift sentinel (zero-error base): any nonzero
+    * appended error is infinite drift → rebuild; zero appended error
+    * (or nothing appended) → no signal → keep appending.
+    *
+    * Codebooks for the rebuild: `trainIters` = 0 re-derives the
+    * deterministic sample init (the declared queries' convention —
+    * rebuild then re-clusters coarse cells over the full corpus);
+    * > 0 runs [[pqTrainCodebooks]] Lloyd rounds, the production
+    * setting — on a DRIFTED distribution the sample init (first-ksub
+    * vectors = all base-slice) cannot adapt, while trained codebooks
+    * descend the quantization objective on the post-drift mix
+    * (measured: SCALE.md §43). Cost: one audit pass (linear, broadcast
+    * codebooks) + the rebuild itself only when triggered. */
+  def ivfPqRebuildIfDrifted(spark: SparkSession, corpus: DataFrame,
+                            splitId: Long, nCentroids: Int, m: Int,
+                            ksub: Int, dim: Int, dir: String,
+                            thresholdPpm: Long,
+                            trainIters: Int = 0): Boolean = {
+    val cw = spark.read.parquet(s"$dir/codebooks")
+    val row = pqDriftAudit(corpus, cw, m, dim, splitId).collect().head
+    val nNew = row.getAs[Long]("n_new")
+    val drifted =
+      if (nNew == 0L) false
+      else if (row.isNullAt(row.fieldIndex("drift_ppm")))
+        !row.isNullAt(row.fieldIndex("err_new_pico")) &&
+          row.getAs[Long]("err_new_pico") > 0L
+      else row.getAs[Long]("drift_ppm") >= thresholdPpm
+    if (drifted) {
+      val fresh =
+        if (trainIters > 0) pqTrainCodebooks(corpus, m, ksub, dim, trainIters)
+        else pqSampleCodebooks(corpus, m, ksub, dim / m)
+      ivfPqWriteIndex(corpus, fresh, nCentroids, m, dim, dir)
+    }
+    drifted
   }
 
   /** Search a PERSISTED IVF-PQ index ([[ivfPqWriteIndex]] layout):

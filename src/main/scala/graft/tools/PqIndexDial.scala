@@ -43,9 +43,13 @@ object PqIndexDial {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).count()
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // drift mode takes a SynthGen vector count in the dir slot (no
+    // fixture on disk needed); every other mode reads the fixture
+    lazy val emb = (if (mode == "drift")
+        graft.SynthGen.embeddings(spark, dir.toLong)
+      else spark.read.parquet(s"$dir/embeddings.parquet"))
       .localCheckpoint()
-    val nVec = emb.count()
+    lazy val nVec = emb.count()
     println(s"corpus: $nVec vectors, nCentroids=$nCentroids " +
       s"(occupancy ~${nVec / nCentroids})")
 
@@ -61,6 +65,45 @@ object PqIndexDial {
     }
 
     mode match {
+      case "drift" =>
+        // WHERE a deployment sets ivfPqRebuildIfDrifted's threshold:
+        // drift_ppm for a same-distribution continuation vs two
+        // shifted appended slices, plus what a rebuild buys back.
+        // `PqIndexDial drift <nVectors> <unused> [trainIters]`
+        val half = nVec / 2
+        val base = emb.filter(col("vec_id") < half)
+        val cont = emb.filter(col("vec_id") >= half)
+        val cw = Similarity.pqSampleCodebooks(base, m, ksub, dim / m)
+        def shifted(f: org.apache.spark.sql.Column =>
+            org.apache.spark.sql.Column) =
+          cont.withColumn("embedding",
+            transform(col("embedding"), x => f(x).cast("float")))
+        def audit(name: String, appended: DataFrame,
+                  books: DataFrame): Long = {
+          val corpus = base.unionByName(appended)
+          val r = Similarity.pqDriftAudit(corpus, books, m, dim, half)
+            .collect().head
+          val drift = if (r.isNullAt(r.fieldIndex("drift_ppm"))) -1L
+            else r.getAs[Long]("drift_ppm")
+          println(f"$name%-28s drift_ppm=$drift%,12d  " +
+            f"mean_err_new_pico=${r.getAs[Long]("err_new_pico") /
+              math.max(1L, r.getAs[Long]("n_new"))}%,15d")
+          drift
+        }
+        audit("continuation (no shift)", cont, cw)
+        audit("scale x1.3", shifted(_ * lit(1.3)), cw)
+        val off = shifted(_ + lit(0.4))
+        audit("offset +0.4", off, cw)
+        // rebuild effect on the offset-drifted mix: the sample init
+        // cannot adapt (its codewords are all base-slice vectors);
+        // trained books descend the objective on the post-drift mix
+        val iters = n
+        val mix = base.unionByName(off).localCheckpoint()
+        audit("offset +0.4, rebuilt-sample",
+          off, Similarity.pqSampleCodebooks(mix, m, ksub, dim / m))
+        audit(s"offset +0.4, trained($iters)",
+          off, Similarity.pqTrainCodebooks(mix, m, ksub, dim, iters))
+
       case "decade" =>
         val ixDir = java.nio.file.Files
           .createTempDirectory("pq-decade-ix").toString

@@ -95,6 +95,48 @@ class PersistedPqSpec extends SparkSpec {
     assert(appended == want, "append path drifted from base-codebook truth")
   }
 
+  test("rebuild policy: ivfPqRebuildIfDrifted consumes the drift " +
+      "audit — below threshold appends stand, above it the rebuilt " +
+      "index searches == a fresh full-corpus build row-for-row") {
+    val dir = freshDir()
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    Similarity.ivfPqWriteIndex(base,
+      Similarity.pqSampleCodebooks(base, m, ksub, dim / m),
+      nCentroids, m, dim, dir)
+    Similarity.ivfPqAppendToIndex(spark, batch, m, dim, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def search() = Similarity.ivfPqSearchPersisted(spark, dir, emb, q,
+        k = 5, nProbe = 4, m = m, dim = dim, rerank = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val appended = search()
+    // below threshold: no rebuild, the appended index stands untouched
+    assert(!Similarity.ivfPqRebuildIfDrifted(spark, emb, splitId = 400L,
+      nCentroids, m, ksub, dim, dir, thresholdPpm = Long.MaxValue))
+    assert(search() == appended,
+      "a declined rebuild must leave the index untouched")
+    // above threshold (0 ppm = always): rebuild fires and the index
+    // now equals a FRESH build over the full corpus, search for search
+    assert(Similarity.ivfPqRebuildIfDrifted(spark, emb, splitId = 400L,
+      nCentroids, m, ksub, dim, dir, thresholdPpm = 0L))
+    assert(Similarity.ivfPqIndexExists(spark, dir),
+      "rebuild must leave a complete index")
+    val freshd = freshDir()
+    Similarity.ivfPqWriteIndex(emb,
+      Similarity.pqSampleCodebooks(emb, m, ksub, dim / m),
+      nCentroids, m, dim, freshd)
+    val want = Similarity.ivfPqSearchPersisted(spark, freshd, emb, q,
+        k = 5, nProbe = 4, m = m, dim = dim, rerank = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(search() == want,
+      "rebuilt index must search identically to a fresh full build")
+    // nothing appended since the rebuild -> no drift signal -> no-op
+    assert(!Similarity.ivfPqRebuildIfDrifted(spark, emb,
+      splitId = Long.MaxValue, nCentroids, m, ksub, dim, dir,
+      thresholdPpm = 0L),
+      "an empty appended slice must never trigger a rebuild")
+  }
+
   test("pqIngestSink: streamed appends search identically to batch " +
       "append; replays append nothing") {
     import org.apache.spark.sql.types._
