@@ -25,6 +25,10 @@ import graft.ext.{Graph, Similarity}
   *  - `knn <dir> nCells [n]` — flat knnGraph vs two-level
   *    knnGraphHier (nSuper = √nCells, sProbe=2) at the given cell
   *    count: the nCells ∝ n scaling row for the kNN graph.
+  *  - `recommend <dir> [rankRuns]` — the full pre-flight-decides
+  *    flow: degreeHistogram over the co-order graph, then
+  *    [[graft.ext.Graph.recommendRanker]]'s verdict (choice, cap,
+  *    measured reason) at the given rank-many setting.
   */
 object GraphDial {
   def main(args: Array[String]): Unit = {
@@ -52,6 +56,16 @@ object GraphDial {
     }
 
     mode match {
+      case "recommend" =>
+        val rankRuns = if (args.length > 2) args(2).toInt else 1
+        val hist = Graph.degreeHistogram(Graph.coEdges(li,
+          col("l_orderkey"), col("l_partkey"))).localCheckpoint()
+        hist.show(false)
+        val plan = Graph.recommendRanker(hist, rankRuns)
+        println(s"recommendation (rankRuns=$rankRuns): ${plan.choice} " +
+          s"maxDegree=${plan.maxDegree}")
+        println(s"  because: ${plan.reason}")
+
       case "link" =>
         val n = if (args.length > 2) args(2).toInt else 3
         val (tw, rows) = timeIt(n)(
