@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -935,6 +935,19 @@ object Dedup {
     * exact hamming filter. Each pair surfaces once: at its first
     * matching band (see [[firstSimBandOnly]] — no pair-level distinct
     * shuffle). */
+  /** One row per (doc, simhash band): the exploded band view of a
+    * [[simhash]] frame — the pair-join input of [[simhashPairs]] and
+    * the PERSISTED index layout for streaming ingest
+    * ([[graft.streaming.Streams.componentSplitIngestSink]]): the
+    * signature rides along so a batch-vs-index band collision can
+    * apply the exact hamming filter without a second lookup. */
+  private[graft] def simhashBandRows(sims: DataFrame): DataFrame =
+    sims.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimBands).map(b => struct(lit(b).as("band"),
+        simBand(col("simhash"), b).as("bv"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
+        col("bs.bv").as("bv"))
+
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
     // One kernel pass, not two: the band self-join re-evaluates the
     // signature lineage on BOTH sides without this (BandStats measured
@@ -942,11 +955,7 @@ object Dedup {
     // §9). n rows × 16 bytes — the signature table written once, then
     // band-joined, as a warehouse would lay it out.
     val sigs = sims.localCheckpoint()
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until SimBands).map(b => struct(lit(b).as("band"),
-        simBand(col("simhash"), b).as("bv"))): _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band").as("band"),
-        col("bs.bv").as("bv"))
+    val bands = simhashBandRows(sigs)
     val a = spread(bands.select(col("band"), col("bv"),
       col("doc_id").as("d1"), col("simhash").as("s1")),
       col("band"), col("bv"))
@@ -2220,12 +2229,35 @@ object Dedup {
       k, rowsPerBand).select(col("d1"), col("d2"))
     val comp = starComponents(
       sPairs.unionByName(mPairs).distinct(), d.select(col("doc_id")))
-    val b = graft.functions.Hashing.permBucket(col("component"), 1, 100)
     comp.select(col("doc_id"), col("component"),
-      when(b < trainPct, lit("train"))
-        .when(b < trainPct + validPct, lit("valid"))
-        .otherwise(lit("test")).as("split"))
+      splitOfComponent(col("component"), trainPct, validPct).as("split"))
   }
+
+  /** The deterministic component → split assignment [[componentSplit]]
+    * and its streaming twin share: a [[graft.functions.Hashing
+    * .permBucket]] bucket of the COMPONENT label against the cut
+    * points — engine-portable, so the stream, the batch op and the
+    * DuckDB twin all agree. */
+  private[graft] def splitOfComponent(component: Column, trainPct: Int,
+                                      validPct: Int): Column = {
+    val b = graft.functions.Hashing.permBucket(component, 1, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + validPct, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  /** Read the split manifest a [[graft.streaming.Streams
+    * .componentSplitIngestSink]] stream maintains under `dir` —
+    * (doc_id, component, split), equal to [[componentSplit]] over the
+    * union of all streamed documents row-for-row (StreamsSpec pins
+    * it). One labels scan + the split projection; no signature work
+    * at read time. */
+  def componentSplitFromIndex(spark: SparkSession, dir: String,
+                              trainPct: Int = 90,
+                              validPct: Int = 5): DataFrame =
+    spark.read.parquet(s"$dir/labels")
+      .select(col("doc_id"), col("component"),
+        splitOfComponent(col("component"), trainPct, validPct).as("split"))
 
   /** DuckDB twin of [[componentSplit]] over `documents` (simhash and
     * minhash CTE families combined; the minhash chain is prefixed to

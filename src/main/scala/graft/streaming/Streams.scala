@@ -757,6 +757,167 @@ object Streams {
       }
       .start()
 
+  /** Streaming leakage-free split enforcement — the online twin of
+    * [[graft.ext.Dedup.componentSplit]]: each micro-batch of documents
+    * is banded against the PERSISTED signature indexes (simhash band
+    * rows + minhash band rows — the nearDupIngestSink band-index
+    * pattern, both detectors because the batch op unions both pair
+    * sets), its new near-dup edges merged into the incremental
+    * component labels under `dir/labels`, and the whole manifest read
+    * back at any time via [[graft.ext.Dedup.componentSplitFromIndex]]
+    * — equal to the batch op over the union of all streamed documents
+    * row-for-row (StreamsSpec pins it).
+    *
+    * Per trigger: batch signatures + band rows are O(batch); both
+    * candidate joins probe with the BATCH side only (the corpus side
+    * is an equi-lookup into the band indexes — never corpus×corpus;
+    * at scale the indexes persist bucketed by (band, sig)).
+    * Components merge in CONTRACTED space: stored endpoints map to
+    * their component label first, so the star contraction runs over
+    * batch docs + touched components, never the corpus. Labels are
+    * min-reachable-doc-ids exactly as the batch op computes them
+    * (the min of merged mins IS the global min), so split assignment
+    * — a deterministic bucket of the component label — never flips
+    * for an untouched component. The labels store rewrites through
+    * StagedWrite each trigger (merges can relabel old rows); at 100 TB
+    * partition labels by a bucket of `component` and rewrite only the
+    * buckets the trigger's merge map touches.
+    *
+    * Delivery: labels ARE the ledger (docs already labeled drop out
+    * up front), written LAST; band appends anti-join the stored band
+    * docs, so the crash window between bands and labels replays to
+    * the identical state instead of duplicating band rows. Docs too
+    * short for either signature still get (self-)labeled — the batch
+    * op's vertices are ALL docs. The no-straddle invariant — no
+    * candidate pair crosses a split boundary — is re-checked on the
+    * trigger's own edges after every merge and fails the trigger
+    * loudly rather than let a violated merge settle. */
+  def componentSplitIngestSink(stream: DataFrame, dir: String,
+                               checkpoint: String, maxHamming: Int = 3,
+                               shingle: Int = 3, k: Int = 8,
+                               rowsPerBand: Int = 2, trainPct: Int = 90,
+                               validPct: Int = 5): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        import graft.ext.Dedup
+        val simPath = s"$dir/simbands"
+        val mhPath = s"$dir/mhbands"
+        val labelsPath = s"$dir/labels"
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+        val deduped = batch0.dropDuplicates(Seq("doc_id"))
+        val batch = (if (exists(labelsPath))
+            deduped.join(spark.read.parquet(labelsPath).select("doc_id"),
+              Seq("doc_id"), "left_anti")
+          else deduped).localCheckpoint()
+        if (!batch.isEmpty) {
+          val ssigs = Dedup.simhash(batch, col("doc_id"), col("text"))
+            .localCheckpoint()
+          val msigs = Dedup.minhashSignature(batch, col("doc_id"),
+            col("text"), shingle, k).localCheckpoint()
+          val sBands = Dedup.simhashBandRows(ssigs).localCheckpoint()
+          val mBands = Dedup.minhashBandRows(msigs, k, rowsPerBand)
+            .select(col("doc_id"), col("band"), col("sig"))
+            .localCheckpoint()
+          // within-batch pairs: the batch op's own generators
+          val within = Dedup.simhashPairs(ssigs, maxHamming)
+            .select(col("d1"), col("d2"))
+            .unionByName(Dedup.minhashCandidates(msigs, k, rowsPerBand)
+              .select(col("d1"), col("d2")))
+          // batch-vs-index pairs: equi-lookup into the band stores,
+          // exact hamming re-check on the sim side (duplicate
+          // surfacing across bands is fine — one distinct below)
+          val vsSim = if (exists(simPath))
+            sBands.select(col("band"), col("bv"),
+                col("doc_id").as("__bd"), col("simhash").as("__bs"))
+              .join(spark.read.parquet(simPath).select(col("band"),
+                col("bv"), col("doc_id").as("__sd"),
+                col("simhash").as("__ss")), Seq("band", "bv"))
+              .filter(col("__bd") =!= col("__sd") &&
+                bit_count(col("__bs").bitwiseXOR(col("__ss")))
+                  <= maxHamming)
+              .select(least(col("__bd"), col("__sd")).as("d1"),
+                greatest(col("__bd"), col("__sd")).as("d2"))
+          else within.limit(0)
+          val vsMh = if (exists(mhPath))
+            mBands.select(col("band"), col("sig"),
+                col("doc_id").as("__bd"))
+              .join(spark.read.parquet(mhPath).select(col("band"),
+                col("sig"), col("doc_id").as("__sd")), Seq("band", "sig"))
+              .filter(col("__bd") =!= col("__sd"))
+              .select(least(col("__bd"), col("__sd")).as("d1"),
+                greatest(col("__bd"), col("__sd")).as("d2"))
+          else within.limit(0)
+          val pairs = within.unionByName(vsSim).unionByName(vsMh)
+            .distinct().localCheckpoint()
+          // contract stored endpoints to their component label; new
+          // docs stand for themselves (label spaces are disjoint:
+          // stored labels are old doc ids, the batch is new ids)
+          val stored = if (exists(labelsPath))
+            spark.read.parquet(labelsPath)
+          else spark.range(0).select(col("id").as("doc_id"),
+            col("id").as("component"))
+          val contracted = pairs
+            .join(stored.select(col("doc_id").as("d1"),
+              col("component").as("__c1")), Seq("d1"), "left")
+            .join(stored.select(col("doc_id").as("d2"),
+              col("component").as("__c2")), Seq("d2"), "left")
+            .select(coalesce(col("__c1"), col("d1")).as("u"),
+              coalesce(col("__c2"), col("d2")).as("v"))
+            .filter(col("u") =!= col("v"))
+            .select(least(col("u"), col("v")).as("d1"),
+              greatest(col("u"), col("v")).as("d2")).distinct()
+          val verts = batch.select(col("doc_id"))
+            .unionByName(contracted.select(col("d1").as("doc_id")))
+            .unionByName(contracted.select(col("d2").as("doc_id")))
+            .distinct()
+          val merged = Dedup.starComponents(contracted, verts)
+            .select(col("doc_id").as("__node"),
+              col("component").as("__new")).localCheckpoint()
+          // bands append BEFORE labels (labels are the ledger): a
+          // crash in between replays to the same state via the
+          // band-store anti-joins above / here
+          def appendNew(bands: DataFrame, path: String): Unit = {
+            val fresh = if (exists(path))
+              bands.join(spark.read.parquet(path)
+                .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+            else bands
+            fresh.write.mode("append").parquet(path)
+          }
+          appendNew(sBands, simPath)
+          appendNew(mBands, mhPath)
+          val batchLabels = batch.select(col("doc_id"))
+            .join(merged, col("doc_id") === col("__node"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__new"), col("doc_id")).as("component"))
+          val remapped = stored
+            .join(merged, col("component") === col("__node"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__new"), col("component")).as("component"))
+          val all = remapped.unionByName(batchLabels).localCheckpoint()
+          graft.meta.StagedWrite.overwrite(all, labelsPath)
+          // the invariant the sink exists for, re-checked per trigger
+          // on its own edges: a candidate pair must never straddle
+          val split = Dedup.componentSplitFromIndex(spark, dir,
+            trainPct, validPct)
+          val straddle = pairs
+            .join(split.select(col("doc_id").as("d1"),
+              col("split").as("__s1")), Seq("d1"))
+            .join(split.select(col("doc_id").as("d2"),
+              col("split").as("__s2")), Seq("d2"))
+            .filter(col("__s1") =!= col("__s2")).count()
+          if (straddle != 0)
+            throw new IllegalStateException(
+              s"component_split invariant violated: $straddle candidate " +
+                "pairs straddle a split boundary after merge")
+        }
+      }
+      .start()
+
   /** Streaming sequence packer — the incremental twin of
     * [[graft.ext.Corpus.seqPack]]: documents arrive as a stream, each
     * shard's running token total lives in keyed state, and every doc

@@ -841,4 +841,52 @@ class StreamsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
     }
   }
+
+  test("componentSplitIngestSink: streamed component labels + splits " +
+    "equal batch componentSplit over the union; replay is a no-op") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.ext.Dedup
+    val docsDir = tmp("docs-csplit-stream")
+    val ixDir = tmp("csplit-index") + "/ix"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // two triggers: later docs must band against the PERSISTED index
+    // (cross-trigger near-dup pairs exist in the fixture's ~5% dup
+    // clusters), and a cross-trigger merge must relabel trigger-1 docs
+    docs.filter(col("doc_id") < 400).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    docs.filter(col("doc_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(docsDir)
+      val q = Streams.componentSplitIngestSink(stream, ixDir,
+        tmp("csplit-chk"))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    def manifest() = Dedup.componentSplitFromIndex(spark, ixDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val got = manifest()
+    val want = Dedup.componentSplit(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == want,
+      "streamed split manifest drifted from batch componentSplit")
+    // the parity is non-vacuous only if some component spans the
+    // trigger boundary (a cross-trigger merge actually happened)
+    val spanning = got.groupBy(_._2).values
+      .count(g => g.exists(_._1 < 400) && g.exists(_._1 >= 400))
+    assert(spanning > 0, "fixture must exercise a cross-trigger merge")
+    // full replay (fresh checkpoint): the labels ledger drops every
+    // doc, band stores gain nothing, the manifest is unchanged
+    val simBefore = spark.read.parquet(s"$ixDir/simbands").count()
+    run()
+    assert(manifest() == got, "replay changed the split manifest")
+    assert(spark.read.parquet(s"$ixDir/simbands").count() == simBefore,
+      "replay appended band rows")
+  }
 }
