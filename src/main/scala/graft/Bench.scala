@@ -103,7 +103,79 @@ object Bench {
         }
       }
     val decomp = (inQueryRows ++ persistedRows).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"decomp":$decomp,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    // Self-adjudicating quiet pass (VERDICT r10 Next #5): the
+    // all-queries single-JVM loop keeps measuring cross-query
+    // contention (r10: ann_ivf read 22.2s in-bench vs 1.90s under the
+    // judge's isolated BenchOne) — so the artifact now carries both
+    // numbers. For the top-K heaviest walls, fork a FRESH JVM each
+    // (graft.BenchQuiet: one sf0.001 warmup, then min-of-N at the
+    // bench SF) and emit quiet_s beside bench_s with a contended
+    // flag; a spike that the quiet number contradicts adjudicates
+    // itself in BENCH_r*.json instead of needing a judge re-measure.
+    // Bounded: K heavies, N runs, a global wall budget — partial
+    // coverage is declared in quiet_meta.skipped, never silent.
+    val quietK = sys.env.getOrElse("SPARK_GRAFT_QUIET_K", "10").toInt
+    val quietN = sys.env.getOrElse("SPARK_GRAFT_QUIET_N", "3").toInt
+    val quietBudget =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_S", "420").toDouble
+    val quietOn = sys.env.getOrElse("SPARK_GRAFT_QUIET", "1") != "0"
+    val heavies = results.filter(_._2 >= 0).sortBy(-_._2).take(quietK)
+    def runQuietChild(name: String, timeoutS: Double): Option[Double] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        // inherit the parent's module opens / -D flags; drop the
+        // pre-touch pair (a child shouldn't commit the full bench
+        // heap up front) and cap the child heap — the parent's heap
+        // stays committed while the child runs
+        val childMem = sys.env.getOrElse("SPARK_GRAFT_QUIET_MEM", "12g")
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-Xms") || a.startsWith("-Xmx") ||
+            a.contains("AlwaysPreTouch"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(s"-Xmx$childMem",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.BenchQuiet", sfDir, quietN.toString, name)
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val outF = scala.concurrent.Future {
+          scala.io.Source.fromInputStream(p.getInputStream).getLines()
+            .find(_.startsWith("QUIET_JSON:"))
+        }(scala.concurrent.ExecutionContext.global)
+        val done = p.waitFor(math.max(30, timeoutS).toLong,
+          java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { p.destroyForcibly(); p.waitFor(); None }
+        else scala.concurrent.Await
+          .result(outF, scala.concurrent.duration.Duration(10, "s"))
+          .flatMap { l =>
+            // child emits {"<name>":<double>}; parse the one value
+            val v = l.substring(l.indexOf(':', l.indexOf("QUIET_JSON:") + 11) + 1)
+              .stripSuffix("}").trim.toDouble
+            if (v >= 0) Some(v) else None
+          }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] quiet $name failed: $e"); None
+      }
+    val quietT0 = System.nanoTime()
+    def quietElapsed = (System.nanoTime() - quietT0) / 1e9
+    val quietRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    val quietSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (quietOn) heavies.foreach { case (name, benchS) =>
+      val remaining = quietBudget - quietElapsed
+      if (remaining <= 0) quietSkipped += name
+      else runQuietChild(name, math.min(remaining + 30, 240.0)) match {
+        case Some(q) =>
+          val ratio = if (q > 0) benchS / q else 1.0
+          val contended = ratio > 1.5 && benchS - q > 0.5
+          quietRows += s""""$name":{"quiet_s":$q,"bench_s":$benchS,"ratio":${math.round(ratio * 100) / 100.0},"contended":$contended}"""
+        case None => quietSkipped += name
+      }
+    } else heavies.foreach(quietSkipped += _._1)
+    val quiet = quietRows.mkString("{", ",", "}")
+    val quietMeta = s"""{"fresh_jvm":true,"n":$quietN,"k":$quietK,"budget_s":$quietBudget,"elapsed_s":${math.round(quietElapsed * 10) / 10.0},"skipped":[${quietSkipped.map("\"" + _ + "\"").mkString(",")}]}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"decomp":$decomp,"quiet":$quiet,"quiet_meta":$quietMeta,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture has repeatedly truncated this line (the driver's
     // BENCH_r4/r5 artifacts lost the total); a file copy is the durable record

@@ -127,6 +127,12 @@ object GraftConf {
     // re-rank joins back broadcast-side — no sort-merge anywhere
     "ann_binary_topk" -> PlanContract("ann", minBroadcastJoins = 2,
       forbidSortMerge = true, requireExplicitSpread = true),
+    // post-pin MM tail: every ratings-relation join is declared
+    // broadcast (≤ |players| rows by construction) — a sort-merge
+    // here means the hint was lost and the solver would shuffle the
+    // pair relation once per iteration at scale
+    "bt_rating" -> PlanContract("preference",
+      minBroadcastJoins = 2, forbidSortMerge = true),
     "doc_chunk" -> PlanContract("projection",
       forbidJoin = true, maxHashShuffles = Some(0)),
     // gopher projection + ONE stratum agg (no corpus re-join — the

@@ -3413,7 +3413,66 @@ object Queries {
         |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT quantile_cont(cents, 0.5) AS exact_p50,
         |  CAST(1 AS BIGINT) AS within_bound
-        |FROM c""".stripMargin.trim))
+        |FROM c""".stripMargin.trim)),
+
+    // Bradley–Terry preference ranking (RLHF preference logs /
+    // arena leaderboards). The sufficient statistics: ONE hash agg
+    // over the match log → ≤ |players|² rows; the only pass that
+    // ever touches the corpus
+    ("bt_pair_stats",
+      (s: SparkSession, d: String) =>
+        ext.Prefs.pairStats(ext.Prefs.matchesFrom(t(s, d, "events"), 16))
+          .orderBy("p_lo", "p_hi"),
+      Some(ext.Prefs.pairStatsOracleSql(16))),
+
+    // Fixed-point MM solve on the aggregated pair relation — 4
+    // rounds, exact int64 micro-units; leaderboard = share-
+    // normalized rating beside unsmoothed wins / n_matches
+    ("bt_rating",
+      (s: SparkSession, d: String) =>
+        ext.Prefs.btRating(ext.Prefs.pairStats(
+          ext.Prefs.matchesFrom(t(s, d, "events"), 16)), iters = 4),
+      Some(ext.Prefs.btRatingOracleSql(16, 4))),
+
+    // The solver's convergence trace (iter, max_delta, sum_p) — the
+    // dial that sizes `iters`, declared as an oracle-checked query
+    ("bt_convergence",
+      (s: SparkSession, d: String) =>
+        ext.Prefs.btConvergence(ext.Prefs.pairStats(
+          ext.Prefs.matchesFrom(t(s, d, "events"), 16)), iters = 4),
+      Some(ext.Prefs.btConvergenceOracleSql(16, 4))),
+
+    // Synchronous label-propagation communities over the part
+    // co-order graph — plurality label, smallest-label tie-break
+    // (total order ⇒ engine-exact). Declared at 2 rounds: the
+    // community_rounds census shows round 3 collapsing this dense
+    // fixture to 3 labels (the known sync-LPA epidemic), so 2 is the
+    // partition a mixture-balancing consumer would actually keep
+    ("community_lpa",
+      (s: SparkSession, d: String) =>
+        ext.Community.lpa(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), rounds = 2),
+      Some(ext.Community.lpaOracleSql(2))),
+
+    // LPA consolidation trajectory (round, n_communities, largest) —
+    // the rounds dial, kcore_rounds-style census; run one round PAST
+    // the declared partition so the collapse is visible in the data
+    ("community_rounds",
+      (s: SparkSession, d: String) =>
+        ext.Community.lpaRounds(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), rounds = 3),
+      Some(ext.Community.lpaRoundsOracleSql(3))),
+
+    // Newman–Girvan modularity of the declared (2-round) partition,
+    // exact ppm per community (quadratic term in decimal(38,0) /
+    // HUGEINT) — Σ q_ppm ≈ 0.027 on this fixture, i.e. the score
+    // says "near-random graph, don't trust the communities", which
+    // is precisely the pre-flight read it exists to give
+    ("community_modularity",
+      (s: SparkSession, d: String) =>
+        ext.Community.modularity(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), rounds = 2),
+      Some(ext.Community.modularityOracleSql(2)))
   )
 
   // ---- flagship fact build (SURVEY §7.4) ----

@@ -1116,6 +1116,60 @@ object Streams {
     * stateful operator's direct input, so an upstream `withWatermark`
     * on a column this projection replaces would not satisfy the
     * planner anyway. */
+  /** Streaming twin of [[graft.ext.Prefs.pairStats]] — incremental
+    * Bradley–Terry sufficient statistics. The BT design premise
+    * ("the corpus is touched once; the solver runs on ≤ |players|²
+    * rows") is exactly a streaming fold: per-pair (n, wins) counts
+    * are a commutative monoid, so each trigger aggregates ITS match
+    * rows (O(batch)) and merges into the persisted pair table
+    * (O(players²)) — the 100 TB match log never re-aggregates, and
+    * [[graft.ext.Prefs.ratingChain]] re-solves from the tiny state
+    * table whenever a fresh leaderboard is wanted.
+    *
+    * Delivery: exactly-once via the batchId ledger riding on the
+    * state rows (the [[checksumIngestSink]] contract — counts are
+    * NOT idempotent, so replays must be no-ops, not re-folds);
+    * publish is a staged swap, so a crash never tears the table.
+    * Input schema = [[graft.ext.Prefs.matchesFrom]] output:
+    * (p_lo, p_hi, winner). */
+  def btIngestSink(matches: DataFrame, statePath: String,
+                   checkpoint: String): StreamingQuery =
+    matches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val prior: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            spark.read.parquet(statePath)
+          else Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("p_lo", "p_hi", "n_matches", "wins_lo", "last_batch_id")
+        val lastId = prior.agg(coalesce(max(col("last_batch_id")),
+          lit(-1L))).collect()(0).getLong(0)
+        if (batchId > lastId) {
+          val d = graft.ext.Prefs.pairStats(batch)
+          val merged = prior
+            .select(col("p_lo"), col("p_hi"), col("n_matches"),
+              col("wins_lo"))
+            .unionAll(d)
+            .groupBy(col("p_lo"), col("p_hi"))
+            .agg(sum(col("n_matches")).cast("long").as("n_matches"),
+              sum(col("wins_lo")).cast("long").as("wins_lo"))
+            .withColumn("last_batch_id", lit(batchId))
+          StagedWrite.overwrite(merged, statePath)
+        }
+      }
+      .start()
+
+  /** The canonical pair relation from a [[btIngestSink]] state table
+    * — drop the ledger column; feed [[graft.ext.Prefs.btRating]]. */
+  def btPairState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .select("p_lo", "p_hi", "n_matches", "wins_lo")
+
   def attributionStream(events: DataFrame, fromType: String,
                         toType: String, tolSeconds: Long,
                         timeoutFlush: Boolean = false,

@@ -409,6 +409,52 @@ class StreamsSpec extends SparkSpec {
     dir
   }
 
+  test("btIngestSink: folded pair stats equal the batch pairStats; " +
+      "replay appends nothing; leaderboard from state == batch") {
+    import graft.ext.Prefs
+    val matchesDir = tmp("bt-matches")
+    val statePath = tmp("bt-state") + "/state"
+    val ev = Queries.eventsTable(spark, sf)
+    val matches = Prefs.matchesFrom(ev, 16)
+    // three chunks -> three micro-batches at maxFilesPerTrigger=1
+    matches.filter(col("p_lo") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(matchesDir)
+    matches.filter(col("p_lo") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(matchesDir)
+    matches.filter(col("p_lo") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(matchesDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p_lo",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_hi",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("winner",
+        org.apache.spark.sql.types.LongType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(matchesDir)
+    val q = Streams.btIngestSink(stream(), statePath, tmp("bt-ckpt"))
+    try q.awaitTermination() finally q.stop()
+    val got = Streams.btPairState(spark, statePath)
+      .orderBy("p_lo", "p_hi").collect().toSeq
+    val want = Prefs.pairStats(matches)
+      .orderBy("p_lo", "p_hi").collect().toSeq
+    assert(got == want, "stream state != batch sufficient statistics")
+    // full replay (fresh checkpoint): redelivered batchIds are all
+    // <= the ledger's last_batch_id, so the counts fold nothing twice
+    val q2 = Streams.btIngestSink(stream(), statePath, tmp("bt-ckpt2"))
+    try q2.awaitTermination() finally q2.stop()
+    val again = Streams.btPairState(spark, statePath)
+      .orderBy("p_lo", "p_hi").collect().toSeq
+    assert(again == want, "replay mutated the pair stats")
+    // the solver consumes the state table as if it were the batch agg
+    val fromState = Prefs.btRating(
+        Streams.btPairState(spark, statePath), iters = 3)
+      .collect().toSeq
+    val fromBatch = Prefs.btRating(Prefs.pairStats(matches), iters = 3)
+      .collect().toSeq
+    assert(fromState == fromBatch, "leaderboard from state != batch")
+  }
+
   test("checksumIngestSink: folded stream fingerprint equals the " +
       "batch tableChecksum of the whole table") {
     val statePath = tmp("cksum-state") + "/state"
