@@ -117,9 +117,15 @@ object Bench {
     val quietK = sys.env.getOrElse("SPARK_GRAFT_QUIET_K", "10").toInt
     val quietN = sys.env.getOrElse("SPARK_GRAFT_QUIET_N", "3").toInt
     val quietBudget =
-      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_S", "420").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BUDGET_S", "600").toDouble
     val quietOn = sys.env.getOrElse("SPARK_GRAFT_QUIET", "1") != "0"
     val heavies = results.filter(_._2 >= 0).sortBy(-_._2).take(quietK)
+    // all in-session measurement is done — release the parent's
+    // executors and heap BEFORE forking children, or the children
+    // measure the parent's memory pressure instead of the query (the
+    // r11 shakedown read the persisted link search at 16.7s under a
+    // resident 48g parent vs 7.1s beside an idle one)
+    if (quietOn && heavies.nonEmpty) { spark.stop(); System.gc() }
     def runQuietChild(name: String, timeoutS: Double): Option[Double] =
       try {
         import scala.jdk.CollectionConverters._

@@ -3472,7 +3472,36 @@ object Queries {
       (s: SparkSession, d: String) =>
         ext.Community.modularity(ext.Graph.coEdges(t(s, d, "lineitem"),
           col("l_orderkey"), col("l_partkey")), rounds = 2),
-      Some(ext.Community.modularityOracleSql(2)))
+      Some(ext.Community.modularityOracleSql(2))),
+
+    // DeepWalk-style walk corpus over the part co-order graph: one
+    // 3-step deterministic (hash-selected) walk per node — exact
+    // rows on both engines, and re-derivable after shard loss, which
+    // a true-RNG walk generator can't offer
+    ("graph_walks",
+      (s: SparkSession, d: String) =>
+        ext.Walks.walks(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), length = 3),
+      Some(ext.Walks.walksOracleSql(3))),
+
+    // Walk visit census vs degree — the stationary-distribution
+    // sanity read (undirected RW visits ∝ degree) that audits the
+    // hash selection for systematic bias before training on walks
+    ("walk_visit_stats",
+      (s: SparkSession, d: String) =>
+        ext.Walks.visitStats(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), length = 3),
+      Some(ext.Walks.visitStatsOracleSql(3))),
+
+    // Skip-gram co-occurrence head: window-2 pairs on the same walk,
+    // top-200 by count — the bounded corpus preview of the pair set
+    // a node-embedding trainer would consume
+    ("walk_cooccurrence",
+      (s: SparkSession, d: String) =>
+        ext.Walks.cooccurrence(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), length = 3, window = 2,
+          k = 200),
+      Some(ext.Walks.cooccurrenceOracleSql(3, 2, 200)))
   )
 
   // ---- flagship fact build (SURVEY §7.4) ----

@@ -72,7 +72,7 @@ object SurveyGen {
     else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand"))
       "retrieval"
     else if (pre("bt_")) "preference ranking (Bradley–Terry)"
-    else if (pre("graph_") || pre("community_") ||
+    else if (pre("graph_") || pre("community_") || pre("walk_") ||
         in("clustering_coeff", "basket_lift", "component_size_hist",
           "link_predict", "link_predict_approx",
           "link_predict_approx_recall", "link_predict_approx_persisted",

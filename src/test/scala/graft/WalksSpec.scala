@@ -1,0 +1,95 @@
+package graft
+
+import graft.ext.Walks
+import graft.functions.Hashing
+
+/** Deterministic walks: structural invariants (every hop is an
+  * edge), an exact driver-side brute twin of the hash selection, and
+  * the co-occurrence window semantics. */
+class WalksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bridged = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+    (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+
+  /** Driver-side twin of the walk recursion — same coefficients,
+    * same arithmetic. */
+  private def bruteWalks(edges: Seq[(Long, Long)],
+                         length: Int): Seq[(Long, Long, Long)] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).sorted }
+    val P2 = Hashing.P2
+    val (a, b) = Hashing.Perms(0)
+    val stride = Hashing.Stage2._2
+    adj.keys.toSeq.sorted.flatMap { start =>
+      var cur = start
+      (start, 0L, start) +: (1 to length).map { s =>
+        val nbrs = adj(cur)
+        val pick = (((start % P2) + s * stride) * a + b) % P2 % nbrs.size
+        cur = nbrs(pick.toInt)
+        (start, s.toLong, cur)
+      }
+    }
+  }
+
+  test("walks equal the driver-side hash-selection twin exactly") {
+    val edgeSeq = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Walks.walks(bridged, length = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = bruteWalks(edgeSeq, length = 3)
+      .sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
+  test("every hop is a graph edge and every walk is full-length") {
+    val w = Walks.walks(bridged, length = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .flatMap(e => Set(e, (e._2, e._1)))
+    val byWalk = w.groupBy(_._1)
+    assert(byWalk.size == 6)
+    byWalk.foreach { case (id, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(rows.size == 4, s"walk $id not full length")
+      assert(path.head == id, s"walk $id does not start at its node")
+      path.sliding(2).foreach { case Seq(x, y) =>
+        assert(edges((x, y)), s"walk $id hops non-edge $x->$y")
+      }
+    }
+  }
+
+  test("walks are deterministic across reruns") {
+    val a = Walks.walks(bridged, 3).collect().toSeq
+    val b = Walks.walks(bridged, 3).collect().toSeq
+    assert(a == b)
+  }
+
+  test("visitStats conserves visits and normalizes to ~1e6 ppm") {
+    val vs = Walks.visitStats(bridged, length = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(vs.map(_._3).sum == 6L * 4L)  // 6 walks x (3+1) rows
+    val ppm = vs.map(_._4).sum
+    assert(ppm > 1000000L - vs.size && ppm <= 1000000L,
+      s"ppm sum $ppm outside truncation band")
+  }
+
+  test("cooccurrence equals the brute window pairing of the walks") {
+    val w = Walks.walks(bridged, 3).as[(Long, Long, Long)]
+      .collect().toSeq
+    val brute = w.groupBy(_._1).values.flatMap { rows =>
+      val path = rows.sortBy(_._2)
+      for {
+        i <- path.indices; j <- path.indices
+        if j > i && path(j)._2 - path(i)._2 <= 2 &&
+          path(i)._3 != path(j)._3
+      } yield (math.min(path(i)._3, path(j)._3),
+        math.max(path(i)._3, path(j)._3))
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSeq.sortBy(r => (-r._3, r._1, r._2))
+    val got = Walks.cooccurrence(bridged, 3, 2, 200)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == brute)
+  }
+}
