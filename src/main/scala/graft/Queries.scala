@@ -3434,6 +3434,17 @@ object Queries {
           ext.Prefs.matchesFrom(t(s, d, "events"), 16)), iters = 4),
       Some(ext.Prefs.btRatingOracleSql(16, 4))),
 
+    // One leaderboard per match day, all solved in ONE dataflow —
+    // the keyed MM chain carries match_day through every join and
+    // aggregate, so |days| independent solves cost one plan, not a
+    // driver loop of per-window jobs (rating-over-time, the read a
+    // preference pipeline actually ships)
+    ("bt_rating_daily",
+      (s: SparkSession, d: String) =>
+        ext.Prefs.btRatingByDay(ext.Prefs.pairStatsByDay(
+          ext.Prefs.datedMatchesFrom(t(s, d, "events"), 16)), iters = 3),
+      Some(ext.Prefs.btRatingByDayOracleSql(16, 3))),
+
     // The solver's convergence trace (iter, max_delta, sum_p) — the
     // dial that sizes `iters`, declared as an oracle-checked query
     ("bt_convergence",

@@ -95,6 +95,45 @@ class PrefsSpec extends SparkSpec {
       assert(math.abs(sp - n * Prefs.S) < n * Prefs.S / 100) }
   }
 
+  test("btRatingByDay: each day's keyed solve equals btRating on " +
+      "that day's slice alone (per-window independence)") {
+    // two days with DIFFERENT outcomes for the same pair, plus a
+    // player that exists only on day 2 — cross-day leakage in any
+    // join would corrupt at least one slice
+    val e = spark.createDataFrame(Seq(
+      (0L, 1L, 9.0, "2024-01-01 10:00:00"),
+      (1L, 2L, 1.0, "2024-01-01 10:05:00"),
+      (2L, 1L, 9.0, "2024-01-01 11:00:00"),
+      (3L, 2L, 1.0, "2024-01-01 11:05:00"),
+      (4L, 2L, 9.0, "2024-01-02 10:00:00"),
+      (5L, 1L, 1.0, "2024-01-02 10:05:00"),
+      (6L, 2L, 9.0, "2024-01-02 11:00:00"),
+      (7L, 3L, 1.0, "2024-01-02 11:05:00")))
+      .toDF("event_id", "user_id", "value", "tss")
+      .withColumn("ts", col("tss").cast("timestamp_ntz")).drop("tss")
+    val dated = Prefs.datedMatchesFrom(e, 16)
+    val keyed = Prefs.btRatingByDay(Prefs.pairStatsByDay(dated), iters = 3)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      .groupBy(_._1.toString)
+      .map { case (d, rows) =>
+        d -> rows.map(r => (r._2, r._3, r._4, r._5)).toSeq.sorted }
+    val sliced = Seq("2024-01-01", "2024-01-02").map { day =>
+      val m = dated.filter(col("match_day") === lit(day))
+        .select("p_lo", "p_hi", "winner")
+      day -> Prefs.btRating(Prefs.pairStats(m), iters = 3)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    }.toMap
+    assert(keyed.keySet == sliced.keySet)
+    keyed.foreach { case (d, rows) => assert(rows == sliced(d),
+      s"day $d keyed != sliced") }
+    // day 1: player 1 dominant; day 2: player 2 dominant — the keyed
+    // solve must show the flip, which cross-day leakage would smear
+    val byDay = keyed.map { case (d, rows) =>
+      d -> rows.map(r => r._1 -> r._2).toMap }
+    assert(byDay("2024-01-01")(1L) > byDay("2024-01-01")(2L))
+    assert(byDay("2024-01-02")(2L) > byDay("2024-01-02")(1L))
+  }
+
   test("wins/n_matches in the leaderboard are the raw (unsmoothed) stats") {
     val e = events(Seq(
       (0L, 1L, 9.0), (1L, 2L, 1.0),
