@@ -3504,6 +3504,28 @@ object Queries {
           col("l_orderkey"), col("l_partkey")), length = 3),
       Some(ext.Walks.visitStatsOracleSql(3))),
 
+    // node2vec second-order biased walks: from step 2 the hop out of
+    // cur weights neighbors by relation to prev (return 1 / common 4
+    // / outward 2 — the 1/p, 1, 1/q terms as exact integers),
+    // selected by hash mod running-weight-sum; first hop shared with
+    // the uniform variant so divergence after it IS the bias
+    ("graph_walks_biased",
+      (s: SparkSession, d: String) =>
+        ext.Walks.biasedWalks(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), length = 3,
+          wReturn = 1L, wCommon = 4L, wOut = 2L),
+      Some(ext.Walks.biasedWalksOracleSql(3, 1L, 4L, 2L))),
+
+    // The dial's measurable: backtrack (s vs s−2) rate per walk
+    // variant in exact ppm — wReturn=1 < wOut=2 must push the biased
+    // rate below uniform's, and the audit row is where that shows
+    ("walk_bias_audit",
+      (s: SparkSession, d: String) =>
+        ext.Walks.walkBiasAudit(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), length = 3,
+          wReturn = 1L, wCommon = 4L, wOut = 2L),
+      Some(ext.Walks.walkBiasAuditOracleSql(3, 1L, 4L, 2L))),
+
     // Skip-gram co-occurrence head: window-2 pairs on the same walk,
     // top-200 by count — the bounded corpus preview of the pair set
     // a node-embedding trainer would consume

@@ -134,6 +134,118 @@ object Walks {
       .limit(k)
   }
 
+  /** Second-stage hash coefficients for the biased picker —
+    * [[Hashing.Perms]](1), distinct from the unbiased picker's pair
+    * so the two walk variants don't correlate. */
+  private val (ba, bb) = Hashing.Perms(1)
+
+  /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec
+    * 2016): from step 2 on, the hop out of `cur` (arrived from
+    * `prev`) weights each neighbor by its relation to `prev` —
+    * `wReturn` for prev itself (the 1/p backtrack term), `wCommon`
+    * for neighbors adjacent to prev (BFS-ish, distance 1), `wOut`
+    * for the rest (DFS-ish, distance 2; the 1/q term). Selection is
+    * hash mod total-weight over the neighbor list's running weight
+    * sum — still exact int64, still oracle-checkable row for row.
+    * Step 1 has no prev and uses the SAME uniform ranked pick as
+    * [[walks]], so the two variants share their first hop and any
+    * divergence after it is the bias, not the seed.
+    *
+    * Cost shape vs [[walks]]: the biased hop must CLASSIFY all
+    * deg(cur) neighbors (one equi-join expansion + one edge-lookup
+    * left join + one per-walk running-sum window), so a step costs
+    * O(Σ deg(cur)) rows instead of O(walks) — the true node2vec
+    * price, paid per step, never squared. Hubs cost deg rows. */
+  def biasedWalks(edges: DataFrame, length: Int, wReturn: Long,
+                  wCommon: Long, wOut: Long): DataFrame = {
+    // all three weights strictly positive: a walk sitting at a
+    // degree-1 node whose only neighbor is `prev` has total weight
+    // wReturn — at 0 the pick modulus is 0, where Spark nulls and
+    // DuckDB raises (the one input that would split the twins), and
+    // the walk would silently truncate. Positive weights make every
+    // step total by construction.
+    require(wReturn > 0 && wCommon > 0 && wOut > 0,
+      "biased-walk weights must be strictly positive")
+    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
+    val adj = rankedAdjacency(e)
+    val deg = adj.groupBy(col("node")).agg(first(col("d")).as("d"))
+      .withColumnRenamed("node", "cur")
+    val starts = Pin.pin(adj.select(col("node")).distinct()
+      .select(col("node").as("walk_id"), col("node").as("cur")))
+    var out = starts.select(col("walk_id"), lit(0L).as("step"),
+      col("cur").as("node_id"))
+    // step 1: uniform ranked pick, shared with the unbiased variant
+    val p1 = starts.join(deg, Seq("cur"))
+      .select(col("walk_id"), col("cur"), expr(pickExpr(1)).as("__pick"))
+    var frontier = Pin.pin(p1
+      .join(adj.select(col("node").as("__an"), col("nbr"), col("rk")),
+        col("cur") === col("__an") && col("rk") === col("__pick"))
+      .select(col("walk_id"), col("cur").as("prev"), col("nbr").as("cur")))
+    out = out.unionAll(frontier.select(col("walk_id"), lit(1L).as("step"),
+      col("cur").as("node_id")))
+    val edgeLookup = e.select(col("u").as("__eu"), col("v").as("__ev"),
+      lit(1L).as("__is_edge"))
+    for (s <- 2 to length) {
+      val cand = frontier
+        .join(adj.select(col("node").as("cur"), col("nbr")), Seq("cur"))
+        // plain equi-join against the edge relation (pinned above):
+        // broadcast when it fits, hash-join at scale — AQE's call
+        .join(edgeLookup,
+          least(col("prev"), col("nbr")) === col("__eu") &&
+            greatest(col("prev"), col("nbr")) === col("__ev"), "left")
+        .withColumn("__w",
+          when(col("nbr") === col("prev"), lit(wReturn))
+            .when(col("__is_edge").isNotNull, lit(wCommon))
+            .otherwise(lit(wOut)))
+        .withColumn("__raw",
+          expr(s"(((walk_id % $P2) + $s * $stride) * $ba + $bb) % $P2"))
+      val cum = Window.partitionBy(col("walk_id")).orderBy(col("nbr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("walk_id"))
+      val sel = cand
+        .withColumn("__hi", sum(col("__w")).over(cum))
+        .withColumn("__tot", sum(col("__w")).over(whole))
+        .filter(col("__raw") % col("__tot") >= col("__hi") - col("__w") &&
+          col("__raw") % col("__tot") < col("__hi"))
+      frontier = Pin.pin(sel.select(col("walk_id"),
+        col("cur").as("prev"), col("nbr").as("cur")))
+      out = out.unionAll(frontier.select(col("walk_id"),
+        lit(s.toLong).as("step"), col("cur").as("node_id")))
+    }
+    out.orderBy("walk_id", "step")
+  }
+
+  /** Backtrack audit: for each walk variant, the share of steps
+    * s ≥ 2 that RETURN to the node of step s−2, in exact ppm — the
+    * measurable the bias dial exists to move (wReturn < wOut must
+    * push return_ppm below the unbiased walk's). One row per
+    * variant. */
+  def walkBiasAudit(edges: DataFrame, length: Int, wReturn: Long,
+                    wCommon: Long, wOut: Long): DataFrame = {
+    def returns(w: DataFrame, variant: String): DataFrame = {
+      // compare node_t with node_{t+2}: shift the later step back by
+      // 2 and equi-join on (walk_id, step) — one comparison per
+      // t ∈ [0, length-2], the same pair set as the oracle's
+      // (s, s−2) formulation
+      val a = w.select(col("walk_id"), col("step"), col("node_id"))
+      val b = w.select(col("walk_id"), (col("step") - 2).as("step"),
+        col("node_id").as("__n2"))
+      a.join(b, Seq("walk_id", "step"))
+        .agg(count(lit(1)).cast("long").as("n_steps"),
+          sum(when(col("node_id") === col("__n2"), 1L).otherwise(0L))
+            .cast("long").as("n_returns"))
+        .select(lit(variant).as("variant"), col("n_steps"),
+          col("n_returns"),
+          expr("(n_returns * 1000000L) div n_steps").as("return_ppm"))
+    }
+    returns(Pin.pin(walks(edges, length)), "uniform")
+      .unionAll(returns(
+        Pin.pin(biasedWalks(edges, length, wReturn, wCommon, wOut)),
+        "biased"))
+      .orderBy("variant")
+  }
+
   // ------------------------------------------------------------------
   // DuckDB twins (part co-order graph, the [[Graph.coEdges]] chain)
   // ------------------------------------------------------------------
@@ -208,6 +320,87 @@ object Walks {
     |FROM deg d LEFT JOIN vis v ON v.node_id = d.node CROSS JOIN tv
     |ORDER BY node_id
     |""".stripMargin.trim
+
+  /** Unrolled biased-walk CTEs (`b1` .. `b$length`, `allb`) on top of
+    * [[walkCtes]]'s base relations. Every b$s carries (walk_id, prev,
+    * cur); classification and the running-weight pick mirror
+    * [[biasedWalks]] expression for expression. */
+  def biasedCtes(length: Int, wReturn: Long, wCommon: Long,
+                 wOut: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+    |b1 AS MATERIALIZED (
+    |  SELECT pk.walk_id, pk.cur AS prev, a.nbr AS cur
+    |  FROM (
+    |    SELECT w.walk_id, w.cur,
+    |      (((w.walk_id % $P2) + 1 * $stride) * $wa + $wb)
+    |        % $P2 % d.d AS pick
+    |    FROM w0 w JOIN deg d ON d.node = w.cur) pk
+    |  JOIN adjr a ON a.node = pk.cur AND a.rk = pk.pick)""".stripMargin
+    for (s <- 2 to length) {
+      val p = s - 1
+      sb ++= s""",
+      |c$s AS MATERIALIZED (
+      |  SELECT f.walk_id, f.prev, f.cur, a.nbr,
+      |    CASE WHEN a.nbr = f.prev THEN $wReturn
+      |         WHEN ed.u IS NOT NULL THEN $wCommon
+      |         ELSE $wOut END AS wt,
+      |    (((f.walk_id % $P2) + $s * $stride) * $ba + $bb) % $P2 AS raw
+      |  FROM b$p f
+      |  JOIN adj a ON a.node = f.cur
+      |  LEFT JOIN e0 ed ON ed.u = LEAST(f.prev, a.nbr)
+      |    AND ed.v = GREATEST(f.prev, a.nbr)),
+      |x$s AS MATERIALIZED (
+      |  SELECT walk_id, prev, cur, nbr, wt, raw,
+      |    SUM(wt) OVER (PARTITION BY walk_id ORDER BY nbr
+      |      ROWS UNBOUNDED PRECEDING) AS hi,
+      |    SUM(wt) OVER (PARTITION BY walk_id) AS tot
+      |  FROM c$s),
+      |b$s AS MATERIALIZED (
+      |  SELECT walk_id, cur AS prev, nbr AS cur
+      |  FROM x$s
+      |  WHERE raw % tot >= hi - wt AND raw % tot < hi)""".stripMargin
+    }
+    val unions = (s"SELECT walk_id, CAST(0 AS BIGINT) AS step, " +
+      "cur AS node_id FROM w0") +:
+      (1 to length).map(s =>
+        s"SELECT walk_id, CAST($s AS BIGINT) AS step, cur FROM b$s")
+    sb ++= s""",
+    |allb AS MATERIALIZED (
+    |  ${unions.mkString("\n  UNION ALL ")})""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB twin of [[biasedWalks]]. */
+  def biasedWalksOracleSql(length: Int, wReturn: Long, wCommon: Long,
+                           wOut: Long): String =
+    s"""
+    |WITH ${walkCtes(length)}${biasedCtes(length, wReturn, wCommon, wOut)}
+    |SELECT walk_id, step, node_id FROM allb
+    |ORDER BY walk_id, step
+    |""".stripMargin.trim
+
+  /** DuckDB twin of [[walkBiasAudit]]. */
+  def walkBiasAuditOracleSql(length: Int, wReturn: Long, wCommon: Long,
+                             wOut: Long): String = {
+    def ret(rel: String, variant: String) =
+      s"""SELECT '$variant' AS variant,
+      |  CAST(count(*) AS BIGINT) AS n_steps,
+      |  CAST(sum(CASE WHEN a.node_id = b.node_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_returns,
+      |  CAST((sum(CASE WHEN a.node_id = b.node_id THEN 1 ELSE 0 END)
+      |    * 1000000) // count(*) AS BIGINT) AS return_ppm
+      |FROM $rel a JOIN $rel b
+      |  ON b.walk_id = a.walk_id AND b.step = a.step - 2
+      |WHERE a.step >= 2""".stripMargin
+    s"""
+    |WITH ${walkCtes(length)}${biasedCtes(length, wReturn, wCommon, wOut)}
+    |${ret("allb", "biased")}
+    |UNION ALL
+    |${ret("allw", "uniform")}
+    |ORDER BY variant
+    |""".stripMargin.trim
+  }
 
   /** DuckDB twin of [[cooccurrence]]. */
   def cooccurrenceOracleSql(length: Int, window: Int, k: Int): String =

@@ -75,6 +75,83 @@ class WalksSpec extends SparkSpec {
       s"ppm sum $ppm outside truncation band")
   }
 
+  /** Driver-side twin of the biased (second-order) recursion. */
+  private def bruteBiased(edges: Seq[(Long, Long)], length: Int,
+                          wr: Long, wc: Long,
+                          wo: Long): Seq[(Long, Long, Long)] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).sorted }
+    val edgeSet = edges.map(e =>
+      (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val P2 = Hashing.P2
+    val (a0, b0) = Hashing.Perms(0)
+    val (a1, b1) = Hashing.Perms(1)
+    val stride = Hashing.Stage2._2
+    adj.keys.toSeq.sorted.flatMap { start =>
+      // step 1: uniform ranked pick, shared with the unbiased walk
+      val n1 = adj(start)
+      val pick1 = (((start % P2) + 1 * stride) * a0 + b0) % P2 % n1.size
+      var prev = start
+      var cur = n1(pick1.toInt)
+      Seq((start, 0L, start), (start, 1L, cur)) ++
+        (2 to length).map { s =>
+          val cands = adj(cur)
+          val ws = cands.map { nb =>
+            if (nb == prev) wr
+            else if (edgeSet((math.min(prev, nb), math.max(prev, nb)))) wc
+            else wo
+          }
+          val raw = (((start % P2) + s * stride) * a1 + b1) % P2
+          val sel = raw % ws.sum
+          var acc = 0L; var idx = -1
+          cands.indices.foreach { i =>
+            if (idx < 0) { acc += ws(i); if (sel < acc) idx = i }
+          }
+          prev = cur; cur = cands(idx)
+          (start, s.toLong, cur)
+        }
+    }
+  }
+
+  test("biasedWalks equal the driver-side second-order twin exactly") {
+    val edgeSeq = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Walks.biasedWalks(bridged, length = 3,
+        wReturn = 1L, wCommon = 4L, wOut = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = bruteBiased(edgeSeq, 3, 1L, 4L, 2L)
+      .sortBy(r => (r._1, r._2))
+    assert(got == want)
+  }
+
+  test("biased walks: every hop is an edge, full length, positive-weight guard") {
+    val w = Walks.biasedWalks(bridged, 3, 1L, 4L, 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .flatMap(e => Set(e, (e._2, e._1)))
+    val byWalk = w.groupBy(_._1)
+    assert(byWalk.size == 6)
+    byWalk.foreach { case (id, rows) =>
+      assert(rows.size == 4)
+      rows.sortBy(_._2).map(_._3).sliding(2).foreach { case Seq(x, y) =>
+        assert(edges((x, y)), s"walk $id hops non-edge $x->$y") }
+    }
+    intercept[IllegalArgumentException] {
+      Walks.biasedWalks(bridged, 3, 0L, 4L, 2L)
+    }
+  }
+
+  test("walkBiasAudit: two variant rows, ppm consistent with counts") {
+    val rows = Walks.walkBiasAudit(bridged, 3, 1L, 4L, 2L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq("biased", "uniform"))
+    rows.foreach { case (_, nSteps, nRet, ppm) =>
+      assert(nSteps == 6L * 2L)  // 6 walks x steps {2,3} vs {0,1}
+      assert(ppm == nRet * 1000000L / nSteps)
+    }
+  }
+
   test("cooccurrence equals the brute window pairing of the walks") {
     val w = Walks.walks(bridged, 3).as[(Long, Long, Long)]
       .collect().toSeq
