@@ -1134,28 +1134,46 @@ object Streams {
     * (p_lo, p_hi, winner). */
   def btIngestSink(matches: DataFrame, statePath: String,
                    checkpoint: String): StreamingQuery =
+    btIngest(matches, statePath, checkpoint, dated = false)
+
+  /** Keyed twin of [[btIngestSink]] for the windowed leaderboard:
+    * input = [[graft.ext.Prefs.datedMatchesFrom]] rows (match_day,
+    * p_lo, p_hi, winner), state = per-(day, pair) counts. The state
+    * stays metadata-scale (|days|·|players|² rows) and
+    * [[graft.ext.Prefs.btRatingByDay]] re-solves every window from
+    * it — the streaming path to rating-over-time without ever
+    * re-aggregating the match log. */
+  def btDailyIngestSink(matches: DataFrame, statePath: String,
+                        checkpoint: String): StreamingQuery =
+    btIngest(matches, statePath, checkpoint, dated = true)
+
+  private def btIngest(matches: DataFrame, statePath: String,
+                       checkpoint: String,
+                       dated: Boolean): StreamingQuery =
     matches.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
+        def agg(m: DataFrame): DataFrame =
+          if (dated) graft.ext.Prefs.pairStatsByDay(m)
+          else graft.ext.Prefs.pairStats(m)
+        val keys = (if (dated) Seq("match_day") else Nil) ++
+          Seq("p_lo", "p_hi")
         val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val prior: DataFrame =
           if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
             spark.read.parquet(statePath)
-          else Seq.empty[(Long, Long, Long, Long, Long)]
-            .toDF("p_lo", "p_hi", "n_matches", "wins_lo", "last_batch_id")
+          // schema-correct empty state derived from the input itself
+          else agg(batch.limit(0)).withColumn("last_batch_id", lit(-1L))
         val lastId = prior.agg(coalesce(max(col("last_batch_id")),
           lit(-1L))).collect()(0).getLong(0)
         if (batchId > lastId) {
-          val d = graft.ext.Prefs.pairStats(batch)
           val merged = prior
-            .select(col("p_lo"), col("p_hi"), col("n_matches"),
-              col("wins_lo"))
-            .unionAll(d)
-            .groupBy(col("p_lo"), col("p_hi"))
+            .select(keys.map(col) :+ col("n_matches") :+ col("wins_lo"): _*)
+            .unionAll(agg(batch))
+            .groupBy(keys.map(col): _*)
             .agg(sum(col("n_matches")).cast("long").as("n_matches"),
               sum(col("wins_lo")).cast("long").as("wins_lo"))
             .withColumn("last_batch_id", lit(batchId))
@@ -1169,6 +1187,12 @@ object Streams {
   def btPairState(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath)
       .select("p_lo", "p_hi", "n_matches", "wins_lo")
+
+  /** [[btPairState]] for a [[btDailyIngestSink]] table — feeds
+    * [[graft.ext.Prefs.btRatingByDay]]. */
+  def btDailyPairState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath)
+      .select("match_day", "p_lo", "p_hi", "n_matches", "wins_lo")
 
   def attributionStream(events: DataFrame, fromType: String,
                         toType: String, tolSeconds: Long,

@@ -455,6 +455,43 @@ class StreamsSpec extends SparkSpec {
     assert(fromState == fromBatch, "leaderboard from state != batch")
   }
 
+  test("btDailyIngestSink: per-day pair stats fold equals the batch " +
+      "keyed agg; daily leaderboard from state == batch") {
+    import graft.ext.Prefs
+    val matchesDir = tmp("btd-matches")
+    val statePath = tmp("btd-state") + "/state"
+    val ev = Queries.eventsTable(spark, sf)
+    val matches = Prefs.datedMatchesFrom(ev, 16)
+    matches.filter(col("p_lo") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(matchesDir)
+    matches.filter(col("p_lo") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(matchesDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("match_day",
+        org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("p_lo",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_hi",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("winner",
+        org.apache.spark.sql.types.LongType)))
+    val q = Streams.btDailyIngestSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(matchesDir),
+      statePath, tmp("btd-ckpt"))
+    try q.awaitTermination() finally q.stop()
+    val got = Streams.btDailyPairState(spark, statePath)
+      .orderBy("match_day", "p_lo", "p_hi").collect().toSeq
+    val want = Prefs.pairStatsByDay(matches)
+      .orderBy("match_day", "p_lo", "p_hi").collect().toSeq
+    assert(got == want, "keyed stream state != batch keyed agg")
+    val fromState = Prefs.btRatingByDay(
+      Streams.btDailyPairState(spark, statePath), iters = 2).collect().toSeq
+    val fromBatch = Prefs.btRatingByDay(
+      Prefs.pairStatsByDay(matches), iters = 2).collect().toSeq
+    assert(fromState == fromBatch, "daily leaderboard from state != batch")
+  }
+
   test("checksumIngestSink: folded stream fingerprint equals the " +
       "batch tableChecksum of the whole table") {
     val statePath = tmp("cksum-state") + "/state"
