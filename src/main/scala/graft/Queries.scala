@@ -3504,6 +3504,19 @@ object Queries {
           col("l_orderkey"), col("l_partkey")), length = 3),
       Some(ext.Walks.visitStatsOracleSql(3))),
 
+    // Build-once/extend-many for walk corpora: a length-3 corpus
+    // extended by 2 steps, ORACLE = the from-scratch length-5 chain —
+    // the hash selection makes the equivalence checkable row-for-row
+    // (prefix never re-walked; extension pays only the new steps)
+    ("graph_walks_extended",
+      (s: SparkSession, d: String) => {
+        val e = ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey"))
+        ext.Walks.extendWalks(ext.Walks.walks(e, length = 3), e,
+          fromLength = 3, extraSteps = 2)
+      },
+      Some(ext.Walks.walksOracleSql(5))),
+
     // node2vec second-order biased walks: from step 2 the hop out of
     // cur weights neighbors by relation to prev (return 1 / common 4
     // / outward 2 — the 1/p, 1, 1/q terms as exact integers),

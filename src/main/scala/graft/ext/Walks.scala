@@ -68,13 +68,26 @@ object Walks {
     * node. Output is walks·(length+1) rows. */
   def walks(edges: DataFrame, length: Int): DataFrame = {
     val adj = rankedAdjacency(edges)
+    val starts = Pin.pin(adj.select(col("node")).distinct()
+      .select(col("node").as("walk_id"), col("node").as("cur")))
+    val out0 = starts.select(col("walk_id"), lit(0L).as("step"),
+      col("cur").as("node_id"))
+    walkSteps(adj, starts, out0, from = 0, to = length)
+      .orderBy("walk_id", "step")
+  }
+
+  /** The uniform-walk recursion from an existing frontier: steps
+    * `from+1 .. to` appended to `out`. Factored out so [[walks]] and
+    * [[extendWalks]] share one selection kernel — the consistency
+    * property below is BY CONSTRUCTION only because both paths run
+    * this exact code. */
+  private def walkSteps(adj: DataFrame, frontier0: DataFrame,
+                        out0: DataFrame, from: Int, to: Int): DataFrame = {
     val deg = adj.groupBy(col("node")).agg(first(col("d")).as("d"))
       .withColumnRenamed("node", "cur")
-    var frontier = Pin.pin(adj.select(col("node")).distinct()
-      .select(col("node").as("walk_id"), col("node").as("cur")))
-    var out = frontier.select(col("walk_id"), lit(0L).as("step"),
-      col("cur").as("node_id"))
-    for (s <- 1 to length) {
+    var frontier = frontier0
+    var out = out0
+    for (s <- from + 1 to to) {
       val picked = frontier
         .join(deg, Seq("cur"))
         .select(col("walk_id"), col("cur"),
@@ -86,7 +99,34 @@ object Walks {
       out = out.unionAll(frontier.select(col("walk_id"),
         lit(s.toLong).as("step"), col("cur").as("node_id")))
     }
-    out.orderBy("walk_id", "step")
+    out
+  }
+
+  /** Build-once / EXTEND-many: continue a persisted uniform walk
+    * corpus (`prior`, rows (walk_id, step, node_id) of length
+    * `fromLength`) by `extraSteps` more hops — WITHOUT re-walking
+    * the prefix. Because the next-hop selection is a pure hash of
+    * (walk_id, step), the extension is bit-identical to having run
+    * the longer walk from scratch:
+    *
+    *   extendWalks(walks(e, L), e, L, k) == walks(e, L + k)
+    *
+    * — a property true-RNG walk generation cannot offer at any
+    * price (the oracle twin of the declared query IS the from-
+    * scratch L+k chain, so the equivalence is hash-checked, not
+    * asserted). The day-2 read: walk corpora are length-priced, and
+    * a curriculum that wants longer contexts later extends the
+    * existing corpus for the marginal cost of the new steps. */
+  def extendWalks(prior: DataFrame, edges: DataFrame, fromLength: Int,
+                  extraSteps: Int): DataFrame = {
+    val adj = rankedAdjacency(edges)
+    val frontier = Pin.pin(prior
+      .filter(col("step") === fromLength.toLong)
+      .select(col("walk_id"), col("node_id").as("cur")))
+    walkSteps(adj, frontier,
+      prior.select(col("walk_id"), col("step"), col("node_id")),
+      from = fromLength, to = fromLength + extraSteps)
+      .orderBy("walk_id", "step")
   }
 
   /** Per-node visit census of [[walks]] joined with the node degree:

@@ -60,6 +60,15 @@ class WalksSpec extends SparkSpec {
     }
   }
 
+  test("extendWalks(walks(3), 2) equals walks(5) bit-for-bit") {
+    val full = Walks.walks(bridged, 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    val extended = Walks.extendWalks(Walks.walks(bridged, 3), bridged,
+        fromLength = 3, extraSteps = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(extended == full)
+  }
+
   test("walks are deterministic across reruns") {
     val a = Walks.walks(bridged, 3).collect().toSeq
     val b = Walks.walks(bridged, 3).collect().toSeq
