@@ -3510,8 +3510,10 @@ object Queries {
     // (prefix never re-walked; extension pays only the new steps)
     ("graph_walks_extended",
       (s: SparkSession, d: String) => {
-        val e = ext.Graph.coEdges(t(s, d, "lineitem"),
-          col("l_orderkey"), col("l_partkey"))
+        // pinned once: the corpus build and the extension both
+        // consume the edge relation
+        val e = ext.Pin.pin(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")))
         ext.Walks.extendWalks(ext.Walks.walks(e, length = 3), e,
           fromLength = 3, extraSteps = 2)
       },

@@ -134,15 +134,25 @@ object Walks {
     * read — an undirected random walk's stationary distribution is
     * ∝ degree, so visit_ppm tracking degree share is the check that
     * the hash selection isn't systematically biased. */
-  def visitStats(edges: DataFrame, length: Int): DataFrame = {
-    val adj = rankedAdjacency(edges)
-    val deg = adj.groupBy(col("node"))
-      .agg(first(col("d")).cast("long").as("degree"))
+  def visitStats(edges0: DataFrame, length: Int): DataFrame = {
+    // pin the edge relation ONCE: it feeds both the degree census
+    // and the walk generator, and an unpinned lineage would re-run
+    // the upstream edge build (for the co-order graph, the
+    // groupBy-distinct self-join) per consumer. Degrees come
+    // straight off the pinned list — re-deriving [[walks]]'s ranked
+    // adjacency here would add a second 2m-row rank window just to
+    // read a count.
+    val edges = Pin.pin(edges0.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
+    val deg = edges
+      .select(explode(array(col("u"), col("v"))).as("node_id"))
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).cast("long").as("degree"))
     val w = walks(edges, length)
     val visits = w.groupBy(col("node_id"))
       .agg(count(lit(1)).cast("long").as("visits"))
     val tot = visits.agg(sum(col("visits")).as("__tv"))
-    deg.withColumnRenamed("node", "node_id")
+    deg
       .join(visits, Seq("node_id"), "left")
       .withColumn("visits", coalesce(col("visits"), lit(0L)))
       .crossJoin(broadcast(tot))
@@ -261,8 +271,12 @@ object Walks {
     * measurable the bias dial exists to move (wReturn < wOut must
     * push return_ppm below the unbiased walk's). One row per
     * variant. */
-  def walkBiasAudit(edges: DataFrame, length: Int, wReturn: Long,
+  def walkBiasAudit(edges0: DataFrame, length: Int, wReturn: Long,
                     wCommon: Long, wOut: Long): DataFrame = {
+    // both variants walk the SAME graph — pin the edge build once
+    // instead of once per variant
+    val edges = Pin.pin(edges0.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
     def returns(w: DataFrame, variant: String): DataFrame = {
       // compare node_t with node_{t+2}: shift the later step back by
       // 2 and equi-join on (walk_id, step) — one comparison per
