@@ -3531,6 +3531,19 @@ object Queries {
           wReturn = 1L, wCommon = 4L, wOut = 2L),
       Some(ext.Walks.biasedWalksOracleSql(3, 1L, 4L, 2L))),
 
+    // Extend-many for the BIASED corpus too: second-order state
+    // (prev, cur) recovered from the persisted corpus's last two
+    // steps; oracle = the from-scratch length-5 biased chain
+    ("graph_walks_biased_extended",
+      (s: SparkSession, d: String) => {
+        val e = ext.Pin.pin(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")))
+        ext.Walks.extendBiasedWalks(
+          ext.Walks.biasedWalks(e, length = 3, 1L, 4L, 2L), e,
+          fromLength = 3, extraSteps = 2, 1L, 4L, 2L)
+      },
+      Some(ext.Walks.biasedWalksOracleSql(5, 1L, 4L, 2L))),
+
     // The dial's measurable: backtrack (s vs s−2) rate per walk
     // variant in exact ppm — wReturn=1 < wOut=2 must push the biased
     // rate below uniform's, and the audit row is where that shows

@@ -237,33 +237,78 @@ object Walks {
     val edgeLookup = e.select(col("u").as("__eu"), col("v").as("__ev"),
       lit(1L).as("__is_edge"))
     for (s <- 2 to length) {
-      val cand = frontier
-        .join(adj.select(col("node").as("cur"), col("nbr")), Seq("cur"))
-        // plain equi-join against the edge relation (pinned above):
-        // broadcast when it fits, hash-join at scale — AQE's call
-        .join(edgeLookup,
-          least(col("prev"), col("nbr")) === col("__eu") &&
-            greatest(col("prev"), col("nbr")) === col("__ev"), "left")
-        .withColumn("__w",
-          when(col("nbr") === col("prev"), lit(wReturn))
-            .when(col("__is_edge").isNotNull, lit(wCommon))
-            .otherwise(lit(wOut)))
-        .withColumn("__raw",
-          expr(s"(((walk_id % $P2) + $s * $stride) * $ba + $bb) % $P2"))
-      val cum = Window.partitionBy(col("walk_id")).orderBy(col("nbr"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val whole = Window.partitionBy(col("walk_id"))
-      val sel = cand
-        .withColumn("__hi", sum(col("__w")).over(cum))
-        .withColumn("__tot", sum(col("__w")).over(whole))
-        .filter(col("__raw") % col("__tot") >= col("__hi") - col("__w") &&
-          col("__raw") % col("__tot") < col("__hi"))
+      val sel = biasedStep(frontier, adj, edgeLookup, s,
+        wReturn, wCommon, wOut)
       frontier = Pin.pin(sel.select(col("walk_id"),
         col("cur").as("prev"), col("nbr").as("cur")))
       out = out.unionAll(frontier.select(col("walk_id"),
         lit(s.toLong).as("step"), col("cur").as("node_id")))
     }
     out.orderBy("walk_id", "step")
+  }
+
+  /** [[extendWalks]] for the BIASED variant: the second-order state
+    * is (prev, cur), both recoverable from the persisted corpus's
+    * last two steps — so a biased corpus extends without re-walking
+    * too, bit-identical to the from-scratch longer walk (the
+    * declared query's oracle IS the length-(L+k) biased chain).
+    * Requires `fromLength ≥ 1` (step 0 alone has no prev). */
+  def extendBiasedWalks(prior: DataFrame, edges: DataFrame,
+                        fromLength: Int, extraSteps: Int, wReturn: Long,
+                        wCommon: Long, wOut: Long): DataFrame = {
+    require(fromLength >= 1, "biased extension needs steps 0 and 1")
+    require(wReturn > 0 && wCommon > 0 && wOut > 0,
+      "biased-walk weights must be strictly positive")
+    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
+    val adj = rankedAdjacency(e)
+    var frontier = Pin.pin(prior
+      .filter(col("step") === fromLength.toLong)
+      .select(col("walk_id"), col("node_id").as("cur"))
+      .join(prior.filter(col("step") === (fromLength - 1).toLong)
+        .select(col("walk_id"), col("node_id").as("prev")), Seq("walk_id"))
+      .select(col("walk_id"), col("prev"), col("cur")))
+    var out = prior.select(col("walk_id"), col("step"), col("node_id"))
+    val edgeLookup = e.select(col("u").as("__eu"), col("v").as("__ev"),
+      lit(1L).as("__is_edge"))
+    for (s <- fromLength + 1 to fromLength + extraSteps) {
+      val sel = biasedStep(frontier, adj, edgeLookup, s,
+        wReturn, wCommon, wOut)
+      frontier = Pin.pin(sel.select(col("walk_id"),
+        col("cur").as("prev"), col("nbr").as("cur")))
+      out = out.unionAll(frontier.select(col("walk_id"),
+        lit(s.toLong).as("step"), col("cur").as("node_id")))
+    }
+    out.orderBy("walk_id", "step")
+  }
+
+  /** One biased hop: classify, weight, running-sum pick — shared by
+    * [[biasedWalks]] and [[extendBiasedWalks]], so extension equals
+    * from-scratch by construction. */
+  private def biasedStep(frontier: DataFrame, adj: DataFrame,
+                         edgeLookup: DataFrame, s: Int, wReturn: Long,
+                         wCommon: Long, wOut: Long): DataFrame = {
+    val cand = frontier
+      .join(adj.select(col("node").as("cur"), col("nbr")), Seq("cur"))
+      // plain equi-join against the edge relation (pinned above):
+      // broadcast when it fits, hash-join at scale — AQE's call
+      .join(edgeLookup,
+        least(col("prev"), col("nbr")) === col("__eu") &&
+          greatest(col("prev"), col("nbr")) === col("__ev"), "left")
+      .withColumn("__w",
+        when(col("nbr") === col("prev"), lit(wReturn))
+          .when(col("__is_edge").isNotNull, lit(wCommon))
+          .otherwise(lit(wOut)))
+      .withColumn("__raw",
+        expr(s"(((walk_id % $P2) + $s * $stride) * $ba + $bb) % $P2"))
+    val cum = Window.partitionBy(col("walk_id")).orderBy(col("nbr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("walk_id"))
+    cand
+      .withColumn("__hi", sum(col("__w")).over(cum))
+      .withColumn("__tot", sum(col("__w")).over(whole))
+      .filter(col("__raw") % col("__tot") >= col("__hi") - col("__w") &&
+        col("__raw") % col("__tot") < col("__hi"))
   }
 
   /** Backtrack audit: for each walk variant, the share of steps

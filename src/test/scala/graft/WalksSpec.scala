@@ -151,6 +151,16 @@ class WalksSpec extends SparkSpec {
     }
   }
 
+  test("extendBiasedWalks(biased(3), 2) equals biased(5) bit-for-bit") {
+    val full = Walks.biasedWalks(bridged, 5, 1L, 4L, 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val extended = Walks.extendBiasedWalks(
+        Walks.biasedWalks(bridged, 3, 1L, 4L, 2L), bridged,
+        fromLength = 3, extraSteps = 2, 1L, 4L, 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(extended == full)
+  }
+
   test("walkBiasAudit: two variant rows, ppm consistent with counts") {
     val rows = Walks.walkBiasAudit(bridged, 3, 1L, 4L, 2L)
       .as[(String, Long, Long, Long)].collect().toSeq
