@@ -41,7 +41,13 @@ object BenchQuiet {
       val res =
         try {
           val fn = SparkEntry.queries(name)
-          if (warm) fn(spark, warmupDir).count()
+          // warmup failures are swallowed exactly as in the parent
+          // Bench's warmup loop — a query whose plan fails at the
+          // tiny fixture but runs at the bench SF must still be
+          // adjudicated, just without the pre-compile
+          if (warm)
+            try fn(spark, warmupDir).count()
+            catch { case scala.util.control.NonFatal(_) => () }
           (1 to n).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()

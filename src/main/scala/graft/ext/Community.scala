@@ -126,9 +126,14 @@ object Community {
       .crossJoin(broadcast(m))
       .select(col("community"), col("n_nodes"), col("intra_edges"),
         col("degree_sum"),
+        // denominator widened to decimal like the numerator: 4·m²
+        // wraps int64 silently past ~1.5e9 edges while the DuckDB
+        // twin's HUGEINT stays exact — the one place the engines
+        // would diverge at the scale the scaladoc claims
         (expr("(intra_edges * 1000000L) div __m") -
           expr("(cast(degree_sum as decimal(38,0)) * degree_sum * 1000000)" +
-            " div (4 * __m * __m)")).cast("long").as("q_ppm"))
+            " div (4 * cast(__m as decimal(38,0)) * __m)"))
+          .cast("long").as("q_ppm"))
       .orderBy("community")
   }
 

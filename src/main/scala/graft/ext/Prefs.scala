@@ -161,6 +161,10 @@ object Prefs {
     * analog of the MM objective's monotone climb, sum_p pins the
     * scale drift a reader would otherwise have to trust. */
   def ratingChain(pairs: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    // the convergence trace is built from consecutive round pairs, so
+    // zero rounds has no trace — fail with the contract, not a
+    // MatchError out of the sliding window
+    require(iters >= 1, "ratingChain needs at least one MM round")
     val rounds = mmRounds(symSmoothed(pairs), Nil, iters)
     val conv = rounds.sliding(2).zipWithIndex.map { case (Seq(p0, p1), i) =>
       p1.select(col("player"), col("p").as("__pn"))

@@ -234,8 +234,14 @@ object Walks {
       .select(col("walk_id"), col("cur").as("prev"), col("nbr").as("cur")))
     out = out.unionAll(frontier.select(col("walk_id"), lit(1L).as("step"),
       col("cur").as("node_id")))
-    val edgeLookup = e.select(col("u").as("__eu"), col("v").as("__ev"),
-      lit(1L).as("__is_edge"))
+    // canonicalized lookup: the classification join matches on
+    // (least, greatest), so a caller whose edge rows aren't oriented
+    // u < v (coEdges' contract, but not every edge relation's) must
+    // not silently misclassify distance-1 neighbors as outward; the
+    // distinct rides the join's own exchange
+    val edgeLookup = e.select(least(col("u"), col("v")).as("__eu"),
+      greatest(col("u"), col("v")).as("__ev")).distinct()
+      .withColumn("__is_edge", lit(1L))
     for (s <- 2 to length) {
       val sel = biasedStep(frontier, adj, edgeLookup, s,
         wReturn, wCommon, wOut)
@@ -269,8 +275,14 @@ object Walks {
         .select(col("walk_id"), col("node_id").as("prev")), Seq("walk_id"))
       .select(col("walk_id"), col("prev"), col("cur")))
     var out = prior.select(col("walk_id"), col("step"), col("node_id"))
-    val edgeLookup = e.select(col("u").as("__eu"), col("v").as("__ev"),
-      lit(1L).as("__is_edge"))
+    // canonicalized lookup: the classification join matches on
+    // (least, greatest), so a caller whose edge rows aren't oriented
+    // u < v (coEdges' contract, but not every edge relation's) must
+    // not silently misclassify distance-1 neighbors as outward; the
+    // distinct rides the join's own exchange
+    val edgeLookup = e.select(least(col("u"), col("v")).as("__eu"),
+      greatest(col("u"), col("v")).as("__ev")).distinct()
+      .withColumn("__is_edge", lit(1L))
     for (s <- fromLength + 1 to fromLength + extraSteps) {
       val sel = biasedStep(frontier, adj, edgeLookup, s,
         wReturn, wCommon, wOut)

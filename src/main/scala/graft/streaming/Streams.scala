@@ -639,7 +639,12 @@ object Streams {
     * overstate true feed violations; each row carries the trigger's
     * `batch_id`, so a reader distinguishes replay duplicates (same
     * day, later batch_id, matching settled state) from genuine
-    * contract violations and dedupes on (date_value) as needed. With μ equal to the batch op's internally-derived
+    * contract violations and dedupes on (date_value) as needed. A
+    * `.rejected` store written across the batch_id upgrade holds
+    * files with and without the column — read it with
+    * `option("mergeSchema", "true")` (Spark otherwise resolves the
+    * schema from one sampled footer, and an old file winning drops
+    * batch_id silently). With μ equal to the batch op's internally-derived
     * mean, the state table reproduces
     * [[graft.ext.Profiler.cusumDrift]] row-for-row (StreamsSpec pins
     * it across two triggers). */
@@ -899,11 +904,18 @@ object Streams {
             .select(col("doc_id"),
               coalesce(col("__new"), col("component")).as("component"))
           val all = remapped.unionByName(batchLabels).localCheckpoint()
-          graft.meta.StagedWrite.overwrite(all, labelsPath)
-          // the invariant the sink exists for, re-checked per trigger
-          // on its own edges: a candidate pair must never straddle
-          val split = Dedup.componentSplitFromIndex(spark, dir,
-            trainPct, validPct)
+          // the invariant the sink exists for, checked per trigger on
+          // its own edges BEFORE the labels publish: a candidate pair
+          // must never straddle. Publishing first would let a
+          // violated merge settle durably — on restart the replayed
+          // batch anti-joins away against the completed labels store,
+          // the trigger no-ops, and the exception never recurs, so
+          // the leakage-violating manifest would persist silently.
+          // Checking on the candidate state keeps the failure
+          // re-detectable on every replay until fixed.
+          val split = all.select(col("doc_id"),
+            Dedup.splitOfComponent(col("component"), trainPct, validPct)
+              .as("split"))
           val straddle = pairs
             .join(split.select(col("doc_id").as("d1"),
               col("split").as("__s1")), Seq("d1"))
@@ -914,6 +926,7 @@ object Streams {
             throw new IllegalStateException(
               s"component_split invariant violated: $straddle candidate " +
                 "pairs straddle a split boundary after merge")
+          graft.meta.StagedWrite.overwrite(all, labelsPath)
         }
       }
       .start()

@@ -151,6 +151,20 @@ class WalksSpec extends SparkSpec {
     }
   }
 
+  test("biasedWalks is orientation-invariant (edge rows need not be u<v)") {
+    // same graph, half the rows stored reversed: the walk topology
+    // was always orientation-proof (adjacency symmetrizes), and the
+    // canonicalized edge lookup now keeps the common/outward
+    // CLASSIFICATION orientation-proof too
+    val reversed = Seq((2L, 1L), (1L, 3L), (3L, 2L),
+      (5L, 4L), (4L, 6L), (6L, 5L), (3L, 4L)).toDF("u", "v")
+    val a = Walks.biasedWalks(bridged, 3, 1L, 4L, 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Walks.biasedWalks(reversed, 3, 1L, 4L, 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("extendBiasedWalks(biased(3), 2) equals biased(5) bit-for-bit") {
     val full = Walks.biasedWalks(bridged, 5, 1L, 4L, 2L)
       .as[(Long, Long, Long)].collect().toSeq
