@@ -200,5 +200,19 @@ object GraftConf {
     // the topN vocab must BROADCAST into the coverage join (a
     // sort-merge here shuffles the full exploded token stream twice)
     "vocab_coverage" -> PlanContract("text-agg",
-      minBroadcastJoins = 1, forbidSortMerge = true))
+      minBroadcastJoins = 1, forbidSortMerge = true),
+    // covariance: the ONE corpus pass lives behind the moment
+    // checkpoint; the final plan is checkpoint scans + the d-row
+    // moment slices coming back BROADCAST (2 hash joins + the 1-row
+    // n crossJoin) with ZERO hash exchanges — a corpus-keyed join or
+    // re-scan downstream is the 100 TB regression (PcaSpec pins the
+    // no-FileScan half)
+    "embedding_covariance" -> PlanContract("pca",
+      minBroadcastJoins = 3, forbidSortMerge = true,
+      maxHashShuffles = Some(0)),
+    // projection: ONE broadcast eigenvector array against a streamed
+    // corpus scan, dot inside codegen — never a shuffle of the corpus
+    "pca_project" -> PlanContract("pca",
+      minBroadcastJoins = 1, forbidSortMerge = true,
+      maxHashShuffles = Some(0)))
 }

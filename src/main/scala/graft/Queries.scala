@@ -2021,6 +2021,48 @@ object Queries {
       Some(ext.Layout.layoutSkippingOracleSql(512,
         100L, 199L, "1996-01-01", "1999-12-31"))),
 
+    // PCA pre-pass, step 1: upper-triangle covariance cells — the one
+    // n-row stage, join-free map-local expansion + partial agg
+    ("embedding_covariance",
+      (s: SparkSession, d: String) =>
+        ext.Pca.covariance(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), dim = 64).orderBy("i", "j"),
+      Some(ext.Pca.covarianceOracleSql(dim = 64))),
+
+    // PCA step 2: top principal direction by 8 fixed-point power
+    // iterations over the 64x64 cell relation (cost independent of n)
+    ("pca_power",
+      (s: SparkSession, d: String) =>
+        ext.Pca.powerIteration(
+          ext.Pca.covariance(t(s, d, "embeddings"), col("vec_id"),
+            col("embedding"), dim = 64), dim = 64, iters = 8)
+          .orderBy("i"),
+      Some(ext.Pca.powerOracleSql(dim = 64, iters = 8))),
+
+    // PCA step 3: variance-concentration audit — Rayleigh quotient vs
+    // trace, the decorrelate-before-indexing decision number
+    ("pca_explained",
+      (s: SparkSession, d: String) => {
+        val cov = ext.Pca.covariance(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), dim = 64)
+        ext.Pca.explained(cov,
+          ext.Pca.powerIteration(cov, dim = 64, iters = 8))
+      },
+      Some(ext.Pca.explainedOracleSql(dim = 64, iters = 8))),
+
+    // PCA step 4: per-vector coordinate along the top component — one
+    // broadcast eigenvector, codegen dot, no shuffle on the corpus
+    ("pca_project",
+      (s: SparkSession, d: String) => {
+        val cov = ext.Pca.covariance(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), dim = 64)
+        ext.Pca.project(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"),
+          ext.Pca.powerIteration(cov, dim = 64, iters = 8))
+          .orderBy("vec_id")
+      },
+      Some(ext.Pca.projectOracleSql(dim = 64, iters = 8))),
+
     // Per-dimension embedding moments: dead-dim / runaway-dim audit,
     // exact integers after 1e4 quantization, |dims| output rows
     ("embedding_dim_stats",
@@ -3459,6 +3501,36 @@ object Queries {
     // community_rounds census shows round 3 collapsing this dense
     // fixture to 3 labels (the known sync-LPA epidemic), so 2 is the
     // partition a mixture-balancing consumer would actually keep
+    // Multi-source BFS over the part co-order graph: shortest hop
+    // distance from each seed (bounded seed set), 3 unrolled levels
+    ("graph_bfs_reach",
+      (s: SparkSession, d: String) =>
+        ext.Bfs.reach(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), seedMax = 10L,
+          maxHops = 3)
+          .orderBy("seed", "dist", "node_id"),
+      Some(ext.Bfs.reachOracleSql(seedMax = 10L, maxHops = 3))),
+
+    // Neighborhood-growth census: nodes per (seed, hop distance) —
+    // the effective-diameter profile that prices a traversal
+    ("graph_reach_stats",
+      (s: SparkSession, d: String) =>
+        ext.Bfs.levels(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), seedMax = 10L,
+          maxHops = 3)
+          .orderBy("seed", "dist"),
+      Some(ext.Bfs.levelsOracleSql(seedMax = 10L, maxHops = 3))),
+
+    // HITS hubs/authorities on the customer->supplier bipartite:
+    // mutually-recursive two-role centrality (PageRank collapses the
+    // roles), 3 fixed-point rounds, max-normalized per kind
+    ("hits_scores",
+      (s: SparkSession, d: String) =>
+        ext.Hits.hits(ext.Hits.edges(t(s, d, "orders"),
+          t(s, d, "lineitem")), iters = 3)
+          .orderBy("kind", "node_id"),
+      Some(ext.Hits.hitsOracleSql(iters = 3))),
+
     ("community_lpa",
       (s: SparkSession, d: String) =>
         ext.Community.lpa(ext.Graph.coEdges(t(s, d, "lineitem"),

@@ -52,6 +52,7 @@ object SurveyGen {
       "document dedup / LSH"
     else if (pre("semantic_dedup") || pre("cluster_") ||
         pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||
+        pre("pca_") ||
         in("kmeans_update", "feature_hash", "pq_drift_audit"))
       "similarity / ANN / semantic dedup"
     else if (pre("bpe_") || pre("quality") || pre("gopher") ||
@@ -77,7 +78,8 @@ object SurveyGen {
           "link_predict", "link_predict_approx",
           "link_predict_approx_recall", "link_predict_approx_persisted",
           "link_predict_ra",
-          "degree_assortativity", "degree_histogram", "kcore_rounds"))
+          "degree_assortativity", "degree_histogram", "kcore_rounds",
+        "hits_scores"))
       "graph analytics"
     else if (in("profile_stats", "equi_depth_hist", "drift_check",
         "cusum_drift", "benford_audit", "table_checksum",

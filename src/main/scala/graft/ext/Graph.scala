@@ -1184,3 +1184,128 @@ object Graph {
     |GROUP BY t.n, t.sd, t.sd2, t.dmax
     |""".stripMargin.trim
 }
+
+/** Multi-source breadth-first search over an undirected edge
+  * relation: shortest hop-distance from every seed to everything
+  * within `maxHops`.
+  *
+  * The pipeline reading: "what does this node's k-hop neighborhood
+  * look like" is the locality question behind spam-farm detection
+  * (a link farm reaches thousands of nodes in 2 hops), supplier
+  * blast-radius ("if this part is recalled, which co-ordered parts
+  * sit within 2 hops"), and sampling a subgraph around a suspect
+  * node for inspection. The per-(seed, dist) census is the
+  * effective-diameter profile a 100 TB deployment prices a traversal
+  * with before running it — the [[degreeHistogram]] pre-flight
+  * discipline applied to reach.
+  *
+  * Contract: the SEED SET IS BOUNDED (a declared predicate, like the
+  * broadcast query side of every ANN scan) — the state relation is
+  * |seeds|·reach rows, NOT |V|², and that bound is the operator's
+  * scale story. The frontier expansion is the textbook distributed
+  * BFS: per level ONE equi join frontier⋈adj (shuffled on the hop
+  * key) + ONE left-anti against the visited set (shuffled on
+  * (seed, node)) + a distinct — all hash-keyed, no windows, no
+  * driver loops; levels are FIXED (maxHops), so the plan unrolls
+  * like every bounded-rounds operator in this tree
+  * ([[Community.lpa]], [[kcoreRounds]]).
+  *
+  * Visited/frontier are localCheckpoint'd per level — each level's
+  * lineage would otherwise stack all prior joins into one plan
+  * (the [[Dedup.starComponents]] lesson). Dist is BIGINT; nodes with
+  * no seed within reach simply don't appear (oracle mirrors). */
+object Bfs {
+
+  /** (seed, node_id, dist) for every seed `u < seedMax` present in
+    * the graph, dist 0..maxHops, shortest-path semantics (a node
+    * appears once per seed, at its first level). */
+  def reach(edges: DataFrame, seedMax: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val adj = edges
+      .select(col("u").cast("long").as("x"), col("v").cast("long").as("y"))
+      .unionByName(edges.select(col("v").cast("long").as("x"),
+        col("u").cast("long").as("y")))
+      .distinct().localCheckpoint()
+    var visited = adj.select(col("x")).distinct()
+      .filter(col("x") < seedMax)
+      .select(col("x").as("seed"), col("x").as("node_id"),
+        lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    for (lvl <- 1 to maxHops) {
+      val next = frontier
+        .select(col("seed"), col("node_id").as("x"))
+        .join(adj, Seq("x"))
+        .select(col("seed"), col("y").as("node_id")).distinct()
+        .join(visited.select(col("seed"), col("node_id")),
+          Seq("seed", "node_id"), "left_anti")
+        .withColumn("dist", lit(lvl.toLong))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  /** Per-(seed, dist) census of [[reach]]: the neighborhood-growth
+    * profile (n_nodes at each hop distance). */
+  def levels(edges: DataFrame, seedMax: Long, maxHops: Int): DataFrame =
+    reach(edges, seedMax, maxHops)
+      .groupBy(col("seed"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** Edge + adjacency + unrolled level CTEs over the part co-order
+    * graph (the [[Graph.coEdges]] chain verbatim), ending at
+    * `vis$maxHops(seed, node_id, dist)`. MATERIALIZED throughout —
+    * each level feeds the next twice (expansion + anti-join). */
+  private def bfsCtes(seedMax: Long, maxHops: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""g AS MATERIALIZED (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |ok AS MATERIALIZED (
+    |  SELECT o FROM g GROUP BY o
+    |  HAVING count(*) <= ${Graph.DefaultMaxGroupSize}),
+    |e0 AS MATERIALIZED (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
+    |adj AS MATERIALIZED (
+    |  SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+    |vis0 AS MATERIALIZED (
+    |  SELECT DISTINCT x AS seed, x AS node_id, CAST(0 AS BIGINT) AS dist
+    |  FROM adj WHERE x < $seedMax),
+    |f0 AS MATERIALIZED (SELECT seed, node_id FROM vis0)""".stripMargin
+    for (l <- 1 to maxHops) {
+      val p = l - 1
+      sb ++= s""",
+      |f$l AS MATERIALIZED (
+      |  SELECT DISTINCT f.seed, a.y AS node_id
+      |  FROM f$p f JOIN adj a ON a.x = f.node_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM vis$p v
+      |                    WHERE v.seed = f.seed AND v.node_id = a.y)),
+      |vis$l AS MATERIALIZED (
+      |  SELECT * FROM vis$p
+      |  UNION ALL
+      |  SELECT seed, node_id, CAST($l AS BIGINT) FROM f$l)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** DuckDB twin of [[reach]] over the part co-order graph. */
+  def reachOracleSql(seedMax: Long, maxHops: Int): String =
+    s"""
+    |WITH ${bfsCtes(seedMax, maxHops)}
+    |SELECT seed, node_id, dist FROM vis$maxHops
+    |ORDER BY seed, dist, node_id
+    |""".stripMargin.trim
+
+  /** DuckDB twin of [[levels]]. */
+  def levelsOracleSql(seedMax: Long, maxHops: Int): String =
+    s"""
+    |WITH ${bfsCtes(seedMax, maxHops)}
+    |SELECT seed, dist, count(*) AS n_nodes FROM vis$maxHops
+    |GROUP BY seed, dist
+    |ORDER BY seed, dist
+    |""".stripMargin.trim
+}

@@ -1,0 +1,282 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.LongVecDot
+import org.apache.spark.sql.types.DecimalType
+
+/** Principal-component analysis over an embedding column, engine-exact.
+  *
+  * Why a pipeline needs it: embedding tables arrive with correlated,
+  * unevenly-scaled dimensions (one dominant direction eats most of the
+  * variance), and both LSH bucketing and product quantization degrade
+  * on such inputs — random hyperplanes waste planes re-separating the
+  * dominant axis, PQ subspaces inherit correlated residuals. The
+  * standard pre-pass is: estimate the covariance, find the top
+  * principal direction(s), check how concentrated the variance is,
+  * and project/decorrelate before indexing. This module is that
+  * pre-pass as four oracle-checked queries.
+  *
+  * Arithmetic discipline (the [[Dedup.pairPageRank]] pattern applied
+  * to linear algebra): embeddings quantize once to 1e-6 fixed point
+  * (`round(x·1e6)` — float→double exact, one IEEE multiply + round,
+  * identical across engines), and EVERYTHING downstream is integer
+  * arithmetic — decimal(38,0) accumulators where int64 could
+  * overflow, truncating `DIV` (toward zero on BOTH engines — Spark's
+  * IntegralDivide and DuckDB's `//` agree on negatives, measured) for
+  * every rescale. No float sums, no convergence epsilon, a FIXED
+  * iteration count: the result is bit-identical on any partitioning
+  * and any engine.
+  *
+  * Scale shape, stage by stage:
+  *  - covariance: the ONLY stage that touches all n rows. Each row
+  *    expands map-locally (array expression, no join, no shuffle) to
+  *    its d(d+1)/2 upper-triangle products, and the hash aggregate
+  *    combines partials BEFORE the shuffle — the wire carries
+  *    #partitions · d(d+1)/2 cells, never n of anything. At d=64
+  *    that is 2,080 cells per partition regardless of n.
+  *  - power iteration: joins over the d×d cell relation and the
+  *    d-row vector — driver-scale frames (64 rows), localCheckpoint'd
+  *    per round like [[Dedup.pairPageRank]]; cost independent of n.
+  *  - projection: one broadcast of the d-long eigenvector against a
+  *    streamed corpus scan, the dot in whole-stage codegen via
+  *    [[LongVecDot]] — a pure map, no shuffle.
+  */
+object Pca {
+
+  /** Embedding quantization scale: 1e-6 fixed point. */
+  val QScale = 1000000L
+
+  /** Power-iteration output scale: max-abs component = ±1e6. */
+  val VScale = 1000000L
+
+  /** Covariance cells are rescaled by 1e-3 for the iteration so the
+    * matvec products stay far inside int64 (see scaladoc budget). */
+  val CsDown = 1000L
+
+  private def qv(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * QScale).cast("long"))
+
+  /** Upper-triangle covariance cells `(i, j, cov_fp)`, 1-based
+    * `i <= j`, `cov_fp = (n·Σ x_i x_j − Σx_i · Σx_j) DIV n²` over the
+    * 1e6-quantized components — i.e. covariance·1e12 truncated, exact.
+    *
+    * ONE corpus pass: each row expands by ARRAY EXPRESSION (outer
+    * transform over the vector, inner transform over its tail slice,
+    * one flatten+explode) into its d(d+1)/2 upper-triangle products
+    * PLUS d first-moment entries tagged `j = 0` — so second moments,
+    * first moments, and the row count all fall out of a single
+    * join-free scan whose partial agg combines map-side. The
+    * d(d+3)/2-row moment relation is localCheckpoint'd (2,144 rows at
+    * d=64, at ANY corpus size) and the d-row moment slices come back
+    * broadcast — a second corpus scan is exactly what this shape
+    * exists to avoid at 100 TB. */
+  def covariance(emb: DataFrame, id: Column, vec: Column,
+                 dim: Int): DataFrame = {
+    val moments = emb.select(qv(vec).as("qv"))
+      .select(explode(flatten(transform(col("qv"), (xi, i) =>
+        concat(
+          array(struct((i + lit(1)).cast("long").as("i"),
+            lit(0L).as("j"), xi.as("p"))),
+          transform(slice(col("qv"), i + lit(1), lit(dim) - i),
+            (xj, jj) => struct(
+              (i + lit(1)).cast("long").as("i"),
+              (i + jj + lit(1)).cast("long").as("j"),
+              (xi * xj).as("p"))))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val s1 = moments.filter(col("j") === 0)
+    val n = s1.filter(col("i") === 1).select(col("cnt").as("n"))
+    moments.filter(col("j") >= 1)
+      .join(broadcast(s1.select(col("i"), col("s").as("s1i"))), Seq("i"))
+      .join(broadcast(s1.select(col("i").as("j"), col("s").as("s1j"))),
+        Seq("j"))
+      .crossJoin(broadcast(n))
+      .withColumn("cov_fp", expr("(n * s - s1i * s1j) DIV (n * n)"))
+      .select(col("i"), col("j"), col("cov_fp"))
+  }
+
+  /** The full (mirrored) matrix at matvec scale `cs = cov_fp DIV 1e3`. */
+  private def cmat(cov: DataFrame): DataFrame =
+    cov.select(col("i"), col("j"), expr(s"cov_fp DIV $CsDown").as("cs"))
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"),
+          expr(s"cov_fp DIV $CsDown").as("cs")))
+
+  /** Deterministic start vector: near-uniform positive with a small
+    * index-linear perturbation (symmetry breaker; a start orthogonal
+    * to the dominant eigenvector cannot survive the perturbation). */
+  private def v0(cov: DataFrame, dim: Int): DataFrame = {
+    val s = cov.sparkSession
+    s.range(1, dim + 1).select(col("id").as("i"),
+      (lit(VScale) + col("id") * 17L).as("v_fp"))
+  }
+
+  /** Top principal direction by `iters` fixed-point power iterations:
+    * `w = C·v` (exact int64 products, decimal(38,0) sums), then
+    * renormalize to max-abs = 1e6 by truncating DIV — so each round
+    * is exact-integer deterministic and the fixed iteration count
+    * replaces any float convergence test. A zero matrix (constant
+    * embeddings) renormalizes to the uniform vector rather than
+    * dividing by zero — the CASE guard both engines share (the
+    * pq_drift_audit lesson: Spark nulls where DuckDB raises). */
+  def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val m = cmat(cov).localCheckpoint()
+    var v = v0(cov, dim).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = m.join(v.select(col("i").as("j"), col("v_fp")), Seq("j"))
+        .groupBy("i")
+        .agg(sum((col("cs") * col("v_fp")).cast(DecimalType(38, 0)))
+          .as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .withColumn("v_fp", expr(
+          s"CASE WHEN mx = 0 THEN ${VScale}L " +
+            s"ELSE CAST((w * $VScale) DIV mx AS BIGINT) END"))
+        .select(col("i"), col("v_fp"))
+        .localCheckpoint()
+    }
+    v
+  }
+
+  /** One-row variance-concentration audit: the Rayleigh quotient
+    * `lambda_fp = (vᵀCv) DIV (vᵀv)` at matvec scale (covariance·1e9),
+    * the trace at the same scale, and `explained_ppm` — the fraction
+    * of total variance the top component carries, the number that
+    * decides whether decorrelation is worth a rewrite pass before
+    * indexing. NULL sentinel when the trace is zero (constant
+    * corpus), identically on both engines. */
+  def explained(cov: DataFrame, v: DataFrame): DataFrame = {
+    val rq = cmat(cov)
+      .join(v.select(col("i"), col("v_fp").as("vi")), Seq("i"))
+      .join(v.select(col("i").as("j"), col("v_fp").as("vj")), Seq("j"))
+      .agg(sum(col("cs").cast(DecimalType(38, 0)) * col("vi") * col("vj"))
+        .as("rq"))
+    val vv = v.agg(sum(col("v_fp") * col("v_fp")).as("vv"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(expr(s"cov_fp DIV $CsDown")).as("trace_fp"))
+    rq.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
+      .select(
+        expr("CAST(rq DIV vv AS BIGINT)").as("lambda_fp"),
+        col("trace_fp"),
+        expr("CASE WHEN trace_fp = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(((rq DIV vv) * 1000000) DIV trace_fp AS BIGINT) " +
+          "END").as("explained_ppm"))
+  }
+
+  /** Per-vector projection onto the (max-abs-normalized) top
+    * component: `score_fp = (x_q · v) DIV 1e6` — the 1e-6 fixed-point
+    * coordinate along the dominant direction. The eigenvector rides
+    * as ONE broadcast 64-long array; the corpus side is a streamed
+    * map with the dot inside whole-stage codegen ([[LongVecDot]]) —
+    * no shuffle, no join, the same shape at any n. */
+  def project(emb: DataFrame, id: Column, vec: Column,
+              v: DataFrame): DataFrame = {
+    val varr = v
+      .agg(sort_array(collect_list(struct(col("i"), col("v_fp"))))
+        .as("sv"))
+      .select(transform(col("sv"), s => s.getField("v_fp")).as("v_arr"))
+    emb.select(id.as("vec_id"), qv(vec).as("qv"))
+      .crossJoin(broadcast(varr))
+      .withColumn("__dot", LongVecDot.dotColumn(col("qv"), col("v_arr")))
+      .select(col("vec_id"),
+        expr(s"CAST(__dot DIV $QScale AS BIGINT)").as("score_fp"))
+  }
+
+  // --------------------------------------------------------------
+  // DuckDB twins. Shared CTE text so the four oracles stay one
+  // definition of the arithmetic.
+  // --------------------------------------------------------------
+
+  /** Quantize + moments + covariance CTEs (HUGEINT throughout — the
+    * oracle's stand-in for the decimal(38,0) accumulators). */
+  private def covCtes(dim: Int): String =
+    s"""xq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * $QScale) AS HUGEINT) AS q
+       |  FROM embeddings, range(1, ${dim + 1}) t(i)),
+       |s1 AS (SELECT i, sum(q) AS s1 FROM xq GROUP BY i),
+       |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM xq),
+       |s2 AS (SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS s2
+       |       FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |       GROUP BY a.i, b.i),
+       |cov AS MATERIALIZED (
+       |  SELECT s2.i, s2.j,
+       |    ((SELECT n FROM nn) * s2.s2 - sa.s1 * sb.s1)
+       |      // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS cov_fp
+       |  FROM s2
+       |  JOIN s1 sa ON sa.i = s2.i
+       |  JOIN s1 sb ON sb.i = s2.j)""".stripMargin
+
+  /** Mirrored matrix + unrolled power-iteration CTEs ending at
+    * `v$iters(i, v)`. */
+  private def powerCtes(dim: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT m.i, sum(m.cs * p.v) AS w
+         |  FROM cmat m JOIN $prev p ON p.i = m.j GROUP BY m.i),
+         |m$k AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i,
+         |  CASE WHEN (SELECT mx FROM m$k) = 0 THEN CAST($VScale AS HUGEINT)
+         |       ELSE (w * $VScale) // (SELECT mx FROM m$k) END AS v
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""cmat AS MATERIALIZED (
+       |  SELECT i, j, cov_fp // $CsDown AS cs FROM cov
+       |  UNION ALL
+       |  SELECT j, i, cov_fp // $CsDown FROM cov WHERE i < j),
+       |v0 AS (SELECT CAST(i AS BIGINT) AS i,
+       |         CAST($VScale + i * 17 AS HUGEINT) AS v
+       |       FROM range(1, ${dim + 1}) t(i)),
+       |$rounds""".stripMargin
+  }
+
+  def covarianceOracleSql(dim: Int): String =
+    s"""
+    |WITH ${covCtes(dim)}
+    |SELECT i, j, CAST(cov_fp AS BIGINT) AS cov_fp
+    |FROM cov ORDER BY i, j
+    |""".stripMargin.trim
+
+  def powerOracleSql(dim: Int, iters: Int): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)}
+    |SELECT i, CAST(v AS BIGINT) AS v_fp
+    |FROM v$iters ORDER BY i
+    |""".stripMargin.trim
+
+  def explainedOracleSql(dim: Int, iters: Int): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)},
+    |rq AS (SELECT sum(m.cs * a.v * b.v) AS rq
+    |       FROM cmat m JOIN v$iters a ON a.i = m.i
+    |       JOIN v$iters b ON b.i = m.j),
+    |vvx AS (SELECT sum(v * v) AS vv FROM v$iters),
+    |tr AS (SELECT sum(cov_fp // $CsDown) AS trace_fp FROM cov WHERE i = j)
+    |SELECT
+    |  CAST(rq // vv AS BIGINT) AS lambda_fp,
+    |  CAST(trace_fp AS BIGINT) AS trace_fp,
+    |  CASE WHEN trace_fp = 0 THEN CAST(NULL AS BIGINT)
+    |       ELSE CAST(((rq // vv) * 1000000) // trace_fp AS BIGINT)
+    |  END AS explained_ppm
+    |FROM rq, vvx, tr
+    |""".stripMargin.trim
+
+  def projectOracleSql(dim: Int, iters: Int): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)}
+    |SELECT x.vec_id,
+    |  CAST(sum(x.q * p.v) // $QScale AS BIGINT) AS score_fp
+    |FROM xq x JOIN v$iters p ON p.i = x.i
+    |GROUP BY x.vec_id ORDER BY x.vec_id
+    |""".stripMargin.trim
+}

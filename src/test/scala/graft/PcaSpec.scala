@@ -1,0 +1,122 @@
+package graft
+
+import graft.ext.Pca
+import org.apache.spark.sql.functions._
+
+/** PCA family: an exact driver-side BigInt twin of the fixed-point
+  * arithmetic, convergence on a known-anisotropic fixture, the
+  * zero-variance guard, and the scale invariants the scaladoc
+  * promises. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side twin: quantize, moments, covariance — same
+    * truncating integer arithmetic, BigInt so overflow is impossible
+    * by construction. */
+  private def bruteCov(vecs: Seq[Array[Float]], dim: Int)
+      : Map[(Long, Long), Long] = {
+    val q = vecs.map(_.map(x => math.round(x.toDouble * Pca.QScale)))
+    val n = BigInt(q.size)
+    (for { i <- 0 until dim; j <- i until dim } yield {
+      val s2 = q.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      val s1i = q.map(v => BigInt(v(i))).sum
+      val s1j = q.map(v => BigInt(v(j))).sum
+      ((i + 1).toLong, (j + 1).toLong) -> (n * s2 - s1i * s1j) / (n * n)
+    }).map { case (k, v) => k -> v.toLong }.toMap
+  }
+
+  private def embDf(vecs: Seq[Array[Float]]) =
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+
+  /** Anisotropic fixture: dominant variance along dim 2 (0-based
+    * index 1), a little noise elsewhere — the top component is known
+    * up to sign. */
+  private def aniso: Seq[Array[Float]] = (0 until 40).map { k =>
+    val main = (if (k % 2 == 0) 1.0f else -1.0f) * (0.3f + 0.01f * (k % 7))
+    Array(0.01f * (k % 3 - 1), main, 0.02f * (k % 5 - 2), 0.005f * (k % 2))
+  }
+
+  test("covariance equals the BigInt driver twin (testdata slice)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val vecs = emb.orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect().toSeq
+    val want = bruteCov(vecs, 64)
+    val got = Pca.covariance(emb, col("vec_id"), col("embedding"), 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(got.size == 64 * 65 / 2)
+    assert(got == want)
+  }
+
+  test("power iteration finds the dominant axis on the aniso fixture") {
+    val cov = Pca.covariance(embDf(aniso), col("vec_id"),
+      col("embedding"), 4)
+    val v = Pca.powerIteration(cov, dim = 4, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    // max-abs normalization puts the dominant component at ±1e6
+    assert(math.abs(v(2L)) == Pca.VScale, s"dominant component: $v")
+    // every other axis carries <5% of the direction
+    Seq(1L, 3L, 4L).foreach { i =>
+      assert(math.abs(v(i)) < Pca.VScale / 20, s"axis $i too large: $v")
+    }
+  }
+
+  test("explained_ppm: dominant-axis fixture concentrates >90% variance") {
+    val cov = Pca.covariance(embDf(aniso), col("vec_id"),
+      col("embedding"), 4)
+    val e = Pca.explained(cov, Pca.powerIteration(cov, 4, 8))
+      .select("lambda_fp", "trace_fp", "explained_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(e._1 <= e._2, s"lambda > trace: $e")
+    assert(e._3 > 900000L && e._3 <= 1000000L, s"explained_ppm: $e")
+  }
+
+  test("projection equals the BigInt driver twin and orders by the axis") {
+    val df = embDf(aniso)
+    val cov = Pca.covariance(df, col("vec_id"), col("embedding"), 4)
+    val v = Pca.powerIteration(cov, 4, 8)
+    val vm = v.as[(Long, Long)].collect().toMap
+    val got = Pca.project(df, col("vec_id"), col("embedding"), v)
+      .as[(Long, Long)].collect().toMap
+    aniso.zipWithIndex.foreach { case (vec, id) =>
+      val dot = (0 until 4).map(i =>
+        BigInt(math.round(vec(i).toDouble * Pca.QScale)) *
+          BigInt(vm((i + 1).toLong))).sum
+      assert(got(id.toLong) == (dot / BigInt(Pca.QScale)).toLong,
+        s"vec $id")
+    }
+    // the projection separates the fixture's two sign groups
+    val pos = aniso.indices.filter(_ % 2 == 0).map(i => got(i.toLong))
+    val neg = aniso.indices.filter(_ % 2 == 1).map(i => got(i.toLong))
+    assert(pos.min > neg.max || neg.min > pos.max,
+      s"projection does not separate the sign groups: $got")
+  }
+
+  test("constant corpus: zero covariance, uniform vector, NULL ppm") {
+    val const = embDf(Seq.fill(10)(Array(0.25f, 0.25f, 0.25f, 0.25f)))
+    val cov = Pca.covariance(const, col("vec_id"), col("embedding"), 4)
+    assert(cov.filter(col("cov_fp") =!= 0L).count() == 0)
+    val v = Pca.powerIteration(cov, 4, 3).as[(Long, Long)].collect()
+    assert(v.forall(_._2 == Pca.VScale), s"not uniform: ${v.toSeq}")
+    val e = Pca.explained(cov, Pca.powerIteration(cov, 4, 3))
+    assert(e.select("explained_ppm").head().isNullAt(0),
+      "expected NULL sentinel on zero trace")
+  }
+
+  test("covariance plan: one corpus pass, moments reused from the checkpoint") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = Pca.covariance(emb, col("vec_id"), col("embedding"), 64)
+      .queryExecution.executedPlan.toString
+    // every downstream consumer (cells, s1 twice, n) reads the
+    // CHECKPOINTED moment relation — a FileScan of embeddings in the
+    // final plan would mean a second corpus pass at 100 TB
+    assert(!p.contains("FileScan"), s"corpus re-scanned downstream:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sort-merge sneaked in:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 0, s"expected 0 hash exchanges, got $shuffles:\n$p")
+    val broadcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size
+    assert(broadcasts >= 3, s"moment slices must broadcast:\n$p")
+  }
+}
