@@ -2063,6 +2063,50 @@ object Queries {
       },
       Some(ext.Pca.projectOracleSql(dim = 64, iters = 8))),
 
+    // PCA step 5: SECOND component by orthogonal iteration (same
+    // kernel, one exact Gram-Schmidt step per round)
+    ("pca_power2",
+      (s: SparkSession, d: String) =>
+        ext.Pca.powerIteration2(
+          ext.Pca.covariance(t(s, d, "embeddings"), col("vec_id"),
+            col("embedding"), dim = 64), dim = 64, iters = 8)
+          .orderBy("i"),
+      Some(ext.Pca.power2OracleSql(dim = 64, iters = 8))),
+
+    // PCA step 6: two-component spectrum audit — is the table
+    // effectively low-rank (cumulative top-2 explained fraction)
+    ("pca_explained2",
+      (s: SparkSession, d: String) => {
+        val cov = ext.Pca.covariance(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), dim = 64)
+        ext.Pca.explainedTop2(cov,
+          ext.Pca.powerIteration(cov, dim = 64, iters = 8),
+          ext.Pca.powerIteration2(cov, dim = 64, iters = 8))
+      },
+      Some(ext.Pca.explained2OracleSql(dim = 64, iters = 8))),
+
+    // PCA step 7: 2-D PCA coordinates — two broadcast eigenvectors,
+    // two codegen dots, still a pure map over the corpus
+    ("pca_project2",
+      (s: SparkSession, d: String) => {
+        val cov = ext.Pca.covariance(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), dim = 64)
+        ext.Pca.project2(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"),
+          ext.Pca.powerIteration(cov, dim = 64, iters = 8),
+          ext.Pca.powerIteration2(cov, dim = 64, iters = 8))
+          .orderBy("vec_id")
+      },
+      Some(ext.Pca.project2OracleSql(dim = 64, iters = 8))),
+
+    // Embedding-quality eval: label-relevance MRR of exact cosine
+    // retrieval (first same-label hit per bounded query set)
+    ("retrieval_mrr",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.labelMrr(t(s, d, "embeddings"), qMax = 50L)
+          .orderBy("query_id"),
+      Some(ext.RetrievalEval.labelMrrOracleSql(dim = 64, qMax = 50L))),
+
     // Per-dimension embedding moments: dead-dim / runaway-dim audit,
     // exact integers after 1e4 quantization, |dims| output rows
     ("embedding_dim_stats",

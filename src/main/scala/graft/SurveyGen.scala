@@ -70,7 +70,8 @@ object SurveyGen {
           "domain_cap_incremental", "weighted_quantiles",
           "vocab_growth"))
       "corpus prep / packing"
-    else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand"))
+    else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand",
+        "retrieval_mrr"))
       "retrieval"
     else if (pre("bt_")) "preference ranking (Bradley–Terry)"
     else if (pre("graph_") || pre("community_") || pre("walk_") ||

@@ -116,23 +116,44 @@ object Pca {
       (lit(VScale) + col("id") * 17L).as("v_fp"))
   }
 
-  /** Top principal direction by `iters` fixed-point power iterations:
-    * `w = C·v` (exact int64 products, decimal(38,0) sums), then
-    * renormalize to max-abs = 1e6 by truncating DIV — so each round
-    * is exact-integer deterministic and the fixed iteration count
-    * replaces any float convergence test. A zero matrix (constant
-    * embeddings) renormalizes to the uniform vector rather than
-    * dividing by zero — the CASE guard both engines share (the
-    * pq_drift_audit lesson: Spark nulls where DuckDB raises). */
-  def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
+  /** Shared fixed-point iteration kernel: per round `w = C·v` (exact
+    * int64 products, decimal(38,0) sums), optionally Gram-Schmidt
+    * against `ortho` (see [[powerIteration2]]), then renormalize to
+    * max-abs = 1e6 by truncating DIV. A zero iterate (constant
+    * embeddings, or a rank-1 corpus after orthogonalization)
+    * renormalizes to the uniform vector rather than dividing by zero
+    * — the CASE guard both engines share (the pq_drift_audit lesson:
+    * Spark nulls where DuckDB raises). */
+  private def powerOnCs(m: DataFrame, dim: Int, iters: Int,
+                        ortho: Option[DataFrame]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val m = cmat(cov).localCheckpoint()
-    var v = v0(cov, dim).localCheckpoint()
+    val orthoVv = ortho.map { u =>
+      (u.select(col("i"), col("v_fp").as("ui")),
+        u.agg(sum(col("v_fp") * col("v_fp")).as("vv")))
+    }
+    var v = v0(m, dim).localCheckpoint()
     for (_ <- 1 to iters) {
-      val w = m.join(v.select(col("i").as("j"), col("v_fp")), Seq("j"))
+      val w0 = m.join(v.select(col("i").as("j"), col("v_fp")), Seq("j"))
         .groupBy("i")
         .agg(sum((col("cs") * col("v_fp")).cast(DecimalType(38, 0)))
           .as("w"))
+      val w = orthoVv match {
+        case None => w0
+        case Some((u, vv)) =>
+          // one Gram-Schmidt step per round: w ← w − (w·u DIV u·u)·u.
+          // Re-orthogonalizing INSIDE the loop (orthogonal iteration)
+          // rather than deflating the matrix once keeps the top
+          // component from regrowing out of truncation residue when
+          // λ1 ≫ λ2 — each round caps the contamination at one
+          // truncation, which the next round removes again.
+          val pr = w0.join(u, Seq("i"))
+            .agg(sum(col("w") * col("ui")).as("pr"))
+          w0.join(broadcast(u), Seq("i"))
+            .crossJoin(broadcast(pr)).crossJoin(broadcast(vv))
+            .withColumn("w", expr(
+              "w - CAST(pr DIV vv AS DECIMAL(38,0)) * ui"))
+            .select(col("i"), col("w"))
+      }
       val mx = w.agg(max(abs(col("w"))).as("mx"))
       v = w.crossJoin(broadcast(mx))
         .withColumn("v_fp", expr(
@@ -142,6 +163,24 @@ object Pca {
         .localCheckpoint()
     }
     v
+  }
+
+  /** Top principal direction by `iters` fixed-point power iterations
+    * — exact-integer deterministic, fixed iteration count in place
+    * of any float convergence test. */
+  def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame =
+    powerOnCs(cmat(cov).localCheckpoint(), dim, iters, None)
+
+  /** SECOND principal direction: orthogonal iteration against the
+    * first — same kernel, same matrix, one exact Gram-Schmidt step
+    * per round. On a rank-1 corpus the orthogonalized iterate is
+    * truncation noise and `explained2`'s λ2 reads ≈0 — the audit
+    * catches it; the direction itself is then meaningless by
+    * declared semantics. */
+  def powerIteration2(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val m = cmat(cov).localCheckpoint()
+    val v1 = powerOnCs(m, dim, iters, None)
+    powerOnCs(m, dim, iters, Some(v1))
   }
 
   /** One-row variance-concentration audit: the Rayleigh quotient
@@ -169,6 +208,38 @@ object Pca {
           "END").as("explained_ppm"))
   }
 
+  /** Two-component variance audit: both Rayleigh quotients against
+    * the trace, plus the cumulative top-2 explained fraction — the
+    * "is the table effectively low-rank" number. NULL sentinel on
+    * zero trace, identically on both engines. */
+  def explainedTop2(cov: DataFrame, v1: DataFrame,
+                    v2: DataFrame): DataFrame = {
+    val m = cmat(cov).localCheckpoint()
+    def lam(v: DataFrame, name: String): DataFrame = {
+      val rq = m
+        .join(v.select(col("i"), col("v_fp").as("vi")), Seq("i"))
+        .join(v.select(col("i").as("j"), col("v_fp").as("vj")), Seq("j"))
+        .agg(sum(col("cs").cast(DecimalType(38, 0)) * col("vi") *
+          col("vj")).as("rq"))
+      val vv = v.agg(sum(col("v_fp") * col("v_fp")).as("vv"))
+      rq.crossJoin(broadcast(vv))
+        .select(expr("CAST(rq DIV vv AS BIGINT)").as(name))
+    }
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(expr(s"cov_fp DIV $CsDown")).as("trace_fp"))
+    lam(v1, "lambda1_fp").crossJoin(broadcast(lam(v2, "lambda2_fp")))
+      .crossJoin(broadcast(tr))
+      .select(col("lambda1_fp"), col("lambda2_fp"), col("trace_fp"),
+        expr("CASE WHEN trace_fp = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(((lambda1_fp + lambda2_fp) * 1000000) DIV " +
+          "trace_fp AS BIGINT) END").as("explained2_ppm"))
+  }
+
+  private def vArr(v: DataFrame, name: String): DataFrame =
+    v.agg(sort_array(collect_list(struct(col("i"), col("v_fp"))))
+        .as("sv"))
+      .select(transform(col("sv"), s => s.getField("v_fp")).as(name))
+
   /** Per-vector projection onto the (max-abs-normalized) top
     * component: `score_fp = (x_q · v) DIV 1e6` — the 1e-6 fixed-point
     * coordinate along the dominant direction. The eigenvector rides
@@ -176,17 +247,26 @@ object Pca {
     * map with the dot inside whole-stage codegen ([[LongVecDot]]) —
     * no shuffle, no join, the same shape at any n. */
   def project(emb: DataFrame, id: Column, vec: Column,
-              v: DataFrame): DataFrame = {
-    val varr = v
-      .agg(sort_array(collect_list(struct(col("i"), col("v_fp"))))
-        .as("sv"))
-      .select(transform(col("sv"), s => s.getField("v_fp")).as("v_arr"))
+              v: DataFrame): DataFrame =
     emb.select(id.as("vec_id"), qv(vec).as("qv"))
-      .crossJoin(broadcast(varr))
+      .crossJoin(broadcast(vArr(v, "v_arr")))
       .withColumn("__dot", LongVecDot.dotColumn(col("qv"), col("v_arr")))
       .select(col("vec_id"),
         expr(s"CAST(__dot DIV $QScale AS BIGINT)").as("score_fp"))
-  }
+
+  /** Two-dimensional PCA coordinates — the scatter a profiling
+    * pipeline plots / buckets on: both components broadcast as
+    * arrays, two codegen dots, still a pure map over the corpus. */
+  def project2(emb: DataFrame, id: Column, vec: Column,
+               v1: DataFrame, v2: DataFrame): DataFrame =
+    emb.select(id.as("vec_id"), qv(vec).as("qv"))
+      .crossJoin(broadcast(vArr(v1, "v1_arr")))
+      .crossJoin(broadcast(vArr(v2, "v2_arr")))
+      .withColumn("__d1", LongVecDot.dotColumn(col("qv"), col("v1_arr")))
+      .withColumn("__d2", LongVecDot.dotColumn(col("qv"), col("v2_arr")))
+      .select(col("vec_id"),
+        expr(s"CAST(__d1 DIV $QScale AS BIGINT)").as("score1_fp"),
+        expr(s"CAST(__d2 DIV $QScale AS BIGINT)").as("score2_fp"))
 
   // --------------------------------------------------------------
   // DuckDB twins. Shared CTE text so the four oracles stay one
@@ -237,6 +317,35 @@ object Pca {
        |$rounds""".stripMargin
   }
 
+  /** Orthogonal-iteration CTEs for the SECOND component, appended
+    * after [[powerCtes]]' `v$iters` chain: `vv1` (v1·v1), then per
+    * round matvec → Gram-Schmidt against v1 → renormalize, ending at
+    * `u$iters(i, v)`. */
+  private def power2Ctes(dim: Int, iters: Int): String = {
+    val v1 = s"v$iters"
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "v0" else s"u${k - 1}"
+      s"""uw$k AS MATERIALIZED (
+         |  SELECT m.i, sum(m.cs * p.v) AS w
+         |  FROM cmat m JOIN $prev p ON p.i = m.j GROUP BY m.i),
+         |up$k AS MATERIALIZED (
+         |  SELECT sum(w.w * a.v) AS pr
+         |  FROM uw$k w JOIN $v1 a ON a.i = w.i),
+         |uo$k AS MATERIALIZED (
+         |  SELECT w.i,
+         |    w.w - ((SELECT pr FROM up$k) // (SELECT vv FROM vv1)) * a.v
+         |      AS w
+         |  FROM uw$k w JOIN $v1 a ON a.i = w.i),
+         |um$k AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM uo$k),
+         |u$k AS MATERIALIZED (SELECT i,
+         |  CASE WHEN (SELECT mx FROM um$k) = 0 THEN CAST($VScale AS HUGEINT)
+         |       ELSE (w * $VScale) // (SELECT mx FROM um$k) END AS v
+         |  FROM uo$k)""".stripMargin
+    }.mkString(",\n")
+    s"""vv1 AS MATERIALIZED (SELECT sum(v * v) AS vv FROM $v1),
+       |$rounds""".stripMargin
+  }
+
   def covarianceOracleSql(dim: Int): String =
     s"""
     |WITH ${covCtes(dim)}
@@ -277,6 +386,52 @@ object Pca {
     |SELECT x.vec_id,
     |  CAST(sum(x.q * p.v) // $QScale AS BIGINT) AS score_fp
     |FROM xq x JOIN v$iters p ON p.i = x.i
+    |GROUP BY x.vec_id ORDER BY x.vec_id
+    |""".stripMargin.trim
+
+  def power2OracleSql(dim: Int, iters: Int): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)},
+    |${power2Ctes(dim, iters)}
+    |SELECT i, CAST(v AS BIGINT) AS v_fp
+    |FROM u$iters ORDER BY i
+    |""".stripMargin.trim
+
+  def explained2OracleSql(dim: Int, iters: Int): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)},
+    |${power2Ctes(dim, iters)},
+    |rq1 AS (SELECT sum(m.cs * a.v * b.v) AS rq
+    |        FROM cmat m JOIN v$iters a ON a.i = m.i
+    |        JOIN v$iters b ON b.i = m.j),
+    |rq2 AS (SELECT sum(m.cs * a.v * b.v) AS rq
+    |        FROM cmat m JOIN u$iters a ON a.i = m.i
+    |        JOIN u$iters b ON b.i = m.j),
+    |vv2x AS (SELECT sum(v * v) AS vv FROM u$iters),
+    |tr AS (SELECT sum(cov_fp // $CsDown) AS trace_fp FROM cov WHERE i = j)
+    |SELECT
+    |  CAST(rq1.rq // vv1.vv AS BIGINT) AS lambda1_fp,
+    |  CAST(rq2.rq // vv2x.vv AS BIGINT) AS lambda2_fp,
+    |  CAST(trace_fp AS BIGINT) AS trace_fp,
+    |  CASE WHEN trace_fp = 0 THEN CAST(NULL AS BIGINT)
+    |       ELSE CAST(((rq1.rq // vv1.vv + rq2.rq // vv2x.vv) * 1000000)
+    |                 // trace_fp AS BIGINT)
+    |  END AS explained2_ppm
+    |FROM rq1, rq2, vv1, vv2x, tr
+    |""".stripMargin.trim
+
+  def project2OracleSql(dim: Int, iters: Int): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)},
+    |${power2Ctes(dim, iters)}
+    |SELECT x.vec_id,
+    |  CAST(sum(x.q * a.v) // $QScale AS BIGINT) AS score1_fp,
+    |  CAST(sum(x.q * b.v) // $QScale AS BIGINT) AS score2_fp
+    |FROM xq x JOIN v$iters a ON a.i = x.i
+    |JOIN u$iters b ON b.i = x.i
     |GROUP BY x.vec_id ORDER BY x.vec_id
     |""".stripMargin.trim
 }

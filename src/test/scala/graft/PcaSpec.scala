@@ -104,6 +104,55 @@ class PcaSpec extends SparkSpec {
       "expected NULL sentinel on zero trace")
   }
 
+  test("second component: orthogonal to PC1, finds the second axis") {
+    val cov = Pca.covariance(embDf(aniso), col("vec_id"),
+      col("embedding"), 4)
+    val v1 = Pca.powerIteration(cov, 4, 8).as[(Long, Long)]
+      .collect().toMap
+    val v2 = Pca.powerIteration2(cov, 4, 8).as[(Long, Long)]
+      .collect().toMap
+    // the fixture's second-variance axis is dim 3 (8e-4 vs 6.7e-5
+    // and 6e-6 on the others)
+    assert(math.abs(v2(3L)) == Pca.VScale, s"v2: $v2")
+    // exact-integer Gram-Schmidt: residual dot is truncation-sized
+    // (each component truncates at most 1 unit per round), far under
+    // any real angle — |v1·v2| ≪ |v1|² / 100
+    val dot = (1L to 4L).map(i => BigInt(v1(i)) * BigInt(v2(i))).sum
+    val vv1 = (1L to 4L).map(i => BigInt(v1(i)) * BigInt(v1(i))).sum
+    assert(dot.abs * 100 < vv1, s"not orthogonal: dot=$dot vv1=$vv1")
+  }
+
+  test("explained2: cumulative spectrum on the aniso fixture") {
+    val cov = Pca.covariance(embDf(aniso), col("vec_id"),
+      col("embedding"), 4)
+    val v1 = Pca.powerIteration(cov, 4, 8)
+    val v2 = Pca.powerIteration2(cov, 4, 8)
+    val r = Pca.explainedTop2(cov, v1, v2)
+      .select("lambda1_fp", "lambda2_fp", "trace_fp", "explained2_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._2 < r._1, s"lambda2 >= lambda1: $r")
+    assert(r._1 + r._2 <= r._3, s"spectrum exceeds trace: $r")
+    val top1 = Pca.explained(cov, v1).select("explained_ppm")
+      .as[Long].head()
+    assert(r._4 >= top1, s"cumulative below top-1: $r vs $top1")
+    assert(r._4 > 990000L && r._4 <= 1000000L,
+      s"4-dim fixture with 2 real axes: $r")
+  }
+
+  test("project2: score1 equals project's PC1 coordinate") {
+    val df = embDf(aniso)
+    val cov = Pca.covariance(df, col("vec_id"), col("embedding"), 4)
+    val v1 = Pca.powerIteration(cov, 4, 8)
+    val v2 = Pca.powerIteration2(cov, 4, 8)
+    val p1 = Pca.project(df, col("vec_id"), col("embedding"), v1)
+      .as[(Long, Long)].collect().toMap
+    val p2 = Pca.project2(df, col("vec_id"), col("embedding"), v1, v2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(p1.keySet == p2.keySet)
+    p1.foreach { case (id, s1) => assert(p2(id)._1 == s1, s"vec $id") }
+  }
+
   test("covariance plan: one corpus pass, moments reused from the checkpoint") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = Pca.covariance(emb, col("vec_id"), col("embedding"), 64)
