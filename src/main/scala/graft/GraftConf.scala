@@ -210,9 +210,9 @@ object GraftConf {
     "embedding_covariance" -> PlanContract("pca",
       minBroadcastJoins = 3, forbidSortMerge = true,
       maxHashShuffles = Some(0)),
-    // projection: ONE broadcast eigenvector array against a streamed
-    // corpus scan, dot inside codegen — never a shuffle of the corpus
+    // projection: the eigenvector is a d-long array LITERAL (bounded
+    // by the schema) against a streamed corpus scan, dot inside
+    // codegen — a pure projection, never a join or corpus shuffle
     "pca_project" -> PlanContract("pca",
-      minBroadcastJoins = 1, forbidSortMerge = true,
-      maxHashShuffles = Some(0)))
+      forbidJoin = true, maxHashShuffles = Some(0)))
 }

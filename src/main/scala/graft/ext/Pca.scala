@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.LongVecDot
 import org.apache.spark.sql.types.DecimalType
@@ -36,12 +35,21 @@ import org.apache.spark.sql.types.DecimalType
   *    combines partials BEFORE the shuffle — the wire carries
   *    #partitions · d(d+1)/2 cells, never n of anything. At d=64
   *    that is 2,080 cells per partition regardless of n.
-  *  - power iteration: joins over the d×d cell relation and the
-  *    d-row vector — driver-scale frames (64 rows), localCheckpoint'd
-  *    per round like [[Dedup.pairPageRank]]; cost independent of n.
-  *  - projection: one broadcast of the d-long eigenvector against a
-  *    streamed corpus scan, the dot in whole-stage codegen via
-  *    [[LongVecDot]] — a pure map, no shuffle.
+  *  - power iteration: the CODEBOOK discipline. The cell relation is
+  *    bounded driver state by declared contract (d(d+1)/2 cells — the
+  *    same class as a PQ codebook or a k-means centroid relation), so
+  *    the iteration runs as exact BigInt driver math, bit-equal to
+  *    the oracle's unrolled CTEs (BigInt division truncates toward
+  *    zero like both engines' integer DIV). The first cut iterated
+  *    distributed — 8 localCheckpoint rounds over a 64-row relation —
+  *    and paid ~0.3 s of stage floor PER ROUND at any data size
+  *    (SCALE.md §47): cluster scheduling is the wrong tool for a
+  *    64×64 matvec.
+  *  - projection: the eigenvector re-enters as a d-long ARRAY LITERAL
+  *    (bounded by the same contract — the §41 plan-literal caveat
+  *    applies only to relations that GROW with tuning dials; d is
+  *    fixed by the table schema), the dot in whole-stage codegen via
+  *    [[LongVecDot]] — a pure map, no join, no shuffle.
   */
 object Pca {
 
@@ -74,7 +82,12 @@ object Pca {
     * exists to avoid at 100 TB. */
   def covariance(emb: DataFrame, id: Column, vec: Column,
                  dim: Int): DataFrame = {
-    val moments = emb.select(qv(vec).as("qv"))
+    // a small corpus file arrives as ONE scan partition and the
+    // d(d+3)/2-per-row expansion would run in a single task — spread
+    // first (the scoredPairs precedent); at real scale the scan has
+    // many splits and the spread is one narrow-row shuffle
+    val moments = Dedup.spread(emb.select(id.as("__sid"),
+        qv(vec).as("qv")), col("__sid"))
       .select(explode(flatten(transform(col("qv"), (xi, i) =>
         concat(
           array(struct((i + lit(1)).cast("long").as("i"),
@@ -100,76 +113,73 @@ object Pca {
       .select(col("i"), col("j"), col("cov_fp"))
   }
 
-  /** The full (mirrored) matrix at matvec scale `cs = cov_fp DIV 1e3`. */
-  private def cmat(cov: DataFrame): DataFrame =
-    cov.select(col("i"), col("j"), expr(s"cov_fp DIV $CsDown").as("cs"))
-      .unionByName(cov.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"),
-          expr(s"cov_fp DIV $CsDown").as("cs")))
-
-  /** Deterministic start vector: near-uniform positive with a small
-    * index-linear perturbation (symmetry breaker; a start orthogonal
-    * to the dominant eigenvector cannot survive the perturbation). */
-  private def v0(cov: DataFrame, dim: Int): DataFrame = {
-    val s = cov.sparkSession
-    s.range(1, dim + 1).select(col("id").as("i"),
-      (lit(VScale) + col("id") * 17L).as("v_fp"))
+  /** Collected mirrored matrix at matvec scale `cs = cov_fp DIV 1e3`
+    * — the bounded-driver-state hop (d(d+1)/2 cells, codebook-class).
+    * 1-based indexing to match the relation. */
+  private def csMatrix(cov: DataFrame, dim: Int): Array[Array[Long]] = {
+    val m = Array.ofDim[Long](dim + 1, dim + 1)
+    cov.select(col("i"), col("j"), col("cov_fp")).collect().foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      val cs = r.getLong(2) / CsDown // toward zero, = DIV / `//`
+      m(i)(j) = cs
+      m(j)(i) = cs
+    }
+    m
   }
 
-  /** Shared fixed-point iteration kernel: per round `w = C·v` (exact
-    * int64 products, decimal(38,0) sums), optionally Gram-Schmidt
+  /** Shared fixed-point iteration kernel, driver-side: per round
+    * `w = C·v` in BigInt, optionally one exact Gram-Schmidt step
     * against `ortho` (see [[powerIteration2]]), then renormalize to
-    * max-abs = 1e6 by truncating DIV. A zero iterate (constant
-    * embeddings, or a rank-1 corpus after orthogonalization)
-    * renormalizes to the uniform vector rather than dividing by zero
-    * — the CASE guard both engines share (the pq_drift_audit lesson:
-    * Spark nulls where DuckDB raises). */
-  private def powerOnCs(m: DataFrame, dim: Int, iters: Int,
-                        ortho: Option[DataFrame]): DataFrame = {
+    * max-abs = 1e6 by truncating division (BigInt `/` truncates
+    * toward zero — same as Spark DIV and DuckDB `//`, so this is
+    * bit-equal to the oracle's unrolled CTE rounds). A zero iterate
+    * (constant embeddings, or a rank-1 corpus after
+    * orthogonalization) renormalizes to the uniform vector rather
+    * than dividing by zero — the guard both engines share (the
+    * pq_drift_audit lesson). Start vector: near-uniform positive
+    * with a small index-linear perturbation (symmetry breaker; a
+    * start orthogonal to the dominant eigenvector cannot survive
+    * the perturbation). */
+  private def iterate(m: Array[Array[Long]], dim: Int, iters: Int,
+                      ortho: Option[Array[Long]]): Array[Long] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val orthoVv = ortho.map { u =>
-      (u.select(col("i"), col("v_fp").as("ui")),
-        u.agg(sum(col("v_fp") * col("v_fp")).as("vv")))
-    }
-    var v = v0(m, dim).localCheckpoint()
+    val orthoVv = ortho.map(u => u.map(x => BigInt(x) * x).sum)
+    var v: Array[BigInt] =
+      (1 to dim).map(i => BigInt(VScale + i * 17L)).toArray
     for (_ <- 1 to iters) {
-      val w0 = m.join(v.select(col("i").as("j"), col("v_fp")), Seq("j"))
-        .groupBy("i")
-        .agg(sum((col("cs") * col("v_fp")).cast(DecimalType(38, 0)))
-          .as("w"))
-      val w = orthoVv match {
-        case None => w0
-        case Some((u, vv)) =>
-          // one Gram-Schmidt step per round: w ← w − (w·u DIV u·u)·u.
-          // Re-orthogonalizing INSIDE the loop (orthogonal iteration)
-          // rather than deflating the matrix once keeps the top
-          // component from regrowing out of truncation residue when
-          // λ1 ≫ λ2 — each round caps the contamination at one
-          // truncation, which the next round removes again.
-          val pr = w0.join(u, Seq("i"))
-            .agg(sum(col("w") * col("ui")).as("pr"))
-          w0.join(broadcast(u), Seq("i"))
-            .crossJoin(broadcast(pr)).crossJoin(broadcast(vv))
-            .withColumn("w", expr(
-              "w - CAST(pr DIV vv AS DECIMAL(38,0)) * ui"))
-            .select(col("i"), col("w"))
+      var w: Array[BigInt] = Array.tabulate(dim)(i0 =>
+        (0 until dim).map(j0 => BigInt(m(i0 + 1)(j0 + 1)) * v(j0)).sum)
+      ortho.foreach { u =>
+        // one Gram-Schmidt step per round: w ← w − (w·u / u·u)·u.
+        // Re-orthogonalizing INSIDE the loop (orthogonal iteration)
+        // rather than deflating the matrix once keeps the top
+        // component from regrowing out of truncation residue when
+        // λ1 ≫ λ2 — each round caps the contamination at one
+        // truncation, which the next round removes again.
+        val pr = (0 until dim).map(k => w(k) * u(k)).sum
+        val coef = pr / orthoVv.get
+        w = Array.tabulate(dim)(k => w(k) - coef * u(k))
       }
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .withColumn("v_fp", expr(
-          s"CASE WHEN mx = 0 THEN ${VScale}L " +
-            s"ELSE CAST((w * $VScale) DIV mx AS BIGINT) END"))
-        .select(col("i"), col("v_fp"))
-        .localCheckpoint()
+      val mx = w.map(_.abs).max
+      v = if (mx == 0) Array.fill(dim)(BigInt(VScale))
+          else w.map(x => x * VScale / mx)
     }
-    v
+    v.map(_.toLong)
+  }
+
+  private def toVecDf(cov: DataFrame, v: Array[Long]): DataFrame = {
+    val s = cov.sparkSession
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i0) => ((i0 + 1).toLong, x) }
+      .toSeq.toDF("i", "v_fp")
   }
 
   /** Top principal direction by `iters` fixed-point power iterations
     * — exact-integer deterministic, fixed iteration count in place
     * of any float convergence test. */
   def powerIteration(cov: DataFrame, dim: Int, iters: Int): DataFrame =
-    powerOnCs(cmat(cov).localCheckpoint(), dim, iters, None)
+    toVecDf(cov, iterate(csMatrix(cov, dim), dim, iters, None))
 
   /** SECOND principal direction: orthogonal iteration against the
     * first — same kernel, same matrix, one exact Gram-Schmidt step
@@ -178,34 +188,43 @@ object Pca {
     * catches it; the direction itself is then meaningless by
     * declared semantics. */
   def powerIteration2(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
-    val m = cmat(cov).localCheckpoint()
-    val v1 = powerOnCs(m, dim, iters, None)
-    powerOnCs(m, dim, iters, Some(v1))
+    val m = csMatrix(cov, dim)
+    toVecDf(cov, iterate(m, dim, iters,
+      Some(iterate(m, dim, iters, None))))
+  }
+
+  /** v as a 1-based-ordered driver array. */
+  private def collectVec(v: DataFrame): Array[Long] =
+    v.orderBy("i").select("v_fp").collect().map(_.getLong(0))
+
+  /** λ = (vᵀCv) / (vᵀv) and the trace, BigInt driver math over the
+    * collected cell matrix. */
+  private def rayleigh(m: Array[Array[Long]], dim: Int,
+                       v: Array[Long]): (Long, Long) = {
+    val rq = (for (i <- 0 until dim; j <- 0 until dim)
+      yield BigInt(m(i + 1)(j + 1)) * v(i) * v(j)).sum
+    val vv = v.map(x => BigInt(x) * x).sum
+    val tr = (1 to dim).map(i => BigInt(m(i)(i))).sum
+    ((rq / vv).toLong, tr.toLong)
   }
 
   /** One-row variance-concentration audit: the Rayleigh quotient
-    * `lambda_fp = (vᵀCv) DIV (vᵀv)` at matvec scale (covariance·1e9),
+    * `lambda_fp = (vᵀCv) / (vᵀv)` at matvec scale (covariance·1e9),
     * the trace at the same scale, and `explained_ppm` — the fraction
     * of total variance the top component carries, the number that
     * decides whether decorrelation is worth a rewrite pass before
     * indexing. NULL sentinel when the trace is zero (constant
     * corpus), identically on both engines. */
   def explained(cov: DataFrame, v: DataFrame): DataFrame = {
-    val rq = cmat(cov)
-      .join(v.select(col("i"), col("v_fp").as("vi")), Seq("i"))
-      .join(v.select(col("i").as("j"), col("v_fp").as("vj")), Seq("j"))
-      .agg(sum(col("cs").cast(DecimalType(38, 0)) * col("vi") * col("vj"))
-        .as("rq"))
-    val vv = v.agg(sum(col("v_fp") * col("v_fp")).as("vv"))
-    val tr = cov.filter(col("i") === col("j"))
-      .agg(sum(expr(s"cov_fp DIV $CsDown")).as("trace_fp"))
-    rq.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
-      .select(
-        expr("CAST(rq DIV vv AS BIGINT)").as("lambda_fp"),
-        col("trace_fp"),
-        expr("CASE WHEN trace_fp = 0 THEN CAST(NULL AS BIGINT) " +
-          "ELSE CAST(((rq DIV vv) * 1000000) DIV trace_fp AS BIGINT) " +
-          "END").as("explained_ppm"))
+    val s = cov.sparkSession
+    import s.implicits._
+    val vec = collectVec(v)
+    val (lambda, tr) = rayleigh(csMatrix(cov, vec.length),
+      vec.length, vec)
+    val ppm = if (tr == 0L) None
+      else Some((BigInt(lambda) * 1000000 / tr).toLong)
+    Seq((lambda, tr, ppm))
+      .toDF("lambda_fp", "trace_fp", "explained_ppm")
   }
 
   /** Two-component variance audit: both Rayleigh quotients against
@@ -214,56 +233,44 @@ object Pca {
     * zero trace, identically on both engines. */
   def explainedTop2(cov: DataFrame, v1: DataFrame,
                     v2: DataFrame): DataFrame = {
-    val m = cmat(cov).localCheckpoint()
-    def lam(v: DataFrame, name: String): DataFrame = {
-      val rq = m
-        .join(v.select(col("i"), col("v_fp").as("vi")), Seq("i"))
-        .join(v.select(col("i").as("j"), col("v_fp").as("vj")), Seq("j"))
-        .agg(sum(col("cs").cast(DecimalType(38, 0)) * col("vi") *
-          col("vj")).as("rq"))
-      val vv = v.agg(sum(col("v_fp") * col("v_fp")).as("vv"))
-      rq.crossJoin(broadcast(vv))
-        .select(expr("CAST(rq DIV vv AS BIGINT)").as(name))
-    }
-    val tr = cov.filter(col("i") === col("j"))
-      .agg(sum(expr(s"cov_fp DIV $CsDown")).as("trace_fp"))
-    lam(v1, "lambda1_fp").crossJoin(broadcast(lam(v2, "lambda2_fp")))
-      .crossJoin(broadcast(tr))
-      .select(col("lambda1_fp"), col("lambda2_fp"), col("trace_fp"),
-        expr("CASE WHEN trace_fp = 0 THEN CAST(NULL AS BIGINT) " +
-          "ELSE CAST(((lambda1_fp + lambda2_fp) * 1000000) DIV " +
-          "trace_fp AS BIGINT) END").as("explained2_ppm"))
+    val s = cov.sparkSession
+    import s.implicits._
+    val a1 = collectVec(v1)
+    val a2 = collectVec(v2)
+    val m = csMatrix(cov, a1.length)
+    val (l1, tr) = rayleigh(m, a1.length, a1)
+    val (l2, _) = rayleigh(m, a2.length, a2)
+    val ppm = if (tr == 0L) None
+      else Some(((BigInt(l1) + l2) * 1000000 / tr).toLong)
+    Seq((l1, l2, tr, ppm))
+      .toDF("lambda1_fp", "lambda2_fp", "trace_fp", "explained2_ppm")
   }
-
-  private def vArr(v: DataFrame, name: String): DataFrame =
-    v.agg(sort_array(collect_list(struct(col("i"), col("v_fp"))))
-        .as("sv"))
-      .select(transform(col("sv"), s => s.getField("v_fp")).as(name))
 
   /** Per-vector projection onto the (max-abs-normalized) top
     * component: `score_fp = (x_q · v) DIV 1e6` — the 1e-6 fixed-point
     * coordinate along the dominant direction. The eigenvector rides
-    * as ONE broadcast 64-long array; the corpus side is a streamed
-    * map with the dot inside whole-stage codegen ([[LongVecDot]]) —
-    * no shuffle, no join, the same shape at any n. */
+    * as ONE d-long array literal (bounded by the schema, never by a
+    * dial); the corpus side is a streamed map with the dot inside
+    * whole-stage codegen ([[LongVecDot]]) — no shuffle, no join, the
+    * same shape at any n. */
   def project(emb: DataFrame, id: Column, vec: Column,
               v: DataFrame): DataFrame =
     emb.select(id.as("vec_id"), qv(vec).as("qv"))
-      .crossJoin(broadcast(vArr(v, "v_arr")))
-      .withColumn("__dot", LongVecDot.dotColumn(col("qv"), col("v_arr")))
+      .withColumn("__dot",
+        LongVecDot.dotColumn(col("qv"), typedLit(collectVec(v).toSeq)))
       .select(col("vec_id"),
         expr(s"CAST(__dot DIV $QScale AS BIGINT)").as("score_fp"))
 
   /** Two-dimensional PCA coordinates — the scatter a profiling
-    * pipeline plots / buckets on: both components broadcast as
-    * arrays, two codegen dots, still a pure map over the corpus. */
+    * pipeline plots / buckets on: both components as array literals,
+    * two codegen dots, still a pure map over the corpus. */
   def project2(emb: DataFrame, id: Column, vec: Column,
                v1: DataFrame, v2: DataFrame): DataFrame =
     emb.select(id.as("vec_id"), qv(vec).as("qv"))
-      .crossJoin(broadcast(vArr(v1, "v1_arr")))
-      .crossJoin(broadcast(vArr(v2, "v2_arr")))
-      .withColumn("__d1", LongVecDot.dotColumn(col("qv"), col("v1_arr")))
-      .withColumn("__d2", LongVecDot.dotColumn(col("qv"), col("v2_arr")))
+      .withColumn("__d1",
+        LongVecDot.dotColumn(col("qv"), typedLit(collectVec(v1).toSeq)))
+      .withColumn("__d2",
+        LongVecDot.dotColumn(col("qv"), typedLit(collectVec(v2).toSeq)))
       .select(col("vec_id"),
         expr(s"CAST(__d1 DIV $QScale AS BIGINT)").as("score1_fp"),
         expr(s"CAST(__d2 DIV $QScale AS BIGINT)").as("score2_fp"))
