@@ -85,22 +85,40 @@ object Pca {
     // a small corpus file arrives as ONE scan partition and the
     // d(d+3)/2-per-row expansion would run in a single task — spread
     // first (the scoredPairs precedent); at real scale the scan has
-    // many splits and the spread is one narrow-row shuffle
+    // many splits and the spread is one narrow-row shuffle.
+    //
+    // The expansion emits a FLAT array<long> in a fixed cell order
+    // (for each i: the first moment q_i, then the tail products
+    // q_i·q_j for j ≥ i) and posexplode's POSITION is the cell key —
+    // a struct-per-cell formulation measured 2× slower at ×100
+    // (GenericArrayData + struct allocation per cell dominates; the
+    // flat form is one primitive array per row). The (pos → i, j)
+    // decode is a d(d+3)/2-row driver map joined back broadcast
+    // AFTER the aggregate, so it prices at cells, not rows.
+    val posMap = {
+      val s = emb.sparkSession
+      import s.implicits._
+      val rows = Seq.newBuilder[(Int, Long, Long)]
+      var pos = 0
+      for (i0 <- 0 until dim) {
+        rows += ((pos, (i0 + 1).toLong, 0L)); pos += 1
+        for (j0 <- i0 until dim) {
+          rows += ((pos, (i0 + 1).toLong, (j0 + 1).toLong)); pos += 1
+        }
+      }
+      rows.result().toDF("pos", "i", "j")
+    }
     val moments = Dedup.spread(emb.select(id.as("__sid"),
         qv(vec).as("qv")), col("__sid"))
-      .select(explode(flatten(transform(col("qv"), (xi, i) =>
-        concat(
-          array(struct((i + lit(1)).cast("long").as("i"),
-            lit(0L).as("j"), xi.as("p"))),
+      .select(posexplode(flatten(transform(col("qv"), (xi, i) =>
+        concat(array(xi),
           transform(slice(col("qv"), i + lit(1), lit(dim) - i),
-            (xj, jj) => struct(
-              (i + lit(1)).cast("long").as("i"),
-              (i + jj + lit(1)).cast("long").as("j"),
-              (xi * xj).as("p"))))))).as("e"))
-      .select(col("e.i"), col("e.j"), col("e.p"))
-      .groupBy("i", "j")
+            xj => xi * xj))))).as(Seq("pos", "p")))
+      .groupBy("pos")
       .agg(sum(col("p").cast(DecimalType(38, 0))).as("s"),
         count(lit(1)).as("cnt"))
+      .join(broadcast(posMap), Seq("pos"))
+      .select(col("i"), col("j"), col("s"), col("cnt"))
       .localCheckpoint()
     val s1 = moments.filter(col("j") === 0)
     val n = s1.filter(col("i") === 1).select(col("cnt").as("n"))
