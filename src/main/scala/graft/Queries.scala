@@ -2029,6 +2029,21 @@ object Queries {
           col("embedding"), dim = 64).orderBy("i", "j"),
       Some(ext.Pca.covarianceOracleSql(dim = 64))),
 
+    // PCA day-2: the arriving batch (vec_id >= 400) merges its
+    // moments into the settled base table -- covariance without a
+    // base rescan; the oracle IS the whole-corpus covariance
+    ("embedding_covariance_incremental",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        ext.Pca.covarianceIncremental(
+          ext.Pca.moments(emb.filter(col("vec_id") < 400),
+            col("vec_id"), col("embedding"), dim = 64).localCheckpoint(),
+          emb.filter(col("vec_id") >= 400),
+          col("vec_id"), col("embedding"), dim = 64)
+          .orderBy("i", "j")
+      },
+      Some(ext.Pca.covarianceOracleSql(dim = 64))),
+
     // PCA step 2: top principal direction by 8 fixed-point power
     // iterations over the 64x64 cell relation (cost independent of n)
     ("pca_power",

@@ -80,21 +80,24 @@ object Pca {
     * d=64, at ANY corpus size) and the d-row moment slices come back
     * broadcast — a second corpus scan is exactly what this shape
     * exists to avoid at 100 TB. */
-  def covariance(emb: DataFrame, id: Column, vec: Column,
-                 dim: Int): DataFrame = {
-    // a small corpus file arrives as ONE scan partition and the
-    // d(d+3)/2-per-row expansion would run in a single task — spread
-    // first (the scoredPairs precedent); at real scale the scan has
-    // many splits and the spread is one narrow-row shuffle.
-    //
-    // The expansion emits a FLAT array<long> in a fixed cell order
-    // (for each i: the first moment q_i, then the tail products
-    // q_i·q_j for j ≥ i) and posexplode's POSITION is the cell key —
-    // a struct-per-cell formulation measured 2× slower at ×100
-    // (GenericArrayData + struct allocation per cell dominates; the
-    // flat form is one primitive array per row). The (pos → i, j)
-    // decode is a d(d+3)/2-row driver map joined back broadcast
-    // AFTER the aggregate, so it prices at cells, not rows.
+  /** The mergeable sufficient-statistics relation `(i, j, s, cnt)`:
+    * `j = 0` rows carry first moments (Σ q_i, n), `j ≥ 1` rows carry
+    * second moments (Σ q_i q_j). Moments are ADDITIVE — two slices'
+    * moment tables merge by cell-wise sum into exactly the whole's
+    * ([[mergeMoments]]), which is what makes covariance maintainable
+    * incrementally (a batch appends without a corpus rescan) and as
+    * a streaming sink.
+    *
+    * The expansion emits a FLAT array<long> in a fixed cell order
+    * (for each i: the first moment q_i, then the tail products
+    * q_i·q_j for j ≥ i) and posexplode's POSITION is the cell key —
+    * a struct-per-cell formulation measured 2× slower at ×100
+    * (GenericArrayData + struct allocation per cell dominates; the
+    * flat form is one primitive array per row). The (pos → i, j)
+    * decode is a d(d+3)/2-row driver map joined back broadcast
+    * AFTER the aggregate, so it prices at cells, not rows. */
+  def moments(emb: DataFrame, id: Column, vec: Column,
+              dim: Int): DataFrame = {
     val posMap = {
       val s = emb.sparkSession
       import s.implicits._
@@ -108,8 +111,12 @@ object Pca {
       }
       rows.result().toDF("pos", "i", "j")
     }
-    val moments = Dedup.spread(emb.select(id.as("__sid"),
-        qv(vec).as("qv")), col("__sid"))
+    // a small corpus file arrives as ONE scan partition and the
+    // d(d+3)/2-per-row expansion would run in a single task — spread
+    // first (the scoredPairs precedent); at real scale the scan has
+    // many splits and the spread is one narrow-row shuffle
+    Dedup.spread(emb.select(id.as("__sid"), qv(vec).as("qv")),
+        col("__sid"))
       .select(posexplode(flatten(transform(col("qv"), (xi, i) =>
         concat(array(xi),
           transform(slice(col("qv"), i + lit(1), lit(dim) - i),
@@ -119,7 +126,18 @@ object Pca {
         count(lit(1)).as("cnt"))
       .join(broadcast(posMap), Seq("pos"))
       .select(col("i"), col("j"), col("s"), col("cnt"))
-      .localCheckpoint()
+  }
+
+  /** Cell-wise sum of moment tables — exact (integer sums), so
+    * merge-then-derive equals derive-over-the-union row for row. */
+  def mergeMoments(tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy("i", "j")
+      .agg(sum(col("s")).cast(DecimalType(38, 0)).as("s"),
+        sum(col("cnt")).as("cnt"))
+
+  /** Covariance cells from a (checkpointed) moment relation. */
+  def covFromMoments(moments: DataFrame): DataFrame = {
     val s1 = moments.filter(col("j") === 0)
     val n = s1.filter(col("i") === 1).select(col("cnt").as("n"))
     moments.filter(col("j") >= 1)
@@ -130,6 +148,22 @@ object Pca {
       .withColumn("cov_fp", expr("(n * s - s1i * s1j) DIV (n * n)"))
       .select(col("i"), col("j"), col("cov_fp"))
   }
+
+  def covariance(emb: DataFrame, id: Column, vec: Column,
+                 dim: Int): DataFrame =
+    covFromMoments(moments(emb, id, vec, dim).localCheckpoint())
+
+  /** Incremental covariance: a settled base moment table (persisted
+    * state or a prior slice's [[moments]]) absorbs an arriving batch
+    * WITHOUT rescanning the base corpus — the batch's moments merge
+    * cell-wise and the covariance derives from the sum. Exactly
+    * equal to [[covariance]] over base ∪ batch (integer additivity;
+    * the declared query's oracle IS the whole-corpus covariance). */
+  def covarianceIncremental(baseMoments: DataFrame, batch: DataFrame,
+                            id: Column, vec: Column,
+                            dim: Int): DataFrame =
+    covFromMoments(mergeMoments(Seq(baseMoments,
+      moments(batch, id, vec, dim))).localCheckpoint())
 
   /** Collected mirrored matrix at matvec scale `cs = cov_fp DIV 1e3`
     * — the bounded-driver-state hop (d(d+1)/2 cells, codebook-class).

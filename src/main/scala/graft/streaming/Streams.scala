@@ -1207,6 +1207,50 @@ object Streams {
     spark.read.parquet(statePath)
       .select("match_day", "p_lo", "p_hi", "n_matches", "wins_lo")
 
+  /** Streaming PCA sufficient statistics: each trigger's embedding
+    * micro-batch folds its moment cells ([[graft.ext.Pca.moments]] —
+    * first+second moments, exact integers) into a d(d+3)/2-row state
+    * table. Covariance / eigenvectors / projections derive from the
+    * state at ANY point via [[graft.ext.Pca.covFromMoments]] without
+    * rescanning a single settled vector — the additive-statistics
+    * twin of [[btIngestSink]], same exactly-once batchId ledger
+    * (foreachBatch redelivers a failed trigger with the SAME batchId
+    * and data; folding only batchId > last_batch_id makes replays
+    * no-ops), same staged atomic publish. */
+  def pcaMomentsIngestSink(stream: DataFrame, dim: Int,
+                           statePath: String,
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        def mom(df: DataFrame): DataFrame =
+          graft.ext.Pca.moments(df, col("vec_id"), col("embedding"), dim)
+        val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val prior: DataFrame =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            spark.read.parquet(statePath)
+          // schema-correct empty state derived from the input itself
+          else mom(batch.limit(0)).withColumn("last_batch_id", lit(-1L))
+        val lastId = prior.agg(coalesce(max(col("last_batch_id")),
+          lit(-1L))).collect()(0).getLong(0)
+        if (batchId > lastId) {
+          val merged = graft.ext.Pca.mergeMoments(Seq(
+              prior.select("i", "j", "s", "cnt"), mom(batch)))
+            .withColumn("last_batch_id", lit(batchId))
+          StagedWrite.overwrite(merged, statePath)
+        }
+      }
+      .start()
+
+  /** The canonical moment relation from a [[pcaMomentsIngestSink]]
+    * state table — drop the ledger column; feed
+    * [[graft.ext.Pca.covFromMoments]]. */
+  def pcaMomentsState(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(statePath).select("i", "j", "s", "cnt")
+
   def attributionStream(events: DataFrame, fromType: String,
                         toType: String, tolSeconds: Long,
                         timeoutFlush: Boolean = false,

@@ -153,6 +153,20 @@ class PcaSpec extends SparkSpec {
     p1.foreach { case (id, s1) => assert(p2(id)._1 == s1, s"vec $id") }
   }
 
+  test("moment additivity: incremental merge == whole-corpus covariance") {
+    val df = embDf(aniso)
+    val base = df.filter(col("vec_id") < 25)
+    val batch = df.filter(col("vec_id") >= 25)
+    val inc = Pca.covarianceIncremental(
+      Pca.moments(base, col("vec_id"), col("embedding"), 4)
+        .localCheckpoint(),
+      batch, col("vec_id"), col("embedding"), 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val whole = Pca.covariance(df, col("vec_id"), col("embedding"), 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(inc == whole, "merged moments drifted from the whole")
+  }
+
   test("covariance plan: one corpus pass, moments reused from the checkpoint") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = Pca.covariance(emb, col("vec_id"), col("embedding"), 64)

@@ -972,4 +972,48 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$ixDir/simbands").count() == simBefore,
       "replay appended band rows")
   }
+
+  test("pcaMomentsIngestSink: folded moments equal the batch moments; " +
+      "covariance and eigenvector from state == batch; replay no-op") {
+    import graft.ext.Pca
+    val embDir = tmp("pca-stream")
+    val statePath = tmp("pca-state") + "/state"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // three micro-batches by vec_id range
+    Seq(emb.filter(col("vec_id") < 15),
+      emb.filter(col("vec_id") >= 15 && col("vec_id") < 30),
+      emb.filter(col("vec_id") >= 30))
+      .foreach(_.coalesce(1).write.mode("append").parquet(embDir))
+    val schema = emb.schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(embDir)
+    val q = Streams.pcaMomentsIngestSink(stream(), 64, statePath,
+      tmp("pca-ckpt"))
+    try q.awaitTermination() finally q.stop()
+    val got = Streams.pcaMomentsState(spark, statePath)
+      .orderBy("i", "j").collect().toSeq
+    val want = Pca.moments(emb, col("vec_id"), col("embedding"), 64)
+      .orderBy("i", "j").collect().toSeq
+    assert(got == want, "stream state != batch sufficient statistics")
+    // covariance + eigenvector from the state table == batch,
+    // row for row (the whole PCA family rides on the state)
+    val covState = Pca.covFromMoments(
+      Streams.pcaMomentsState(spark, statePath).localCheckpoint())
+    val covBatch = Pca.covariance(emb, col("vec_id"),
+      col("embedding"), 64)
+    assert(covState.orderBy("i", "j").collect().toSeq ==
+      covBatch.orderBy("i", "j").collect().toSeq,
+      "covariance from state != batch covariance")
+    assert(Pca.powerIteration(covState, 64, 8).collect().toSeq ==
+      Pca.powerIteration(covBatch, 64, 8).collect().toSeq,
+      "eigenvector from state != batch eigenvector")
+    // full replay (fresh checkpoint): redelivered batchIds all <=
+    // ledger, the moments fold nothing twice
+    val q2 = Streams.pcaMomentsIngestSink(stream(), 64, statePath,
+      tmp("pca-ckpt2"))
+    try q2.awaitTermination() finally q2.stop()
+    assert(Streams.pcaMomentsState(spark, statePath)
+      .orderBy("i", "j").collect().toSeq == want,
+      "replay mutated the moment state")
+  }
 }
