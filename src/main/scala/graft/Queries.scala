@@ -2114,6 +2114,15 @@ object Queries {
       },
       Some(ext.Pca.project2OracleSql(dim = 64, iters = 8))),
 
+    // Similarity-density pre-flight: 20-bin cosine histogram over
+    // hash-adjacent sampled pairs (keyed window, no self-join)
+    ("cos_histogram",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.cosHistogram(t(s, d, "embeddings"),
+          dim = 64, sampleMod = 2).orderBy("bucket"),
+      Some(ext.RetrievalEval.cosHistogramOracleSql(dim = 64,
+        sampleMod = 2))),
+
     // Embedding-quality eval: label-relevance MRR of exact cosine
     // retrieval (first same-label hit per bounded query set)
     ("retrieval_mrr",
@@ -2861,6 +2870,14 @@ object Queries {
           .orderBy("doc_id"),
       Some(ext.Corpus.contaminationOracleSql("source = 'src19'", 3, 0.1))),
 
+    // TextRank keywords: weighted PageRank over the word
+    // co-occurrence graph, 3 fixed-point rounds, bounded top-20
+    ("textrank_keywords",
+      (s: SparkSession, d: String) =>
+        TextAnalysis.textrankKeywords(t(s, d, "documents"),
+          col("text"), iters = 3, k = 20),
+      Some(TextAnalysis.textrankKeywordsOracleSql(iters = 3, k = 20))),
+
     // Bigram LM fit: integer perplexity proxy under corpus statistics
     ("lm_fit",
       (s: SparkSession, d: String) =>
@@ -3579,6 +3596,16 @@ object Queries {
           maxHops = 3)
           .orderBy("seed", "dist"),
       Some(ext.Bfs.levelsOracleSql(seedMax = 10L, maxHops = 3))),
+
+    // Weighted bounded-hop SSSP (Bellman-Ford rounds) over the part
+    // co-order graph: edge cost = 1e6 DIV co-occurrence count
+    ("graph_sssp",
+      (s: SparkSession, d: String) =>
+        ext.Sssp.sssp(ext.Sssp.coEdgesWeighted(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), seedMax = 5L,
+          rounds = 3)
+          .orderBy("seed", "node_id"),
+      Some(ext.Sssp.ssspOracleSql(seedMax = 5L, rounds = 3))),
 
     // HITS hubs/authorities on the customer->supplier bipartite:
     // mutually-recursive two-role centrality (PageRank collapses the

@@ -53,7 +53,8 @@ object SurveyGen {
     else if (pre("semantic_dedup") || pre("cluster_") ||
         pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||
         pre("pca_") ||
-        in("kmeans_update", "feature_hash", "pq_drift_audit"))
+        in("kmeans_update", "feature_hash", "pq_drift_audit",
+          "cos_histogram"))
       "similarity / ANN / semantic dedup"
     else if (pre("bpe_") || pre("quality") || pre("gopher") ||
         pre("lang_") || pre("length_") ||
@@ -61,7 +62,7 @@ object SurveyGen {
           "tfidf_topk",
           "ttr_stats", "repetition_score", "boilerplate_ratio",
           "phrase_bigrams", "zipf_bands", "lm_fit", "ngram_novelty",
-          "doc_chunk", "source_terms"))
+          "doc_chunk", "source_terms", "textrank_keywords"))
       "text analysis / quality"
     else if (pre("corpus_") || pre("mix_") || pre("dsir") ||
         pre("seq_pack") ||

@@ -1309,3 +1309,114 @@ object Bfs {
     |ORDER BY seed, dist
     |""".stripMargin.trim
 }
+
+/** Bounded-hop single-source shortest paths over the WEIGHTED
+  * co-occurrence graph — the cost-aware generalization of [[Bfs]]:
+  * an edge's length is `1e6 DIV w` (inverse co-occurrence count), so
+  * paths through frequently-co-ordered pairs are short and the
+  * distance ranks "how tightly is this node coupled to the seed",
+  * not just hop count. The recommendation/substitution reading: the
+  * lowest-dist nodes around a part are its strongest transitive
+  * substitutes even when they never co-occur directly.
+  *
+  * Bellman-Ford with a FIXED round count (the bounded-rounds
+  * discipline): each round relaxes every current estimate through
+  * the adjacency (one equi join) and folds with the prior state
+  * through a keyed min — monotone, so replays/extra rounds are
+  * no-ops once converged within the hop bound. All integer: lengths
+  * and distances are exact fixed point, min is order-independent,
+  * and ties cannot diverge between engines. Same bounded-seed
+  * contract as [[Bfs.reach]]: the state is |seeds|·reach rows. */
+object Sssp {
+
+  /** Distinct undirected co-occurrence edges WITH multiplicity
+    * (u < v, w = number of groups sharing the pair) — [[Graph.coEdges]]
+    * with the count kept; same oversize-group guard. */
+  def coEdgesWeighted(df: DataFrame, group: Column, item: Column,
+                      maxGroupSize: Int = Graph.DefaultMaxGroupSize)
+      : DataFrame = {
+    val base = df.select(group.as("g"), item.cast("long").as("i"))
+      .distinct()
+    val oversize = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") > maxGroupSize)
+      .select(col("g"))
+    val g = Pin.pin(base.join(oversize, Seq("g"), "left_anti"))
+    g.select(col("g"), col("i").as("u"))
+      .join(g.select(col("g"), col("i").as("v")), Seq("g"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+  }
+
+  /** (seed, node_id, dist_fp) for seeds `u < seedMax`, where dist is
+    * the min-cost path within `rounds` hops, edge cost `1e6 DIV w`. */
+  def sssp(edges: DataFrame, seedMax: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val adj = edges.select(col("u").cast("long").as("x"),
+        col("v").cast("long").as("y"),
+        expr("1000000 DIV w").as("len"))
+      .unionByName(edges.select(col("v").cast("long").as("x"),
+        col("u").cast("long").as("y"), expr("1000000 DIV w").as("len")))
+      .localCheckpoint()
+    var dist = adj.select(col("x")).distinct()
+      .filter(col("x") < seedMax)
+      .select(col("x").as("seed"), col("x").as("node_id"),
+        lit(0L).as("dist_fp"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cand = dist.select(col("seed"), col("node_id").as("x"),
+          col("dist_fp"))
+        .join(adj, Seq("x"))
+        .select(col("seed"), col("y").as("node_id"),
+          (col("dist_fp") + col("len")).as("dist_fp"))
+      dist = dist.unionByName(cand)
+        .groupBy(col("seed"), col("node_id"))
+        .agg(min(col("dist_fp")).as("dist_fp"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Weighted-edge + unrolled relaxation CTEs over the part co-order
+    * graph, ending at `d$rounds`. */
+  private def ssspCtes(seedMax: Long, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""g AS MATERIALIZED (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |ok AS MATERIALIZED (
+    |  SELECT o FROM g GROUP BY o
+    |  HAVING count(*) <= ${Graph.DefaultMaxGroupSize}),
+    |e0 AS MATERIALIZED (
+    |  SELECT a.i AS u, b.i AS v, count(*) AS w
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)
+    |  GROUP BY 1, 2),
+    |adj AS MATERIALIZED (
+    |  SELECT u AS x, v AS y, 1000000 // w AS len FROM e0
+    |  UNION ALL SELECT v, u, 1000000 // w FROM e0),
+    |d0 AS MATERIALIZED (
+    |  SELECT DISTINCT x AS seed, x AS node_id, CAST(0 AS BIGINT) AS dist_fp
+    |  FROM adj WHERE x < $seedMax)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+      |c$r AS MATERIALIZED (
+      |  SELECT d.seed, a.y AS node_id, d.dist_fp + a.len AS dist_fp
+      |  FROM d$p d JOIN adj a ON a.x = d.node_id),
+      |d$r AS MATERIALIZED (
+      |  SELECT seed, node_id, min(dist_fp) AS dist_fp
+      |  FROM (SELECT * FROM d$p UNION ALL SELECT * FROM c$r)
+      |  GROUP BY 1, 2)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** DuckDB twin of [[sssp]] over the part co-order graph. */
+  def ssspOracleSql(seedMax: Long, rounds: Int): String =
+    s"""
+    |WITH ${ssspCtes(seedMax, rounds)}
+    |SELECT seed, node_id, dist_fp FROM d$rounds
+    |ORDER BY seed, node_id
+    |""".stripMargin.trim
+}

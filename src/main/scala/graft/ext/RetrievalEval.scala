@@ -58,6 +58,79 @@ object RetrievalEval {
         expr("1000000 DIV first_rel_rank").as("rr_ppm"))
   }
 
+  /** Sampled pair-cosine histogram — the similarity-DENSITY
+    * pre-flight: before picking an LSH band threshold, a SemDeDup
+    * epsilon, or a near-dup cutoff, a deployment needs the shape of
+    * the cosine distribution between UNRELATED vectors (how much
+    * accidental similarity the space carries). This is that shape as
+    * a 20-bin census over hash-adjacent sampled pairs.
+    *
+    * Sampling is scale-clean by construction: vectors sample by a
+    * [[graft.functions.Hashing.permBucket]] predicate (rate = the
+    * declared 1/sampleMod), land in `parts` hash partitions, and
+    * pair with their NEIGHBOR IN HASH ORDER inside each partition —
+    * a keyed window, so pairs ≈ sample − parts with zero self-join
+    * and no global sort; hash order makes the pairing
+    * as-if-random while staying deterministic on both engines.
+    * Zero vectors are excluded (no cosine exists; quantizedTopK
+    * precedent). The cos double is bit-identical across engines
+    * (decimal dot, correctly-rounded sqrt/divide), so bucket edges
+    * cannot flip. */
+  def cosHistogram(emb: DataFrame, dim: Int, sampleMod: Int,
+                   parts: Int = 16, bins: Int = 20): DataFrame = {
+    import graft.functions.Hashing
+    val s = emb
+      .filter(Hashing.permBucket(col("vec_id"), 1, sampleMod) === 0)
+      .withColumn("__n2", Similarity.dot(col("embedding"),
+        col("embedding")))
+      .filter(col("__n2").cast("double") > 0.0)
+      .select(col("vec_id"), col("embedding"), col("__n2"),
+        Hashing.permBucket(col("vec_id"), 2, parts).as("pk"),
+        Hashing.permBucket(col("vec_id"), 3, 1000000).as("h"))
+    val w = Window.partitionBy(col("pk"))
+      .orderBy(col("h"), col("vec_id"))
+    val r = s.withColumn("rn", row_number().over(w))
+    val a = r.select(col("pk"), col("rn").as("k"),
+      col("embedding").as("ea"), col("__n2").as("na"))
+    val b = r.select(col("pk"), (col("rn") - 1).as("k"),
+      col("embedding").as("eb"), col("__n2").as("nb"))
+    a.join(b, Seq("pk", "k"))
+      .withColumn("cos", Similarity.cosine(
+        Similarity.dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .withColumn("bucket",
+        least(greatest(floor((col("cos") + 1) * bins / 2), lit(0L)),
+          lit((bins - 1).toLong)).cast("long"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** DuckDB twin of [[cosHistogram]]. */
+  def cosHistogramOracleSql(dim: Int, sampleMod: Int,
+                            parts: Int = 16, bins: Int = 20): String = {
+    import graft.functions.Hashing
+    val dot = Similarity.dotSql("a.ea", "b.eb", dim)
+    s"""
+    |WITH s AS MATERIALIZED (
+    |  SELECT vec_id, embedding,
+    |    CAST(${Similarity.dotSql("embedding", "embedding", dim)}
+    |      AS DOUBLE) AS n2,
+    |    ${Hashing.permBucketSql("vec_id", 2, parts)} AS pk,
+    |    ${Hashing.permBucketSql("vec_id", 3, 1000000)} AS h
+    |  FROM embeddings
+    |  WHERE ${Hashing.permBucketSql("vec_id", 1, sampleMod)} = 0),
+    |r AS MATERIALIZED (
+    |  SELECT vec_id, embedding AS ea, embedding AS eb, n2, pk,
+    |    row_number() OVER (PARTITION BY pk ORDER BY h, vec_id) AS rn
+    |  FROM s WHERE n2 > 0),
+    |scored AS (
+    |  SELECT CAST($dot AS DOUBLE) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+    |  FROM r a JOIN r b ON b.pk = a.pk AND b.rn = a.rn + 1)
+    |SELECT CAST(least(greatest(floor((cos + 1) * $bins / 2), 0),
+    |    ${bins - 1}) AS BIGINT) AS bucket,
+    |  count(*) AS n_pairs
+    |FROM scored GROUP BY 1 ORDER BY 1
+    |""".stripMargin.trim
+  }
+
   /** DuckDB twin of [[labelMrr]]. */
   def labelMrrOracleSql(dim: Int, qMax: Long): String =
     s"""

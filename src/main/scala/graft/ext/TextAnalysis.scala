@@ -856,4 +856,125 @@ object TextAnalysis {
     |WHERE n_ab > $delta
     |ORDER BY w1, w2
     |""".stripMargin.trim
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, public):
+    * weighted PageRank over the word co-occurrence graph — adjacent
+    * tokens get an undirected edge weighted by corpus-wide
+    * co-occurrence count, and a word's rank is the stationary mass
+    * the damped walk leaves on it. Corpus-level keywords fall out of
+    * the top of the ranking: high-degree words attached to other
+    * high-rank words, which frequency alone misranks (a word used
+    * once per document in rich contexts outranks a word repeated in
+    * one boilerplate block).
+    *
+    * Arithmetic: the [[graft.ext.Dedup.pairPageRank]] discipline —
+    * 1e12 fixed-point mass, per-EDGE contribution `(pr·w) DIV wsum`
+    * (decimal product, truncating DIV), damping 15/85 over 100, a
+    * FIXED iteration count. Engine-exact on any partitioning.
+    *
+    * Scale shape: the corpus pass is the bigram projection of
+    * [[phraseBigrams]] (zero-shuffle expansion, map-side-combining
+    * count agg to a VOCAB²-bounded edge relation — in practice
+    * vocab·avg-neighbors). Everything after prices at the vocabulary:
+    * per round one edge⋈rank join + one keyed agg + one left join
+    * back, the textbook weighted-PageRank layout, edges
+    * localCheckpoint'd once. Top-k leaves through a bounded
+    * TakeOrdered (pr desc, word asc — deterministic under ties),
+    * never a global sort. */
+  def textrankKeywords(docs: DataFrame, text: Column, iters: Int = 3,
+                       k: Int = 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val Scale = 1000000000000L
+    val words = docs.select(split(text, " ").as("__w"))
+    val pairs = words
+      .select(explode(expr(
+        """transform(slice(__w, 1, size(__w) - 1),
+          |  (x, i) -> struct(
+          |    least(x, element_at(__w, i + 2)) AS u,
+          |    greatest(x, element_at(__w, i + 2)) AS v))"""
+          .stripMargin)).as("__b"))
+      .select(col("__b.u"), col("__b.v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val adj = pairs
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+      .localCheckpoint()
+    val wsum = adj.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    var ranks = wsum
+      .crossJoin(broadcast(wsum.agg(count(lit(1)).as("__n"))))
+      .withColumn("pr_fp", expr(s"$Scale DIV __n"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks.select(col("src"), col("pr_fp"), col("wsum")),
+          Seq("src"))
+        .select(col("dst"), expr(
+          "(CAST(pr_fp AS DECIMAL(38,0)) * w) DIV wsum").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("__in"))
+      ranks = ranks.drop("pr_fp")
+        .join(contrib.withColumnRenamed("dst", "src"), Seq("src"), "left")
+        .withColumn("pr_fp", expr(
+          s"(15 * ($Scale DIV __n)) DIV 100 + " +
+            "(85 * coalesce(CAST(__in AS BIGINT), 0L)) DIV 100"))
+        .drop("__in")
+        .localCheckpoint()
+    }
+    ranks.select(col("src").as("word"), col("wsum"), col("pr_fp"))
+      .orderBy(col("pr_fp").desc, col("word").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr_fp").desc, col("word").asc)).cast("long"))
+  }
+
+  /** DuckDB twin of [[textrankKeywords]] over `documents`. */
+  def textrankKeywordsOracleSql(iters: Int = 3, k: Int = 20): String = {
+    val Scale = "1000000000000"
+    val base = s"(15 * ($Scale // (SELECT n FROM nn))) // 100"
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "p0" else s"p${r - 1}"
+      s"""c$r AS MATERIALIZED (
+         |  SELECT a.dst, sum((p.pr * a.wt) // w.wsum) AS cin
+         |  FROM adj a JOIN $prev p ON p.src = a.src
+         |  JOIN ws w ON w.src = a.src
+         |  GROUP BY a.dst),
+         |p$r AS MATERIALIZED (
+         |  SELECT w.src, $base + (85 * coalesce(c.cin, 0)) // 100 AS pr
+         |  FROM ws w LEFT JOIN c$r c ON c.dst = w.src)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    |WITH w AS MATERIALIZED (
+    |  SELECT str_split(text, ' ') AS w FROM documents),
+    |pairs AS MATERIALIZED (
+    |  SELECT least(p[1], p[2]) AS u, greatest(p[1], p[2]) AS v,
+    |    count(*) AS wt
+    |  FROM (SELECT unnest(list_transform(
+    |          range(greatest(len(w) - 1, 0)),
+    |          i -> [w[i + 1], w[i + 2]])) AS p
+    |        FROM w)
+    |  WHERE p[1] <> p[2]
+    |  GROUP BY 1, 2),
+    |adj AS MATERIALIZED (
+    |  SELECT u AS src, v AS dst, wt FROM pairs
+    |  UNION ALL SELECT v, u, wt FROM pairs),
+    |ws AS MATERIALIZED (SELECT src, sum(wt) AS wsum FROM adj GROUP BY src),
+    |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM ws),
+    |p0 AS MATERIALIZED (
+    |  SELECT src, CAST($Scale AS HUGEINT) // (SELECT n FROM nn) AS pr
+    |  FROM ws),
+    |$rounds,
+    |ranked AS (
+    |  SELECT p.src AS word, w.wsum, p.pr,
+    |    row_number() OVER (ORDER BY p.pr DESC, p.src ASC) AS rank
+    |  FROM p$iters p JOIN ws w ON w.src = p.src)
+    |SELECT word, CAST(wsum AS BIGINT) AS wsum,
+    |  CAST(pr AS BIGINT) AS pr_fp, CAST(rank AS BIGINT) AS rank
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY rank
+    |""".stripMargin.trim
+  }
 }

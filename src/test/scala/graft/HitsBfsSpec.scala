@@ -90,6 +90,31 @@ class HitsBfsSpec extends SparkSpec {
     assert(got.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("sssp: a light two-hop path beats a heavy direct edge") {
+    import graft.ext.Sssp
+    // direct 1-3 co-occurs once (len 1e6); 1-2 and 2-3 co-occur 10x
+    // (len 1e5 each): the weighted shortest path is 2e5 via node 2
+    val edges = Seq((1L, 3L, 1L), (1L, 2L, 10L), (2L, 3L, 10L))
+      .toDF("u", "v", "w")
+    val got = Sssp.sssp(edges, seedMax = 2L, rounds = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 1L)) == 0L)
+    assert(got((1L, 2L)) == 100000L)
+    assert(got((1L, 3L)) == 200000L, s"direct edge won: $got")
+  }
+
+  test("sssp is monotone: extra rounds change nothing once converged") {
+    import graft.ext.Sssp
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 4L, 2L))
+      .toDF("u", "v", "w")
+    val r3 = Sssp.sssp(edges, 2L, 3).as[(Long, Long, Long)]
+      .collect().toSet
+    val r5 = Sssp.sssp(edges, 2L, 5).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(r3 == r5, "converged distances moved")
+  }
+
   test("bfs levels census sums to the reach row count") {
     val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("u", "v")

@@ -35,6 +35,50 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(got.values.forall(_ >= 1L))
   }
 
+  test("cos_histogram: parallel corpus lands in the top bucket, " +
+      "mixed-axis corpus splits between orthogonal and parallel") {
+    import graft.ext.RetrievalEval
+    val parallel = (0L until 40L)
+      .map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val h1 = RetrievalEval.cosHistogram(parallel, dim = 2,
+        sampleMod = 1, parts = 4, bins = 20)
+      .as[(Long, Long)].collect().toMap
+    // every adjacent pair is identical: cos = 1 -> clamped top bucket
+    assert(h1.keySet == Set(19L), s"unexpected buckets: $h1")
+    // pairs = sample - occupied partitions
+    assert(h1(19L) > 0 && h1(19L) <= 40L)
+    // axis by HALVES, not parity: the mod-4 partitioner (Perms(2).a
+    // = 65537 ≡ 1 mod 4) groups ids by id % 4, so a parity-aligned
+    // fixture would never pair across axes
+    val mixed = (0L until 40L)
+      .map(i => (i, if (i < 20) Array(1.0f, 0.0f)
+                    else Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val h2 = RetrievalEval.cosHistogram(mixed, dim = 2,
+        sampleMod = 1, parts = 4, bins = 20)
+      .as[(Long, Long)].collect().toMap
+    // pairs are either parallel (bucket 19) or orthogonal (bucket 10)
+    assert(h2.keySet.subsetOf(Set(10L, 19L)), s"unexpected: $h2")
+    assert(h2.contains(10L), "no orthogonal pair sampled")
+    assert(h1.values.sum == h2.values.sum,
+      "same sample, same partitioning, same pair count")
+  }
+
+  test("cos_histogram excludes zero vectors (no cosine exists)") {
+    import graft.ext.RetrievalEval
+    val withZero = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f)), (5L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val h = RetrievalEval.cosHistogram(withZero, dim = 2,
+        sampleMod = 1, parts = 1, bins = 20)
+      .as[(Long, Long)].collect().toMap
+    // 5 nonzero vectors in one partition -> exactly 4 pairs, all cos=1
+    assert(h == Map(19L -> 4L), s"zero vector leaked: $h")
+  }
+
   test("a label singleton emits no row (no relevant document exists)") {
     val singleton = Seq(
       (0L, Array(1.0f, 0.0f), 7),

@@ -261,4 +261,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(spark_ == rows.map(_._1).distinct
       .map(s => s -> hapBySrc.getOrElse(s, 0L)).toMap)
   }
+
+  test("textrank: the co-occurrence hub outranks its spokes; " +
+      "driver twin of the weighted rounds") {
+    import spark.implicits._
+    // star: 'hub' co-occurs with every spoke; spokes only with hub
+    val docs = Seq("hub s1", "hub s2", "hub s3", "hub s1")
+      .toDF("text")
+    val got = TextAnalysis.textrankKeywords(docs, col("text"),
+      iters = 3, k = 10)
+      .select("word", "wsum", "pr_fp", "rank")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.head._1 == "hub", s"hub not first: $got")
+    assert(got.map(_._4) == (1L to got.size), "ranks not 1..k")
+    // driver twin: same fixed-point arithmetic in BigInt
+    val edges = Map(("hub", "s1") -> 2L, ("hub", "s2") -> 1L,
+      ("hub", "s3") -> 1L)
+    val adj = edges.toSeq.flatMap { case ((u, v), w) =>
+      Seq((u, v, w), (v, u, w)) }
+    val wsum = adj.groupBy(_._1).map { case (n, es) =>
+      n -> es.map(_._3).sum }
+    val nodes = wsum.keys.toSeq.sorted
+    val Scale = BigInt("1000000000000")
+    val n = nodes.size
+    var pr = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val in = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => pr(e._1) * e._3 / wsum(e._1)).sum }
+      pr = nodes.map(nd => nd -> (BigInt(15) * (Scale / n) / 100 +
+        BigInt(85) * in.getOrElse(nd, BigInt(0)) / 100)).toMap
+    }
+    val want = nodes.map(nd => (nd, wsum(nd), pr(nd).toLong))
+      .sortBy(r => (-r._3, r._1))
+    assert(got.map(r => (r._1, r._2, r._3)) == want,
+      s"twin drift: got=$got want=$want")
+  }
+
+  test("textrank plan: top-k is a bounded TakeOrdered, never a global sort") {
+    val p = SparkEntry.queries("textrank_keywords")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to full sort + limit: $p")
+  }
 }
