@@ -1221,11 +1221,16 @@ object Bfs {
     * appears once per seed, at its first level). */
   def reach(edges: DataFrame, seedMax: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val adj = edges
+    // pin before the mirror-union (two subtrees would re-derive the
+    // co-occurrence pair join twice), spread before the checkpoint
+    // (AQE would coalesce a small agg to one partition and serialize
+    // every level's expansion join)
+    val e = Pin.pin(edges)
+    val adj = Dedup.spread(e
       .select(col("u").cast("long").as("x"), col("v").cast("long").as("y"))
-      .unionByName(edges.select(col("v").cast("long").as("x"),
+      .unionByName(e.select(col("v").cast("long").as("x"),
         col("u").cast("long").as("y")))
-      .distinct().localCheckpoint()
+      .distinct(), col("x")).localCheckpoint()
     var visited = adj.select(col("x")).distinct()
       .filter(col("x") < seedMax)
       .select(col("x").as("seed"), col("x").as("node_id"),
@@ -1352,12 +1357,13 @@ object Sssp {
     * the min-cost path within `rounds` hops, edge cost `1e6 DIV w`. */
   def sssp(edges: DataFrame, seedMax: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val adj = edges.select(col("u").cast("long").as("x"),
+    val e = Pin.pin(edges)
+    val adj = Dedup.spread(e.select(col("u").cast("long").as("x"),
         col("v").cast("long").as("y"),
         expr("1000000 DIV w").as("len"))
-      .unionByName(edges.select(col("v").cast("long").as("x"),
-        col("u").cast("long").as("y"), expr("1000000 DIV w").as("len")))
-      .localCheckpoint()
+      .unionByName(e.select(col("v").cast("long").as("x"),
+        col("u").cast("long").as("y"), expr("1000000 DIV w").as("len"))),
+      col("x")).localCheckpoint()
     var dist = adj.select(col("x")).distinct()
       .filter(col("x") < seedMax)
       .select(col("x").as("seed"), col("x").as("node_id"),

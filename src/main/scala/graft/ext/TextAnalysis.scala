@@ -896,10 +896,34 @@ object TextAnalysis {
       .select(col("__b.u"), col("__b.v"))
       .filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-    val adj = pairs
-      .select(col("u").as("src"), col("v").as("dst"), col("w"))
-      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"),
-        col("w")))
+    // pin BEFORE the mirror-union: the two union branches are
+    // separate subtrees, so an unpinned `pairs` would run the whole
+    // corpus pass twice inside the adj job; spread before the
+    // checkpoint: AQE coalesces the (small-bytes) pair aggregate to
+    // one partition, which would serialize every PageRank round's
+    // join; and DICTIONARY-ENCODE words to dense longs before the
+    // rounds — string-keyed round joins measured ~2× the long-keyed
+    // form on the ×10 probe (SCALE §47). The dict is vocab-bounded
+    // (row_number over the sorted vocab — same class as the bounded
+    // TakeOrdered) and joins back broadcast only on the k survivors.
+    val pairsP = Pin.pin(pairs)
+    val dict = pairsP.select(col("u").as("word"))
+      .unionByName(pairsP.select(col("v").as("word")))
+      .distinct()
+      .withColumn("nid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("word")))
+        .cast("long"))
+      .localCheckpoint()
+    val pairsN = pairsP
+      .join(broadcast(dict.select(col("word").as("u"),
+        col("nid").as("un"))), Seq("u"))
+      .join(broadcast(dict.select(col("word").as("v"),
+        col("nid").as("vn"))), Seq("v"))
+      .select(col("un"), col("vn"), col("w"))
+    val adj = graft.ext.Dedup.spread(pairsN
+      .select(col("un").as("src"), col("vn").as("dst"), col("w"))
+      .unionByName(pairsN.select(col("vn").as("src"),
+        col("un").as("dst"), col("w"))), col("src"))
       .localCheckpoint()
     val wsum = adj.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     var ranks = wsum
@@ -923,9 +947,12 @@ object TextAnalysis {
         .drop("__in")
         .localCheckpoint()
     }
-    ranks.select(col("src").as("word"), col("wsum"), col("pr_fp"))
-      .orderBy(col("pr_fp").desc, col("word").asc)
+    ranks
+      .orderBy(col("pr_fp").desc, col("src").asc)
       .limit(k)
+      .join(broadcast(dict.select(col("nid").as("src"), col("word"))),
+        Seq("src"))
+      .select(col("word"), col("wsum"), col("pr_fp"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("pr_fp").desc, col("word").asc)).cast("long"))
