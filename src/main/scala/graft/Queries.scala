@@ -2044,6 +2044,14 @@ object Queries {
       },
       Some(ext.Pca.covarianceOracleSql(dim = 64))),
 
+    // Per-label covariance in the same single pass: the per-domain
+    // spectral drift audit (grouped sufficient statistics)
+    ("embedding_covariance_by_label",
+      (s: SparkSession, d: String) =>
+        ext.Pca.covarianceByLabel(t(s, d, "embeddings"), dim = 64)
+          .orderBy("label", "i", "j"),
+      Some(ext.Pca.covarianceByLabelOracleSql(dim = 64))),
+
     // PCA step 2: top principal direction by 8 fixed-point power
     // iterations over the 64x64 cell relation (cost independent of n)
     ("pca_power",
@@ -3606,6 +3614,16 @@ object Queries {
           rounds = 3)
           .orderBy("seed", "node_id"),
       Some(ext.Sssp.ssspOracleSql(seedMax = 5L, rounds = 3))),
+
+    // Bounded-horizon closeness: reach count + mean weighted distance
+    // per seed -- one keyed aggregate over the sssp state
+    ("graph_closeness",
+      (s: SparkSession, d: String) =>
+        ext.Sssp.closeness(ext.Sssp.coEdgesWeighted(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), seedMax = 5L,
+          rounds = 3)
+          .orderBy("seed"),
+      Some(ext.Sssp.closenessOracleSql(seedMax = 5L, rounds = 3))),
 
     // HITS hubs/authorities on the customer->supplier bipartite:
     // mutually-recursive two-role centrality (PageRank collapses the

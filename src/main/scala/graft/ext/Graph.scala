@@ -1425,4 +1425,32 @@ object Sssp {
     |SELECT seed, node_id, dist_fp FROM d$rounds
     |ORDER BY seed, node_id
     |""".stripMargin.trim
+
+  /** Bounded-horizon closeness centrality per seed: how many nodes
+    * the seed reaches within the round budget and the mean weighted
+    * distance to them (exact integer: sum DIV count) — the standard
+    * "which catalog anchors sit nearest to everything" ranking,
+    * derived from the [[sssp]] state with one keyed aggregate. The
+    * self row (dist 0) is excluded from the mean's numerator AND
+    * denominator, so a seed's score reflects its neighborhood, not
+    * itself. */
+  def closeness(edges: DataFrame, seedMax: Long,
+                rounds: Int): DataFrame =
+    sssp(edges, seedMax, rounds)
+      .filter(col("node_id") =!= col("seed"))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist_fp")).as("__sd"))
+      .select(col("seed"), col("n_reached"),
+        expr("__sd DIV n_reached").as("mean_dist_fp"))
+
+  /** DuckDB twin of [[closeness]]. */
+  def closenessOracleSql(seedMax: Long, rounds: Int): String =
+    s"""
+    |WITH ${ssspCtes(seedMax, rounds)}
+    |SELECT seed, count(*) AS n_reached,
+    |  CAST(sum(dist_fp) // count(*) AS BIGINT) AS mean_dist_fp
+    |FROM d$rounds WHERE node_id <> seed
+    |GROUP BY seed ORDER BY seed
+    |""".stripMargin.trim
 }

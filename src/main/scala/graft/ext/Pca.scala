@@ -66,20 +66,6 @@ object Pca {
   private def qv(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * QScale).cast("long"))
 
-  /** Upper-triangle covariance cells `(i, j, cov_fp)`, 1-based
-    * `i <= j`, `cov_fp = (n·Σ x_i x_j − Σx_i · Σx_j) DIV n²` over the
-    * 1e6-quantized components — i.e. covariance·1e12 truncated, exact.
-    *
-    * ONE corpus pass: each row expands by ARRAY EXPRESSION (outer
-    * transform over the vector, inner transform over its tail slice,
-    * one flatten+explode) into its d(d+1)/2 upper-triangle products
-    * PLUS d first-moment entries tagged `j = 0` — so second moments,
-    * first moments, and the row count all fall out of a single
-    * join-free scan whose partial agg combines map-side. The
-    * d(d+3)/2-row moment relation is localCheckpoint'd (2,144 rows at
-    * d=64, at ANY corpus size) and the d-row moment slices come back
-    * broadcast — a second corpus scan is exactly what this shape
-    * exists to avoid at 100 TB. */
   /** The mergeable sufficient-statistics relation `(i, j, s, cnt)`:
     * `j = 0` rows carry first moments (Σ q_i, n), `j ≥ 1` rows carry
     * second moments (Σ q_i q_j). Moments are ADDITIVE — two slices'
@@ -97,7 +83,15 @@ object Pca {
     * decode is a d(d+3)/2-row driver map joined back broadcast
     * AFTER the aggregate, so it prices at cells, not rows. */
   def moments(emb: DataFrame, id: Column, vec: Column,
-              dim: Int): DataFrame = {
+              dim: Int): DataFrame =
+    momentsBy(emb, lit(0L), id, vec, dim).drop("grp")
+
+  /** [[moments]] keyed by a group column — per-label / per-domain
+    * sufficient statistics in the same single pass (the cell count
+    * on the wire becomes |groups|·d(d+3)/2, still corpus-independent
+    * for bounded group sets). */
+  def momentsBy(emb: DataFrame, group: Column, id: Column, vec: Column,
+                dim: Int): DataFrame = {
     val posMap = {
       val s = emb.sparkSession
       import s.implicits._
@@ -115,18 +109,42 @@ object Pca {
     // d(d+3)/2-per-row expansion would run in a single task — spread
     // first (the scoredPairs precedent); at real scale the scan has
     // many splits and the spread is one narrow-row shuffle
-    Dedup.spread(emb.select(id.as("__sid"), qv(vec).as("qv")),
-        col("__sid"))
-      .select(posexplode(flatten(transform(col("qv"), (xi, i) =>
-        concat(array(xi),
+    Dedup.spread(emb.select(group.as("grp"), id.as("__sid"),
+        qv(vec).as("qv")), col("__sid"))
+      .select(col("grp"), posexplode(flatten(transform(col("qv"),
+        (xi, i) => concat(array(xi),
           transform(slice(col("qv"), i + lit(1), lit(dim) - i),
             xj => xi * xj))))).as(Seq("pos", "p")))
-      .groupBy("pos")
+      .groupBy("grp", "pos")
       .agg(sum(col("p").cast(DecimalType(38, 0))).as("s"),
         count(lit(1)).as("cnt"))
       .join(broadcast(posMap), Seq("pos"))
-      .select(col("i"), col("j"), col("s"), col("cnt"))
+      .select(col("grp"), col("i"), col("j"), col("s"), col("cnt"))
   }
+
+  /** Per-group covariance cells from a (checkpointed) grouped moment
+    * relation: `(grp, i, j, cov_fp)` — the per-domain / per-label
+    * spectral drift audit (a domain whose covariance moves is a
+    * domain whose embedding distribution moved). */
+  def covFromMomentsBy(moments: DataFrame): DataFrame = {
+    val s1 = moments.filter(col("j") === 0)
+    val n = s1.filter(col("i") === 1)
+      .select(col("grp"), col("cnt").as("n"))
+    moments.filter(col("j") >= 1)
+      .join(broadcast(s1.select(col("grp"), col("i"),
+        col("s").as("s1i"))), Seq("grp", "i"))
+      .join(broadcast(s1.select(col("grp"), col("i").as("j"),
+        col("s").as("s1j"))), Seq("grp", "j"))
+      .join(broadcast(n), Seq("grp"))
+      .withColumn("cov_fp", expr("(n * s - s1i * s1j) DIV (n * n)"))
+      .select(col("grp"), col("i"), col("j"), col("cov_fp"))
+  }
+
+  /** Per-label covariance over `embeddings` in ONE corpus pass. */
+  def covarianceByLabel(emb: DataFrame, dim: Int): DataFrame =
+    covFromMomentsBy(momentsBy(emb, col("label"), col("vec_id"),
+      col("embedding"), dim).localCheckpoint())
+      .withColumnRenamed("grp", "label")
 
   /** Cell-wise sum of moment tables — exact (integer sums), so
     * merge-then-derive equals derive-over-the-union row for row. */
@@ -149,6 +167,15 @@ object Pca {
       .select(col("i"), col("j"), col("cov_fp"))
   }
 
+  /** Upper-triangle covariance cells `(i, j, cov_fp)`, 1-based
+    * `i <= j`, `cov_fp = (n·Σ x_i x_j − Σx_i · Σx_j) DIV n²` over the
+    * 1e6-quantized components — i.e. covariance·1e12 truncated,
+    * exact. ONE corpus pass: second moments, first moments, and the
+    * row count all fall out of the single [[moments]] scan, the
+    * d(d+3)/2-row relation is localCheckpoint'd (2,144 rows at d=64
+    * at ANY corpus size), and the d-row moment slices come back
+    * broadcast — a second corpus scan is exactly what this shape
+    * exists to avoid at 100 TB. */
   def covariance(emb: DataFrame, id: Column, vec: Column,
                  dim: Int): DataFrame =
     covFromMoments(moments(emb, id, vec, dim).localCheckpoint())
@@ -410,6 +437,29 @@ object Pca {
     |WITH ${covCtes(dim)}
     |SELECT i, j, CAST(cov_fp AS BIGINT) AS cov_fp
     |FROM cov ORDER BY i, j
+    |""".stripMargin.trim
+
+  /** DuckDB twin of [[covarianceByLabel]]. */
+  def covarianceByLabelOracleSql(dim: Int): String =
+    s"""
+    |WITH xq AS MATERIALIZED (
+    |  SELECT label AS grp, vec_id, CAST(i AS BIGINT) AS i,
+    |    CAST(round(CAST(embedding[i] AS DOUBLE) * $QScale) AS HUGEINT) AS q
+    |  FROM embeddings, range(1, ${dim + 1}) t(i)),
+    |s1 AS (SELECT grp, i, sum(q) AS s1 FROM xq GROUP BY grp, i),
+    |nn AS (SELECT grp, CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+    |       FROM xq GROUP BY grp),
+    |s2 AS (SELECT a.grp, a.i AS i, b.i AS j, sum(a.q * b.q) AS s2
+    |       FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
+    |       GROUP BY a.grp, a.i, b.i)
+    |SELECT s2.grp AS label, s2.i AS i, s2.j AS j,
+    |  CAST((nn.n * s2.s2 - sa.s1 * sb.s1) // (nn.n * nn.n) AS BIGINT)
+    |    AS cov_fp
+    |FROM s2
+    |JOIN s1 sa ON sa.grp = s2.grp AND sa.i = s2.i
+    |JOIN s1 sb ON sb.grp = s2.grp AND sb.i = s2.j
+    |JOIN nn ON nn.grp = s2.grp
+    |ORDER BY label, i, j
     |""".stripMargin.trim
 
   def powerOracleSql(dim: Int, iters: Int): String =

@@ -115,6 +115,15 @@ class HitsBfsSpec extends SparkSpec {
     assert(r3 == r5, "converged distances moved")
   }
 
+  test("closeness: reach count and exact integer mean, self excluded") {
+    import graft.ext.Sssp
+    // path 1 -[w2]- 2 -[w2]- 3: from seed 1, dist(2)=5e5, dist(3)=1e6
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L)).toDF("u", "v", "w")
+    val got = Sssp.closeness(edges, seedMax = 2L, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 750000L)), s"got $got")
+  }
+
   test("bfs levels census sums to the reach row count") {
     val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("u", "v")

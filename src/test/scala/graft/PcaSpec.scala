@@ -153,6 +153,24 @@ class PcaSpec extends SparkSpec {
     p1.foreach { case (id, s1) => assert(p2(id)._1 == s1, s"vec $id") }
   }
 
+  test("grouped covariance == per-slice covariance, label by label") {
+    val df = embDf(aniso).withColumn("label",
+      (col("vec_id") % 2).cast("int"))
+      .withColumnRenamed("embedding", "embedding")
+    val grouped = Pca.covarianceByLabel(
+      df.select(col("vec_id"), col("embedding"), col("label")), 4)
+      .as[(Int, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.map(r => (r._2, r._3) -> r._4).toMap }
+    Seq(0, 1).foreach { l =>
+      val slice = Pca.covariance(df.filter(col("label") === l),
+        col("vec_id"), col("embedding"), 4)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(grouped(l) == slice, s"label $l drifted")
+    }
+  }
+
   test("moment additivity: incremental merge == whole-corpus covariance") {
     val df = embDf(aniso)
     val base = df.filter(col("vec_id") < 25)
