@@ -2122,6 +2122,22 @@ object Queries {
       },
       Some(ext.Pca.project2OracleSql(dim = 64, iters = 8))),
 
+    // Diagonal-Mahalanobis outlier scan: top-20 vectors farthest from
+    // the corpus distribution -- one zip-fold projection, no pairs
+    ("embedding_outliers",
+      (s: SparkSession, d: String) =>
+        ext.Pca.outliers(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), dim = 64, k = 20),
+      Some(ext.Pca.outliersOracleSql(dim = 64, k = 20))),
+
+    // Inter-label centroid separation: cos^2 ppm + sign per label
+    // pair, float-free -- are the classes globally separable at all
+    ("label_separation",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.labelSeparation(t(s, d, "embeddings"),
+          dim = 64).orderBy("label_a", "label_b"),
+      Some(ext.RetrievalEval.labelSeparationOracleSql(dim = 64))),
+
     // Similarity-density pre-flight: 20-bin cosine histogram over
     // hash-adjacent sampled pairs (keyed window, no self-join)
     ("cos_histogram",

@@ -54,7 +54,7 @@ object SurveyGen {
         pre("embedding_") || pre("ann_") || pre("srp_") || pre("knn_") ||
         pre("pca_") ||
         in("kmeans_update", "feature_hash", "pq_drift_audit",
-          "cos_histogram"))
+          "cos_histogram", "label_separation"))
       "similarity / ANN / semantic dedup"
     else if (pre("bpe_") || pre("quality") || pre("gopher") ||
         pre("lang_") || pre("length_") ||

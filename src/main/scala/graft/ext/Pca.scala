@@ -140,6 +140,85 @@ object Pca {
       .select(col("grp"), col("i"), col("j"), col("cov_fp"))
   }
 
+  /** Diagonal-Mahalanobis outlier ranking: per vector, the sum over
+    * dimensions of `z²·1e6 = (x_q − mean)² DIV max(var DIV 1e6, 1)`
+    * — the data-cleaning scan that flags embeddings far from the
+    * corpus distribution (dead encoders, corrupt rows, wrong-modality
+    * leaks) without any pairwise work. The full Mahalanobis needs the
+    * inverse covariance; the diagonal form is the standard cheap
+    * screen and needs only the moment relation this module already
+    * maintains.
+    *
+    * Mean and variance enter as d-long ARRAY LITERALS (codebook
+    * class, from the checkpointed moments), the per-row score is one
+    * zip-fold projection — no join, no shuffle; top-k leaves through
+    * a bounded TakeOrdered. A zero-variance dimension clamps its
+    * divisor to 1 (declared semantics: ANY deviation on a constant
+    * dimension is maximally anomalous — that is the signal a dead
+    * dimension coming alive should give). All integer: dev² ≤
+    * ~3.6e13 at |x| ≤ 3, far inside int64. */
+  def outliers(emb: DataFrame, id: Column, vec: Column, dim: Int,
+               k: Int): DataFrame = {
+    val mom = moments(emb, id, vec, dim).localCheckpoint()
+    val rows = mom.collect()
+    val n = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 0L)
+      .map(_.getLong(3)).getOrElse(0L)
+    require(n > 0, "outliers: empty corpus")
+    val s1 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0).toInt -> r.getDecimal(2)).toMap
+    val meanArr = (1 to dim).map(i =>
+      (BigInt(s1(i).toBigInteger) / n).toLong)
+    val covD = covFromMoments(mom).filter(col("i") === col("j"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
+    val varArr = (1 to dim).map(i => math.max(covD(i) / QScale, 1L))
+    val scored = emb.select(id.as("vec_id"), qv(vec).as("qv"))
+      .withColumn("score_fp", aggregate(
+        zip_with(
+          zip_with(col("qv"), typedLit(meanArr),
+            (x, m) => (x - m) * (x - m)),
+          // exact integer division without `div` (which needs named
+          // columns): subtract the remainder first, so the long/long
+          // `/` (a double op) divides exactly — numerator ≤ ~3.6e13,
+          // far under 2^53 (the qualityPpmFrom trick)
+          typedLit(varArr),
+          (d2, v) => ((d2 - d2 % v) / v).cast("long")),
+        lit(0L), (acc, z) => acc + z))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp").desc, col("vec_id").asc)
+    scored.select(col("vec_id"), col("score_fp"))
+      .orderBy(col("score_fp").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** DuckDB twin of [[outliers]]. */
+  def outliersOracleSql(dim: Int, k: Int): String =
+    s"""
+    |WITH xq AS MATERIALIZED (
+    |  SELECT vec_id, CAST(i AS BIGINT) AS i,
+    |    CAST(round(CAST(embedding[i] AS DOUBLE) * $QScale) AS HUGEINT) AS q
+    |  FROM embeddings, range(1, ${dim + 1}) t(i)),
+    |nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM xq),
+    |mv AS MATERIALIZED (
+    |  SELECT i, sum(q) // (SELECT n FROM nn) AS m,
+    |    greatest((((SELECT n FROM nn) * sum(q * q) - sum(q) * sum(q))
+    |      // ((SELECT n FROM nn) * (SELECT n FROM nn))) // $QScale,
+    |      1) AS v
+    |  FROM xq GROUP BY i),
+    |scored AS (
+    |  SELECT x.vec_id,
+    |    sum(((x.q - mv.m) * (x.q - mv.m)) // mv.v) AS score_fp
+    |  FROM xq x JOIN mv ON mv.i = x.i
+    |  GROUP BY x.vec_id),
+    |ranked AS (
+    |  SELECT vec_id, CAST(score_fp AS BIGINT) AS score_fp,
+    |    row_number() OVER (ORDER BY score_fp DESC, vec_id ASC) AS rank
+    |  FROM scored)
+    |SELECT vec_id, score_fp, CAST(rank AS BIGINT) AS rank
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY rank
+    |""".stripMargin.trim
+
   /** Per-label covariance over `embeddings` in ONE corpus pass. */
   def covarianceByLabel(emb: DataFrame, dim: Int): DataFrame =
     covFromMomentsBy(momentsBy(emb, col("label"), col("vec_id"),

@@ -58,6 +58,76 @@ object RetrievalEval {
         expr("1000000 DIV first_rel_rank").as("rr_ppm"))
   }
 
+  /** Inter-label centroid separation, float-free: for every label
+    * pair, the squared cosine between centroid vectors in exact ppm
+    * (`(dot² · 1e6) DIV (‖a‖²·‖b‖²)`) plus the dot's sign — the
+    * embedding-quality audit that complements [[labelMrr]]: MRR reads
+    * per-query rank quality, this reads whether the CLASSES are
+    * globally separated at all (two labels whose centroids run near
+    * parallel are classes the embedding cannot distinguish).
+    *
+    * cos² avoids any sqrt/double: centroids are 1e6-scale integer
+    * means from the grouped moment relation ([[Pca.momentsBy]] — one
+    * corpus pass, |labels|·d cells), all pairwise math is decimal
+    * integer, and the NULL sentinel covers a zero-norm centroid on
+    * BOTH engines. |labels|² output rows — driver-scale by the
+    * bounded-label contract. */
+  def labelSeparation(emb: DataFrame, dim: Int): DataFrame = {
+    val m = Pca.momentsBy(emb, col("label"), col("vec_id"),
+      col("embedding"), dim).localCheckpoint()
+    val s1 = m.filter(col("j") === 0)
+    val n = s1.filter(col("i") === 1)
+      .select(col("grp"), col("cnt").as("n"))
+    val cent = s1.join(broadcast(n), Seq("grp"))
+      .select(col("grp"), col("i"), expr("CAST(s DIV n AS BIGINT)").as("c"))
+    val a = cent.select(col("grp").as("la"), col("i"),
+      col("c").as("ca"))
+    val b = cent.select(col("grp").as("lb"), col("i"),
+      col("c").as("cb"))
+    a.join(b, Seq("i")).filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(
+        sum((col("ca") * col("cb")).cast(DecimalType38)).as("dot"),
+        sum((col("ca") * col("ca")).cast(DecimalType38)).as("da"),
+        sum((col("cb") * col("cb")).cast(DecimalType38)).as("db"))
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        expr("CASE WHEN dot < 0 THEN -1L WHEN dot > 0 THEN 1L " +
+          "ELSE 0L END").as("sgn"),
+        expr("CASE WHEN da * db = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((dot * dot * 1000000) DIV (da * db) AS BIGINT) " +
+          "END").as("cos2_ppm"))
+  }
+
+  private val DecimalType38 =
+    org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** DuckDB twin of [[labelSeparation]]. */
+  def labelSeparationOracleSql(dim: Int): String =
+    s"""
+    |WITH xq AS MATERIALIZED (
+    |  SELECT label AS grp, vec_id, CAST(i AS BIGINT) AS i,
+    |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS HUGEINT)
+    |      AS q
+    |  FROM embeddings, range(1, ${dim + 1}) t(i)),
+    |cent AS MATERIALIZED (
+    |  SELECT grp, i,
+    |    sum(q) // CAST(count(DISTINCT vec_id) AS HUGEINT) AS c
+    |  FROM xq GROUP BY grp, i),
+    |pairs AS (
+    |  SELECT a.grp AS label_a, b.grp AS label_b,
+    |    sum(a.c * b.c) AS dot, sum(a.c * a.c) AS da,
+    |    sum(b.c * b.c) AS db
+    |  FROM cent a JOIN cent b ON a.i = b.i AND a.grp < b.grp
+    |  GROUP BY a.grp, b.grp)
+    |SELECT label_a, label_b,
+    |  CAST(CASE WHEN dot < 0 THEN -1 WHEN dot > 0 THEN 1 ELSE 0 END
+    |    AS BIGINT) AS sgn,
+    |  CASE WHEN da * db = 0 THEN CAST(NULL AS BIGINT)
+    |       ELSE CAST((dot * dot * 1000000) // (da * db) AS BIGINT)
+    |  END AS cos2_ppm
+    |FROM pairs ORDER BY label_a, label_b
+    |""".stripMargin.trim
+
   /** Sampled pair-cosine histogram — the similarity-DENSITY
     * pre-flight: before picking an LSH band threshold, a SemDeDup
     * epsilon, or a near-dup cutoff, a deployment needs the shape of

@@ -153,6 +153,49 @@ class PcaSpec extends SparkSpec {
     p1.foreach { case (id, s1) => assert(p2(id)._1 == s1, s"vec $id") }
   }
 
+  test("outliers: the planted anomaly ranks first; BigInt driver twin") {
+    val base = (0 until 30).map { k =>
+      Array(0.1f + 0.001f * (k % 5), 0.1f - 0.001f * (k % 3),
+        0.05f, 0.2f)
+    }
+    val planted = Array(0.9f, -0.9f, 0.05f, 0.2f)
+    val df = embDf(base :+ planted)
+    val got = Pca.outliers(df, col("vec_id"), col("embedding"),
+      dim = 4, k = 5).as[(Long, Long, Long)].collect().toSeq
+    assert(got.head._1 == 30L, s"planted anomaly not first: $got")
+    assert(got.map(_._3) == (1L to 5L))
+    // driver twin of the score arithmetic for the planted row
+    val vecs = base :+ planted
+    val q = vecs.map(_.map(x => math.round(x.toDouble * Pca.QScale)))
+    val n = q.size
+    val mean = (0 until 4).map(i =>
+      q.map(v => BigInt(v(i))).sum / n)
+    val varr = (0 until 4).map { i =>
+      val s1 = q.map(v => BigInt(v(i))).sum
+      val s2 = q.map(v => BigInt(v(i)) * v(i)).sum
+      ((n * s2 - s1 * s1) / (BigInt(n) * n) / Pca.QScale).max(1)
+    }
+    val want = (0 until 4).map { i =>
+      val d = BigInt(q(30)(i)) - mean(i)
+      d * d / varr(i)
+    }.sum
+    assert(got.head._2 == want.toLong, s"twin drift: $got vs $want")
+  }
+
+  test("outliers: a constant dimension coming alive is maximally anomalous") {
+    // dim 3 constant except ONE tiny deviation across 100 rows: the
+    // variance rounds below the 1e-6 floor, the divisor clamps to 1,
+    // and the deviant's dev^2 lands unscaled -> dominates every score
+    val rows = (0 until 99).map(k =>
+      Array(0.1f * (k % 3), 0.2f, 0.3f, 0.4f)) :+
+      Array(0.0f, 0.2f, 0.301f, 0.4f)
+    val got = Pca.outliers(embDf(rows), col("vec_id"),
+      col("embedding"), dim = 4, k = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.head._1 == 99L, s"deviant on dead dim not first: " +
+      s"${got.toSeq}")
+  }
+
   test("grouped covariance == per-slice covariance, label by label") {
     val df = embDf(aniso).withColumn("label",
       (col("vec_id") % 2).cast("int"))

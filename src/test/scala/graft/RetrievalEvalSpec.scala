@@ -79,6 +79,32 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(h == Map(19L -> 4L), s"zero vector leaked: $h")
   }
 
+  test("label_separation: orthogonal classes ~0, parallel ~1e6 with sign") {
+    import graft.ext.RetrievalEval
+    val emb = ((0L until 10L).map(i => (i, Array(0.5f, 0.0f), 1)) ++
+      (10L until 20L).map(i => (i, Array(0.0f, 0.5f), 2)) ++
+      (20L until 30L).map(i => (i, Array(-0.5f, 0.0f), 3)))
+      .toDF("vec_id", "embedding", "label")
+    val got = RetrievalEval.labelSeparation(emb, dim = 2)
+      .as[(Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.keySet == Set((1, 2), (1, 3), (2, 3)))
+    assert(got((1, 2)) == (0L, 0L), s"orthogonal: ${got((1, 2))}")
+    assert(got((1, 3))._1 == -1L && got((1, 3))._2 == 1000000L,
+      s"antiparallel: ${got((1, 3))}")
+    assert(got((2, 3)) == (0L, 0L))
+  }
+
+  test("label_separation: zero-norm centroid gets the NULL sentinel") {
+    import graft.ext.RetrievalEval
+    val emb = ((0L until 4L).map(i => (i, Array(0.5f, 0.0f), 1)) ++
+      Seq((4L, Array(0.3f, 0.0f), 2), (5L, Array(-0.3f, 0.0f), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val row = RetrievalEval.labelSeparation(emb, dim = 2).head()
+    assert(row.isNullAt(row.fieldIndex("cos2_ppm")),
+      "zero-norm centroid must yield NULL, not a crash or a number")
+  }
+
   test("a label singleton emits no row (no relevant document exists)") {
     val singleton = Seq(
       (0L, Array(1.0f, 0.0f), 7),
