@@ -2143,7 +2143,7 @@ object Queries {
     ("cos_histogram",
       (s: SparkSession, d: String) =>
         ext.RetrievalEval.cosHistogram(t(s, d, "embeddings"),
-          dim = 64, sampleMod = 2).orderBy("bucket"),
+          sampleMod = 2).orderBy("bucket"),
       Some(ext.RetrievalEval.cosHistogramOracleSql(dim = 64,
         sampleMod = 2))),
 

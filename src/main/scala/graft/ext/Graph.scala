@@ -61,17 +61,29 @@ object Graph {
     * snapshot instead of each re-evaluating distinct+guard. */
   def coEdges(df: DataFrame, group: Column, item: Column,
               maxGroupSize: Int = DefaultMaxGroupSize): DataFrame = {
+    val g = guardedItems(df, group, item, maxGroupSize)
+    val a = g.select(col("g"), col("i").as("u"))
+    val b = g.select(col("g"), col("i").as("v"))
+    a.join(b, Seq("g")).filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** The shared guarded-group front of every co-occurrence builder:
+    * distinct (group, item) pairs with oversize groups anti-joined
+    * away and the survivor relation pinned — ONE definition of the
+    * guard semantics for [[coEdges]] and [[Sssp.coEdgesWeighted]]
+    * (two copies would silently desynchronize the weighted and
+    * unweighted graphs on a future guard change). */
+  private[ext] def guardedItems(df: DataFrame, group: Column,
+                                item: Column,
+                                maxGroupSize: Int): DataFrame = {
     val base = df.select(group.as("g"), item.cast("long").as("i"))
       .distinct()
     val oversize = base.groupBy(col("g"))
       .agg(count(lit(1)).as("__gn"))
       .filter(col("__gn") > maxGroupSize)
       .select(col("g"))
-    val g = Pin.pin(base.join(oversize, Seq("g"), "left_anti"))
-    val a = g.select(col("g"), col("i").as("u"))
-    val b = g.select(col("g"), col("i").as("v"))
-    a.join(b, Seq("g")).filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
+    Pin.pin(base.join(oversize, Seq("g"), "left_anti"))
   }
 
   /** Audit of the groups [[coEdges]]/[[basketLift]] skip: every group
@@ -1340,13 +1352,7 @@ object Sssp {
   def coEdgesWeighted(df: DataFrame, group: Column, item: Column,
                       maxGroupSize: Int = Graph.DefaultMaxGroupSize)
       : DataFrame = {
-    val base = df.select(group.as("g"), item.cast("long").as("i"))
-      .distinct()
-    val oversize = base.groupBy(col("g"))
-      .agg(count(lit(1)).as("__gn"))
-      .filter(col("__gn") > maxGroupSize)
-      .select(col("g"))
-    val g = Pin.pin(base.join(oversize, Seq("g"), "left_anti"))
+    val g = Graph.guardedItems(df, group, item, maxGroupSize)
     g.select(col("g"), col("i").as("u"))
       .join(g.select(col("g"), col("i").as("v")), Seq("g"))
       .filter(col("u") < col("v"))

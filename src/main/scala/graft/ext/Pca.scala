@@ -168,9 +168,17 @@ object Pca {
       .map(r => r.getLong(0).toInt -> r.getDecimal(2)).toMap
     val meanArr = (1 to dim).map(i =>
       (BigInt(s1(i).toBigInteger) / n).toLong)
-    val covD = covFromMoments(mom).filter(col("i") === col("j"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(2)).toMap
-    val varArr = (1 to dim).map(i => math.max(covD(i) / QScale, 1L))
+    // diagonal variance straight from the collected rows — same
+    // two-step truncation as covFromMoments ((n·s2 − s1²) / n², then
+    // / 1e6), without launching a Spark job to fetch 64 values
+    val s2d = rows.filter(r => r.getLong(1) == r.getLong(0))
+      .map(r => r.getLong(0).toInt ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val varArr = (1 to dim).map { i =>
+      val s1i = BigInt(s1(i).toBigInteger)
+      val v = (n * s2d(i) - s1i * s1i) / (BigInt(n) * n) / QScale
+      v.max(1).toLong
+    }
     val scored = emb.select(id.as("vec_id"), qv(vec).as("qv"))
       .withColumn("score_fp", aggregate(
         zip_with(
@@ -233,18 +241,11 @@ object Pca {
       .agg(sum(col("s")).cast(DecimalType(38, 0)).as("s"),
         sum(col("cnt")).as("cnt"))
 
-  /** Covariance cells from a (checkpointed) moment relation. */
-  def covFromMoments(moments: DataFrame): DataFrame = {
-    val s1 = moments.filter(col("j") === 0)
-    val n = s1.filter(col("i") === 1).select(col("cnt").as("n"))
-    moments.filter(col("j") >= 1)
-      .join(broadcast(s1.select(col("i"), col("s").as("s1i"))), Seq("i"))
-      .join(broadcast(s1.select(col("i").as("j"), col("s").as("s1j"))),
-        Seq("j"))
-      .crossJoin(broadcast(n))
-      .withColumn("cov_fp", expr("(n * s - s1i * s1j) DIV (n * n)"))
-      .select(col("i"), col("j"), col("cov_fp"))
-  }
+  /** Covariance cells from a (checkpointed) moment relation — the
+    * grouped derivation with a constant group (ONE definition of the
+    * covariance formula, like [[moments]]/[[momentsBy]]). */
+  def covFromMoments(moments: DataFrame): DataFrame =
+    covFromMomentsBy(moments.withColumn("grp", lit(0L))).drop("grp")
 
   /** Upper-triangle covariance cells `(i, j, cov_fp)`, 1-based
     * `i <= j`, `cov_fp = (n·Σ x_i x_j − Σx_i · Σx_j) DIV n²` over the

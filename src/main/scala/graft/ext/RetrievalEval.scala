@@ -34,21 +34,10 @@ object RetrievalEval {
     * `(query_id, label, first_rel_rank, rr_ppm)` for queries
     * `vec_id < qMax`. */
   def labelMrr(emb: DataFrame, qMax: Long): DataFrame = {
-    val q = emb.filter(col("vec_id") < qMax)
-      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-        col("embedding").as("q_emb"))
-      .withColumn("q_n2", Similarity.dot(col("q_emb"), col("q_emb")))
-    val c = Dedup.spread(emb.select(col("vec_id").as("cand_id"),
-      col("label").as("c_label"), col("embedding").as("c_emb")),
-      col("cand_id"))
-      .withColumn("c_n2", Similarity.dot(col("c_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", Similarity.cosine(
-        Similarity.dot(col("q_emb"), col("c_emb")),
-        col("q_n2"), col("c_n2")))
+    Similarity.scoredPairs(emb, emb.filter(col("vec_id") < qMax),
+        qCarry = Seq("label"), cCarry = Seq("label"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("c_label") === col("q_label"))
       .groupBy(col("query_id"), col("q_label"))
@@ -146,7 +135,7 @@ object RetrievalEval {
     * precedent). The cos double is bit-identical across engines
     * (decimal dot, correctly-rounded sqrt/divide), so bucket edges
     * cannot flip. */
-  def cosHistogram(emb: DataFrame, dim: Int, sampleMod: Int,
+  def cosHistogram(emb: DataFrame, sampleMod: Int,
                    parts: Int = 16, bins: Int = 20): DataFrame = {
     import graft.functions.Hashing
     val s = emb

@@ -59,17 +59,23 @@ object Similarity {
   /** (query_id, cand_id, cos) exact-scored pairs — the shared front
     * of the brute-force scan family (broadcast bounded query side,
     * spread streamed corpus, per-vector norms computed once). */
-  private def scoredPairs(corpus: DataFrame,
-                          queries: DataFrame): DataFrame = {
+  /** `qCarry`/`cCarry` project extra columns through as `q_<name>` /
+    * `c_<name>` — so derived evals (e.g. [[RetrievalEval.labelMrr]])
+    * reuse THIS scan shape instead of re-implementing it. */
+  private[ext] def scoredPairs(corpus: DataFrame, queries: DataFrame,
+                               qCarry: Seq[String] = Nil,
+                               cCarry: Seq[String] = Nil): DataFrame = {
     // norms are per-vector, not per-pair: compute once before the join
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
+    val q = queries.select(col("vec_id").as("query_id") +:
+        col("embedding").as("q_emb") +:
+        qCarry.map(n => col(n).as(s"q_$n")): _*)
       .withColumn("q_n2", dot(col("q_emb"), col("q_emb")))
     // a small corpus file arrives as ONE scan partition and the
     // broadcast join inherits it — every query×candidate score would
     // run in a single task; spread the streamed side first
-    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id"),
-      col("embedding").as("c_emb")), col("cand_id"))
+    val c = Dedup.spread(corpus.select(col("vec_id").as("cand_id") +:
+        col("embedding").as("c_emb") +:
+        cCarry.map(n => col(n).as(s"c_$n")): _*), col("cand_id"))
       .withColumn("c_n2", dot(col("c_emb"), col("c_emb")))
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("cand_id"))

@@ -41,7 +41,7 @@ class RetrievalEvalSpec extends SparkSpec {
     val parallel = (0L until 40L)
       .map(i => (i, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val h1 = RetrievalEval.cosHistogram(parallel, dim = 2,
+    val h1 = RetrievalEval.cosHistogram(parallel,
         sampleMod = 1, parts = 4, bins = 20)
       .as[(Long, Long)].collect().toMap
     // every adjacent pair is identical: cos = 1 -> clamped top bucket
@@ -55,7 +55,7 @@ class RetrievalEvalSpec extends SparkSpec {
       .map(i => (i, if (i < 20) Array(1.0f, 0.0f)
                     else Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
-    val h2 = RetrievalEval.cosHistogram(mixed, dim = 2,
+    val h2 = RetrievalEval.cosHistogram(mixed,
         sampleMod = 1, parts = 4, bins = 20)
       .as[(Long, Long)].collect().toMap
     // pairs are either parallel (bucket 19) or orthogonal (bucket 10)
@@ -72,7 +72,7 @@ class RetrievalEvalSpec extends SparkSpec {
       (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
       (4L, Array(1.0f, 0.0f)), (5L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val h = RetrievalEval.cosHistogram(withZero, dim = 2,
+    val h = RetrievalEval.cosHistogram(withZero,
         sampleMod = 1, parts = 1, bins = 20)
       .as[(Long, Long)].collect().toMap
     // 5 nonzero vectors in one partition -> exactly 4 pairs, all cos=1
