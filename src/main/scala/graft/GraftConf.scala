@@ -214,5 +214,14 @@ object GraftConf {
     // by the schema) against a streamed corpus scan, dot inside
     // codegen — a pure projection, never a join or corpus shuffle
     "pca_project" -> PlanContract("pca",
+      forbidJoin = true, maxHashShuffles = Some(0)),
+    // brute-scan eval: bounded query side broadcast against the
+    // spread corpus (the scoredPairs shape) — a sort-merge here means
+    // the query side stopped broadcasting and the corpus shuffles
+    "retrieval_mrr" -> PlanContract("ann", minBroadcastJoins = 1,
+      forbidSortMerge = true, requireExplicitSpread = true),
+    // mean/variance are array literals from the collected moments;
+    // the scored scan is a pure projection into a bounded TakeOrdered
+    "embedding_outliers" -> PlanContract("pca",
       forbidJoin = true, maxHashShuffles = Some(0)))
 }
