@@ -203,10 +203,10 @@ object GraftConf {
       minBroadcastJoins = 1, forbidSortMerge = true),
     // covariance: the ONE corpus pass lives behind the moment
     // checkpoint; the final plan is checkpoint scans + the d-row
-    // moment slices coming back BROADCAST (2 hash joins + the 1-row
-    // n crossJoin) with ZERO hash exchanges — a corpus-keyed join or
-    // re-scan downstream is the 100 TB regression (PcaSpec pins the
-    // no-FileScan half)
+    // moment slices and the 1-row n relation coming back BROADCAST
+    // (3 grp-keyed broadcast hash joins via covFromMomentsBy) with
+    // ZERO hash exchanges — a corpus-keyed join or re-scan downstream
+    // is the 100 TB regression (PcaSpec pins the no-FileScan half)
     "embedding_covariance" -> PlanContract("pca",
       minBroadcastJoins = 3, forbidSortMerge = true,
       maxHashShuffles = Some(0)),

@@ -51,15 +51,10 @@ object Similarity {
     dotAb.cast("double") /
       (sqrt(norm2A.cast("double")) * sqrt(norm2B.cast("double")))
 
-  /** Brute-force cosine top-k: every query vector against the full
-    * corpus. The baseline ANN path — O(|Q|·|C|) but embarrassingly
-    * parallel: queries broadcast (bounded query set), corpus streams,
-    * top-k via window over (query, cosine desc). At 100 TB use
-    * [[lshCosineTopK]] to bound the candidate set instead. */
   /** (query_id, cand_id, cos) exact-scored pairs — the shared front
     * of the brute-force scan family (broadcast bounded query side,
-    * spread streamed corpus, per-vector norms computed once). */
-  /** `qCarry`/`cCarry` project extra columns through as `q_<name>` /
+    * spread streamed corpus, per-vector norms computed once).
+    * `qCarry`/`cCarry` project extra columns through as `q_<name>` /
     * `c_<name>` — so derived evals (e.g. [[RetrievalEval.labelMrr]])
     * reuse THIS scan shape instead of re-implementing it. */
   private[ext] def scoredPairs(corpus: DataFrame, queries: DataFrame,
@@ -83,6 +78,11 @@ object Similarity {
         dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")))
   }
 
+  /** Brute-force cosine top-k: every query vector against the full
+    * corpus. The baseline ANN path — O(|Q|·|C|) but embarrassingly
+    * parallel: queries broadcast (bounded query set), corpus streams,
+    * top-k via window over (query, cosine desc). At 100 TB use
+    * [[lshCosineTopK]] to bound the candidate set instead. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
