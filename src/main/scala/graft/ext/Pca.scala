@@ -241,6 +241,13 @@ object Pca {
       .agg(sum(col("s")).cast(DecimalType(38, 0)).as("s"),
         sum(col("cnt")).as("cnt"))
 
+  /** [[mergeMoments]] for grouped moment tables (`grp` in the key). */
+  def mergeMomentsBy(tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_ unionByName _)
+      .groupBy("grp", "i", "j")
+      .agg(sum(col("s")).cast(DecimalType(38, 0)).as("s"),
+        sum(col("cnt")).as("cnt"))
+
   /** Covariance cells from a (checkpointed) moment relation — the
     * grouped derivation with a constant group (ONE definition of the
     * covariance formula, like [[moments]]/[[momentsBy]]). */

@@ -1218,15 +1218,26 @@ object Streams {
     * and data; folding only batchId > last_batch_id makes replays
     * no-ops), same staged atomic publish. */
   def pcaMomentsIngestSink(stream: DataFrame, dim: Int,
-                           statePath: String,
-                           checkpoint: String): StreamingQuery =
+                           statePath: String, checkpoint: String,
+                           byLabel: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // byLabel keys the fold by the label column too — the
+        // per-domain drift posture (watch each domain's covariance
+        // move as its batches arrive), same ledger, same publish
         def mom(df: DataFrame): DataFrame =
-          graft.ext.Pca.moments(df, col("vec_id"), col("embedding"), dim)
+          if (byLabel) graft.ext.Pca.momentsBy(df, col("label"),
+            col("vec_id"), col("embedding"), dim)
+          else graft.ext.Pca.moments(df, col("vec_id"),
+            col("embedding"), dim)
+        val keys = (if (byLabel) Seq("grp") else Nil) ++
+          Seq("i", "j", "s", "cnt")
+        def merge(ts: Seq[DataFrame]): DataFrame =
+          if (byLabel) graft.ext.Pca.mergeMomentsBy(ts)
+          else graft.ext.Pca.mergeMoments(ts)
         val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val prior: DataFrame =
@@ -1237,8 +1248,8 @@ object Streams {
         val lastId = prior.agg(coalesce(max(col("last_batch_id")),
           lit(-1L))).collect()(0).getLong(0)
         if (batchId > lastId) {
-          val merged = graft.ext.Pca.mergeMoments(Seq(
-              prior.select("i", "j", "s", "cnt"), mom(batch)))
+          val merged = merge(Seq(
+              prior.select(keys.map(col): _*), mom(batch)))
             .withColumn("last_batch_id", lit(batchId))
           StagedWrite.overwrite(merged, statePath)
         }

@@ -1016,4 +1016,33 @@ class StreamsSpec extends SparkSpec {
       .orderBy("i", "j").collect().toSeq == want,
       "replay mutated the moment state")
   }
+
+  test("pcaMomentsIngestSink(byLabel): per-label fold equals the batch " +
+      "grouped moments; per-label covariance from state == batch") {
+    import graft.ext.Pca
+    val embDir = tmp("pca-lbl-stream")
+    val statePath = tmp("pca-lbl-state") + "/state"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Seq(emb.filter(col("vec_id") < 25), emb.filter(col("vec_id") >= 25))
+      .foreach(_.coalesce(1).write.mode("append").parquet(embDir))
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(embDir)
+    val q = Streams.pcaMomentsIngestSink(stream(), 64, statePath,
+      tmp("pca-lbl-ckpt"), byLabel = true)
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.parquet(statePath)
+      .select("grp", "i", "j", "s", "cnt")
+      .orderBy("grp", "i", "j").collect().toSeq
+    val want = Pca.momentsBy(emb, col("label"), col("vec_id"),
+        col("embedding"), 64)
+      .orderBy("grp", "i", "j").collect().toSeq
+    assert(got == want, "per-label stream state != batch moments")
+    val covState = Pca.covFromMomentsBy(spark.read.parquet(statePath)
+      .select("grp", "i", "j", "s", "cnt").localCheckpoint())
+    val covBatch = Pca.covarianceByLabel(emb, 64)
+      .withColumnRenamed("label", "grp")
+    assert(covState.orderBy("grp", "i", "j").collect().toSeq ==
+      covBatch.orderBy("grp", "i", "j").collect().toSeq,
+      "per-label covariance from state != batch")
+  }
 }
