@@ -2122,6 +2122,14 @@ object Queries {
       },
       Some(ext.Pca.project2OracleSql(dim = 64, iters = 8))),
 
+    // The single-pass enriched table: PC1/PC2 coordinates + outlier
+    // score per vector in ONE projection off the shared moments
+    ("embedding_enrich",
+      (s: SparkSession, d: String) =>
+        ext.Pca.enrich(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), dim = 64, iters = 8).orderBy("vec_id"),
+      Some(ext.Pca.enrichOracleSql(dim = 64, iters = 8))),
+
     // Diagonal-Mahalanobis outlier scan: top-20 vectors farthest from
     // the corpus distribution -- one zip-fold projection, no pairs
     ("embedding_outliers",

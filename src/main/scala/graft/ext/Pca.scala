@@ -199,6 +199,91 @@ object Pca {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** The single-pass ENRICHED table — the deployment shape for "run
+    * the spectral pre-pass and write the result back": per vector,
+    * both PCA coordinates AND the diagonal-Mahalanobis score in ONE
+    * projection over the corpus. Everything driver-side derives from
+    * the one collected moment relation (cs matrix, eigenvectors,
+    * mean/variance — zero extra cluster jobs beyond the moment pass
+    * itself), and the corpus-side map carries two codegen dots plus
+    * the zip-fold score. A downstream pipeline filters on `maha_fp`,
+    * buckets on the coordinates, and never rescans raw embeddings. */
+  def enrich(emb: DataFrame, id: Column, vec: Column, dim: Int,
+             iters: Int): DataFrame = {
+    val mom = moments(emb, id, vec, dim).localCheckpoint()
+    val rows = mom.collect()
+    val n = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 0L)
+      .map(_.getLong(3)).getOrElse(0L)
+    require(n > 0, "enrich: empty corpus")
+    val s1 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0).toInt -> BigInt(r.getDecimal(2)
+        .toBigInteger)).toMap
+    // cs matrix straight from the collected cells — identical
+    // two-step truncation to covFromMoments ((n·s − s1i·s1j) / n²,
+    // then / 1e3), no cluster job
+    val m = Array.ofDim[Long](dim + 1, dim + 1)
+    rows.filter(_.getLong(1) >= 1L).foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      val sij = BigInt(r.getDecimal(2).toBigInteger)
+      val cs = ((n * sij - s1(i) * s1(j)) / (BigInt(n) * n) /
+        CsDown).toLong
+      m(i)(j) = cs
+      m(j)(i) = cs
+    }
+    val v1 = iterate(m, dim, iters, None)
+    val v2 = iterate(m, dim, iters, Some(v1))
+    val meanArr = (1 to dim).map(i => (s1(i) / n).toLong)
+    val varArr = (1 to dim).map { i =>
+      // diagonal variance via the cov_fp chain (not cs): / n² then
+      // / 1e6, matching the outliers oracle
+      val s2d = BigInt(rows.find(r => r.getLong(0) == i &&
+        r.getLong(1) == i).get.getDecimal(2).toBigInteger)
+      ((n * s2d - s1(i) * s1(i)) / (BigInt(n) * n) / QScale)
+        .max(1).toLong
+    }
+    emb.select(id.as("vec_id"), qv(vec).as("qv"))
+      .withColumn("__d1",
+        LongVecDot.dotColumn(col("qv"), typedLit(v1.toSeq)))
+      .withColumn("__d2",
+        LongVecDot.dotColumn(col("qv"), typedLit(v2.toSeq)))
+      .withColumn("maha_fp", aggregate(
+        zip_with(
+          zip_with(col("qv"), typedLit(meanArr),
+            (x, mm) => (x - mm) * (x - mm)),
+          typedLit(varArr),
+          (d2, v) => ((d2 - d2 % v) / v).cast("long")),
+        lit(0L), (acc, z) => acc + z))
+      .select(col("vec_id"),
+        expr(s"CAST(__d1 DIV $QScale AS BIGINT)").as("score1_fp"),
+        expr(s"CAST(__d2 DIV $QScale AS BIGINT)").as("score2_fp"),
+        col("maha_fp"))
+  }
+
+  /** DuckDB twin of [[enrich]]. */
+  def enrichOracleSql(dim: Int, iters: Int): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)},
+    |${power2Ctes(dim, iters)},
+    |mv AS MATERIALIZED (
+    |  SELECT i, sum(q) // (SELECT n FROM nn) AS m,
+    |    greatest((((SELECT n FROM nn) * sum(q * q) - sum(q) * sum(q))
+    |      // ((SELECT n FROM nn) * (SELECT n FROM nn))) // $QScale,
+    |      1) AS v
+    |  FROM xq GROUP BY i)
+    |SELECT x.vec_id,
+    |  CAST(sum(x.q * a.v) // $QScale AS BIGINT) AS score1_fp,
+    |  CAST(sum(x.q * b.v) // $QScale AS BIGINT) AS score2_fp,
+    |  CAST(sum(((x.q - mv.m) * (x.q - mv.m)) // mv.v) AS BIGINT)
+    |    AS maha_fp
+    |FROM xq x
+    |JOIN v$iters a ON a.i = x.i
+    |JOIN u$iters b ON b.i = x.i
+    |JOIN mv ON mv.i = x.i
+    |GROUP BY x.vec_id ORDER BY x.vec_id
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[outliers]]. */
   def outliersOracleSql(dim: Int, k: Int): String =
     s"""

@@ -196,6 +196,30 @@ class PcaSpec extends SparkSpec {
       s"${got.toSeq}")
   }
 
+  test("enrich: one-pass table equals the composed standalone queries") {
+    val df = embDf(aniso)
+    val enriched = Pca.enrich(df, col("vec_id"), col("embedding"),
+      dim = 4, iters = 8).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val cov = Pca.covariance(df, col("vec_id"), col("embedding"), 4)
+    val v1 = Pca.powerIteration(cov, 4, 8)
+    val v2 = Pca.powerIteration2(cov, 4, 8)
+    val p2 = Pca.project2(df, col("vec_id"), col("embedding"), v1, v2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(enriched.keySet == p2.keySet)
+    enriched.foreach { case (id, (s1, s2, _)) =>
+      assert((s1, s2) == p2(id), s"coordinates drifted for vec $id")
+    }
+    // the outlier ranking derived from enrich matches outliers()
+    val topFromEnrich = enriched.toSeq
+      .sortBy { case (id, (_, _, m)) => (-m, id) }.take(5).map(_._1)
+    val topDirect = Pca.outliers(df, col("vec_id"), col("embedding"),
+      dim = 4, k = 5).as[(Long, Long, Long)].collect()
+      .map(_._1).toSeq
+    assert(topFromEnrich == topDirect, "outlier ranking drifted")
+  }
+
   test("grouped covariance == per-slice covariance, label by label") {
     val df = embDf(aniso).withColumn("label",
       (col("vec_id") % 2).cast("int"))
