@@ -140,6 +140,42 @@ object Pca {
       .select(col("grp"), col("i"), col("j"), col("cov_fp"))
   }
 
+  /** Mean / clamped-variance arrays from a COLLECTED moment relation
+    * — the shared driver-side derivation behind [[outliers]] and
+    * [[enrich]]: mean = s1 / n, var = ((n·s2 − s1²) / n²) / 1e6
+    * clamped to ≥ 1, every division truncating toward zero (the
+    * covFromMoments chain, BigInt so overflow is impossible). */
+  private def meanVar(rows: Array[org.apache.spark.sql.Row], dim: Int,
+                      n: Long): (Seq[Long], Seq[Long]) = {
+    val s1 = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0).toInt ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val s2d = rows.filter(r => r.getLong(1) == r.getLong(0))
+      .map(r => r.getLong(0).toInt ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val mean = (1 to dim).map(i => (s1(i) / n).toLong)
+    val varr = (1 to dim).map { i =>
+      ((n * s2d(i) - s1(i) * s1(i)) / (BigInt(n) * n) / QScale)
+        .max(1).toLong
+    }
+    (mean, varr)
+  }
+
+  /** The zip-fold diagonal-Mahalanobis score over the quantized
+    * vector column, mean/variance as array literals. */
+  private def mahaExpr(meanArr: Seq[Long], varArr: Seq[Long]): Column =
+    aggregate(
+      zip_with(
+        zip_with(col("qv"), typedLit(meanArr),
+          (x, m) => (x - m) * (x - m)),
+        // exact integer division without `div` (which needs named
+        // columns): subtract the remainder first, so the long/long
+        // `/` (a double op) divides exactly — numerator ≤ ~3.6e13,
+        // far under 2^53 (the qualityPpmFrom trick)
+        typedLit(varArr),
+        (d2, v) => ((d2 - d2 % v) / v).cast("long")),
+      lit(0L), (acc, z) => acc + z)
+
   /** Diagonal-Mahalanobis outlier ranking: per vector, the sum over
     * dimensions of `z²·1e6 = (x_q − mean)² DIV max(var DIV 1e6, 1)`
     * — the data-cleaning scan that flags embeddings far from the
@@ -164,33 +200,9 @@ object Pca {
     val n = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 0L)
       .map(_.getLong(3)).getOrElse(0L)
     require(n > 0, "outliers: empty corpus")
-    val s1 = rows.filter(_.getLong(1) == 0L)
-      .map(r => r.getLong(0).toInt -> r.getDecimal(2)).toMap
-    val meanArr = (1 to dim).map(i =>
-      (BigInt(s1(i).toBigInteger) / n).toLong)
-    // diagonal variance straight from the collected rows — same
-    // two-step truncation as covFromMoments ((n·s2 − s1²) / n², then
-    // / 1e6), without launching a Spark job to fetch 64 values
-    val s2d = rows.filter(r => r.getLong(1) == r.getLong(0))
-      .map(r => r.getLong(0).toInt ->
-        BigInt(r.getDecimal(2).toBigInteger)).toMap
-    val varArr = (1 to dim).map { i =>
-      val s1i = BigInt(s1(i).toBigInteger)
-      val v = (n * s2d(i) - s1i * s1i) / (BigInt(n) * n) / QScale
-      v.max(1).toLong
-    }
+    val (meanArr, varArr) = meanVar(rows, dim, n)
     val scored = emb.select(id.as("vec_id"), qv(vec).as("qv"))
-      .withColumn("score_fp", aggregate(
-        zip_with(
-          zip_with(col("qv"), typedLit(meanArr),
-            (x, m) => (x - m) * (x - m)),
-          // exact integer division without `div` (which needs named
-          // columns): subtract the remainder first, so the long/long
-          // `/` (a double op) divides exactly — numerator ≤ ~3.6e13,
-          // far under 2^53 (the qualityPpmFrom trick)
-          typedLit(varArr),
-          (d2, v) => ((d2 - d2 % v) / v).cast("long")),
-        lit(0L), (acc, z) => acc + z))
+      .withColumn("score_fp", mahaExpr(meanArr, varArr))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_fp").desc, col("vec_id").asc)
     scored.select(col("vec_id"), col("score_fp"))
@@ -233,27 +245,13 @@ object Pca {
     }
     val v1 = iterate(m, dim, iters, None)
     val v2 = iterate(m, dim, iters, Some(v1))
-    val meanArr = (1 to dim).map(i => (s1(i) / n).toLong)
-    val varArr = (1 to dim).map { i =>
-      // diagonal variance via the cov_fp chain (not cs): / n² then
-      // / 1e6, matching the outliers oracle
-      val s2d = BigInt(rows.find(r => r.getLong(0) == i &&
-        r.getLong(1) == i).get.getDecimal(2).toBigInteger)
-      ((n * s2d - s1(i) * s1(i)) / (BigInt(n) * n) / QScale)
-        .max(1).toLong
-    }
+    val (meanArr, varArr) = meanVar(rows, dim, n)
     emb.select(id.as("vec_id"), qv(vec).as("qv"))
       .withColumn("__d1",
         LongVecDot.dotColumn(col("qv"), typedLit(v1.toSeq)))
       .withColumn("__d2",
         LongVecDot.dotColumn(col("qv"), typedLit(v2.toSeq)))
-      .withColumn("maha_fp", aggregate(
-        zip_with(
-          zip_with(col("qv"), typedLit(meanArr),
-            (x, mm) => (x - mm) * (x - mm)),
-          typedLit(varArr),
-          (d2, v) => ((d2 - d2 % v) / v).cast("long")),
-        lit(0L), (acc, z) => acc + z))
+      .withColumn("maha_fp", mahaExpr(meanArr, varArr))
       .select(col("vec_id"),
         expr(s"CAST(__d1 DIV $QScale AS BIGINT)").as("score1_fp"),
         expr(s"CAST(__d2 DIV $QScale AS BIGINT)").as("score2_fp"),
