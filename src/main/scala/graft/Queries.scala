@@ -2122,6 +2122,21 @@ object Queries {
       },
       Some(ext.Pca.project2OracleSql(dim = 64, iters = 8))),
 
+    // Bimodality audit: histogram of PC1 coordinates (floor-division
+    // buckets) -- a secret mixture shows two humps pre-clustering
+    ("pca_score_hist",
+      (s: SparkSession, d: String) => {
+        val cov = ext.Pca.covariance(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), dim = 64)
+        ext.Pca.projectHist(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"),
+          ext.Pca.powerIteration(cov, dim = 64, iters = 8),
+          binWidthFp = 500000L)
+          .orderBy("bucket")
+      },
+      Some(ext.Pca.projectHistOracleSql(dim = 64, iters = 8,
+        binWidthFp = 500000L))),
+
     // The single-pass enriched table: PC1/PC2 coordinates + outlier
     // score per vector in ONE projection off the shared moments
     ("embedding_enrich",

@@ -258,6 +258,40 @@ object Pca {
         col("maha_fp"))
   }
 
+  /** Histogram of the PC1 coordinates — the BIMODALITY audit: a
+    * corpus that is secretly a mixture (two encoders, two domains,
+    * a contaminated slice) shows two humps along its dominant
+    * direction before any clustering is run. Buckets are FLOOR
+    * division (score − pmod(score, w)) / w so negative coordinates
+    * bucket consistently on both engines (plain truncating DIV would
+    * fold (−w, w) into one double-width bucket around zero). One
+    * keyed agg over the projection — same pure-map corpus shape. */
+  def projectHist(emb: DataFrame, id: Column, vec: Column,
+                  v: DataFrame, binWidthFp: Long): DataFrame =
+    project(emb, id, vec, v)
+      .select(expr(
+        s"(score_fp - pmod(score_fp, ${binWidthFp}L)) DIV $binWidthFp")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+
+  /** DuckDB twin of [[projectHist]]. */
+  def projectHistOracleSql(dim: Int, iters: Int,
+                           binWidthFp: Long): String =
+    s"""
+    |WITH ${covCtes(dim)},
+    |${powerCtes(dim, iters)},
+    |proj AS (
+    |  SELECT x.vec_id,
+    |    CAST(sum(x.q * p.v) // $QScale AS BIGINT) AS score_fp
+    |  FROM xq x JOIN v$iters p ON p.i = x.i
+    |  GROUP BY x.vec_id)
+    |SELECT
+    |  CAST((score_fp - ((score_fp % $binWidthFp + $binWidthFp)
+    |    % $binWidthFp)) // $binWidthFp AS BIGINT) AS bucket,
+    |  count(*) AS n_vectors
+    |FROM proj GROUP BY 1 ORDER BY 1
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[enrich]]. */
   def enrichOracleSql(dim: Int, iters: Int): String =
     s"""

@@ -196,6 +196,25 @@ class PcaSpec extends SparkSpec {
       s"${got.toSeq}")
   }
 
+  test("projectHist: floor buckets on negatives, census sums to n") {
+    val df = embDf(aniso)
+    val cov = Pca.covariance(df, col("vec_id"), col("embedding"), 4)
+    val v = Pca.powerIteration(cov, 4, 8)
+    val scores = Pca.project(df, col("vec_id"), col("embedding"), v)
+      .as[(Long, Long)].collect().map(_._2)
+    val w = 100000L
+    val got = Pca.projectHist(df, col("vec_id"), col("embedding"),
+      v, binWidthFp = w).as[(Long, Long)].collect().toMap
+    // driver twin with FLOOR semantics (not truncation): a score in
+    // (-w, 0) must land in bucket -1, never fold into bucket 0
+    val want = scores.groupBy(x => Math.floorDiv(x, w))
+      .map { case (b, xs) => b -> xs.size.toLong }
+    assert(got == want, s"got $got want $want")
+    assert(got.values.sum == aniso.size)
+    assert(got.keys.exists(_ < 0) && got.keys.exists(_ >= 0),
+      "fixture must straddle zero for the floor check to bite")
+  }
+
   test("enrich: one-pass table equals the composed standalone queries") {
     val df = embDf(aniso)
     val enriched = Pca.enrich(df, col("vec_id"), col("embedding"),
