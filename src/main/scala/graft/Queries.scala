@@ -2150,8 +2150,18 @@ object Queries {
     ("embedding_outliers",
       (s: SparkSession, d: String) =>
         ext.Pca.outliers(t(s, d, "embeddings"), col("vec_id"),
-          col("embedding"), dim = 64, k = 20),
+          col("embedding"), dim = 64, k = 20).orderBy("rank"),
       Some(ext.Pca.outliersOracleSql(dim = 64, k = 20))),
+
+    // Per-label Mahalanobis outliers: each row scored against ITS
+    // label's mean/variance (grouped moments, same one corpus pass)
+    // -- the mixture-corpus fix for the global form's domain bias
+    ("embedding_outliers_by_label",
+      (s: SparkSession, d: String) =>
+        ext.Pca.outliersByLabel(t(s, d, "embeddings"), col("label"),
+          col("vec_id"), col("embedding"), dim = 64, k = 10)
+          .orderBy("label", "rank"),
+      Some(ext.Pca.outliersByLabelOracleSql(dim = 64, k = 10))),
 
     // Inter-label centroid separation: cos^2 ppm + sign per label
     // pair, float-free -- are the classes globally separable at all
@@ -2922,7 +2932,7 @@ object Queries {
     ("textrank_keywords",
       (s: SparkSession, d: String) =>
         TextAnalysis.textrankKeywords(t(s, d, "documents"),
-          col("text"), iters = 3, k = 20),
+          col("text"), iters = 3, k = 20).orderBy("rank"),
       Some(TextAnalysis.textrankKeywordsOracleSql(iters = 3, k = 20))),
 
     // Bigram LM fit: integer perplexity proxy under corpus statistics

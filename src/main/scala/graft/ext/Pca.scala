@@ -136,7 +136,11 @@ object Pca {
       .join(broadcast(s1.select(col("grp"), col("i").as("j"),
         col("s").as("s1j"))), Seq("grp", "j"))
       .join(broadcast(n), Seq("grp"))
-      .withColumn("cov_fp", expr("(n * s - s1i * s1j) DIV (n * n)"))
+      // divisor squared in decimal: a long n*n wraps past n ~ 3.03e9
+      // rows (the 100 TB regime); the BigInt driver twin and the
+      // HUGEINT oracle never wrap, so the distributed path must not
+      .withColumn("cov_fp",
+        expr("(n * s - s1i * s1j) DIV (CAST(n AS DECIMAL(38,0)) * n)"))
       .select(col("grp"), col("i"), col("j"), col("cov_fp"))
   }
 
@@ -161,20 +165,22 @@ object Pca {
     (mean, varr)
   }
 
-  /** The zip-fold diagonal-Mahalanobis score over the quantized
-    * vector column, mean/variance as array literals. */
-  private def mahaExpr(meanArr: Seq[Long], varArr: Seq[Long]): Column =
+  /** The zip-fold diagonal-Mahalanobis score: per dimension
+    * `(x_q − mean)² exactly divided by var` (remainder subtracted
+    * first so the long/long `/` — a double op — divides exactly;
+    * numerator ≤ ~3.6e13, far under 2^53: the qualityPpmFrom trick),
+    * summed. Mean/variance arrive as COLUMNS so the same fold serves
+    * the global form (array literals) and the per-label form (arrays
+    * broadcast-joined per group). */
+  private def mahaCols(qvc: Column, mean: Column, varc: Column): Column =
     aggregate(
-      zip_with(
-        zip_with(col("qv"), typedLit(meanArr),
-          (x, m) => (x - m) * (x - m)),
-        // exact integer division without `div` (which needs named
-        // columns): subtract the remainder first, so the long/long
-        // `/` (a double op) divides exactly — numerator ≤ ~3.6e13,
-        // far under 2^53 (the qualityPpmFrom trick)
-        typedLit(varArr),
-        (d2, v) => ((d2 - d2 % v) / v).cast("long")),
+      zip_with(zip_with(qvc, mean, (x, m) => (x - m) * (x - m)),
+        varc, (d2, v) => ((d2 - d2 % v) / v).cast("long")),
       lit(0L), (acc, z) => acc + z)
+
+  /** [[mahaCols]] with the global mean/variance as array literals. */
+  private def mahaExpr(meanArr: Seq[Long], varArr: Seq[Long]): Column =
+    mahaCols(col("qv"), typedLit(meanArr), typedLit(varArr))
 
   /** Diagonal-Mahalanobis outlier ranking: per vector, the sum over
     * dimensions of `z²·1e6 = (x_q − mean)² DIV max(var DIV 1e6, 1)`
@@ -210,6 +216,101 @@ object Pca {
       .limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Per-label diagonal-Mahalanobis outliers: mean/variance from the
+    * GROUPED moments ([[momentsBy]] — same one corpus pass), each row
+    * scored against ITS label's distribution, top-k within label.
+    *
+    * Why the global form is not enough: on a mixture corpus (the
+    * exact case [[projectHist]]'s bimodality audit detects) a global
+    * mean sits between the modes and flags whole minority domains as
+    * "outliers" — rows that are perfectly typical OF THEIR DOMAIN —
+    * while a corrupt row inside the majority mode hides under the
+    * inflated global variance. Scoring within label restores the
+    * signal: anomalous means anomalous among its peers.
+    *
+    * Scale shape: the stats relation is |labels| rows of two d-long
+    * arrays (codebook class — broadcast), the scoring pass is the
+    * same join-free-after-broadcast zip-fold map, and top-k-per-label
+    * is TWO-PHASE — a salted per-(label, salt) row_number prune to
+    * ≤ 32·k rows per label first, then the exact per-label window
+    * over that bounded relation. A single window partitioned by a
+    * bounded label set would funnel every row of a label through one
+    * task at 100 TB; the salted prune is exact for top-k (a label's
+    * true top-k survives any per-salt top-k cut) and keeps the wide
+    * shuffle k-bounded. Group key contract: integral labels (the
+    * long-beats-string key discipline — dictionary-encode string
+    * domains upstream), bounded cardinality per [[momentsBy]]. */
+  def outliersByLabel(emb: DataFrame, group: Column, id: Column,
+                      vec: Column, dim: Int, k: Int): DataFrame = {
+    val sess = emb.sparkSession
+    import sess.implicits._
+    val mom = momentsBy(emb, group.cast("long"), id, vec, dim)
+      .localCheckpoint()
+    val rows = mom.select("i", "j", "s", "cnt", "grp").collect()
+    require(rows.nonEmpty, "outliersByLabel: empty corpus")
+    val stats = rows.groupBy(_.getLong(4)).toSeq.map { case (g, rs) =>
+      val n = rs.find(r => r.getLong(0) == 1L && r.getLong(1) == 0L)
+        .map(_.getLong(3)).getOrElse(0L)
+      require(n > 0, s"outliersByLabel: empty group $g")
+      val (meanArr, varArr) = meanVar(rs, dim, n)
+      (g, meanArr, varArr)
+    }
+    val statsDf = stats.toDF("grp", "mean_q", "var_q")
+    val scored = emb
+      .select(group.cast("long").as("grp"), id.as("vec_id"),
+        qv(vec).as("qv"))
+      .join(broadcast(statsDf), Seq("grp"))
+      .withColumn("score_fp",
+        mahaCols(col("qv"), col("mean_q"), col("var_q")))
+      .select(col("grp"), col("vec_id"), col("score_fp"))
+    val byScore = Seq(col("score_fp").desc, col("vec_id").asc)
+    val pruned = scored
+      .withColumn("__salt", pmod(hash(col("vec_id")), lit(32)))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp"), col("__salt")).orderBy(byScore: _*)))
+      .filter(col("__r") <= k).drop("__r", "__salt")
+    pruned
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(byScore: _*)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp").as("label"), col("vec_id"), col("score_fp"),
+        col("rank"))
+  }
+
+  /** DuckDB twin of [[outliersByLabel]] — the per-label mv CTE shape
+    * of [[outliersOracleSql]]. */
+  def outliersByLabelOracleSql(dim: Int, k: Int): String =
+    s"""
+    |WITH xq AS MATERIALIZED (
+    |  SELECT CAST(label AS BIGINT) AS grp, vec_id, CAST(i AS BIGINT) AS i,
+    |    CAST(round(CAST(embedding[i] AS DOUBLE) * $QScale) AS HUGEINT) AS q
+    |  FROM embeddings, range(1, ${dim + 1}) t(i)),
+    |nn AS (SELECT grp, CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+    |       FROM xq GROUP BY grp),
+    |sm AS (SELECT grp, i, sum(q) AS s1, sum(q * q) AS s2
+    |       FROM xq GROUP BY grp, i),
+    |mv AS MATERIALIZED (
+    |  SELECT sm.grp, sm.i, sm.s1 // nn.n AS m,
+    |    greatest(((nn.n * sm.s2 - sm.s1 * sm.s1) // (nn.n * nn.n))
+    |      // $QScale, 1) AS v
+    |  FROM sm JOIN nn ON nn.grp = sm.grp),
+    |scored AS (
+    |  SELECT x.grp, x.vec_id,
+    |    sum(((x.q - mv.m) * (x.q - mv.m)) // mv.v) AS score_fp
+    |  FROM xq x JOIN mv ON mv.grp = x.grp AND mv.i = x.i
+    |  GROUP BY x.grp, x.vec_id),
+    |ranked AS (
+    |  SELECT grp AS label, vec_id, CAST(score_fp AS BIGINT) AS score_fp,
+    |    row_number() OVER (PARTITION BY grp
+    |      ORDER BY score_fp DESC, vec_id ASC) AS rank
+    |  FROM scored)
+    |SELECT label, vec_id, score_fp, CAST(rank AS BIGINT) AS rank
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY label, rank
+    |""".stripMargin.trim
 
   /** The single-pass ENRICHED table — the deployment shape for "run
     * the spectral pre-pass and write the result back": per vector,

@@ -196,6 +196,48 @@ class PcaSpec extends SparkSpec {
       s"${got.toSeq}")
   }
 
+  test("outliersByLabel: mixture corpus — minority domain is NOT the " +
+      "outlier, the within-label anomaly is") {
+    // label 0: 30 rows near 0.1; label 1: 10 rows near 0.9 (the
+    // minority mode a GLOBAL mean would flag wholesale); one planted
+    // anomaly inside label 0
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0 until 30).map(k => (k.toLong,
+        Array(0.1f + 0.001f * (k % 5), 0.1f - 0.001f * (k % 3),
+          0.05f, 0.2f), 0)) ++
+      (0 until 10).map(k => (100L + k,
+        Array(0.9f - 0.001f * (k % 4), 0.9f + 0.001f * (k % 3),
+          0.05f, 0.2f), 1)) :+
+      ((999L, Array(0.5f, -0.4f, 0.05f, 0.2f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Pca.outliersByLabel(df, col("label"), col("vec_id"),
+        col("embedding"), dim = 4, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // top of label 0 is the planted anomaly, by a wide margin
+    val l0 = got.filter(_._1 == 0L).sortBy(_._4)
+    assert(l0.head._2 == 999L, s"planted anomaly not first: $l0")
+    // the minority label's own top score is ordinary next to it:
+    // within-label scoring does not flag the domain
+    val l1Top = got.filter(_._1 == 1L).map(_._3).max
+    assert(l0.head._3 > 10L * l1Top,
+      s"minority domain scored like an anomaly: ${l0.head._3} vs $l1Top")
+    // ranks are 1..k within each label
+    Seq(0L, 1L).foreach { g =>
+      assert(got.filter(_._1 == g).map(_._4).sorted == (1L to 3L))
+    }
+    // the salted two-phase prune is exact: driver twin of per-label
+    // top-k over the full scored relation
+    val full = Pca.outliersByLabel(df, col("label"), col("vec_id"),
+        col("embedding"), dim = 4, k = 41)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val wantTop = full.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (-r._3, r._2)).take(3).map(r => (r._2, r._3)))
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.sortBy(_._4).map(r => (r._2, r._3)) == wantTop(g),
+        s"two-phase prune diverged for label $g")
+    }
+  }
+
   test("projectHist: floor buckets on negatives, census sums to n") {
     val df = embDf(aniso)
     val cov = Pca.covariance(df, col("vec_id"), col("embedding"), 4)
