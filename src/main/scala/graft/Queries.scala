@@ -1480,6 +1480,37 @@ object Queries {
       Some(Similarity.pqRecallOracleSql(64, 5, 10, nCentroids = 16,
         nProbe = 4, m = 8, ksub = 16, rerank = 20))),
 
+    // DECORRELATED IVF-PQ: cells + codebooks + ADC screen in the
+    // residual space after subtracting the top-2 principal
+    // projections; exact re-rank in the ORIGINAL space -- the
+    // spectral pre-pass feeding the index it exists for
+    ("ann_pq_decorrelated",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfPqTopKDecorrelatedAuto(emb,
+          emb.filter(col("vec_id") < 10), 5, nCentroids = 16,
+          nProbe = 4, m = 8, ksub = 16, dim = 64, rerank = 20,
+          iters = 8).orderBy("query_id", "rank")
+      },
+      Some(Similarity.ivfPqDecorrelatedOracleSql(64, 5, 10,
+        nCentroids = 16, nProbe = 4, m = 8, ksub = 16, rerank = 20,
+        iters = 8))),
+
+    // The decorrelation A/B, measured: recall@k of the decorrelated
+    // PQ path vs exact, same dials as ann_pq_recall -- the number
+    // explained_ppm only estimates
+    ("ann_pq_decorrelated_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqDecorrelatedRecall(emb,
+          emb.filter(col("vec_id") < 10), 5, nCentroids = 16,
+          nProbe = 4, m = 8, ksub = 16, dim = 64, rerank = 20,
+          iters = 8).orderBy("query_id")
+      },
+      Some(Similarity.pqDecorrelatedRecallOracleSql(64, 5, 10,
+        nCentroids = 16, nProbe = 4, m = 8, ksub = 16, rerank = 20,
+        iters = 8))),
+
     // Build-once / search-many: the IVF-PQ index PERSISTED as parquet
     // (codebooks + coarse centroids + cell-partitioned m-byte codes)
     // and searched from disk — the J43-style index lifecycle the

@@ -578,8 +578,63 @@ object Pca {
   }
 
   /** v as a 1-based-ordered driver array. */
-  private def collectVec(v: DataFrame): Array[Long] =
+  private[graft] def collectVec(v: DataFrame): Array[Long] =
     v.orderBy("i").select("v_fp").collect().map(_.getLong(0))
+
+  /** Exact fixed-point RESIDUALIZATION — the step that makes the
+    * spectral pre-pass feed the indexes it exists for: subtract the
+    * projections onto the two supplied (fixed-point, max-abs-1e6)
+    * directions from every embedding and return the same
+    * `(vec_id, embedding: array<float>)` shape the ANN/PQ chain
+    * consumes, so a decorrelated index is a drop-in swap of its
+    * input frame.
+    *
+    * Arithmetic, all integer until the final exact float emit: per
+    * row the projection coefficient `c = (x_q·v)·1e6 DIV (v·v)`
+    * (one decimal op per row — x_q·v can reach ~2e14 and ·1e6
+    * overflows int64), then per element
+    * `r_i = x_q_i − (c1·v1_i) DIV 1e6 − (c2·v2_i) DIV 1e6`
+    * (products ≤ ~2e14 — plain long), then
+    * `float(double(r_i) / 1e6)` — a correctly-rounded double divide
+    * and float32 round on BOTH engines, so the residual floats are
+    * bit-identical to the oracle's. Both projections subtract from
+    * the ORIGINAL vector (parallel, not sequential deflation): with
+    * near-orthogonal v1 ⊥ v2 the difference is one truncation ULP,
+    * and the parallel form is the one the oracle CTE mirrors
+    * tractably. Scale shape: a pure map over the corpus — two
+    * codegen dots + one zip per row, no join, no shuffle; the
+    * directions ride as d-long array literals (codebook class). */
+  def residualize(emb: DataFrame, id: Column, vec: Column,
+                  v1: Array[Long], v2: Array[Long]): DataFrame = {
+    val vv1 = v1.map(x => BigInt(x) * x).sum
+    val vv2 = v2.map(x => BigInt(x) * x).sum
+    require(vv1 > 0 && vv2 > 0, "residualize: zero direction")
+    def comp(c: Column, vlit: Column): Column = {
+      // (c·v_i) DIV 1e6 without `div`: subtract the remainder first
+      // so the long/long `/` (a double op) divides exactly —
+      // |c·v_i| ≤ ~2e14, far under 2^53
+      val p = c * vlit
+      ((p - p % QScale) / QScale).cast("long")
+    }
+    emb.select(id.as("vec_id"), qv(vec).as("qv"))
+      .withColumn("__d1",
+        LongVecDot.dotColumn(col("qv"), typedLit(v1.toSeq)))
+      .withColumn("__d2",
+        LongVecDot.dotColumn(col("qv"), typedLit(v2.toSeq)))
+      .withColumn("__c1", expr(s"CAST((CAST(__d1 AS DECIMAL(38,0)) * " +
+        s"$QScale) DIV ${vv1.toLong}L AS BIGINT)"))
+      .withColumn("__c2", expr(s"CAST((CAST(__d2 AS DECIMAL(38,0)) * " +
+        s"$QScale) DIV ${vv2.toLong}L AS BIGINT)"))
+      .select(col("vec_id"),
+        transform(
+          zip_with(
+            zip_with(col("qv"), typedLit(v1.toSeq),
+              (x, a) => x - comp(col("__c1"), a)),
+            typedLit(v2.toSeq),
+            (x, b) => x - comp(col("__c2"), b)),
+          x => (x.cast("double") / lit(QScale.toDouble)).cast("float"))
+          .as("embedding"))
+  }
 
   /** λ = (vᵀCv) / (vᵀv) and the trace, BigInt driver math over the
     * collected cell matrix. */
@@ -666,7 +721,7 @@ object Pca {
 
   /** Quantize + moments + covariance CTEs (HUGEINT throughout — the
     * oracle's stand-in for the decimal(38,0) accumulators). */
-  private def covCtes(dim: Int): String =
+  private[ext] def covCtes(dim: Int): String =
     s"""xq AS MATERIALIZED (
        |  SELECT vec_id, CAST(i AS BIGINT) AS i,
        |    CAST(round(CAST(embedding[i] AS DOUBLE) * $QScale) AS HUGEINT) AS q
@@ -686,7 +741,7 @@ object Pca {
 
   /** Mirrored matrix + unrolled power-iteration CTEs ending at
     * `v$iters(i, v)`. */
-  private def powerCtes(dim: Int, iters: Int): String = {
+  private[ext] def powerCtes(dim: Int, iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       val prev = if (k == 1) "v0" else s"v${k - 1}"
       s"""w$k AS MATERIALIZED (
@@ -712,7 +767,7 @@ object Pca {
     * after [[powerCtes]]' `v$iters` chain: `vv1` (v1·v1), then per
     * round matvec → Gram-Schmidt against v1 → renormalize, ending at
     * `u$iters(i, v)`. */
-  private def power2Ctes(dim: Int, iters: Int): String = {
+  private[ext] def power2Ctes(dim: Int, iters: Int): String = {
     val v1 = s"v$iters"
     val rounds = (1 to iters).map { k =>
       val prev = if (k == 1) "v0" else s"u${k - 1}"
@@ -736,6 +791,39 @@ object Pca {
     s"""vv1 AS MATERIALIZED (SELECT sum(v * v) AS vv FROM $v1),
        |$rounds""".stripMargin
   }
+
+  /** Residualization CTEs — the oracle twin of [[residualize]],
+    * appended after [[covCtes]] + [[powerCtes]] + [[power2Ctes]]:
+    * per-vector projection coefficients against `v$iters`/`u$iters`
+    * (HUGEINT, truncating `//`, the exact mirror of the decimal DIV
+    * chain), then `resid(vec_id, embedding)` with the identical
+    * double-divide float32 emit. */
+  private[ext] def residCtes(dim: Int, iters: Int): String =
+    s"""vvu AS MATERIALIZED (SELECT sum(v * v) AS vv FROM u$iters),
+       |coef AS MATERIALIZED (
+       |  SELECT x.vec_id,
+       |    (sum(x.q * a.v) * $QScale) // (SELECT vv FROM vv1) AS c1,
+       |    (sum(x.q * b.v) * $QScale) // (SELECT vv FROM vvu) AS c2
+       |  FROM xq x JOIN v$iters a ON a.i = x.i
+       |    JOIN u$iters b ON b.i = x.i
+       |  GROUP BY x.vec_id),
+       |resid AS MATERIALIZED (
+       |  SELECT x.vec_id,
+       |    list(CAST(CAST(x.q - (cf.c1 * a.v) // $QScale
+       |        - (cf.c2 * b.v) // $QScale AS DOUBLE) / $QScale AS FLOAT)
+       |      ORDER BY x.i) AS embedding
+       |  FROM xq x JOIN coef cf ON cf.vec_id = x.vec_id
+       |    JOIN v$iters a ON a.i = x.i JOIN u$iters b ON b.i = x.i
+       |  GROUP BY x.vec_id)""".stripMargin
+
+  /** The full quantize→covariance→top-2-eigen→residualize CTE chain
+    * (everything a decorrelated-index oracle needs in front of its
+    * search CTEs), ending at `resid(vec_id, embedding)`. */
+  private[ext] def decorrCtes(dim: Int, iters: Int): String =
+    s"""${covCtes(dim)},
+       |${powerCtes(dim, iters)},
+       |${power2Ctes(dim, iters)},
+       |${residCtes(dim, iters)}""".stripMargin
 
   def covarianceOracleSql(dim: Int): String =
     s"""

@@ -1456,7 +1456,9 @@ object Similarity {
   private[graft] def ivfPqSearchStages(index: DataFrame, corpus: DataFrame,
                                 q: DataFrame, cw: DataFrame,
                                 probes: DataFrame, k: Int, m: Int,
-                                subLen: Int, rerank: Int): DataFrame = {
+                                subLen: Int, rerank: Int,
+                                rerankQ: Option[DataFrame] = None)
+      : DataFrame = {
     // the decimal-heavy narrow points below all get an EXPLICIT
     // AQE-exempt spread (the Dedup.spread discipline): their rows are
     // byte-light but CPU-heavy (exact-decimal kernels), and AQE sizes
@@ -1488,8 +1490,13 @@ object Similarity {
       .withColumn("__srn", row_number().over(ws))
       .filter(col("__srn") <= rerank)
       .select(col("query_id"), col("cand_id"))
+    // the exact re-rank leg scores against `rerankQ` when supplied
+    // (the decorrelated path: screen in residual space, re-rank in
+    // the ORIGINAL space — same spread contract as `q`)
     val sq = survivors.join(
-      q.withColumn("q_n2", dot(col("q_emb"), col("q_emb"))), Seq("query_id"))
+      rerankQ.getOrElse(q)
+        .withColumn("q_n2", dot(col("q_emb"), col("q_emb"))),
+      Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     // survivor join BEFORE any per-row decimal math: only the
@@ -1949,7 +1956,10 @@ object Similarity {
   private def ivfPqOracleCtes(dim: Int, k: Int, corpusPred: String,
                               queryPred: String,
                               nCentroids: Int, nProbe: Int, m: Int,
-                              ksub: Int, rerank: Int): String = {
+                              ksub: Int, rerank: Int,
+                              src: String = "embeddings",
+                              rerankC: String = "c",
+                              rerankQ: String = "q"): String = {
     val subLen = dim / m
     def cos(a: String, b: String): String =
       s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
@@ -1958,14 +1968,14 @@ object Similarity {
     def dsub(a: String, b: String): String = dotSubSql(a, b, "sub", subLen)
     s"""
     |cent AS (SELECT vec_id AS c_id, embedding AS ct_emb
-    |         FROM embeddings WHERE vec_id < $nCentroids),
+    |         FROM $src WHERE vec_id < $nCentroids),
     |cw AS (
     |  SELECT t.sub, e.vec_id AS cw_id, e.embedding AS cw_emb,
     |    ${dotSubSql("e.embedding", "e.embedding", "t.sub", subLen)} AS cw_n2s
-    |  FROM embeddings e, range(0, $m) t(sub) WHERE e.vec_id < $ksub),
-    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+    |  FROM $src e, range(0, $m) t(sub) WHERE e.vec_id < $ksub),
+    |c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM $src
     |      WHERE $corpusPred),
-    |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+    |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM $src
     |      WHERE $queryPred),
     |lists AS (
     |  SELECT cand_id, c_id FROM (
@@ -2012,8 +2022,8 @@ object Similarity {
     |      ORDER BY ${cos("q.q_emb", "c.c_emb")} DESC, s.cand_id) AS BIGINT)
     |      AS rank
     |  FROM short s
-    |    JOIN q ON q.query_id = s.query_id
-    |    JOIN c ON c.cand_id = s.cand_id)""".stripMargin.trim
+    |    JOIN $rerankQ q ON q.query_id = s.query_id
+    |    JOIN $rerankC c ON c.cand_id = s.cand_id)""".stripMargin.trim
   }
 
   /** DuckDB oracle for [[ivfPqTopK]] (queries = vec_id < maxQueryId). */
@@ -2173,6 +2183,150 @@ object Similarity {
     |    row_number() OVER (PARTITION BY query_id
     |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
     |  FROM c, q WHERE query_id <> cand_id),
+    |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k)
+    |SELECT e.query_id,
+    |  CAST(count(p.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(p.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM exact e LEFT JOIN pq p
+    |  ON e.query_id = p.query_id AND e.cand_id = p.cand_id
+    |GROUP BY e.query_id
+    |ORDER BY e.query_id
+    |""".stripMargin.trim
+  }
+
+  /** IVF-PQ with DECORRELATED codes — the step that closes the loop
+    * [[Pca]]'s scaladoc promises ("project/decorrelate before
+    * indexing"): coarse cells, PQ codebooks and the ADC screen all
+    * operate in the RESIDUAL space after subtracting the top-2
+    * principal projections ([[Pca.residualize]], exact fixed point);
+    * the survivor re-rank stays in the ORIGINAL space against raw
+    * corpus floats, so the output metric is identical to
+    * [[ivfPqTopK]]'s and recall@k against the exact scan compares
+    * like for like.
+    *
+    * Why residual codes help: a dominant direction is a COMMON
+    * component — every subspace's codewords spend their budget
+    * re-expressing the same axis, and ADC distances are dominated by
+    * a term that does not discriminate between neighbors. Subtracting
+    * the top projections removes that shared term BEFORE codebook
+    * training, so the same m·ksub code budget resolves the residual
+    * geometry where neighbors actually differ. Equal code budget by
+    * construction: same nCentroids cells, same m·ksub codewords, same
+    * rerank — the decorrelated arm pays only the (one-off, build-time)
+    * moment pass plus a pure-map residualization per side.
+    *
+    * Scale shape: identical to [[ivfPqTopKWith]] (the screen is the
+    * same stages over a same-shape frame) plus two corpus maps; the
+    * eigen step is codebook-class driver math (d(d+1)/2 cells). */
+  def ivfPqTopKDecorrelated(corpus: DataFrame, queries: DataFrame,
+                            v1: Array[Long], v2: Array[Long], k: Int,
+                            nCentroids: Int, nProbe: Int, m: Int,
+                            ksub: Int, dim: Int, rerank: Int): DataFrame = {
+    val subLen = dim / m
+    require(m * subLen == dim, s"m=$m must divide dim=$dim")
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    // materialize the residual frames ONCE: left lazy, the residual
+    // array expression gets inlined into every downstream decimal
+    // kernel reference (codebook self-dots, encode argmin, probe
+    // assignment) and re-evaluates per (row, sub, codeword) —
+    // measured 174 s vs 4.1 s for the identical search at ×10
+    // (SCALE.md §48). A production deployment persists the residual
+    // table in the same pass that builds the index (the
+    // embedding_enrich write-back shape); in-query, localCheckpoint
+    // is that materialization.
+    val rc = Pca.residualize(corpus, col("vec_id"), col("embedding"),
+      v1, v2).localCheckpoint()
+    val rq = Pca.residualize(queries, col("vec_id"), col("embedding"),
+      v1, v2).localCheckpoint()
+    val cw = pqSampleCodebooks(rc, m, ksub, subLen)
+    val cb = collectCodebook(rc, "vec_id", "embedding", nCentroids)
+    val index = ivfPqIndex(rc, cw, nCentroids, m, dim)
+    val q = Dedup.spread(rq.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), col("query_id"))
+    val probes = assignedCells(q, cb, "query_id", "q_emb", nProbe)
+      .select(col("query_id"), col("c_id"))
+    val qOrig = Dedup.spread(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")), col("query_id"))
+    ivfPqSearchStages(index, corpus, q, cw, probes, k, m, subLen,
+      rerank, rerankQ = Some(qOrig))
+  }
+
+  /** [[ivfPqTopKDecorrelated]] with the directions derived in-query
+    * (covariance → top-2 power iteration over the corpus) — the
+    * declared-query surface. */
+  def ivfPqTopKDecorrelatedAuto(corpus: DataFrame, queries: DataFrame,
+                                k: Int, nCentroids: Int, nProbe: Int,
+                                m: Int, ksub: Int, dim: Int,
+                                rerank: Int, iters: Int): DataFrame = {
+    val cov = Pca.covariance(corpus, col("vec_id"), col("embedding"),
+      dim)
+    val v1 = Pca.collectVec(Pca.powerIteration(cov, dim, iters))
+    val v2 = Pca.collectVec(Pca.powerIteration2(cov, dim, iters))
+    ivfPqTopKDecorrelated(corpus, queries, v1, v2, k, nCentroids,
+      nProbe, m, ksub, dim, rerank)
+  }
+
+  /** recall@k of the decorrelated IVF-PQ path vs the exact scan —
+    * the A/B twin of [[pqRecall]] at the same dials: the measured
+    * answer to "was decorrelation worth a rewrite pass" that
+    * `explained_ppm` only estimates. */
+  def pqDecorrelatedRecall(corpus: DataFrame, queries: DataFrame,
+                           k: Int, nCentroids: Int, nProbe: Int,
+                           m: Int, ksub: Int, dim: Int, rerank: Int,
+                           iters: Int): DataFrame =
+    recallVsExact(corpus, queries, k,
+      ivfPqTopKDecorrelatedAuto(corpus, queries, k, nCentroids, nProbe,
+        m, ksub, dim, rerank, iters))
+
+  /** DuckDB oracle for [[ivfPqTopKDecorrelatedAuto]] (queries =
+    * vec_id < maxQueryId): the full quantize→eigen→residualize chain
+    * ([[Pca.decorrCtes]]) feeds the standard IVF-PQ CTEs with
+    * `resid` as the screen source and the raw table as the re-rank
+    * source. */
+  def ivfPqDecorrelatedOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                                 nCentroids: Int, nProbe: Int, m: Int,
+                                 ksub: Int, rerank: Int,
+                                 iters: Int): String =
+    s"""
+    |WITH ${Pca.decorrCtes(dim, iters)},
+    |co AS (SELECT vec_id AS cand_id, embedding AS c_emb
+    |       FROM embeddings),
+    |qo AS (SELECT vec_id AS query_id, embedding AS q_emb
+    |       FROM embeddings WHERE vec_id < $maxQueryId),
+    |${ivfPqOracleCtes(dim, k, "TRUE", s"vec_id < $maxQueryId",
+        nCentroids, nProbe, m, ksub, rerank, src = "resid",
+        rerankC = "co", rerankQ = "qo")}
+    |SELECT query_id, cand_id, round(cos, 6) AS cos, rank
+    |FROM pq_ranked WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+
+  /** DuckDB oracle for [[pqDecorrelatedRecall]] — exact ranking over
+    * the ORIGINAL vectors (co/qo), PQ picks from the decorrelated
+    * chain. */
+  def pqDecorrelatedRecallOracleSql(dim: Int, k: Int, maxQueryId: Long,
+                                    nCentroids: Int, nProbe: Int,
+                                    m: Int, ksub: Int, rerank: Int,
+                                    iters: Int): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH ${Pca.decorrCtes(dim, iters)},
+    |co AS (SELECT vec_id AS cand_id, embedding AS c_emb
+    |       FROM embeddings),
+    |qo AS (SELECT vec_id AS query_id, embedding AS q_emb
+    |       FROM embeddings WHERE vec_id < $maxQueryId),
+    |${ivfPqOracleCtes(dim, k, "TRUE", s"vec_id < $maxQueryId",
+        nCentroids, nProbe, m, ksub, rerank, src = "resid",
+        rerankC = "co", rerankQ = "qo")},
+    |pq AS (SELECT query_id, cand_id FROM pq_ranked WHERE rank <= $k),
+    |ex_ranked AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS rank
+    |  FROM co, qo WHERE query_id <> cand_id),
     |exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= $k)
     |SELECT e.query_id,
     |  CAST(count(p.cand_id) AS BIGINT) AS n_hits,

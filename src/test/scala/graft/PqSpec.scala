@@ -83,6 +83,82 @@ class PqSpec extends SparkSpec {
     rec.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
   }
 
+  test("residualize: BigInt driver twin, and the projection of a " +
+      "direction onto itself is (near-)zero") {
+    import spark.implicits._
+    val ext = graft.ext.Pca
+    val cov = ext.covariance(emb, col("vec_id"), col("embedding"), dim)
+    val v1 = ext.collectVec(ext.powerIteration(cov, dim, 8))
+    val v2 = ext.collectVec(ext.powerIteration2(cov, dim, 8))
+    val got = ext.residualize(emb, col("vec_id"), col("embedding"),
+        v1, v2)
+      .orderBy("vec_id").as[(Long, Array[Float])].collect()
+    // driver twin in BigInt of the exact chain, one vector
+    val x = emb.orderBy("vec_id").select("embedding")
+      .as[Array[Float]].head()
+    val xq = x.map(v => BigInt(math.round(v.toDouble * 1000000L)))
+    def coefOf(v: Array[Long]): BigInt = {
+      val d = xq.zip(v).map { case (a, b) => a * b }.sum
+      val vv = v.map(b => BigInt(b) * b).sum
+      d * 1000000L / vv
+    }
+    val c1 = coefOf(v1); val c2 = coefOf(v2)
+    val want = xq.indices.map { i =>
+      val r = xq(i) - c1 * v1(i) / 1000000L - c2 * v2(i) / 1000000L
+      (r.toDouble / 1e6).toFloat
+    }
+    assert(got.head._2.toSeq == want, "driver twin drift on vec 0")
+    // residual of the residual corpus has (near-)zero projection on
+    // v1: re-derive the coefficient over all residual rows — bounded
+    // by truncation ULPs (each step truncates at 1e-6)
+    got.foreach { case (id, r) =>
+      val rq = r.map(v => BigInt(math.round(v.toDouble * 1000000L)))
+      val d1 = rq.zip(v1).map { case (a, b) => a * b }.sum
+      val vv1 = v1.map(b => BigInt(b) * b).sum
+      val c = (d1 * 1000000L / vv1).abs
+      assert(c <= 200L, s"vec $id kept projection $c on v1")
+    }
+  }
+
+  test("decorrelated PQ helps on a planted dominant direction and " +
+      "matches plain PQ's output CONTRACT") {
+    // anisotropic synthetic corpus (the SynthGen planted-direction
+    // shape, inline): a strong alternating-sign common axis on top
+    // of small per-vector noise
+    import spark.implicits._
+    val n = 400
+    val rows = (0 until n).map { i =>
+      val t = ((i * 37 % 101) - 50) / 50.0 * 2.5
+      val v = Array.tabulate(dim) { j =>
+        val noise = (((i * 13 + j * 7) % 19) - 9) / 18.0
+        val g = if (j % 2 == 0) 1.0 else -1.0
+        (noise + t * g).toFloat
+      }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val queries = df.filter(col("vec_id") < 20)
+    def meanRecall(r: org.apache.spark.sql.DataFrame): Double =
+      r.agg(avg(col("recall_at_k"))).collect()(0).getDouble(0)
+    val plain = meanRecall(Similarity.pqRecall(df, queries, 5,
+      nCentroids = 16, nProbe = 2, m = 8, ksub = 16, dim = dim,
+      rerank = 10))
+    val dec = meanRecall(Similarity.pqDecorrelatedRecall(df, queries, 5,
+      nCentroids = 16, nProbe = 2, m = 8, ksub = 16, dim = dim,
+      rerank = 10, iters = 8))
+    assert(dec > plain,
+      s"decorrelation did not help on the planted corpus: $dec vs $plain")
+    // contract parity: same schema, same per-query row count, ranks
+    // 1..k — a drop-in swap of the index
+    val out = Similarity.ivfPqTopKDecorrelatedAuto(df, queries, 5,
+      nCentroids = 16, nProbe = 2, m = 8, ksub = 16, dim = dim,
+      rerank = 10, iters = 8)
+    assert(out.columns.toSeq ==
+      Seq("query_id", "cand_id", "cos", "rank"))
+    val perQ = out.groupBy("query_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5L))
+  }
+
   test("incremental PQ ingest: batch probes the index, never itself") {
     val index = emb.filter(col("vec_id") < 300)
     val batch = emb.filter(col("vec_id") >= 300)
