@@ -637,22 +637,25 @@ object Graph {
     * both stores through the staged-swap publisher (a crash never
     * loses the index; GraphSpec pins compact → rank ≡ pre-compact).
     *
-    * PRECONDITION: stop the ingest stream first. Compaction is
-    * read-then-swap; rows a concurrently running
+    * Concurrency is ENFORCED, not prose (the r11 gap): compaction is
+    * read-then-swap, and rows a concurrently running
     * [[graft.streaming.Streams.linkApproxIngestSink]] trigger appends
-    * between the read and the swap are lost in the rewrite — and for
-    * `adj/` that permanently diverges the ledger from the sigs log
-    * (edges whose sig minima survive but whose adjacency rows vanish
-    * are treated as already-settled forever unless replayed). Run it
-    * the way the reference runs J43's rebuild: in the maintenance
-    * window, between streams. */
+    * between the read and the swap would be lost in the rewrite —
+    * for `adj/` that would permanently diverge the ledger from the
+    * sigs log (edges whose sig minima survive but whose adjacency
+    * rows vanish are treated as already-settled forever). Both this
+    * compactor and the sink's trigger body therefore serialize
+    * through [[graft.meta.MaintenanceLock]] on `dir`: a trigger that
+    * fires mid-compaction blocks, then appends to the compacted
+    * stores — zero loss (StreamsSpec pins it). */
   def linkApproxCompactIndex(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): Unit = {
-    val sigs = spark.read.parquet(s"$dir/sigs")
-      .groupBy(col("a"), col("i")).agg(min(col("h")).as("h"))
-    graft.meta.StagedWrite.overwrite(sigs, s"$dir/sigs")
-    graft.sources.Sources.compact(spark, s"$dir/adj")
-  }
+                             dir: String): Unit =
+    graft.meta.MaintenanceLock.withLock(spark, dir) {
+      val sigs = spark.read.parquet(s"$dir/sigs")
+        .groupBy(col("a"), col("i")).agg(min(col("h")).as("h"))
+      graft.meta.StagedWrite.overwrite(sigs, s"$dir/sigs")
+      graft.sources.Sources.compact(spark, s"$dir/adj")
+    }
 
   /** [[linkPredictApprox]] served from the PERSISTED signature index
     * a [[graft.streaming.Streams.linkApproxIngestSink]] stream — or a

@@ -1607,7 +1607,14 @@ object Similarity {
     * [[pqQuantizationError]] over the appended rows is the audit
     * that decides when to rebuild. */
   def ivfPqAppendToIndex(spark: SparkSession, batch: DataFrame,
-                         m: Int, dim: Int, dir: String): Unit = {
+                         m: Int, dim: Int, dir: String): Unit =
+    graft.meta.MaintenanceLock.withLock(spark, dir) {
+      ivfPqAppendToIndexLocked(spark, batch, m, dim, dir)
+    }
+
+  private def ivfPqAppendToIndexLocked(spark: SparkSession,
+                                       batch: DataFrame, m: Int,
+                                       dim: Int, dir: String): Unit = {
     val subLen = dim / m
     require(m * subLen == dim, s"m=$m must divide dim=$dim")
     val cw = spark.read.parquet(s"$dir/codebooks")
@@ -1643,17 +1650,21 @@ object Similarity {
     * Publishes through StagedWrite, so a crash mid-compaction never
     * loses the codes table.
     *
-    * PRECONDITION: stop the ingest stream first. Compaction is
-    * read-then-swap; code rows a concurrently running
+    * Concurrency is ENFORCED, not prose (the r11 gap): compaction is
+    * read-then-swap, and code rows a concurrently running
     * [[graft.streaming.Streams.pqIngestSink]] trigger appends between
-    * the read and the swap are dropped by the rewrite — and since the
-    * trigger has already committed its checkpoint, the source never
-    * replays those vectors: they are silently missing from the index
-    * until re-fed. Run it the way the reference runs J43's rebuild:
-    * in the maintenance window, between streams. */
+    * the read and the swap would be dropped by the rewrite — silently,
+    * since the trigger has already committed its checkpoint and the
+    * source never replays those vectors. Both this compactor and
+    * [[ivfPqAppendToIndex]] therefore serialize through
+    * [[graft.meta.MaintenanceLock]] on `dir`: an append that fires
+    * mid-compaction blocks, then lands on the compacted table — zero
+    * loss (PersistedPqSpec pins it). */
   def ivfPqCompactIndex(spark: SparkSession, dir: String): Unit =
-    graft.sources.Sources.compact(spark, s"$dir/codes",
-      partitionCols = Seq("c_id"))
+    graft.meta.MaintenanceLock.withLock(spark, dir) {
+      graft.sources.Sources.compact(spark, s"$dir/codes",
+        partitionCols = Seq("c_id"))
+    }
 
   /** Codebook DRIFT audit — the number that decides when a persisted
     * PQ index must be REBUILT rather than appended to

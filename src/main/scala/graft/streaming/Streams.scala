@@ -747,17 +747,24 @@ object Streams {
         val badj = e.select(col("u").as("a"), col("v").as("n"))
           .unionByName(e.select(col("v").as("a"), col("u").as("n")))
           .dropDuplicates(Seq("a", "n"))
-        val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val newAdj = (if (fs.exists(
-            new org.apache.hadoop.fs.Path(s"$indexDir/adj")))
-          badj.join(spark.read.parquet(s"$indexDir/adj"),
-            Seq("a", "n"), "left_anti")
-        else badj).localCheckpoint()
-        if (!newAdj.isEmpty) {
-          graft.ext.Graph.neighborMinhash(newAdj, nHashes)
-            .write.mode("append").parquet(s"$indexDir/sigs")
-          newAdj.write.mode("append").parquet(s"$indexDir/adj")
+        // the whole ledger-read → append sequence serializes against
+        // linkApproxCompactIndex through the maintenance lock: a
+        // trigger that fires mid-compaction blocks, then anti-joins
+        // against the COMPACTED adj and appends to it — zero loss
+        // (the r11 prose precondition, now code; StreamsSpec pins it)
+        graft.meta.MaintenanceLock.withLock(spark, indexDir) {
+          val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val newAdj = (if (fs.exists(
+              new org.apache.hadoop.fs.Path(s"$indexDir/adj")))
+            badj.join(spark.read.parquet(s"$indexDir/adj"),
+              Seq("a", "n"), "left_anti")
+          else badj).localCheckpoint()
+          if (!newAdj.isEmpty) {
+            graft.ext.Graph.neighborMinhash(newAdj, nHashes)
+              .write.mode("append").parquet(s"$indexDir/sigs")
+            newAdj.write.mode("append").parquet(s"$indexDir/adj")
+          }
         }
       }
       .start()

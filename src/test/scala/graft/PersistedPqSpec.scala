@@ -221,6 +221,44 @@ class PersistedPqSpec extends SparkSpec {
       "search result drifted across compaction")
   }
 
+  test("append racing compaction loses ZERO rows (maintenance lock): " +
+      "appends block mid-compaction, land on the compacted table") {
+    val dir = freshDir()
+    val base = emb.filter(col("vec_id") < 300)
+    Similarity.ivfPqWriteIndex(base,
+      Similarity.pqSampleCodebooks(base, m, ksub, dim / m),
+      nCentroids, m, dim, dir)
+    // hammer the interleaving: one thread compacts repeatedly while
+    // the other appends disjoint batches — without the lock this
+    // drops whichever batch lands between a compaction's read and
+    // its staged swap
+    val batches = (0 until 4).map(i =>
+      emb.filter(col("vec_id") >= 300 + i * 75 &&
+        col("vec_id") < 300 + (i + 1) * 75).localCheckpoint())
+    @volatile var compactErr: Option[Throwable] = None
+    val compactor = new Thread(() => {
+      try (1 to 4).foreach { _ =>
+        Similarity.ivfPqCompactIndex(spark, dir)
+      } catch { case t: Throwable => compactErr = Some(t) }
+    })
+    compactor.start()
+    batches.foreach(b =>
+      Similarity.ivfPqAppendToIndex(spark, b, m, dim, dir))
+    compactor.join(300000)
+    assert(compactErr.isEmpty, s"compactor failed: $compactErr")
+    assert(!graft.meta.MaintenanceLock.isHeld(spark, dir))
+    // zero loss: every appended vector has exactly m code rows
+    val got = spark.read.parquet(s"$dir/codes")
+      .groupBy("cand_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantIds = emb.filter(col("vec_id") < 600)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == wantIds,
+      s"rows lost in the race: missing ${wantIds -- got.keySet}")
+    assert(got.values.forall(_ == m.toLong),
+      "duplicated or partial code rows after the race")
+  }
+
   test("reuse is gated by the completion marker; rebuild heals") {
     val dir = freshDir()
     assert(!Similarity.ivfPqIndexExists(spark, dir))

@@ -340,6 +340,49 @@ class StreamsSpec extends SparkSpec {
     assert(gotC == want, "ranking drifted across compaction")
   }
 
+  test("linkApproxIngestSink: a trigger firing mid-compaction BLOCKS " +
+      "on the maintenance lock and appends after the swap — zero loss") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import graft.ext.Graph
+    import graft.meta.MaintenanceLock
+    val edgesDir = tmp("link-edges-race")
+    val indexDir = tmp("link-index-race") + "/ix"
+    val edges = Graph.coEdges(spark.read.parquet(s"$sf/lineitem.parquet"),
+      col("l_orderkey"), col("l_partkey")).localCheckpoint()
+    val first = edges.filter(col("u") % 2 === 0).localCheckpoint()
+    val second = edges.filter(col("u") % 2 === 1).localCheckpoint()
+    first.coalesce(1).write.mode("append").parquet(edgesDir)
+    val schema = StructType(Seq(StructField("u", LongType),
+      StructField("v", LongType)))
+    def sink(ckpt: String) = Streams.linkApproxIngestSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(edgesDir),
+      indexDir, ckpt)
+    // seed the index with the first slice
+    val q0 = sink(tmp("link-race-chk"))
+    try q0.processAllAvailable() finally q0.stop()
+    val adjBefore = spark.read.parquet(s"$indexDir/adj").count()
+    // a "compaction" now holds the lock; the second slice arrives
+    assert(MaintenanceLock.tryAcquire(spark, indexDir))
+    second.coalesce(1).write.mode("append").parquet(edgesDir)
+    val q1 = sink(tmp("link-race-chk2"))
+    try {
+      Thread.sleep(2000)
+      assert(spark.read.parquet(s"$indexDir/adj").count() == adjBefore,
+        "the trigger appended WHILE the compaction lock was held")
+      // the swap completes; the blocked trigger must then land whole
+      MaintenanceLock.release(spark, indexDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val got = Graph.linkPredictApproxFromIndex(spark, indexDir, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Graph.linkPredictApprox(edges, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty)
+    assert(got == want,
+      "post-race index drifted from the batch ranker — rows lost")
+  }
+
   test("nearDupIngestSink dedups same-batch redelivered ids") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docsDir = tmp("docs-stream-dup")
