@@ -154,21 +154,40 @@ object Queries {
       // a SUCCESSFUL publish sweeps stale sibling builds of the same
       // fixture path (older fingerprints): each fixture regeneration
       // mints a new key, and without the sweep every old full index
-      // copy would sit in tmpdir forever. Single-process posture: a
-      // concurrent session still resolving the OLD fingerprint can
-      // lose its index mid-read (it rebuilds; correctness is gated by
-      // the completion marker) — age-gate the sweep before sharing a
-      // tmpdir across live sessions.
-      val base = dest.getFileName.toString
-      Option(dest.getParent.toFile.listFiles()).toSeq.flatten
-        .filter(f => isStaleSibling(base, f.getName))
-        .foreach(f => deleteDir(s, f.getPath))
+      // copy would sit in tmpdir forever. AGE-GATED (the r11 caveat,
+      // now code): only siblings idle past SweepAgeMs are deleted, so
+      // a concurrent session still resolving the OLD fingerprint
+      // finishes its read — a just-published sibling survives every
+      // sweep until no live search can plausibly still hold it
+      // (correctness never depended on this — a swept reader rebuilds
+      // behind the completion marker — the gate removes the wasted
+      // rebuild).
+      sweepStaleSiblings(s, dest)
     } catch {
       case e: Throwable =>
         // a failed build must not leak a partial index copy in /tmp
         deleteDir(s, tmp.toString)
         throw e
     }
+  }
+
+  /** Grace period before a stale-fingerprint sibling is swept: a
+    * concurrent session that resolved the OLD fingerprint gets this
+    * long to finish its searches (10 min ≫ any single search leg;
+    * overridable for tests / aggressive CI tmpdirs). */
+  private[graft] val SweepAgeMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SWEEP_AGE_MS", "600000").toLong
+
+  /** Delete stale-fingerprint siblings of the just-published `dest`
+    * that have been idle past [[SweepAgeMs]]. */
+  private[graft] def sweepStaleSiblings(s: SparkSession,
+                                        dest: java.nio.file.Path): Unit = {
+    val base = dest.getFileName.toString
+    val cutoff = System.currentTimeMillis - SweepAgeMs
+    Option(dest.getParent.toFile.listFiles()).toSeq.flatten
+      .filter(f => isStaleSibling(base, f.getName) &&
+        f.lastModified < cutoff)
+      .foreach(f => deleteDir(s, f.getPath))
   }
 
   /** True iff sibling `name` is a STALE build of the same fixture as

@@ -294,4 +294,24 @@ class PersistedPqSpec extends SparkSpec {
     // claim the shorter canon's index either
     assert(!Queries.isStaleSibling("_data_sf0.1-old-77aa", base))
   }
+
+  test("sweep is AGE-GATED: a just-published old-fingerprint sibling " +
+      "survives (a concurrent session may still be reading it); an " +
+      "idle one is swept") {
+    val parent = java.nio.file.Files
+      .createTempDirectory("sweep-age-spec")
+    val dest = parent.resolve("_data_sf0.1-aaaaaa")
+    val fresh = parent.resolve("_data_sf0.1-bbbbbb")
+    val idle = parent.resolve("_data_sf0.1-cccccc")
+    Seq(dest, fresh, idle).foreach(java.nio.file.Files.createDirectory(_))
+    assert(idle.toFile.setLastModified(
+      System.currentTimeMillis - Queries.SweepAgeMs - 60000))
+    Queries.sweepStaleSiblings(spark, dest)
+    assert(dest.toFile.exists, "the published dir itself was swept")
+    assert(fresh.toFile.exists,
+      "a sibling younger than the grace period was swept — a " +
+        "concurrent session on the old fingerprint loses its read")
+    assert(!idle.toFile.exists,
+      "an idle stale sibling survived — tmpdir leaks forever")
+  }
 }
