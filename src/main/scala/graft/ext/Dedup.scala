@@ -33,6 +33,36 @@ object Dedup {
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
       keys: _*)
 
+  /** [[spread]] + pin + the §43/§47 DISCIPLINE ASSERTION, for the
+    * iterating families' round inputs (textrank, hits, bfs, sssp,
+    * lpa, kcore, walks): these relations are byte-light but CPU-heavy
+    * per round, and AQE's byte-proportional sizing coalesces them to
+    * ONE task — serializing every round's expansion join (999 idle
+    * executors on a 1000-executor cluster). The explicit
+    * repartition-by-num is AQE-exempt, so the checkpoint must land
+    * with the full shuffle width at ANY data size; the assertion is
+    * the regression tripwire that fires if a future edit, a spread
+    * rewrite, or a Spark-upgrade AQE change silently collapses it
+    * (SpreadDisciplineSpec drives the whole registry through it). */
+  private[graft] def spreadPinned(df: DataFrame, tag: String,
+                                  keys: Column*): DataFrame =
+    assertSpread(Pin.pin(spread(df, keys: _*)), tag)
+
+  /** The discipline check alone: a round-checkpoint relation in an
+    * iterating family must carry more than one partition whenever
+    * the session is parallel at all. */
+  private[graft] def assertSpread(pinned: DataFrame,
+                                  tag: String): DataFrame = {
+    val want =
+      pinned.sparkSession.sessionState.conf.numShufflePartitions
+    val got = pinned.rdd.getNumPartitions
+    require(want <= 1 || got > 1,
+      s"[$tag] iterating-round input landed on $got partition(s) " +
+        s"with numShufflePartitions=$want — the AQE single-task trap " +
+        "(SCALE.md §43/§47); a spread was dropped or rewritten")
+    pinned
+  }
+
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
 

@@ -930,17 +930,17 @@ object Graph {
         col("n_nodes").cast("long").as("n_nodes"),
         col("n_edges").cast("long").as("n_edges"))
     }
-    var e = Pin.pin(edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")))
+    var e = Dedup.spreadPinned(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")), "kcore.edges", col("u"))
     var out = census(0, e)
     for (r <- 1 to rounds) {
       val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      e = Pin.pin(e
+      e = Dedup.spreadPinned(e
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")))
+        .select(col("u"), col("v")), "kcore.round", col("u"))
       out = out.unionAll(census(r, e))
     }
     out.orderBy("round")
@@ -1241,11 +1241,11 @@ object Bfs {
     // (AQE would coalesce a small agg to one partition and serialize
     // every level's expansion join)
     val e = Pin.pin(edges)
-    val adj = Dedup.spread(e
+    val adj = Dedup.spreadPinned(e
       .select(col("u").cast("long").as("x"), col("v").cast("long").as("y"))
       .unionByName(e.select(col("v").cast("long").as("x"),
         col("u").cast("long").as("y")))
-      .distinct(), col("x")).localCheckpoint()
+      .distinct(), "bfs.adj", col("x"))
     var visited = adj.select(col("x")).distinct()
       .filter(col("x") < seedMax)
       .select(col("x").as("seed"), col("x").as("node_id"),
@@ -1367,12 +1367,12 @@ object Sssp {
   def sssp(edges: DataFrame, seedMax: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = Pin.pin(edges)
-    val adj = Dedup.spread(e.select(col("u").cast("long").as("x"),
+    val adj = Dedup.spreadPinned(e.select(col("u").cast("long").as("x"),
         col("v").cast("long").as("y"),
         expr("1000000 DIV w").as("len"))
       .unionByName(e.select(col("v").cast("long").as("x"),
         col("u").cast("long").as("y"), expr("1000000 DIV w").as("len"))),
-      col("x")).localCheckpoint()
+      "sssp.adj", col("x"))
     var dist = adj.select(col("x")).distinct()
       .filter(col("x") < seedMax)
       .select(col("x").as("seed"), col("x").as("node_id"),

@@ -49,8 +49,8 @@ object Hits {
     * max-score = 1e6 within each kind. */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = Dedup.spread(edges.select(col("c").cast("long").as("c"),
-      col("s").cast("long").as("s")), col("c")).localCheckpoint()
+    val e = Dedup.spreadPinned(edges.select(col("c").cast("long").as("c"),
+      col("s").cast("long").as("s")), "hits.edges", col("c"))
     var h = e.select(col("c")).distinct()
       .withColumn("h", lit(Scale)).localCheckpoint()
     var a: DataFrame = null

@@ -920,11 +920,10 @@ object TextAnalysis {
       .join(broadcast(dict.select(col("word").as("v"),
         col("nid").as("vn"))), Seq("v"))
       .select(col("un"), col("vn"), col("w"))
-    val adj = graft.ext.Dedup.spread(pairsN
+    val adj = graft.ext.Dedup.spreadPinned(pairsN
       .select(col("un").as("src"), col("vn").as("dst"), col("w"))
       .unionByName(pairsN.select(col("vn").as("src"),
-        col("un").as("dst"), col("w"))), col("src"))
-      .localCheckpoint()
+        col("un").as("dst"), col("w"))), "textrank.adj", col("src"))
     val wsum = adj.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     var ranks = wsum
       .crossJoin(broadcast(wsum.agg(count(lit(1)).as("__n"))))
