@@ -937,10 +937,17 @@ object Graph {
       val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      e = Dedup.spreadPinned(e
+      // per-round relation stays Pin-only BY MEASUREMENT: kcore's
+      // round work is byte-proportional (two semi joins + counts —
+      // no CPU-dense kernel), so AQE's byte sizing is the right
+      // width and a forced per-round spread measured 1.9s vs 1.7s
+      // at sf0.1 (pure added exchange). The spread discipline is for
+      // byte-LIGHT/CPU-HEAVY round inputs; the one-time input above
+      // carries the tripwire for this family.
+      e = Pin.pin(e
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")), "kcore.round", col("u"))
+        .select(col("u"), col("v")))
       out = out.unionAll(census(r, e))
     }
     out.orderBy("round")
