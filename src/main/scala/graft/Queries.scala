@@ -2195,6 +2195,16 @@ object Queries {
           col("embedding"), dim = 64, iters = 8).orderBy("vec_id"),
       Some(ext.Pca.enrichOracleSql(dim = 64, iters = 8))),
 
+    // Per-label enriched table: each vector's coordinates along ITS
+    // label's top-2 principal directions + within-label Mahalanobis
+    // -- the domain-stratified completion of embedding_enrich
+    ("embedding_enrich_by_label",
+      (s: SparkSession, d: String) =>
+        ext.Pca.enrichByLabel(t(s, d, "embeddings"), col("label"),
+          col("vec_id"), col("embedding"), dim = 64, iters = 8)
+          .orderBy("label", "vec_id"),
+      Some(ext.Pca.enrichByLabelOracleSql(dim = 64, iters = 8))),
+
     // Diagonal-Mahalanobis outlier scan: top-20 vectors farthest from
     // the corpus distribution -- one zip-fold projection, no pairs
     ("embedding_outliers",
@@ -2237,6 +2247,34 @@ object Queries {
         ext.RetrievalEval.labelMrr(t(s, d, "embeddings"), qMax = 50L)
           .orderBy("query_id"),
       Some(ext.RetrievalEval.labelMrrOracleSql(dim = 64, qMax = 50L))),
+
+    // Recall@k: of each query-label's relatives, how many the exact
+    // ranking puts in the top 10 -- integer ppm, uncapped denominator
+    ("retrieval_recall_at_k",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.labelRecallAtK(t(s, d, "embeddings"),
+          qMax = 50L, k = 10).orderBy("query_id"),
+      Some(ext.RetrievalEval.labelRecallAtKOracleSql(dim = 64,
+        qMax = 50L, k = 10))),
+
+    // nDCG@10 with binary label relevance: discount weights are
+    // driver-computed 1e6 literals shared by BOTH engines, so the
+    // logarithm never runs in either engine
+    ("retrieval_ndcg",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.labelNdcgAtK(t(s, d, "embeddings"),
+          qMax = 50L, k = 10).orderBy("query_id"),
+      Some(ext.RetrievalEval.labelNdcgAtKOracleSql(dim = 64,
+        qMax = 50L, k = 10))),
+
+    // Average precision @10 per query: truncating-DIV precision at
+    // each relevant hit, averaged over the achievable hit count
+    ("retrieval_ap",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.labelApAtK(t(s, d, "embeddings"),
+          qMax = 50L, k = 10).orderBy("query_id"),
+      Some(ext.RetrievalEval.labelApAtKOracleSql(dim = 64,
+        qMax = 50L, k = 10))),
 
     // Per-dimension embedding moments: dead-dim / runaway-dim audit,
     // exact integers after 1e4 quantization, |dims| output rows
@@ -3713,6 +3751,17 @@ object Queries {
           rounds = 3)
           .orderBy("seed", "node_id"),
       Some(ext.Sssp.ssspOracleSql(seedMax = 5L, rounds = 3))),
+
+    // Personalized PageRank from a bounded seed set: the surfer
+    // restarts AT the seeds, so scores read "pulled toward the seed
+    // set" -- seed-list expansion / contamination-spread tracing
+    ("graph_ppr",
+      (s: SparkSession, d: String) =>
+        ext.Ppr.ppr(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), seedMax = 5L,
+          iters = 3)
+          .orderBy("node_id"),
+      Some(ext.Ppr.pprOracleSql(seedMax = 5L, iters = 3))),
 
     // Bounded-horizon closeness: reach count + mean weighted distance
     // per seed -- one keyed aggregate over the sssp state

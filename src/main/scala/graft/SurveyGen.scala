@@ -72,7 +72,8 @@ object SurveyGen {
           "vocab_growth"))
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand",
-        "retrieval_mrr"))
+        "retrieval_mrr", "retrieval_recall_at_k", "retrieval_ndcg",
+        "retrieval_ap"))
       "retrieval"
     else if (pre("bt_")) "preference ranking (Bradley–Terry)"
     else if (pre("graph_") || pre("community_") || pre("walk_") ||

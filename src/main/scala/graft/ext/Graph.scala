@@ -1480,3 +1480,130 @@ object Sssp {
     |GROUP BY seed ORDER BY seed
     |""".stripMargin.trim
 }
+
+/** Personalized PageRank over the item co-occurrence graph (Page et
+  * al. 1999; the seed-restricted teleport form of Jeh & Widom,
+  * "Scaling Personalized Web Search", WWW 2003 — public).
+  *
+  * Where [[graft.ext.Dedup.pairPageRank]] answers "which nodes are
+  * globally central", PPR answers the RECOMMENDATION question: given
+  * a seed set (a user's purchase history, a query's known-relevant
+  * documents, a contaminated-document cluster), which nodes does the
+  * graph pull toward THAT set — the random surfer restarts at a seed
+  * instead of anywhere. A training pipeline uses it to expand a
+  * curated seed list through the near-dup/co-occurrence graph
+  * (find-more-like-these) and, inverted, to trace contamination
+  * spread from known-bad documents.
+  *
+  * Arithmetic is the [[graft.ext.Dedup.pairPageRank]] discipline
+  * verbatim: 1e12 fixed point, per round one equi-join on the
+  * symmetrized edge relation + one keyed agg, damping split as
+  * `(15·tele) DIV 100 + (85·in) DIV 100` with truncating DIV (all
+  * values non-negative → truncation direction engine-identical).
+  * The ONLY delta from the global form: the teleport vector is
+  * `Scale DIV n_seeds` on seeds and ZERO elsewhere (n_seeds rides
+  * along as a 1-row broadcast — the C8 scalar-injection pattern),
+  * and ranks initialize AT the teleport vector so round 1 already
+  * reads as one surfer step from the seeds.
+  *
+  * Scale shape: adjacency spread+pinned once
+  * ([[graft.ext.Dedup.spreadPinned]] — the §43/§47 iterating-family
+  * discipline), per round one shuffle keyed on the edge source + one
+  * keyed agg; score state is |V| rows, localCheckpoint'd per round
+  * (bounded plan depth). Mass leaks only by DIV truncation (no
+  * dangling nodes exist: every node enters via an edge, so deg ≥ 1
+  * everywhere) — ranks are a RANKING, not a probability, same
+  * contract as the global form. */
+object Ppr {
+
+  val Scale = 1000000000000L
+
+  /** `iters` PPR rounds over undirected `(u, v)` edges with seeds
+    * `node_id < seedMax`. Output one row per node:
+    * `(node_id, deg, is_seed, ppr_fp)`. */
+  def ppr(edges: DataFrame, seedMax: Long, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("u").cast("long").as("src"),
+        col("v").cast("long").as("dst"))
+      .unionByName(edges.select(col("v").cast("long").as("src"),
+        col("u").cast("long").as("dst")))
+    val adj = Dedup.spreadPinned(e, "ppr.adj", col("src"))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ns = deg.filter(col("src") < seedMax)
+      .agg(count(lit(1)).as("__ns"))
+    val nodes = deg.select(col("src").as("node_id"), col("deg"))
+      .crossJoin(broadcast(ns))
+      .withColumn("is_seed",
+        when(col("node_id") < seedMax, 1L).otherwise(0L))
+      .withColumn("tele_fp",
+        expr(s"CASE WHEN is_seed = 1 THEN $Scale DIV __ns " +
+          "ELSE 0L END"))
+      .drop("__ns")
+    var ranks = nodes.withColumn("pr_fp", col("tele_fp"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = adj
+        .join(ranks.select(col("node_id").as("src"),
+          expr("pr_fp DIV deg").as("__c")), "src")
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
+      ranks = ranks.drop("pr_fp")
+        .join(contrib.withColumnRenamed("dst", "node_id"),
+          Seq("node_id"), "left")
+        .withColumn("pr_fp", expr(
+          "(15 * tele_fp) DIV 100 + (85 * coalesce(__in, 0L)) DIV 100"))
+        .drop("__in")
+        .localCheckpoint()
+    }
+    ranks.select(col("node_id"), col("deg"), col("is_seed"),
+      col("pr_fp").as("ppr_fp"))
+  }
+
+  /** DuckDB twin of [[ppr]] over the part co-order graph (same
+    * `g/ok` guard chain as [[Sssp.ssspOracleSql]], unweighted
+    * edges); the fixed iteration count unrolls into one CTE per
+    * round. */
+  def pprOracleSql(seedMax: Long, iters: Int): String = {
+    val tele = s"CASE WHEN d.node_id < $seedMax " +
+      s"THEN $Scale // (SELECT n FROM ns) ELSE 0 END"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "p0" else s"it${i - 1}"
+      s"""it$i AS MATERIALIZED (
+         |  SELECT d.node_id, d.deg,
+         |    (15 * ($tele)) // 100 +
+         |      (85 * coalesce(s.insum, 0)) // 100 AS pr_fp
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst, sum(p.pr_fp // p.deg) AS insum
+         |    FROM edges e JOIN $prev p ON p.node_id = e.src
+         |    GROUP BY e.dst) s ON s.dst = d.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    |WITH g AS MATERIALIZED (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |ok AS MATERIALIZED (
+    |  SELECT o FROM g GROUP BY o
+    |  HAVING count(*) <= ${Graph.DefaultMaxGroupSize}),
+    |e0 AS MATERIALIZED (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
+    |edges AS MATERIALIZED (
+    |  SELECT u AS src, v AS dst FROM e0
+    |  UNION ALL SELECT v, u FROM e0),
+    |deg AS MATERIALIZED (
+    |  SELECT src AS node_id, count(*) AS deg FROM edges GROUP BY src),
+    |ns AS (SELECT count(*) AS n FROM deg WHERE node_id < $seedMax),
+    |p0 AS MATERIALIZED (
+    |  SELECT node_id, deg,
+    |    CASE WHEN node_id < $seedMax
+    |         THEN $Scale // (SELECT n FROM ns) ELSE 0 END AS pr_fp
+    |  FROM deg),
+    |$iterCtes
+    |SELECT node_id, CAST(deg AS BIGINT) AS deg,
+    |  CAST(CASE WHEN node_id < $seedMax THEN 1 ELSE 0 END AS BIGINT)
+    |    AS is_seed,
+    |  CAST(pr_fp AS BIGINT) AS ppr_fp
+    |FROM it$iters ORDER BY node_id
+    |""".stripMargin.trim
+  }
+}

@@ -359,6 +359,166 @@ object Pca {
         col("maha_fp"))
   }
 
+  /** Per-label single-pass enriched table — [[enrich]] scored within
+    * each label's OWN distribution: per vector, the projections onto
+    * ITS label's top-2 principal directions plus the diagonal
+    * Mahalanobis against its label's mean/variance. The mixture-
+    * corpus completion of [[outliersByLabel]]: where the global
+    * enrich's coordinates answer "where does this row sit in the
+    * corpus", the per-label form answers "where does it sit among
+    * its peers" — the axes a domain-stratified curriculum or a
+    * per-domain dedup pass actually buckets on (a minority domain's
+    * internal structure is invisible in global coordinates when the
+    * between-domain direction dominates).
+    *
+    * Derivation: grouped moments ([[momentsBy]] — still ONE corpus
+    * pass), then per label the SAME driver math as the global form —
+    * cs matrix, [[iterate]] ×2, [[meanVar]] — all BigInt-exact,
+    * |labels|·d(d+3)/2 collected cells (codebook class by the
+    * bounded-label contract). Per-label eigenvectors and mean/var
+    * broadcast as |labels| rows of d-long arrays; the corpus map is
+    * two [[LongVecDot]] column dots plus the [[mahaCols]] zip-fold
+    * after one broadcast join — no shuffle, no second scan. */
+  def enrichByLabel(emb: DataFrame, group: Column, id: Column,
+                    vec: Column, dim: Int, iters: Int): DataFrame = {
+    val sess = emb.sparkSession
+    import sess.implicits._
+    val mom = momentsBy(emb, group.cast("long"), id, vec, dim)
+      .localCheckpoint()
+    val rows = mom.select("i", "j", "s", "cnt", "grp").collect()
+    require(rows.nonEmpty, "enrichByLabel: empty corpus")
+    val stats = rows.groupBy(_.getLong(4)).toSeq.map { case (g, rs) =>
+      val n = rs.find(r => r.getLong(0) == 1L && r.getLong(1) == 0L)
+        .map(_.getLong(3)).getOrElse(0L)
+      require(n > 0, s"enrichByLabel: empty group $g")
+      val s1 = rs.filter(_.getLong(1) == 0L)
+        .map(r => r.getLong(0).toInt ->
+          BigInt(r.getDecimal(2).toBigInteger)).toMap
+      val m = Array.ofDim[Long](dim + 1, dim + 1)
+      rs.filter(_.getLong(1) >= 1L).foreach { r =>
+        val i = r.getLong(0).toInt
+        val j = r.getLong(1).toInt
+        val sij = BigInt(r.getDecimal(2).toBigInteger)
+        val cs = ((n * sij - s1(i) * s1(j)) / (BigInt(n) * n) /
+          CsDown).toLong
+        m(i)(j) = cs
+        m(j)(i) = cs
+      }
+      val v1 = iterate(m, dim, iters, None)
+      val v2 = iterate(m, dim, iters, Some(v1))
+      val (meanArr, varArr) = meanVar(rs, dim, n)
+      (g, v1.toSeq, v2.toSeq, meanArr, varArr)
+    }
+    val statsDf = stats.toDF("grp", "v1_q", "v2_q", "mean_q", "var_q")
+    emb.select(group.cast("long").as("grp"), id.as("vec_id"),
+        qv(vec).as("qv"))
+      .join(broadcast(statsDf), Seq("grp"))
+      .withColumn("__d1",
+        LongVecDot.dotColumn(col("qv"), col("v1_q")))
+      .withColumn("__d2",
+        LongVecDot.dotColumn(col("qv"), col("v2_q")))
+      .select(col("grp").as("label"), col("vec_id"),
+        expr(s"CAST(__d1 DIV $QScale AS BIGINT)").as("score1_fp"),
+        expr(s"CAST(__d2 DIV $QScale AS BIGINT)").as("score2_fp"),
+        mahaCols(col("qv"), col("mean_q"), col("var_q")).as("maha_fp"))
+  }
+
+  /** DuckDB twin of [[enrichByLabel]]: the whole cov → power →
+    * orthogonal-power → mean/var chain with `grp` threaded through
+    * every CTE key (the grouped mirror of [[covCtes]] /
+    * [[powerCtes]] / [[power2Ctes]], unrolled per round). */
+  def enrichByLabelOracleSql(dim: Int, iters: Int): String = {
+    val v1 = s"vg$iters"
+    val powerRounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "vg0" else s"vg${k - 1}"
+      s"""wg$k AS MATERIALIZED (
+         |  SELECT m.grp, m.i, sum(m.cs * p.v) AS w
+         |  FROM cmatg m JOIN $prev p ON p.grp = m.grp AND p.i = m.j
+         |  GROUP BY m.grp, m.i),
+         |mg$k AS MATERIALIZED (
+         |  SELECT grp, max(abs(w)) AS mx FROM wg$k GROUP BY grp),
+         |vg$k AS MATERIALIZED (
+         |  SELECT w.grp, w.i,
+         |    CASE WHEN m.mx = 0 THEN CAST($VScale AS HUGEINT)
+         |         ELSE (w.w * $VScale) // m.mx END AS v
+         |  FROM wg$k w JOIN mg$k m ON m.grp = w.grp)""".stripMargin
+    }.mkString(",\n")
+    val orthoRounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "vg0" else s"ug${k - 1}"
+      s"""uwg$k AS MATERIALIZED (
+         |  SELECT m.grp, m.i, sum(m.cs * p.v) AS w
+         |  FROM cmatg m JOIN $prev p ON p.grp = m.grp AND p.i = m.j
+         |  GROUP BY m.grp, m.i),
+         |upg$k AS MATERIALIZED (
+         |  SELECT w.grp, sum(w.w * a.v) AS pr
+         |  FROM uwg$k w JOIN $v1 a ON a.grp = w.grp AND a.i = w.i
+         |  GROUP BY w.grp),
+         |uog$k AS MATERIALIZED (
+         |  SELECT w.grp, w.i,
+         |    w.w - (up.pr // vv.vv) * a.v AS w
+         |  FROM uwg$k w
+         |  JOIN $v1 a ON a.grp = w.grp AND a.i = w.i
+         |  JOIN upg$k up ON up.grp = w.grp
+         |  JOIN vvg vv ON vv.grp = w.grp),
+         |umg$k AS MATERIALIZED (
+         |  SELECT grp, max(abs(w)) AS mx FROM uog$k GROUP BY grp),
+         |ug$k AS MATERIALIZED (
+         |  SELECT w.grp, w.i,
+         |    CASE WHEN m.mx = 0 THEN CAST($VScale AS HUGEINT)
+         |         ELSE (w.w * $VScale) // m.mx END AS v
+         |  FROM uog$k w JOIN umg$k m ON m.grp = w.grp)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    |WITH xq AS MATERIALIZED (
+    |  SELECT CAST(label AS BIGINT) AS grp, vec_id, CAST(i AS BIGINT) AS i,
+    |    CAST(round(CAST(embedding[i] AS DOUBLE) * $QScale) AS HUGEINT) AS q
+    |  FROM embeddings, range(1, ${dim + 1}) t(i)),
+    |nng AS (SELECT grp, CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+    |        FROM xq GROUP BY grp),
+    |s1g AS (SELECT grp, i, sum(q) AS s1 FROM xq GROUP BY grp, i),
+    |s2g AS (SELECT a.grp, a.i AS i, b.i AS j, sum(a.q * b.q) AS s2
+    |        FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
+    |        GROUP BY a.grp, a.i, b.i),
+    |covg AS MATERIALIZED (
+    |  SELECT s2g.grp, s2g.i, s2g.j,
+    |    (nng.n * s2g.s2 - sa.s1 * sb.s1) // (nng.n * nng.n) AS cov_fp
+    |  FROM s2g
+    |  JOIN nng ON nng.grp = s2g.grp
+    |  JOIN s1g sa ON sa.grp = s2g.grp AND sa.i = s2g.i
+    |  JOIN s1g sb ON sb.grp = s2g.grp AND sb.i = s2g.j),
+    |cmatg AS MATERIALIZED (
+    |  SELECT grp, i, j, cov_fp // $CsDown AS cs FROM covg
+    |  UNION ALL
+    |  SELECT grp, j, i, cov_fp // $CsDown FROM covg WHERE i < j),
+    |vg0 AS (
+    |  SELECT g.grp, CAST(t.i AS BIGINT) AS i,
+    |    CAST($VScale + t.i * 17 AS HUGEINT) AS v
+    |  FROM (SELECT DISTINCT grp FROM xq) g, range(1, ${dim + 1}) t(i)),
+    |$powerRounds,
+    |vvg AS MATERIALIZED (
+    |  SELECT grp, sum(v * v) AS vv FROM $v1 GROUP BY grp),
+    |$orthoRounds,
+    |mvg AS MATERIALIZED (
+    |  SELECT sm.grp, sm.i, sm.s1 // nng.n AS m,
+    |    greatest(((nng.n * sq.s2 - sm.s1 * sm.s1) // (nng.n * nng.n))
+    |      // $QScale, 1) AS v
+    |  FROM s1g sm
+    |  JOIN (SELECT grp, i, sum(q * q) AS s2 FROM xq GROUP BY grp, i) sq
+    |    ON sq.grp = sm.grp AND sq.i = sm.i
+    |  JOIN nng ON nng.grp = sm.grp)
+    |SELECT x.grp AS label, x.vec_id,
+    |  CAST(sum(x.q * a.v) // $QScale AS BIGINT) AS score1_fp,
+    |  CAST(sum(x.q * b.v) // $QScale AS BIGINT) AS score2_fp,
+    |  CAST(sum(((x.q - mv.m) * (x.q - mv.m)) // mv.v) AS BIGINT)
+    |    AS maha_fp
+    |FROM xq x
+    |JOIN vg$iters a ON a.grp = x.grp AND a.i = x.i
+    |JOIN ug$iters b ON b.grp = x.grp AND b.i = x.i
+    |JOIN mvg mv ON mv.grp = x.grp AND mv.i = x.i
+    |GROUP BY x.grp, x.vec_id ORDER BY label, vec_id
+    |""".stripMargin.trim
+  }
+
   /** Histogram of the PC1 coordinates — the BIMODALITY audit: a
     * corpus that is secretly a mixture (two encoders, two domains,
     * a contaminated slice) shows two humps along its dominant

@@ -190,6 +190,189 @@ object RetrievalEval {
     |""".stripMargin.trim
   }
 
+  /** Shared ranked-top-k front of the @k metric family: exact-cosine
+    * rank over the corpus for each query (the [[labelMrr]] scan
+    * shape), truncated to the first `k` candidates, with the query's
+    * label-population size joined on (broadcast — |labels| rows).
+    * Queries whose label has no other member are excluded here ONCE
+    * (no relevant document exists, so recall/nDCG/AP denominators
+    * are all undefined); every derived metric inherits the rule. */
+  private def rankedTopK(emb: DataFrame, qMax: Long,
+                         k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val nrel = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("__ln"))
+      .select(col("label").as("q_label"),
+        (col("__ln") - 1).as("n_rel"))
+    Similarity.scoredPairs(emb, emb.filter(col("vec_id") < qMax),
+        qCarry = Seq("label"), cCarry = Seq("label"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("rel",
+        when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+      .join(broadcast(nrel), Seq("q_label"))
+      .filter(col("n_rel") > 0)
+  }
+
+  /** Recall@k per query, integer ppm: of the `n_rel` corpus vectors
+    * sharing the query's label, how many land in the exact-cosine
+    * top `k` — `(query_id, label, n_rel, hits_at_k, recall_ppm)` with
+    * `recall_ppm = hits·1e6 DIV n_rel` (the standard uncapped
+    * denominator; a label bigger than k caps the achievable score at
+    * k/n_rel by construction, which is the honest number — nDCG@k is
+    * the capped companion). Every query keeps its row (zero hits →
+    * zero recall), unlike MRR where no-hit rows cannot exist. */
+  def labelRecallAtK(emb: DataFrame, qMax: Long, k: Int): DataFrame =
+    rankedTopK(emb, qMax, k)
+      .groupBy(col("query_id"), col("q_label"), col("n_rel"))
+      .agg(sum(col("rel")).as("hits_at_k"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("n_rel"), col("hits_at_k"),
+        expr(s"(hits_at_k * 1000000) DIV n_rel").as("recall_ppm"))
+
+  /** Binary-relevance discounted-gain weights at 1e6 fixed point:
+    * `w(i) = round(1e6 / log2(i+1))`. Computed ONCE in Scala and
+    * inlined as integer literals into BOTH engines' expressions, so
+    * no transcendental is ever evaluated by either engine — the
+    * cross-engine exactness discipline for a formula that is
+    * irreducibly logarithmic. */
+  private def dcgWeights(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** nDCG@k per query with binary relevance (same label = gain 1),
+    * all-integer: `dcg_ppm` sums the literal discount weights at the
+    * relevant hits' ranks, `idcg_ppm` is the weight prefix-sum at
+    * `min(n_rel, k)` (the ideal ranking puts all relevant first),
+    * `ndcg_ppm = dcg·1e6 DIV idcg`. Output
+    * `(query_id, label, n_rel, dcg_ppm, idcg_ppm, ndcg_ppm)`. */
+  def labelNdcgAtK(emb: DataFrame, qMax: Long, k: Int): DataFrame = {
+    val w = dcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to k).map(i =>
+      s"WHEN rank = $i THEN ${w(i - 1)}L").mkString(" ")
+    val pCase = (1 to k).map(i =>
+      s"WHEN least(n_rel, ${k}L) = $i THEN ${prefix(i - 1)}L")
+      .mkString(" ")
+    rankedTopK(emb, qMax, k)
+      .withColumn("__g",
+        expr(s"CASE WHEN rel = 1 THEN (CASE $wCase END) ELSE 0L END"))
+      .groupBy(col("query_id"), col("q_label"), col("n_rel"))
+      .agg(sum(col("__g")).as("dcg_ppm"))
+      .withColumn("idcg_ppm", expr(s"CASE $pCase END"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("n_rel"), col("dcg_ppm"), col("idcg_ppm"),
+        expr("(dcg_ppm * 1000000) DIV idcg_ppm").as("ndcg_ppm"))
+  }
+
+  /** Average precision @k per query, integer ppm: at each relevant
+    * hit's rank r, precision@r = (relevant seen so far)·1e6 DIV r;
+    * `ap_ppm` averages those over `min(n_rel, k)` (the best
+    * achievable hit count within the cutoff). Truncating DIV at both
+    * levels — per-term and the final mean — is applied identically
+    * by both engines, so the metric is engine-exact. Zero-hit
+    * queries keep their row with `ap_ppm = 0`. */
+  def labelApAtK(emb: DataFrame, qMax: Long, k: Int): DataFrame = {
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    rankedTopK(emb, qMax, k)
+      .withColumn("__cum", sum(col("rel")).over(wc))
+      .withColumn("__term",
+        expr("CASE WHEN rel = 1 THEN (__cum * 1000000) DIV rank " +
+          "ELSE 0L END"))
+      .groupBy(col("query_id"), col("q_label"), col("n_rel"))
+      .agg(sum(col("__term")).as("__s"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("n_rel"),
+        expr(s"__s DIV least(n_rel, ${k}L)").as("ap_ppm"))
+  }
+
+  /** Shared oracle CTE chain for the @k family: scored + ranked
+    * (exactly [[labelMrrOracleSql]]'s front), top-k truncation, and
+    * the label-population join with the no-relative exclusion. */
+  private def topkCtes(dim: Int, qMax: Long, k: Int): String =
+    s"""q AS (
+    |  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+    |  FROM embeddings WHERE vec_id < $qMax),
+    |c AS (
+    |  SELECT vec_id AS cand_id, label AS c_label, embedding AS c_emb
+    |  FROM embeddings),
+    |scored AS (
+    |  SELECT query_id, q_label, cand_id, c_label,
+    |    CAST(${Similarity.dotSql("q_emb", "c_emb", dim)} AS DOUBLE) /
+    |      (sqrt(CAST(${Similarity.dotSql("q_emb", "q_emb", dim)} AS DOUBLE)) *
+    |       sqrt(CAST(${Similarity.dotSql("c_emb", "c_emb", dim)} AS DOUBLE)))
+    |      AS cos
+    |  FROM c, q WHERE query_id <> cand_id),
+    |ranked AS (
+    |  SELECT query_id, q_label, c_label,
+    |    row_number() OVER (PARTITION BY query_id
+    |                       ORDER BY cos DESC, cand_id) AS rank
+    |  FROM scored),
+    |ln AS (
+    |  SELECT label AS q_label, count(*) - 1 AS n_rel
+    |  FROM embeddings GROUP BY label),
+    |topk AS (
+    |  SELECT r.query_id, r.q_label, r.rank, ln.n_rel,
+    |    CASE WHEN r.c_label = r.q_label THEN 1 ELSE 0 END AS rel
+    |  FROM ranked r JOIN ln ON ln.q_label = r.q_label
+    |  WHERE r.rank <= $k AND ln.n_rel > 0)""".stripMargin
+
+  /** DuckDB twin of [[labelRecallAtK]]. */
+  def labelRecallAtKOracleSql(dim: Int, qMax: Long, k: Int): String =
+    s"""
+    |WITH ${topkCtes(dim, qMax, k)}
+    |SELECT query_id, q_label AS label,
+    |  CAST(n_rel AS BIGINT) AS n_rel,
+    |  CAST(sum(rel) AS BIGINT) AS hits_at_k,
+    |  CAST((sum(rel) * 1000000) // n_rel AS BIGINT) AS recall_ppm
+    |FROM topk GROUP BY query_id, q_label, n_rel
+    |ORDER BY query_id
+    |""".stripMargin.trim
+
+  /** DuckDB twin of [[labelNdcgAtK]] — the SAME literal weight table
+    * (one Scala computation feeds both engines). */
+  def labelNdcgAtKOracleSql(dim: Int, qMax: Long, k: Int): String = {
+    val w = dcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to k).map(i =>
+      s"WHEN rank = $i THEN ${w(i - 1)}").mkString(" ")
+    val pCase = (1 to k).map(i =>
+      s"WHEN least(n_rel, $k) = $i THEN ${prefix(i - 1)}")
+      .mkString(" ")
+    s"""
+    |WITH ${topkCtes(dim, qMax, k)},
+    |dcg AS (
+    |  SELECT query_id, q_label, n_rel,
+    |    sum(CASE WHEN rel = 1 THEN (CASE $wCase END) ELSE 0 END)
+    |      AS dcg_ppm
+    |  FROM topk GROUP BY query_id, q_label, n_rel)
+    |SELECT query_id, q_label AS label,
+    |  CAST(n_rel AS BIGINT) AS n_rel,
+    |  CAST(dcg_ppm AS BIGINT) AS dcg_ppm,
+    |  CAST(CASE $pCase END AS BIGINT) AS idcg_ppm,
+    |  CAST((dcg_ppm * 1000000) // (CASE $pCase END) AS BIGINT)
+    |    AS ndcg_ppm
+    |FROM dcg ORDER BY query_id
+    |""".stripMargin.trim
+  }
+
+  /** DuckDB twin of [[labelApAtK]]. */
+  def labelApAtKOracleSql(dim: Int, qMax: Long, k: Int): String =
+    s"""
+    |WITH ${topkCtes(dim, qMax, k)},
+    |cum AS (
+    |  SELECT query_id, q_label, n_rel, rank, rel,
+    |    sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cr
+    |  FROM topk)
+    |SELECT query_id, q_label AS label,
+    |  CAST(n_rel AS BIGINT) AS n_rel,
+    |  CAST(sum(CASE WHEN rel = 1 THEN (cr * 1000000) // rank
+    |           ELSE 0 END) // least(n_rel, $k) AS BIGINT) AS ap_ppm
+    |FROM cum GROUP BY query_id, q_label, n_rel
+    |ORDER BY query_id
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[labelMrr]]. */
   def labelMrrOracleSql(dim: Int, qMax: Long): String =
     s"""

@@ -608,6 +608,47 @@ object Streams {
       }
       .start()
 
+  /** Streaming ANN SERVE — the search-side twin of [[pqIngestSink]],
+    * closing the index's online loop: ingest maintains the persisted
+    * IVF-PQ store, serve answers a QUERY stream from it. Per
+    * trigger, the batch's query vectors run the exact
+    * [[graft.ext.Similarity.ivfPqSearchPersisted]] leg (broadcast
+    * probe assignment, ADC shortlist, exact re-rank on original
+    * floats) and the ranked results append to `outDir` stamped with
+    * the trigger's `batch_id` — the online-serving deployment shape
+    * (a request log partition per trigger) rather than a state
+    * table: serving is stateless by construction, every trigger's
+    * answer derives only from the index and that trigger's queries.
+    *
+    * Index versioning: each trigger re-reads the store, so results
+    * reflect the index AS OF ITS TRIGGER — a concurrent append
+    * lands in the next trigger's answers, never a torn half-batch
+    * (the maintenance lock serializes append vs compaction; reads
+    * see the published `_SUCCESS`-marked store either side of a
+    * staged swap). Delivery is the foreachBatch contract:
+    * at-least-once, a crash-replayed trigger re-appends the SAME
+    * rows with the SAME batch_id, so a reader gets exactly-once by
+    * deduping on (batch_id, query_id, rank). Queries dedup by
+    * vec_id within a trigger (a request retry inside one batch is
+    * one question, not two). */
+  def annServeSink(queryStream: DataFrame, corpus: DataFrame,
+                   indexDir: String, outDir: String, k: Int,
+                   nProbe: Int, m: Int, dim: Int, rerank: Int,
+                   checkpoint: String): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val q = batch0.dropDuplicates(Seq("vec_id"))
+        if (!q.isEmpty)
+          graft.ext.Similarity.ivfPqSearchPersisted(spark, indexDir,
+              corpus, q, k, nProbe, m, dim, rerank)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Streaming CUSUM drift monitor — the online twin of
     * [[graft.ext.Profiler.cusumDrift]], which is the shape a
     * deployment actually runs it in: the batch op derives μ from the

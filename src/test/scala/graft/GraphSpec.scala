@@ -361,4 +361,43 @@ class GraphSpec extends SparkSpec {
     assert(got._2 == d2.toLong)
     assert(got._3 == expRho)
   }
+
+  test("ppr: teleport mass stays in the seed's component and " +
+      "symmetric neighbors score identically") {
+    // triangle 0-1-2 (seed 0) plus a disconnected edge 5-6
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (5L, 6L))
+      .toDF("u", "v")
+    val got = graft.ext.Ppr.ppr(edges, seedMax = 1L, iters = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 5L, 6L))
+    assert(got(0L)._1 == 1L && got(1L)._1 == 0L,
+      "is_seed must mark exactly the seed set")
+    // the surfer can only restart at 0: the far component never
+    // receives mass
+    assert(got(5L)._2 == 0L && got(6L)._2 == 0L)
+    // 1 and 2 are interchangeable by symmetry -> identical scores
+    assert(got(1L)._2 == got(2L)._2 && got(1L)._2 > 0L)
+    assert(got(0L)._2 > got(1L)._2,
+      "the seed itself holds the most personalized mass")
+  }
+
+  test("ppr: two seeds split the teleport vector; a global-seed run " +
+      "ranks a hub above leaves") {
+    // star: hub 10, leaves 0,1 (seeds) and 11..14
+    val star = (Seq(0L, 1L) ++ (11L to 14L)).map(i => (i, 10L))
+      .toDF("u", "v")
+    val got = graft.ext.Ppr.ppr(star, seedMax = 2L, iters = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // non-seed leaves get mass only through the hub, seeds hold
+    // their restart mass, the hub relays everything: hub > seed >
+    // non-seed leaf > 0 is the only order consistent with PPR
+    assert(got(10L) > got(0L), s"hub must outrank a seed leaf: $got")
+    assert(got(0L) == got(1L), "equal seeds score equally")
+    assert(got(11L) > 0L && got(0L) > got(11L),
+      s"seed leaf must outrank non-seed leaf: $got")
+    assert((11L to 14L).map(got).toSet.size == 1,
+      "symmetric non-seed leaves score identically")
+  }
 }

@@ -281,6 +281,30 @@ class PcaSpec extends SparkSpec {
     assert(topFromEnrich == topDirect, "outlier ranking drifted")
   }
 
+  test("enrichByLabel == per-slice global enrich, label by label") {
+    // interleaved labels over the aniso fixture: each label's slice
+    // is its own corpus, so the per-label table must equal enrich()
+    // run on the filtered slice — pins eigenvectors, projections,
+    // and mean/var to the single-label chain in one property
+    val df = embDf(aniso).withColumn("label",
+      (col("vec_id") % 2).cast("int"))
+    val byLabel = Pca.enrichByLabel(df, col("label"), col("vec_id"),
+      col("embedding"), dim = 4, iters = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    Seq(0L, 1L).foreach { l =>
+      val slice = Pca.enrich(df.filter(col("label") === l),
+        col("vec_id"), col("embedding"), dim = 4, iters = 8)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      slice.foreach { case (id, want) =>
+        assert(byLabel((l, id)) == want,
+          s"label $l vec $id drifted from the single-label chain")
+      }
+    }
+    assert(byLabel.size == aniso.size, "every vector scored once")
+  }
+
   test("grouped covariance == per-slice covariance, label by label") {
     val df = embDf(aniso).withColumn("label",
       (col("vec_id") % 2).cast("int"))

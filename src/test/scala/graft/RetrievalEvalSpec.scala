@@ -105,6 +105,72 @@ class RetrievalEvalSpec extends SparkSpec {
       "zero-norm centroid must yield NULL, not a crash or a number")
   }
 
+  test("recall@k on the known ordering: hit inside the cutoff " +
+      "counts, outside does not, zero-hit rows survive") {
+    // query 0's only relative sits at rank 3 (fixture comment above)
+    val at3 = RetrievalEval.labelRecallAtK(fixture, qMax = 1L, k = 3)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(at3 == Seq((0L, 1, 1L, 1L, 1000000L)))
+    val at2 = RetrievalEval.labelRecallAtK(fixture, qMax = 1L, k = 2)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(at2 == Seq((0L, 1, 1L, 0L, 0L)),
+      "zero-hit query must keep its row with recall 0")
+  }
+
+  test("nDCG@k: relevant at rank 3 earns the rank-3 discount " +
+      "against an ideal of one hit at rank 1") {
+    val got = RetrievalEval.labelNdcgAtK(fixture, qMax = 1L, k = 3)
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSeq
+    // w(3) = round(1e6/log2(4)) = 500000; idcg = w(1) = 1e6
+    assert(got == Seq((0L, 1, 1L, 500000L, 1000000L, 500000L)))
+    val miss = RetrievalEval.labelNdcgAtK(fixture, qMax = 1L, k = 2)
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(miss == Seq((0L, 1, 1L, 0L, 1000000L, 0L)))
+  }
+
+  test("AP@k: truncating precision at the hit rank, averaged over " +
+      "the achievable hit count") {
+    val got = RetrievalEval.labelApAtK(fixture, qMax = 1L, k = 3)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // one hit at rank 3, cum=1: term = 1e6 DIV 3 = 333333; n_rel=1
+    assert(got == Seq((0L, 1, 1L, 333333L)))
+  }
+
+  test("@k metrics: a perfect ranking scores 1e6 across all three") {
+    // query 0's relatives are both nearer than every non-relative
+    val perfect = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.98f, 0.02f), 1),
+      (3L, Array(0.0f, 1.0f), 2),
+      (4L, Array(0.01f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = RetrievalEval.labelRecallAtK(perfect, qMax = 1L, k = 3)
+      .select("recall_ppm").as[Long].head()
+    assert(r == 1000000L)
+    val n = RetrievalEval.labelNdcgAtK(perfect, qMax = 1L, k = 3)
+      .select("ndcg_ppm").as[Long].head()
+    assert(n == 1000000L)
+    // hits at ranks 1,2: terms 1e6, 1e6 -> sum 2e6 DIV n_rel 2 = 1e6
+    val a = RetrievalEval.labelApAtK(perfect, qMax = 1L, k = 3)
+      .select("ap_ppm").as[Long].head()
+    assert(a == 1000000L)
+  }
+
+  test("@k metrics inherit the singleton-label exclusion") {
+    val singleton = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.9f, 0.1f), 2),
+      (2L, Array(0.5f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+    assert(RetrievalEval.labelRecallAtK(singleton, qMax = 3L, k = 2)
+      .select("query_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(RetrievalEval.labelNdcgAtK(singleton, qMax = 3L, k = 2)
+      .select("query_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(RetrievalEval.labelApAtK(singleton, qMax = 3L, k = 2)
+      .select("query_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("a label singleton emits no row (no relevant document exists)") {
     val singleton = Seq(
       (0L, Array(1.0f, 0.0f), 7),
