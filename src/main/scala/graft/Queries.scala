@@ -2276,6 +2276,16 @@ object Queries {
       Some(ext.RetrievalEval.labelApAtKOracleSql(dim = 64,
         qMax = 50L, k = 10))),
 
+    // Corpus-level macro roll-up of the @k family: ONE row with
+    // macro recall/nDCG/AP ppm -- the dashboard number per embedding
+    // refresh, computed in a single ranked-top-k pass
+    ("retrieval_summary",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.labelEvalSummary(t(s, d, "embeddings"),
+          qMax = 50L, k = 10),
+      Some(ext.RetrievalEval.labelEvalSummaryOracleSql(dim = 64,
+        qMax = 50L, k = 10))),
+
     // Per-dimension embedding moments: dead-dim / runaway-dim audit,
     // exact integers after 1e4 quantization, |dims| output rows
     ("embedding_dim_stats",
@@ -3762,6 +3772,18 @@ object Queries {
           iters = 3)
           .orderBy("node_id"),
       Some(ext.Ppr.pprOracleSql(seedMax = 5L, iters = 3))),
+
+    // Per-seed PPR top-k with known-neighbor exclusion: the
+    // find-more-like-these serving shape -- each seed's own restart
+    // vector, candidates it already touches anti-joined away
+    ("graph_ppr_recommend",
+      (s: SparkSession, d: String) =>
+        ext.Ppr.pprRecommend(ext.Graph.coEdges(t(s, d, "lineitem"),
+          col("l_orderkey"), col("l_partkey")), seedMax = 5L,
+          iters = 3, k = 10)
+          .orderBy("seed", "rank"),
+      Some(ext.Ppr.pprRecommendOracleSql(seedMax = 5L, iters = 3,
+        k = 10))),
 
     // Bounded-horizon closeness: reach count + mean weighted distance
     // per seed -- one keyed aggregate over the sssp state

@@ -1606,4 +1606,134 @@ object Ppr {
     |FROM it$iters ORDER BY node_id
     |""".stripMargin.trim
   }
+
+  /** Per-seed PPR top-k recommendations — the output shape a
+    * find-more-like-these deployment actually serves: each seed gets
+    * its OWN personalization vector (restart at that single seed),
+    * and the answer is the k highest-scoring nodes that are neither
+    * the seed nor one of its direct neighbors (the items it already
+    * "has"). Where [[ppr]] scores the corpus against a seed SET,
+    * this ranks candidates per seed — seed-list expansion with the
+    * known items excluded.
+    *
+    * Same 1e12 fixed point and truncating-DIV damping as [[ppr]].
+    * State is SPARSE per-seed mass `(seed, node_id, pr_fp)` rows —
+    * round 0 is the seed diagonal, each round adds the contribution
+    * frontier, so state is seeds·reach (the [[Sssp]] bound), never
+    * seeds·V on a graph wider than the horizon. Per round: one
+    * equi-join of the state on the spread adjacency + one keyed agg
+    * on `(seed, dst)`, then the teleport diagonal rejoins via a
+    * distinct-union domain (the SAME relation algebra the oracle's
+    * unrolled CTEs spell out). The neighbor exclusion is one
+    * anti-join against the seeds' adjacency rows; ranking is a
+    * per-seed window with the house tie-break (score desc, node_id
+    * asc). Output `(seed, node_id, ppr_fp, rank)`, k rows per seed
+    * at most. */
+  def pprRecommend(edges: DataFrame, seedMax: Long, iters: Int,
+                   k: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("u").cast("long").as("src"),
+        col("v").cast("long").as("dst"))
+      .unionByName(edges.select(col("v").cast("long").as("src"),
+        col("u").cast("long").as("dst")))
+    val adj = Dedup.spreadPinned(e, "ppr.rec.adj", col("src"))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node_id"), col("deg"))
+      .localCheckpoint()
+    val seeds = deg.filter(col("node_id") < seedMax)
+      .select(col("node_id").as("seed"))
+    var st = seeds.select(col("seed"), col("seed").as("node_id"),
+        lit(Scale).as("pr_fp"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = st.join(deg, Seq("node_id"))
+        .select(col("seed"), col("node_id").as("src"),
+          expr("pr_fp DIV deg").as("__c"))
+        .join(adj, Seq("src"))
+        .groupBy(col("seed"), col("dst")).agg(sum(col("__c")).as("__in"))
+      val dom = contrib.select(col("seed"), col("dst").as("node_id"))
+        .unionByName(seeds.select(col("seed"),
+          col("seed").as("node_id")))
+        .distinct()
+      st = dom
+        .join(contrib.withColumnRenamed("dst", "node_id"),
+          Seq("seed", "node_id"), "left")
+        .withColumn("pr_fp", expr(
+          s"CASE WHEN node_id = seed THEN (15 * ${Scale}L) DIV 100 " +
+            "ELSE 0L END + (85 * coalesce(__in, 0L)) DIV 100"))
+        .drop("__in")
+        .localCheckpoint()
+    }
+    val known = adj.filter(col("src") < seedMax)
+      .select(col("src").as("seed"), col("dst").as("node_id"))
+    val w = Window.partitionBy(col("seed"))
+      .orderBy(col("pr_fp").desc, col("node_id").asc)
+    st.filter(col("node_id") =!= col("seed"))
+      .join(known, Seq("seed", "node_id"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("seed"), col("node_id"), col("pr_fp").as("ppr_fp"),
+        col("rank"))
+  }
+
+  /** DuckDB twin of [[pprRecommend]]: the sparse per-seed state
+    * unrolled one CTE pair (contribution, domain+update) per round,
+    * then the anti-join exclusion and the ranked cut. */
+  def pprRecommendOracleSql(seedMax: Long, iters: Int,
+                            k: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "st0" else s"st${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT p.seed, e.dst, sum(p.pr_fp // dg.deg) AS insum
+         |  FROM $prev p
+         |  JOIN deg dg ON dg.node_id = p.node_id
+         |  JOIN edges e ON e.src = p.node_id
+         |  GROUP BY p.seed, e.dst),
+         |st$i AS MATERIALIZED (
+         |  SELECT d.seed, d.node_id,
+         |    CASE WHEN d.node_id = d.seed THEN (15 * $Scale) // 100
+         |         ELSE 0 END +
+         |      (85 * coalesce(c.insum, 0)) // 100 AS pr_fp
+         |  FROM (SELECT seed, dst AS node_id FROM c$i
+         |        UNION
+         |        SELECT seed, seed FROM seeds) d
+         |  LEFT JOIN c$i c
+         |    ON c.seed = d.seed AND c.dst = d.node_id)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    |WITH g AS MATERIALIZED (
+    |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS i
+    |  FROM lineitem),
+    |ok AS MATERIALIZED (
+    |  SELECT o FROM g GROUP BY o
+    |  HAVING count(*) <= ${Graph.DefaultMaxGroupSize}),
+    |e0 AS MATERIALIZED (
+    |  SELECT DISTINCT a.i AS u, b.i AS v
+    |  FROM g a JOIN g b ON a.o = b.o AND a.i < b.i
+    |  WHERE a.o IN (SELECT o FROM ok)),
+    |edges AS MATERIALIZED (
+    |  SELECT u AS src, v AS dst FROM e0
+    |  UNION ALL SELECT v, u FROM e0),
+    |deg AS MATERIALIZED (
+    |  SELECT src AS node_id, count(*) AS deg FROM edges GROUP BY src),
+    |seeds AS (SELECT node_id AS seed FROM deg WHERE node_id < $seedMax),
+    |st0 AS MATERIALIZED (
+    |  SELECT seed, seed AS node_id, CAST($Scale AS HUGEINT) AS pr_fp
+    |  FROM seeds),
+    |$iterCtes,
+    |ranked AS (
+    |  SELECT s.seed, s.node_id, s.pr_fp,
+    |    row_number() OVER (PARTITION BY s.seed
+    |                       ORDER BY s.pr_fp DESC, s.node_id) AS rank
+    |  FROM st$iters s
+    |  WHERE s.node_id <> s.seed
+    |    AND NOT EXISTS (
+    |      SELECT 1 FROM edges e
+    |      WHERE e.src = s.seed AND e.dst = s.node_id))
+    |SELECT seed, node_id, CAST(pr_fp AS BIGINT) AS ppr_fp,
+    |  CAST(rank AS BIGINT) AS rank
+    |FROM ranked WHERE rank <= $k
+    |ORDER BY seed, rank
+    |""".stripMargin.trim
+  }
 }

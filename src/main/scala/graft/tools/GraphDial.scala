@@ -149,6 +149,20 @@ object GraphDial {
         println(f"knn_graph_hier nCells=$nCells nSuper=$nSuper: " +
           f"$th%.2f s min-of-$n ($rh rows)")
 
+      case "ppr" =>
+        // decade row for graph_ppr: per round one equi-join on the
+        // spread adjacency + one keyed agg, |V|-row state — the wall
+        // should track edge volume, decade over decade
+        val n = if (args.length > 2) args(2).toInt else 3
+        val iters = if (args.length > 3) args(3).toInt else 3
+        val edges = Graph.coEdges(li, col("l_orderkey"),
+          col("l_partkey")).localCheckpoint()
+        println(s"edges: ${edges.count()}")
+        val (tw, rows) = timeIt(n)(
+          graft.ext.Ppr.ppr(edges, seedMax = 5L, iters = iters)
+            .count())
+        println(f"graph_ppr iters=$iters: $tw%.2f s min-of-$n ($rows rows)")
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

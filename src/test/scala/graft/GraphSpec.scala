@@ -382,6 +382,35 @@ class GraphSpec extends SparkSpec {
       "the seed itself holds the most personalized mass")
   }
 
+  test("pprRecommend: a seed's direct neighbors and itself are " +
+      "excluded; a two-hop candidate is what gets recommended") {
+    // path 0-2-3 plus 0-1: seed 0 already has {1,2}; the only
+    // recommendable node with mass is 3 (two hops through 2)
+    val edges = Seq((0L, 1L), (0L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = graft.ext.Ppr.pprRecommend(edges, seedMax = 1L,
+        iters = 3, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).toSet == Set(3L),
+      s"only the two-hop node is recommendable: $got")
+    assert(got.head._1 == 0L && got.head._4 == 1L && got.head._3 > 0L)
+  }
+
+  test("pprRecommend: per-seed personalization — each seed ranks its " +
+      "own two-hop neighborhood first, k cuts the list") {
+    // two stars sharing nothing: seed 0 -> hub 20 -> {30, 31};
+    // seed 1 -> hub 21 -> {40}
+    val edges = Seq((0L, 20L), (20L, 30L), (20L, 31L),
+      (1L, 21L), (21L, 40L)).toDF("u", "v")
+    val got = graft.ext.Ppr.pprRecommend(edges, seedMax = 2L,
+        iters = 3, k = 1)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // k=1 keeps exactly one row per seed, and it is a node from the
+    // seed's OWN component (tie-break: smallest node id at the top)
+    assert(got == Map(0L -> 30L, 1L -> 40L),
+      s"per-seed personalization drifted: $got")
+  }
+
   test("ppr: two seeds split the teleport vector; a global-seed run " +
       "ranks a hub above leaves") {
     // star: hub 10, leaves 0,1 (seeds) and 11..14

@@ -157,6 +157,20 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(a == 1000000L)
   }
 
+  test("summary == DIV-means of the three per-query tables, one row") {
+    val r = RetrievalEval.labelRecallAtK(fixture, qMax = 3L, k = 3)
+      .select("recall_ppm").as[Long].collect()
+    val n = RetrievalEval.labelNdcgAtK(fixture, qMax = 3L, k = 3)
+      .select("ndcg_ppm").as[Long].collect()
+    val a = RetrievalEval.labelApAtK(fixture, qMax = 3L, k = 3)
+      .select("ap_ppm").as[Long].collect()
+    val got = RetrievalEval.labelEvalSummary(fixture, qMax = 3L, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((r.length.toLong, r.sum / r.length,
+      n.sum / n.length, a.sum / a.length)),
+      s"macro roll-up drifted from the per-query family: $got")
+  }
+
   test("@k metrics inherit the singleton-label exclusion") {
     val singleton = Seq(
       (0L, Array(1.0f, 0.0f), 7),
