@@ -3773,6 +3773,18 @@ object Queries {
           .orderBy("node_id"),
       Some(ext.Ppr.pprOracleSql(seedMax = 5L, iters = 3))),
 
+    // Seed-sampled bounded-horizon betweenness: the broker/bridge
+    // census -- forward BFS with a path-count ledger, backward
+    // Brandes dependency accumulation, both frontier-join rounds
+    ("graph_betweenness",
+      (s: SparkSession, d: String) =>
+        ext.Betweenness.betweenness(ext.Graph.coEdges(
+          t(s, d, "lineitem"), col("l_orderkey"), col("l_partkey")),
+          seedMax = 5L, hops = 3, k = 100)
+          .orderBy("rank"),
+      Some(ext.Betweenness.betweennessOracleSql(seedMax = 5L,
+        hops = 3, k = 100))),
+
     // Per-seed PPR top-k with known-neighbor exclusion: the
     // find-more-like-these serving shape -- each seed's own restart
     // vector, candidates it already touches anti-joined away

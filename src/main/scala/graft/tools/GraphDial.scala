@@ -163,6 +163,21 @@ object GraphDial {
             .count())
         println(f"graph_ppr iters=$iters: $tw%.2f s min-of-$n ($rows rows)")
 
+      case "betw" =>
+        // decade row for graph_betweenness: 2·hops frontier joins
+        // (forward sigma ledger + backward dependency), state
+        // seeds·reach — wall should track Σ|frontier⋈adj|
+        val n = if (args.length > 2) args(2).toInt else 3
+        val hops = if (args.length > 3) args(3).toInt else 3
+        val edges = Graph.coEdges(li, col("l_orderkey"),
+          col("l_partkey")).localCheckpoint()
+        println(s"edges: ${edges.count()}")
+        val (tw, rows) = timeIt(n)(
+          graft.ext.Betweenness.betweenness(edges, seedMax = 5L,
+            hops = hops, k = 100).count())
+        println(f"graph_betweenness hops=$hops: $tw%.2f s " +
+          f"min-of-$n ($rows rows)")
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -382,6 +382,45 @@ class GraphSpec extends SparkSpec {
       "the seed itself holds the most personalized mass")
   }
 
+  test("betweenness: path graph matches the hand-computed Brandes " +
+      "sums (ordered-pair counting, all nodes as seeds)") {
+    // path 0-1-2-3-4: through-counts 0/6/8/6/0 (ordered pairs)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("u", "v")
+    val got = graft.ext.Betweenness.betweenness(edges, seedMax = 5L,
+        hops = 4, k = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(0L -> 0L, 1L -> 6000000L, 2L -> 8000000L,
+      3L -> 6000000L, 4L -> 0L), s"path betweenness drifted: $got")
+  }
+
+  test("betweenness: tied shortest paths split sigma exactly — the " +
+      "diamond scores every node 1e6") {
+    // 0-1-3 and 0-2-3: pair (0,3) splits 1/2 to each of 1 and 2;
+    // pairs (1,2) split 1/2 to each of 0 and 3 -> all four = 1e6
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("u", "v")
+    val got = graft.ext.Betweenness.betweenness(edges, seedMax = 4L,
+        hops = 3, k = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(0L -> 1000000L, 1L -> 1000000L,
+      2L -> 1000000L, 3L -> 1000000L),
+      s"diamond sigma-split drifted: $got")
+  }
+
+  test("betweenness: the horizon truncates honestly — hops=1 sees " +
+      "no interior node") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("u", "v")
+    val got = graft.ext.Betweenness.betweenness(edges, seedMax = 5L,
+        hops = 1, k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._2 == 0L),
+      s"one hop admits no intermediate: ${got.toSeq}")
+  }
+
   test("pprRecommend: a seed's direct neighbors and itself are " +
       "excluded; a two-hop candidate is what gets recommended") {
     // path 0-2-3 plus 0-1: seed 0 already has {1,2}; the only

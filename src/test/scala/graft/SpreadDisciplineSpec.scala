@@ -33,7 +33,7 @@ class SpreadDisciplineSpec extends SparkSpec {
   private val iteratingRegistry = Seq(
     "textrank_keywords", "hits_scores", "graph_bfs_reach",
     "graph_sssp", "community_lpa", "kcore_rounds", "graph_walks",
-    "graph_ppr", "graph_ppr_recommend")
+    "graph_ppr", "graph_ppr_recommend", "graph_betweenness")
 
   test("iterating registry: no single-task stage carries the round " +
       "volume (the AQE byte-proportional coalesce trap)") {
