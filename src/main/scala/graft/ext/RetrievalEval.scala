@@ -198,14 +198,23 @@ object RetrievalEval {
     * (no relevant document exists, so recall/nDCG/AP denominators
     * are all undefined); every derived metric inherits the rule. */
   private def rankedTopK(emb: DataFrame, qMax: Long,
-                         k: Int): DataFrame = {
+                         k: Int): DataFrame =
+    rankedTopKOf(emb, emb.filter(col("vec_id") < qMax), k)
+
+  /** [[rankedTopK]] with an explicit query relation — the streaming
+    * twin's entry point. Queries must be corpus members (`n_rel` is
+    * the label population minus the query itself, and the scan
+    * excludes self by `vec_id`), which is the canary deployment's
+    * contract: re-score vectors the corpus already holds. */
+  private def rankedTopKOf(corpus: DataFrame, queries: DataFrame,
+                           k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    val nrel = emb.groupBy(col("label"))
+    val nrel = corpus.groupBy(col("label"))
       .agg(count(lit(1)).as("__ln"))
       .select(col("label").as("q_label"),
         (col("__ln") - 1).as("n_rel"))
-    Similarity.scoredPairs(emb, emb.filter(col("vec_id") < qMax),
+    Similarity.scoredPairs(corpus, queries,
         qCarry = Seq("label"), cCarry = Seq("label"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -298,7 +307,14 @@ object RetrievalEval {
     * engine-exact by the family's contract, so the macro means are
     * too. Output: a single row
     * `(n_queries, macro_recall_ppm, macro_ndcg_ppm, macro_ap_ppm)`. */
-  def labelEvalSummary(emb: DataFrame, qMax: Long, k: Int): DataFrame = {
+  def labelEvalSummary(emb: DataFrame, qMax: Long, k: Int): DataFrame =
+    labelEvalSummaryOf(emb, emb.filter(col("vec_id") < qMax), k)
+
+  /** [[labelEvalSummary]] over an explicit query relation (corpus
+    * members — [[rankedTopKOf]]'s contract): the per-trigger body of
+    * the streaming eval canary. */
+  def labelEvalSummaryOf(corpus: DataFrame, queries: DataFrame,
+                         k: Int): DataFrame = {
     val w = dcgWeights(k)
     val prefix = w.scanLeft(0L)(_ + _).tail
     val wCase = (1 to k).map(i =>
@@ -307,7 +323,7 @@ object RetrievalEval {
       s"WHEN least(n_rel, ${k}L) = $i THEN ${prefix(i - 1)}L")
       .mkString(" ")
     val wc = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-    rankedTopK(emb, qMax, k)
+    rankedTopKOf(corpus, queries, k)
       .withColumn("__g",
         expr(s"CASE WHEN rel = 1 THEN (CASE $wCase END) ELSE 0L END"))
       .withColumn("__cum", sum(col("rel")).over(wc))

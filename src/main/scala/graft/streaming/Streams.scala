@@ -649,6 +649,43 @@ object Streams {
       }
       .start()
 
+  /** Streaming retrieval-eval canary — the online twin of the
+    * `retrieval_summary` batch op, and the EVAL-side companion of
+    * [[annServeSink]]: where serve answers a query stream, this
+    * SCORES one. Per trigger, the batch's labeled query vectors run
+    * the exact ranked-top-k front against the static corpus and the
+    * trigger appends ONE macro row (n_queries, macro recall/nDCG/AP
+    * ppm) stamped with batch_id — the canary a deployment watches
+    * after an embedding refresh: a falling macro line means the new
+    * embedding ranks relatives worse, trigger over trigger, with the
+    * same integer-exact arithmetic as the declared batch query
+    * (StreamsSpec pins per-trigger row ≡ batch labelEvalSummary on
+    * that trigger's queries).
+    *
+    * Stateless like serve: each trigger's row derives only from the
+    * corpus and that trigger's queries, so replay re-appends the
+    * SAME row for the same batch_id (at-least-once; dedup on
+    * batch_id reads exactly-once). Queries dedup by vec_id within a
+    * trigger. A trigger whose queries all lack a same-label relative
+    * appends nothing (the batch op's singleton exclusion, inherited). */
+  def retrievalEvalSink(queryStream: DataFrame, corpus: DataFrame,
+                        outDir: String, k: Int,
+                        checkpoint: String): StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val q = batch0.dropDuplicates(Seq("vec_id"))
+        if (!q.isEmpty) {
+          val row = graft.ext.RetrievalEval
+            .labelEvalSummaryOf(corpus, q, k)
+            .withColumn("batch_id", lit(batchId))
+          if (!row.filter(col("n_queries") > 0).isEmpty)
+            row.write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
   /** Streaming CUSUM drift monitor — the online twin of
     * [[graft.ext.Profiler.cusumDrift]], which is the shape a
     * deployment actually runs it in: the batch op derives μ from the
