@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpec {
       s"unexpected global sort:\n$p")
   }
 
+  test("graph_betweenness cuts through TakeOrdered — the reach-sized " +
+      "node census never single-tasks through a global rank window") {
+    // §50: the first draft ranked the census via a partitionless
+    // window (one task carrying the whole reach); the shipped form
+    // is orderBy+limit with rank stamped AFTER the k-row cut
+    val p = plan("graph_betweenness")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"betweenness cut fell back from distributed top-k:\n$p")
+  }
+
   test("sample_split is a pure projection: no shuffle, no join") {
     val p = plan("sample_split")
     assert(!p.contains("Exchange hashpartitioning"),
