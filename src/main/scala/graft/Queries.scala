@@ -3082,6 +3082,17 @@ object Queries {
           .orderBy("doc_id", "frame_idx"),
       Some(ext.Multimodal.frameSampleOracleSql(8, 4))),
 
+    // Audio segmentation manifest: overlapping fixed windows at a
+    // hop stride over each asset's duration -- the ASR-prep shape
+    // (video has frame_sample; this is audio's)
+    ("audio_segments",
+      (s: SparkSession, d: String) =>
+        ext.Multimodal.audioSegments(t(s, d, "documents"),
+          windowMs = 60, hopMs = 40, sampleRate = 16000)
+          .orderBy("doc_id", "seg_idx"),
+      Some(ext.Multimodal.audioSegmentsOracleSql(windowMs = 60,
+        hopMs = 40, sampleRate = 16000))),
+
     // Sequence packing: fixed-budget training sequences over the
     // sharded token stream (window parallelized by shard hash)
     ("seq_pack",

@@ -113,7 +113,8 @@ object SurveyGen {
         "join_size_audit", "partition_planner", "grid_quantiles",
         "resample_stability"))
       "scale devices / sampling"
-    else if (in("multimodal_features", "frame_sample", "media_dedup"))
+    else if (in("multimodal_features", "frame_sample", "media_dedup",
+        "audio_segments"))
       "multimodal plumbing"
     else if (in("date_funcs", "regex_funcs", "array_funcs",
         "json_extract", "rank_funcs", "lag_lead", "running_total",

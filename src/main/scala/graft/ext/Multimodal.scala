@@ -257,6 +257,61 @@ object Multimodal {
           "div n_media").cast("long"))
   }
 
+  /** Audio segmentation manifest — the ASR-prep shape ([[frameSample]]
+    * is video's; this is audio's): fixed `windowMs` windows at
+    * `hopMs` stride over each asset's duration, emitted as
+    * `(doc_id, duration_ms, seg_idx, start_ms, end_ms)` rows a
+    * transcription/feature stage consumes (Whisper-style 30 s
+    * windows with overlap are `windowMs=30000, hopMs=25000`). The
+    * last window clips to the asset (`end_ms = least(start+window,
+    * duration)`); every asset emits at least one segment.
+    *
+    * Duration derives from the payload by the declared synthetic
+    * mapping (bytes DIV 2 = 16-bit mono samples at `sampleRate`,
+    * +1 ms so an empty payload still has a manifest row) — in
+    * production the decoded metadata column replaces that one
+    * expression and NOTHING downstream changes. Scale shape: a
+    * generator projection (`sequence` + `explode`) — no shuffle, no
+    * join, ≤ duration/hop rows per asset. All int64 arithmetic. */
+  def audioSegments(docs: DataFrame, windowMs: Int, hopMs: Int,
+                    sampleRate: Int): DataFrame = {
+    require(windowMs > 0 && hopMs > 0 && hopMs <= windowMs,
+      s"need 0 < hopMs <= windowMs, got hop=$hopMs window=$windowMs")
+    require(sampleRate > 0, s"sampleRate must be positive: $sampleRate")
+    val durationMs = expr(
+      "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) div 2 " +
+        s"* 1000 div $sampleRate + 1")
+    docs.select(col("doc_id"), durationMs.as("duration_ms"))
+      .withColumn("start_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1,
+          lit(hopMs.toLong))))
+      .select(col("doc_id"), col("duration_ms"),
+        expr(s"start_ms DIV $hopMs").as("seg_idx"),
+        col("start_ms"),
+        least(col("start_ms") + windowMs, col("duration_ms"))
+          .as("end_ms"))
+  }
+
+  /** DuckDB twin of [[audioSegments]]. */
+  def audioSegmentsOracleSql(windowMs: Int, hopMs: Int,
+                             sampleRate: Int): String =
+    s"""
+    |WITH m AS (
+    |  SELECT doc_id,
+    |    CAST(octet_length(encode(text)) AS BIGINT) // 2
+    |      * 1000 // $sampleRate + 1 AS duration_ms
+    |  FROM documents),
+    |s AS (
+    |  SELECT doc_id, duration_ms,
+    |    unnest(range(0, duration_ms, $hopMs)) AS start_ms
+    |  FROM m)
+    |SELECT doc_id, duration_ms,
+    |  CAST(start_ms // $hopMs AS BIGINT) AS seg_idx,
+    |  CAST(start_ms AS BIGINT) AS start_ms,
+    |  CAST(least(start_ms + $windowMs, duration_ms) AS BIGINT) AS end_ms
+    |FROM s ORDER BY doc_id, seg_idx
+    |""".stripMargin.trim
+
   /** DuckDB twin of [[mediaDedup]] over `documents` (md5 of the
     * UTF-8 payload bytes is md5 of the text on both engines). */
   val mediaDedupOracleSql: String =

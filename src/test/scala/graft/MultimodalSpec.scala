@@ -126,4 +126,26 @@ class MultimodalSpec extends SparkSpec {
       assert(ppm >= 500000L)
     }
   }
+
+  test("audioSegments: hop-strided windows tile the duration, last " +
+      "window clips, empty payload still emits one segment") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 320), (2L, "")).toDF("doc_id", "text")
+    // doc 1: 320 bytes -> 160 samples -> 10 ms + 1 = 11 ms duration
+    // doc 2: 0 bytes -> 1 ms duration
+    val got = Multimodal.audioSegments(docs, windowMs = 4, hopMs = 3,
+        sampleRate = 16000)
+      .orderBy("doc_id", "seg_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).forall(_ == 11L))
+    assert(d1.map(t => (t._3, t._4, t._5)).toSeq == Seq(
+      (0L, 0L, 4L), (1L, 3L, 7L), (2L, 6L, 10L), (3L, 9L, 11L)),
+      s"doc 1 segments drifted: ${d1.toSeq}")
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(t => (t._2, t._3, t._4, t._5)).toSeq ==
+      Seq((1L, 0L, 0L, 1L)),
+      s"empty payload must emit exactly one clipped segment: ${d2.toSeq}")
+  }
 }
