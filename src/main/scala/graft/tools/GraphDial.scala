@@ -163,6 +163,21 @@ object GraphDial {
             .count())
         println(f"graph_ppr iters=$iters: $tw%.2f s min-of-$n ($rows rows)")
 
+      case "pprrec" =>
+        // decade row for graph_ppr_recommend: sparse per-seed state
+        // (seeds·reach), per round state⋈adj + keyed agg + the
+        // diagonal re-union — wall should track Σ|state⋈adj|
+        val n = if (args.length > 2) args(2).toInt else 3
+        val iters = if (args.length > 3) args(3).toInt else 3
+        val edges = Graph.coEdges(li, col("l_orderkey"),
+          col("l_partkey")).localCheckpoint()
+        println(s"edges: ${edges.count()}")
+        val (tw, rows) = timeIt(n)(
+          graft.ext.Ppr.pprRecommend(edges, seedMax = 5L,
+            iters = iters, k = 10).count())
+        println(f"graph_ppr_recommend iters=$iters: $tw%.2f s " +
+          f"min-of-$n ($rows rows)")
+
       case "betw" =>
         // decade row for graph_betweenness: 2·hops frontier joins
         // (forward sigma ledger + backward dependency), state
