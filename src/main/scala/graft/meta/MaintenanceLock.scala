@@ -18,10 +18,12 @@ import org.apache.spark.sql.SparkSession
   * until the append commits.
   *
   * Mechanics: one marker file `<dir>/_maintenance.lock` taken with
-  * the filesystem's atomic create-if-absent (`FileSystem
-  * .createNewFile` — atomic on HDFS and on POSIX local FS; an object
-  * store without atomic create needs an external coordinator, the
-  * standard caveat every file-lock protocol carries). Lock-loss on
+  * an atomic create-if-absent — `FileSystem.createNewFile` on HDFS
+  * (namenode-arbitrated), NIO `Files.createFile` (O_CREAT|O_EXCL)
+  * for local paths, because Hadoop's LOCAL create(overwrite=false)
+  * is exists-then-create and NOT atomic (see [[tryAcquire]]); an
+  * object store without atomic create needs an external coordinator,
+  * the standard caveat every file-lock protocol carries. Lock-loss on
   * crash is healed by AGE: a holder writes its epoch, and a waiter
   * that finds a lock older than `staleMs` (default 30 min — far
   * beyond any compaction) breaks it and retries, so a crashed
@@ -40,12 +42,32 @@ object MaintenanceLock {
 
   /** One atomic acquisition attempt; true iff this caller now holds
     * the lock. The parent dir is created first (a fresh index dir
-    * must be lockable before its first table exists). */
+    * must be lockable before its first table exists).
+    *
+    * Atomicity is scheme-dependent and BOTH branches matter:
+    * `FileSystem.createNewFile` is atomic on HDFS (namenode
+    * arbitrates) but on the LOCAL filesystem Hadoop implements
+    * `create(f, overwrite=false)` as exists-check-then-create — two
+    * racing callers can both pass the check and both believe they
+    * hold the lock (found by the PersistedPqSpec race test flaking
+    * under full-suite load: the compactor's staged swap deleted the
+    * appender's in-flight `_temporary` committer dir). Local paths
+    * therefore go through NIO `Files.createFile` — O_CREAT|O_EXCL,
+    * atomic on POSIX. */
   def tryAcquire(spark: SparkSession, dir: String): Boolean = {
     val (fs, p) = fsFor(spark, dir)
     fs.mkdirs(p.getParent)
-    try fs.createNewFile(p)
-    catch { case _: java.io.IOException => false }
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try { java.nio.file.Files.createFile(local); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try fs.createNewFile(p)
+      catch { case _: java.io.IOException => false }
+    }
   }
 
   def isHeld(spark: SparkSession, dir: String): Boolean = {

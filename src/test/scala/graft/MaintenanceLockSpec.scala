@@ -22,6 +22,35 @@ class MaintenanceLockSpec extends SparkSpec {
     MaintenanceLock.release(spark, dir)
   }
 
+  test("acquisition is ATOMIC under a thread stampede: exactly one " +
+      "winner per round, every round") {
+    // the bug this pins: Hadoop's LOCAL create(overwrite=false) is
+    // exists-then-create — under contention two callers both passed
+    // the check and both 'held' the lock (caught as a PersistedPqSpec
+    // race flake: the compactor swapped codes/ under a live appender)
+    val dir = freshDir()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      (1 to 50).foreach { round =>
+        val barrier = new java.util.concurrent.CyclicBarrier(16)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val fs = (1 to 16).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              barrier.await()
+              if (MaintenanceLock.tryAcquire(spark, dir))
+                wins.incrementAndGet()
+            }
+          })
+        }
+        fs.foreach(_.get())
+        assert(wins.get() == 1,
+          s"round $round: ${wins.get()} threads won the same lock")
+        MaintenanceLock.release(spark, dir)
+      }
+    } finally pool.shutdown()
+  }
+
   test("withLock times out LOUDLY against a live holder and leaves " +
       "the holder's lock in place") {
     val dir = freshDir()
