@@ -2286,6 +2286,16 @@ object Queries {
       Some(ext.RetrievalEval.labelEvalSummaryOracleSql(dim = 64,
         qMax = 50L, k = 10))),
 
+    // The macro eval stratified by label: which DOMAIN the embedding
+    // fails on -- per query-label census + macro recall/nDCG/AP ppm,
+    // same single ranked-top-k pass with one extra grouping key
+    ("retrieval_by_label",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.labelEvalByLabel(t(s, d, "embeddings"),
+          qMax = 50L, k = 10).orderBy("label"),
+      Some(ext.RetrievalEval.labelEvalByLabelOracleSql(dim = 64,
+        qMax = 50L, k = 10))),
+
     // Per-dimension embedding moments: dead-dim / runaway-dim audit,
     // exact integers after 1e4 quantization, |dims| output rows
     ("embedding_dim_stats",

@@ -344,6 +344,80 @@ object RetrievalEval {
         expr("sum(__ap) DIV count(1)").as("macro_ap_ppm"))
   }
 
+  /** [[labelEvalSummary]] stratified by label — WHICH domain the
+    * embedding is failing on: per query-label, the query census and
+    * macro recall/nDCG/AP@k ppm. The corpus-level macro hides a
+    * domain mixture (a strong majority class masks a minority class
+    * the encoder cannot rank — the same blindness
+    * [[Pca.outliersByLabel]] exists for, one metric family over);
+    * this is the drill-down row a per-domain curriculum or encoder
+    * triage reads. Same single ranked-top-k pass, one extra grouping
+    * key. Output `(label, n_queries, macro_recall_ppm,
+    * macro_ndcg_ppm, macro_ap_ppm)`, |labels| rows. */
+  def labelEvalByLabel(emb: DataFrame, qMax: Long, k: Int): DataFrame = {
+    val w = dcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to k).map(i =>
+      s"WHEN rank = $i THEN ${w(i - 1)}L").mkString(" ")
+    val pCase = (1 to k).map(i =>
+      s"WHEN least(n_rel, ${k}L) = $i THEN ${prefix(i - 1)}L")
+      .mkString(" ")
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    rankedTopK(emb, qMax, k)
+      .withColumn("__g",
+        expr(s"CASE WHEN rel = 1 THEN (CASE $wCase END) ELSE 0L END"))
+      .withColumn("__cum", sum(col("rel")).over(wc))
+      .withColumn("__apterm",
+        expr("CASE WHEN rel = 1 THEN (__cum * 1000000) DIV rank " +
+          "ELSE 0L END"))
+      .groupBy(col("q_label"), col("query_id"), col("n_rel"))
+      .agg(sum(col("rel")).as("__hits"), sum(col("__g")).as("__dcg"),
+        sum(col("__apterm")).as("__aps"))
+      .select(col("q_label"),
+        expr("(__hits * 1000000) DIV n_rel").as("__recall"),
+        expr(s"(__dcg * 1000000) DIV (CASE $pCase END)").as("__ndcg"),
+        expr(s"__aps DIV least(n_rel, ${k}L)").as("__ap"))
+      .groupBy(col("q_label"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        expr("sum(__recall) DIV count(1)").as("macro_recall_ppm"),
+        expr("sum(__ndcg) DIV count(1)").as("macro_ndcg_ppm"),
+        expr("sum(__ap) DIV count(1)").as("macro_ap_ppm"))
+      .withColumnRenamed("q_label", "label")
+  }
+
+  /** DuckDB twin of [[labelEvalByLabel]]. */
+  def labelEvalByLabelOracleSql(dim: Int, qMax: Long,
+                                k: Int): String = {
+    val w = dcgWeights(k)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    val wCase = (1 to k).map(i =>
+      s"WHEN rank = $i THEN ${w(i - 1)}").mkString(" ")
+    val pCase = (1 to k).map(i =>
+      s"WHEN least(n_rel, $k) = $i THEN ${prefix(i - 1)}")
+      .mkString(" ")
+    s"""
+    |WITH ${topkCtes(dim, qMax, k)},
+    |cum AS (
+    |  SELECT q_label, query_id, n_rel, rank, rel,
+    |    CASE WHEN rel = 1 THEN (CASE $wCase END) ELSE 0 END AS g,
+    |    sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS cr
+    |  FROM topk),
+    |perq AS (
+    |  SELECT q_label, query_id, n_rel,
+    |    (sum(rel) * 1000000) // n_rel AS recall_ppm,
+    |    (sum(g) * 1000000) // (CASE $pCase END) AS ndcg_ppm,
+    |    sum(CASE WHEN rel = 1 THEN (cr * 1000000) // rank
+    |        ELSE 0 END) // least(n_rel, $k) AS ap_ppm
+    |  FROM cum GROUP BY q_label, query_id, n_rel)
+    |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+    |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS macro_recall_ppm,
+    |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS macro_ndcg_ppm,
+    |  CAST(sum(ap_ppm) // count(*) AS BIGINT) AS macro_ap_ppm
+    |FROM perq GROUP BY q_label ORDER BY label
+    |""".stripMargin.trim
+  }
+
   /** Shared oracle CTE chain for the @k family: scored + ranked
     * (exactly [[labelMrrOracleSql]]'s front), top-k truncation, and
     * the label-population join with the no-relative exclusion. */

@@ -171,6 +171,35 @@ class RetrievalEvalSpec extends SparkSpec {
       s"macro roll-up drifted from the per-query family: $got")
   }
 
+  test("by-label eval == per-label DIV-means of the per-query " +
+      "tables; a planted weak label separates from a strong one") {
+    // perfect label 1 (three parallel vectors) + weak label 2 (its
+    // two members orthogonal to each other, near label 1's axis)
+    val mix = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.98f, 0.02f), 1),
+      (3L, Array(0.97f, 0.03f), 2),
+      (4L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = RetrievalEval.labelEvalByLabel(mix, qMax = 5L, k = 3)
+      .orderBy("label")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    val perq = RetrievalEval.labelRecallAtK(mix, qMax = 5L, k = 3)
+      .select("label", "recall_ppm").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { case (l, n, rec, _, _) =>
+      assert(n == perq(l).length.toLong)
+      assert(rec == perq(l).sum / perq(l).length,
+        s"label $l recall macro drifted")
+    }
+    val byLabel = got.map(r => r._1 -> r._3).toMap
+    assert(byLabel(1) == 1000000L,
+      s"perfect label must score 1e6: $byLabel")
+    assert(byLabel(2) < byLabel(1),
+      s"weak label must separate below the strong one: $byLabel")
+  }
+
   test("retrievalEvalSink: per-trigger macro row == batch summary " +
       "over that trigger's queries; singleton-only trigger appends " +
       "nothing") {
