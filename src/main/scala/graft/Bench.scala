@@ -196,7 +196,15 @@ object Bench {
     } else heavies.foreach(quietSkipped += _._1)
     val quiet = quietRows.mkString("{", ",", "}")
     val quietMeta = s"""{"fresh_jvm":true,"n":$quietN,"k":$quietK,"budget_s":$quietBudget,"elapsed_s":${math.round(quietElapsed * 10) / 10.0},"skipped":[${quietSkipped.map("\"" + _ + "\"").mkString(",")}]}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"decomp":$decomp,"quiet":$quiet,"quiet_meta":$quietMeta,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    // host calibration ruler (SCALE.md §51): data-independent CPU and
+    // shuffle microbenchmarks, so cross-round wall comparisons can be
+    // normalized for host variance instead of misread as regressions
+    val ruler =
+      try { val (c, s) = HostRuler.measure(spark)
+            s"""{"cpu_s":$c,"shuffle_s":$s}""" }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] ruler failed: $e"); "{}" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"decomp":$decomp,"quiet":$quiet,"quiet_meta":$quietMeta,"ruler":$ruler,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture has repeatedly truncated this line (the driver's
     // BENCH_r4/r5 artifacts lost the total); a file copy is the durable record
