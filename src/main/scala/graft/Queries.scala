@@ -3941,7 +3941,32 @@ object Queries {
         ext.Walks.cooccurrence(ext.Graph.coEdges(t(s, d, "lineitem"),
           col("l_orderkey"), col("l_partkey")), length = 3, window = 2,
           k = 200),
-      Some(ext.Walks.cooccurrenceOracleSql(3, 2, 200)))
+      Some(ext.Walks.cooccurrenceOracleSql(3, 2, 200))),
+
+    // ------------------------------------------------------------
+    // Pairwise generation evals (ext/TextPairEval.scala): ROUGE-n
+    // clipped multiset overlap + BLEU-style clipped precision, the
+    // text-vs-reference-text metric the retrieval shelf lacks. All
+    // ppm fixed point; pairs = consecutive same-source docs (the
+    // fixture twin of the eval harness's candidate/reference table)
+    // ------------------------------------------------------------
+    ("eval_rouge1",
+      (s: SparkSession, d: String) =>
+        ext.TextPairEval.rougeN(t(s, d, "documents"), col("doc_id"),
+          col("source"), col("text"), n = 1).orderBy("cand_id"),
+      Some(ext.TextPairEval.rougeNOracleSql(1))),
+
+    ("eval_rouge2",
+      (s: SparkSession, d: String) =>
+        ext.TextPairEval.rougeN(t(s, d, "documents"), col("doc_id"),
+          col("source"), col("text"), n = 2).orderBy("cand_id"),
+      Some(ext.TextPairEval.rougeNOracleSql(2))),
+
+    ("eval_bleu",
+      (s: SparkSession, d: String) =>
+        ext.TextPairEval.bleuProxy(t(s, d, "documents"), col("doc_id"),
+          col("source"), col("text")).orderBy("cand_id"),
+      Some(ext.TextPairEval.bleuProxyOracleSql))
   )
 
   // ---- flagship fact build (SURVEY §7.4) ----

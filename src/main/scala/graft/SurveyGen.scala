@@ -73,7 +73,8 @@ object SurveyGen {
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand",
         "retrieval_mrr", "retrieval_recall_at_k", "retrieval_ndcg",
-        "retrieval_ap", "retrieval_summary", "retrieval_by_label"))
+        "retrieval_ap", "retrieval_summary", "retrieval_by_label") ||
+        pre("eval_"))
       "retrieval"
     else if (pre("bt_")) "preference ranking (Bradley–Terry)"
     else if (pre("graph_") || pre("community_") || pre("walk_") ||
