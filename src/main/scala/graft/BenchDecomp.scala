@@ -113,6 +113,19 @@ object BenchDecomp {
         p.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(p, true)
       }
+    }),
+    "bm25_persisted" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-bench-lex").toString
+      try {
+        graft.ext.Lexical.lexWriteIndex(docs(s, d), col("doc_id"),
+          col("text"), dir, nBuckets = 16)
+        1L
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     })
   )
 }

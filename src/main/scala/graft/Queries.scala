@@ -3966,7 +3966,42 @@ object Queries {
       (s: SparkSession, d: String) =>
         ext.TextPairEval.bleuProxy(t(s, d, "documents"), col("doc_id"),
           col("source"), col("text")).orderBy("cand_id"),
-      Some(ext.TextPairEval.bleuProxyOracleSql))
+      Some(ext.TextPairEval.bleuProxyOracleSql)),
+
+    // ------------------------------------------------------------
+    // Persisted lexical inverted index (ext/Lexical.scala): the
+    // third build-once/search-many index family. Search pays
+    // |postings of the query terms| (bucket-pruned), never |corpus|;
+    // scoring is bm25TopK's exact integer fixed point, so the same
+    // oracle adjudicates both paths
+    // ------------------------------------------------------------
+    ("bm25_persisted",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val dir = indexScratch(d, "lex_v1_b16", "documents")
+        if (!ext.Lexical.lexIndexExists(s, dir))
+          publishIndexAtomic(s, dir, ext.Lexical.lexIndexExists)(tmp =>
+            ext.Lexical.lexWriteIndex(docs, col("doc_id"), col("text"),
+              tmp, nBuckets = 16))
+        ext.Lexical.lexSearchIndex(s, dir,
+          Seq("spark", "merge", "window", "customer"), 20, nBuckets = 16)
+      },
+      Some(ext.Corpus.bm25TopKOracleSql(
+        Seq("spark", "merge", "window", "customer"), 20))),
+
+    // Index audit: segment-summed corpus stats + postings census,
+    // oracled straight from the documents table
+    ("lex_index_stats",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val dir = indexScratch(d, "lex_v1_b16", "documents")
+        if (!ext.Lexical.lexIndexExists(s, dir))
+          publishIndexAtomic(s, dir, ext.Lexical.lexIndexExists)(tmp =>
+            ext.Lexical.lexWriteIndex(docs, col("doc_id"), col("text"),
+              tmp, nBuckets = 16))
+        ext.Lexical.lexIndexStats(s, dir)
+      },
+      Some(ext.Lexical.lexIndexStatsOracleSql))
   )
 
   // ---- flagship fact build (SURVEY §7.4) ----

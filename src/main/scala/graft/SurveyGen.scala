@@ -72,6 +72,7 @@ object SurveyGen {
           "vocab_growth"))
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand",
+        "bm25_persisted", "lex_index_stats",
         "retrieval_mrr", "retrieval_recall_at_k", "retrieval_ndcg",
         "retrieval_ap", "retrieval_summary", "retrieval_by_label") ||
         pre("eval_"))
