@@ -2248,6 +2248,54 @@ object Queries {
           .orderBy("query_id"),
       Some(ext.RetrievalEval.labelMrrOracleSql(dim = 64, qMax = 50L))),
 
+    // Hard-negative mining: per query, the top-5 highest-cosine
+    // WRONG-label candidates -- the contrastive-training set
+    // constructor (global_rank says how near the decision boundary
+    // each negative sits)
+    ("hard_negatives",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.hardNegatives(t(s, d, "embeddings"),
+          qMax = 50L, k = 5),
+      Some(ext.RetrievalEval.hardNegativesOracleSql(dim = 64,
+        qMax = 50L, k = 5))),
+
+    // Batch-hard triplet stats: hardest positive + hardest negative
+    // per anchor and the margin flags a triplet-loss curriculum
+    // reads (margin = 0.05)
+    ("triplet_mining",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.tripletMining(t(s, d, "embeddings"),
+          qMax = 50L, marginMilli = 50),
+      Some(ext.RetrievalEval.tripletMiningOracleSql(dim = 64,
+        qMax = 50L, marginMilli = 50))),
+
+    // Mining THROUGH the persisted PQ index -- the scale path: the
+    // candidate pool is the ANN shortlist, never a scored corpus
+    // scan (missed far negatives are the easy ones, by contract)
+    ("hard_negatives_pq",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val pqDir = indexScratch(d, "pq_v1_c16_m8_k16_d64", "embeddings")
+        if (!Similarity.ivfPqIndexExists(s, pqDir))
+          publishIndexAtomic(s, pqDir)(tmp =>
+            Similarity.ivfPqWriteIndex(emb,
+              Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, tmp))
+        ext.RetrievalEval.hardNegativesPq(s, pqDir, emb, qMax = 50L,
+          k = 5, depth = 20, nProbe = 4, m = 8, dim = 64, rerank = 20)
+      },
+      Some(ext.RetrievalEval.hardNegativesPqOracleSql(dim = 64,
+        qMax = 50L, k = 5, depth = 20, nCentroids = 16, nProbe = 4,
+        m = 8, ksub = 16, rerank = 20))),
+
+    // The mining dashboard number: anchors still violating the
+    // margin (still carrying training signal), count + ppm
+    ("triplet_mining_summary",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.tripletMiningSummary(t(s, d, "embeddings"),
+          qMax = 50L, marginMilli = 50),
+      Some(ext.RetrievalEval.tripletMiningSummaryOracleSql(dim = 64,
+        qMax = 50L, marginMilli = 50))),
+
     // Recall@k: of each query-label's relatives, how many the exact
     // ranking puts in the top 10 -- integer ppm, uncapped denominator
     ("retrieval_recall_at_k",
@@ -4001,7 +4049,35 @@ object Queries {
               tmp, nBuckets = 16))
         ext.Lexical.lexIndexStats(s, dir)
       },
-      Some(ext.Lexical.lexIndexStatsOracleSql))
+      Some(ext.Lexical.lexIndexStatsOracleSql)),
+
+    // Serve-path hybrid: the SAME RRF composition as hybrid_rrf_topk
+    // but with both legs reading their persisted indexes (BM25
+    // inverted index + IVF-PQ) — one query, two indexes, zero corpus
+    // scans. The vector leg is the PQ approximation by declared
+    // contract (priced by ann_pq_recall); the oracle reproduces it
+    ("hybrid_rrf_serve",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val lexDir = indexScratch(d, "lex_v1_b16", "documents")
+        if (!ext.Lexical.lexIndexExists(s, lexDir))
+          publishIndexAtomic(s, lexDir, ext.Lexical.lexIndexExists)(tmp =>
+            ext.Lexical.lexWriteIndex(docs, col("doc_id"), col("text"),
+              tmp, nBuckets = 16))
+        val pqDir = indexScratch(d, "pq_v1_c16_m8_k16_d64", "embeddings")
+        if (!Similarity.ivfPqIndexExists(s, pqDir))
+          publishIndexAtomic(s, pqDir)(tmp =>
+            Similarity.ivfPqWriteIndex(emb,
+              Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, tmp))
+        Similarity.hybridServeTopK(s, lexDir, pqDir, emb,
+          Seq("spark", "merge", "window", "customer"), 0L, 10,
+          depth = 20, nBuckets = 16, nProbe = 4, m = 8, dim = 64,
+          rerank = 20)
+      },
+      Some(Similarity.hybridServeTopKOracleSql(64,
+        Seq("spark", "merge", "window", "customer"), 10, depth = 20,
+        nCentroids = 16, nProbe = 4, m = 8, ksub = 16, rerank = 20)))
   )
 
   // ---- flagship fact build (SURVEY §7.4) ----

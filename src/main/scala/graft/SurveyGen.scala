@@ -71,10 +71,13 @@ object SurveyGen {
           "domain_cap_incremental", "weighted_quantiles",
           "vocab_growth"))
       "corpus prep / packing"
-    else if (in("bm25_topk", "hybrid_rrf_topk", "bm25_prf_expand",
+    else if (in("bm25_topk", "hybrid_rrf_topk", "hybrid_rrf_serve",
+        "bm25_prf_expand",
         "bm25_persisted", "lex_index_stats",
         "retrieval_mrr", "retrieval_recall_at_k", "retrieval_ndcg",
-        "retrieval_ap", "retrieval_summary", "retrieval_by_label") ||
+        "retrieval_ap", "retrieval_summary", "retrieval_by_label",
+        "hard_negatives", "hard_negatives_pq", "triplet_mining",
+        "triplet_mining_summary") ||
         pre("eval_"))
       "retrieval"
     else if (pre("bt_")) "preference ranking (Bradley–Terry)"

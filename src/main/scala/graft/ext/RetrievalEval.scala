@@ -566,4 +566,229 @@ object RetrievalEval {
     |GROUP BY query_id, q_label
     |ORDER BY query_id
     |""".stripMargin.trim
+
+  /** Hard-negative mining — the TRAINING-SET constructor the eval
+    * family's machinery already prices: for each query, the top `k`
+    * highest-cosine candidates whose label DIFFERS (the negatives a
+    * contrastive trainer most needs: lexically/semantically close,
+    * semantically wrong — Karpukhin et al. 2020's hard negatives,
+    * Schroff et al. 2015's mining step). Output per (query, negative):
+    * `(query_id, label, cand_id, neg_label, cos, global_rank,
+    * neg_rank)` — `global_rank` the candidate's position among ALL
+    * candidates (how near the decision boundary the negative sits),
+    * `neg_rank` its position among negatives only.
+    *
+    * Scale shape: identical to the @k eval family — bounded query
+    * side broadcast, ONE scored corpus scan, two windows sharing one
+    * per-query exchange. At 100 TB the scan leg swaps for the ANN
+    * screen (mine negatives from `ivfPqSearchPersisted`'s top-depth,
+    * then label-filter) — same downstream shape, priced by
+    * `ann_pq_recall`. */
+  def hardNegatives(emb: DataFrame, qMax: Long, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val wn = Window.partitionBy(col("query_id"))
+      .orderBy(col("global_rank").asc)
+    Similarity.scoredPairs(emb, emb.filter(col("vec_id") < qMax),
+        qCarry = Seq("label"), cCarry = Seq("label"))
+      .withColumn("global_rank", row_number().over(w).cast("long"))
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("neg_rank", row_number().over(wn).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("q_label").as("label"),
+        col("cand_id"), col("c_label").as("neg_label"),
+        round(col("cos"), 6).as("cos"), col("global_rank"),
+        col("neg_rank"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  /** DuckDB twin of [[hardNegatives]]. */
+  def hardNegativesOracleSql(dim: Int, qMax: Long, k: Int): String =
+    s"""
+    |WITH ${scoredCtes(dim, qMax)},
+    |g AS (
+    |  SELECT query_id, q_label, cand_id, c_label, cos,
+    |    row_number() OVER (PARTITION BY query_id
+    |                       ORDER BY cos DESC, cand_id) AS global_rank
+    |  FROM scored),
+    |n AS (
+    |  SELECT query_id, q_label, cand_id, c_label, cos, global_rank,
+    |    row_number() OVER (PARTITION BY query_id
+    |                       ORDER BY global_rank) AS neg_rank
+    |  FROM g WHERE c_label <> q_label)
+    |SELECT query_id, q_label AS label, cand_id,
+    |  c_label AS neg_label, round(cos, 6) AS cos,
+    |  global_rank, neg_rank
+    |FROM n WHERE neg_rank <= $k
+    |ORDER BY query_id, neg_rank
+    |""".stripMargin.trim
+
+  /** [[hardNegatives]] routed through the PERSISTED IVF-PQ index —
+    * the scale path the brute form's scaladoc declares, delivered:
+    * the candidate pool is the index's top-`depth` ANN shortlist
+    * (nProbe cells + bounded exact re-rank, never a corpus scan of
+    * cosines), then the same label-filter + dense re-rank. Negatives
+    * the index fails to surface are missed by declared contract —
+    * that approximation is priced by `ann_pq_recall`, and for THIS
+    * consumer it is benign in the useful direction: ANN recall decays
+    * for far-away candidates, and far-away negatives are the easy
+    * ones a trainer doesn't need. `index_rank` is the candidate's
+    * position in the ANN shortlist. */
+  def hardNegativesPq(spark: org.apache.spark.sql.SparkSession,
+                      pqDir: String, emb: DataFrame, qMax: Long,
+                      k: Int, depth: Int, nProbe: Int, m: Int,
+                      dim: Int, rerank: Int): DataFrame = {
+    val hits = Similarity.ivfPqSearchPersisted(spark, pqDir, emb,
+      emb.filter(col("vec_id") < qMax), depth, nProbe, m, dim, rerank)
+    // both joins keep the BOUNDED relation (≤ qMax·depth hit rows) on
+    // the broadcast side; the corpus-scale label table streams
+    val withQ = hits.join(
+      broadcast(emb.filter(col("vec_id") < qMax)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), Seq("query_id"))
+    val wn = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank").asc)
+    emb.select(col("vec_id").as("cand_id"), col("label").as("c_label"))
+      .join(broadcast(withQ), Seq("cand_id"))
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("neg_rank", row_number().over(wn).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("q_label").as("label"),
+        col("cand_id"), col("c_label").as("neg_label"), col("cos"),
+        col("rank").as("index_rank"), col("neg_rank"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  /** Batch-hard triplet statistics (Hermans et al. 2017): per query,
+    * the HARDEST positive (lowest same-label cosine — the relative
+    * the embedding holds furthest) and the HARDEST negative (highest
+    * different-label cosine — the impostor it holds closest), plus
+    * the two flags a triplet-loss curriculum reads:
+    * `violating` (hardest negative closer than hardest positive
+    * minus margin — this anchor still teaches the model) and
+    * `semi_hard` (negative inside the margin band but not past the
+    * positive — Schroff et al. 2015's preferred mining regime).
+    * A corpus whose `violating` count reaches zero has converged
+    * past this margin; that count over refreshes is the mining
+    * family's dashboard number.
+    *
+    * Flags compare RAW doubles (bit-identical across engines by the
+    * decimal-dot/correctly-rounded-sqrt contract) against a literal
+    * margin; the reported cosines round to 6 decimals like every
+    * sibling. Queries whose label has no other member emit no row
+    * (no positive exists; oracle mirrors). */
+  def tripletMining(emb: DataFrame, qMax: Long,
+                    marginMilli: Int): DataFrame = {
+    val margin = lit(marginMilli).cast("double") / lit(1000.0)
+    Similarity.scoredPairs(emb, emb.filter(col("vec_id") < qMax),
+        qCarry = Seq("label"), cCarry = Seq("label"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(
+        min(when(col("c_label") === col("q_label"), col("cos")))
+          .as("__pos"),
+        max(when(col("c_label") =!= col("q_label"), col("cos")))
+          .as("__neg"))
+      .filter(col("__pos").isNotNull && col("__neg").isNotNull)
+      .select(col("query_id"), col("q_label").as("label"),
+        round(col("__pos"), 6).as("hardest_pos_cos"),
+        round(col("__neg"), 6).as("hardest_neg_cos"),
+        when(col("__neg") > col("__pos") - margin, 1L).otherwise(0L)
+          .as("violating"),
+        when(col("__neg") > col("__pos") - margin &&
+          col("__neg") < col("__pos"), 1L).otherwise(0L)
+          .as("semi_hard"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[hardNegativesPq]] — the [[Similarity]] PQ
+    * ranking CTEs composed with the label filter. */
+  def hardNegativesPqOracleSql(dim: Int, qMax: Long, k: Int,
+                               depth: Int, nCentroids: Int, nProbe: Int,
+                               m: Int, ksub: Int, rerank: Int): String =
+    s"""
+    |WITH ${Similarity.ivfPqOracleCtes(dim, depth, "TRUE",
+        s"vec_id < $qMax", nCentroids, nProbe, m, ksub, rerank)},
+    |lbl AS (SELECT vec_id, label FROM embeddings),
+    |n AS (
+    |  SELECT p.query_id, ql.label AS q_label, p.cand_id,
+    |    cl.label AS c_label, round(p.cos, 6) AS cos,
+    |    p.rank AS index_rank,
+    |    row_number() OVER (PARTITION BY p.query_id
+    |                       ORDER BY p.rank) AS neg_rank
+    |  FROM pq_ranked p
+    |  JOIN lbl ql ON ql.vec_id = p.query_id
+    |  JOIN lbl cl ON cl.vec_id = p.cand_id
+    |  WHERE p.rank <= $depth AND cl.label <> ql.label)
+    |SELECT query_id, q_label AS label, cand_id, c_label AS neg_label,
+    |  cos, index_rank, neg_rank
+    |FROM n WHERE neg_rank <= $k
+    |ORDER BY query_id, neg_rank
+    |""".stripMargin.trim
+
+  /** Corpus-level roll-up of [[tripletMining]] — the ONE number per
+    * refresh the mining dashboard tracks: how many anchors still
+    * violate the margin (still carry training signal) and how many
+    * sit in the semi-hard band, as counts and ppm of anchors. */
+  def tripletMiningSummary(emb: DataFrame, qMax: Long,
+                           marginMilli: Int): DataFrame =
+    tripletMining(emb, qMax, marginMilli)
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("violating")).as("n_violating"),
+        sum(col("semi_hard")).as("n_semi_hard"))
+      .select(col("n_anchors"), col("n_violating"), col("n_semi_hard"),
+        expr("n_violating * 1000000 DIV n_anchors").as("violating_ppm"),
+        expr("n_semi_hard * 1000000 DIV n_anchors").as("semi_hard_ppm"))
+
+  /** DuckDB twin of [[tripletMiningSummary]]. */
+  def tripletMiningSummaryOracleSql(dim: Int, qMax: Long,
+                                    marginMilli: Int): String =
+    s"""
+    |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+    |  CAST(sum(violating) AS BIGINT) AS n_violating,
+    |  CAST(sum(semi_hard) AS BIGINT) AS n_semi_hard,
+    |  CAST(sum(violating) * 1000000 // count(*) AS BIGINT)
+    |    AS violating_ppm,
+    |  CAST(sum(semi_hard) * 1000000 // count(*) AS BIGINT)
+    |    AS semi_hard_ppm
+    |FROM (${tripletMiningOracleSql(dim, qMax, marginMilli)
+      .replace("\n", "\n|")})
+    |""".stripMargin.trim
+
+  /** DuckDB twin of [[tripletMining]]. */
+  def tripletMiningOracleSql(dim: Int, qMax: Long,
+                             marginMilli: Int): String =
+    s"""
+    |WITH ${scoredCtes(dim, qMax)},
+    |agg AS (
+    |  SELECT query_id, q_label,
+    |    min(CASE WHEN c_label = q_label THEN cos END) AS pos,
+    |    max(CASE WHEN c_label <> q_label THEN cos END) AS neg
+    |  FROM scored GROUP BY query_id, q_label)
+    |SELECT query_id, q_label AS label,
+    |  round(pos, 6) AS hardest_pos_cos,
+    |  round(neg, 6) AS hardest_neg_cos,
+    |  CASE WHEN neg > pos - $marginMilli / 1000.0
+    |    THEN 1 ELSE 0 END::BIGINT AS violating,
+    |  CASE WHEN neg > pos - $marginMilli / 1000.0 AND neg < pos
+    |    THEN 1 ELSE 0 END::BIGINT AS semi_hard
+    |FROM agg WHERE pos IS NOT NULL AND neg IS NOT NULL
+    |ORDER BY query_id
+    |""".stripMargin.trim
+
+  /** Shared scored-pair CTE: every (query, candidate) exact cosine
+    * with both labels — [[Similarity.scoredPairs]]'s oracle image. */
+  private def scoredCtes(dim: Int, qMax: Long): String =
+    s"""q AS (
+    |  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+    |  FROM embeddings WHERE vec_id < $qMax),
+    |c AS (
+    |  SELECT vec_id AS cand_id, label AS c_label, embedding AS c_emb
+    |  FROM embeddings),
+    |scored AS (
+    |  SELECT query_id, q_label, cand_id, c_label,
+    |    CAST(${Similarity.dotSql("q_emb", "c_emb", dim)} AS DOUBLE) /
+    |      (sqrt(CAST(${Similarity.dotSql("q_emb", "q_emb", dim)} AS DOUBLE)) *
+    |       sqrt(CAST(${Similarity.dotSql("c_emb", "c_emb", dim)} AS DOUBLE)))
+    |      AS cos
+    |  FROM c, q WHERE query_id <> cand_id)""".stripMargin
 }

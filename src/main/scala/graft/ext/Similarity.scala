@@ -1964,7 +1964,7 @@ object Similarity {
     * centroid/codeword cuts use absolute vec_id bounds, so they must
     * fall inside the corpus predicate). Ends at
     * `pq_ranked`(query_id, cand_id, cos, rank). */
-  private def ivfPqOracleCtes(dim: Int, k: Int, corpusPred: String,
+  private[ext] def ivfPqOracleCtes(dim: Int, k: Int, corpusPred: String,
                               queryPred: String,
                               nCentroids: Int, nProbe: Int, m: Int,
                               ksub: Int, rerank: Int,
@@ -3215,6 +3215,91 @@ object Similarity {
     |WHERE rank <= $k ORDER BY rank
     |""".stripMargin.trim
   }
+
+  /** [[hybridRrfTopK]] re-plumbed onto the PERSISTED index pair —
+    * the serve-path composition: the text leg reads the BM25
+    * inverted index ([[Lexical.lexSearchIndex]], |postings of the
+    * query's terms|), the vector leg reads the IVF-PQ index
+    * ([[ivfPqSearchPersisted]], nProbe cells + bounded re-rank), and
+    * NEITHER leg scans the corpus. One query, two indexes — the
+    * deployment shape hybrid search actually runs at 100 TB, where
+    * the one-pass legs of [[hybridRrfTopK]] are a batch posture.
+    * Fusion is identical fixed-point RRF over ≤ 2·depth rows.
+    *
+    * Exactness contract: the text leg is bit-equal to
+    * [[Corpus.bm25TopK]] by the lexSearchIndex parity pin; the
+    * vector leg is the PQ APPROXIMATION (that is the serve
+    * trade-off being composed, priced by `ann_pq_recall`), and the
+    * oracle reproduces the same PQ arithmetic, so the fused order is
+    * still engine-exact. */
+  def hybridServeTopK(spark: SparkSession, lexDir: String, pqDir: String,
+                      corpus: DataFrame, terms: Seq[String],
+                      queryVecId: Long, k: Int, depth: Int = 20,
+                      k0: Int = 60, nBuckets: Int = 64, nProbe: Int = 4,
+                      m: Int = 8, dim: Int = 64,
+                      rerank: Int = 20): DataFrame = {
+    require(k > 0 && depth >= k, s"need depth >= k > 0, got k=$k depth=$depth")
+    val text = Lexical.lexSearchIndex(spark, lexDir, terms, depth,
+        nBuckets)
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id").as("cand_id"), col("text_rank"))
+    val vec = ivfPqSearchPersisted(spark, pqDir, corpus,
+        corpus.filter(col("vec_id") === queryVecId), depth, nProbe, m,
+        dim, rerank)
+      .select(col("cand_id"), col("rank").as("vec_rank"))
+    val fused = text.join(vec, Seq("cand_id"), "full_outer")
+      .withColumn("text_rank", coalesce(col("text_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+      .withColumn("rrf_fp", expr(
+        s"""CASE WHEN text_rank > 0
+           | THEN 1000000000 DIV (text_rank + $k0) ELSE 0 END +
+           |CASE WHEN vec_rank > 0
+           | THEN 1000000000 DIV (vec_rank + $k0) ELSE 0 END""".stripMargin))
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_fp").desc, col("cand_id")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cand_id"), col("text_rank"), col("vec_rank"),
+        col("rrf_fp"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB oracle for [[hybridServeTopK]]: the [[ivfPqOracleCtes]]
+    * PQ ranking composed with the BM25 text leg and the RRF fusion —
+    * one statement adjudicating both persisted read paths. */
+  def hybridServeTopKOracleSql(dim: Int, terms: Seq[String], k: Int,
+                               depth: Int = 20, k0: Int = 60,
+                               nCentroids: Int = 16, nProbe: Int = 4,
+                               m: Int = 8, ksub: Int = 16,
+                               rerank: Int = 20): String =
+    s"""
+    |WITH ${ivfPqOracleCtes(dim, depth, "TRUE", "vec_id < 1",
+        nCentroids, nProbe, m, ksub, rerank)},
+    |tleg AS (
+    |  SELECT doc_id AS cand_id,
+    |    row_number() OVER (ORDER BY score_fp DESC, doc_id) AS text_rank
+    |  FROM (${Corpus.bm25TopKOracleSql(terms, depth)
+      .replace("\n", "\n|  ")})),
+    |vleg AS (SELECT cand_id, rank AS vec_rank
+    |  FROM pq_ranked WHERE rank <= $depth)
+    |SELECT cand_id, text_rank, vec_rank, rrf_fp, rank FROM (
+    |  SELECT cand_id, text_rank, vec_rank, rrf_fp,
+    |    row_number() OVER (ORDER BY rrf_fp DESC, cand_id) AS rank
+    |  FROM (
+    |    SELECT COALESCE(t.cand_id, v.cand_id) AS cand_id,
+    |      COALESCE(t.text_rank, 0) AS text_rank,
+    |      COALESCE(v.vec_rank, 0) AS vec_rank,
+    |      CAST(
+    |        (CASE WHEN COALESCE(t.text_rank, 0) > 0
+    |          THEN 1000000000 // (t.text_rank + $k0) ELSE 0 END) +
+    |        (CASE WHEN COALESCE(v.vec_rank, 0) > 0
+    |          THEN 1000000000 // (v.vec_rank + $k0) ELSE 0 END)
+    |        AS BIGINT) AS rrf_fp
+    |    FROM tleg t FULL OUTER JOIN vleg v ON t.cand_id = v.cand_id))
+    |WHERE rank <= $k ORDER BY rank
+    |""".stripMargin.trim
 
   /** Full DuckDB oracle for [[rrfFuseTopK]] over `embeddings`. */
   def rrfFuseTopKOracleSql(dim: Int, k: Int, maxQueryId: Long,

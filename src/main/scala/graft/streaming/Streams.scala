@@ -847,6 +847,62 @@ object Streams {
       }
       .start()
 
+  /** Streaming lexical-index ingest — the sparse-retrieval member of
+    * the index-sink family ([[pqIngestSink]] dense,
+    * [[linkApproxIngestSink]] graph): each trigger's documents
+    * append postings + one additive stats segment to the persisted
+    * BM25 inverted index, O(batch) and corpus-independent (the
+    * measured flat append row, SCALE.md §52). Expects columns
+    * `(doc_id, text)`.
+    *
+    * Exactly-once: a crash-replayed trigger re-offers documents whose
+    * postings already landed; the anti-join against the index's doc
+    * ids drops them. Duplicated postings would not merely over-count
+    * here — they would double tf and CORRUPT every score of the
+    * affected terms, so the ledger discipline is load-bearing, not
+    * hygiene. The anti-join and the append run under ONE maintenance
+    * lock hold ([[graft.ext.Lexical.lexAppendUnlocked]]), so a
+    * compaction can never interleave between them, and a trigger
+    * that fires mid-compaction blocks then appends to the compacted
+    * store — the linkApproxIngestSink zero-loss contract. A crash
+    * INSIDE the append (postings landed, stats row not) leaves
+    * N/avgdl lagging one batch — the module's declared recovery is
+    * [[graft.ext.Lexical.lexRepairStats]]; df and tf stay exact
+    * throughout because both derive from postings alone. */
+  def lexIngestSink(stream: DataFrame, indexDir: String,
+                    checkpoint: String,
+                    nBuckets: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val deduped = batch0.select(col("doc_id"), col("text"))
+          .dropDuplicates(Seq("doc_id"))
+        graft.meta.MaintenanceLock.withLock(spark, indexDir) {
+          val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(
+              new org.apache.hadoop.fs.Path(s"$indexDir/postings"))) {
+            // first trigger bootstraps the store (stats seg 0 +
+            // postings, postings last — the build's crash contract)
+            if (!deduped.isEmpty)
+              graft.ext.Lexical.lexWriteIndex(deduped, col("doc_id"),
+                col("text"), indexDir, nBuckets)
+          } else {
+            val fresh = deduped.join(
+                spark.read.parquet(s"$indexDir/postings")
+                  .select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            if (!fresh.isEmpty)
+              graft.ext.Lexical.lexAppendUnlocked(spark, fresh,
+                col("doc_id"), col("text"), indexDir, nBuckets)
+          }
+        }
+      }
+      .start()
+
   /** Streaming leakage-free split enforcement — the online twin of
     * [[graft.ext.Dedup.componentSplit]]: each micro-batch of documents
     * is banded against the PERSISTED signature indexes (simhash band

@@ -277,4 +277,42 @@ class RetrievalEvalSpec extends SparkSpec {
       .select("query_id").as[Long].collect().toSet
     assert(got == Set(1L, 2L), s"singleton leaked: $got")
   }
+
+  test("hardNegatives: only wrong-label candidates, ordered by cosine; " +
+      "a wrong-label duplicate vector mines at neg_rank 1, global_rank 1") {
+    // id 4 duplicates query 0's direction exactly but carries label 2:
+    // the canonical hard negative — nearest candidate overall AND wrong
+    val withDup = fixture.union(Seq((4L, Array(2.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label"))
+    val got = RetrievalEval.hardNegatives(withDup, qMax = 1L, k = 3)
+      .as[(Long, Int, Long, Int, Double, Long, Long)].collect().toSeq
+    assert(got.forall(_._4 != got.head._2), "a same-label row leaked in")
+    assert(got.map(_._7) == Seq(1L, 2L, 3L), "neg_rank not dense")
+    assert(got.head._3 == 4L && got.head._6 == 1L,
+      "the duplicate-direction impostor must mine first")
+    // negatives ordered by descending cosine
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+  }
+
+  test("tripletMining: flags read the margin band; singleton labels " +
+      "emit no row") {
+    // query 0 (label 1): hardest positive = id 2 (cos≈.707); hardest
+    // negative = id 1 (cos≈.995) > pos → violating, NOT semi-hard
+    // (negative is past the positive, not inside the band)
+    val got = RetrievalEval.tripletMining(fixture, qMax = 1L,
+        marginMilli = 50)
+      .as[(Long, Int, Double, Double, Long, Long)].collect().toSeq
+    assert(got.size == 1)
+    val r = got.head
+    assert(r._3 < r._4, "fixture: negative should beat positive")
+    assert(r._5 == 1L && r._6 == 0L,
+      "past-the-positive negative must be violating but not semi-hard")
+    // singleton label → no positive → no row
+    val singleton = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.9f, 0.1f), 2),
+      (2L, Array(0.5f, 0.5f), 2)).toDF("vec_id", "embedding", "label")
+    assert(RetrievalEval.tripletMining(singleton, qMax = 1L,
+      marginMilli = 50).isEmpty, "anchor with no positive leaked")
+  }
 }

@@ -1088,4 +1088,48 @@ class StreamsSpec extends SparkSpec {
       covBatch.orderBy("grp", "i", "j").collect().toSeq,
       "per-label covariance from state != batch")
   }
+
+  test("lexIngestSink: streamed BM25 index scores identically to the " +
+    "batch-built index; replay appends nothing") {
+    import graft.ext.Lexical
+    val docsDir = tmp("lex-docs-stream")
+    val indexDir = tmp("lex-index-stream") + "/ix"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    // two files -> two micro-batches, with the SECOND overlapping the
+    // first (doc_id < 60 in both): the anti-join must drop re-offered
+    // docs or their tf doubles and corrupts scores
+    docs.filter(col("doc_id") < 250).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    docs.filter(col("doc_id") >= 200 || col("doc_id") < 60).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    def run(ckpt: String): Unit = {
+      val q = Streams.lexIngestSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(docsDir),
+        indexDir, ckpt, nBuckets = 16)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(tmp("lex-chk"))
+    val terms = Seq("spark", "merge", "window", "customer")
+    val batchDir = tmp("lex-index-batch") + "/ix"
+    Lexical.lexWriteIndex(docs, col("doc_id"), col("text"), batchDir,
+      nBuckets = 16)
+    def top(dir: String) =
+      Lexical.lexSearchIndex(spark, dir, terms, 30, nBuckets = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = top(indexDir)
+    assert(got.nonEmpty, "streamed index should rank documents")
+    assert(got == top(batchDir),
+      "streamed index scores drifted from the batch-built index")
+    // the additive stats segments must SUM to the batch stats
+    val gotStats = Lexical.lexIndexStats(spark, indexDir).collect()(0)
+    val wantStats = Lexical.lexIndexStats(spark, batchDir).collect()(0)
+    assert(gotStats == wantStats, "summed segment stats != batch stats")
+    // full replay (fresh checkpoint): every doc anti-joins away
+    val before = spark.read.parquet(s"$indexDir/postings").count()
+    run(tmp("lex-chk2"))
+    assert(spark.read.parquet(s"$indexDir/postings").count() == before,
+      "replay appended postings")
+  }
 }
