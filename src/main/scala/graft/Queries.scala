@@ -4077,6 +4077,59 @@ object Queries {
       },
       Some(Similarity.hybridServeTopKOracleSql(64,
         Seq("spark", "merge", "window", "customer"), 10, depth = 20,
+        nCentroids = 16, nProbe = 4, m = 8, ksub = 16, rerank = 20))),
+
+    // Batch serving: one pruned postings pass answers a whole query
+    // relation (df in-plan, one window for all queries) -- the
+    // request-batch posture the per-query form can't amortize
+    ("lex_search_batch",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val dir = indexScratch(d, "lex_v1_b16", "documents")
+        if (!ext.Lexical.lexIndexExists(s, dir))
+          publishIndexAtomic(s, dir, ext.Lexical.lexIndexExists)(tmp =>
+            ext.Lexical.lexWriteIndex(docs, col("doc_id"), col("text"),
+              tmp, nBuckets = 16))
+        import s.implicits._
+        val q = Seq(0L -> "spark", 0L -> "merge", 1L -> "window",
+          1L -> "customer", 2L -> "merge", 2L -> "window",
+          2L -> "customer").toDF("query_id", "term")
+        ext.Lexical.lexSearchMany(s, dir, q, 10, nBuckets = 16)
+      },
+      Some(ext.Lexical.lexSearchManyOracleSql(
+        Seq(0L -> "spark", 0L -> "merge", 1L -> "window",
+          1L -> "customer", 2L -> "merge", 2L -> "window",
+          2L -> "customer"), 10))),
+
+    // The full hybrid REQUEST BATCH: one postings pass + one PQ pass
+    // answer three (terms, vector) requests, fused per query -- both
+    // persisted indexes amortized over the batch
+    ("hybrid_serve_batch",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val lexDir = indexScratch(d, "lex_v1_b16", "documents")
+        if (!ext.Lexical.lexIndexExists(s, lexDir))
+          publishIndexAtomic(s, lexDir, ext.Lexical.lexIndexExists)(tmp =>
+            ext.Lexical.lexWriteIndex(docs, col("doc_id"), col("text"),
+              tmp, nBuckets = 16))
+        val pqDir = indexScratch(d, "pq_v1_c16_m8_k16_d64", "embeddings")
+        if (!Similarity.ivfPqIndexExists(s, pqDir))
+          publishIndexAtomic(s, pqDir)(tmp =>
+            Similarity.ivfPqWriteIndex(emb,
+              Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, tmp))
+        import s.implicits._
+        val qTerms = Seq(0L -> "spark", 0L -> "merge", 1L -> "window",
+          1L -> "customer", 2L -> "merge", 2L -> "window",
+          2L -> "customer").toDF("query_id", "term")
+        Similarity.hybridServeMany(s, lexDir, pqDir, emb, qTerms,
+          emb.filter(col("vec_id") < 3), 10, depth = 20,
+          nBuckets = 16, nProbe = 4, m = 8, dim = 64, rerank = 20)
+      },
+      Some(Similarity.hybridServeManyOracleSql(64,
+        Seq(0L -> "spark", 0L -> "merge", 1L -> "window",
+          1L -> "customer", 2L -> "merge", 2L -> "window",
+          2L -> "customer"), nQueries = 3L, k = 10, depth = 20,
         nCentroids = 16, nProbe = 4, m = 8, ksub = 16, rerank = 20)))
   )
 

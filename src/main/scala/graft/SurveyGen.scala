@@ -73,7 +73,8 @@ object SurveyGen {
       "corpus prep / packing"
     else if (in("bm25_topk", "hybrid_rrf_topk", "hybrid_rrf_serve",
         "bm25_prf_expand",
-        "bm25_persisted", "lex_index_stats",
+        "bm25_persisted", "lex_index_stats", "lex_search_batch",
+        "hybrid_serve_batch",
         "retrieval_mrr", "retrieval_recall_at_k", "retrieval_ndcg",
         "retrieval_ap", "retrieval_summary", "retrieval_by_label",
         "hard_negatives", "hard_negatives_pq", "triplet_mining",

@@ -201,6 +201,115 @@ object Lexical {
       .orderBy(col("score_fp").desc, col("doc_id").asc).limit(k)
   }
 
+  /** BATCH search — [[lexSearchIndex]] amortized over a query
+    * relation `(query_id, term)`: ONE pruned postings pass serves the
+    * whole batch, the serving posture at scale (per-query calls pay
+    * the stats hop and a postings read each; here both amortize).
+    * Differences from the single-query form, both in the batch's
+    * favor:
+    *  - df comes back IN-PLAN (one keyed agg joined to the scoring
+    *    branch) instead of a driver collect — the driver holds only
+    *    the distinct-term list (codebook-class for a bounded request
+    *    batch, the declared contract) for bucket pruning;
+    *  - one window ranks all queries (partitioned per query_id).
+    * Scoring arithmetic is bit-identical to [[lexSearchIndex]] /
+    * [[Corpus.bm25TopK]] (same idf image, same saturated-tf ppm), so
+    * for a single-query batch the two forms agree row-for-row
+    * (LexicalIndexSpec pins it). Output:
+    * `(query_id, doc_id, score_fp, rank)`, rank ≤ k per query. */
+  def lexSearchMany(spark: SparkSession, dir: String,
+                    queries: DataFrame, k: Int,
+                    nBuckets: Int = 64): DataFrame = {
+    require(k > 0)
+    val st = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("toks")).as("t"))
+      .collect()(0)
+    val nDocs = st.getAs[Long]("n")
+    val avgLenPpm = math.max(1L,
+      st.getAs[Long]("t") * 1000000L / math.max(1L, nDocs))
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    // the distinct term list is the only driver state (bounded batch
+    // contract): it prunes the postings read to ≤ |terms| buckets
+    val terms = q.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "lexSearchMany: empty query batch")
+    val buckets = terms.map(bucketOf(_, nBuckets)).distinct
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(terms: _*))
+    // df in-plan: exact live doc frequency per term, broadcast back
+    // onto the same pruned pass's scoring branch
+    val idf = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__idf",
+        expr(s"(2 * ${nDocs}L - 2 * __df + 1) * 1000L DIV " +
+          "(2 * __df + 1)"))
+      .select(col("term"), col("__idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    post
+      .withColumn("__norm", lit(250000L) +
+        expr(s"(cast(750000 as bigint) * doc_len * 1000000) " +
+          s"div $avgLenPpm"))
+      .withColumn("__sat",
+        expr("(11 * tf * 1000000000000) div " +
+          "(5 * tf * 1000000 + 6 * __norm)"))
+      .join(broadcast(idf), "term")
+      .join(broadcast(q), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__idf") * col("__sat")).as("score_fp"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[lexSearchMany]] for literal query rows. */
+  def lexSearchManyOracleSql(queryRows: Seq[(Long, String)],
+                             k: Int): String = {
+    val values = queryRows
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""
+    |WITH q(query_id, term) AS (VALUES $values),
+    |w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    |stats AS (
+    |  SELECT CAST(count(*) AS BIGINT) AS n,
+    |    greatest(1, sum(len(w)) * 1000000 // count(*)) AS avg_ppm
+    |  FROM w),
+    |tf AS (
+    |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    |  FROM (SELECT doc_id, unnest(w) AS term FROM w)
+    |  GROUP BY doc_id, term),
+    |df AS (
+    |  SELECT term, CAST(count(*) AS BIGINT) AS df
+    |  FROM tf GROUP BY term),
+    |dl AS (SELECT doc_id, len(w) AS doc_len FROM w),
+    |scored AS (
+    |  SELECT q.query_id, tf.doc_id,
+    |    CAST(sum(
+    |      ((2*stats.n - 2*df.df + 1) * 1000 // (2*df.df + 1)) *
+    |      ((11 * tf.tf * 1000000000000) //
+    |       (5 * tf.tf * 1000000 +
+    |        6 * (250000 + (750000 * dl.doc_len * 1000000)
+    |             // stats.avg_ppm)))) AS BIGINT) AS score_fp
+    |  FROM q
+    |  JOIN tf ON tf.term = q.term
+    |  JOIN df ON df.term = q.term
+    |  JOIN dl ON dl.doc_id = tf.doc_id
+    |  CROSS JOIN stats
+    |  GROUP BY q.query_id, tf.doc_id)
+    |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_fp,
+    |  rank
+    |FROM (
+    |  SELECT query_id, doc_id, score_fp,
+    |    row_number() OVER (PARTITION BY query_id
+    |                       ORDER BY score_fp DESC, doc_id) AS rank
+    |  FROM scored)
+    |WHERE rank <= $k
+    |ORDER BY query_id, rank
+    |""".stripMargin.trim
+  }
+
   /** One-row index audit: corpus stats + postings census. */
   def lexIndexStats(spark: SparkSession, dir: String): DataFrame = {
     val post = spark.read.parquet(s"$dir/postings")

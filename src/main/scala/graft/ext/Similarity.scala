@@ -3266,6 +3266,89 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** [[hybridServeTopK]] amortized over a REQUEST BATCH — the full
+    * serving shape: a batch of hybrid requests, each a term set
+    * (`qTerms(query_id, term)`) plus a query vector
+    * (`qVecs(vec_id, embedding)`, vec_id = query_id), answered by
+    * ONE pruned postings pass ([[Lexical.lexSearchMany]] — df
+    * in-plan, amortized over the batch) and ONE PQ search pass
+    * (probe assignment and ADC already batch over the query
+    * relation), fused per query over ≤ 2·depth rows each. The
+    * per-request driver cost of the single-query form (stats hop +
+    * df collect + its own postings read) amortizes across the whole
+    * batch — the same economics that make [[lexSearchMany]] the
+    * serving posture. */
+  def hybridServeMany(spark: SparkSession, lexDir: String,
+                      pqDir: String, corpus: DataFrame,
+                      qTerms: DataFrame, qVecs: DataFrame, k: Int,
+                      depth: Int = 20, k0: Int = 60,
+                      nBuckets: Int = 64, nProbe: Int = 4, m: Int = 8,
+                      dim: Int = 64, rerank: Int = 20): DataFrame = {
+    require(k > 0 && depth >= k, s"need depth >= k > 0, got k=$k depth=$depth")
+    val text = Lexical.lexSearchMany(spark, lexDir, qTerms, depth,
+        nBuckets)
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        col("rank").as("text_rank"))
+    val vec = ivfPqSearchPersisted(spark, pqDir, corpus, qVecs, depth,
+        nProbe, m, dim, rerank)
+      .select(col("query_id"), col("cand_id"),
+        col("rank").as("vec_rank"))
+    val fused = text.join(vec, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("text_rank", coalesce(col("text_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+      .withColumn("rrf_fp", expr(
+        s"""CASE WHEN text_rank > 0
+           | THEN 1000000000 DIV (text_rank + $k0) ELSE 0 END +
+           |CASE WHEN vec_rank > 0
+           | THEN 1000000000 DIV (vec_rank + $k0) ELSE 0 END""".stripMargin))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("cand_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("text_rank"),
+        col("vec_rank"), col("rrf_fp"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[hybridServeMany]] for literal query rows
+    * (vector queries are `vec_id < nQueries`, term rows literal). */
+  def hybridServeManyOracleSql(dim: Int,
+                               queryRows: Seq[(Long, String)],
+                               nQueries: Long, k: Int,
+                               depth: Int = 20, k0: Int = 60,
+                               nCentroids: Int = 16, nProbe: Int = 4,
+                               m: Int = 8, ksub: Int = 16,
+                               rerank: Int = 20): String =
+    s"""
+    |WITH ${ivfPqOracleCtes(dim, depth, "TRUE", s"vec_id < $nQueries",
+        nCentroids, nProbe, m, ksub, rerank)},
+    |tleg AS (
+    |  SELECT query_id, cand_id, rank AS text_rank FROM (
+    |    SELECT query_id, doc_id AS cand_id, rank
+    |    FROM (${Lexical.lexSearchManyOracleSql(queryRows, depth)
+      .replace("\n", "\n|    ")}))),
+    |vleg AS (SELECT query_id, cand_id, rank AS vec_rank
+    |  FROM pq_ranked WHERE rank <= $depth)
+    |SELECT query_id, cand_id, text_rank, vec_rank, rrf_fp, rank FROM (
+    |  SELECT query_id, cand_id, text_rank, vec_rank, rrf_fp,
+    |    row_number() OVER (PARTITION BY query_id
+    |                       ORDER BY rrf_fp DESC, cand_id) AS rank
+    |  FROM (
+    |    SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+    |      COALESCE(t.cand_id, v.cand_id) AS cand_id,
+    |      COALESCE(t.text_rank, 0) AS text_rank,
+    |      COALESCE(v.vec_rank, 0) AS vec_rank,
+    |      CAST(
+    |        (CASE WHEN COALESCE(t.text_rank, 0) > 0
+    |          THEN 1000000000 // (t.text_rank + $k0) ELSE 0 END) +
+    |        (CASE WHEN COALESCE(v.vec_rank, 0) > 0
+    |          THEN 1000000000 // (v.vec_rank + $k0) ELSE 0 END)
+    |        AS BIGINT) AS rrf_fp
+    |    FROM tleg t FULL OUTER JOIN vleg v
+    |      ON t.query_id = v.query_id AND t.cand_id = v.cand_id))
+    |WHERE rank <= $k ORDER BY query_id, rank
+    |""".stripMargin.trim
+
   /** DuckDB oracle for [[hybridServeTopK]]: the [[ivfPqOracleCtes]]
     * PQ ranking composed with the BM25 text leg and the RRF fusion —
     * one statement adjudicating both persisted read paths. */

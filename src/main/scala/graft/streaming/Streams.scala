@@ -649,6 +649,46 @@ object Streams {
       }
       .start()
 
+  /** Streaming HYBRID serve — the request-path composition of
+    * [[annServeSink]] and the lexical index: each trigger's requests
+    * (`(query_id, terms: array<string>, embedding)`) are answered by
+    * [[graft.ext.Similarity.hybridServeMany]] — ONE pruned postings
+    * pass plus ONE PQ pass for the whole trigger, fused per request —
+    * and the ranked results append to `outDir` stamped with the
+    * trigger's `batch_id`. Same deployment contract as annServeSink:
+    * stateless by construction (every answer derives from the two
+    * indexes and that trigger's requests), at-least-once delivery
+    * with exactly-once via (batch_id, query_id, rank) dedup, index
+    * versioning AS OF the trigger (both index reads see
+    * `_SUCCESS`-published stores either side of any staged swap;
+    * appends racing a trigger land in the next trigger's answers).
+    * Requests dedup by query_id within a trigger. */
+  def hybridServeSink(requestStream: DataFrame, corpus: DataFrame,
+                      lexDir: String, pqDir: String, outDir: String,
+                      k: Int, depth: Int, nBuckets: Int, nProbe: Int,
+                      m: Int, dim: Int, rerank: Int,
+                      checkpoint: String): StreamingQuery =
+    requestStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val req = batch0.dropDuplicates(Seq("query_id"))
+          .localCheckpoint()
+        if (!req.isEmpty) {
+          val qTerms = req.select(col("query_id"),
+            explode(col("terms")).as("term"))
+          val qVecs = req.select(col("query_id").as("vec_id"),
+            col("embedding"))
+          graft.ext.Similarity.hybridServeMany(spark, lexDir, pqDir,
+              corpus, qTerms, qVecs, k, depth, nBuckets = nBuckets,
+              nProbe = nProbe, m = m, dim = dim, rerank = rerank)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+
   /** Streaming retrieval-eval canary — the online twin of the
     * `retrieval_summary` batch op, and the EVAL-side companion of
     * [[annServeSink]]: where serve answers a query stream, this

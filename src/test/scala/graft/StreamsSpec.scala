@@ -1132,4 +1132,52 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$indexDir/postings").count() == before,
       "replay appended postings")
   }
+
+  test("hybridServeSink: per-trigger hybrid answers equal the batch " +
+      "form over the same two persisted indexes") {
+    import graft.ext.{Lexical, Similarity}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .localCheckpoint()
+    val lexDir = tmp("hs-lex") + "/ix"
+    val pqDir = tmp("hs-pq") + "/ix"
+    Lexical.lexWriteIndex(docs, col("doc_id"), col("text"), lexDir, 16)
+    Similarity.ivfPqWriteIndex(emb,
+      Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, pqDir)
+    val reqs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        when(col("vec_id") % 2 === 0,
+          array(lit("spark"), lit("merge")))
+          .otherwise(array(lit("window"), lit("customer")))
+          .as("terms"),
+        col("embedding"))
+      .localCheckpoint()
+    val reqDir = tmp("hs-reqs")
+    reqs.filter(col("query_id") < 2).coalesce(1)
+      .write.mode("append").parquet(reqDir)
+    reqs.filter(col("query_id") >= 2).coalesce(1)
+      .write.mode("append").parquet(reqDir)
+    val outDir = tmp("hs-out") + "/out"
+    val q = Streams.hybridServeSink(
+      spark.readStream.schema(reqs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(reqDir),
+      emb, lexDir, pqDir, outDir, k = 10, depth = 20, nBuckets = 16,
+      nProbe = 4, m = 8, dim = 64, rerank = 20, tmp("hs-chk"))
+    try q.processAllAvailable() finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "text_rank", "vec_rank", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+    val got = key(spark.read.parquet(outDir))
+    // two triggers must cover all four requests exactly once
+    assert(spark.read.parquet(outDir)
+      .select("batch_id").distinct().count() == 2)
+    val want = key(Similarity.hybridServeMany(spark, lexDir, pqDir,
+      emb, reqs.select(col("query_id"), explode(col("terms")).as("term")),
+      reqs.select(col("query_id").as("vec_id"), col("embedding")),
+      k = 10, depth = 20, nBuckets = 16, nProbe = 4, m = 8, dim = 64,
+      rerank = 20))
+    assert(want.nonEmpty && got == want,
+      "streamed hybrid answers drifted from the batch form")
+  }
 }
