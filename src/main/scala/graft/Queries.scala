@@ -2287,6 +2287,24 @@ object Queries {
         qMax = 50L, k = 5, depth = 20, nCentroids = 16, nProbe = 4,
         m = 8, ksub = 16, rerank = 20))),
 
+    // The mining path's own recall audit: of the brute top-k hard
+    // negatives, how many the PQ-screened path recovers per query
+    ("hard_negatives_pq_recall",
+      (s: SparkSession, d: String) => {
+        val emb = t(s, d, "embeddings")
+        val pqDir = indexScratch(d, "pq_v1_c16_m8_k16_d64", "embeddings")
+        if (!Similarity.ivfPqIndexExists(s, pqDir))
+          publishIndexAtomic(s, pqDir)(tmp =>
+            Similarity.ivfPqWriteIndex(emb,
+              Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, tmp))
+        ext.RetrievalEval.hardNegativesPqRecall(s, pqDir, emb,
+          qMax = 50L, k = 5, depth = 20, nProbe = 4, m = 8, dim = 64,
+          rerank = 20)
+      },
+      Some(ext.RetrievalEval.hardNegativesPqRecallOracleSql(dim = 64,
+        qMax = 50L, k = 5, depth = 20, nCentroids = 16, nProbe = 4,
+        m = 8, ksub = 16, rerank = 20))),
+
     // The mining dashboard number: anchors still violating the
     // margin (still carrying training signal), count + ppm
     ("triplet_mining_summary",
@@ -4100,6 +4118,24 @@ object Queries {
         Seq(0L -> "spark", 0L -> "merge", 1L -> "window",
           1L -> "customer", 2L -> "merge", 2L -> "window",
           2L -> "customer"), 10))),
+
+    // The LEXICAL side of the eval shelf: each query doc's 3 rarest
+    // terms search the persisted index (batch form), first same-
+    // source hit reports reciprocal rank -- the sparse twin of
+    // retrieval_mrr
+    ("lex_retrieval_mrr",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val dir = indexScratch(d, "lex_v1_b16", "documents")
+        if (!ext.Lexical.lexIndexExists(s, dir))
+          publishIndexAtomic(s, dir, ext.Lexical.lexIndexExists)(tmp =>
+            ext.Lexical.lexWriteIndex(docs, col("doc_id"), col("text"),
+              tmp, nBuckets = 16))
+        ext.RetrievalEval.lexRetrievalMrr(s, dir, docs, qMax = 50L,
+          nTerms = 3, depth = 20, nBuckets = 16)
+      },
+      Some(ext.RetrievalEval.lexRetrievalMrrOracleSql(qMax = 50L,
+        nTerms = 3, depth = 20))),
 
     // The full hybrid REQUEST BATCH: one postings pass + one PQ pass
     // answer three (terms, vector) requests, fused per query -- both

@@ -77,7 +77,9 @@ object SurveyGen {
         "hybrid_serve_batch",
         "retrieval_mrr", "retrieval_recall_at_k", "retrieval_ndcg",
         "retrieval_ap", "retrieval_summary", "retrieval_by_label",
-        "hard_negatives", "hard_negatives_pq", "triplet_mining",
+        "lex_retrieval_mrr",
+        "hard_negatives", "hard_negatives_pq", "hard_negatives_pq_recall",
+        "triplet_mining",
         "triplet_mining_summary") ||
         pre("eval_"))
       "retrieval"

@@ -659,6 +659,77 @@ object RetrievalEval {
       .orderBy("query_id", "neg_rank")
   }
 
+  /** Recall audit of the mining path: per query, how many of the
+    * brute [[hardNegatives]] top-k the index-screened
+    * [[hardNegativesPq]] recovers — the measured check behind the
+    * scaladoc's "missed far negatives are the easy ones" claim (the
+    * claim is about WHICH negatives are missed; this number is how
+    * many). The `ann_pq_recall` discipline applied to the mining
+    * consumer: every approximate path ships with its own audit. */
+  def hardNegativesPqRecall(spark: org.apache.spark.sql.SparkSession,
+                            pqDir: String, emb: DataFrame, qMax: Long,
+                            k: Int, depth: Int, nProbe: Int, m: Int,
+                            dim: Int, rerank: Int): DataFrame = {
+    val exact = hardNegatives(emb, qMax, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = hardNegativesPq(spark, pqDir, emb, qMax, k, depth,
+        nProbe, m, dim, rerank)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("n_hits", col("n_hits").cast("long"))
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / lit(k).cast("double"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[hardNegativesPqRecall]] — brute and PQ mining
+    * CTE chains joined (fresh names: the PQ CTEs own `q`/`c`). */
+  def hardNegativesPqRecallOracleSql(dim: Int, qMax: Long, k: Int,
+                                     depth: Int, nCentroids: Int,
+                                     nProbe: Int, m: Int, ksub: Int,
+                                     rerank: Int): String = {
+    def cos(a: String, b: String): String =
+      s"CAST(${Similarity.dotSql(a, b, dim)} AS DOUBLE) /" +
+        s" (sqrt(CAST(${Similarity.dotSql(a, a, dim)} AS DOUBLE)) *" +
+        s" sqrt(CAST(${Similarity.dotSql(b, b, dim)} AS DOUBLE)))"
+    s"""
+    |WITH ${Similarity.ivfPqOracleCtes(dim, depth, "TRUE",
+        s"vec_id < $qMax", nCentroids, nProbe, m, ksub, rerank)},
+    |bq AS (SELECT vec_id AS query_id, label AS q_label,
+    |    embedding AS q_emb FROM embeddings WHERE vec_id < $qMax),
+    |bc AS (SELECT vec_id AS cand_id, label AS c_label,
+    |    embedding AS c_emb FROM embeddings),
+    |bg AS (
+    |  SELECT query_id, cand_id, q_label, c_label,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY ${cos("q_emb", "c_emb")} DESC, cand_id) AS grank
+    |  FROM bc, bq WHERE query_id <> cand_id),
+    |bneg AS (
+    |  SELECT query_id, cand_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |                       ORDER BY grank) AS nrank
+    |  FROM bg WHERE c_label <> q_label),
+    |exact AS (SELECT query_id, cand_id FROM bneg WHERE nrank <= $k),
+    |lbl AS (SELECT vec_id, label FROM embeddings),
+    |pneg AS (
+    |  SELECT p.query_id, p.cand_id,
+    |    row_number() OVER (PARTITION BY p.query_id
+    |                       ORDER BY p.rank) AS nrank
+    |  FROM pq_ranked p
+    |  JOIN lbl ql ON ql.vec_id = p.query_id
+    |  JOIN lbl cl ON cl.vec_id = p.cand_id
+    |  WHERE p.rank <= $depth AND cl.label <> ql.label),
+    |approx AS (SELECT query_id, cand_id FROM pneg WHERE nrank <= $k)
+    |SELECT e.query_id, CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(a.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM exact e LEFT JOIN approx a
+    |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+    |GROUP BY e.query_id ORDER BY e.query_id
+    |""".stripMargin.trim
+  }
+
   /** Batch-hard triplet statistics (Hermans et al. 2017): per query,
     * the HARDEST positive (lowest same-label cosine — the relative
     * the embedding holds furthest) and the HARDEST negative (highest
@@ -773,6 +844,123 @@ object RetrievalEval {
     |    THEN 1 ELSE 0 END::BIGINT AS semi_hard
     |FROM agg WHERE pos IS NOT NULL AND neg IS NOT NULL
     |ORDER BY query_id
+    |""".stripMargin.trim
+
+  /** LEXICAL retrieval eval — the BM25 side of the shelf ([[labelMrr]]
+    * measures the embedding; nothing measured the sparse path until
+    * this): each query document's `nTerms` RAREST terms (min corpus
+    * df, term tie-break — §52's selective regime, the query class an
+    * inverted index serves) search the PERSISTED index via the batch
+    * form ([[Lexical.lexSearchMany]], one postings pass for all
+    * queries), self excluded and the list re-ranked, and the first
+    * same-`source` hit reports reciprocal rank in integer ppm. A
+    * falling macro over index generations means the lexical path
+    * surfaces same-provenance documents worse — the sparse twin of
+    * the embedding-refresh canary. Queries with no same-source hit
+    * in the top `depth` emit no row (MRR@depth contract; oracle
+    * mirrors). */
+  def lexRetrievalMrr(spark: org.apache.spark.sql.SparkSession,
+                      lexDir: String, docs: DataFrame, qMax: Long,
+                      nTerms: Int = 3, depth: Int = 20,
+                      nBuckets: Int = 64): DataFrame = {
+    val termsAll = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dfx = termsAll.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__df").asc, col("term").asc)
+    val qt = termsAll.filter(col("doc_id") < qMax)
+      .join(dfx, "term")
+      .withColumn("__trank", row_number().over(wq))
+      .filter(col("__trank") <= nTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    val ranked = Lexical.lexSearchMany(spark, lexDir, qt, depth,
+        nBuckets)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rank2", row_number().over(wr).cast("long"))
+    val qsrc = docs.filter(col("doc_id") < qMax)
+      .select(col("doc_id").as("query_id"),
+        col("source").as("q_source"))
+    val csrc = docs.select(col("doc_id"), col("source").as("c_source"))
+    // ranked is bounded (≤ qMax·depth): broadcast it into the
+    // corpus-side source join, never the reverse
+    csrc.join(broadcast(ranked.join(broadcast(qsrc), Seq("query_id"))),
+        Seq("doc_id"))
+      .filter(col("c_source") === col("q_source"))
+      .groupBy(col("query_id"), col("q_source"))
+      .agg(min(col("rank2")).as("first_rel_rank"))
+      .select(col("query_id"), col("q_source").as("source"),
+        col("first_rel_rank"),
+        expr("1000000 DIV first_rel_rank").as("rr_ppm"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[lexRetrievalMrr]] — the full chain: rarest-term
+    * query construction, the exact BM25 fixed point of
+    * [[Lexical.lexSearchManyOracleSql]], self-exclusion re-rank,
+    * first same-source reduction. */
+  def lexRetrievalMrrOracleSql(qMax: Long, nTerms: Int = 3,
+                               depth: Int = 20): String =
+    s"""
+    |WITH w AS (
+    |  SELECT doc_id, source, str_split(text, ' ') AS w FROM documents),
+    |stats AS (
+    |  SELECT CAST(count(*) AS BIGINT) AS n,
+    |    greatest(1, sum(len(w)) * 1000000 // count(*)) AS avg_ppm
+    |  FROM w),
+    |tf AS (
+    |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    |  FROM (SELECT doc_id, unnest(w) AS term FROM w)
+    |  GROUP BY doc_id, term),
+    |df AS (
+    |  SELECT term, CAST(count(*) AS BIGINT) AS df
+    |  FROM tf GROUP BY term),
+    |qt AS (
+    |  SELECT query_id, term FROM (
+    |    SELECT t.doc_id AS query_id, t.term,
+    |      row_number() OVER (PARTITION BY t.doc_id
+    |                         ORDER BY d.df, t.term) AS trank
+    |    FROM tf t JOIN df d ON d.term = t.term
+    |    WHERE t.doc_id < $qMax)
+    |  WHERE trank <= $nTerms),
+    |dl AS (SELECT doc_id, len(w) AS doc_len FROM w),
+    |scored AS (
+    |  SELECT qt.query_id, tf.doc_id,
+    |    CAST(sum(
+    |      ((2*stats.n - 2*df.df + 1) * 1000 // (2*df.df + 1)) *
+    |      ((11 * tf.tf * 1000000000000) //
+    |       (5 * tf.tf * 1000000 +
+    |        6 * (250000 + (750000 * dl.doc_len * 1000000)
+    |             // stats.avg_ppm)))) AS BIGINT) AS score_fp
+    |  FROM qt
+    |  JOIN tf ON tf.term = qt.term
+    |  JOIN df ON df.term = qt.term
+    |  JOIN dl ON dl.doc_id = tf.doc_id
+    |  CROSS JOIN stats
+    |  GROUP BY qt.query_id, tf.doc_id),
+    |cut AS (
+    |  SELECT query_id, doc_id, score_fp FROM (
+    |    SELECT query_id, doc_id, score_fp,
+    |      row_number() OVER (PARTITION BY query_id
+    |                         ORDER BY score_fp DESC, doc_id) AS rank
+    |    FROM scored)
+    |  WHERE rank <= $depth),
+    |reranked AS (
+    |  SELECT query_id, doc_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |                       ORDER BY score_fp DESC, doc_id) AS rank2
+    |  FROM cut WHERE doc_id <> query_id)
+    |SELECT r.query_id, wq.source,
+    |  CAST(min(r.rank2) AS BIGINT) AS first_rel_rank,
+    |  CAST(1000000 // min(r.rank2) AS BIGINT) AS rr_ppm
+    |FROM reranked r
+    |JOIN w wq ON wq.doc_id = r.query_id
+    |JOIN w wc ON wc.doc_id = r.doc_id
+    |WHERE wc.source = wq.source
+    |GROUP BY r.query_id, wq.source
+    |ORDER BY r.query_id
     |""".stripMargin.trim
 
   /** Shared scored-pair CTE: every (query, candidate) exact cosine
