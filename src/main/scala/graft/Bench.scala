@@ -128,6 +128,16 @@ object Bench {
       .map(_.toDouble)
       .getOrElse(heavies.map { case (_, s) =>
         25.0 + quietN * s * 1.5 }.sum.max(600.0))
+    // host calibration ruler (SCALE.md §51) — measured HERE, while
+    // the session is still alive: the first integrated run measured
+    // it after the quiet fork's spark.stop() and silently emitted {}
+    // (the failure only reached stderr). In-session placement also
+    // keeps the ruler's walls off the quiet children's budget.
+    val ruler =
+      try { val (c, s) = HostRuler.measure(spark)
+            s"""{"cpu_s":$c,"shuffle_s":$s}""" }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] ruler failed: $e"); "{}" }
     // all in-session measurement is done — release the parent's
     // executors and heap BEFORE forking children, or the children
     // measure the parent's memory pressure instead of the query (the
@@ -196,14 +206,6 @@ object Bench {
     } else heavies.foreach(quietSkipped += _._1)
     val quiet = quietRows.mkString("{", ",", "}")
     val quietMeta = s"""{"fresh_jvm":true,"n":$quietN,"k":$quietK,"budget_s":$quietBudget,"elapsed_s":${math.round(quietElapsed * 10) / 10.0},"skipped":[${quietSkipped.map("\"" + _ + "\"").mkString(",")}]}"""
-    // host calibration ruler (SCALE.md §51): data-independent CPU and
-    // shuffle microbenchmarks, so cross-round wall comparisons can be
-    // normalized for host variance instead of misread as regressions
-    val ruler =
-      try { val (c, s) = HostRuler.measure(spark)
-            s"""{"cpu_s":$c,"shuffle_s":$s}""" }
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] ruler failed: $e"); "{}" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"decomp":$decomp,"quiet":$quiet,"quiet_meta":$quietMeta,"ruler":$ruler,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     println(line)
     // stdout tail-capture has repeatedly truncated this line (the driver's

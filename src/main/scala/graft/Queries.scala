@@ -4119,6 +4119,32 @@ object Queries {
           1L -> "customer", 2L -> "merge", 2L -> "window",
           2L -> "customer"), 10))),
 
+    // The serve path's own audit: overlap@k of the two-persisted-
+    // index hybrid against the exact-dense-leg hybrid -- PQ
+    // approximation as it propagates THROUGH rank fusion
+    ("hybrid_rrf_serve_recall",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val lexDir = indexScratch(d, "lex_v1_b16", "documents")
+        if (!ext.Lexical.lexIndexExists(s, lexDir))
+          publishIndexAtomic(s, lexDir, ext.Lexical.lexIndexExists)(tmp =>
+            ext.Lexical.lexWriteIndex(docs, col("doc_id"), col("text"),
+              tmp, nBuckets = 16))
+        val pqDir = indexScratch(d, "pq_v1_c16_m8_k16_d64", "embeddings")
+        if (!Similarity.ivfPqIndexExists(s, pqDir))
+          publishIndexAtomic(s, pqDir)(tmp =>
+            Similarity.ivfPqWriteIndex(emb,
+              Similarity.pqSampleCodebooks(emb, 8, 16, 8), 16, 8, 64, tmp))
+        Similarity.hybridServeRecall(s, lexDir, pqDir, docs, emb,
+          Seq("spark", "merge", "window", "customer"), 0L, 10,
+          depth = 20, nBuckets = 16, nProbe = 4, m = 8, dim = 64,
+          rerank = 20)
+      },
+      Some(Similarity.hybridServeRecallOracleSql(64,
+        Seq("spark", "merge", "window", "customer"), 10, depth = 20,
+        nCentroids = 16, nProbe = 4, m = 8, ksub = 16, rerank = 20))),
+
     // The LEXICAL side of the eval shelf: each query doc's 3 rarest
     // terms search the persisted index (batch form), first same-
     // source hit reports reciprocal rank -- the sparse twin of

@@ -74,7 +74,7 @@ object SurveyGen {
     else if (in("bm25_topk", "hybrid_rrf_topk", "hybrid_rrf_serve",
         "bm25_prf_expand",
         "bm25_persisted", "lex_index_stats", "lex_search_batch",
-        "hybrid_serve_batch",
+        "hybrid_serve_batch", "hybrid_rrf_serve_recall",
         "retrieval_mrr", "retrieval_recall_at_k", "retrieval_ndcg",
         "retrieval_ap", "retrieval_summary", "retrieval_by_label",
         "lex_retrieval_mrr",

@@ -3266,6 +3266,53 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** The serve path's own audit — overlap@k of [[hybridServeTopK]]
+    * (PQ vector leg) against [[hybridRrfTopK]] (exact vector leg) for
+    * the same request: the recall discipline every approximate path
+    * here ships (`ann_pq_recall` for the index, `hard_negatives_pq_
+    * recall` for mining, this for the fused serving list). The text
+    * legs are bit-equal by the lexSearchIndex parity pin, so any
+    * divergence is the PQ approximation propagated THROUGH the
+    * fusion — the number that tells a deployment whether the serve
+    * trade-off survives rank fusion. */
+  def hybridServeRecall(spark: SparkSession, lexDir: String,
+                        pqDir: String, docs: DataFrame,
+                        corpus: DataFrame, terms: Seq[String],
+                        queryVecId: Long, k: Int, depth: Int = 20,
+                        nBuckets: Int = 64, nProbe: Int = 4,
+                        m: Int = 8, dim: Int = 64,
+                        rerank: Int = 20): DataFrame = {
+    val exact = hybridRrfTopK(docs, corpus, terms, queryVecId, k,
+      depth).select(col("cand_id"))
+    val serve = hybridServeTopK(spark, lexDir, pqDir, corpus, terms,
+        queryVecId, k, depth, nBuckets = nBuckets, nProbe = nProbe,
+        m = m, dim = dim, rerank = rerank)
+      .select(col("cand_id"), lit(1L).as("__hit"))
+    exact.join(serve, Seq("cand_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("__n"))
+      .select(col("__n").cast("long").as("n_hits"),
+        (col("__n").cast("double") / lit(k).cast("double"))
+          .as("recall_at_k"))
+  }
+
+  /** DuckDB twin of [[hybridServeRecall]] — both hybrid oracles as
+    * derived tables, left-joined. */
+  def hybridServeRecallOracleSql(dim: Int, terms: Seq[String], k: Int,
+                                 depth: Int = 20,
+                                 nCentroids: Int = 16, nProbe: Int = 4,
+                                 m: Int = 8, ksub: Int = 16,
+                                 rerank: Int = 20): String =
+    s"""
+    |SELECT CAST(count(s.cand_id) AS BIGINT) AS n_hits,
+    |  CAST(count(s.cand_id) AS DOUBLE) / $k AS recall_at_k
+    |FROM (SELECT cand_id FROM (${hybridRrfTopKOracleSql(dim, terms,
+        0L, k, depth).replace("\n", "\n|  ")})) e
+    |LEFT JOIN (SELECT cand_id FROM (${hybridServeTopKOracleSql(dim,
+        terms, k, depth, 60, nCentroids, nProbe, m, ksub, rerank)
+      .replace("\n", "\n|  ")})) s
+    |  ON s.cand_id = e.cand_id
+    |""".stripMargin.trim
+
   /** [[hybridServeTopK]] amortized over a REQUEST BATCH — the full
     * serving shape: a batch of hybrid requests, each a term set
     * (`qTerms(query_id, term)`) plus a query vector
