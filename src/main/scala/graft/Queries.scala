@@ -2305,6 +2305,16 @@ object Queries {
         qMax = 50L, k = 5, depth = 20, nCentroids = 16, nProbe = 4,
         m = 8, ksub = 16, rerank = 20))),
 
+    // Trainer-ready triplet manifest: anchor + hardest positive +
+    // ordered semi-hard negatives (comma-joined ids) -- the
+    // corpus_pack role for contrastive training
+    ("triplet_manifest",
+      (s: SparkSession, d: String) =>
+        ext.RetrievalEval.tripletManifest(t(s, d, "embeddings"),
+          qMax = 50L, marginMilli = 200, maxNegs = 5),
+      Some(ext.RetrievalEval.tripletManifestOracleSql(dim = 64,
+        qMax = 50L, marginMilli = 200, maxNegs = 5))),
+
     // The mining dashboard number: anchors still violating the
     // margin (still carrying training signal), count + ppm
     ("triplet_mining_summary",

@@ -80,7 +80,7 @@ object SurveyGen {
         "lex_retrieval_mrr",
         "hard_negatives", "hard_negatives_pq", "hard_negatives_pq_recall",
         "triplet_mining",
-        "triplet_mining_summary") ||
+        "triplet_mining_summary", "triplet_manifest") ||
         pre("eval_"))
       "retrieval"
     else if (pre("bt_")) "preference ranking (Bradley–Terry)"

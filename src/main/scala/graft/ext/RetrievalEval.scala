@@ -796,6 +796,92 @@ object RetrievalEval {
     |ORDER BY query_id, neg_rank
     |""".stripMargin.trim
 
+  /** Trainer-ready triplet manifest — the mining shelf's last mile
+    * (the `corpus_pack` role for contrastive training): one row per
+    * anchor with its HARDEST positive (min same-label cosine — the
+    * batch-hard choice of Hermans et al. 2017) and the ordered
+    * semi-hard negatives (different label, cosine inside
+    * `(pos_cos − margin, pos_cos)` — Schroff et al. 2015's regime),
+    * hardest first, capped at `maxNegs`. Anchors with no positive or
+    * an empty band emit no row (a triplet needs all three legs;
+    * oracle mirrors). Negatives ship as a comma-joined id string
+    * (the chunkScrub convention for list outputs — engine-exact
+    * compare without list-type hashing).
+    *
+    * Scale shape: one scored corpus scan (the eval family's bounded
+    * broadcast-query contract), positives and band filters are
+    * column predicates on it, and the per-anchor fold touches ≤
+    * |band| rows. At 100 TB the scan leg swaps for the PQ screen
+    * exactly as [[hardNegativesPq]] — with [[hardNegativesPqRecall]]
+    * pricing what the band then misses. */
+  def tripletManifest(emb: DataFrame, qMax: Long, marginMilli: Int,
+                      maxNegs: Int): DataFrame = {
+    val margin = lit(marginMilli).cast("double") / lit(1000.0)
+    val scored = Similarity.scoredPairs(emb,
+        emb.filter(col("vec_id") < qMax),
+        qCarry = Seq("label"), cCarry = Seq("label"))
+      .localCheckpoint()
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").asc, col("cand_id").asc)
+    val pos = scored.filter(col("c_label") === col("q_label"))
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") === 1)
+      .select(col("query_id"), col("q_label"),
+        col("cand_id").as("pos_id"), col("cos").as("__pos_cos"))
+    val wn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val negs = scored.filter(col("c_label") =!= col("q_label"))
+      .join(broadcast(pos.select(col("query_id"), col("__pos_cos"))),
+        Seq("query_id"))
+      .filter(col("cos") < col("__pos_cos") &&
+        col("cos") > col("__pos_cos") - margin)
+      .withColumn("__nr", row_number().over(wn))
+      .filter(col("__nr") <= maxNegs)
+    negs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_negs"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__nr"), col("cand_id")))),
+          s => s.getField("cand_id").cast("string")), ",")
+          .as("negatives"))
+      .join(broadcast(pos), Seq("query_id"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("pos_id"), round(col("__pos_cos"), 6).as("pos_cos"),
+        col("negatives"), col("n_negs"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[tripletManifest]]. */
+  def tripletManifestOracleSql(dim: Int, qMax: Long, marginMilli: Int,
+                               maxNegs: Int): String =
+    s"""
+    |WITH ${scoredCtes(dim, qMax)},
+    |pos AS (
+    |  SELECT query_id, q_label, cand_id AS pos_id, cos AS pos_cos
+    |  FROM (
+    |    SELECT query_id, q_label, cand_id, cos,
+    |      row_number() OVER (PARTITION BY query_id
+    |                         ORDER BY cos ASC, cand_id) AS pr
+    |    FROM scored WHERE c_label = q_label)
+    |  WHERE pr = 1),
+    |negs AS (
+    |  SELECT s.query_id, s.cand_id, nr FROM (
+    |    SELECT s.query_id, s.cand_id,
+    |      row_number() OVER (PARTITION BY s.query_id
+    |                         ORDER BY s.cos DESC, s.cand_id) AS nr
+    |    FROM scored s JOIN pos p ON p.query_id = s.query_id
+    |    WHERE s.c_label <> s.q_label
+    |      AND s.cos < p.pos_cos
+    |      AND s.cos > p.pos_cos - $marginMilli / 1000.0) s
+    |  WHERE nr <= $maxNegs)
+    |SELECT p.query_id, p.q_label AS label, p.pos_id,
+    |  round(p.pos_cos, 6) AS pos_cos,
+    |  array_to_string(list(n.cand_id ORDER BY n.nr), ',') AS negatives,
+    |  CAST(count(*) AS BIGINT) AS n_negs
+    |FROM negs n JOIN pos p ON p.query_id = n.query_id
+    |GROUP BY p.query_id, p.q_label, p.pos_id, p.pos_cos
+    |ORDER BY p.query_id
+    |""".stripMargin.trim
+
   /** Corpus-level roll-up of [[tripletMining]] — the ONE number per
     * refresh the mining dashboard tracks: how many anchors still
     * violate the margin (still carry training signal) and how many
