@@ -44,7 +44,15 @@ object Bench {
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: $e"); false
           }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        val w = (System.nanoTime() - t0) / 1e9
+        // drop persisted plan-cache entries AFTER the timer stops:
+        // the next trial must rebuild every pinned intermediate from
+        // the parquet inputs (the no-cross-run-caching contract), and
+        // a 330-query session must not accumulate every query's pin
+        // blocks (the cross-query memory pressure the quiet pass
+        // keeps measuring as "contended")
+        spark.sharedState.cacheManager.clearCache()
+        (ok, w)
       }
       val runs = (1 to 2).map(_ => once())
       // adaptive third trial: when the two trials disagree by >1.5x,

@@ -51,7 +51,11 @@ object BenchQuiet {
           (1 to n).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
+            val w = (System.nanoTime() - t0) / 1e9
+            // same no-cross-run-cache discipline as graft.Bench:
+            // every trial rebuilds pinned intermediates from parquet
+            spark.sharedState.cacheManager.clearCache()
+            w
           }.min
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[quiet] $name failed: $e"); -1.0

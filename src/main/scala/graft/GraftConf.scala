@@ -35,9 +35,20 @@ object GraftConf {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.autoBroadcastJoinThreshold" -> (10L * 1024 * 1024).toString)
 
-  /** Fold [[base]] into a session builder. */
+  /** Fold [[base]] into a session builder, plus the CORE (non-SQL,
+    * set-at-startup-only) confs: long sessions (the 330-query bench,
+    * a day-2 service) accumulate dead checkpoint/persist blocks
+    * between collections — a 48 GiB heap GCs so rarely that the
+    * ContextCleaner never runs and block memory pressure bleeds into
+    * later queries (the r11/r12 quiet passes kept adjudicating
+    * exactly this as "contended"). The default periodic-GC interval
+    * is 30 min, longer than the whole bench; 2 min keeps cleanup
+    * bounded without touching any timed region. Lives here and not
+    * in [[base]] because a live session cannot set core confs
+    * (PlanSpec re-applies [[base]] via `spark.conf.set`). */
   def applyBase(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
-    base(cores).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    (base(cores) + ("spark.cleaner.periodicGC.interval" -> "2min"))
+      .foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
   /** What a query's PHYSICAL plan must look like for the engine to
     * hold at 100 TB — each field is a concrete assertion PlanSpec

@@ -48,6 +48,30 @@ object Dedup {
                                   keys: Column*): DataFrame =
     assertSpread(Pin.pin(spread(df, keys: _*)), tag)
 
+  /** [[spreadPinned]]'s partitioning-PRESERVING sibling for the
+    * iterating families' loop-invariant relations (adjacency lists,
+    * edge lookups): [[Pin.pinByKey]] + the same discipline
+    * assertion. Where [[spreadPinned]]'s checkpoint erases the hash
+    * partitioning (so every round's join re-exchanges the full
+    * relation), this keeps it visible to the planner — each round's
+    * expansion join exchanges only the frontier. Deterministic
+    * relations only (persist keeps lineage; see [[Pin.pinByKey]]). */
+  private[graft] def spreadCached(df: DataFrame, tag: String,
+                                  keys: Column*): DataFrame =
+    assertSpread(Pin.pinByKey(df, keys: _*), tag)
+
+  /** [[spreadCached]] at `mult`× the session shuffle width — for
+    * inputs whose consumer stage amplifies rows (wedge joins, pair
+    * expansions), where the consumer's partial-agg state is
+    * amplification-sized and narrower widths spill
+    * (see [[Pin.pinByKeyN]]). */
+  private[graft] def spreadCachedWide(df: DataFrame, tag: String,
+                                      mult: Int, keys: Column*)
+      : DataFrame =
+    assertSpread(Pin.pinByKeyN(df,
+      mult * df.sparkSession.sessionState.conf.numShufflePartitions,
+      keys: _*), tag)
+
   /** The discipline check alone: a round-checkpoint relation in an
     * iterating family must carry more than one partition whenever
     * the session is parallel at all. */

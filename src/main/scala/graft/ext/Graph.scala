@@ -340,10 +340,22 @@ object Graph {
       col("v").cast("long").as("v")))
     val adj = e.select(col("u").as("a"), col("v").as("n"))
       .unionByName(e.select(col("v").as("a"), col("u").as("n")))
-    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("degree"))
-    val adjOk = adj.join(
+    // ONE degree aggregation, pinned: unpinned it re-ran as five
+    // separate union+agg subtrees in the executed plan (the two
+    // semi-join caps, deg_u, deg_v — each a full adjacency re-scan
+    // with two exchanges; plans/r12/link_predict_before.txt ops
+    // 9-11/25-27/43-45/87-89/100-102)
+    val deg = Dedup.spreadPinned(adj.groupBy(col("a"))
+      .agg(count(lit(1)).as("degree")), "linkpred.deg", col("a"))
+    // capped adjacency pinned PARTITIONING-VISIBLY on the apex: both
+    // wedge sides scan this one cached relation already hashed and
+    // sorted on `a`, so the Σdeg² wedge join runs with zero exchange
+    // and zero sort on either side (before: two edge-scale exchanges
+    // + sorts feeding the join, and the whole capped adjacency was
+    // derived twice)
+    val adjOk = Dedup.spreadCachedWide(adj.join(
       deg.filter(col("degree") <= maxDegree).select(col("a")), Seq("a"),
-      "left_semi")
+      "left_semi"), "linkpred.adj", 4, col("a"))
     val w1 = adjOk.select(col("a"), col("n").as("u"))
     val w2 = adjOk.select(col("a"), col("n").as("v"))
     val cand = w1.join(w2, Seq("a")).filter(col("u") < col("v"))
@@ -384,10 +396,14 @@ object Graph {
       col("v").cast("long").as("v")))
     val adj = e.select(col("u").as("a"), col("v").as("n"))
       .unionByName(e.select(col("v").as("a"), col("u").as("n")))
-    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("degree"))
-    val adjOk = adj.join(
+    // same pinned-degree + cached-apex-partitioned discipline as
+    // [[linkPredict]] (one degree agg, zero-exchange wedge join)
+    val deg = Dedup.spreadPinned(adj.groupBy(col("a"))
+      .agg(count(lit(1)).as("degree")), "linkpred.ra.deg", col("a"))
+    val adjOk = Dedup.spreadCachedWide(adj.join(
         deg.filter(col("degree") <= maxDegree), Seq("a"))
-      .withColumn("wt", expr("1000000L div degree"))
+      .withColumn("wt", expr("1000000L div degree")),
+      "linkpred.ra.adj", 4, col("a"))
     val w1 = adjOk.select(col("a"), col("wt"), col("n").as("u"))
     val w2 = adjOk.select(col("a"), col("n").as("v"))
     w1.join(w2, Seq("a")).filter(col("u") < col("v"))

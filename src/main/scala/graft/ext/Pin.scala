@@ -36,4 +36,62 @@ object Pin {
         df.localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
       case _ => df.localCheckpoint()
     }
+
+  /** Pin a DETERMINISTIC relation so that its hash partitioning and
+    * per-partition sort order SURVIVE into every consumer's plan —
+    * the round-12 optimization-round discovery (guide §2.4, "remove
+    * shuffles outright"): `localCheckpoint` erases partitioning
+    * (`LogicalRDD` reports `UnknownPartitioning`), so every
+    * per-round join in the iterating graph families re-exchanged
+    * the FULL adjacency every round. An eager `persist` keeps the
+    * logical plan, and `InMemoryTableScan` reports the cached
+    * plan's `outputPartitioning`/`outputOrdering` — so a join or
+    * groupBy keyed on `keys` runs with ZERO exchange and ZERO sort
+    * on the pinned side, every round (measured: the probe plan
+    * shows SortMergeJoin directly over InMemoryTableScan).
+    *
+    * Same eager one-evaluation contract as [[pin]] (the `count()`
+    * materializes every partition before any consumer plans against
+    * it). ONLY for deterministically-derived relations: persist
+    * keeps lineage, so an evicted partition is recomputed — fine
+    * for hash-repartitioned derivations, wrong for anything seeded
+    * by a nondeterministic draw (those stay on [[pin]]'s
+    * lineage-cutting checkpoint). Honors the same storage dial. */
+  def pinByKey(df: DataFrame,
+               keys: org.apache.spark.sql.Column*): DataFrame =
+    pinByKeyN(df, df.sparkSession.sessionState.conf.numShufflePartitions,
+      keys: _*)
+
+  /** [[pinByKey]] at an explicit width — for pair-expansion inputs
+    * whose consumer stage AMPLIFIES rows (a wedge join emits
+    * Σ deg²/2 rows from Σ deg inputs): the consumer's partial-agg
+    * hash state is amplification-sized, so the stage width must
+    * scale with the amplification, not the input bytes, or the agg
+    * spills (measured: link_predict's wedge stage spilled 810 MB at
+    * width 32 and zero at width 128 — guide §5). */
+  def pinByKeyN(df: DataFrame, numPartitions: Int,
+                keys: org.apache.spark.sql.Column*): DataFrame = {
+    // no-cross-run-cache tripwire: persist matches by canonicalized
+    // plan, so a pinned subtree built PURELY from source scans would
+    // be silently served from cache on a bench's second timed run —
+    // exactly the cross-run memoization the driver contract bans.
+    // Every caller must sit above a lineage-unique leaf (a [[pin]]
+    // checkpoint produces a fresh RDD per run, so plans never match
+    // across runs). Fail loudly instead of quietly reusing.
+    require(df.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "pinByKey requires a checkpointed (lineage-unique) input below " +
+        "it; pinning a pure-source derivation would let a cached plan " +
+        "serve a later run without recomputing")
+    val level =
+      df.sparkSession.conf.getOption(ConfKey).map(_.toLowerCase) match {
+        case Some("disk_only") => StorageLevel.DISK_ONLY
+        case _ => StorageLevel.MEMORY_AND_DISK
+      }
+    val p = df.repartition(numPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .persist(level)
+    p.count()
+    p
+  }
 }

@@ -43,14 +43,19 @@ object Walks {
   private val (wa, wb) = Hashing.Perms(0)
   private val stride = Hashing.Stage2._2
 
-  /** Directed adjacency with neighbor ranks and degrees, pinned —
-    * every walk step joins it twice. */
+  /** Directed adjacency with neighbor ranks and degrees, pinned
+    * PARTITIONING-VISIBLY on `node` ([[Dedup.spreadCached]]): every
+    * walk step joins it on the current node, and with the hash
+    * partitioning preserved each step's join exchanges ONLY the
+    * frontier — the adjacency (the big side at 100 TB) is shuffled
+    * exactly once, at build. Deterministic derivation (row_number
+    * over distinct edges), so the persist-based pin is safe. */
   private def rankedAdjacency(edges: DataFrame): DataFrame = {
     val adj = edges
       .select(col("u").cast("long").as("node"), col("v").cast("long").as("nbr"))
       .unionAll(edges
         .select(col("v").cast("long").as("node"), col("u").cast("long").as("nbr")))
-    Dedup.spreadPinned(adj
+    Dedup.spreadCached(adj
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("node")).orderBy(col("nbr"))) - 1L)
       .withColumn("d", count(lit(1)).over(Window.partitionBy(col("node")))
@@ -66,35 +71,43 @@ object Walks {
   /** `length`-step deterministic walks, one walk per node of
     * `edges`: rows (walk_id, step, node_id), step 0 = the start
     * node. Output is walks·(length+1) rows. */
-  def walks(edges: DataFrame, length: Int): DataFrame = {
+  def walks(edges: DataFrame, length: Int): DataFrame =
+    walksKernel(edges, length).orderBy("walk_id", "step")
+
+  /** [[walks]] without the declared output ordering — the form the
+    * derived consumers ([[visitStats]], [[cooccurrence]],
+    * [[walkBiasAudit]]) aggregate from, so they never pay the
+    * corpus-wide range sort their own aggregation immediately
+    * destroys (guide §2.4: an `orderBy` used only for deterministic
+    * output is an exchange the consumer should not inherit). */
+  private[ext] def walksKernel(edges: DataFrame, length: Int): DataFrame = {
     val adj = rankedAdjacency(edges)
     val starts = Pin.pin(adj.select(col("node")).distinct()
       .select(col("node").as("walk_id"), col("node").as("cur")))
     val out0 = starts.select(col("walk_id"), lit(0L).as("step"),
       col("cur").as("node_id"))
     walkSteps(adj, starts, out0, from = 0, to = length)
-      .orderBy("walk_id", "step")
   }
 
   /** The uniform-walk recursion from an existing frontier: steps
     * `from+1 .. to` appended to `out`. Factored out so [[walks]] and
     * [[extendWalks]] share one selection kernel — the consistency
     * property below is BY CONSTRUCTION only because both paths run
-    * this exact code. */
+    * this exact code.
+    *
+    * ONE fused join per step (was two): the adjacency row already
+    * carries the node's degree `d`, so the hash pick is evaluated as
+    * a join-time residual (`rk = pick(walk_id, s, d)`) instead of a
+    * separate degree-lookup join — same integers, same selected
+    * neighbor, one less frontier shuffle per step. */
   private def walkSteps(adj: DataFrame, frontier0: DataFrame,
                         out0: DataFrame, from: Int, to: Int): DataFrame = {
-    val deg = adj.groupBy(col("node")).agg(first(col("d")).as("d"))
-      .withColumnRenamed("node", "cur")
     var frontier = frontier0
     var out = out0
     for (s <- from + 1 to to) {
-      val picked = frontier
-        .join(deg, Seq("cur"))
-        .select(col("walk_id"), col("cur"),
-          expr(pickExpr(s)).as("__pick"))
-      frontier = Pin.pin(picked
-        .join(adj.select(col("node").as("__an"), col("nbr"), col("rk")),
-          col("cur") === col("__an") && col("rk") === col("__pick"))
+      frontier = Pin.pin(frontier
+        .join(adj, col("cur") === col("node") &&
+          col("rk") === expr(pickExpr(s)))
         .select(col("walk_id"), col("nbr").as("cur")))
       out = out.unionAll(frontier.select(col("walk_id"),
         lit(s.toLong).as("step"), col("cur").as("node_id")))
@@ -249,7 +262,7 @@ object Walks {
       .select(explode(array(col("u"), col("v"))).as("node_id"))
       .groupBy(col("node_id"))
       .agg(count(lit(1)).cast("long").as("degree"))
-    val w = walks(edges, length)
+    val w = walksKernel(edges, length)
     val visits = w.groupBy(col("node_id"))
       .agg(count(lit(1)).cast("long").as("visits"))
     val tot = visits.agg(sum(col("visits")).as("__tv"))
@@ -268,7 +281,11 @@ object Walks {
     * training run inspects before generating the full pair set. */
   def cooccurrence(edges: DataFrame, length: Int, window: Int,
                    k: Int): DataFrame = {
-    val w = Pin.pin(walks(edges, length))
+    // pin the corpus partitioned on walk_id: both sides of the
+    // window self-join read the same cached partitioning, so the
+    // pair expansion runs with zero exchanges before its own agg
+    val w = Dedup.spreadCached(walksKernel(edges, length),
+      "walks.cooc", col("walk_id"))
     val a = w.select(col("walk_id"), col("step").as("__s1"),
       col("node_id").as("__n1"))
     val b = w.select(col("walk_id"), col("step").as("__s2"),
@@ -308,7 +325,15 @@ object Walks {
     * O(Σ deg(cur)) rows instead of O(walks) — the true node2vec
     * price, paid per step, never squared. Hubs cost deg rows. */
   def biasedWalks(edges: DataFrame, length: Int, wReturn: Long,
-                  wCommon: Long, wOut: Long): DataFrame = {
+                  wCommon: Long, wOut: Long): DataFrame =
+    biasedWalksKernel(edges, length, wReturn, wCommon, wOut)
+      .orderBy("walk_id", "step")
+
+  /** [[biasedWalks]] without the declared output ordering — see
+    * [[walksKernel]]. */
+  private[ext] def biasedWalksKernel(edges: DataFrame, length: Int,
+                                     wReturn: Long, wCommon: Long,
+                                     wOut: Long): DataFrame = {
     // all three weights strictly positive: a walk sitting at a
     // degree-1 node whose only neighbor is `prev` has total weight
     // wReturn — at 0 the pick modulus is 0, where Spark nulls and
@@ -320,18 +345,16 @@ object Walks {
     val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
     val adj = rankedAdjacency(e)
-    val deg = adj.groupBy(col("node")).agg(first(col("d")).as("d"))
-      .withColumnRenamed("node", "cur")
     val starts = Pin.pin(adj.select(col("node")).distinct()
       .select(col("node").as("walk_id"), col("node").as("cur")))
     var out = starts.select(col("walk_id"), lit(0L).as("step"),
       col("cur").as("node_id"))
-    // step 1: uniform ranked pick, shared with the unbiased variant
-    val p1 = starts.join(deg, Seq("cur"))
-      .select(col("walk_id"), col("cur"), expr(pickExpr(1)).as("__pick"))
-    var frontier = Pin.pin(p1
-      .join(adj.select(col("node").as("__an"), col("nbr"), col("rk")),
-        col("cur") === col("__an") && col("rk") === col("__pick"))
+    // step 1: uniform ranked pick, shared with the unbiased variant —
+    // the same fused single-join form as [[walkSteps]] (degree read
+    // off the adjacency row, pick as a join-time residual)
+    var frontier = Pin.pin(starts
+      .join(adj, col("cur") === col("node") &&
+        col("rk") === expr(pickExpr(1)))
       .select(col("walk_id"), col("cur").as("prev"), col("nbr").as("cur")))
     out = out.unionAll(frontier.select(col("walk_id"), lit(1L).as("step"),
       col("cur").as("node_id")))
@@ -340,9 +363,11 @@ object Walks {
     // u < v (coEdges' contract, but not every edge relation's) must
     // not silently misclassify distance-1 neighbors as outward; the
     // distinct rides the join's own exchange
-    val edgeLookup = e.select(least(col("u"), col("v")).as("__eu"),
-      greatest(col("u"), col("v")).as("__ev")).distinct()
-      .withColumn("__is_edge", lit(1L))
+    val edgeLookup = Dedup.spreadCached(
+      e.select(least(col("u"), col("v")).as("__eu"),
+        greatest(col("u"), col("v")).as("__ev")).distinct()
+        .withColumn("__is_edge", lit(1L)),
+      "walks.elookup", col("__eu"), col("__ev"))
     for (s <- 2 to length) {
       val sel = biasedStep(frontier, adj, edgeLookup, s,
         wReturn, wCommon, wOut)
@@ -351,7 +376,7 @@ object Walks {
       out = out.unionAll(frontier.select(col("walk_id"),
         lit(s.toLong).as("step"), col("cur").as("node_id")))
     }
-    out.orderBy("walk_id", "step")
+    out
   }
 
   /** [[extendWalks]] for the BIASED variant: the second-order state
@@ -381,9 +406,11 @@ object Walks {
     // u < v (coEdges' contract, but not every edge relation's) must
     // not silently misclassify distance-1 neighbors as outward; the
     // distinct rides the join's own exchange
-    val edgeLookup = e.select(least(col("u"), col("v")).as("__eu"),
-      greatest(col("u"), col("v")).as("__ev")).distinct()
-      .withColumn("__is_edge", lit(1L))
+    val edgeLookup = Dedup.spreadCached(
+      e.select(least(col("u"), col("v")).as("__eu"),
+        greatest(col("u"), col("v")).as("__ev")).distinct()
+        .withColumn("__is_edge", lit(1L)),
+      "walks.elookup", col("__eu"), col("__ev"))
     for (s <- fromLength + 1 to fromLength + extraSteps) {
       val sel = biasedStep(frontier, adj, edgeLookup, s,
         wReturn, wCommon, wOut)
@@ -451,9 +478,12 @@ object Walks {
           col("n_returns"),
           expr("(n_returns * 1000000L) div n_steps").as("return_ppm"))
     }
-    returns(Pin.pin(walks(edges, length)), "uniform")
+    returns(Dedup.spreadCached(walksKernel(edges, length),
+        "walks.audit.u", col("walk_id")), "uniform")
       .unionAll(returns(
-        Pin.pin(biasedWalks(edges, length, wReturn, wCommon, wOut)),
+        Dedup.spreadCached(
+          biasedWalksKernel(edges, length, wReturn, wCommon, wOut),
+          "walks.audit.b", col("walk_id")),
         "biased"))
       .orderBy("variant")
   }

@@ -35,13 +35,14 @@ object QueryProf {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val w = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
       println(f"$name run $i: $w%.2f s ($n rows)")
       w
     }
     println(f"$name min-of-$runs: ${walls.min}%.2f s")
     // instrumented run: stage walls
     case class St(id: Int, wall: Double, tasks: Int, shufRead: Long,
-                  shufWrite: Long, nm: String)
+                  shufWrite: Long, spill: Long, nm: String)
     val events = new java.util.concurrent.ConcurrentLinkedQueue[St]
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -54,6 +55,7 @@ object QueryProf {
         events.add(St(si.stageId, wall, si.numTasks,
           si.taskMetrics.shuffleReadMetrics.totalBytesRead,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+          si.taskMetrics.diskBytesSpilled,
           si.name.take(60)))
       }
     }
@@ -66,10 +68,11 @@ object QueryProf {
     val sts = events.asScala.toSeq.sortBy(-_.wall)
     println(f"instrumented total: $total%.2f s, ${sts.size} stages")
     println(f"${"stage"}%6s ${"wall_s"}%8s ${"tasks"}%6s " +
-      f"${"shufR_MB"}%9s ${"shufW_MB"}%9s  name")
+      f"${"shufR_MB"}%9s ${"shufW_MB"}%9s ${"spill_MB"}%9s  name")
     sts.take(40).foreach { s =>
       println(f"${s.id}%6d ${s.wall}%8.2f ${s.tasks}%6d " +
-        f"${s.shufRead / 1e6}%9.1f ${s.shufWrite / 1e6}%9.1f  ${s.nm}")
+        f"${s.shufRead / 1e6}%9.1f ${s.shufWrite / 1e6}%9.1f " +
+        f"${s.spill / 1e6}%9.1f  ${s.nm}")
     }
     println(f"sum of stage walls: ${sts.map(_.wall).sum}%.2f s " +
       "(> total means overlap; gaps mean driver time)")
