@@ -47,7 +47,7 @@ object Community {
     * edge relation — built once and pinned; LPA consumes it every
     * round and the modularity scorer twice more. */
   private def adjacency(edges: DataFrame): DataFrame =
-    Dedup.spreadPinned(edges
+    Dedup.spreadCached(edges
       .select(col("u").cast("long").as("node"), col("v").cast("long").as("nbr"))
       .unionAll(edges
         .select(col("v").cast("long").as("node"), col("u").cast("long").as("nbr"))),

@@ -1264,7 +1264,7 @@ object Bfs {
     // (AQE would coalesce a small agg to one partition and serialize
     // every level's expansion join)
     val e = Pin.pin(edges)
-    val adj = Dedup.spreadPinned(e
+    val adj = Dedup.spreadCached(e
       .select(col("u").cast("long").as("x"), col("v").cast("long").as("y"))
       .unionByName(e.select(col("v").cast("long").as("x"),
         col("u").cast("long").as("y")))
@@ -1390,7 +1390,7 @@ object Sssp {
   def sssp(edges: DataFrame, seedMax: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = Pin.pin(edges)
-    val adj = Dedup.spreadPinned(e.select(col("u").cast("long").as("x"),
+    val adj = Dedup.spreadCached(e.select(col("u").cast("long").as("x"),
         col("v").cast("long").as("y"),
         expr("1000000 DIV w").as("len"))
       .unionByName(e.select(col("v").cast("long").as("x"),
@@ -1543,7 +1543,7 @@ object Ppr {
         col("v").cast("long").as("dst"))
       .unionByName(edges.select(col("v").cast("long").as("src"),
         col("u").cast("long").as("dst")))
-    val adj = Dedup.spreadPinned(e, "ppr.adj", col("src"))
+    val adj = Dedup.spreadCached(e, "ppr.adj", col("src"))
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ns = deg.filter(col("src") < seedMax)
       .agg(count(lit(1)).as("__ns"))
@@ -1652,7 +1652,7 @@ object Ppr {
         col("v").cast("long").as("dst"))
       .unionByName(edges.select(col("v").cast("long").as("src"),
         col("u").cast("long").as("dst")))
-    val adj = Dedup.spreadPinned(e, "ppr.rec.adj", col("src"))
+    val adj = Dedup.spreadCached(e, "ppr.rec.adj", col("src"))
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node_id"), col("deg"))
       .localCheckpoint()

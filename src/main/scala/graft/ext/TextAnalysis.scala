@@ -920,7 +920,7 @@ object TextAnalysis {
       .join(broadcast(dict.select(col("word").as("v"),
         col("nid").as("vn"))), Seq("v"))
       .select(col("un"), col("vn"), col("w"))
-    val adj = graft.ext.Dedup.spreadPinned(pairsN
+    val adj = graft.ext.Dedup.spreadCached(pairsN
       .select(col("un").as("src"), col("vn").as("dst"), col("w"))
       .unionByName(pairsN.select(col("vn").as("src"),
         col("un").as("dst"), col("w"))), "textrank.adj", col("src"))
