@@ -512,7 +512,14 @@ object Graph {
     // collect_list verify arrays — the O(deg) payload bound
     val okDeg = adjAll.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") <= maxDegree).select(col("a"))
-    val adj = adjAll.join(okDeg, Seq("a"), "left_semi")
+    // capped adjacency cached partitioned on the node: the signature
+    // agg (grouped on (a, i) — a prefix match) and the verify tail's
+    // neighbor-array agg (grouped on a) both run exchange-free over
+    // it, and the minhash explode inherits the full cached width
+    // instead of the 2-task stage AQE carved from its byte-light
+    // input (the §43 trap, measured here as a 2.0 s 2-task stage)
+    val adj = Dedup.spreadCached(adjAll.join(okDeg, Seq("a"), "left_semi"),
+      "linkpred.approx.adj", col("a"))
     approxRankTail(e, adj, Pin.pin(neighborMinhash(adj, nHashes)),
       k, minCn, maxBucket)
   }
@@ -565,7 +572,18 @@ object Graph {
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > maxBucket)
       .select(col("i"), col("h"))
-    val banded = sigs.join(oversize, Seq("i", "h"), "left_anti")
+    // the surviving signatures CACHED partitioned on the band key at
+    // full width: the band self-join's pair emission is byte-light in
+    // and CPU-heavy out, so every shuffle-fed form of this relation
+    // ended up on an AQE-coalesced 2-task read (measured 2.2 s — the
+    // §43 trap; a plain explicit spread does not survive the
+    // optimizer either, which pushes the anti join below a
+    // repartition and strips it as redundant). A cached scan cannot
+    // be coalesced and serves BOTH sides of the self-join with zero
+    // exchange and zero sort.
+    val banded = Dedup.spreadCached(
+      sigs.join(oversize, Seq("i", "h"), "left_anti"),
+      "linkpred.banded", col("i"), col("h"))
     val cand = banded.select(col("i"), col("h"), col("a").as("u"))
       .join(banded.select(col("i"), col("h"), col("a").as("v")),
         Seq("i", "h"))

@@ -78,8 +78,15 @@ object Pin {
     // Every caller must sit above a lineage-unique leaf (a [[pin]]
     // checkpoint produces a fresh RDD per run, so plans never match
     // across runs). Fail loudly instead of quietly reusing.
-    require(df.queryExecution.analyzed.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+    require(df.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      // literal in-memory relations (tests, VALUES) carry their data
+      // in the plan itself — a cache hit re-serves the same literals,
+      // so there is no file re-read being skipped
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _ => false
+    },
       "pinByKey requires a checkpointed (lineage-unique) input below " +
         "it; pinning a pure-source derivation would let a cached plan " +
         "serve a later run without recomputing")

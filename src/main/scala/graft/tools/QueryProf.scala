@@ -61,8 +61,11 @@ object QueryProf {
     }
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
-    fn(spark, sfDir).count()
+    val dfRun = fn(spark, sfDir)
+    dfRun.count()
     val total = (System.nanoTime() - t0) / 1e9
+    if (sys.env.contains("QUERYPROF_PLAN"))
+      println(dfRun.queryExecution.executedPlan.toString)
     Thread.sleep(500) // let the listener bus drain
     import scala.jdk.CollectionConverters._
     val sts = events.asScala.toSeq.sortBy(-_.wall)
