@@ -225,15 +225,38 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: $e")
     }
-    // the full per-query line above is ~4 KB and the driver's tail capture
-    // has truncated it every round — emit a compact totals-only record as
-    // the VERY LAST stdout line so any tail window still gets parseable JSON.
-    // Printed AFTER spark.stop() (Spark logs go to stderr, but this keeps
-    // any stray shutdown output above the line), and echoed to stderr so a
-    // stderr-reading parser gets it too. build.sbt sets showSuccess:=false
-    // so sbt appends no "[success]" banner after this line.
+    // The driver parses the LAST stdout line inside a 2000-char tail
+    // window (BENCH_r04..r07: the full ~8 KB line truncated mid-line and
+    // parsed as null; r08-r12's totals-only last line parsed but left the
+    // driver's per-query and scaling comparisons EMPTY — PERF_r12
+    // n_common=0). The complete 330-entry map can never fit the window
+    // (names alone are ~4.8 KB), so the last line now carries the
+    // HEAVIEST queries' seconds (ms precision, heaviest-first prefix)
+    // up to a strict byte budget: every query that matters for a perf
+    // comparison is in the window, the line stays parseable, and the
+    // complete per-query map remains in the first stdout line and the
+    // file copy above. Printed AFTER spark.stop() (keeps stray shutdown
+    // output above the line) and echoed to stderr for stderr-reading
+    // parsers. build.sbt sets showSuccess:=false so sbt appends no
+    // "[success]" banner after this line.
     spark.stop()
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_queries":${results.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    val lineBudget = 1900
+    val qHead =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
+    def qTail(omitted: Int) =
+      s"""},"n_queries":${results.size},"queries_omitted":$omitted,""" +
+        s""""failed":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+    val byWeight = results.filter(_._2 >= 0).sortBy(-_._2).map {
+      case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+    }
+    var used = qHead.length + qTail(results.size).length
+    val kept = byWeight.takeWhile { e =>
+      val fits = used + e.length + 1 <= lineBudget
+      if (fits) used += e.length + 1
+      fits
+    }
+    val compact =
+      qHead + kept.mkString(",") + qTail(results.size - kept.size)
     System.err.println(compact)
     System.err.flush()
     println(compact)

@@ -28,6 +28,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       val cnt = fn(spark, sfDir).count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+      // per-trial cache discipline, matching graft.Bench: without
+      // this, a pinByKey-backed query's runs 2..n can be served from
+      // run 1's persisted plans and the wall measures a cache read
+      spark.sharedState.cacheManager.clearCache()
     }
     if (sys.env.contains("EXPLAIN")) fn(spark, sfDir).explain("formatted")
     spark.stop()

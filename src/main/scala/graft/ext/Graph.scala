@@ -108,20 +108,33 @@ object Graph {
     val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
 
-    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+    // ONE degree aggregation, pinned: unpinned, the executed r12 plan
+    // ran the explode+agg FOUR times (once per deg consumer in the
+    // twice-derived orientation subtree — plans/r12/
+    // graph_triangles_after.txt ops 7-9/18-20/32-34/43-45), each a
+    // full edge re-scan with its own exchange (guide §2.4)
+    val deg = Dedup.spreadPinned(
+      e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d")), "tri.deg", col("n"))
 
     // total order (d, n): orient low -> high so out-degree <= O(sqrt m)
     val withDeg = e
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
-    val oriented = withDeg.select(
+    // oriented edges cached PARTITIONING-VISIBLY on the apex at wedge
+    // width — the same treatment [[linkPredict]]'s capped adjacency
+    // got in r12: both wedge sides read ONE cached relation hashed
+    // and sorted on `src`, so the Σ outdeg² wedge self-join runs with
+    // zero exchange and zero sort on either side (the r12 plan
+    // derived the whole deg-join orientation subtree TWICE, with an
+    // exchange+sort pair on each side of the wedge join)
+    val oriented = Dedup.spreadCachedWide(withDeg.select(
       when(col("du") < col("dv") ||
            (col("du") === col("dv") && col("u") < col("v")), col("u"))
         .otherwise(col("v")).as("src"),
       when(col("du") < col("dv") ||
            (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst"))
+        .otherwise(col("u")).as("dst")), "tri.oriented", 4, col("src"))
 
     // wedges at the apex: (apex)->(b), (apex)->(c) with b ordered
     // before c in the SAME orientation order is unnecessary — any
@@ -130,11 +143,28 @@ object Graph {
     // the canonical undirected (lo, hi) edge instead.
     val o1 = oriented.select(col("src").as("a"), col("dst").as("b"))
     val o2 = oriented.select(col("src").as("a"), col("dst").as("c"))
-    val wedges = o1.join(o2, Seq("a")).filter(col("b") < col("c"))
-
-    val closing = e.select(col("u").as("b"), col("v").as("c"))
-    val tris = wedges.join(closing, Seq("b", "c"))
-      .select(col("a"), col("b"), col("c"))
+    // the closing probe keyed on ONE packed long instead of (b, c)
+    // (round 13, guide §2.3): the Σ outdeg² wedge rows shrink from
+    // three longs to two before their exchange, and the join key
+    // compare is a single long equality. Guarded exactly like
+    // [[linkPredictTail]]'s packed wedge agg; the fallback keeps the
+    // two-column key, same rows either way.
+    val tris =
+      if (idsPackable(deg, "n")) {
+        val wedges = o1.join(o2, Seq("a")).filter(col("b") < col("c"))
+          .select(col("a"),
+            shiftleft(col("b"), 32).bitwiseOR(col("c")).as("bc"))
+        val closing = e.select(
+          shiftleft(col("u"), 32).bitwiseOR(col("v")).as("bc"))
+        wedges.join(closing, Seq("bc"))
+          .select(col("a"), shiftright(col("bc"), 32).as("b"),
+            col("bc").bitwiseAND(lit(0xFFFFFFFFL)).as("c"))
+      } else {
+        val wedges = o1.join(o2, Seq("a")).filter(col("b") < col("c"))
+        val closing = e.select(col("u").as("b"), col("v").as("c"))
+        wedges.join(closing, Seq("b", "c"))
+          .select(col("a"), col("b"), col("c"))
+      }
 
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
@@ -338,28 +368,86 @@ object Graph {
                   maxDegree: Int = DefaultMaxGroupSize): DataFrame = {
     val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
+    val (deg, adjOk) = cappedAdjacency(e, maxDegree, "linkpred")
+    linkPredictTail(e, deg, adjOk, minCn, k)
+  }
+
+  /** The shared front of the exact AND approx link-prediction
+    * rankers: pinned one-pass degree aggregation + the degree-capped
+    * adjacency cached PARTITIONING-VISIBLY on the apex at 4× session
+    * width.
+    *
+    *  - ONE degree aggregation, pinned: unpinned it re-ran as five
+    *    separate union+agg subtrees in the executed plan (the two
+    *    semi-join caps, deg_u, deg_v — each a full adjacency re-scan
+    *    with two exchanges; plans/r12/link_predict_before.txt ops
+    *    9-11/25-27/43-45/87-89/100-102).
+    *  - Capped adjacency cached on `a`: every consumer keyed on the
+    *    node — the Σdeg² wedge self-join (both sides), the signature
+    *    agg (grouped on (a, i), a prefix), the verify tail's
+    *    neighbor-array agg (grouped on a) — runs with zero exchange
+    *    and zero sort on this side. 4× width because the wedge
+    *    consumer AMPLIFIES rows (see [[Pin.pinByKeyN]]); the extra
+    *    width is harmless to the prefix-keyed aggs.
+    *
+    * Factored out in round 13 so [[linkPredictApproxRecall]] builds
+    * this front ONCE for its two rankers — before, exact and approx
+    * each pinned their own edge copy, re-derived the adjacency,
+    * re-aggregated degrees and built two separate caches of the SAME
+    * capped relation (guide §2.4: the cheapest shuffle is the one
+    * not run twice). `e` must be pinned (lineage-unique) per the
+    * [[Pin.pinByKey]] no-cross-run-cache tripwire. */
+  private def cappedAdjacency(e: DataFrame, maxDegree: Int,
+                              tag: String): (DataFrame, DataFrame) = {
     val adj = e.select(col("u").as("a"), col("v").as("n"))
       .unionByName(e.select(col("v").as("a"), col("u").as("n")))
-    // ONE degree aggregation, pinned: unpinned it re-ran as five
-    // separate union+agg subtrees in the executed plan (the two
-    // semi-join caps, deg_u, deg_v — each a full adjacency re-scan
-    // with two exchanges; plans/r12/link_predict_before.txt ops
-    // 9-11/25-27/43-45/87-89/100-102)
     val deg = Dedup.spreadPinned(adj.groupBy(col("a"))
-      .agg(count(lit(1)).as("degree")), "linkpred.deg", col("a"))
-    // capped adjacency pinned PARTITIONING-VISIBLY on the apex: both
-    // wedge sides scan this one cached relation already hashed and
-    // sorted on `a`, so the Σdeg² wedge join runs with zero exchange
-    // and zero sort on either side (before: two edge-scale exchanges
-    // + sorts feeding the join, and the whole capped adjacency was
-    // derived twice)
+      .agg(count(lit(1)).as("degree")), s"$tag.deg", col("a"))
     val adjOk = Dedup.spreadCachedWide(adj.join(
       deg.filter(col("degree") <= maxDegree).select(col("a")), Seq("a"),
-      "left_semi"), "linkpred.adj", 4, col("a"))
+      "left_semi"), s"$tag.adj", 4, col("a"))
+    (deg, adjOk)
+  }
+
+  /** True iff every id in `rel.$idCol` fits the packed single-long
+    * pair form `hi·2³² | lo` (nonnegative, < 2³¹) — the round-13
+    * guard for halving wedge-aggregation key bytes (guide §2.3
+    * "narrower types: halve the column, halve its shuffle bytes",
+    * here applied to the Σ deg² aggregation state). One driver read
+    * of an ALREADY-pinned tiny aggregate (never a source scan), so
+    * the check costs a cached-partition fold at plan time. */
+  private def idsPackable(rel: DataFrame, idCol: String): Boolean = {
+    val r = rel.agg(min(col(idCol)), max(col(idCol))).first()
+    r.isNullAt(0) || (r.getLong(0) >= 0L && r.getLong(1) < (1L << 31))
+  }
+
+  /** The exact common-neighbor ranking tail over a pre-built front —
+    * see [[linkPredict]] for the semantics; factored out so
+    * [[linkPredictApproxRecall]] can run it against the SAME cached
+    * adjacency its approx side uses. */
+  private def linkPredictTail(e: DataFrame, deg: DataFrame,
+                              adjOk: DataFrame, minCn: Long,
+                              k: Int): DataFrame = {
     val w1 = adjOk.select(col("a"), col("n").as("u"))
     val w2 = adjOk.select(col("a"), col("n").as("v"))
-    val cand = w1.join(w2, Seq("a")).filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    // the wedge count agg keyed on ONE packed long instead of two
+    // (round 13, guide §2.3): the Σ deg² partial-agg hash state and
+    // its exchange carry an 8-byte key instead of 16, and the
+    // group-key compare is a single long equality. Pack/unpack is
+    // lossless under the [[idsPackable]] guard (part keys are ≥ 0
+    // and far below 2³¹ at every SF; a catalog that outgrows the
+    // guard falls back to the two-long key, same rows either way).
+    val cnAgg =
+      if (idsPackable(deg, "a"))
+        w1.join(w2, Seq("a")).filter(col("u") < col("v"))
+          .select(shiftleft(col("u"), 32).bitwiseOR(col("v")).as("uv"))
+          .groupBy(col("uv")).agg(count(lit(1)).as("cn"))
+          .select(shiftright(col("uv"), 32).as("u"),
+            col("uv").bitwiseAND(lit(0xFFFFFFFFL)).as("v"), col("cn"))
+      else
+        w1.join(w2, Seq("a")).filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    val cand = cnAgg
       .filter(col("cn") >= minCn)
       .join(e, Seq("u", "v"), "left_anti")
     cand
@@ -505,21 +593,17 @@ object Graph {
       s"nHashes > ${graft.functions.Hashing.Perms.size} needs more Perms")
     val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
-    val adjAll = e.select(col("u").as("a"), col("v").as("n"))
-      .unionByName(e.select(col("v").as("a"), col("u").as("n")))
     // degree cap FIRST: one count agg + a semi join, so hub nodes
     // never reach the signature agg, the band join, or the
-    // collect_list verify arrays — the O(deg) payload bound
-    val okDeg = adjAll.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
-      .filter(col("__deg") <= maxDegree).select(col("a"))
-    // capped adjacency cached partitioned on the node: the signature
-    // agg (grouped on (a, i) — a prefix match) and the verify tail's
-    // neighbor-array agg (grouped on a) both run exchange-free over
-    // it, and the minhash explode inherits the full cached width
-    // instead of the 2-task stage AQE carved from its byte-light
-    // input (the §43 trap, measured here as a 2.0 s 2-task stage)
-    val adj = Dedup.spreadCached(adjAll.join(okDeg, Seq("a"), "left_semi"),
-      "linkpred.approx.adj", col("a"))
+    // collect_list verify arrays — the O(deg) payload bound. The
+    // shared [[cappedAdjacency]] front caches the capped relation
+    // partitioned on the node: the signature agg (grouped on (a, i)
+    // — a prefix match) and the verify tail's neighbor-array agg
+    // (grouped on a) both run exchange-free over it, and the minhash
+    // explode inherits the full cached width instead of the 2-task
+    // stage AQE carved from its byte-light input (the §43 trap,
+    // measured here as a 2.0 s 2-task stage).
+    val (_, adj) = cappedAdjacency(e, maxDegree, "linkpred.approx")
     approxRankTail(e, adj, Pin.pin(neighborMinhash(adj, nHashes)),
       k, minCn, maxBucket)
   }
@@ -600,8 +684,23 @@ object Graph {
     // the array form moves the same information as |cand| rows of
     // array payload with no re-aggregation (19.8 s — 9.5× faster,
     // SCALE.md §39).
+    // INT neighbor arrays when every id fits (round 13, guide §2.3
+    // "narrower types"): the first attach join is exchange-free on
+    // the array side (nbrs inherits adj's cached partitioning), but
+    // the second attach must ship each candidate's first array to
+    // its v-partition — the one unavoidable array-carrying exchange
+    // of this tail (433 MB at sf0.1, the r12 "not yet" item). Ids
+    // are compared and counted, never summed, so int arrays halve
+    // that exchange with bit-identical cn/deg (sizes and intersect
+    // are value-equal; outputs were already cast explicitly below).
+    val narrowIds = {
+      val r = adj.agg(min(least(col("a"), col("n"))),
+        max(greatest(col("a"), col("n")))).first()
+      r.isNullAt(0) || (r.getLong(0) >= 0L && r.getLong(1) < (1L << 31))
+    }
     val nbrs = adj.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("n"))).as("nbr"))
+      .agg(sort_array(collect_list(
+        if (narrowIds) col("n").cast("int") else col("n"))).as("nbr"))
     cand
       .join(nbrs.select(col("a").as("u"), col("nbr").as("__nu")), "u")
       .join(nbrs.select(col("a").as("v"), col("nbr").as("__nv")), "v")
@@ -740,8 +839,22 @@ object Graph {
                               nHashes: Int = 8): DataFrame = {
     val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
-    val exact = linkPredict(e, minCn, k).select(col("u"), col("v"))
-    val approx = linkPredictApprox(e, k, nHashes, minCn)
+    // ONE shared front for both rankers (round-13, guide §2.4): the
+    // exact and approx tails read the SAME pinned degree agg and the
+    // SAME cached capped adjacency. Before, each ranker re-pinned the
+    // edge set, re-derived the adjacency, re-aggregated degrees and
+    // built its own cache of the identical capped relation — this
+    // query paid the whole front twice (it was the suite's top wall,
+    // 21.5 s isolated; the front is data-identical on both paths, so
+    // the ranked rows cannot change). Both rankers use the default
+    // maxDegree, which is what the previous nested calls used too.
+    val (deg, adjOk) = cappedAdjacency(e, DefaultMaxGroupSize,
+      "linkpred.recall")
+    val exact = linkPredictTail(e, deg, adjOk, minCn, k)
+      .select(col("u"), col("v"))
+    val approx = approxRankTail(e, adjOk,
+      Pin.pin(neighborMinhash(adjOk, nHashes)), k, minCn,
+      DefaultMaxGroupSize)
       .select(col("u"), col("v"), lit(1L).as("__hit"))
     exact.join(approx, Seq("u", "v"), "left")
       .agg(count(lit(1)).cast("long").as("n_exact"),

@@ -30,12 +30,39 @@ import org.apache.spark.storage.StorageLevel
 object Pin {
   val ConfKey = "spark.graft.pin.storage"
 
-  def pin(df: DataFrame): DataFrame =
+  private val dumpSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Opt-in plan-evidence hook (round 13): when
+    * `SPARK_GRAFT_PIN_EXPLAIN_DIR` names a directory, every pin
+    * writes the formatted plan of the relation it is about to
+    * materialize there as `pin_NNNN.txt`. This is the only window
+    * onto the iterating families' MID-LOOP round plans — each
+    * round's expansion join is planned and executed inside the loop
+    * and hides behind its checkpoint in the declared query's final
+    * plan, so `ExplainDump` can never show whether the cached
+    * adjacency side actually joins exchange-free. Off by default;
+    * one env read per pin when unset. */
+  private def dumpPlan(df: DataFrame): DataFrame = {
+    sys.env.get("SPARK_GRAFT_PIN_EXPLAIN_DIR").foreach { dir =>
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(d,
+        f"pin_${dumpSeq.getAndIncrement()}%04d.txt"), "UTF-8")
+      try w.println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      finally w.close()
+    }
+    df
+  }
+
+  def pin(df0: DataFrame): DataFrame = {
+    val df = dumpPlan(df0)
     df.sparkSession.conf.getOption(ConfKey).map(_.toLowerCase) match {
       case Some("disk_only") =>
         df.localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
       case _ => df.localCheckpoint()
     }
+  }
 
   /** Pin a DETERMINISTIC relation so that its hash partitioning and
     * per-partition sort order SURVIVE into every consumer's plan —
@@ -69,8 +96,9 @@ object Pin {
     * scale with the amplification, not the input bytes, or the agg
     * spills (measured: link_predict's wedge stage spilled 810 MB at
     * width 32 and zero at width 128 — guide §5). */
-  def pinByKeyN(df: DataFrame, numPartitions: Int,
+  def pinByKeyN(df0: DataFrame, numPartitions: Int,
                 keys: org.apache.spark.sql.Column*): DataFrame = {
+    val df = dumpPlan(df0)
     // no-cross-run-cache tripwire: persist matches by canonicalized
     // plan, so a pinned subtree built PURELY from source scans would
     // be silently served from cache on a bench's second timed run —
@@ -101,4 +129,19 @@ object Pin {
     p.count()
     p
   }
+
+  /** Release every relation [[pinByKey]]/[[pinByKeyN]] registered in
+    * the session's CacheManager — the lifecycle hook a long-lived
+    * caller (a day-2 service, a REPL) must invoke between logical
+    * units of work (ADVICE r12: the pins are strong CacheManager
+    * refs, so neither periodicGC nor the ContextCleaner can reclaim
+    * them; without this every graph/walk/link-predict call leaks a
+    * MEMORY_AND_DISK cache entry for the session lifetime). The
+    * bench harnesses (Bench, BenchQuiet, GraphDial's timeIt) already
+    * apply this per trial — it is also their anti-gaming discipline:
+    * clearing between runs forces every timed window to pay its own
+    * cache build. Queries in flight recompute from lineage (persist
+    * keeps it), so this is always safe, only ever a perf trade. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sharedState.cacheManager.clearCache()
 }

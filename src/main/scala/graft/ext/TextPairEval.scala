@@ -127,17 +127,17 @@ object TextPairEval {
     s"""
     |WITH ${pairCtes(n)}
     |SELECT p.cand_id, p.ref_id,
-    |  coalesce(cl.clip, 0) AS clip,
+    |  CAST(coalesce(cl.clip, 0) AS BIGINT) AS clip,
     |  tc.n_grams AS n_cand, tr.n_grams AS n_ref,
-    |  CASE WHEN tc.n_grams > 0
+    |  CAST(CASE WHEN tc.n_grams > 0
     |       THEN (coalesce(cl.clip, 0) * 1000000) // tc.n_grams
-    |       ELSE 0 END AS p_ppm,
-    |  CASE WHEN tr.n_grams > 0
+    |       ELSE 0 END AS BIGINT) AS p_ppm,
+    |  CAST(CASE WHEN tr.n_grams > 0
     |       THEN (coalesce(cl.clip, 0) * 1000000) // tr.n_grams
-    |       ELSE 0 END AS r_ppm,
-    |  CASE WHEN tc.n_grams + tr.n_grams > 0
+    |       ELSE 0 END AS BIGINT) AS r_ppm,
+    |  CAST(CASE WHEN tc.n_grams + tr.n_grams > 0
     |       THEN (2 * coalesce(cl.clip, 0) * 1000000) // (tc.n_grams + tr.n_grams)
-    |       ELSE 0 END AS f_ppm
+    |       ELSE 0 END AS BIGINT) AS f_ppm
     |FROM pairs p
     |LEFT JOIN clip cl ON cl.cand_id = p.cand_id AND cl.ref_id = p.ref_id
     |JOIN totals tc ON tc.doc_id = p.cand_id
@@ -229,9 +229,9 @@ object TextPairEval {
       |  GROUP BY 1, 2),
       |$out AS (
       |  SELECT p.cand_id, p.ref_id,
-      |    CASE WHEN t.n_grams > 0
+      |    CAST(CASE WHEN t.n_grams > 0
       |         THEN (coalesce(c.clip, 0) * 1000000) // t.n_grams
-      |         ELSE 0 END AS p_ppm
+      |         ELSE 0 END AS BIGINT) AS p_ppm
       |  FROM pairs p
       |  LEFT JOIN $cl c ON c.cand_id = p.cand_id AND c.ref_id = p.ref_id
       |  JOIN $tot t ON t.doc_id = p.cand_id)""".stripMargin

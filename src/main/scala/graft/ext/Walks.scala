@@ -63,10 +63,11 @@ object Walks {
   }
 
   /** The hash-selected neighbor index at step `s` for `walk_id`,
-    * given degree column `d` — nonnegative ids only (graph node ids
-    * here are part keys ≥ 0), so `%` agrees across engines. */
-  private def pickExpr(s: Int): String =
-    s"(((walk_id % $P2) + $s * $stride) * $wa + $wb) % $P2 % d"
+    * given degree expression `dExpr` — nonnegative ids only (graph
+    * node ids here are part keys ≥ 0), so `%` agrees across
+    * engines. */
+  private def pickExpr(s: Int, dExpr: String = "d"): String =
+    s"(((walk_id % $P2) + $s * $stride) * $wa + $wb) % $P2 % $dExpr"
 
   /** `length`-step deterministic walks, one walk per node of
     * `edges`: rows (walk_id, step, node_id), step 0 = the start
@@ -307,6 +308,31 @@ object Walks {
     * so the two walk variants don't correlate. */
   private val (ba, bb) = Hashing.Perms(1)
 
+  /** Per-node SORTED neighbor arrays, cached partitioning-visibly on
+    * `node` — the biased walk's whole graph state in ONE relation
+    * (round 13, guide §2.3/§2.4 "shuffle keys and metadata, not
+    * payloads … remove shuffles outright"): each biased step attaches
+    * `prev`'s and `cur`'s arrays with two frontier-sized joins whose
+    * array side is the cache (zero exchange, zero sort), and the
+    * classification + weighted pick run as pure array expressions
+    * INSIDE the frontier row — the per-step O(Σ deg) expansion rows,
+    * their (least, greatest) classification shuffle and the per-walk
+    * running-sum window (two full-expansion exchanges per step in
+    * the r12 plan) no longer exist. Array order = ascending neighbor
+    * id = exactly [[rankedAdjacency]]'s rk order, so every selection
+    * is bit-identical by construction.
+    *
+    * `e` must be pinned (the [[Pin.pinByKey]] tripwire). */
+  private def neighborArrays(e: DataFrame): DataFrame = {
+    val adj = e
+      .select(col("u").cast("long").as("node"), col("v").cast("long").as("nbr"))
+      .unionAll(e
+        .select(col("v").cast("long").as("node"), col("u").cast("long").as("nbr")))
+    Dedup.spreadCached(adj.groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("nbrs")),
+      "walks.nbrs", col("node"))
+  }
+
   /** node2vec-style SECOND-ORDER biased walks (Grover & Leskovec
     * 2016): from step 2 on, the hop out of `cur` (arrived from
     * `prev`) weights each neighbor by its relation to `prev` —
@@ -333,7 +359,19 @@ object Walks {
     * [[walksKernel]]. */
   private[ext] def biasedWalksKernel(edges: DataFrame, length: Int,
                                      wReturn: Long, wCommon: Long,
-                                     wOut: Long): DataFrame = {
+                                     wOut: Long): DataFrame =
+    biasedWalksKernelPinned(
+      Pin.pin(edges.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))),
+      length, wReturn, wCommon, wOut)
+
+  /** [[biasedWalksKernel]] over an ALREADY-pinned (u, v) long edge
+    * relation — the overload [[walkBiasAudit]] uses so its biased leg
+    * rides the audit's one edge pin instead of re-checkpointing the
+    * same rows (ADVICE r12). */
+  private def biasedWalksKernelPinned(e: DataFrame, length: Int,
+                                      wReturn: Long, wCommon: Long,
+                                      wOut: Long): DataFrame = {
     // all three weights strictly positive: a walk sitting at a
     // degree-1 node whose only neighbor is `prev` has total weight
     // wReturn — at 0 the pick modulus is 0, where Spark nulls and
@@ -342,35 +380,25 @@ object Walks {
     // step total by construction.
     require(wReturn > 0 && wCommon > 0 && wOut > 0,
       "biased-walk weights must be strictly positive")
-    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v")))
-    val adj = rankedAdjacency(e)
-    val starts = Pin.pin(adj.select(col("node")).distinct()
+    val nbrArr = neighborArrays(e)
+    val starts = Pin.pin(nbrArr.select(col("node"))
       .select(col("node").as("walk_id"), col("node").as("cur")))
     var out = starts.select(col("walk_id"), lit(0L).as("step"),
       col("cur").as("node_id"))
     // step 1: uniform ranked pick, shared with the unbiased variant —
-    // the same fused single-join form as [[walkSteps]] (degree read
-    // off the adjacency row, pick as a join-time residual)
+    // the sorted array IS the rank order, so indexing it at the hash
+    // pick selects the same neighbor [[walkSteps]]'s rk-residual join
+    // does (one frontier-sized join, array side cached)
     var frontier = Pin.pin(starts
-      .join(adj, col("cur") === col("node") &&
-        col("rk") === expr(pickExpr(1)))
-      .select(col("walk_id"), col("cur").as("prev"), col("nbr").as("cur")))
+      .join(nbrArr.select(col("node").as("cur"), col("nbrs").as("__cn")),
+        Seq("cur"))
+      .select(col("walk_id"), col("cur").as("prev"),
+        element_at(col("__cn"),
+          (expr(pickExpr(1, "size(__cn)")) + 1).cast("int")).as("cur")))
     out = out.unionAll(frontier.select(col("walk_id"), lit(1L).as("step"),
       col("cur").as("node_id")))
-    // canonicalized lookup: the classification join matches on
-    // (least, greatest), so a caller whose edge rows aren't oriented
-    // u < v (coEdges' contract, but not every edge relation's) must
-    // not silently misclassify distance-1 neighbors as outward; the
-    // distinct rides the join's own exchange
-    val edgeLookup = Dedup.spreadCached(
-      e.select(least(col("u"), col("v")).as("__eu"),
-        greatest(col("u"), col("v")).as("__ev")).distinct()
-        .withColumn("__is_edge", lit(1L)),
-      "walks.elookup", col("__eu"), col("__ev"))
     for (s <- 2 to length) {
-      val sel = biasedStep(frontier, adj, edgeLookup, s,
-        wReturn, wCommon, wOut)
+      val sel = biasedStep(frontier, nbrArr, s, wReturn, wCommon, wOut)
       frontier = Pin.pin(sel.select(col("walk_id"),
         col("cur").as("prev"), col("nbr").as("cur")))
       out = out.unionAll(frontier.select(col("walk_id"),
@@ -393,7 +421,7 @@ object Walks {
       "biased-walk weights must be strictly positive")
     val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
-    val adj = rankedAdjacency(e)
+    val nbrArr = neighborArrays(e)
     var frontier = Pin.pin(prior
       .filter(col("step") === fromLength.toLong)
       .select(col("walk_id"), col("node_id").as("cur"))
@@ -401,19 +429,8 @@ object Walks {
         .select(col("walk_id"), col("node_id").as("prev")), Seq("walk_id"))
       .select(col("walk_id"), col("prev"), col("cur")))
     var out = prior.select(col("walk_id"), col("step"), col("node_id"))
-    // canonicalized lookup: the classification join matches on
-    // (least, greatest), so a caller whose edge rows aren't oriented
-    // u < v (coEdges' contract, but not every edge relation's) must
-    // not silently misclassify distance-1 neighbors as outward; the
-    // distinct rides the join's own exchange
-    val edgeLookup = Dedup.spreadCached(
-      e.select(least(col("u"), col("v")).as("__eu"),
-        greatest(col("u"), col("v")).as("__ev")).distinct()
-        .withColumn("__is_edge", lit(1L)),
-      "walks.elookup", col("__eu"), col("__ev"))
     for (s <- fromLength + 1 to fromLength + extraSteps) {
-      val sel = biasedStep(frontier, adj, edgeLookup, s,
-        wReturn, wCommon, wOut)
+      val sel = biasedStep(frontier, nbrArr, s, wReturn, wCommon, wOut)
       frontier = Pin.pin(sel.select(col("walk_id"),
         col("cur").as("prev"), col("nbr").as("cur")))
       out = out.unionAll(frontier.select(col("walk_id"),
@@ -424,31 +441,56 @@ object Walks {
 
   /** One biased hop: classify, weight, running-sum pick — shared by
     * [[biasedWalks]] and [[extendBiasedWalks]], so extension equals
-    * from-scratch by construction. */
-  private def biasedStep(frontier: DataFrame, adj: DataFrame,
-                         edgeLookup: DataFrame, s: Int, wReturn: Long,
-                         wCommon: Long, wOut: Long): DataFrame = {
-    val cand = frontier
-      .join(adj.select(col("node").as("cur"), col("nbr")), Seq("cur"))
-      // plain equi-join against the edge relation (pinned above):
-      // broadcast when it fits, hash-join at scale — AQE's call
-      .join(edgeLookup,
-        least(col("prev"), col("nbr")) === col("__eu") &&
-          greatest(col("prev"), col("nbr")) === col("__ev"), "left")
-      .withColumn("__w",
-        when(col("nbr") === col("prev"), lit(wReturn))
-          .when(col("__is_edge").isNotNull, lit(wCommon))
-          .otherwise(lit(wOut)))
-      .withColumn("__raw",
-        expr(s"(((walk_id % $P2) + $s * $stride) * $ba + $bb) % $P2"))
-    val cum = Window.partitionBy(col("walk_id")).orderBy(col("nbr"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(col("walk_id"))
-    cand
-      .withColumn("__hi", sum(col("__w")).over(cum))
-      .withColumn("__tot", sum(col("__w")).over(whole))
-      .filter(col("__raw") % col("__tot") >= col("__hi") - col("__w") &&
-        col("__raw") % col("__tot") < col("__hi"))
+    * from-scratch by construction.
+    *
+    * Round-13 form (guide §2.3/§2.4): two frontier-sized joins attach
+    * `cur`'s and `prev`'s cached sorted neighbor arrays, then the
+    * whole node2vec hop — classification, total weight, hash target,
+    * running-sum pick — runs as array expressions INSIDE the row.
+    * Selection is bit-identical to the r12 expansion+window form:
+    * the sorted array IS the window's nbr-ascending order, the
+    * per-element weight is the same three-way CASE (`x = prev` →
+    * wReturn; `x` adjacent to prev, i.e. in cn∩pn, → wCommon; else
+    * wOut — membership in prev's array ⟺ the old (least, greatest)
+    * edge-lookup hit), the total is the aggregate of those SAME
+    * weights (never a closed form, so duplicate edges or self-loops
+    * in a caller's relation can't split target from scan), and the
+    * pick keeps the old straddle rule: first x with cum(x) > raw %
+    * tot. What no longer exists per step: the O(Σ deg) candidate
+    * expansion, its classification-join shuffle, and the two
+    * per-walk window passes over it. */
+  private def biasedStep(frontier: DataFrame, nbrArr: DataFrame, s: Int,
+                         wReturn: Long, wCommon: Long,
+                         wOut: Long): DataFrame = {
+    // per-element weight — referenced by both the total and the scan,
+    // so the two agree expression-for-expression
+    def w(x: String) =
+      s"""CASE WHEN $x = prev THEN ${wReturn}L
+         |     WHEN array_contains(__ca, $x) THEN ${wCommon}L
+         |     ELSE ${wOut}L END""".stripMargin
+    frontier
+      .join(nbrArr.select(col("node").as("cur"), col("nbrs").as("__cn")),
+        Seq("cur"))
+      .join(nbrArr.select(col("node").as("prev"), col("nbrs").as("__pn")),
+        Seq("prev"))
+      // cn ∩ pn (order/dedup irrelevant — only membership is read):
+      // one hash-set pass per row, so the scan's wCommon test probes
+      // the small common-neighbor array, not all of pn
+      .withColumn("__ca", array_intersect(col("__cn"), col("__pn")))
+      .withColumn("__tot",
+        expr(s"aggregate(__cn, CAST(0 AS BIGINT), (acc, x) -> acc + ${w("x")})"))
+      .withColumn("__t",
+        expr(s"((((walk_id % $P2) + $s * $stride) * $ba + $bb) % $P2) % __tot"))
+      .withColumn("nbr", expr(
+        s"""aggregate(__cn,
+           |  named_struct('cum', CAST(0 AS BIGINT),
+           |               'sel', CAST(NULL AS BIGINT)),
+           |  (acc, x) -> named_struct(
+           |    'cum', acc.cum + ${w("x")},
+           |    'sel', CASE WHEN acc.sel IS NULL AND acc.cum + ${w("x")} > __t
+           |                THEN x ELSE acc.sel END),
+           |  acc -> acc.sel)""".stripMargin))
+      .select(col("walk_id"), col("cur"), col("nbr"))
   }
 
   /** Backtrack audit: for each walk variant, the share of steps
@@ -482,7 +524,7 @@ object Walks {
         "walks.audit.u", col("walk_id")), "uniform")
       .unionAll(returns(
         Dedup.spreadCached(
-          biasedWalksKernel(edges, length, wReturn, wCommon, wOut),
+          biasedWalksKernelPinned(edges, length, wReturn, wCommon, wOut),
           "walks.audit.b", col("walk_id")),
         "biased"))
       .orderBy("variant")

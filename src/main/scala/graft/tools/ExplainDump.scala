@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   * writes `<outDir>/<query>_<suffix>.txt` per query. Plans are
   * compiled under the same session conf as graft.Bench (cores from
   * SPARK_GRAFT_CPUS) so join strategies and exchange counts match
-  * what the bench executes; nothing is run (initial AQE plan).
+  * what the bench executes. The printed plan is the initial AQE
+  * plan, but constructing a query DOES run its eager pins
+  * (localCheckpoint count / pinByKey persist+count) — so each dump
+  * costs real work, and the cache is cleared after each query to
+  * keep multi-query invocations bounded (ADVICE r12).
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
@@ -32,6 +36,7 @@ object ExplainDump {
         new java.io.File(s"$outDir/${n}_$suffix.txt"), "UTF-8")
       try w.println(plan) finally w.close()
       println(s"wrote $outDir/${n}_$suffix.txt (${plan.length} chars)")
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }
