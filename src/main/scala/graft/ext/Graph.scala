@@ -104,8 +104,10 @@ object Graph {
     // subtrees when it can, but the pin guarantees one materialization
     // of the m edge rows regardless of how AQE re-plans each consumer
     // — and makes the upstream distinct's cost appear once in any
-    // profile instead of ambiguously shared.
-    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+    // profile instead of ambiguously shared. Pin.ensure: a caller
+    // that already pinned ([[clusteringCoeff]]) shares its leaf
+    // instead of paying a second row copy (round 13).
+    val e = Pin.ensure(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
 
     // ONE degree aggregation, pinned: unpinned, the executed r12 plan
@@ -183,8 +185,16 @@ object Graph {
     * triangle-free nodes keep cc = 0; degree-1 nodes (undefined
     * denominator) publish 0 by convention. Integer division only. */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u").cast("long").as("u"),
-      col("v").cast("long").as("v"))
+    // ONE pin feeds both this query's own degree census and the
+    // whole triangle kernel (which detects the existing leaf via
+    // Pin.ensure): before round 13 the triangle side pinned its own
+    // copy while this deg agg re-ran the UNPINNED upstream edge
+    // build (for the co-order graph, the quadratic pair join +
+    // distinct) a second time — measured 3.1 → 5.0 s when the r13
+    // triangle pins first landed, back under the old wall once the
+    // leaf is shared (guide §2.4)
+    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v")))
     val deg = e.select(explode(array(col("u"), col("v"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
     deg.join(triangleCounts(e), Seq("node_id"), "left")

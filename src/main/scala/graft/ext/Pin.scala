@@ -130,6 +130,30 @@ object Pin {
     p
   }
 
+  /** [[pin]] UNLESS `df` already sits shallowly on a checkpoint/local
+    * leaf — i.e. only narrow ops (project/filter/alias) above a
+    * LogicalRDD or LocalRelation, so re-evaluation is a cheap scan
+    * and a second checkpoint would only copy rows AND fork the
+    * lineage (forked lineage = derived pinByKey caches that can no
+    * longer dedup through the CacheManager; see
+    * graph_walks_biased_extended / clustering_coeff, round 13).
+    * "Shallow" matters: merely containing a checkpoint somewhere
+    * below (coEdges pins its guarded front under the quadratic pair
+    * join) must still pin, or the expensive derivation re-runs per
+    * consumer. */
+  def ensure(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def shallow(p: LogicalPlan): Boolean = p match {
+      case pr: Project => shallow(pr.child)
+      case f: Filter => shallow(f.child)
+      case s: SubqueryAlias => shallow(s.child)
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: LocalRelation => true
+      case _ => false
+    }
+    if (shallow(df.queryExecution.analyzed)) df else pin(df)
+  }
+
   /** Release every relation [[pinByKey]]/[[pinByKeyN]] registered in
     * the session's CacheManager — the lifecycle hook a long-lived
     * caller (a day-2 service, a REPL) must invoke between logical

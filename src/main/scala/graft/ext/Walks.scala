@@ -134,11 +134,18 @@ object Walks {
   def extendWalks(prior: DataFrame, edges: DataFrame, fromLength: Int,
                   extraSteps: Int): DataFrame = {
     val adj = rankedAdjacency(edges)
-    val frontier = Pin.pin(prior
+    // ONE evaluation of the prior corpus (round 13, guide §2.4): it
+    // feeds the frontier read AND the output prefix, and a caller
+    // passing a freshly-built ordered corpus (graph_walks_extended
+    // builds walks(e, L) inline) would otherwise re-run its
+    // corpus-wide range sort per consumer. A prior that is already
+    // a bare checkpoint scan is used as-is (Pin.ensure).
+    val p = Pin.ensure(prior)
+    val frontier = Pin.pin(p
       .filter(col("step") === fromLength.toLong)
       .select(col("walk_id"), col("node_id").as("cur")))
     walkSteps(adj, frontier,
-      prior.select(col("walk_id"), col("step"), col("node_id")),
+      p.select(col("walk_id"), col("step"), col("node_id")),
       from = fromLength, to = fromLength + extraSteps)
       .orderBy("walk_id", "step")
   }
@@ -355,13 +362,27 @@ object Walks {
     biasedWalksKernel(edges, length, wReturn, wCommon, wOut)
       .orderBy("walk_id", "step")
 
+  /** Pin the long-typed edge projection UNLESS it already sits on a
+    * checkpoint/local leaf (round 13, guide §2.4): re-checkpointing
+    * an already-pinned relation copies the rows AND gives the derived
+    * neighbor-array cache a fresh lineage — so the from-scratch and
+    * extension legs of graph_walks_biased_extended each built their
+    * OWN cache of the same arrays (two full adjacency aggs + double
+    * the resident blocks, the r12-ADVICE walkBiasAudit bug in its
+    * second home). With the shared leaf, both legs' [[neighborArrays]]
+    * plans canonicalize identically and the second persist resolves
+    * to the FIRST cache entry. The [[Pin.pinByKey]] tripwire stays
+    * satisfied either way (a LogicalRDD/LocalRelation leaf is exactly
+    * what this checks for). */
+  private def ensurePinned(df: DataFrame): DataFrame = Pin.ensure(df)
+
   /** [[biasedWalks]] without the declared output ordering — see
     * [[walksKernel]]. */
   private[ext] def biasedWalksKernel(edges: DataFrame, length: Int,
                                      wReturn: Long, wCommon: Long,
                                      wOut: Long): DataFrame =
     biasedWalksKernelPinned(
-      Pin.pin(edges.select(col("u").cast("long").as("u"),
+      ensurePinned(edges.select(col("u").cast("long").as("u"),
         col("v").cast("long").as("v"))),
       length, wReturn, wCommon, wOut)
 
@@ -419,16 +440,20 @@ object Walks {
     require(fromLength >= 1, "biased extension needs steps 0 and 1")
     require(wReturn > 0 && wCommon > 0 && wOut > 0,
       "biased-walk weights must be strictly positive")
-    val e = Pin.pin(edges.select(col("u").cast("long").as("u"),
+    val e = ensurePinned(edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v")))
     val nbrArr = neighborArrays(e)
-    var frontier = Pin.pin(prior
+    // ONE evaluation of the prior corpus — it feeds the two frontier
+    // reads (steps L and L−1) and the output prefix; see
+    // [[extendWalks]] (round 13)
+    val p = Pin.ensure(prior)
+    var frontier = Pin.pin(p
       .filter(col("step") === fromLength.toLong)
       .select(col("walk_id"), col("node_id").as("cur"))
-      .join(prior.filter(col("step") === (fromLength - 1).toLong)
+      .join(p.filter(col("step") === (fromLength - 1).toLong)
         .select(col("walk_id"), col("node_id").as("prev")), Seq("walk_id"))
       .select(col("walk_id"), col("prev"), col("cur")))
-    var out = prior.select(col("walk_id"), col("step"), col("node_id"))
+    var out = p.select(col("walk_id"), col("step"), col("node_id"))
     for (s <- fromLength + 1 to fromLength + extraSteps) {
       val sel = biasedStep(frontier, nbrArr, s, wReturn, wCommon, wOut)
       frontier = Pin.pin(sel.select(col("walk_id"),
